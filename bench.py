@@ -1,0 +1,60 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Mirrors the reference's benchto protocol (BASELINE.md: runs=6, prewarm=2,
+CBO/AQE on) scaled down: per query, `prewarm` untimed runs then `runs` timed
+runs; the reported figure is the median. Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
+    prewarm = int(os.environ.get("BENCH_PREWARM", "1"))
+
+    from sensql_presto_spark.queries import all_specs
+    from sensql_presto_spark.session import get_spark
+
+    spark = get_spark(app_name="sensql_bench")
+
+    specs = {n: s for n, s in all_specs().items() if s.bench}
+    timings: dict[str, float] = {}
+    for name, spec in sorted(specs.items()):
+        df = spec.build(spark, sf_dir)
+        for _ in range(prewarm):
+            df.write.format("noop").mode("overwrite").save()
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            # noop sink executes the full plan without driver materialization
+            # (the reference's DevNullOperator, SURVEY §2.1).
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
+        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "tpch_like_median_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Table catalog over the driver-generated parquet testdata.
+
+Mirrors the reference's connector metadata model (SURVEY.md §1.1:
+``ConnectorTableHandle``/``ConnectorTableMetadata``) in the only way Spark
+needs: explicit schemas, parquet scans with pushdown, temp views for SQL.
+Schema is fixed and explicit per table — no inference (the reference
+statically types every query; ``StatementAnalyzer.java:277``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _ensure_session_conf(spark: SparkSession) -> None:
+    """Runtime-settable confs the oracle comparison depends on.
+
+    The driver may hand us a session we didn't build; timezone must be UTC
+    so timestamps hash identically to DuckDB's UTC-naive values.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized reader
+    # rejects; read as long nanos and convert (micros precision, exact here).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One parquet-backed table. Columnar scan; Catalyst pushes filters."""
+    _ensure_session_conf(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (idempotent)."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def sql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
+    """Run SQL against the testdata views — the engine's `spark.sql` path."""
+    register_views(spark, sf_dir)
+    return spark.sql(text)

@@ -1,0 +1,846 @@
+"""Adapted TPC-H q01-q22 over the driver's simplified star schema.
+
+The reference ships the standard 22 TPC-H queries
+(``presto-benchto-benchmarks/src/main/resources/sql/presto/tpch/q01..q22.sql``)
+as its correctness + benchmark workload (SURVEY.md §5.4, §6). The driver's
+testdata is a *subset* of TPC-H (FIXTURES.md §1): no ``partsupp`` table, and
+several columns are missing (l_commitdate, l_receiptdate, l_shipmode,
+l_shipinstruct, o_shippriority, o_clerk, c_address, c_phone, p_container,
+p_mfgr, comments). Queries needing those get documented variants that keep
+the *operator shape* (join graph, subquery class, aggregation pattern)
+identical — which is what the reference's plan-level behavior actually
+exercises.
+
+Each query is written in the DataFrame API (Catalyst plans it; broadcast
+hints mark dimension tables that must replicate, not shuffle, at 100 TB)
+or in Spark SQL where correlated-subquery syntax is clearer. The paired
+oracle is ANSI SQL for DuckDB on the same parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sensql_presto_spark import catalog
+from sensql_presto_spark.queries.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return catalog.table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# q01 — pricing summary report. Reference: tpch/q01.sql. Full fidelity.
+# Operators: scan+filter pushdown, hash aggregate (partial/final), sort.
+@register(
+    "tpch_q01",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           sum(l_extendedprice) AS sum_base_price,
+           sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+           avg(l_quantity) AS avg_qty,
+           avg(l_extendedprice) AS avg_price,
+           avg(l_discount) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("tpch", "aggregation"),
+    bench=True,
+)
+def tpch_q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# q02 — min-cost supplier. VARIANT: no partsupp; "cost" := s_acctbal over the
+# part's suppliers found via lineitem. Keeps the correlated-scalar-min
+# subquery + 5-way join shape of the original.
+_Q02_SQL = """
+WITH part_suppliers AS (
+    SELECT DISTINCT l.l_partkey, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+)
+SELECT p.p_partkey, p.p_name, ps.s_name, ps.s_acctbal, ps.n_name
+FROM part p
+JOIN part_suppliers ps ON ps.l_partkey = p.p_partkey
+WHERE p.p_size = 10
+  AND ps.s_acctbal = (
+      SELECT min(ps2.s_acctbal) FROM part_suppliers ps2
+      WHERE ps2.l_partkey = p.p_partkey
+  )
+ORDER BY ps.s_acctbal, p.p_partkey, ps.s_name
+LIMIT 100
+"""
+
+
+@register(
+    "tpch_q02",
+    oracle=_Q02_SQL,
+    tags=("tpch", "join", "correlated-subquery"),
+)
+def tpch_q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog.sql(spark, sf_dir, _Q02_SQL)
+
+
+# --------------------------------------------------------------------------
+# q03 — shipping priority. VARIANT: o_shippriority column absent (dropped
+# from output). Join customer⋈orders⋈lineitem + agg + top-N.
+@register(
+    "tpch_q03",
+    oracle="""
+    SELECT l.l_orderkey,
+           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+    LIMIT 10
+    """,
+    tags=("tpch", "join", "topn"),
+    bench=True,
+)
+def tpch_q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp"))
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q04 — order priority checking. VARIANT: l_commitdate/l_receiptdate absent;
+# EXISTS predicate becomes l_shipdate > o_orderdate. Semi-join shape intact.
+@register(
+    "tpch_q04",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("tpch", "semi-join", "exists"),
+    bench=True,
+)
+def tpch_q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    # left-semi join == EXISTS (reference: HashSemiJoinOperator, SURVEY §2.3)
+    matched = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return (
+        matched.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# q05 — local supplier volume. Full join graph (6 tables sans partsupp).
+@register(
+    "tpch_q05",
+    oracle="""
+    SELECT n.n_name, sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND c.c_nationkey = s.s_nationkey
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC
+    """,
+    tags=("tpch", "join", "aggregation"),
+    bench=True,
+)
+def tpch_q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q06 — forecasting revenue change. Full fidelity. Pure scan+filter+agg —
+# the reference's hand-optimized benchmark case (HandTpchQuery6.java).
+@register(
+    "tpch_q06",
+    oracle="""
+    SELECT sum(l_extendedprice * l_discount) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("tpch", "filter", "aggregation"),
+    bench=True,
+)
+def tpch_q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+
+
+# --------------------------------------------------------------------------
+# q07 — volume shipping between two nations.
+@register(
+    "tpch_q07",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(extract(year FROM l.l_shipdate) AS INT) AS l_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    tags=("tpch", "join", "aggregation"),
+)
+def tpch_q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog.sql(
+        spark,
+        sf_dir,
+        """
+        SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(extract(year FROM l.l_shipdate) AS INT) AS l_year,
+                   l.l_extendedprice * (1 - l.l_discount) AS volume
+            FROM supplier s
+            JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+        """,
+    )
+
+
+# --------------------------------------------------------------------------
+# q08 — national market share. VARIANT: p_type ∈ small enum set; use 'ECONOMY'.
+@register(
+    "tpch_q08",
+    oracle="""
+    SELECT o_year,
+           sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) / sum(volume)
+               AS mkt_share
+    FROM (
+        SELECT CAST(extract(year FROM o.o_orderdate) AS INT) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               n2.n_name AS nation
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        JOIN region r ON n1.n_regionkey = r.r_regionkey
+        JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'AMERICA'
+          AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+          AND p.p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    tags=("tpch", "join", "aggregation", "case"),
+)
+def tpch_q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog.sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_year,
+               sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) / sum(volume)
+                   AS mkt_share
+        FROM (
+            SELECT CAST(extract(year FROM o.o_orderdate) AS INT) AS o_year,
+                   l.l_extendedprice * (1 - l.l_discount) AS volume,
+                   n2.n_name AS nation
+            FROM part p
+            JOIN lineitem l ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+            JOIN region r ON n1.n_regionkey = r.r_regionkey
+            JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+            WHERE r.r_name = 'AMERICA'
+              AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+              AND p.p_type = 'ECONOMY'
+        ) all_nations
+        GROUP BY o_year
+        ORDER BY o_year
+        """,
+    )
+
+
+# --------------------------------------------------------------------------
+# q09 — product type profit. VARIANT: no ps_supplycost; profit proxy
+# amount = revenue − 10·quantity. Join graph + like-filter + agg intact.
+@register(
+    "tpch_q09",
+    oracle="""
+    SELECT nation, o_year, sum(amount) AS sum_profit
+    FROM (
+        SELECT n.n_name AS nation,
+               CAST(extract(year FROM o.o_orderdate) AS INT) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) - 10.0 * l.l_quantity AS amount
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_name LIKE '%gear%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    tags=("tpch", "join", "like"),
+    bench=True,
+)
+def tpch_q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(10.0) * F.col("l_quantity")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q10 — returned item reporting. VARIANT: c_address/c_phone absent.
+@register(
+    "tpch_q10",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    tags=("tpch", "join", "topn"),
+    bench=True,
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q11 — important stock identification. VARIANT: no partsupp; part "value"
+# from lineitem revenue of suppliers in one nation. Keeps GROUP BY + HAVING
+# against a global-scalar-subquery threshold.
+_Q11_SQL = """
+SELECT l.l_partkey AS ps_partkey,
+       sum(l.l_extendedprice * (1 - l.l_discount)) AS part_value
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_5'
+GROUP BY l.l_partkey
+HAVING sum(l.l_extendedprice * (1 - l.l_discount)) > (
+    SELECT sum(l2.l_extendedprice * (1 - l2.l_discount)) * 0.001
+    FROM lineitem l2
+    JOIN supplier s2 ON l2.l_suppkey = s2.s_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    WHERE n2.n_name = 'NATION_5'
+)
+ORDER BY part_value DESC, ps_partkey
+"""
+
+
+@register(
+    "tpch_q11",
+    oracle=_Q11_SQL,
+    tags=("tpch", "having", "scalar-subquery"),
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog.sql(spark, sf_dir, _Q11_SQL)
+
+
+# --------------------------------------------------------------------------
+# q12 — shipping-mode / priority classification. VARIANT: l_shipmode absent;
+# group by l_linestatus instead. Conditional aggregation shape intact.
+@register(
+    "tpch_q12",
+    oracle="""
+    SELECT l.l_linestatus,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+    tags=("tpch", "join", "case"),
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# q13 — customer distribution. Left outer join + two-level aggregation.
+# VARIANT: comment-based filter → o_orderpriority filter.
+@register(
+    "tpch_q13",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("tpch", "outer-join", "aggregation"),
+    bench=True,
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q14 — promotion effect. p_type = 'PROMO' exists in the enum.
+@register(
+    "tpch_q14",
+    oracle="""
+    SELECT 100.00 * sum(CASE WHEN p.p_type = 'PROMO'
+                             THEN l.l_extendedprice * (1 - l.l_discount)
+                             ELSE 0 END)
+           / sum(l.l_extendedprice * (1 - l.l_discount)) AS promo_revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+    tags=("tpch", "join", "case"),
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0)))
+                / F.sum(disc_price)
+            ).alias("promo_revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q15 — top supplier: CTE revenue view + scalar-max subquery.
+_Q15_SQL = """
+WITH revenue0 AS (
+    SELECT l_suppkey AS supplier_no,
+           sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN revenue0 r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue0)
+ORDER BY s.s_suppkey
+"""
+
+
+@register(
+    "tpch_q15",
+    oracle=_Q15_SQL,
+    tags=("tpch", "cte", "scalar-subquery"),
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog.sql(spark, sf_dir, _Q15_SQL)
+
+
+# --------------------------------------------------------------------------
+# q16 — parts/supplier relationship. VARIANT: no partsupp (suppliers via
+# lineitem); "complaints" filter → negative account balance. NOT IN
+# subquery + count(distinct) shape intact.
+_Q16_SQL = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 25)
+  AND l.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+"""
+
+
+@register(
+    "tpch_q16",
+    oracle=_Q16_SQL,
+    tags=("tpch", "anti-join", "distinct-agg"),
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog.sql(spark, sf_dir, _Q16_SQL)
+
+
+# --------------------------------------------------------------------------
+# q17 — small-quantity-order revenue: correlated avg subquery.
+# VARIANT: p_container absent → p_size filter; 0.5*avg (data has no long
+# tail below 0.2*avg).
+_Q17_SQL = """
+SELECT sum(l.l_extendedprice) / 7.0 AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#3'
+  AND p.p_size = 5
+  AND l.l_quantity < (
+      SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = p.p_partkey
+  )
+"""
+
+
+@register(
+    "tpch_q17",
+    oracle=_Q17_SQL,
+    tags=("tpch", "correlated-subquery"),
+    bench=True,
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog.sql(spark, sf_dir, _Q17_SQL)
+
+
+# --------------------------------------------------------------------------
+# q18 — large volume customer. IN (GROUP BY … HAVING) subquery + 3-way join.
+# Threshold 250 ≈ p99 of per-order quantity on this data (TPC-H uses 300).
+_Q18_SQL = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       sum(l.l_quantity) AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey
+    HAVING sum(l_quantity) > 250
+)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+LIMIT 100
+"""
+
+
+@register(
+    "tpch_q18",
+    oracle=_Q18_SQL,
+    tags=("tpch", "in-subquery", "having", "topn"),
+    bench=True,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog.sql(spark, sf_dir, _Q18_SQL)
+
+
+# --------------------------------------------------------------------------
+# q19 — discounted revenue: disjunction of conjunctive join predicates.
+# VARIANT: p_container → p_size bands; shipmode/shipinstruct filters dropped.
+@register(
+    "tpch_q19",
+    oracle="""
+    SELECT sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+    tags=("tpch", "join", "disjunction"),
+    bench=True,
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & q.between(20, 30))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q20 — potential part promotion. VARIANT: no partsupp; nested semi-join
+# chain via lineitem quantities. IN-subquery-in-IN-subquery shape intact.
+_Q20_SQL = """
+SELECT s.s_name, s.s_acctbal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_7'
+  AND s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      WHERE l.l_partkey IN (
+          SELECT p_partkey FROM part WHERE p_type = 'PROMO'
+      )
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l.l_suppkey
+      HAVING sum(l.l_quantity) > 50
+  )
+ORDER BY s.s_name
+"""
+
+
+@register(
+    "tpch_q20",
+    oracle=_Q20_SQL,
+    tags=("tpch", "semi-join", "nested-subquery"),
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog.sql(spark, sf_dir, _Q20_SQL)
+
+
+# --------------------------------------------------------------------------
+# q21 — suppliers who kept orders waiting. VARIANT: receipt/commit dates
+# absent — "late" := this supplier has the max shipdate in a multi-supplier
+# order. EXISTS + NOT EXISTS pair (semi + anti join) intact.
+_Q21_SQL = """
+SELECT s.s_name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND n.n_name = 'NATION_4'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_shipdate > l1.l_shipdate
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 100
+"""
+
+
+@register(
+    "tpch_q21",
+    oracle=_Q21_SQL,
+    tags=("tpch", "exists", "anti-join"),
+    bench=True,
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog.sql(spark, sf_dir, _Q21_SQL)
+
+
+# --------------------------------------------------------------------------
+# q22 — global sales opportunity. VARIANT: c_phone absent — country code
+# := c_custkey % 10; and since every customer in this data has orders, the
+# anti-join is "never placed a high-value order" to stay non-degenerate.
+# Scalar-avg subquery + NOT EXISTS anti-join shape intact.
+_Q22_SQL = """
+SELECT cntrycode, count(*) AS numcust, sum(c_acctbal) AS totacctbal
+FROM (
+    SELECT CAST(c.c_custkey % 10 AS INT) AS cntrycode, c.c_acctbal
+    FROM customer c
+    WHERE c.c_custkey % 10 IN (1, 3, 5, 7, 9)
+      AND c.c_acctbal > (
+          SELECT avg(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+      )
+) custsale
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
+@register(
+    "tpch_q22",
+    oracle=_Q22_SQL,
+    tags=("tpch", "anti-join", "scalar-subquery"),
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog.sql(spark, sf_dir, _Q22_SQL)
