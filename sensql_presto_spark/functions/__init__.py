@@ -1,0 +1,46 @@
+"""Presto function-surface compatibility layer (SURVEY.md §2.8, §7.3).
+
+``register_all(spark)`` installs:
+
+- SQL temporary functions (Catalyst-inlined, JVM-side — zero Python in the
+  hot path) for Presto names Spark lacks (``presto_compat``),
+- Arrow-vectorized pandas UDFs for the genuinely non-expressible gaps
+  (``udfs``: word_stem, normal_cdf, inverse_normal_cdf, unicode normalize),
+- nothing for Presto names Spark already covers under a different name —
+  those are documented in ``PRESTO_EQUIVALENTS`` for query authors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from sensql_presto_spark.functions.datetime_fmt import (
+    format_datetime,
+    joda_to_jdk,
+    mysql_to_jdk,
+    parse_datetime,
+    presto_date_format,
+    presto_date_parse,
+)
+from sensql_presto_spark.functions.presto_compat import (
+    PRESTO_EQUIVALENTS,
+    register_sql_functions,
+)
+from sensql_presto_spark.functions.udfs import register_python_udfs
+
+__all__ = [
+    "register_all",
+    "PRESTO_EQUIVALENTS",
+    "mysql_to_jdk",
+    "joda_to_jdk",
+    "presto_date_format",
+    "presto_date_parse",
+    "format_datetime",
+    "parse_datetime",
+]
+
+
+def register_all(spark: SparkSession) -> None:
+    """Install the full compat surface on a session (idempotent)."""
+    register_sql_functions(spark)
+    register_python_udfs(spark)

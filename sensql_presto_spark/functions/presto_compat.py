@@ -1,0 +1,184 @@
+"""Presto scalar-function names as Catalyst-inlined SQL temp functions.
+
+The reference registers ~600 scalar functions
+(``BuiltInTypeAndFunctionNamespaceManager.java:596-897``); Spark covers most
+under the same or a different name. This module closes the *name* gap with
+``CREATE TEMPORARY FUNCTION … RETURN <expr>`` definitions — these are
+expanded by Catalyst at plan time (whole-stage codegen applies), so they
+cost nothing at 100 TB, unlike Python UDF shims.
+
+Where Spark's builtin already matches under a different name, we don't wrap
+(wrapping generic types needs concrete SQL signatures); the mapping is
+documented in PRESTO_EQUIVALENTS instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+# Presto name -> Spark equivalent, for names needing no new function.
+# (reference files: StringFunctions.java, MathFunctions.java,
+#  ArrayFunctions (operator/scalar/Array*.java), JsonFunctions.java,
+#  DateTimeFunctions.java, UrlFunctions.java, VarbinaryFunctions.java)
+PRESTO_EQUIVALENTS: dict[str, str] = {
+    "approx_distinct": "approx_count_distinct",
+    "approx_percentile": "percentile_approx",
+    "approx_set": "hll_sketch_agg",
+    "merge(HLL)": "hll_union_agg",
+    "cardinality(HLL)": "hll_sketch_estimate",
+    "arbitrary": "any_value",
+    "array_agg": "collect_list",
+    "set_agg": "collect_set",
+    "bool_and/bool_or": "bool_and/bool_or (same)",
+    "strpos": "instr (arg order matches; also registered as strpos)",
+    "codepoint": "ascii",
+    "chr": "char",
+    "length": "length",
+    "levenshtein_distance": "levenshtein (also registered as alias)",
+    "lower/upper/trim/ltrim/rtrim": "same",
+    "split": "split (Spark's is regex-based; escape metacharacters)",
+    "split_part": "split_part",
+    "split_to_map": "str_to_map (same arg order)",
+    "element_at(map)": "try_element_at (Presto returns NULL on missing key; Spark ANSI element_at throws)",
+    "map_concat": "map_concat",
+    "map_keys/map_values/map_entries/map_from_entries": "same",
+    "transform/filter/reduce": "transform/filter/aggregate (higher-order)",
+    "any_match/all_match/none_match": "exists/forall/not exists",
+    "zip_with/map_zip_with/transform_keys/transform_values/map_filter": "same",
+    "json_extract_scalar": "get_json_object (also registered as alias)",
+    "json_parse/json_format": "from_json/to_json (schema-full) or identity on strings",
+    "json_size": "json_array_length / json_object_keys",
+    "date_trunc": "date_trunc (arg order: Spark (fmt, ts) vs Presto (unit, ts) — same)",
+    "date_add(unit,n,ts)": "ts + make_interval(...) / date_add for days",
+    "date_diff(unit,a,b)": "datediff/timestampdiff",
+    "date_format/date_parse (MySQL %-patterns)": "functions.datetime_fmt.presto_date_format/parse",
+    "format_datetime/parse_datetime (Joda)": "functions.datetime_fmt.format_datetime/parse_datetime",
+    "from_unixtime": "timestamp_seconds (Presto returns timestamp; Spark's from_unixtime returns string)",
+    "to_unixtime": "unix_micros(ts)/1e6 (also registered as alias)",
+    "now/current_timestamp/current_date/localtimestamp": "same",
+    "random/rand": "rand",
+    "ln/log2/log10/exp/sqrt/cbrt/abs/ceil(ing)/floor/round/sign/mod/power/pow": "same",
+    "e()/pi()": "exp(1)/pi()",
+    "is_nan": "isnan",
+    "width_bucket": "width_bucket",
+    "to_base64/from_base64": "base64/unbase64",
+    "to_hex/from_hex": "hex/unhex",
+    "md5/sha1/sha256/sha512/xxhash64/crc32": "md5/sha1/sha2(x,256)/sha2(x,512)/xxhash64/crc32 (Spark returns hex strings, Presto varbinary)",
+    "url_encode/url_decode": "url_encode/url_decode",
+    "regexp_like": "rlike",
+    "regexp_extract/regexp_extract_all/regexp_replace": "same (Java regex in both)",
+    "reverse/concat/contains": "same",
+    "sequence": "sequence",
+    "slice": "slice",
+    "array_distinct/array_intersect/array_union/array_except": "same",
+    "array_join": "array_join",
+    "array_max/array_min": "array_max/array_min",
+    "array_position": "array_position",
+    "array_remove": "array_remove",
+    "array_sort": "array_sort / sort_array (comparator lambda supported in Spark array_sort)",
+    "arrays_overlap": "arrays_overlap",
+    "flatten": "flatten",
+    "repeat(elem,n)": "array_repeat",
+    "shuffle": "shuffle",
+    "typeof": "typeof",
+    "try(expr)": "try_* family (try_cast/try_divide/try_add/try_element_at)",
+    "try_cast": "try_cast",
+    "greatest/least": "same",
+    "coalesce/nullif/if/case": "same",
+}
+
+# Each entry must be a pure-builtin expression body -> Catalyst inlines it.
+_SQL_FUNCTIONS: tuple[str, ...] = (
+    # -- string (StringFunctions.java) --
+    """CREATE OR REPLACE TEMPORARY FUNCTION strpos(s STRING, sub STRING)
+       RETURNS INT RETURN instr(s, sub)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION levenshtein_distance(a STRING, b STRING)
+       RETURNS INT RETURN levenshtein(a, b)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION hamming_distance(a STRING, b STRING)
+       RETURNS BIGINT RETURN aggregate(zip_with(split(a, ''), split(b, ''),
+                                       (x, y) -> IF(x = y, 0, 1)), 0L, (acc, v) -> acc + v)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION codepoint(s STRING)
+       RETURNS INT RETURN ascii(s)""",
+    # -- json (JsonFunctions.java) --
+    """CREATE OR REPLACE TEMPORARY FUNCTION json_extract_scalar(j STRING, p STRING)
+       RETURNS STRING RETURN get_json_object(j, p)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION json_array_contains_str(j STRING, v STRING)
+       RETURNS BOOLEAN RETURN array_contains(from_json(j, 'array<string>'), v)""",
+    # -- datetime (DateTimeFunctions.java) --
+    """CREATE OR REPLACE TEMPORARY FUNCTION to_unixtime(ts TIMESTAMP)
+       RETURNS DOUBLE RETURN unix_micros(ts) / 1e6""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION presto_from_unixtime(epoch_sec DOUBLE)
+       RETURNS TIMESTAMP RETURN timestamp_micros(CAST(epoch_sec * 1e6 AS BIGINT))""",
+    # -- math (MathFunctions.java) --
+    """CREATE OR REPLACE TEMPORARY FUNCTION truncate(x DOUBLE)
+       RETURNS DOUBLE RETURN sign(x) * floor(abs(x))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION infinity()
+       RETURNS DOUBLE RETURN CAST('Infinity' AS DOUBLE)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION nan()
+       RETURNS DOUBLE RETURN CAST('NaN' AS DOUBLE)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION is_nan(x DOUBLE)
+       RETURNS BOOLEAN RETURN isnan(x)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION is_infinite(x DOUBLE)
+       RETURNS BOOLEAN RETURN abs(x) = CAST('Infinity' AS DOUBLE)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION is_finite(x DOUBLE)
+       RETURNS BOOLEAN RETURN NOT (isnan(x) OR abs(x) = CAST('Infinity' AS DOUBLE))""",
+    # -- bitwise (BitwiseFunctions.java) --
+    """CREATE OR REPLACE TEMPORARY FUNCTION bitwise_and(a BIGINT, b BIGINT)
+       RETURNS BIGINT RETURN a & b""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION bitwise_or(a BIGINT, b BIGINT)
+       RETURNS BIGINT RETURN a | b""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION bitwise_xor(a BIGINT, b BIGINT)
+       RETURNS BIGINT RETURN a ^ b""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION bitwise_not(a BIGINT)
+       RETURNS BIGINT RETURN ~a""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION bitwise_left_shift(a BIGINT, n INT)
+       RETURNS BIGINT RETURN a << n""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION bitwise_logical_shift_right(a BIGINT, n INT)
+       RETURNS BIGINT RETURN a >> n""",
+    # -- array (Array*.java) — concrete element types where SQL UDFs need them
+    """CREATE OR REPLACE TEMPORARY FUNCTION array_sum(a ARRAY<DOUBLE>)
+       RETURNS DOUBLE RETURN aggregate(a, 0.0D, (acc, x) -> acc + coalesce(x, 0.0D))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION array_average(a ARRAY<DOUBLE>)
+       RETURNS DOUBLE RETURN aggregate(a, 0.0D, (acc, x) -> acc + coalesce(x, 0.0D))
+                             / size(filter(a, x -> x IS NOT NULL))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION array_has_duplicates(a ARRAY<STRING>)
+       RETURNS BOOLEAN RETURN size(a) <> size(array_distinct(a))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION array_normalize(a ARRAY<DOUBLE>, p DOUBLE)
+       RETURNS ARRAY<DOUBLE>
+       RETURN transform(a, x -> x / power(aggregate(a, 0.0D, (acc, y) -> acc + power(abs(y), p)), 1.0D / p))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION ngrams(a ARRAY<STRING>, n INT)
+       RETURNS ARRAY<ARRAY<STRING>>
+       RETURN transform(sequence(1, greatest(size(a) - n + 1, 1)), i -> slice(a, i, least(n, size(a))))""",
+    # -- url (UrlFunctions.java) --
+    """CREATE OR REPLACE TEMPORARY FUNCTION url_extract_host(u STRING)
+       RETURNS STRING RETURN parse_url(u, 'HOST')""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION url_extract_path(u STRING)
+       RETURNS STRING RETURN parse_url(u, 'PATH')""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION url_extract_protocol(u STRING)
+       RETURNS STRING RETURN parse_url(u, 'PROTOCOL')""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION url_extract_query(u STRING)
+       RETURNS STRING RETURN parse_url(u, 'QUERY')""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION url_extract_fragment(u STRING)
+       RETURNS STRING RETURN parse_url(u, 'REF')""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION url_extract_parameter(u STRING, k STRING)
+       RETURNS STRING RETURN parse_url(u, 'QUERY', k)""",
+    # -- binary (VarbinaryFunctions.java) --
+    """CREATE OR REPLACE TEMPORARY FUNCTION to_base64(v BINARY)
+       RETURNS STRING RETURN base64(v)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION from_base64(s STRING)
+       RETURNS BINARY RETURN unbase64(s)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION to_hex(v BINARY)
+       RETURNS STRING RETURN hex(v)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION from_hex(s STRING)
+       RETURNS BINARY RETURN unhex(s)""",
+    # -- teradata compat (presto-teradata-functions/) --
+    """CREATE OR REPLACE TEMPORARY FUNCTION index(s STRING, sub STRING)
+       RETURNS INT RETURN instr(s, sub)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION char2hexint(s STRING)
+       RETURNS STRING RETURN upper(hex(encode(s, 'UTF-16BE')))""",
+)
+
+
+def register_sql_functions(spark: SparkSession) -> None:
+    for ddl in _SQL_FUNCTIONS:
+        spark.sql(ddl)

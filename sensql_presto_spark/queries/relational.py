@@ -23,10 +23,17 @@ from sensql_presto_spark import catalog
 from sensql_presto_spark.queries.registry import register
 
 
-def _sql_query(name: str, spark_sql: str, oracle: str | None = None, tags=(), doc: str = "", bench: bool = False):
-    """Register a query expressed as Spark SQL (oracle defaults to same text)."""
+_SAME = "__same_as_spark__"
 
-    @register(name, oracle=oracle if oracle is not None else spark_sql, tags=tags, doc=doc, bench=bench)
+
+def _sql_query(name: str, spark_sql: str, oracle: str | None = _SAME, tags=(), doc: str = "", bench: bool = False):
+    """Register a query expressed as Spark SQL.
+
+    ``oracle`` defaults to the same SQL text (dialect-shared queries);
+    pass ``None`` explicitly for rows-only checks (no DuckDB equivalent).
+    """
+
+    @register(name, oracle=spark_sql if oracle is _SAME else oracle, tags=tags, doc=doc, bench=bench)
     def _q(spark: SparkSession, sf_dir: str, _text=spark_sql) -> DataFrame:
         return catalog.sql(spark, sf_dir, _text)
 
