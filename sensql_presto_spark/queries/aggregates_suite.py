@@ -1,3 +1,424 @@
-"""Aggregate-function coverage (SURVEY.md §2.4). Populated incrementally."""
+"""Aggregate-function coverage (SURVEY.md §2.4) as oracle-checked queries.
+
+One query per aggregate family from the reference's registry
+(``BuiltInTypeAndFunctionNamespaceManager.java:596-897``; implementations
+``operator/aggregation/``): basic counts/sums, min_by/max_by, statistical
+moments, correlation/regression, boolean/bitwise aggs, collection aggs
+(array_agg/map_agg/histogram as Spark collect+transform patterns),
+percentiles, geometric mean, entropy, and the approximate family
+(approx_distinct/approx_percentile → HLL/quantile sketches, rows-only
+checked; accuracy is asserted against exact values in
+tests/test_aggregates.py).
+
+All Spark SQL here plans to HashAggregateExec with partial (map-side)
+aggregation before the shuffle — the same PARTIAL→FINAL split the
+reference plans via AggregationNode steps (SURVEY.md §2.4), which is what
+makes these hold at 100 TB: only per-group partial states cross the wire.
+"""
 
 from __future__ import annotations
+
+from sensql_presto_spark.queries.relational import _sql_query
+
+# --- basic aggregates + FILTER clause (AggregationOperator.java,
+#     ImplementFilteredAggregations.java) --------------------------------------
+
+_sql_query(
+    "agg_basic",
+    """
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           count(DISTINCT l_partkey) AS n_parts,
+           sum(l_quantity) AS sum_qty,
+           avg(l_extendedprice) AS avg_price,
+           min(l_shipdate) AS min_ship,
+           max(l_shipdate) AS max_ship,
+           count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           sum(l_extendedprice) FILTER (WHERE l_tax = 0) AS sum_untaxed
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("aggregates",),
+)
+
+# --- min_by / max_by (minmaxby/, MaxNAggregationFunction.java) ---------------
+
+_sql_query(
+    "agg_minmax_by",
+    """
+    SELECT o_orderpriority,
+           max_by(o_orderkey, o_totalprice) AS biggest_order,
+           min_by(o_orderkey, o_totalprice) AS smallest_order,
+           max(o_totalprice) AS max_price,
+           min(o_totalprice) AS min_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    oracle="""
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, o_totalprice) AS biggest_order,
+           arg_min(o_orderkey, o_totalprice) AS smallest_order,
+           max(o_totalprice) AS max_price,
+           min(o_totalprice) AS min_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("aggregates",),
+    doc="Deterministic because o_totalprice is unique per priority group in the testdata.",
+)
+
+# Presto max(x, n)/min(x, n) (MaxNAggregationFunction.java): top-n values as
+# array — Spark composition: slice(array_sort(collect_list(x)), ...).
+_sql_query(
+    "agg_top_n_values",
+    """
+    SELECT o_orderpriority,
+           array_join(slice(sort_array(collect_list(o_orderkey), false), 1, 3), ',') AS top3_keys,
+           array_join(slice(sort_array(collect_list(o_orderkey)), 1, 3), ',') AS bottom3_keys
+    FROM orders
+    WHERE o_orderkey < 2000
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    oracle="""
+    SELECT o_orderpriority,
+           array_to_string(list_sort(list(o_orderkey), 'DESC')[1:3], ',') AS top3_keys,
+           array_to_string(list_sort(list(o_orderkey))[1:3], ',') AS bottom3_keys
+    FROM orders
+    WHERE o_orderkey < 2000
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("aggregates",),
+)
+
+# --- statistical moments (VarianceAggregation.java, CentralMomentsAggregation.java)
+
+_sql_query(
+    "agg_stats_moments",
+    """
+    SELECT l_returnflag,
+           var_pop(l_extendedprice) AS vpop,
+           var_samp(l_extendedprice) AS vsamp,
+           stddev_pop(l_extendedprice) AS spop,
+           stddev_samp(l_extendedprice) AS ssamp,
+           skewness(l_extendedprice) AS skew,
+           kurtosis(l_extendedprice) AS kurt
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    oracle="""
+    SELECT l_returnflag,
+           var_pop(l_extendedprice) AS vpop,
+           var_samp(l_extendedprice) AS vsamp,
+           stddev_pop(l_extendedprice) AS spop,
+           stddev_samp(l_extendedprice) AS ssamp,
+           -- DuckDB skewness is sample-corrected G1; Spark emits population g1
+           skewness(l_extendedprice) * (count(*) - 2)
+             / sqrt(count(*) * (count(*) - 1.0)) AS skew,
+           kurtosis_pop(l_extendedprice) AS kurt
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("aggregates", "stats"),
+)
+
+# --- correlation / regression (DoubleCorrelationAggregation.java etc.) --------
+
+_sql_query(
+    "agg_corr_regr",
+    """
+    SELECT l_returnflag,
+           corr(l_quantity, l_extendedprice) AS c,
+           covar_pop(l_quantity, l_extendedprice) AS cvp,
+           covar_samp(l_quantity, l_extendedprice) AS cvs,
+           regr_slope(l_extendedprice, l_quantity) AS slope,
+           regr_intercept(l_extendedprice, l_quantity) AS icept,
+           regr_r2(l_extendedprice, l_quantity) AS r2,
+           regr_count(l_extendedprice, l_quantity) AS rn
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("aggregates", "stats"),
+)
+
+# --- boolean / bitwise aggregates (BitwiseAndAggregation.java etc.) -----------
+
+_sql_query(
+    "agg_bool_bitwise",
+    """
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 1000) AS all_gt_1k,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+           bit_and(o_orderkey) AS band,
+           bit_or(o_orderkey) AS bor,
+           bit_xor(o_orderkey) AS bxor
+    FROM orders
+    WHERE o_orderkey < 1000
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("aggregates", "bitwise"),
+)
+
+# --- collection aggregates: array_agg / set_agg / ordered agg (arrayagg/) -----
+
+_sql_query(
+    "agg_collect",
+    """
+    SELECT c_nationkey,
+           array_join(sort_array(collect_set(c_mktsegment)), ',') AS segments,
+           size(collect_list(c_custkey)) AS n_keys,
+           array_join(transform(array_sort(collect_list(named_struct('bal', -c_acctbal, 'k', c_custkey))),
+                                s -> CAST(s.k AS STRING)), ',') AS keys_by_bal_desc
+    FROM customer
+    WHERE c_custkey < 100
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    oracle="""
+    SELECT c_nationkey,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+           count(c_custkey) AS n_keys,
+           string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY c_acctbal DESC, c_custkey) AS keys_by_bal_desc
+    FROM customer
+    WHERE c_custkey < 100
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    tags=("aggregates", "collect"),
+    doc="Presto array_agg(x ORDER BY y) == Spark transform(array_sort(collect_list(struct(y,x)))).",
+)
+
+# --- map aggregates: map_agg / histogram / multimap_agg (MapAggregationFunction.java,
+#     histogram/) — emitted as sorted entry strings so outputs stay hashable ---
+
+_sql_query(
+    "agg_map_histogram",
+    """
+    WITH m AS (
+        SELECT o_custkey,
+               map_from_entries(collect_list(named_struct('k', o_orderpriority, 'v', o_orderkey))) AS prio_to_key
+        FROM (SELECT o_custkey, o_orderpriority, min(o_orderkey) AS o_orderkey
+              FROM orders WHERE o_custkey < 50
+              GROUP BY o_custkey, o_orderpriority)
+        GROUP BY o_custkey
+    ),
+    h AS (
+        SELECT o_custkey, o_orderpriority, count(*) AS cnt
+        FROM orders WHERE o_custkey < 50
+        GROUP BY o_custkey, o_orderpriority
+    )
+    SELECT m.o_custkey,
+           array_join(transform(array_sort(map_entries(m.prio_to_key)),
+                                e -> concat(e.key, '=', CAST(e.value AS STRING))), ';') AS map_agg_repr,
+           (SELECT array_join(transform(array_sort(collect_list(named_struct('k', h.o_orderpriority, 'c', h.cnt))),
+                                        e -> concat(e.k, ':', CAST(e.c AS STRING))), ';')
+            FROM h WHERE h.o_custkey = m.o_custkey) AS histogram_repr
+    FROM m
+    ORDER BY m.o_custkey
+    """,
+    oracle="""
+    SELECT o_custkey,
+           string_agg(o_orderpriority || '=' || CAST(min_key AS VARCHAR), ';' ORDER BY o_orderpriority) AS map_agg_repr,
+           string_agg(o_orderpriority || ':' || CAST(cnt AS VARCHAR), ';' ORDER BY o_orderpriority) AS histogram_repr
+    FROM (SELECT o_custkey, o_orderpriority, min(o_orderkey) AS min_key, count(*) AS cnt
+          FROM orders WHERE o_custkey < 50
+          GROUP BY o_custkey, o_orderpriority)
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+    tags=("aggregates", "map"),
+    doc="Presto map_agg/histogram as map_from_entries(collect_list(struct)) patterns.",
+)
+
+# --- percentiles: exact (reference approx_percentile's semantic target) -------
+
+_sql_query(
+    "agg_percentile_exact",
+    """
+    SELECT l_returnflag,
+           percentile(l_extendedprice, 0.5) AS p50,
+           percentile(l_extendedprice, 0.9) AS p90,
+           median(l_quantity) AS med_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.9) AS p90,
+           median(l_quantity) AS med_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("aggregates", "percentile"),
+)
+
+# --- approximate family (HLL / quantile sketches; ApproximateCountDistinctAggregation.java,
+#     QuantileDigestAggregationFunction.java). Sketch internals differ across
+#     engines → rows-only here; accuracy vs exact asserted in tests/test_aggregates.py.
+
+_sql_query(
+    "agg_approx_sketches",
+    """
+    SELECT l_returnflag,
+           approx_count_distinct(l_partkey) AS approx_parts,
+           approx_count_distinct(l_suppkey, 0.01) AS approx_supps,
+           percentile_approx(l_extendedprice, 0.5, 10000) AS approx_p50,
+           percentile_approx(l_extendedprice, array(0.25, 0.75), 10000) AS approx_quartiles
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    oracle=None,
+    tags=("aggregates", "approx"),
+)
+
+# --- geometric mean + entropy (GeometricMeanAggregations.java, EntropyAggregation.java)
+
+_sql_query(
+    "agg_geomean_entropy",
+    """
+    WITH counts AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS cnt
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT g.c_nationkey, g.geo_mean_bal, e.seg_entropy
+    FROM (SELECT c_nationkey, exp(avg(ln(abs(c_acctbal) + 1))) AS geo_mean_bal
+          FROM customer GROUP BY c_nationkey) g
+    JOIN (SELECT c_nationkey,
+                 -sum((cnt / tot) * log2(cnt / tot)) AS seg_entropy
+          FROM (SELECT c_nationkey, cnt, sum(cnt) OVER (PARTITION BY c_nationkey) AS tot
+                FROM counts)
+          GROUP BY c_nationkey) e
+      ON g.c_nationkey = e.c_nationkey
+    ORDER BY g.c_nationkey
+    """,
+    oracle="""
+    WITH counts AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS cnt
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT g.c_nationkey, g.geo_mean_bal, e.seg_entropy
+    FROM (SELECT c_nationkey, exp(avg(ln(abs(c_acctbal) + 1))) AS geo_mean_bal
+          FROM customer GROUP BY c_nationkey) g
+    JOIN (SELECT c_nationkey,
+                 -sum((cnt / tot) * log2(cnt / tot)) AS seg_entropy
+          FROM (SELECT c_nationkey, cnt, CAST(sum(cnt) OVER (PARTITION BY c_nationkey) AS DOUBLE) AS tot
+                FROM counts)
+          GROUP BY c_nationkey) e
+      ON g.c_nationkey = e.c_nationkey
+    ORDER BY g.c_nationkey
+    """,
+    tags=("aggregates", "stats"),
+    doc="Presto geometric_mean and entropy(bigint) as pure-SQL compositions.",
+)
+
+# --- checksum_agg (ChecksumAggregationFunction.java): order-independent
+#     checksum — xxhash64 per row, bit_xor-combined. Spark-hash-specific → rows-only.
+
+_sql_query(
+    "agg_checksum",
+    """
+    SELECT l_returnflag,
+           bit_xor(xxhash64(l_orderkey, l_linenumber, l_quantity)) AS checksum
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    oracle=None,
+    tags=("aggregates", "hash"),
+)
+
+# --- numeric_histogram (DoubleHistogramAggregation.java, fixedhistogram/):
+#     fixed-width bucketing — declarative floor() keeps identical semantics
+#     in both engines (Spark width_bucket has no DuckDB twin).
+
+_sql_query(
+    "agg_numeric_histogram",
+    """
+    SELECT CAST(least(floor(o_totalprice / 50000), 9) AS INT) AS bucket,
+           count(*) AS n,
+           avg(o_totalprice) AS avg_in_bucket
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("aggregates", "histogram"),
+)
+
+# --- arbitrary/any_value (ArbitraryAggregationFunction.java): deterministic
+#     here because each group has exactly one distinct value. -----------------
+
+_sql_query(
+    "agg_any_value",
+    """
+    SELECT n_nationkey, any_value(n_name) AS name, count(*) AS n
+    FROM nation GROUP BY n_nationkey ORDER BY n_nationkey
+    """,
+    oracle="""
+    SELECT n_nationkey, min(n_name) AS name, count(*) AS n
+    FROM nation GROUP BY n_nationkey ORDER BY n_nationkey
+    """,
+    tags=("aggregates",),
+)
+
+# --- count_if + conditional aggregation (CountIfAggregationFunction.java) -----
+
+_sql_query(
+    "agg_count_if",
+    """
+    SELECT o_orderstatus,
+           count_if(o_totalprice > 100000) AS n_big,
+           sum(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS n_p1,
+           avg(if(o_totalprice > 100000, o_totalprice, NULL)) AS avg_big
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    oracle="""
+    SELECT o_orderstatus,
+           count_if(o_totalprice > 100000) AS n_big,
+           sum(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS n_p1,
+           avg(if(o_totalprice > 100000, o_totalprice, NULL)) AS avg_big
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("aggregates",),
+)
+
+# --- reduce_agg (ReduceAggregationFunction.java): generic fold — expressible
+#     as collect_list + aggregate() HOF (state stays distributed until the
+#     per-group fold, same as the reference's per-group state). ---------------
+
+_sql_query(
+    "agg_reduce",
+    """
+    SELECT o_orderstatus,
+           aggregate(collect_list(CAST(o_totalprice AS DOUBLE)), CAST(0 AS DOUBLE),
+                     (acc, x) -> acc + x * 0.5) AS half_sum
+    FROM orders
+    WHERE o_orderkey < 1000
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    oracle="""
+    SELECT o_orderstatus, sum(o_totalprice) * 0.5 AS half_sum
+    FROM orders
+    WHERE o_orderkey < 1000
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("aggregates",),
+    doc="reduce_agg parity via aggregate() fold; oracle uses the closed form.",
+)
