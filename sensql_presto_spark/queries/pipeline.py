@@ -1,3 +1,696 @@
-"""LLM-data-pipeline operators as registry queries (SURVEY.md §7.8). Populated incrementally."""
+"""Training-data pipeline operators (beyond-reference; SURVEY.md §7.8).
+
+The reference engine has no dedup/similarity/multimodal surface — these are
+the operations a large-scale LLM training-data pipeline runs on top of the
+relational core, built here as first-class oracle-checked queries over the
+``documents`` and ``embeddings`` tables.
+
+Every operator is a DataFrame→DataFrame transform with no driver-side
+state, designed around one shuffle-bounding idea each:
+
+- exact dedup        — hash-groupBy; one shuffle on the content hash.
+- n-gram Jaccard     — inverted-index join on shingles (shuffle on
+                       shingle, never O(n²) pairs); hot-shingle cap noted.
+- MinHash + LSH      — signature → band → bucket-join; candidate pairs
+                       only, verified by exact Jaccard.
+- SimHash            — 32-bit signature, 4-byte banding; the band join is
+                       *complete* for hamming ≤ 3 by pigeonhole.
+- embedding cosine   — brute-force pairs as the correctness baseline; the
+                       IVF variant is the scale path (bucket-pruned).
+- text analysis      — pure column expressions (whole-stage codegen).
+- multimodal         — binary payload + typed metadata through
+                       ``mapInPandas`` (Arrow batches), deterministic fake
+                       decode (real decoders stubbed in
+                       ``sensql_presto_spark.multimodal``).
+
+All hash functions that feed an oracle comparison use an explicit
+polynomial hash (acc*31 + byte mod 1e9+7) written identically in Spark SQL
+and DuckDB SQL, so results match bit-for-bit; xxhash64 (JVM-side, faster)
+is used only where the oracle re-verifies through exact Jaccard.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sensql_presto_spark import catalog
+from sensql_presto_spark.queries.registry import register
+from sensql_presto_spark.queries.relational import _sql_query
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+# Exact dedup: hash-groupBy on md5(text). The corpus is the documents table
+# with injected copies (doc_id % 50 == 0 re-inserted under new ids) so the
+# query provably removes something. One shuffle, partial agg map-side;
+# at 100 TB this is the canonical "hash the content, keep min id" pass.
+_sql_query(
+    "dedup_exact",
+    """
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+    )
+    SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM corpus
+    GROUP BY md5(text)
+    HAVING count(*) > 1
+    ORDER BY keep_id
+    """,
+    tags=("pipeline", "dedup"),
+    bench=True,
+)
+
+_SPARK_SHINGLES = """
+    tok AS (SELECT doc_id, split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT doc_id,
+               array_distinct(transform(sequence(0, size(t) - 3),
+                   i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles
+        FROM tok WHERE size(t) >= 3
+    )
+"""
+
+_DUCK_SHINGLES = """
+    sh AS (
+        SELECT doc_id,
+               list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                              for i in range(1, len(t) - 1)]) AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        WHERE len(t) >= 3
+    )
+"""
+
+# DuckDB oracle for near-dup pairs at jaccard >= 0.9: O(n²) exact — fine at
+# oracle scale, and exactly the semantics the scalable Spark plans must hit.
+_DUCK_JACCARD_PAIRS = f"""
+    WITH {_DUCK_SHINGLES}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.shingles, b.shingles)) * 1.0
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0
+          / (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) >= 0.9
+    ORDER BY id_a, id_b
+"""
+
+# Near-dup via inverted-index join: explode shingles, self-join on the
+# shingle (shuffle key = shingle, so work is proportional to matching pairs,
+# not n²), then Jaccard from shared counts. At 100 TB you additionally cap
+# hot shingles (drop shingles with document-frequency > K) to bound fan-out;
+# with this corpus every shingle is rare so the cap is not applied.
+_sql_query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SPARK_SHINGLES},
+    sizes AS (SELECT doc_id, size(shingles) AS n FROM sh),
+    inv AS (SELECT doc_id, explode(shingles) AS s FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(shared / (sa.n + sb.n - shared), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE shared / (sa.n + sb.n - shared) >= 0.9
+    ORDER BY id_a, id_b
+    """,
+    oracle=_DUCK_JACCARD_PAIRS,
+    tags=("pipeline", "dedup"),
+)
+
+# MinHash + LSH: 64-hash signature over shingles (xxhash64 seeded by index),
+# 16 bands × 4 rows, bucket-join on (band, band-hash), then exact-Jaccard
+# verification of candidates. Only candidate pairs are verified — the LSH
+# prunes the O(n²) space; at jaccard ≥ 0.9 the per-pair miss probability is
+# (1 - 0.9⁴)¹⁶ ≈ 4e-8, so the output equals the exact-Jaccard oracle.
+_sql_query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SPARK_SHINGLES},
+    sig AS (
+        SELECT doc_id, shingles,
+               transform(sequence(0, 63),
+                   i -> array_min(transform(shingles, s -> xxhash64(s, i)))) AS sig
+        FROM sh
+    ),
+    bands AS (
+        SELECT doc_id, b,
+               xxhash64(concat_ws(',', transform(slice(sig, b * 4 + 1, 4),
+                                                 x -> cast(x AS string)))) AS bh
+        FROM sig LATERAL VIEW explode(sequence(0, 15)) t AS b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           round(size(array_intersect(sa.shingles, sb.shingles))
+                 / (size(sa.shingles) + size(sb.shingles)
+                    - size(array_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+    FROM cand c
+    JOIN sh sa ON c.id_a = sa.doc_id
+    JOIN sh sb ON c.id_b = sb.doc_id
+    WHERE size(array_intersect(sa.shingles, sb.shingles))
+          / (size(sa.shingles) + size(sb.shingles)
+             - size(array_intersect(sa.shingles, sb.shingles))) >= 0.9
+    ORDER BY id_a, id_b
+    """,
+    oracle=_DUCK_JACCARD_PAIRS,
+    tags=("pipeline", "dedup"),
+    bench=True,
+)
+
+# SimHash: 32-bit signature from per-token polynomial hashes (identical
+# arithmetic in both engines), banded into 4 bytes. A pair at hamming ≤ 3
+# must agree on ≥ 1 band (pigeonhole: 3 differing bits can dirty at most 3
+# of 4 bands), so the band join is a *complete* candidate generator and the
+# output is exactly the O(n²) oracle's.
+_sql_query(
+    "dedup_simhash",
+    """
+    WITH tok AS (SELECT doc_id, array_distinct(split(text, ' ')) AS toks FROM documents),
+    h AS (
+        SELECT doc_id,
+               transform(toks, t -> aggregate(split(t, ''), 131L,
+                   (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)) AS th
+        FROM tok
+    ),
+    sim AS (
+        SELECT doc_id,
+               aggregate(sequence(0, 31), 0L, (acc, j) ->
+                   acc + if(aggregate(th, 0L,
+                                (a2, x) -> a2 + if((shiftright(x, j) & 1) = 1, 1, -1)) >= 0,
+                            shiftleft(1L, j), 0L)) AS simhash
+        FROM h
+    ),
+    bands AS (
+        SELECT doc_id, simhash, b, shiftright(simhash, b * 8) & 255 AS bv
+        FROM sim LATERAL VIEW explode(sequence(0, 3)) t AS b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sh_a,
+                        b.doc_id AS id_b, b.simhash AS sh_b
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, cast(bit_count(sh_a ^ sh_b) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(sh_a ^ sh_b) <= 3
+    ORDER BY id_a, id_b
+    """,
+    oracle="""
+    WITH tok AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+    h AS (
+        SELECT doc_id,
+               [list_reduce(list_prepend(131::BIGINT,
+                                         [ascii(c)::BIGINT for c in string_split(t, '')]),
+                            (a, b) -> (a * 31 + b) % 1000000007) for t in toks] AS th
+        FROM tok
+    ),
+    sim AS (
+        SELECT doc_id,
+               CAST(list_sum([CASE WHEN list_sum([CASE WHEN ((x >> j) & 1) = 1 THEN 1 ELSE -1 END
+                                                 for x in th]) >= 0
+                                   THEN (1::BIGINT << j) ELSE 0 END
+                              for j in range(0, 32)]) AS BIGINT) AS simhash
+        FROM h
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY id_a, id_b
+    """,
+    tags=("pipeline", "dedup"),
+)
+
+# Embedding near-dup: brute-force cosine over all pairs — the correctness
+# baseline (top-10 most-similar pairs). The a.vec_id < b.vec_id join is the
+# O(n²) path by design; at scale use sim_ivf_topk's bucket pruning or
+# sign-LSH banding instead. Cast to double before the dot product so both
+# engines accumulate in float64.
+_sql_query(
+    "dedup_embedding_cosine",
+    """
+    WITH e AS (SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(aggregate(v, cast(0 AS double), (a, x) -> a + x * x)) AS nrm FROM e),
+    p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               aggregate(zip_with(a.v, b.v, (x, y) -> x * y), cast(0 AS double),
+                         (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cos
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(cos, 4) AS cos_sim
+    FROM p ORDER BY cos DESC, id_a, id_b LIMIT 10
+    """,
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_cosine_similarity(a.v, b.v) AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(cos, 4) AS cos_sim
+    FROM p ORDER BY cos DESC, id_a, id_b LIMIT 10
+    """,
+    tags=("pipeline", "dedup", "similarity"),
+)
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+# Brute-force top-k: the query set (vec_id < 5) is tiny so Catalyst
+# broadcasts it — the plan is a single scan of the corpus against a
+# broadcast probe set + per-query top-k (WindowGroupLimit), which is the
+# right distributed shape: no shuffle of the corpus at all.
+_sql_query(
+    "sim_topk_bruteforce",
+    """
+    WITH e AS (SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(aggregate(v, cast(0 AS double), (a, x) -> a + x * x)) AS nrm FROM e),
+    q AS (SELECT * FROM n WHERE vec_id < 5),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               aggregate(zip_with(q.v, c.v, (x, y) -> x * y), cast(0 AS double),
+                         (acc, x) -> acc + x) / (q.nrm * c.nrm) AS cos
+        FROM q JOIN n c ON q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, rk, round(cos, 4) AS cos_sim
+    FROM ranked WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 5),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(q.v, c.v) AS cos
+        FROM q JOIN e c ON q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, rk, round(cos, 4) AS cos_sim
+    FROM ranked WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+    tags=("pipeline", "similarity"),
+    bench=True,
+)
+
+# IVF-style ANN: centroids = element-wise mean per label (deterministic
+# training), every vector assigned to its nearest centroid, queries probe
+# only their own bucket (nprobe=1). The scan is pruned to ~1/C of the
+# corpus per query — the scale path. Oracle replicates the same logic, so
+# this checks the *mechanism* exactly (recall vs brute force is asserted in
+# tests/test_pipeline.py).
+_sql_query(
+    "sim_ivf_topk",
+    """
+    WITH e AS (SELECT vec_id, label, transform(embedding, x -> cast(x AS double)) AS v FROM embeddings),
+    cpos AS (
+        SELECT label, pos, avg(val) AS m
+        FROM (SELECT label, posexplode(v) AS (pos, val) FROM e)
+        GROUP BY label, pos
+    ),
+    cent AS (
+        SELECT label AS c_id,
+               transform(array_sort(collect_list(struct(pos, m))), s -> s.m) AS cv
+        FROM cpos GROUP BY label
+    ),
+    cnorm AS (SELECT c_id, cv, sqrt(aggregate(cv, cast(0 AS double), (a, x) -> a + x * x)) AS cnrm FROM cent),
+    n AS (SELECT vec_id, v, sqrt(aggregate(v, cast(0 AS double), (a, x) -> a + x * x)) AS nrm FROM e),
+    assign AS (
+        SELECT vec_id, max_by(c_id, cos) AS bucket
+        FROM (
+            SELECT n.vec_id, c.c_id,
+                   aggregate(zip_with(n.v, c.cv, (x, y) -> x * y), cast(0 AS double),
+                             (acc, x) -> acc + x) / (n.nrm * c.cnrm) AS cos
+            FROM n CROSS JOIN cnorm c
+        )
+        GROUP BY vec_id
+    ),
+    corpus AS (SELECT n.vec_id, n.v, n.nrm, a.bucket FROM n JOIN assign a ON n.vec_id = a.vec_id),
+    q AS (SELECT * FROM corpus WHERE vec_id < 5),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               aggregate(zip_with(q.v, c.v, (x, y) -> x * y), cast(0 AS double),
+                         (acc, x) -> acc + x) / (q.nrm * c.nrm) AS cos
+        FROM q JOIN corpus c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, rk, round(cos, 4) AS cos_sim
+    FROM ranked WHERE rk <= 3
+    ORDER BY query_id, rk
+    """,
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    cpos AS (
+        SELECT label, i AS pos, avg(v[i]) AS m
+        FROM e, range(1, 65) t(i)
+        GROUP BY label, i
+    ),
+    cent AS (SELECT label AS c_id, list(m ORDER BY pos) AS cv FROM cpos GROUP BY label),
+    assign AS (
+        SELECT vec_id, arg_max(c_id, cos) AS bucket
+        FROM (
+            SELECT e.vec_id, c.c_id, list_cosine_similarity(e.v, c.cv) AS cos
+            FROM e CROSS JOIN cent c
+        )
+        GROUP BY vec_id
+    ),
+    corpus AS (SELECT e.vec_id, e.v, a.bucket FROM e JOIN assign a ON e.vec_id = a.vec_id),
+    q AS (SELECT * FROM corpus WHERE vec_id < 5),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(q.v, c.v) AS cos
+        FROM q JOIN corpus c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, rk, round(cos, 4) AS cos_sim
+    FROM ranked WHERE rk <= 3
+    ORDER BY query_id, rk
+    """,
+    tags=("pipeline", "similarity"),
+)
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+# Language ID by stopword-profile hits (n-gram-heuristic family). The
+# corpus vocabulary is synthetic so the realistic profiles mostly fire on
+# 'a'/'the' — the mechanism (per-profile hit counts + argmax with a
+# deterministic tie-break) is what's oracle-checked.
+_sql_query(
+    "text_lang_id",
+    """
+    WITH t AS (SELECT doc_id, split(text, ' ') AS toks FROM documents),
+    s AS (
+        SELECT doc_id, size(toks) AS n,
+               size(filter(toks, x -> array_contains(array('the','a','of','and','to'), x))) AS s_en,
+               size(filter(toks, x -> array_contains(array('le','la','de','et','les'), x))) AS s_fr,
+               size(filter(toks, x -> array_contains(array('der','die','und','das','ist'), x))) AS s_de,
+               size(filter(toks, x -> array_contains(array('el','los','las','y','que'), x))) AS s_es
+        FROM t
+    )
+    SELECT doc_id, s_en, s_fr, s_de, s_es,
+           CASE WHEN greatest(s_en, s_fr, s_de, s_es) = 0 THEN 'und'
+                WHEN s_en >= greatest(s_fr, s_de, s_es) THEN 'en'
+                WHEN s_fr >= greatest(s_de, s_es) THEN 'fr'
+                WHEN s_de >= s_es THEN 'de'
+                ELSE 'es' END AS predicted,
+           round(greatest(s_en, s_fr, s_de, s_es) / n, 6) AS confidence
+    FROM s
+    ORDER BY doc_id
+    """,
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+        SELECT doc_id, len(toks) AS n,
+               len(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x))) AS s_en,
+               len(list_filter(toks, x -> list_contains(['le','la','de','et','les'], x))) AS s_fr,
+               len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x))) AS s_de,
+               len(list_filter(toks, x -> list_contains(['el','los','las','y','que'], x))) AS s_es
+        FROM t
+    )
+    SELECT doc_id, s_en, s_fr, s_de, s_es,
+           CASE WHEN greatest(s_en, s_fr, s_de, s_es) = 0 THEN 'und'
+                WHEN s_en >= greatest(s_fr, s_de, s_es) THEN 'en'
+                WHEN s_fr >= greatest(s_de, s_es) THEN 'fr'
+                WHEN s_de >= s_es THEN 'de'
+                ELSE 'es' END AS predicted,
+           round(greatest(s_en, s_fr, s_de, s_es) * 1.0 / n, 6) AS confidence
+    FROM s
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "text"),
+)
+
+# Quality scoring: type-token ratio, repetition (max token frequency),
+# length — the standard cheap heuristics, all whole-stage-codegen column
+# expressions plus one explode+groupBy for the mode frequency.
+_sql_query(
+    "text_quality",
+    """
+    WITH t AS (SELECT doc_id, split(text, ' ') AS toks FROM documents),
+    base AS (
+        SELECT doc_id, size(toks) AS n_tokens,
+               size(array_distinct(toks)) AS n_unique,
+               round(aggregate(toks, 0, (a, x) -> a + length(x)) / size(toks), 4) AS mean_tok_len,
+               round(size(filter(toks, x -> array_contains(array('the','a','of','and','to'), x))) / size(toks), 4) AS stop_ratio
+        FROM t
+    ),
+    freq AS (
+        SELECT doc_id, max(cnt) AS max_tok_freq
+        FROM (SELECT doc_id, tok, count(*) AS cnt
+              FROM (SELECT doc_id, explode(toks) AS tok FROM t)
+              GROUP BY doc_id, tok)
+        GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens, b.n_unique, b.mean_tok_len, b.stop_ratio,
+           f.max_tok_freq,
+           round(0.5 * (b.n_unique / b.n_tokens)
+                 + 0.3 * (1.0 - f.max_tok_freq / b.n_tokens)
+                 + 0.2 * least(b.n_tokens / 60.0, 1.0), 4) AS quality,
+           CASE WHEN b.n_unique / b.n_tokens >= 0.25 AND b.n_tokens >= 20 THEN 1 ELSE 0 END AS keep
+    FROM base b JOIN freq f ON b.doc_id = f.doc_id
+    ORDER BY b.doc_id
+    """,
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    base AS (
+        SELECT doc_id, len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS n_unique,
+               round(list_sum([length(x) for x in toks]) * 1.0 / len(toks), 4) AS mean_tok_len,
+               round(len(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x))) * 1.0 / len(toks), 4) AS stop_ratio
+        FROM t
+    ),
+    freq AS (
+        SELECT doc_id, max(cnt) AS max_tok_freq
+        FROM (SELECT doc_id, tok, count(*) AS cnt
+              FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+              GROUP BY doc_id, tok)
+        GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens, b.n_unique, b.mean_tok_len, b.stop_ratio,
+           f.max_tok_freq,
+           round(0.5 * (b.n_unique * 1.0 / b.n_tokens)
+                 + 0.3 * (1.0 - f.max_tok_freq * 1.0 / b.n_tokens)
+                 + 0.2 * least(b.n_tokens / 60.0, 1.0), 4) AS quality,
+           CASE WHEN b.n_unique * 1.0 / b.n_tokens >= 0.25 AND b.n_tokens >= 20 THEN 1 ELSE 0 END AS keep
+    FROM base b JOIN freq f ON b.doc_id = f.doc_id
+    ORDER BY b.doc_id
+    """,
+    tags=("pipeline", "text"),
+    bench=True,
+)
+
+# Token counting: whitespace tokens plus a BPE-ish regex tokenizer
+# (letter-runs / digit-runs / single punctuation) — regexp_extract_all is
+# JVM-side in Spark; same pattern semantics in DuckDB's RE2.
+_sql_query(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           size(split(text, ' ')) AS ws_tokens,
+           size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS bpe_ish_tokens,
+           length(text) AS n_chars,
+           length(replace(text, ' ', '')) AS n_nonspace,
+           cast(round(length(text) / size(split(text, ' ')), 2) AS double) AS chars_per_token
+    FROM documents
+    ORDER BY doc_id
+    """,
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens,
+           length(text) AS n_chars,
+           length(replace(text, ' ', '')) AS n_nonspace,
+           round(length(text) * 1.0 / len(string_split(text, ' ')), 2) AS chars_per_token
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "text"),
+)
+
+# Document fingerprinting: winnowing-lite — polynomial hash of every 8-char
+# gram, fingerprint = the 4 smallest distinct gram hashes. Identical
+# arithmetic in both engines; near-identical docs share most gram hashes so
+# fingerprints collide, which is the dedup signal.
+_sql_query(
+    "text_fingerprint",
+    """
+    WITH g AS (
+        SELECT doc_id,
+               transform(sequence(1, length(text) - 7),
+                   i -> aggregate(split(substring(text, i, 8), ''), 131L,
+                                  (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)) AS ghs
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           concat_ws('-', transform(slice(array_sort(array_distinct(ghs)), 1, 4),
+                                    x -> cast(x AS string))) AS fingerprint
+    FROM g
+    ORDER BY doc_id
+    """,
+    oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               [list_reduce(list_prepend(131::BIGINT,
+                                         [ascii(c)::BIGINT for c in string_split(substring(text, i, 8), '')]),
+                            (a, b) -> (a * 31 + b) % 1000000007)
+                for i in range(1, length(text) - 6)] AS ghs
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           array_to_string(list_sort(list_distinct(ghs))[1:4], '-') AS fingerprint
+    FROM g
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "text"),
+)
+
+# ---------------------------------------------------------------------------
+# Multimodal columns
+# ---------------------------------------------------------------------------
+
+
+def _binary_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents as an opaque-binary modality table.
+
+    payload: the raw bytes (here utf-8 text standing in for image/audio
+    bytes); meta: typed metadata travelling with the blob. This is the
+    schema shape a 100 TB multimodal corpus uses — binary column + struct
+    metadata, partitioned by the long key, decoded only inside Arrow-batch
+    UDFs (never on the driver).
+    """
+    docs = catalog.table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.col("source").alias("origin"),
+            F.col("n_chars").cast("long").alias("declared_len"),
+            F.lit("text/plain").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+@register(
+    "mm_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(list_sum([ascii(c)::BIGINT for c in string_split(text, '')]) AS BIGINT) AS byte_sum,
+           CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+           lower(hex(substring(text, 1, 8))) AS head_hex,
+           source AS origin
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "multimodal"),
+    doc="Feature extraction over binary payloads via mapInPandas (Arrow batches).",
+)
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 'decode' of a binary modality column.
+
+    The extractor stands in for an image/audio decoder (see
+    ``sensql_presto_spark.multimodal`` for the gated real-decoder stubs):
+    it computes per-blob statistics inside ``mapInPandas``, so bytes stream
+    through Arrow batches executor-side — the driver never sees a payload.
+    The oracle recomputes the same statistics from the text column (the
+    corpus is pure ASCII, so byte arithmetic == char arithmetic).
+    """
+    import pandas as pd
+
+    def extract(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len),
+                    "byte_sum": pdf["payload"].map(lambda b: int(sum(b))),
+                    "n_spaces": pdf["payload"].map(lambda b: b.count(b" ")),
+                    "head_hex": pdf["payload"].map(lambda b: b[:8].hex()),
+                    "origin": pdf["meta"].map(lambda m: m["origin"]),
+                }
+            )
+
+    out_schema = (
+        "doc_id bigint, n_bytes bigint, byte_sum bigint, n_spaces bigint, "
+        "head_hex string, origin string"
+    )
+    return _binary_docs(spark, sf_dir).mapInPandas(extract, out_schema).orderBy("doc_id")
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, text, unnest(range(0, length(text), 128)) AS off
+        FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           CAST(off // 128 AS BIGINT) AS frame_idx,
+           CAST(least(64, length(text) - off) AS BIGINT) AS frame_len,
+           CAST(list_sum([ascii(c)::BIGINT for c in string_split(substring(text, off + 1, 64), '')]) % 997 AS BIGINT) AS frame_checksum
+    FROM f
+    ORDER BY doc_id, frame_idx
+    """,
+    tags=("pipeline", "multimodal"),
+    doc="Frame sampling from binary payloads: one row per sampled 64-byte frame.",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame/chunk sampling over a binary modality column.
+
+    Emits every other 64-byte frame (stride 128) of each payload as its own
+    row — the video-frame-sampling shape: mapInPandas explodes one blob row
+    into n frame rows executor-side, output partitioning inherits the input
+    split, no shuffle.
+    """
+    import pandas as pd
+
+    def sample(batches):
+        for pdf in batches:
+            ids, idxs, lens, sums = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for frame_idx, off in enumerate(range(0, len(payload), 128)):
+                    frame = payload[off : off + 64]
+                    ids.append(doc_id)
+                    idxs.append(frame_idx)
+                    lens.append(len(frame))
+                    sums.append(int(sum(frame)) % 997)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_len": lens, "frame_checksum": sums}
+            )
+
+    out_schema = "doc_id bigint, frame_idx bigint, frame_len bigint, frame_checksum bigint"
+    df = _binary_docs(spark, sf_dir).where(F.col("doc_id") < 100)
+    return df.mapInPandas(sample, out_schema).orderBy("doc_id", "frame_idx")
