@@ -47,7 +47,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+        # Integer division: nanos-since-epoch (~1.7e18) exceeds double's 2^53
+        # exact range, so a float divide corrupts the microsecond digit.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

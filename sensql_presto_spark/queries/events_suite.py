@@ -1,3 +1,215 @@
-"""Time-window / sessionization / JSON queries over events (FIXTURES.md §2). Populated incrementally."""
+"""Time-series / event-log coverage over the ``events`` table.
+
+The reference is batch-only (SURVEY.md §2.11) — these queries cover the
+event-log workload on its relational core (windows, sessions, JSON props,
+as-of joins), plus one genuine Structured Streaming entry (beyond-reference,
+``sensql_presto_spark.streaming``).
+
+Scale notes: every query here shuffles once on its natural key (window
+start, user_id) with map-side partial aggregation; sessionization and the
+as-of join are single-pass window functions over a per-user sort — the
+standard "shuffle by entity, sort by time" shape that holds at 100 TB
+because state per entity is bounded.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sensql_presto_spark.queries.registry import register
+from sensql_presto_spark.queries.relational import _sql_query
+from sensql_presto_spark.streaming import tumbling_window_counts
+
+# --- tumbling window aggregation (batch). Spark's window() generator vs the
+#     oracle's date_trunc — same 1h-aligned buckets. -------------------------
+
+_sql_query(
+    "events_tumbling_window",
+    """
+    SELECT w.start AS win_start, event_type,
+           count(*) AS n, round(sum(value), 4) AS sum_val,
+           round(avg(value), 4) AS avg_val
+    FROM (SELECT window(ts, '1 hour') AS w, event_type, value FROM events)
+    GROUP BY w, event_type
+    ORDER BY win_start, event_type
+    """,
+    oracle="""
+    SELECT date_trunc('hour', ts) AS win_start, event_type,
+           count(*) AS n, round(sum(value), 4) AS sum_val,
+           round(avg(value), 4) AS avg_val
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY win_start, event_type
+    """,
+    tags=("events", "window"),
+    bench=True,
+)
+
+# --- hopping (sliding) windows: 1h window, 30m slide — every event lands in
+#     exactly two hops. Spark expands window(ts, size, slide) natively; the
+#     oracle unnests the two covering slots from epoch arithmetic. ----------
+
+_sql_query(
+    "events_hopping_window",
+    """
+    SELECT w.start AS win_start, count(*) AS n, round(sum(value), 4) AS sum_val
+    FROM (SELECT window(ts, '1 hour', '30 minutes') AS w, value FROM events)
+    GROUP BY w
+    ORDER BY win_start
+    """,
+    oracle="""
+    WITH h AS (
+        SELECT unnest([make_timestamp((floor(epoch(ts) / 1800) * 1800 * 1000000)::BIGINT),
+                       make_timestamp(((floor(epoch(ts) / 1800) * 1800 - 1800) * 1000000)::BIGINT)]) AS win_start,
+               value
+        FROM events
+    )
+    SELECT win_start, count(*) AS n, round(sum(value), 4) AS sum_val
+    FROM h GROUP BY 1 ORDER BY win_start
+    """,
+    tags=("events", "window"),
+)
+
+# --- gap-based sessionization: new session when > 30 min since the user's
+#     previous event. lag + running sum over one per-user sort. --------------
+
+_sql_query(
+    "events_sessionize",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           (unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000 AS dur_s,
+           round(sum(value), 4) AS sum_val
+    FROM sessions
+    WHERE user_id < 30
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS dur_s,
+           round(sum(value), 4) AS sum_val
+    FROM sessions
+    WHERE user_id < 30
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    tags=("events", "session"),
+    bench=True,
+)
+
+# --- JSON property extraction (reference: JsonFunctions.java →
+#     get_json_object; the props column carries a JSON payload). -------------
+
+_sql_query(
+    "events_json_props",
+    """
+    SELECT cast(get_json_object(props, '$.k') AS INT) % 10 AS k_bucket,
+           event_type,
+           count(*) AS n,
+           round(avg(value), 4) AS avg_val
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY k_bucket, event_type
+    """,
+    oracle="""
+    SELECT json_extract_string(props, '$.k')::INT % 10 AS k_bucket,
+           event_type,
+           count(*) AS n,
+           round(avg(value), 4) AS avg_val
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY k_bucket, event_type
+    """,
+    tags=("events", "json"),
+)
+
+# --- as-of join: each purchase matched to the user's latest strictly-prior
+#     view. Implemented as ONE shuffle (by user) + sort + IGNORE NULLS
+#     last_value — the scalable union-stream pattern; never a range
+#     cross-join. Oracle: DuckDB's native ASOF JOIN (strict > via ts
+#     uniqueness per user in this data). ------------------------------------
+
+_sql_query(
+    "events_asof_join",
+    """
+    WITH tagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN event_type = 'view' THEN ts END AS view_ts,
+               CASE WHEN event_type = 'view' THEN event_id END AS view_id
+        FROM events
+        WHERE event_type IN ('view', 'purchase')
+    ),
+    filled AS (
+        SELECT user_id, ts, event_id, event_type,
+               last_value(view_ts) IGNORE NULLS OVER w AS prev_view_ts,
+               last_value(view_id) IGNORE NULLS OVER w AS prev_view_id
+        FROM tagged
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+           prev_view_id, prev_view_ts
+    FROM filled
+    WHERE event_type = 'purchase' AND prev_view_id IS NOT NULL AND user_id < 50
+    ORDER BY user_id, purchase_ts
+    """,
+    oracle="""
+    WITH v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+    p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+    SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+           v.event_id AS prev_view_id, v.ts AS prev_view_ts
+    FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    WHERE p.user_id < 50
+    ORDER BY p.user_id, p.ts
+    """,
+    tags=("events", "asof"),
+    bench=True,
+)
+
+
+# --- Structured Streaming: event-time tumbling windows with a watermark,
+#     availableNow trigger (beyond-reference; see streaming/__init__.py).
+#     The single-pass stream result equals the batch aggregation, which is
+#     what the oracle asserts — a real correctness gate on a streaming op.
+
+
+@register(
+    "events_streaming_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS win_start, event_type,
+           count(*) AS n, round(sum(value), 4) AS sum_val
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY win_start, event_type
+    """,
+    tags=("events", "streaming"),
+    doc="Structured Streaming tumbling-window aggregation (availableNow), oracle-checked.",
+)
+def events_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_window_counts(spark, sf_dir)
