@@ -127,26 +127,117 @@ _sql_query(
     tags=("pipeline", "dedup"),
 )
 
-# MinHash + LSH: 64-hash signature over shingles (xxhash64 seeded by index),
-# 16 bands × 4 rows, bucket-join on (band, band-hash), then exact-Jaccard
-# verification of candidates. Only candidate pairs are verified — the LSH
-# prunes the O(n²) space; at jaccard ≥ 0.9 the per-pair miss probability is
-# (1 - 0.9⁴)¹⁶ ≈ 4e-8, so the output equals the exact-Jaccard oracle.
+# MinHash + LSH: 64-hash signature over shingles, 16 bands × 4 rows,
+# bucket-join on (band, band-hash), then exact-Jaccard verification of
+# candidates. Only candidate pairs are verified — the LSH prunes the O(n²)
+# space; at jaccard ≥ 0.9 the per-pair miss probability is (1 - 0.9⁴)¹⁶ ≈
+# 4e-8, so the output equals the exact-Jaccard oracle.
+#
+# Perf shape (measured, sf0.1): higher-order-function lambdas are
+# interpreted, not codegen'd — computing the 64-slot signature as nested
+# transform()/array_min() costs ~200s for 96M lambda evals. The fast
+# Spark-native shape is explode shingles to rows, string-hash once, then
+# take the signature as 64 independent codegen'd min(xxhash64(h, i))
+# aggregates in ONE hash aggregate (partial map-side), and band with
+# direct multi-arg xxhash64 + stack(). Whole pipeline stays inside
+# whole-stage codegen; the explode+groupBy-by-doc shuffle is the same
+# shape at 100 TB.
 _sql_query(
     "dedup_minhash_lsh",
     f"""
     WITH {_SPARK_SHINGLES},
+    hrows AS (
+        SELECT doc_id, xxhash64(s) AS h
+        FROM (SELECT doc_id, explode(shingles) AS s FROM sh)
+    ),
     sig AS (
-        SELECT doc_id, shingles,
-               transform(sequence(0, 63),
-                   i -> array_min(transform(shingles, s -> xxhash64(s, i)))) AS sig
-        FROM sh
+        SELECT doc_id,
+               min(xxhash64(h, 0)) AS m0,
+               min(xxhash64(h, 1)) AS m1,
+               min(xxhash64(h, 2)) AS m2,
+               min(xxhash64(h, 3)) AS m3,
+               min(xxhash64(h, 4)) AS m4,
+               min(xxhash64(h, 5)) AS m5,
+               min(xxhash64(h, 6)) AS m6,
+               min(xxhash64(h, 7)) AS m7,
+               min(xxhash64(h, 8)) AS m8,
+               min(xxhash64(h, 9)) AS m9,
+               min(xxhash64(h, 10)) AS m10,
+               min(xxhash64(h, 11)) AS m11,
+               min(xxhash64(h, 12)) AS m12,
+               min(xxhash64(h, 13)) AS m13,
+               min(xxhash64(h, 14)) AS m14,
+               min(xxhash64(h, 15)) AS m15,
+               min(xxhash64(h, 16)) AS m16,
+               min(xxhash64(h, 17)) AS m17,
+               min(xxhash64(h, 18)) AS m18,
+               min(xxhash64(h, 19)) AS m19,
+               min(xxhash64(h, 20)) AS m20,
+               min(xxhash64(h, 21)) AS m21,
+               min(xxhash64(h, 22)) AS m22,
+               min(xxhash64(h, 23)) AS m23,
+               min(xxhash64(h, 24)) AS m24,
+               min(xxhash64(h, 25)) AS m25,
+               min(xxhash64(h, 26)) AS m26,
+               min(xxhash64(h, 27)) AS m27,
+               min(xxhash64(h, 28)) AS m28,
+               min(xxhash64(h, 29)) AS m29,
+               min(xxhash64(h, 30)) AS m30,
+               min(xxhash64(h, 31)) AS m31,
+               min(xxhash64(h, 32)) AS m32,
+               min(xxhash64(h, 33)) AS m33,
+               min(xxhash64(h, 34)) AS m34,
+               min(xxhash64(h, 35)) AS m35,
+               min(xxhash64(h, 36)) AS m36,
+               min(xxhash64(h, 37)) AS m37,
+               min(xxhash64(h, 38)) AS m38,
+               min(xxhash64(h, 39)) AS m39,
+               min(xxhash64(h, 40)) AS m40,
+               min(xxhash64(h, 41)) AS m41,
+               min(xxhash64(h, 42)) AS m42,
+               min(xxhash64(h, 43)) AS m43,
+               min(xxhash64(h, 44)) AS m44,
+               min(xxhash64(h, 45)) AS m45,
+               min(xxhash64(h, 46)) AS m46,
+               min(xxhash64(h, 47)) AS m47,
+               min(xxhash64(h, 48)) AS m48,
+               min(xxhash64(h, 49)) AS m49,
+               min(xxhash64(h, 50)) AS m50,
+               min(xxhash64(h, 51)) AS m51,
+               min(xxhash64(h, 52)) AS m52,
+               min(xxhash64(h, 53)) AS m53,
+               min(xxhash64(h, 54)) AS m54,
+               min(xxhash64(h, 55)) AS m55,
+               min(xxhash64(h, 56)) AS m56,
+               min(xxhash64(h, 57)) AS m57,
+               min(xxhash64(h, 58)) AS m58,
+               min(xxhash64(h, 59)) AS m59,
+               min(xxhash64(h, 60)) AS m60,
+               min(xxhash64(h, 61)) AS m61,
+               min(xxhash64(h, 62)) AS m62,
+               min(xxhash64(h, 63)) AS m63
+        FROM hrows
+        GROUP BY doc_id
     ),
     bands AS (
-        SELECT doc_id, b,
-               xxhash64(concat_ws(',', transform(slice(sig, b * 4 + 1, 4),
-                                                 x -> cast(x AS string)))) AS bh
-        FROM sig LATERAL VIEW explode(sequence(0, 15)) t AS b
+        SELECT doc_id,
+               stack(16, 0, xxhash64(m0, m1, m2, m3),
+                         1, xxhash64(m4, m5, m6, m7),
+                         2, xxhash64(m8, m9, m10, m11),
+                         3, xxhash64(m12, m13, m14, m15),
+                         4, xxhash64(m16, m17, m18, m19),
+                         5, xxhash64(m20, m21, m22, m23),
+                         6, xxhash64(m24, m25, m26, m27),
+                         7, xxhash64(m28, m29, m30, m31),
+                         8, xxhash64(m32, m33, m34, m35),
+                         9, xxhash64(m36, m37, m38, m39),
+                         10, xxhash64(m40, m41, m42, m43),
+                         11, xxhash64(m44, m45, m46, m47),
+                         12, xxhash64(m48, m49, m50, m51),
+                         13, xxhash64(m52, m53, m54, m55),
+                         14, xxhash64(m56, m57, m58, m59),
+                         15, xxhash64(m60, m61, m62, m63)) AS (b, bh)
+        FROM sig
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
