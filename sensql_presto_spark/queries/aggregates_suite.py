@@ -422,3 +422,31 @@ _sql_query(
     tags=("aggregates",),
     doc="reduce_agg parity via aggregate() fold; oracle uses the closed form.",
 )
+
+# --- sketch columns as first-class values (HyperLogLogType.java,
+#     approx_set/merge/cardinality; SURVEY.md §1.2): per-nation HLL sketches
+#     built at the finest grain, then MERGED (not recomputed) to region
+#     level — the re-aggregatable-sketch pattern that makes 100 TB rollups
+#     one shuffle per level. Sketch bytes are engine-specific → rows-only
+#     here; estimate accuracy vs exact is asserted in tests/test_aggregates.py.
+
+_sql_query(
+    "agg_hll_sketch_rollup",
+    """
+    WITH nation_sketches AS (
+        SELECT n.n_regionkey, c.c_nationkey,
+               hll_sketch_agg(c.c_custkey) AS sk,
+               count(DISTINCT c.c_custkey) AS exact_n
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_regionkey, c.c_nationkey
+    )
+    SELECT n_regionkey,
+           cast(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT) AS approx_customers,
+           sum(exact_n) AS exact_customers
+    FROM nation_sketches
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+    oracle=None,
+    tags=("aggregates", "approx", "sketch"),
+)

@@ -109,3 +109,85 @@ def check_query_against_oracle(
     finally:
         con.close()
     assert_frames_match(actual, expected, rtol=rtol)
+
+
+# --- golden-output corpus (reference §5.3:
+#     presto-product-tests/src/main/resources/sql-tests/testcases/) ----------
+
+
+def parse_golden_case(sql_path: str) -> dict:
+    """Parse a `.sql` + `.result` golden pair (reference header convention).
+
+    .sql:    `-- database: spark; tables: nation; groups: group-by;` + SQL
+    .result: `-- delimiter: |; types: BIGINT|VARCHAR` + delimited rows
+    (see e.g. `sql-tests/testcases/group-by/runAggrWithoutGroupBy.sql`).
+    """
+    import os
+    import re
+
+    with open(sql_path) as f:
+        sql_text = f.read()
+    header = {}
+    m = re.match(r"\s*--\s*(.*)", sql_text)
+    if m:
+        for kv in m.group(1).split(";"):
+            if ":" in kv:
+                k, v = kv.split(":", 1)
+                header[k.strip()] = v.strip()
+    sql = "\n".join(l for l in sql_text.splitlines() if not l.strip().startswith("--")).strip()
+
+    result_path = os.path.splitext(sql_path)[0] + ".result"
+    with open(result_path) as f:
+        lines = [l.rstrip("\n") for l in f.read().splitlines()]
+    delim, types = "|", []
+    rows = []
+    for line in lines:
+        if line.startswith("--"):
+            for kv in line[2:].split(";"):
+                if ":" in kv:
+                    k, v = kv.split(":", 1)
+                    if k.strip() == "delimiter":
+                        delim = v.strip() or "|"
+                    elif k.strip() == "types":
+                        types = [t.strip().upper() for t in v.strip().split("|")]
+        elif line.strip():
+            rows.append(line.split(delim))
+    return {"header": header, "sql": sql, "types": types, "rows": rows}
+
+
+def _parse_golden_value(text: str, typ: str):
+    if text == "NULL":
+        return None
+    if typ in ("INTEGER", "BIGINT", "SMALLINT", "TINYINT"):
+        return int(text)
+    if typ in ("DOUBLE", "REAL", "DECIMAL", "FLOAT"):
+        return float(text)
+    if typ == "BOOLEAN":
+        return text.lower() == "true"
+    if typ in ("TIMESTAMP", "DATE"):
+        return pd.Timestamp(text)
+    return text  # CHAR / VARCHAR
+
+
+def run_golden_case(spark, sf_dir: str, sql_path: str, rtol: float = 1e-6) -> None:
+    """Run a golden case on Spark and compare to the stored .result rows.
+
+    Mirrors the reference's comparison contract: ordered only when the
+    query has a top-level ORDER BY, otherwise row-set equality.
+    """
+    from sensql_presto_spark import catalog as _catalog
+
+    case = parse_golden_case(sql_path)
+    actual = _catalog.sql(spark, sf_dir, case["sql"]).toPandas()
+    types = case["types"] or ["VARCHAR"] * len(actual.columns)
+    expected = pd.DataFrame(
+        [
+            [_parse_golden_value(cell, typ) for cell, typ in zip(row, types)]
+            for row in case["rows"]
+        ],
+        columns=list(actual.columns),
+    )
+    for col, typ in zip(expected.columns, types):
+        if typ in ("DOUBLE", "REAL", "DECIMAL", "FLOAT"):
+            expected[col] = expected[col].astype("float64")
+    assert_frames_match(actual, expected, rtol=rtol)

@@ -1,0 +1,2 @@
+-- database: spark; tables: orders; groups: limit;
+SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 5
