@@ -102,6 +102,26 @@ def unicode_normalize_nfc(s: pd.Series) -> pd.Series:
 
 def register_python_udfs(spark: SparkSession) -> None:
     spark.udf.register("word_stem", word_stem)
+    register_geo_udfs(spark)
     spark.udf.register("normal_cdf", normal_cdf)
     spark.udf.register("inverse_normal_cdf", inverse_normal_cdf)
     spark.udf.register("normalize_nfc", unicode_normalize_nfc)
+
+
+# --- geospatial surface (reference: presto-geospatial/GeoFunctions.java,
+#     ST_Point :180, ST_Contains :1044, ST_Intersects :1101, ST_Distance
+#     :939). WKT strings + pure-Python predicates from sensql.geometry —
+#     the slow path by design: in-engine spatial predicates are for
+#     metadata-scale geometry; bulk spatial joins should go through the
+#     SenSQL metadata plane (sensql/) or a grid-cell expand-join.
+
+
+def register_geo_udfs(spark: SparkSession) -> None:
+    from sensql_presto_spark.sensql import geometry
+
+    spark.udf.register(
+        "st_point", lambda x, y: f"POINT ({x} {y})", T.StringType()
+    )
+    spark.udf.register("st_intersects", geometry.st_intersects, T.BooleanType())
+    spark.udf.register("st_contains", geometry.st_contains, T.BooleanType())
+    spark.udf.register("st_distance", geometry.st_distance, T.DoubleType())

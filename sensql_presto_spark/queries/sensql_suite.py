@@ -106,3 +106,39 @@ def sensql_federated_single_node(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND feature.name = 'market'
         """
     )
+
+
+@register(
+    "sensql_spatial_filter",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n
+    FROM customer
+    WHERE (c_custkey % 40) >= 5 AND (c_custkey % 40) <= 15
+      AND (c_nationkey % 10) >= 5 AND (c_nationkey % 10) <= 8
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("sensql", "geospatial"),
+    doc="In-Spark ST_* predicate surface (GeoFunctions.java parity names); "
+    "oracle reduces st_contains on the rectangular fixture polygon to "
+    "coordinate range checks.",
+)
+def sensql_spatial_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_contains/st_point as Spark SQL functions over synthesized coords.
+
+    Points are derived deterministically from customer keys; the 'downtown'
+    fixture shape is the containment region. Python-UDF slow path by
+    design (metadata-scale geometry; SURVEY.md §2.3 spatial-join note).
+    """
+    from sensql_presto_spark.functions.udfs import register_geo_udfs
+
+    register_geo_udfs(spark)
+    catalog.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_mktsegment, count(*) AS n
+        FROM customer
+        WHERE st_contains('POLYGON ((5 5, 15 5, 15 8, 5 8))',
+                          st_point(cast(c_custkey % 40 AS double), cast(c_nationkey % 10 AS double)))
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """
+    )
