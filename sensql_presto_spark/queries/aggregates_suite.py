@@ -450,3 +450,69 @@ _sql_query(
     oracle=None,
     tags=("aggregates", "approx", "sketch"),
 )
+
+# --- approx_most_frequent (approxmostfrequent/ApproximateMostFrequent.java):
+#     top-k heavy hitters per group as sorted entry strings. Implemented
+#     exactly (count + rank — two shuffles, both partial-agg'd); the
+#     reference sketches because Presto lacks a second shuffle inside one
+#     aggregate call, which Spark does not need. ----------------------------
+
+_sql_query(
+    "agg_most_frequent",
+    """
+    WITH counts AS (
+        SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                                     ORDER BY cnt DESC, o_orderpriority) AS rk
+        FROM counts
+    )
+    SELECT o_orderstatus,
+           concat_ws(';', sort_array(collect_list(concat(o_orderpriority, '=', cast(cnt AS string))))) AS top3
+    FROM ranked WHERE rk <= 3
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    oracle="""
+    WITH counts AS (
+        SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                                     ORDER BY cnt DESC, o_orderpriority) AS rk
+        FROM counts
+    )
+    SELECT o_orderstatus,
+           string_agg(o_orderpriority || '=' || cast(cnt AS varchar), ';'
+                      ORDER BY o_orderpriority || '=' || cast(cnt AS varchar)) AS top3
+    FROM ranked WHERE rk <= 3
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("aggregates", "approx"),
+)
+
+# --- reservoir_sample (reservoirsample/): deterministic distributed sample —
+#     the n rows with smallest md5(key). Hash-ordering makes the "reservoir"
+#     reproducible and mergeable across partitions (TakeOrderedAndProject:
+#     per-partition top-n, then merge — no global sort). -------------------
+
+_sql_query(
+    "agg_reservoir_sample",
+    """
+    SELECT o_orderkey, o_orderstatus
+    FROM orders
+    ORDER BY md5(cast(o_orderkey AS string)), o_orderkey
+    LIMIT 5
+    """,
+    oracle="""
+    SELECT o_orderkey, o_orderstatus
+    FROM orders
+    ORDER BY md5(cast(o_orderkey AS varchar)), o_orderkey
+    LIMIT 5
+    """,
+    tags=("aggregates", "sample"),
+)

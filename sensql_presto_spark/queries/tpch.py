@@ -103,6 +103,7 @@ LIMIT 100
     "tpch_q02",
     oracle=_Q02_SQL,
     tags=("tpch", "join", "correlated-subquery"),
+    bench=True
 )
 def tpch_q02(spark: SparkSession, sf_dir: str) -> DataFrame:
     return catalog.sql(spark, sf_dir, _Q02_SQL)
@@ -278,6 +279,7 @@ def tpch_q06(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY supp_nation, cust_nation, l_year
     """,
     tags=("tpch", "join", "aggregation"),
+    bench=True
 )
 def tpch_q07(spark: SparkSession, sf_dir: str) -> DataFrame:
     return catalog.sql(
@@ -333,6 +335,7 @@ def tpch_q07(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_year
     """,
     tags=("tpch", "join", "aggregation", "case"),
+    bench=True
 )
 def tpch_q08(spark: SparkSession, sf_dir: str) -> DataFrame:
     return catalog.sql(
@@ -480,6 +483,7 @@ ORDER BY part_value DESC, ps_partkey
     "tpch_q11",
     oracle=_Q11_SQL,
     tags=("tpch", "having", "scalar-subquery"),
+    bench=True
 )
 def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     return catalog.sql(spark, sf_dir, _Q11_SQL)
@@ -504,6 +508,7 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY l.l_linestatus
     """,
     tags=("tpch", "join", "case"),
+    bench=True
 )
 def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -575,6 +580,7 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l.l_shipdate < TIMESTAMP '1997-10-01'
     """,
     tags=("tpch", "join", "case"),
+    bench=True
 )
 def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").filter(
@@ -618,6 +624,7 @@ ORDER BY s.s_suppkey
     "tpch_q15",
     oracle=_Q15_SQL,
     tags=("tpch", "cte", "scalar-subquery"),
+    bench=True
 )
 def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     return catalog.sql(spark, sf_dir, _Q15_SQL)
@@ -647,6 +654,7 @@ ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
     "tpch_q16",
     oracle=_Q16_SQL,
     tags=("tpch", "anti-join", "distinct-agg"),
+    bench=True
 )
 def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     return catalog.sql(spark, sf_dir, _Q16_SQL)
@@ -771,6 +779,7 @@ ORDER BY s.s_name
     "tpch_q20",
     oracle=_Q20_SQL,
     tags=("tpch", "semi-join", "nested-subquery"),
+    bench=True
 )
 def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return catalog.sql(spark, sf_dir, _Q20_SQL)
@@ -841,6 +850,7 @@ ORDER BY cntrycode
     "tpch_q22",
     oracle=_Q22_SQL,
     tags=("tpch", "anti-join", "scalar-subquery"),
+    bench=True
 )
 def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     return catalog.sql(spark, sf_dir, _Q22_SQL)

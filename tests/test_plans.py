@@ -1,0 +1,62 @@
+"""Physical-plan assertions (reference layer §5.6, PlanMatchPattern.java).
+
+Locks in the plan properties the engine's 100 TB posture depends on:
+dimension joins broadcast, filters reach the parquet scan, scans prune
+columns, aggregation splits partial/final, rank filters push into
+WindowGroupLimit, and dedup never degenerates to a cross product.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from sensql_presto_spark.queries import registry
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(spark, name: str, mode: str = "formatted") -> str:
+    df = registry.get(name).build(spark, SF)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_q03_broadcasts_dimensions(spark):
+    plan = _plan(spark, "tpch_q03")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q06_pushdown_and_pruning(spark):
+    plan = _plan(spark, "tpch_q06")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "GreaterThanOrEqual(l_shipdate" in pushed[0]
+    schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    # 4 of lineitem's 11 columns — projection reached the scan
+    assert schema.count(":") <= 5
+    assert "l_orderkey" not in schema
+
+
+def test_agg_partial_final_split(spark):
+    plan = _plan(spark, "agg_basic")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
+
+
+def test_window_topn_group_limit_pushdown(spark):
+    plan = _plan(spark, "window_topn_per_group")
+    assert "WindowGroupLimit" in plan
+
+
+def test_ngram_dedup_is_not_cartesian(spark):
+    plan = _plan(spark, "dedup_ngram_jaccard")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sim_topk_broadcasts_probe_set(spark):
+    plan = _plan(spark, "sim_topk_bruteforce")
+    assert "Broadcast" in plan  # tiny query side broadcast, corpus streams
