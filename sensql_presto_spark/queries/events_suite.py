@@ -213,3 +213,63 @@ _sql_query(
 )
 def events_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_window_counts(spark, sf_dir)
+
+
+# --- Structured Streaming session windows: the streaming twin of
+#     events_sessionize — session_window state merges per (user, session),
+#     closed by the watermark; batch lag/cumsum SQL is the oracle. ----------
+
+
+@register(
+    "events_streaming_sessions",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, min(ts) AS sess_start, count(*) AS n_events,
+           round(sum(value), 4) AS sum_val
+    FROM sessions
+    WHERE user_id < 30
+    GROUP BY user_id, session_id
+    ORDER BY user_id, sess_start
+    """,
+    tags=("events", "streaming", "session"),
+    doc="Streaming session_window aggregation (availableNow), oracle = batch sessionization.",
+)
+def events_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensql_presto_spark.streaming import session_window_stats
+
+    return session_window_stats(spark, sf_dir)
+
+
+# --- custom stateful operator (applyInPandasWithState): per-user running
+#     aggregates kept as explicit state — oracle is the batch groupBy. ------
+
+
+@register(
+    "events_streaming_stateful",
+    oracle="""
+    SELECT user_id, count(*) AS n, max(value) AS max_val,
+           round(sum(value), 4) AS sum_val
+    FROM events
+    WHERE user_id < 30
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("events", "streaming", "stateful"),
+    doc="applyInPandasWithState custom stateful streaming operator, oracle = batch aggregate.",
+)
+def events_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensql_presto_spark.streaming import stateful_running_extrema
+
+    return stateful_running_extrema(spark, sf_dir)

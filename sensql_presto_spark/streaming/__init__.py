@@ -82,3 +82,126 @@ def tumbling_window_counts(
         )
         .orderBy("win_start", "event_type")
     )
+
+
+def session_window_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+    name: str = "events_stream_sessions",
+    timeout_s: int = 180,
+) -> DataFrame:
+    """Streaming gap-based sessionization via ``session_window``.
+
+    The streaming twin of the batch ``events_sessionize`` query: Spark's
+    session_window merges events within ``gap`` into one state entry per
+    (user, open session); the watermark closes sessions and bounds state.
+    A single availableNow pass closes everything, so the result equals the
+    batch lag/cumsum sessionization — the oracle the registry entry checks.
+    """
+    catalog._ensure_session_conf(spark)
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_val"))
+    )
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_s)
+    return (
+        spark.table(name)
+        .where(F.col("user_id") < 30)
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            "n_events",
+            F.round("sum_val", 4).alias("sum_val"),
+        )
+        .orderBy("user_id", "sess_start")
+    )
+
+
+def stateful_running_extrema(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str = "events_stream_stateful",
+    timeout_s: int = 240,
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``.
+
+    Per user, maintains (n, running_max, running_sum) state across
+    micro-batches — the arbitrary-state shape Spark gives for operators
+    its built-in aggregates can't express (the reference has no streaming
+    at all; SURVEY.md §2.11). State is one tuple per user: bounded, and
+    partitioned by the grouping key, so it scales with |users|, not events.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    catalog._ensure_session_conf(spark)
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    out_schema = "user_id bigint, n bigint, max_val double, sum_val double"
+    state_schema = "n bigint, max_val double, sum_val double"
+
+    def update(key, pdfs, state: GroupState):
+        n, mx, sm = state.get if state.exists else (0, float("-inf"), 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+                sm += float(pdf["value"].sum())
+        state.update((n, mx, sm))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n": [n], "max_val": [mx], "sum_val": [sm]}
+        )
+
+    result = events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    query = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_s)
+    # update-mode memory sink may hold one row per user per micro-batch;
+    # keep the final state per user (max n wins).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"))
+    return (
+        spark.table(name)
+        .withColumn("rk", F.row_number().over(w))
+        .where((F.col("rk") == 1) & (F.col("user_id") < 30))
+        .select("user_id", "n", "max_val", F.round("sum_val", 4).alias("sum_val"))
+        .orderBy("user_id")
+    )
