@@ -10,6 +10,7 @@ xor operator, sequence bounds).
 
 from __future__ import annotations
 
+from sensql_presto_spark.queries.registry import register
 from sensql_presto_spark.queries.relational import _sql_query
 
 # --- strings (StringFunctions.java, 44 fns) ---------------------------------
@@ -469,4 +470,72 @@ _sql_query(
     """,
     oracle=None,
     tags=("functions", "hash"),
+)
+
+
+# --- Presto datetime format-string families (DateTimeFunctions.java:1239 —
+#     MySQL-% date_format/date_parse; Joda format_datetime). The shim
+#     translates patterns driver-side (functions/datetime_fmt.py); the
+#     expression itself runs JVM-native. Oracle: DuckDB strftime (C codes).
+
+
+@register(
+    "fn_datetime_presto_formats",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS mysql_fmt,
+           strftime(o_orderdate, '%d/%m/%Y') AS mysql_dmy,
+           strftime(o_orderdate, '%Y/%m/%d') AS joda_fmt,
+           o_orderdate AS roundtrip
+    FROM orders WHERE o_orderkey < 30 ORDER BY o_orderkey
+    """,
+    tags=("functions", "datetime"),
+    doc="MySQL-%% and Joda pattern translation shims, including a parse round-trip.",
+)
+def fn_datetime_presto_formats(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sensql_presto_spark import catalog
+    from sensql_presto_spark.functions import datetime_fmt as dfmt
+
+    o = catalog.table(spark, sf_dir, "orders").where("o_orderkey < 30")
+    mysql_col = dfmt.presto_date_format(F.col("o_orderdate"), "%Y-%m-%d %H:%i:%S")
+    return o.select(
+        "o_orderkey",
+        mysql_col.alias("mysql_fmt"),
+        dfmt.presto_date_format(F.col("o_orderdate"), "%d/%m/%Y").alias("mysql_dmy"),
+        dfmt.format_datetime(F.col("o_orderdate"), "yyyy/MM/dd").alias("joda_fmt"),
+        dfmt.presto_date_parse(mysql_col, "%Y-%m-%d %H:%i:%S").alias("roundtrip"),
+    ).orderBy("o_orderkey")
+
+
+# --- TRY semantics (TryFunction.java, TryCastFunction.java) + Presto
+#     integer-division truncation (SURVEY.md §7 'what's hard'). Spark's
+#     try_* family gives expression-level TRY; `div` gives Presto's
+#     truncating integer '/'. ------------------------------------------------
+
+_sql_query(
+    "fn_try_semantics",
+    """
+    SELECT o_orderkey,
+           try_cast(o_orderpriority AS INT) AS bad_cast,
+           try_cast(substring(o_orderpriority, 1, 1) AS INT) AS good_cast,
+           try_divide(o_totalprice, o_orderkey % 3) AS maybe_div,
+           o_orderkey div 7 AS int_div,
+           try_element_at(array(1, 2, 3), 99) AS oob_elem
+    FROM orders WHERE o_orderkey < 30
+    ORDER BY o_orderkey
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           try_cast(o_orderpriority AS INT) AS bad_cast,
+           try_cast(substring(o_orderpriority, 1, 1) AS INT) AS good_cast,
+           CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                ELSE o_totalprice / (o_orderkey % 3) END AS maybe_div,
+           o_orderkey // 7 AS int_div,
+           NULL::INT AS oob_elem
+    FROM orders WHERE o_orderkey < 30
+    ORDER BY o_orderkey
+    """,
+    tags=("functions", "conditional", "try"),
 )
