@@ -591,6 +591,100 @@ _sql_query(
     tags=("pipeline", "similarity"),
 )
 
+
+
+# Sign-LSH (random-hyperplane) bucketing: the LSH scale path for embedding
+# near-dup / similarity (complements sim_ivf_topk). 16 deterministic
+# hyperplanes — component (j, d) is pure arithmetic, identical in both
+# engines — give a 16-bit signature, split into two 8-bit tables; docs
+# colliding in either table become candidates, candidates are verified
+# with exact cosine and the top-10 pairs are emitted. The oracle replicates
+# the mechanism exactly (like sim_ivf_topk, this checks the machinery;
+# recall properties are inherent to sign-LSH).
+#
+# Perf shape: signatures are 16 codegen'd sum() aggregates over the
+# posexploded (vec_id, dim, x) rows — no interpreted lambdas on the
+# per-vector hot path; only candidate verification uses zip_with.
+_sql_query(
+    "sim_lsh_hyperplane",
+    """
+    WITH e AS (SELECT vec_id, transform(embedding, v -> cast(v AS double)) AS v FROM embeddings),
+    rows_ AS (SELECT vec_id, posexplode(v) AS (d, x) FROM e),
+    proj AS (
+        SELECT vec_id,
+               sum(x * ((cast(((0L * 2654435761 + d * 40503 + 12345) % 1009) AS DOUBLE)) / 1009.0 - 0.5)) AS p0,
+               sum(x * ((cast(((1L * 2654435761 + d * 40503 + 12345) % 1009) AS DOUBLE)) / 1009.0 - 0.5)) AS p1,
+               sum(x * ((cast(((2L * 2654435761 + d * 40503 + 12345) % 1009) AS DOUBLE)) / 1009.0 - 0.5)) AS p2,
+               sum(x * ((cast(((3L * 2654435761 + d * 40503 + 12345) % 1009) AS DOUBLE)) / 1009.0 - 0.5)) AS p3,
+               sum(x * ((cast(((4L * 2654435761 + d * 40503 + 12345) % 1009) AS DOUBLE)) / 1009.0 - 0.5)) AS p4,
+               sum(x * ((cast(((5L * 2654435761 + d * 40503 + 12345) % 1009) AS DOUBLE)) / 1009.0 - 0.5)) AS p5,
+               sum(x * ((cast(((6L * 2654435761 + d * 40503 + 12345) % 1009) AS DOUBLE)) / 1009.0 - 0.5)) AS p6,
+               sum(x * ((cast(((7L * 2654435761 + d * 40503 + 12345) % 1009) AS DOUBLE)) / 1009.0 - 0.5)) AS p7,
+               sum(x * ((cast(((8L * 2654435761 + d * 40503 + 12345) % 1009) AS DOUBLE)) / 1009.0 - 0.5)) AS p8,
+               sum(x * ((cast(((9L * 2654435761 + d * 40503 + 12345) % 1009) AS DOUBLE)) / 1009.0 - 0.5)) AS p9,
+               sum(x * ((cast(((10L * 2654435761 + d * 40503 + 12345) % 1009) AS DOUBLE)) / 1009.0 - 0.5)) AS p10,
+               sum(x * ((cast(((11L * 2654435761 + d * 40503 + 12345) % 1009) AS DOUBLE)) / 1009.0 - 0.5)) AS p11,
+               sum(x * ((cast(((12L * 2654435761 + d * 40503 + 12345) % 1009) AS DOUBLE)) / 1009.0 - 0.5)) AS p12,
+               sum(x * ((cast(((13L * 2654435761 + d * 40503 + 12345) % 1009) AS DOUBLE)) / 1009.0 - 0.5)) AS p13,
+               sum(x * ((cast(((14L * 2654435761 + d * 40503 + 12345) % 1009) AS DOUBLE)) / 1009.0 - 0.5)) AS p14,
+               sum(x * ((cast(((15L * 2654435761 + d * 40503 + 12345) % 1009) AS DOUBLE)) / 1009.0 - 0.5)) AS p15
+        FROM rows_ GROUP BY vec_id
+    ),
+    sig AS (
+        SELECT vec_id,
+               (CASE WHEN p0 >= 0 THEN 1L ELSE 0L END) + (CASE WHEN p1 >= 0 THEN 2L ELSE 0L END) + (CASE WHEN p2 >= 0 THEN 4L ELSE 0L END) + (CASE WHEN p3 >= 0 THEN 8L ELSE 0L END) + (CASE WHEN p4 >= 0 THEN 16L ELSE 0L END) + (CASE WHEN p5 >= 0 THEN 32L ELSE 0L END) + (CASE WHEN p6 >= 0 THEN 64L ELSE 0L END) + (CASE WHEN p7 >= 0 THEN 128L ELSE 0L END) AS band0,
+               (CASE WHEN p8 >= 0 THEN 1L ELSE 0L END) + (CASE WHEN p9 >= 0 THEN 2L ELSE 0L END) + (CASE WHEN p10 >= 0 THEN 4L ELSE 0L END) + (CASE WHEN p11 >= 0 THEN 8L ELSE 0L END) + (CASE WHEN p12 >= 0 THEN 16L ELSE 0L END) + (CASE WHEN p13 >= 0 THEN 32L ELSE 0L END) + (CASE WHEN p14 >= 0 THEN 64L ELSE 0L END) + (CASE WHEN p15 >= 0 THEN 128L ELSE 0L END) AS band1
+        FROM proj
+    ),
+    bands AS (
+        SELECT vec_id, b, if(b = 0, band0, band1) AS bv
+        FROM sig LATERAL VIEW explode(sequence(0, 1)) t AS b
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.vec_id < b.vec_id
+    ),
+    n AS (SELECT vec_id, v, sqrt(aggregate(v, cast(0 AS double), (a, x) -> a + x * x)) AS nrm FROM e),
+    ver AS (
+        SELECT c.id_a, c.id_b,
+               aggregate(zip_with(na.v, nb.v, (x, y) -> x * y), cast(0 AS double),
+                         (acc, x) -> acc + x) / (na.nrm * nb.nrm) AS cos
+        FROM cand c JOIN n na ON c.id_a = na.vec_id JOIN n nb ON c.id_b = nb.vec_id
+    )
+    SELECT id_a, id_b, round(cos, 4) AS cos_sim
+    FROM ver ORDER BY cos DESC, id_a, id_b LIMIT 10
+    """,
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    proj AS (
+        SELECT vec_id,
+               list_sum([v[d] * (((0::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) / 1009.0 - 0.5) for d in range(1, 65)]) AS p0, list_sum([v[d] * (((1::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) / 1009.0 - 0.5) for d in range(1, 65)]) AS p1, list_sum([v[d] * (((2::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) / 1009.0 - 0.5) for d in range(1, 65)]) AS p2, list_sum([v[d] * (((3::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) / 1009.0 - 0.5) for d in range(1, 65)]) AS p3, list_sum([v[d] * (((4::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) / 1009.0 - 0.5) for d in range(1, 65)]) AS p4, list_sum([v[d] * (((5::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) / 1009.0 - 0.5) for d in range(1, 65)]) AS p5, list_sum([v[d] * (((6::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) / 1009.0 - 0.5) for d in range(1, 65)]) AS p6, list_sum([v[d] * (((7::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) / 1009.0 - 0.5) for d in range(1, 65)]) AS p7, list_sum([v[d] * (((8::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) / 1009.0 - 0.5) for d in range(1, 65)]) AS p8, list_sum([v[d] * (((9::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) / 1009.0 - 0.5) for d in range(1, 65)]) AS p9, list_sum([v[d] * (((10::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) / 1009.0 - 0.5) for d in range(1, 65)]) AS p10, list_sum([v[d] * (((11::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) / 1009.0 - 0.5) for d in range(1, 65)]) AS p11, list_sum([v[d] * (((12::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) / 1009.0 - 0.5) for d in range(1, 65)]) AS p12, list_sum([v[d] * (((13::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) / 1009.0 - 0.5) for d in range(1, 65)]) AS p13, list_sum([v[d] * (((14::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) / 1009.0 - 0.5) for d in range(1, 65)]) AS p14, list_sum([v[d] * (((15::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) / 1009.0 - 0.5) for d in range(1, 65)]) AS p15
+        FROM e
+    ),
+    sig AS (
+        SELECT vec_id,
+               (CASE WHEN p0 >= 0 THEN 1::BIGINT ELSE 0 END) + (CASE WHEN p1 >= 0 THEN 2::BIGINT ELSE 0 END) + (CASE WHEN p2 >= 0 THEN 4::BIGINT ELSE 0 END) + (CASE WHEN p3 >= 0 THEN 8::BIGINT ELSE 0 END) + (CASE WHEN p4 >= 0 THEN 16::BIGINT ELSE 0 END) + (CASE WHEN p5 >= 0 THEN 32::BIGINT ELSE 0 END) + (CASE WHEN p6 >= 0 THEN 64::BIGINT ELSE 0 END) + (CASE WHEN p7 >= 0 THEN 128::BIGINT ELSE 0 END) AS band0,
+               (CASE WHEN p8 >= 0 THEN 1::BIGINT ELSE 0 END) + (CASE WHEN p9 >= 0 THEN 2::BIGINT ELSE 0 END) + (CASE WHEN p10 >= 0 THEN 4::BIGINT ELSE 0 END) + (CASE WHEN p11 >= 0 THEN 8::BIGINT ELSE 0 END) + (CASE WHEN p12 >= 0 THEN 16::BIGINT ELSE 0 END) + (CASE WHEN p13 >= 0 THEN 32::BIGINT ELSE 0 END) + (CASE WHEN p14 >= 0 THEN 64::BIGINT ELSE 0 END) + (CASE WHEN p15 >= 0 THEN 128::BIGINT ELSE 0 END) AS band1
+        FROM proj
+    ),
+    bands AS (
+        SELECT vec_id, b, CASE WHEN b = 0 THEN band0 ELSE band1 END AS bv
+        FROM sig, unnest([0, 1]) t(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.vec_id < b.vec_id
+    ),
+    ver AS (
+        SELECT c.id_a, c.id_b, list_cosine_similarity(ea.v, eb.v) AS cos
+        FROM cand c JOIN e ea ON c.id_a = ea.vec_id JOIN e eb ON c.id_b = eb.vec_id
+    )
+    SELECT id_a, id_b, round(cos, 4) AS cos_sim
+    FROM ver ORDER BY cos DESC, id_a, id_b LIMIT 10
+    """,
+    tags=("pipeline", "similarity", "dedup"),
+)
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
