@@ -153,8 +153,13 @@ def _join_tokens(parts: list[str]) -> str:
         out += "" if p == "(" else " "
         if p == "(":
             out = out.rstrip() + ""
-    # normalize: no space before '(' after an identifier (function calls)
-    return re.sub(r"\s+\(", "(", out).strip()
+    # normalize: no space before '(' after an identifier (function calls) —
+    # but keep it after SQL keywords (IN (...), EXISTS (...)).
+    return re.sub(
+        r"(?<![a-zA-Z0-9_'])\s+\(|(?<=\w)\s+\(",
+        lambda m: " (" if re.search(r"\b(in|exists|not|and|or|any|all|some|between)\s+\($", m.string[: m.end()], re.IGNORECASE) else "(",
+        out,
+    ).strip()
 
 
 def render(node: Node) -> str:
