@@ -103,6 +103,7 @@ def unicode_normalize_nfc(s: pd.Series) -> pd.Series:
 def register_python_udfs(spark: SparkSession) -> None:
     spark.udf.register("word_stem", word_stem)
     register_geo_udfs(spark)
+    register_hmac_udfs(spark)
     spark.udf.register("normal_cdf", normal_cdf)
     spark.udf.register("inverse_normal_cdf", inverse_normal_cdf)
     spark.udf.register("normalize_nfc", unicode_normalize_nfc)
@@ -125,3 +126,30 @@ def register_geo_udfs(spark: SparkSession) -> None:
     spark.udf.register("st_intersects", geometry.st_intersects, T.BooleanType())
     spark.udf.register("st_contains", geometry.st_contains, T.BooleanType())
     spark.udf.register("st_distance", geometry.st_distance, T.DoubleType())
+
+
+# --- HMAC family (HmacFunctions.java: hmac_md5/sha1/sha256/sha512) — no
+#     Spark builtin; Arrow-batched pandas UDFs over Python's hmac/hashlib.
+
+
+def _make_hmac(algo: str):
+    import hashlib
+    import hmac as _hmac
+
+    @F.pandas_udf(T.BinaryType())
+    def fn(data: pd.Series, key: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if d is None or k is None
+                else _hmac.new(bytes(k), bytes(d), getattr(hashlib, algo)).digest()
+                for d, k in zip(data, key)
+            ]
+        )
+
+    return fn
+
+
+def register_hmac_udfs(spark: SparkSession) -> None:
+    for algo in ("md5", "sha1", "sha256", "sha512"):
+        spark.udf.register(f"hmac_{algo}", _make_hmac(algo))
