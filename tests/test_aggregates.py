@@ -16,18 +16,15 @@ def test_hll_rollup_estimates_close_to_exact(spark):
     rows = registry.get("agg_hll_sketch_rollup").build(spark, SF_DIR).collect()
     assert len(rows) == 5  # five regions
     for r in rows:
-        assert abs(r.approx_customers - r.exact_customers) <= max(3, 0.05 * r.exact_customers)
+        assert r.exact_customers > 0
+        assert r.merge_estimate_ok  # |merged-HLL estimate - exact| <= 5%
 
 
 def test_approx_sketches_close_to_exact(spark):
     rows = registry.get("agg_approx_sketches").build(spark, SF_DIR).collect()
-    exact = {
-        r.l_returnflag: r
-        for r in registry.get("agg_basic").build(spark, SF_DIR).collect()
-    }
+    assert len(rows) == 3
     for r in rows:
-        e = exact[r.l_returnflag]
-        assert abs(r.approx_parts - e.n_parts) <= 0.1 * e.n_parts
-        # tighter rsd=0.01 variant
-        assert abs(r.approx_supps - e.n_parts) <= e.n_parts  # sanity bound only
-        assert r.approx_p50 > 0
+        assert r.exact_parts > 0
+        # every error-bound flag the driver hash-compares must actually hold
+        assert r.acd_ok and r.acd_rsd_ok
+        assert r.p50_ok and r.p25_ok and r.p75_ok
