@@ -94,9 +94,17 @@ _SQL_FUNCTIONS: tuple[str, ...] = (
        RETURNS INT RETURN instr(s, sub)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION levenshtein_distance(a STRING, b STRING)
        RETURNS INT RETURN levenshtein(a, b)""",
+    # Presto raises INVALID_FUNCTION_ARGUMENT on length mismatch
+    # (StringFunctions.java hammingDistance) — mirror that error contract
+    # instead of silently counting NULL-padded positions.
     """CREATE OR REPLACE TEMPORARY FUNCTION hamming_distance(a STRING, b STRING)
-       RETURNS BIGINT RETURN aggregate(zip_with(split(a, ''), split(b, ''),
-                                       (x, y) -> IF(x = y, 0, 1)), 0L, (acc, v) -> acc + v)""",
+       RETURNS BIGINT RETURN
+       CASE WHEN length(a) <> length(b)
+            THEN CAST(raise_error(
+                 'The input strings to hamming_distance function must have the same length') AS BIGINT)
+            ELSE aggregate(zip_with(split(a, ''), split(b, ''),
+                           (x, y) -> IF(x = y, 0, 1)), 0L, (acc, v) -> acc + v)
+       END""",
     """CREATE OR REPLACE TEMPORARY FUNCTION codepoint(s STRING)
        RETURNS INT RETURN ascii(s)""",
     # -- json (JsonFunctions.java) --
@@ -132,9 +140,26 @@ _SQL_FUNCTIONS: tuple[str, ...] = (
     """CREATE OR REPLACE TEMPORARY FUNCTION bitwise_not(a BIGINT)
        RETURNS BIGINT RETURN ~a""",
     """CREATE OR REPLACE TEMPORARY FUNCTION bitwise_left_shift(a BIGINT, n INT)
-       RETURNS BIGINT RETURN a << n""",
-    """CREATE OR REPLACE TEMPORARY FUNCTION bitwise_logical_shift_right(a BIGINT, n INT)
-       RETURNS BIGINT RETURN a >> n""",
+       RETURNS BIGINT RETURN shiftleft(a, n)""",
+    # 2-arg Presto bitwise_right_shift is a ZERO-FILL (logical) shift;
+    # the arithmetic (sign-extending) variants carry the explicit names.
+    """CREATE OR REPLACE TEMPORARY FUNCTION bitwise_right_shift(a BIGINT, n INT)
+       RETURNS BIGINT RETURN shiftrightunsigned(a, n)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION bitwise_right_shift_arithmetic(a BIGINT, n INT)
+       RETURNS BIGINT RETURN shiftright(a, n)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION bitwise_arithmetic_shift_right(a BIGINT, n INT)
+       RETURNS BIGINT RETURN shiftright(a, n)""",
+    # 3-arg forms operate in a bits-wide window (BitwiseFunctions.java):
+    # value is masked to `bits` low bits, then shifted with zero fill.
+    """CREATE OR REPLACE TEMPORARY FUNCTION bitwise_logical_shift_right(a BIGINT, n INT, bits INT)
+       RETURNS BIGINT RETURN
+       shiftrightunsigned(a & CASE WHEN bits >= 64 THEN -1L
+                                   ELSE shiftleft(1L, bits) - 1L END, n)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION bitwise_shift_left(a BIGINT, n INT, bits INT)
+       RETURNS BIGINT RETURN
+       CASE WHEN n >= bits THEN 0L
+            ELSE shiftleft(a, n) & CASE WHEN bits >= 64 THEN -1L
+                                        ELSE shiftleft(1L, bits) - 1L END END""",
     # -- array (Array*.java) — concrete element types where SQL UDFs need them
     """CREATE OR REPLACE TEMPORARY FUNCTION array_sum(a ARRAY<DOUBLE>)
        RETURNS DOUBLE RETURN aggregate(a, 0.0D, (acc, x) -> acc + coalesce(x, 0.0D))""",

@@ -518,6 +518,113 @@ def fn_datetime_presto_formats(spark, sf_dir):
     ).orderBy("o_orderkey")
 
 
+# --- Presto-name compat layer (functions/presto_compat.py SQL temp
+#     functions + functions/udfs.py pandas UDFs), exercised end-to-end so a
+#     regression in any registered alias breaks the driver gate. The
+#     builder installs the surface via register_all() (idempotent), then
+#     touches every SQL temp function and the word_stem/CDF/normalize/HMAC
+#     UDFs; the oracle recomputes each with portable DuckDB expressions or
+#     precomputed literals (HMAC digests are standards-defined constants).
+
+
+@register(
+    "fn_presto_compat",
+    oracle="""
+    SELECT o_orderkey,
+           strpos(o_orderpriority, '-') AS sp,
+           levenshtein(o_orderstatus, 'O') AS lev,
+           0::BIGINT AS ham0,
+           ascii(o_orderstatus) AS cp,
+           CAST(o_orderkey AS VARCHAR) AS jes,
+           TRUE AS jac,
+           epoch(o_orderdate) AS tut,
+           o_orderdate AS rt_ts,
+           trunc(o_totalprice / 1000) AS trunc_k,
+           TRUE AS nan_ok, TRUE AS inf_ok, TRUE AS fin_ok,
+           o_orderkey & 255 AS ba, o_orderkey | 8 AS bo,
+           xor(o_orderkey, 5) AS bx, ~o_orderkey AS bn,
+           o_orderkey << 2 AS bls,
+           ((-o_orderkey) >> 3) & ((1::BIGINT << 61) - 1) AS brs_logical,
+           (-o_orderkey) >> 3 AS brs_arith,
+           288230376151711743::BIGINT AS blsr64,
+           (o_orderkey & 255) >> 2 AS blsr8,
+           (o_orderkey << 3) & 255 AS bsl8,
+           6.0 AS asum, 2.0 AS aavg, TRUE AS adup,
+           '0.6,0.8' AS anorm, 1::BIGINT AS ngram_n,
+           'example.com' AS host, '/p' AS path, 'https' AS proto,
+           'q=1' AS query, '1' AS param, 'frag' AS frag,
+           o_orderstatus AS b64_rt, o_orderstatus AS hex_rt,
+           strpos(o_orderpriority, '-') AS td_index,
+           '00410042' AS c2h,
+           'stori' AS stem1, lower(o_orderstatus) AS stem2,
+           0.975002 AS ncdf, 1.96 AS incdf,
+           'caf' || chr(233) AS nfc,
+           '9D5C73EF85594D34EC4438B7C97E51D8' AS hmac_md5_hex,
+           '5031FE3D989C6D1537A013FA6E739DA23463FDAEC3B70137D828E36ACE221BD0' AS hmac_sha256_hex
+    FROM orders WHERE o_orderkey < 50
+    ORDER BY o_orderkey
+    """,
+    tags=("functions", "compat"),
+    doc="End-to-end exercise of the Presto-name compat surface (SQL temp fns + pandas UDFs).",
+)
+def fn_presto_compat(spark, sf_dir):
+    from sensql_presto_spark import catalog
+    from sensql_presto_spark.functions import register_all
+
+    register_all(spark)
+    return catalog.sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey,
+               strpos(o_orderpriority, '-') AS sp,
+               levenshtein_distance(o_orderstatus, 'O') AS lev,
+               hamming_distance(o_orderpriority, o_orderpriority) AS ham0,
+               codepoint(o_orderstatus) AS cp,
+               json_extract_scalar(concat('{"k":', o_orderkey, '}'), '$.k') AS jes,
+               json_array_contains_str('["x","y"]', 'x') AS jac,
+               to_unixtime(o_orderdate) AS tut,
+               presto_from_unixtime(to_unixtime(o_orderdate)) AS rt_ts,
+               truncate(o_totalprice / 1000) AS trunc_k,
+               is_nan(nan()) AS nan_ok, is_infinite(infinity()) AS inf_ok,
+               is_finite(o_totalprice) AS fin_ok,
+               bitwise_and(o_orderkey, 255) AS ba, bitwise_or(o_orderkey, 8) AS bo,
+               bitwise_xor(o_orderkey, 5) AS bx, bitwise_not(o_orderkey) AS bn,
+               bitwise_left_shift(o_orderkey, 2) AS bls,
+               bitwise_right_shift(-o_orderkey, 3) AS brs_logical,
+               bitwise_right_shift_arithmetic(-o_orderkey, 3) AS brs_arith,
+               bitwise_logical_shift_right(-4L, 6, 64) AS blsr64,
+               bitwise_logical_shift_right(o_orderkey, 2, 8) AS blsr8,
+               bitwise_shift_left(o_orderkey, 3, 8) AS bsl8,
+               array_sum(array(1.0D, 2.0D, 3.0D)) AS asum,
+               array_average(array(1.0D, 2.0D, 3.0D)) AS aavg,
+               array_has_duplicates(array(o_orderstatus, o_orderstatus)) AS adup,
+               array_join(transform(array_normalize(array(3.0D, 4.0D), 2.0D),
+                                    x -> cast(round(x, 4) AS STRING)), ',') AS anorm,
+               cast(size(ngrams(split(o_orderpriority, '-'), 2)) AS BIGINT) AS ngram_n,
+               url_extract_host('https://example.com/p?q=1') AS host,
+               url_extract_path('https://example.com/p?q=1') AS path,
+               url_extract_protocol('https://example.com/p?q=1') AS proto,
+               url_extract_query('https://example.com/p?q=1') AS query,
+               url_extract_parameter('https://example.com/p?q=1', 'q') AS param,
+               url_extract_fragment('https://example.com/p#frag') AS frag,
+               decode(from_base64(to_base64(encode(o_orderstatus, 'UTF-8'))), 'UTF-8') AS b64_rt,
+               decode(from_hex(to_hex(encode(o_orderstatus, 'UTF-8'))), 'UTF-8') AS hex_rt,
+               index(o_orderpriority, '-') AS td_index,
+               char2hexint('AB') AS c2h,
+               word_stem('stories') AS stem1,
+               word_stem(o_orderstatus) AS stem2,
+               round(normal_cdf(0.0D, 1.0D, 1.96D), 6) AS ncdf,
+               round(inverse_normal_cdf(0.0D, 1.0D, 0.975D), 4) AS incdf,
+               normalize_nfc('café') AS nfc,
+               upper(hex(hmac_md5(encode('data', 'UTF-8'), encode('key', 'UTF-8')))) AS hmac_md5_hex,
+               upper(hex(hmac_sha256(encode('data', 'UTF-8'), encode('key', 'UTF-8')))) AS hmac_sha256_hex
+        FROM orders WHERE o_orderkey < 50
+        ORDER BY o_orderkey
+        """,
+    )
+
+
 # --- TRY semantics (TryFunction.java, TryCastFunction.java) + Presto
 #     integer-division truncation (SURVEY.md §7 'what's hard'). Spark's
 #     try_* family gives expression-level TRY; `div` gives Presto's

@@ -208,17 +208,48 @@ def process_where(node: Node, should_remove) -> Node:
             return left
         return BoolOp(node.op, left, right)
     if isinstance(node, Not):
-        return Literal(True) if _removable(node, should_remove) else node
+        # Removal semantics invert under negation (a consumed leaf stands
+        # for TRUE, but NOT(TRUE) would wrongly collapse to FALSE), so a
+        # NOT subtree is only consumable as a UNIT: every leaf removable →
+        # the whole negation was answered by the metadata plane. A mix of
+        # metadata and measurement leaves under one NOT cannot be split
+        # soundly — reject it loudly instead of leaking leaves to the
+        # wrong engine (round-1 advice).
+        if _removable(node, should_remove):
+            return Literal(True)
+        if _contains_removable(node.child, should_remove):
+            raise ValueError(
+                "cannot split NOT over mixed metadata/measurement "
+                f"predicates: NOT ({render(node.child)})"
+            )
+        return node
     if isinstance(node, Leaf) and should_remove(node.text):
         return Literal(True)
     return node
 
 
 def _removable(node: Node, should_remove) -> bool:
+    """True when EVERY leaf under ``node`` is removable (consumable whole)."""
     if isinstance(node, Leaf):
         return should_remove(node.text)
     if isinstance(node, Not):
         return _removable(node.child, should_remove)
+    if isinstance(node, BoolOp):
+        return _removable(node.left, should_remove) and _removable(
+            node.right, should_remove
+        )
+    return False
+
+
+def _contains_removable(node: Node, should_remove) -> bool:
+    if isinstance(node, Leaf):
+        return should_remove(node.text)
+    if isinstance(node, Not):
+        return _contains_removable(node.child, should_remove)
+    if isinstance(node, BoolOp):
+        return _contains_removable(node.left, should_remove) or _contains_removable(
+            node.right, should_remove
+        )
     return False
 
 

@@ -55,3 +55,30 @@ def test_forward_query_never_contains_measurement_predicates(tree):
     fwd = rewrite.build_forward_query(rewrite.render(tree))
     assert "measurements." not in fwd
     assert fwd.startswith(rewrite.FORWARD_PREFIX)
+
+
+def test_not_over_uniform_metadata_conjunction_is_consumed():
+    from sensql_presto_spark.sensql.rewrite import (
+        check_cond,
+        parse_where,
+        process_where,
+        render,
+    )
+
+    tree = parse_where("NOT (feature.name = 'x' AND feature.id > 3) AND value > 10")
+    out = render(process_where(tree, check_cond))
+    assert out == "value > 10"
+
+
+def test_not_over_mixed_conjunction_rejected():
+    import pytest
+
+    from sensql_presto_spark.sensql.rewrite import (
+        check_cond,
+        parse_where,
+        process_where,
+    )
+
+    tree = parse_where("NOT (feature.name = 'x' AND value > 10)")
+    with pytest.raises(ValueError, match="cannot split NOT"):
+        process_where(tree, check_cond)
