@@ -27,15 +27,16 @@ def main() -> None:
     specs = {n: s for n, s in all_specs().items() if s.bench}
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
-        df = spec.build(spark, sf_dir)
         for _ in range(prewarm):
-            df.write.format("noop").mode("overwrite").save()
+            spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
         samples = []
         for _ in range(runs):
+            # build INSIDE the timed region: builders may do eager work
+            # (e.g. dedup_minhash_lsh's localCheckpoint), which must count.
             t0 = time.perf_counter()
             # noop sink executes the full plan without driver materialization
             # (the reference's DevNullOperator, SURVEY §2.1).
-            df.write.format("noop").mode("overwrite").save()
+            spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 4)
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)

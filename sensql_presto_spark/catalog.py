@@ -57,10 +57,23 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every testdata table as a temp view (idempotent)."""
+# (session id, sf_dir) pairs whose views are already registered. Re-running
+# register_views per query re-read every parquet footer AND invalidated any
+# cached plan that referenced a replaced view — measurable per-query
+# overhead once bench timed builds (round-1 verdict "what's wrong" #6).
+_registered: set[tuple[int, str]] = set()
+
+
+def register_views(spark: SparkSession, sf_dir: str, force: bool = False) -> None:
+    """Register every testdata table as a temp view, once per (session, dir)."""
+    key = (id(spark.sparkContext), sf_dir)
+    if not force and key in _registered:
+        return
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+    # Only one sf_dir's views can be current in a session at a time.
+    _registered.difference_update({k for k in _registered if k[0] == key[0]})
+    _registered.add(key)
 
 
 def sql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:

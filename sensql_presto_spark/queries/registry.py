@@ -39,6 +39,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # Submodules that populate the registry on import.
 _QUERY_MODULES = (
     "sensql_presto_spark.queries.tpch",
+    "sensql_presto_spark.queries.tpcds",
     "sensql_presto_spark.queries.relational",
     "sensql_presto_spark.queries.functions_suite",
     "sensql_presto_spark.queries.aggregates_suite",
