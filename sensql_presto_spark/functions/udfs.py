@@ -109,23 +109,17 @@ def register_python_udfs(spark: SparkSession) -> None:
     spark.udf.register("normalize_nfc", unicode_normalize_nfc)
 
 
-# --- geospatial surface (reference: presto-geospatial/GeoFunctions.java,
-#     ST_Point :180, ST_Contains :1044, ST_Intersects :1101, ST_Distance
-#     :939). WKT strings + pure-Python predicates from sensql.geometry —
-#     the slow path by design: in-engine spatial predicates are for
-#     metadata-scale geometry; bulk spatial joins should go through the
-#     SenSQL metadata plane (sensql/) or a grid-cell expand-join.
+# --- geospatial surface (reference: presto-geospatial/GeoFunctions.java):
+#     lives in functions/geospatial.py — codegen'd SQL temp functions for
+#     point/tile math, Arrow-vectorized pandas UDFs for WKT geometry.
+#     (Round 1 registered row-at-a-time Python lambdas here; the advisor
+#     flagged that as the classic fact-table scale-killer.)
 
 
 def register_geo_udfs(spark: SparkSession) -> None:
-    from sensql_presto_spark.sensql import geometry
+    from sensql_presto_spark.functions.geospatial import register_geospatial
 
-    spark.udf.register(
-        "st_point", lambda x, y: f"POINT ({x} {y})", T.StringType()
-    )
-    spark.udf.register("st_intersects", geometry.st_intersects, T.BooleanType())
-    spark.udf.register("st_contains", geometry.st_contains, T.BooleanType())
-    spark.udf.register("st_distance", geometry.st_distance, T.DoubleType())
+    register_geospatial(spark)
 
 
 # --- HMAC family (HmacFunctions.java: hmac_md5/sha1/sha256/sha512) — no

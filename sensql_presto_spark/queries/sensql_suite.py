@@ -126,12 +126,14 @@ def sensql_spatial_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """st_contains/st_point as Spark SQL functions over synthesized coords.
 
     Points are derived deterministically from customer keys; the 'downtown'
-    fixture shape is the containment region. Python-UDF slow path by
-    design (metadata-scale geometry; SURVEY.md §2.3 spatial-join note).
+    fixture shape is the containment region. st_point is a codegen'd SQL
+    temp function; st_contains is an Arrow-batched pandas UDF
+    (functions/geospatial.py) — no row-at-a-time Python in the plan
+    (asserted by tests/test_plans.py).
     """
-    from sensql_presto_spark.functions.udfs import register_geo_udfs
+    from sensql_presto_spark.functions.geospatial import register_geospatial
 
-    register_geo_udfs(spark)
+    register_geospatial(spark)
     catalog.register_views(spark, sf_dir)
     return spark.sql(
         """
@@ -140,5 +142,88 @@ def sensql_spatial_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE st_contains('POLYGON ((5 5, 15 5, 15 8, 5 8))',
                           st_point(cast(c_custkey % 40 AS double), cast(c_nationkey % 10 AS double)))
         GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """
+    )
+
+
+@register(
+    "geo_st_functions",
+    oracle="""
+    WITH g AS (
+        SELECT c_custkey,
+               (c_custkey % 20)::DOUBLE AS x0, (c_nationkey % 10)::DOUBLE AS y0,
+               (3 + c_custkey % 5)::DOUBLE AS w, (2 + c_nationkey % 3)::DOUBLE AS h,
+               ((c_custkey % 120) - 60 + 0.5)::DOUBLE AS lat,
+               ((c_custkey % 360) - 180 + 0.5)::DOUBLE AS lon
+        FROM customer WHERE c_custkey < 100
+    )
+    SELECT c_custkey,
+           w * h AS area,
+           2 * (w + h) AS perimeter,
+           x0 + w / 2 AS centroid_x,
+           y0 + h / 2 AS centroid_y,
+           4 AS n_points,
+           TRUE AS contains_inner,
+           TRUE AS envelope_is_self,
+           round(sqrt(w * w + h * h), 6) AS diag_dist,
+           least(CAST(pow(2, 10) AS BIGINT) - 1,
+                 greatest(0, CAST(floor((lon + 180.0) / 360.0 * pow(2, 10)) AS BIGINT))) AS tile_x,
+           least(CAST(pow(2, 10) AS BIGINT) - 1,
+                 greatest(0, CAST(floor(
+                     (0.5 - ln((1.0 + sin(radians(lat))) / (1.0 - sin(radians(lat))))
+                      / (4.0 * pi())) * pow(2, 10)) AS BIGINT))) AS tile_y,
+           10 AS quadkey_len
+    FROM g
+    ORDER BY c_custkey
+    """,
+    tags=("sensql", "geospatial"),
+    doc="ST_* surface (area/perimeter/centroid/envelope/contains/distance/"
+    "num_points + Bing tiles): pandas-UDF geometry vs closed-form oracle on "
+    "synthesized rectangles.",
+)
+def geo_st_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercise the widened in-engine geospatial surface end-to-end.
+
+    Rectangles are synthesized from customer keys, so every ST_ output has
+    a closed arithmetic form the DuckDB oracle computes without any
+    geometry library — the containment/envelope outputs reduce to TRUE and
+    the centroid/area/perimeter to key arithmetic.
+    """
+    from sensql_presto_spark.functions.geospatial import register_geospatial
+
+    register_geospatial(spark)
+    catalog.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH g AS (
+            SELECT c_custkey,
+                   cast(c_custkey % 20 AS DOUBLE) AS x0,
+                   cast(c_nationkey % 10 AS DOUBLE) AS y0,
+                   cast(3 + c_custkey % 5 AS DOUBLE) AS w,
+                   cast(2 + c_nationkey % 3 AS DOUBLE) AS h,
+                   cast((c_custkey % 120) - 60 + 0.5 AS DOUBLE) AS lat,
+                   cast((c_custkey % 360) - 180 + 0.5 AS DOUBLE) AS lon
+            FROM customer WHERE c_custkey < 100
+        ),
+        p AS (
+            SELECT c_custkey, x0, y0, w, h, lat, lon,
+                   concat('POLYGON ((', x0, ' ', y0, ', ', x0 + w, ' ', y0, ', ',
+                          x0 + w, ' ', y0 + h, ', ', x0, ' ', y0 + h, '))') AS poly
+            FROM g
+        )
+        SELECT c_custkey,
+               st_area(poly) AS area,
+               st_perimeter(poly) AS perimeter,
+               st_x(st_centroid(poly)) AS centroid_x,
+               st_y(st_centroid(poly)) AS centroid_y,
+               st_num_points(poly) AS n_points,
+               st_contains(poly, st_point(x0 + 1.0, y0 + 1.0)) AS contains_inner,
+               (st_area(st_envelope(poly)) = st_area(poly)) AS envelope_is_self,
+               round(st_distance(st_point(x0, y0), st_point(x0 + w, y0 + h)), 6) AS diag_dist,
+               bing_tile_x_at(lon, 10) AS tile_x,
+               bing_tile_y_at(lat, 10) AS tile_y,
+               length(bing_tile_quadkey(bing_tile_x_at(lon, 10), bing_tile_y_at(lat, 10), 10)) AS quadkey_len
+        FROM p
+        ORDER BY c_custkey
         """
     )

@@ -60,3 +60,17 @@ def test_ngram_dedup_is_not_cartesian(spark):
 def test_sim_topk_broadcasts_probe_set(spark):
     plan = _plan(spark, "sim_topk_bruteforce")
     assert "Broadcast" in plan  # tiny query side broadcast, corpus streams
+
+
+def test_spatial_filter_is_arrow_not_row_python(spark):
+    """ST_* over a fact table must run Arrow-batched, never row-at-a-time
+    Python (round-1 advisor finding)."""
+    plan = _plan(spark, "sensql_spatial_filter")
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_geo_st_functions_arrow_only(spark):
+    plan = _plan(spark, "geo_st_functions")
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
