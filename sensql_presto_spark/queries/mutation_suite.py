@@ -1,0 +1,96 @@
+"""DELETE / UPDATE / MERGE as an oracle-checked registry entry.
+
+Runs the full mutation lifecycle (CTAS snapshot -> DELETE -> UPDATE ->
+MERGE) through ``sensql_presto_spark.mutation.WritableTable`` and returns
+the final table state; the DuckDB oracle recomputes the same end state
+with pure SQL set algebra over the source tables. This is the
+DeleteOperator.java / MERGE parity gate (round-1 "what's missing" #4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sensql_presto_spark import catalog
+from sensql_presto_spark.mutation import WritableTable
+from sensql_presto_spark.queries.registry import register
+
+_TABLE_DIR = os.path.join("spark-warehouse", "mutable_orders_demo")
+
+
+@register(
+    "mutation_delete_merge",
+    oracle="""
+    WITH t0 AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey < 500
+    ),
+    t1 AS (  -- DELETE WHERE o_totalprice < 50000
+        SELECT * FROM t0 WHERE NOT (o_totalprice < 50000)
+    ),
+    t2 AS (  -- UPDATE SET o_custkey = o_custkey + 100000 WHERE status = 'O'
+        SELECT o_orderkey,
+               CASE WHEN o_orderstatus = 'O' THEN o_custkey + 100000
+                    ELSE o_custkey END AS o_custkey,
+               o_orderstatus, o_totalprice
+        FROM t1
+    ),
+    s AS (
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey >= 250 AND o_orderkey < 750
+    ),
+    kept AS (  -- MERGE matched -> status 'M', price += 1
+        SELECT t2.o_orderkey, t2.o_custkey,
+               CASE WHEN s.o_orderkey IS NOT NULL THEN 'M'
+                    ELSE t2.o_orderstatus END AS o_orderstatus,
+               CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice + 1
+                    ELSE t2.o_totalprice END AS o_totalprice
+        FROM t2 LEFT JOIN s ON t2.o_orderkey = s.o_orderkey
+    ),
+    inserted AS (  -- MERGE not matched -> INSERT as status 'N'
+        SELECT s.o_orderkey, s.o_custkey, 'N' AS o_orderstatus, s.o_totalprice
+        FROM s LEFT JOIN t2 ON s.o_orderkey = t2.o_orderkey
+        WHERE t2.o_orderkey IS NULL
+    )
+    SELECT * FROM kept
+    UNION ALL
+    SELECT * FROM inserted
+    ORDER BY o_orderkey
+    """,
+    tags=("mutation", "ddl"),
+    doc="Copy-on-write DELETE + UPDATE + MERGE end-state vs SQL set-algebra oracle.",
+)
+def mutation_delete_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = catalog.table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    t = WritableTable.create(
+        spark, _TABLE_DIR, orders.filter(F.col("o_orderkey") < 500)
+    )
+    t.delete(F.col("o_totalprice") < 50000)
+    t.update(
+        {"o_custkey": F.col("o_custkey") + 100000},
+        F.col("o_orderstatus") == "O",
+    )
+    source = orders.filter(
+        (F.col("o_orderkey") >= 250) & (F.col("o_orderkey") < 750)
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+    t.merge(
+        source,
+        on=["o_orderkey"],
+        when_matched_update={
+            "o_orderstatus": F.lit("M"),
+            "o_totalprice": F.col("s_o_totalprice") + 1,
+        },
+        when_not_matched_insert={
+            "o_orderkey": F.col("o_orderkey"),
+            "o_custkey": F.col("s_o_custkey"),
+            "o_orderstatus": F.lit("N"),
+            "o_totalprice": F.col("s_o_totalprice"),
+        },
+    )
+    assert t.version == 3  # CTAS + three committed mutations
+    return t.read().orderBy("o_orderkey")

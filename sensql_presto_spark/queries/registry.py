@@ -46,6 +46,7 @@ _QUERY_MODULES = (
     "sensql_presto_spark.queries.pipeline",
     "sensql_presto_spark.queries.events_suite",
     "sensql_presto_spark.queries.sensql_suite",
+    "sensql_presto_spark.queries.mutation_suite",
 )
 
 _loaded = False
