@@ -1,0 +1,129 @@
+"""Simulate the driver's exact-hash CORRECTNESS gate over registry queries.
+
+The driver canonicalizes (sort columns by name, sort rows) and then hashes
+exact values — so float outputs must be bit-identical between Spark and the
+DuckDB oracle, not merely np.isclose.  This script runs each query both ways
+at sf0.01 and reports EXACT / FLOAT-DRIFT / MISMATCH / ERROR per query.
+
+Usage: python tools/driver_sim.py [name ...]   (default: the priority block)
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import numpy as np
+import pandas as pd
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for col in pdf.columns:
+        s = pdf[col]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            ts = pd.to_datetime(s)
+            if getattr(ts.dt, "tz", None) is not None:
+                ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
+            pdf[col] = ts.astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_float_dtype(s):
+            pdf[col] = s.astype("float64")
+        elif pd.api.types.is_bool_dtype(s):
+            pdf[col] = s.astype("boolean")
+        elif pd.api.types.is_integer_dtype(s):
+            pdf[col] = s.astype("Int64")
+        else:
+            pdf[col] = s.map(_norm)
+    try:
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(drop=True)
+    except TypeError as exc:  # driver would crash here (unhashable etc.)
+        raise RuntimeError(f"canonicalizer sort failed: {exc}") from exc
+    return pdf
+
+
+def _norm(v):
+    import datetime
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return str(pd.Timestamp(v).tz_localize(None) if getattr(v, "tzinfo", None) else pd.Timestamp(v))
+    if isinstance(v, (list, np.ndarray, tuple)):
+        # the round-1 driver crashed on these; flag loudly
+        raise RuntimeError("array-typed cell reached canonicalizer")
+    return v
+
+
+def compare(a: pd.DataFrame, e: pd.DataFrame) -> str:
+    if sorted(a.columns) != sorted(e.columns):
+        return f"SCHEMA ({sorted(a.columns)} vs {sorted(e.columns)})"
+    if len(a) != len(e):
+        return f"ROWS ({len(a)} vs {len(e)})"
+    a, e = canon(a), canon(e)
+    exact = True
+    drift_cols = []
+    for col in a.columns:
+        av, ev = a[col], e[col]
+        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(ev):
+            af = av.astype("float64").to_numpy()
+            ef = ev.astype("float64").to_numpy()
+            bit_eq = (af == ef) | (np.isnan(af) & np.isnan(ef))
+            if not bit_eq.all():
+                close = np.isclose(af, ef, rtol=1e-6, atol=1e-9) | (np.isnan(af) & np.isnan(ef))
+                if close.all():
+                    exact = False
+                    bad = np.where(~bit_eq)[0][:3]
+                    drift_cols.append((col, [(af[i], ef[i]) for i in bad]))
+                else:
+                    bad = np.where(~close)[0][:3]
+                    return f"MISMATCH col={col} {[ (af[i], ef[i]) for i in bad ]}"
+        else:
+            eq = (av == ev) | (av.isna() & ev.isna())
+            if not eq.all():
+                bad = av[~eq].head(3).tolist(), ev[~eq].head(3).tolist()
+                return f"MISMATCH col={col} {bad}"
+    if not exact:
+        return "FLOAT-DRIFT " + "; ".join(f"{c}: {ex}" for c, ex in drift_cols)
+    return "EXACT"
+
+
+def main() -> None:
+    from sensql_presto_spark.queries import all_specs
+    from sensql_presto_spark.session import get_spark
+    from sensql_presto_spark.testing import duckdb_connection
+
+    specs = all_specs()
+    if len(sys.argv) > 1:
+        names = sys.argv[1:]
+    else:
+        from __spark_entry__ import PRIORITY
+
+        names = list(PRIORITY)
+
+    spark = get_spark()
+    con = duckdb_connection(SF_DIR)
+    failures = 0
+    for name in names:
+        spec = specs[name]
+        try:
+            actual = spec.build(spark, SF_DIR).toPandas()
+            if spec.oracle is None:
+                print(f"{name:35s} NO-ORACLE ({len(actual)} rows)")
+                continue
+            expected = con.sql(spec.oracle).df()
+            verdict = compare(actual, expected)
+        except Exception as exc:  # noqa: BLE001
+            verdict = f"ERROR {type(exc).__name__}: {exc}"
+        if verdict != "EXACT":
+            failures += 1
+        print(f"{name:35s} {verdict[:200]}")
+    con.close()
+    print(f"\n{len(names) - failures}/{len(names)} EXACT")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
