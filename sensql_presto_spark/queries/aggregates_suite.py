@@ -30,16 +30,20 @@ _sql_query(
            count(*) AS n_rows,
            count(DISTINCT l_partkey) AS n_parts,
            sum(l_quantity) AS sum_qty,
-           avg(l_extendedprice) AS avg_price,
+           round(CAST(sum(cast(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 100.0 / count(*), 4) AS avg_price,
            min(l_shipdate) AS min_ship,
            max(l_shipdate) AS max_ship,
            count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
-           sum(l_extendedprice) FILTER (WHERE l_tax = 0) AS sum_untaxed
+           CAST(sum(cast(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                FILTER (WHERE l_tax = 0) AS DOUBLE) / 100.0 AS sum_untaxed
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
     """,
     tags=("aggregates",),
+    doc="Money summed as exact integer cents: double addition is order-"
+    "sensitive, so raw sum(double) is not hash-stable across engines.",
 )
 
 # --- min_by / max_by (minmaxby/, MaxNAggregationFunction.java) ---------------
@@ -137,18 +141,20 @@ _sql_query(
     "agg_corr_regr",
     """
     SELECT l_returnflag,
-           corr(l_quantity, l_extendedprice) AS c,
-           covar_pop(l_quantity, l_extendedprice) AS cvp,
-           covar_samp(l_quantity, l_extendedprice) AS cvs,
-           regr_slope(l_extendedprice, l_quantity) AS slope,
-           regr_intercept(l_extendedprice, l_quantity) AS icept,
-           regr_r2(l_extendedprice, l_quantity) AS r2,
+           round(corr(l_quantity, l_extendedprice), 9) AS c,
+           round(covar_pop(l_quantity, l_extendedprice), 6) AS cvp,
+           round(covar_samp(l_quantity, l_extendedprice), 6) AS cvs,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 6) AS icept,
+           round(regr_r2(l_extendedprice, l_quantity), 9) AS r2,
            regr_count(l_extendedprice, l_quantity) AS rn
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
     """,
     tags=("aggregates", "stats"),
+    doc="Co-moment merge order differs between engines at ~1e-15 relative; "
+    "rounded so the comparison hashes stably.",
 )
 
 # --- boolean / bitwise aggregates (BitwiseAndAggregation.java etc.) -----------
@@ -316,10 +322,10 @@ _sql_query(
         FROM customer GROUP BY c_nationkey, c_mktsegment
     )
     SELECT g.c_nationkey, g.geo_mean_bal, e.seg_entropy
-    FROM (SELECT c_nationkey, exp(avg(ln(abs(c_acctbal) + 1))) AS geo_mean_bal
+    FROM (SELECT c_nationkey, round(exp(avg(ln(abs(c_acctbal) + 1))), 4) AS geo_mean_bal
           FROM customer GROUP BY c_nationkey) g
     JOIN (SELECT c_nationkey,
-                 -sum((cnt / tot) * log2(cnt / tot)) AS seg_entropy
+                 round(-sum((cnt / tot) * log2(cnt / tot)), 6) AS seg_entropy
           FROM (SELECT c_nationkey, cnt, sum(cnt) OVER (PARTITION BY c_nationkey) AS tot
                 FROM counts)
           GROUP BY c_nationkey) e
@@ -332,10 +338,10 @@ _sql_query(
         FROM customer GROUP BY c_nationkey, c_mktsegment
     )
     SELECT g.c_nationkey, g.geo_mean_bal, e.seg_entropy
-    FROM (SELECT c_nationkey, exp(avg(ln(abs(c_acctbal) + 1))) AS geo_mean_bal
+    FROM (SELECT c_nationkey, round(exp(avg(ln(abs(c_acctbal) + 1))), 4) AS geo_mean_bal
           FROM customer GROUP BY c_nationkey) g
     JOIN (SELECT c_nationkey,
-                 -sum((cnt / tot) * log2(cnt / tot)) AS seg_entropy
+                 round(-sum((cnt / tot) * log2(cnt / tot)), 6) AS seg_entropy
           FROM (SELECT c_nationkey, cnt, CAST(sum(cnt) OVER (PARTITION BY c_nationkey) AS DOUBLE) AS tot
                 FROM counts)
           GROUP BY c_nationkey) e

@@ -190,7 +190,9 @@ def tpch_q04(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q05",
     oracle="""
-    SELECT n.n_name, sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+    SELECT n.n_name,
+           CAST(sum(cast(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+               AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -202,7 +204,7 @@ def tpch_q04(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o.o_orderdate >= TIMESTAMP '1997-01-01'
       AND o.o_orderdate < TIMESTAMP '1998-01-01'
     GROUP BY n.n_name
-    ORDER BY revenue DESC
+    ORDER BY revenue DESC, n.n_name
     """,
     tags=("tpch", "join", "aggregation"),
     bench=True,
@@ -224,8 +226,20 @@ def tpch_q05(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
-        .orderBy(F.desc("revenue"))
+        # Exact integer cents before the sum: double addition is order-
+        # sensitive and Spark's partial-agg merge order is not deterministic,
+        # so a raw double sum is not hash-stable across engines or runs.
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / 100.0
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
     )
 
 
@@ -260,11 +274,11 @@ def tpch_q06(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q07",
     oracle="""
-    SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+    SELECT supp_nation, cust_nation, l_year, CAST(sum(volume) AS DOUBLE) / 100.0 AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(extract(year FROM l.l_shipdate) AS INT) AS l_year,
-               l.l_extendedprice * (1 - l.l_discount) AS volume
+               cast(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS volume
         FROM supplier s
         JOIN lineitem l ON s.s_suppkey = l.l_suppkey
         JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -286,11 +300,11 @@ def tpch_q07(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         """
-        SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+        SELECT supp_nation, cust_nation, l_year, CAST(sum(volume) AS DOUBLE) / 100.0 AS revenue
         FROM (
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    CAST(extract(year FROM l.l_shipdate) AS INT) AS l_year,
-                   l.l_extendedprice * (1 - l.l_discount) AS volume
+                   cast(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS volume
             FROM supplier s
             JOIN lineitem l ON s.s_suppkey = l.l_suppkey
             JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -317,7 +331,7 @@ def tpch_q07(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS mkt_share
     FROM (
         SELECT CAST(extract(year FROM o.o_orderdate) AS INT) AS o_year,
-               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               cast(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS volume,
                n2.n_name AS nation
         FROM part p
         JOIN lineitem l ON p.p_partkey = l.l_partkey
@@ -347,7 +361,7 @@ def tpch_q08(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS mkt_share
         FROM (
             SELECT CAST(extract(year FROM o.o_orderdate) AS INT) AS o_year,
-                   l.l_extendedprice * (1 - l.l_discount) AS volume,
+                   cast(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS volume,
                    n2.n_name AS nation
             FROM part p
             JOIN lineitem l ON p.p_partkey = l.l_partkey
@@ -373,11 +387,11 @@ def tpch_q08(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q09",
     oracle="""
-    SELECT nation, o_year, sum(amount) AS sum_profit
+    SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) / 100.0 AS sum_profit
     FROM (
         SELECT n.n_name AS nation,
                CAST(extract(year FROM o.o_orderdate) AS INT) AS o_year,
-               l.l_extendedprice * (1 - l.l_discount) - 10.0 * l.l_quantity AS amount
+               cast(floor((l.l_extendedprice * (1 - l.l_discount) - 10.0 * l.l_quantity) * 100 + 0.5) AS BIGINT) AS amount
         FROM part p
         JOIN lineitem l ON p.p_partkey = l.l_partkey
         JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -397,7 +411,11 @@ def tpch_q09(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     o = _t(spark, sf_dir, "orders")
     n = _t(spark, sf_dir, "nation")
-    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(10.0) * F.col("l_quantity")
+    amount = F.floor(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(10.0) * F.col("l_quantity"))
+        * 100
+        + 0.5
+    ).cast("long")
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
@@ -409,7 +427,7 @@ def tpch_q09(spark: SparkSession, sf_dir: str) -> DataFrame:
             amount.alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.sum("amount").alias("sum_profit"))
+        .agg((F.sum("amount").cast("double") / 100.0).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
@@ -665,7 +683,7 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 # VARIANT: p_container absent → p_size filter; 0.5*avg (data has no long
 # tail below 0.2*avg).
 _Q17_SQL = """
-SELECT sum(l.l_extendedprice) / 7.0 AS avg_yearly
+SELECT CAST(sum(cast(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 700.0 AS avg_yearly
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand = 'Brand#3'
@@ -723,7 +741,8 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q19",
     oracle="""
-    SELECT sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+    SELECT CAST(sum(cast(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+               AS revenue
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
@@ -748,7 +767,16 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .filter(cond)
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / 100.0
+            ).alias("revenue")
+        )
     )
 
 
