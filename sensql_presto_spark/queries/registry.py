@@ -41,6 +41,7 @@ _QUERY_MODULES = (
     "sensql_presto_spark.queries.tpch",
     "sensql_presto_spark.queries.tpcds",
     "sensql_presto_spark.queries.tpcds2",
+    "sensql_presto_spark.queries.tpcds3",
     "sensql_presto_spark.queries.relational",
     "sensql_presto_spark.queries.functions_suite",
     "sensql_presto_spark.queries.aggregates_suite",
