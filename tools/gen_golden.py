@@ -1,0 +1,336 @@
+"""Generate golden-corpus fixtures (tests/golden/<group>/<name>.{sql,result}).
+
+Each case carries the Spark SQL (what the test runs via catalog.sql) and
+either a DuckDB SQL used to generate the expected rows independently, or
+hand-derived rows for Spark-specific scalar functions evaluated over
+literals (where the expected output is checkable by inspection).
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+
+SF = "/root/testdata/sf0.001"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "golden")
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+
+def _fmt(v, typ):
+    if v is None:
+        return "NULL"
+    if typ == "BOOLEAN":
+        return "true" if v else "false"
+    if typ in ("DOUBLE", "REAL"):
+        return repr(float(v))
+    return str(v)
+
+
+def emit(group, name, spark_sql, types, duck_sql=None, rows=None, tables="nation"):
+    os.makedirs(os.path.join(OUT, group), exist_ok=True)
+    sql_path = os.path.join(OUT, group, f"{name}.sql")
+    res_path = os.path.join(OUT, group, f"{name}.result")
+    with open(sql_path, "w") as f:
+        f.write(f"-- database: spark; tables: {tables}; groups: {group};\n")
+        f.write(spark_sql.strip() + "\n")
+    if rows is None:
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+            )
+        rows = con.sql(duck_sql or spark_sql).fetchall()
+        con.close()
+    with open(res_path, "w") as f:
+        f.write(f"-- delimiter: |; types: {'|'.join(types)}\n")
+        for row in rows:
+            f.write("|".join(_fmt(v, t) for v, t in zip(row, types)) + "\n")
+    print(f"{group}/{name}: {len(rows)} rows")
+
+
+# --- horology (reference: sql-tests/testcases/horology-ish datetime cases) ---
+emit(
+    "horology",
+    "trunc_extract",
+    """
+SELECT o_orderkey,
+       date_trunc('month', o_orderdate) AS month_start,
+       year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+       month(o_orderdate) AS m, day(o_orderdate) AS d
+FROM orders WHERE o_orderkey <= 64 ORDER BY o_orderkey
+""",
+    ["BIGINT", "TIMESTAMP", "BIGINT", "BIGINT", "BIGINT", "BIGINT"],
+    tables="orders",
+)
+
+emit(
+    "horology",
+    "date_arith",
+    """
+SELECT o_orderkey,
+       date_add(cast(o_orderdate AS DATE), 30) AS plus30,
+       last_day(o_orderdate) AS eom
+FROM orders WHERE o_orderkey <= 64 ORDER BY o_orderkey
+""",
+    ["BIGINT", "DATE", "DATE"],
+    duck_sql="""
+SELECT o_orderkey,
+       cast(o_orderdate AS DATE) + 30 AS plus30,
+       last_day(cast(o_orderdate AS DATE)) AS eom
+FROM orders WHERE o_orderkey <= 64 ORDER BY o_orderkey
+""",
+    tables="orders",
+)
+
+# --- url functions (Spark parse_url; expected derived by hand) --------------
+emit(
+    "url_functions",
+    "parse_components",
+    """
+SELECT u,
+       parse_url(u, 'HOST') AS host,
+       parse_url(u, 'PATH') AS path,
+       parse_url(u, 'QUERY') AS query,
+       parse_url(u, 'QUERY', 'q') AS q_param,
+       parse_url(u, 'PROTOCOL') AS protocol
+FROM VALUES ('http://example.com:8080/docs/a.html?q=spark&x=1'),
+            ('https://user@sub.host.org/p/q'),
+            ('ftp://files.net/pub') AS t(u)
+ORDER BY u
+""",
+    ["VARCHAR"] * 6,
+    rows=[
+        (
+            "ftp://files.net/pub",
+            "files.net",
+            "/pub",
+            None,
+            None,
+            "ftp",
+        ),
+        (
+            "http://example.com:8080/docs/a.html?q=spark&x=1",
+            "example.com",
+            "/docs/a.html",
+            "q=spark&x=1",
+            "spark",
+            "http",
+        ),
+        (
+            "https://user@sub.host.org/p/q",
+            "sub.host.org",
+            "/p/q",
+            None,
+            None,
+            "https",
+        ),
+    ],
+)
+
+# --- json functions (Spark get_json_object/json_array_length; hand rows) ----
+emit(
+    "json_functions",
+    "extract_scalar",
+    """
+SELECT j,
+       get_json_object(j, '$.a') AS a,
+       get_json_object(j, '$.b.c') AS bc,
+       get_json_object(j, '$.arr[1]') AS arr1,
+       cast(json_array_length(get_json_object(j, '$.arr')) AS INT) AS arr_len
+FROM VALUES ('{"a":1,"b":{"c":"x"},"arr":[10,20,30]}'),
+            ('{"a":null,"b":{},"arr":[]}') AS t(j)
+ORDER BY j
+""",
+    ["VARCHAR", "VARCHAR", "VARCHAR", "VARCHAR", "INTEGER"],
+    rows=[
+        ('{"a":1,"b":{"c":"x"},"arr":[10,20,30]}', "1", "x", "20", 3),
+        ('{"a":null,"b":{},"arr":[]}', None, None, None, 0),
+    ],
+)
+
+# --- binary functions (md5 via DuckDB; xxhash-free portable subset) ---------
+emit(
+    "binary_functions",
+    "digests",
+    """
+SELECT n_name, md5(n_name) AS m, length(md5(n_name)) AS hexlen
+FROM nation WHERE n_nationkey < 5 ORDER BY n_name
+""",
+    ["VARCHAR", "VARCHAR", "BIGINT"],
+)
+
+emit(
+    "binary_functions",
+    "base64_hex",
+    """
+SELECT base64('spark') AS b64, hex('OK') AS hx, cast(unbase64('c3Bhcms=') AS STRING) AS rt
+FROM region WHERE r_regionkey = 0
+""",
+    ["VARCHAR", "VARCHAR", "VARCHAR"],
+    rows=[("c3Bhcms=", "4F4B", "spark")],
+    tables="region",
+)
+
+# --- array functions --------------------------------------------------------
+emit(
+    "array_functions",
+    "hof_pipeline",
+    """
+SELECT size(xs) AS n,
+       array_join(transform(xs, x -> x * 2), ',') AS doubled,
+       array_join(filter(xs, x -> x % 2 = 0), ',') AS evens,
+       aggregate(xs, 0, (acc, x) -> acc + x) AS total,
+       array_max(xs) AS mx
+FROM VALUES (array(3, 1, 4, 1, 5)), (array(2, 7, 1, 8)) AS t(xs)
+ORDER BY n
+""",
+    ["INTEGER", "VARCHAR", "VARCHAR", "INTEGER", "INTEGER"],
+    rows=[
+        (4, "4,14,2,16", "2,8", 18, 8),
+        (5, "6,2,8,2,10", "4", 14, 5),
+    ],
+)
+
+# --- map functions ----------------------------------------------------------
+emit(
+    "map_functions",
+    "construct_access",
+    """
+SELECT m['a'] AS va, m['b'] AS vb,
+       array_join(array_sort(map_keys(m)), ',') AS ks,
+       size(m) AS n
+FROM VALUES (map('a', 1, 'b', 2)), (map('a', 10, 'b', 20)) AS t(m)
+ORDER BY va
+""",
+    ["INTEGER", "INTEGER", "VARCHAR", "INTEGER"],
+    rows=[(1, 2, "a,b", 2), (10, 20, "a,b", 2)],
+)
+
+# --- regex ------------------------------------------------------------------
+emit(
+    "regex",
+    "extract_replace",
+    """
+SELECT n_name,
+       regexp_extract(n_name, '([0-9]+)', 1) AS num,
+       regexp_replace(n_name, '[0-9]+', '#') AS masked,
+       n_name RLIKE '^NATION_1[0-9]$' AS teens
+FROM nation WHERE n_nationkey < 15 ORDER BY n_name
+""",
+    ["VARCHAR", "VARCHAR", "VARCHAR", "BOOLEAN"],
+    duck_sql="""
+SELECT n_name,
+       regexp_extract(n_name, '([0-9]+)', 1) AS num,
+       regexp_replace(n_name, '[0-9]+', '#', 'g') AS masked,
+       regexp_matches(n_name, '^NATION_1[0-9]$') AS teens
+FROM nation WHERE n_nationkey < 15 ORDER BY n_name
+""",
+)
+
+# --- conditional ------------------------------------------------------------
+emit(
+    "conditional",
+    "case_coalesce_nullif",
+    """
+SELECT n_name,
+       CASE WHEN n_regionkey = 0 THEN 'zero' WHEN n_regionkey < 3 THEN 'low' ELSE 'high' END AS band,
+       coalesce(nullif(n_regionkey, 0), 99) AS nz,
+       if(n_nationkey % 2 = 0, 'even', 'odd') AS parity
+FROM nation ORDER BY n_name
+""",
+    ["VARCHAR", "VARCHAR", "BIGINT", "VARCHAR"],
+    duck_sql="""
+SELECT n_name,
+       CASE WHEN n_regionkey = 0 THEN 'zero' WHEN n_regionkey < 3 THEN 'low' ELSE 'high' END AS band,
+       coalesce(nullif(n_regionkey, 0), 99) AS nz,
+       CASE WHEN n_nationkey % 2 = 0 THEN 'even' ELSE 'odd' END AS parity
+FROM nation ORDER BY n_name
+""",
+)
+
+# --- conversion / casts -----------------------------------------------------
+emit(
+    "conversion",
+    "casts",
+    """
+SELECT cast(l_quantity AS BIGINT) AS qi,
+       cast(cast(l_quantity AS BIGINT) AS STRING) AS qs,
+       cast(cast(floor(l_extendedprice) AS INT) AS DOUBLE) AS pd,
+       cast(l_shipdate AS DATE) AS sd,
+       cast('42' AS INT) + 1 AS parsed
+FROM lineitem WHERE l_orderkey = 1 ORDER BY l_linenumber
+""",
+    ["BIGINT", "VARCHAR", "DOUBLE", "DATE", "INTEGER"],
+    duck_sql="""
+SELECT cast(l_quantity AS BIGINT) AS qi,
+       cast(cast(l_quantity AS BIGINT) AS VARCHAR) AS qs,
+       cast(cast(floor(l_extendedprice) AS INT) AS DOUBLE) AS pd,
+       cast(l_shipdate AS DATE) AS sd,
+       cast('42' AS INT) + 1 AS parsed
+FROM lineitem WHERE l_orderkey = 1 ORDER BY l_linenumber
+""",
+    tables="lineitem",
+)
+
+# --- subqueries -------------------------------------------------------------
+emit(
+    "subqueries",
+    "correlated_exists_in",
+    """
+SELECT n_name FROM nation n
+WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 9000)
+  AND n.n_nationkey IN (SELECT c_nationkey FROM customer)
+ORDER BY n_name
+""",
+    ["VARCHAR"],
+    tables="nation,customer",
+)
+
+# --- with clause ------------------------------------------------------------
+emit(
+    "with_clause",
+    "cte_chain",
+    """
+WITH big AS (SELECT * FROM customer WHERE c_acctbal > 5000),
+     by_nation AS (SELECT c_nationkey, count(*) AS n FROM big GROUP BY c_nationkey)
+SELECT n.n_name, b.n FROM by_nation b JOIN nation n ON b.c_nationkey = n.n_nationkey
+WHERE b.n >= 2 ORDER BY n.n_name
+""",
+    ["VARCHAR", "BIGINT"],
+    tables="customer,nation",
+)
+
+# --- tpch golden (hash-stable cents formulation, sf0.001) -------------------
+emit(
+    "tpch",
+    "q06_revenue",
+    """
+SELECT CAST(sum(cast(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 100.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    ["DOUBLE"],
+    tables="lineitem",
+)
+
+emit(
+    "tpch",
+    "q01_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       sum(cast(l_quantity AS BIGINT)) AS sum_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    ["VARCHAR", "VARCHAR", "BIGINT", "BIGINT"],
+    tables="lineitem",
+)
