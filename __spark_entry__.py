@@ -69,7 +69,9 @@ PRIORITY: tuple[str, ...] = (
     "null_safe_semantics",
     # grouping sets / rollup / pivot / limit-order-sample (§2.4, §2.6)
     "grouping_sets",
-    "rollup_lineitem",
+    # qdigest surface (new this round; rollup_lineitem's family is already
+    # represented in-window by grouping_sets)
+    "agg_qdigest_rollup",
     "pivot_linestatus",
     "offset_fetch",
     "order_nulls_last",

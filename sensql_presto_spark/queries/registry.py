@@ -45,6 +45,7 @@ _QUERY_MODULES = (
     "sensql_presto_spark.queries.relational",
     "sensql_presto_spark.queries.functions_suite",
     "sensql_presto_spark.queries.aggregates_suite",
+    "sensql_presto_spark.queries.sketches_suite",
     "sensql_presto_spark.queries.pipeline",
     "sensql_presto_spark.queries.events_suite",
     "sensql_presto_spark.queries.sensql_suite",

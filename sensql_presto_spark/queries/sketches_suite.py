@@ -1,0 +1,102 @@
+"""Quantile-digest queries (reference: QuantileDigestFunctions.java,
+TDigestFunctions.java, qdigest/tdigest aggregations).
+
+Two registry entries:
+
+- ``fn_sketch_scalars`` — the scalar probe surface (value_at_quantile,
+  quantile_at_value, values_at_quantiles) over a literal digest, exact
+  against hand-computed oracle constants.
+- ``agg_qdigest_rollup`` — the mergeable-value path: leaf digests built per
+  (nation, segment) with ``percentile_approx`` (JVM GK summaries), merged
+  up to nation by weighted re-quantiling of cut points (shuffle volume =
+  digests x K, never raw rows), probed and checked against exact
+  percentiles via error-bound booleans (oracle emits TRUE) — the same
+  accuracy-gate pattern the driver uses for the approx aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sensql_presto_spark import catalog
+from sensql_presto_spark.functions.sketches import (
+    merge_digests_sql,
+    qdigest_agg_sql,
+    register_sketch_functions,
+)
+from sensql_presto_spark.queries.registry import register
+
+# Literal digest: 17 equi-depth cuts 0,10,...,160 -> probes are exact.
+_SCALARS_SQL = """
+SELECT value_at_quantile(cuts, 0.25) AS v_q25,
+       value_at_quantile(cuts, 0.5) AS v_q50,
+       value_at_quantile(cuts, 0.96875) AS v_q96875,
+       quantile_at_value(cuts, 85.0) AS q_at_85,
+       quantile_at_value(cuts, -1.0) AS q_below,
+       array_join(transform(values_at_quantiles(cuts, array(0.0, 0.5, 1.0)),
+                            x -> cast(cast(x AS BIGINT) AS STRING)), ',') AS vs
+FROM (SELECT transform(sequence(0, 160, 10), x -> cast(x AS DOUBLE)) AS cuts)
+"""
+
+_SCALARS_ORACLE = """
+SELECT 40.0 AS v_q25,
+       80.0 AS v_q50,
+       155.0 AS v_q96875,
+       CAST(9 AS DOUBLE) / 17 AS q_at_85,
+       0.0 AS q_below,
+       '0,80,160' AS vs
+"""
+
+
+@register(
+    "fn_sketch_scalars",
+    oracle=_SCALARS_ORACLE,
+    tags=("functions", "sketch"),
+    doc="Digest scalar probes over a literal digest; interpolation and CDF "
+    "values are exact by construction (QuantileDigestFunctions.java:88-153).",
+)
+def fn_sketch_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_sketch_functions(spark)
+    return catalog.sql(spark, sf_dir, _SCALARS_SQL)
+
+
+_ROLLUP_SQL = f"""
+WITH leaf AS (
+    SELECT c_nationkey, c_mktsegment, count(*) AS n,
+           {qdigest_agg_sql("c_acctbal")} AS cuts
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+),
+merged AS ({{MERGED}}),
+exact AS (
+    SELECT c_nationkey,
+           percentile(c_acctbal, 0.5) AS p50,
+           min(c_acctbal) AS mn, max(c_acctbal) AS mx
+    FROM customer GROUP BY c_nationkey
+)
+SELECT m.c_nationkey,
+       abs(value_at_quantile(m.cuts, 0.5) - e.p50) / (e.mx - e.mn) < 0.15 AS p50_ok,
+       quantile_at_value(m.cuts, e.p50) BETWEEN 0.25 AND 0.75 AS cdf_ok,
+       size(m.cuts) >= 10 AS digest_ok
+FROM merged m JOIN exact e ON m.c_nationkey = e.c_nationkey
+ORDER BY m.c_nationkey
+"""
+
+_ROLLUP_ORACLE = """
+SELECT c_nationkey, TRUE AS p50_ok, TRUE AS cdf_ok, TRUE AS digest_ok
+FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+@register(
+    "agg_qdigest_rollup",
+    oracle=_ROLLUP_ORACLE,
+    tags=("aggregates", "sketch"),
+    doc="Mergeable qdigest rollup: leaf digests per (nation, segment), "
+    "weighted re-quantile merge to nation, error-bound accuracy gate vs "
+    "exact percentiles (qdigest_agg + merge, QuantileDigestFunctions.java).",
+)
+def agg_qdigest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_sketch_functions(spark)
+    merged = merge_digests_sql("leaf", "c_nationkey")
+    return catalog.sql(spark, sf_dir, _ROLLUP_SQL.replace("{MERGED}", merged))

@@ -8,8 +8,6 @@ H2QueryRunner works around (row order, float drift, timestamp units).
 
 from __future__ import annotations
 
-import math
-
 import duckdb
 import numpy as np
 import pandas as pd
@@ -69,12 +67,17 @@ def _norm_cell(v):
 
 
 def _sort_token(v):
-    if v is None or (isinstance(v, float) and math.isnan(v)):
-        return ""
-    if isinstance(v, float):
-        return f"f{v:+.6e}"
+    # One token format per value class, shared by BOTH frames: if Spark
+    # yields int64 and DuckDB float64 for the same column, per-dtype tokens
+    # would sort the frames differently and misalign the row-wise compare.
     if isinstance(v, tuple):
         return "t" + ",".join(str(_sort_token(x)) for x in v)
+    if v is None or (not isinstance(v, (str, bytes, tuple)) and pd.isna(v)):
+        return ""
+    if isinstance(v, (bool, np.bool_)):
+        return f"b{v}"
+    if isinstance(v, (int, float, np.integer, np.floating)):
+        return f"f{float(v):+.12e}"
     return str(v)
 
 
