@@ -70,6 +70,100 @@ _GEO_SQL_FUNCTIONS: tuple[str, ...] = (
        RETURNS STRING RETURN
        concat_ws('', transform(sequence(zoom, 1, -1),
            i -> cast((shiftright(x, i - 1) & 1) + 2 * (shiftright(y, i - 1) & 1) AS STRING)))""",
+    # Inverse quadkey -> tile x / tile y / zoom (BingTileFunctions.java
+    # fromQuadKey): fold the base-4 digits; bit 0 is x, bit 1 is y.
+    """CREATE OR REPLACE TEMPORARY FUNCTION bing_tile_x_from_quadkey(qk STRING)
+       RETURNS BIGINT RETURN
+       aggregate(sequence(1, length(qk)), 0L,
+           (acc, i) -> acc * 2 + cast(substring(qk, i, 1) AS BIGINT) % 2)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION bing_tile_y_from_quadkey(qk STRING)
+       RETURNS BIGINT RETURN
+       aggregate(sequence(1, length(qk)), 0L,
+           (acc, i) -> acc * 2 + cast(cast(substring(qk, i, 1) AS BIGINT) / 2 AS BIGINT))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION bing_tile_zoom_level(qk STRING)
+       RETURNS INT RETURN length(qk)""",
+    # Tile -> WKT envelope (BingTileFunctions.java tileToEnvelope): inverse
+    # Web-Mercator. Pure math, codegen'd.
+    """CREATE OR REPLACE TEMPORARY FUNCTION bing_tile_polygon(x BIGINT, y BIGINT, zoom INT)
+       RETURNS STRING RETURN
+       concat('POLYGON ((',
+           cast(x / power(2, zoom) * 360.0 - 180.0 AS STRING), ' ',
+           cast(degrees(atan(sinh(pi() * (1 - 2 * (y + 1) / power(2, zoom))))) AS STRING), ', ',
+           cast((x + 1) / power(2, zoom) * 360.0 - 180.0 AS STRING), ' ',
+           cast(degrees(atan(sinh(pi() * (1 - 2 * (y + 1) / power(2, zoom))))) AS STRING), ', ',
+           cast((x + 1) / power(2, zoom) * 360.0 - 180.0 AS STRING), ' ',
+           cast(degrees(atan(sinh(pi() * (1 - 2 * y / power(2, zoom))))) AS STRING), ', ',
+           cast(x / power(2, zoom) * 360.0 - 180.0 AS STRING), ' ',
+           cast(degrees(atan(sinh(pi() * (1 - 2 * y / power(2, zoom))))) AS STRING), '))')""",
+    # Great-circle distance in km (SphericalGeoFunctions.java:
+    # ST_Distance on SphericalGeography), haversine form.
+    """CREATE OR REPLACE TEMPORARY FUNCTION great_circle_distance(
+           lat1 DOUBLE, lon1 DOUBLE, lat2 DOUBLE, lon2 DOUBLE)
+       RETURNS DOUBLE RETURN
+       2 * 6371.01 * asin(sqrt(
+           power(sin(radians(lat2 - lat1) / 2), 2)
+           + cos(radians(lat1)) * cos(radians(lat2))
+             * power(sin(radians(lon2 - lon1) / 2), 2)))""",
+    # WKT coordinate accessors as pure SQL: extract the numeric pairs with
+    # regexp_extract_all, fold with HOFs — whole-stage codegen, no Python.
+    """CREATE OR REPLACE TEMPORARY FUNCTION st_xs(wkt STRING)
+       RETURNS ARRAY<DOUBLE> RETURN
+       transform(regexp_extract_all(wkt, '(-?[0-9]+\\\\.?[0-9]*) -?[0-9]+\\\\.?[0-9]*', 1),
+                 v -> cast(v AS DOUBLE))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION st_ys(wkt STRING)
+       RETURNS ARRAY<DOUBLE> RETURN
+       transform(regexp_extract_all(wkt, '-?[0-9]+\\\\.?[0-9]* (-?[0-9]+\\\\.?[0-9]*)', 1),
+                 v -> cast(v AS DOUBLE))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION st_xmin(wkt STRING)
+       RETURNS DOUBLE RETURN array_min(st_xs(wkt))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION st_xmax(wkt STRING)
+       RETURNS DOUBLE RETURN array_max(st_xs(wkt))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION st_ymin(wkt STRING)
+       RETURNS DOUBLE RETURN array_min(st_ys(wkt))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION st_ymax(wkt STRING)
+       RETURNS DOUBLE RETURN array_max(st_ys(wkt))""",
+    # Type/dimension probes (GeoFunctions.java ST_GeometryType,
+    # ST_Dimension, ST_CoordDim, ST_IsEmpty, ST_IsClosed).
+    """CREATE OR REPLACE TEMPORARY FUNCTION st_geometry_type(wkt STRING)
+       RETURNS STRING RETURN
+       CASE WHEN wkt LIKE 'POINT%' THEN 'ST_Point'
+            WHEN wkt LIKE 'LINESTRING%' THEN 'ST_LineString'
+            WHEN wkt LIKE 'POLYGON%' THEN 'ST_Polygon'
+            WHEN wkt LIKE 'MULTIPOINT%' THEN 'ST_MultiPoint'
+            ELSE 'ST_Geometry' END""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION st_dimension(wkt STRING)
+       RETURNS INT RETURN
+       CASE WHEN wkt LIKE 'POINT%' OR wkt LIKE 'MULTIPOINT%' THEN 0
+            WHEN wkt LIKE 'LINESTRING%' THEN 1
+            WHEN wkt LIKE 'POLYGON%' THEN 2 END""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION st_coorddim(wkt STRING)
+       RETURNS INT RETURN 2""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION st_is_empty(wkt STRING)
+       RETURNS BOOLEAN RETURN wkt LIKE '%EMPTY%' OR size(st_xs(wkt)) = 0""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION st_is_closed(wkt STRING)
+       RETURNS BOOLEAN RETURN
+       size(st_xs(wkt)) > 1
+       AND element_at(st_xs(wkt), 1) = element_at(st_xs(wkt), -1)
+       AND element_at(st_ys(wkt), 1) = element_at(st_ys(wkt), -1)""",
+    # Linestring length: fold consecutive-point distances (ST_Length:—).
+    """CREATE OR REPLACE TEMPORARY FUNCTION st_length(wkt STRING)
+       RETURNS DOUBLE RETURN
+       CASE WHEN wkt LIKE 'LINESTRING%' THEN
+           aggregate(sequence(1, size(st_xs(wkt)) - 1), cast(0 AS DOUBLE),
+               (acc, i) -> acc + sqrt(
+                   power(element_at(st_xs(wkt), i + 1) - element_at(st_xs(wkt), i), 2)
+                   + power(element_at(st_ys(wkt), i + 1) - element_at(st_ys(wkt), i), 2)))
+           ELSE 0.0 END""",
+    # Disjoint / equals as compositions (ST_Disjoint, ST_Equals).
+    """CREATE OR REPLACE TEMPORARY FUNCTION st_equals(a STRING, b STRING)
+       RETURNS BOOLEAN RETURN
+       regexp_replace(upper(a), '\\\\s+', ' ') = regexp_replace(upper(b), '\\\\s+', ' ')""",
+    # WKT normalization in/out (ST_GeometryFromText, ST_AsText): the engine's
+    # interchange format IS WKT, so these normalize casing/whitespace.
+    """CREATE OR REPLACE TEMPORARY FUNCTION st_geometry_from_text(wkt STRING)
+       RETURNS STRING RETURN regexp_replace(upper(trim(wkt)), '\\\\s+', ' ')""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION st_astext(g STRING)
+       RETURNS STRING RETURN g""",
 )
 
 
@@ -199,6 +293,55 @@ def st_distance(a: pd.Series, b: pd.Series) -> pd.Series:
     return _series(G.st_distance, a, b)
 
 
+def _convex_hull(wkt: str) -> str:
+    """Andrew monotone chain over the geometry's vertices (ST_ConvexHull)."""
+    _, coords = G.parse_wkt(wkt)
+    pts = sorted(set(coords))
+    if len(pts) <= 2:
+        return wkt
+
+    def half(points):
+        chain: list[tuple[float, float]] = []
+        for p in points:
+            while len(chain) >= 2 and (
+                (chain[-1][0] - chain[-2][0]) * (p[1] - chain[-2][1])
+                - (chain[-1][1] - chain[-2][1]) * (p[0] - chain[-2][0])
+            ) <= 0:
+                chain.pop()
+            chain.append(p)
+        return chain
+
+    hull = half(pts)[:-1] + half(pts[::-1])[:-1]
+    body = ", ".join(f"{x} {y}" for x, y in hull)
+    return f"POLYGON (({body}))"
+
+
+@F.pandas_udf(T.StringType())
+def st_convex_hull(wkt: pd.Series) -> pd.Series:
+    return _series(_convex_hull, wkt)
+
+
+def _st_buffer(wkt: str, dist: float) -> str:
+    """Point buffer as a 32-gon approximation (GeoFunctions.java ST_Buffer
+    — full polygon buffering needs a geometry kernel; the point case covers
+    the SenSQL radius-query pattern)."""
+    kind, coords = G.parse_wkt(wkt)
+    if kind != "POINT":
+        raise NotImplementedError("st_buffer: only POINT geometries without shapely")
+    dist = float(dist)  # DECIMAL literals arrive as decimal.Decimal
+    x, y = coords[0]
+    pts = ", ".join(
+        f"{x + dist * math.cos(2 * math.pi * i / 32)} {y + dist * math.sin(2 * math.pi * i / 32)}"
+        for i in range(33)
+    )
+    return f"POLYGON (({pts}))"
+
+
+@F.pandas_udf(T.StringType())
+def st_buffer(wkt: pd.Series, dist: pd.Series) -> pd.Series:
+    return _series(_st_buffer, wkt, dist)
+
+
 def register_geospatial(spark: SparkSession) -> None:
     """Install the full ST_*/bing surface (idempotent)."""
     for ddl in _GEO_SQL_FUNCTIONS:
@@ -214,3 +357,11 @@ def register_geospatial(spark: SparkSession) -> None:
     spark.udf.register("st_within", st_within)
     spark.udf.register("st_intersects", st_intersects)
     spark.udf.register("st_distance", st_distance)
+    spark.udf.register("st_convex_hull", st_convex_hull)
+    spark.udf.register("st_buffer", st_buffer)
+    # st_disjoint composes on the SQL side AFTER the UDF registration so it
+    # can reference st_intersects.
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION st_disjoint(a STRING, b STRING)
+           RETURNS BOOLEAN RETURN NOT st_intersects(a, b)"""
+    )

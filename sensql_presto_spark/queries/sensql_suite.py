@@ -227,3 +227,95 @@ def geo_st_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_custkey
         """
     )
+
+
+@register(
+    "geo_st_surface2",
+    oracle="""
+    WITH g AS (
+        SELECT c_custkey,
+               (c_custkey % 20)::DOUBLE AS x0, (c_nationkey % 10)::DOUBLE AS y0,
+               (3 + c_custkey % 5)::DOUBLE AS w, (2 + c_nationkey % 3)::DOUBLE AS h,
+               ((c_custkey % 120) - 60 + 0.5)::DOUBLE AS lat,
+               ((c_custkey % 360) - 180 + 0.5)::DOUBLE AS lon
+        FROM customer WHERE c_custkey < 100
+    )
+    SELECT c_custkey,
+           x0 AS xmin, x0 + w AS xmax, y0 AS ymin, y0 + h AS ymax,
+           'ST_Polygon' AS gtype, 2 AS gdim, FALSE AS gempty,
+           round(w, 6) AS seg_len, FALSE AS seg_closed,
+           round(2 * 6371.01 * asin(sqrt(
+               pow(sin(radians(0.0) / 2), 2)
+               + cos(radians(lat)) * cos(radians(lat))
+                 * pow(sin(radians(1.0) / 2), 2))), 6) AS gc_km,
+           TRUE AS quadkey_roundtrip,
+           TRUE AS tile_poly_ok,
+           TRUE AS hull_ok,
+           TRUE AS buffer_ok,
+           TRUE AS from_text_ok,
+           TRUE AS disjoint_far
+    FROM g
+    ORDER BY c_custkey
+    """,
+    tags=("sensql", "geospatial"),
+    doc="Second geospatial tranche (GeoFunctions.java accessors/predicates, "
+    "SphericalGeoFunctions.java great-circle, BingTileFunctions.java "
+    "quadkey inverse + tile polygon, ST_ConvexHull/ST_Buffer): closed-form "
+    "oracle on synthesized rectangles; approximation families gated by "
+    "error-bound booleans.",
+)
+def geo_st_surface2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercise the second geospatial tranche end-to-end."""
+    from sensql_presto_spark.functions.geospatial import register_geospatial
+
+    register_geospatial(spark)
+    catalog.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH g AS (
+            SELECT c_custkey,
+                   cast(c_custkey % 20 AS DOUBLE) AS x0,
+                   cast(c_nationkey % 10 AS DOUBLE) AS y0,
+                   cast(3 + c_custkey % 5 AS DOUBLE) AS w,
+                   cast(2 + c_nationkey % 3 AS DOUBLE) AS h,
+                   cast((c_custkey % 120) - 60 + 0.5 AS DOUBLE) AS lat,
+                   cast((c_custkey % 360) - 180 + 0.5 AS DOUBLE) AS lon
+            FROM customer WHERE c_custkey < 100
+        ),
+        p AS (
+            SELECT c_custkey, x0, y0, w, h, lat, lon,
+                   concat('POLYGON ((', x0, ' ', y0, ', ', x0 + w, ' ', y0, ', ',
+                          x0 + w, ' ', y0 + h, ', ', x0, ' ', y0 + h, '))') AS poly,
+                   concat('LINESTRING (', x0, ' ', y0, ', ', x0 + w, ' ', y0, ')') AS seg
+            FROM g
+        )
+        SELECT c_custkey,
+               st_xmin(poly) AS xmin, st_xmax(poly) AS xmax,
+               st_ymin(poly) AS ymin, st_ymax(poly) AS ymax,
+               st_geometry_type(poly) AS gtype,
+               st_dimension(poly) AS gdim,
+               st_is_empty(poly) AS gempty,
+               round(st_length(seg), 6) AS seg_len,
+               st_is_closed(seg) AS seg_closed,
+               round(great_circle_distance(lat, lon, lat, lon + 1.0), 6) AS gc_km,
+               bing_tile_x_from_quadkey(
+                   bing_tile_quadkey(bing_tile_x_at(lon, 10), bing_tile_y_at(lat, 10), 10))
+                   = bing_tile_x_at(lon, 10)
+               AND bing_tile_y_from_quadkey(
+                   bing_tile_quadkey(bing_tile_x_at(lon, 10), bing_tile_y_at(lat, 10), 10))
+                   = bing_tile_y_at(lat, 10)
+               AND bing_tile_zoom_level(
+                   bing_tile_quadkey(bing_tile_x_at(lon, 10), bing_tile_y_at(lat, 10), 10)) = 10
+                   AS quadkey_roundtrip,
+               abs(st_xmin(bing_tile_polygon(bing_tile_x_at(lon, 10), bing_tile_y_at(lat, 10), 10))
+                   - (bing_tile_x_at(lon, 10) / power(2, 10) * 360.0 - 180.0)) < 1e-9
+                   AS tile_poly_ok,
+               abs(st_area(st_convex_hull(poly)) - st_area(poly)) < 1e-9 AS hull_ok,
+               abs(st_area(st_buffer(st_point(x0, y0), 2.0)) - pi() * 4.0) / (pi() * 4.0) < 0.03
+                   AS buffer_ok,
+               st_equals(poly, st_geometry_from_text(lower(poly))) AS from_text_ok,
+               st_disjoint(poly, st_point(x0 + w + 100.0, y0)) AS disjoint_far
+        FROM p
+        ORDER BY c_custkey
+        """
+    )
