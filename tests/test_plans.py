@@ -74,3 +74,28 @@ def test_geo_st_functions_arrow_only(spark):
     plan = _plan(spark, "geo_st_functions")
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_tpcds_q03_pushdown_and_broadcast(spark):
+    """TPC-DS path: the date filter reaches the orders scan and the part
+    dimension broadcasts — the plan that holds at 1000 executors."""
+    plan = _plan(spark, "tpcds_q03")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters" in plan
+
+
+def test_tpcds_q67_rollup_partial_agg(spark):
+    """The 6-level ROLLUP still splits partial/final (Expand feeds a
+    map-side partial aggregate, not a raw shuffle of fact rows)."""
+    plan = _plan(spark, "tpcds_q67")
+    assert "Expand" in plan
+    assert "partial_" in plan
+
+
+def test_qdigest_merge_shuffles_digests_not_rows(spark):
+    """The digest merge explodes K+1 cut points per leaf digest; the raw
+    customer rows are only touched by the leaf partial aggregation."""
+    plan = _plan(spark, "agg_qdigest_rollup")
+    assert "Generate explode" in plan or "Generate" in plan
+    assert plan.count("FileScan") <= 3  # leaf build + exact-percentile arm
