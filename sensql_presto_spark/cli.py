@@ -51,6 +51,12 @@ def run_statement(spark, sf_dir: str, text: str, fmt: str = "aligned", limit: in
     text = text.strip().rstrip(";")
     if not text:
         return
+    if text.upper().startswith("EXPLAIN ANALYZE "):
+        from sensql_presto_spark.explain import explain_analyze
+
+        inner = catalog.sql(spark, sf_dir, text[len("EXPLAIN ANALYZE ") :])
+        _emit(explain_analyze(spark, inner), fmt, limit)
+        return
     _emit(catalog.sql(spark, sf_dir, text), fmt, limit)
 
 
