@@ -95,6 +95,16 @@ class WritableTable:
 
     # -- mutations (all declarative; Catalyst plans every one) ---------------
 
+    def insert_into(self, df: DataFrame) -> None:
+        """INSERT INTO — append rows as a new snapshot (TableWriterOperator's
+        append path; SURVEY §2.1)."""
+        self._commit(self.read().unionByName(df))
+
+    def insert_overwrite(self, df: DataFrame) -> None:
+        """INSERT OVERWRITE — replace the table contents atomically (a new
+        snapshot version, so readers of the prior version are unaffected)."""
+        self._commit(df)
+
     def delete(self, condition: Column) -> None:
         """DELETE WHERE condition — keep the complement."""
         snap = self.read()

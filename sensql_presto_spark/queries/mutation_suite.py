@@ -94,3 +94,38 @@ def mutation_delete_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert t.version == 3  # CTAS + three committed mutations
     return t.read().orderBy("o_orderkey")
+
+
+_WRITE_DIR = os.path.join("spark-warehouse", "ctas_insert_demo")
+
+
+@register(
+    "ddl_ctas_insert",
+    oracle="""
+    WITH ctas AS (
+        SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey < 3
+    ),
+    after_insert AS (
+        SELECT * FROM ctas
+        UNION ALL
+        SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey >= 3
+    )
+    -- INSERT OVERWRITE replaces contents with the high-key half
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM after_insert WHERE n_nationkey >= 10
+    ORDER BY n_nationkey
+    """,
+    tags=("ddl", "mutation"),
+    doc="TableWriter lifecycle (SURVEY §2.1 #5): CTAS -> INSERT INTO append "
+    "-> INSERT OVERWRITE, each a committed snapshot version; end state vs "
+    "SQL set-algebra oracle (TableWriterOperator.java).",
+)
+def ddl_ctas_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = catalog.table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    t = WritableTable.create(spark, _WRITE_DIR, nation.filter(F.col("n_regionkey") < 3))
+    t.insert_into(nation.filter(F.col("n_regionkey") >= 3))
+    t.insert_overwrite(t.read().filter(F.col("n_nationkey") >= 10))
+    assert t.version == 2  # CTAS (v0) + two committed writes
+    return t.read().orderBy("n_nationkey")
