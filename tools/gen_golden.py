@@ -334,3 +334,83 @@ ORDER BY l_returnflag, l_linestatus
     ["VARCHAR", "VARCHAR", "BIGINT", "BIGINT"],
     tables="lineitem",
 )
+
+# --- distinct ---------------------------------------------------------------
+emit(
+    "distinct",
+    "distinct_projection",
+    """
+SELECT DISTINCT n_regionkey FROM nation ORDER BY n_regionkey
+""",
+    ["BIGINT"],
+)
+
+# --- order_by ---------------------------------------------------------------
+emit(
+    "order_by",
+    "multi_key_nulls",
+    """
+SELECT n_regionkey, nullif(n_nationkey % 3, 0) AS k, n_name
+FROM nation
+ORDER BY n_regionkey, k ASC NULLS LAST, n_name DESC
+""",
+    ["BIGINT", "BIGINT", "VARCHAR"],
+    duck_sql="""
+SELECT n_regionkey, nullif(n_nationkey % 3, 0) AS k, n_name
+FROM nation
+ORDER BY n_regionkey, k ASC NULLS LAST, n_name DESC
+""",
+)
+
+# --- select_no_from ---------------------------------------------------------
+emit(
+    "select_no_from",
+    "literal_expressions",
+    """
+SELECT 1 + 2 AS a, 'x' || 'y' AS s, cast(null AS INT) AS n,
+       greatest(3, 1, 2) AS g, power(2, 10) AS p
+""",
+    ["INTEGER", "VARCHAR", "INTEGER", "INTEGER", "DOUBLE"],
+    rows=[(3, "xy", None, 3, 1024.0)],
+    tables="",
+)
+
+# --- union (reference keeps it separate from set_operation) -----------------
+emit(
+    "union",
+    "union_vs_union_all",
+    """
+SELECT x, cnt FROM (
+    SELECT 'dedup' AS x, count(*) AS cnt FROM (
+        SELECT n_regionkey FROM nation UNION SELECT r_regionkey FROM region)
+    UNION ALL
+    SELECT 'all' AS x, count(*) AS cnt FROM (
+        SELECT n_regionkey FROM nation UNION ALL SELECT r_regionkey FROM region)
+) ORDER BY x
+""",
+    ["VARCHAR", "BIGINT"],
+    tables="nation,region",
+)
+
+# --- functions (general sampler, reference's catch-all group) ---------------
+emit(
+    "functions",
+    "mixed_sampler",
+    """
+SELECT abs(-5) AS a, length('spark') AS l, upper('ok') AS u,
+       coalesce(NULL, 'fb') AS c, round(2.5) AS r, trunc(cast('2024-02-14' AS DATE), 'MM') AS t
+""",
+    ["INTEGER", "INTEGER", "VARCHAR", "VARCHAR", "BIGINT", "DATE"],
+    rows=[(5, 5, "OK", "fb", 3, "2024-02-01")],
+    tables="",
+)
+
+# --- empty result set (header-only .result; parser edge case) ---------------
+emit(
+    "empty_table",
+    "empty_result",
+    """
+SELECT n_name FROM nation WHERE n_nationkey < 0 ORDER BY n_name
+""",
+    ["VARCHAR"],
+)
