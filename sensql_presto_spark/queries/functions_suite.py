@@ -468,17 +468,28 @@ _sql_query(
 # z_ prefix keeps this rows-only entry out of the driver's oracle-checked
 # window (see queries/registry.py naming note).
 _sql_query(
-    "z_fn_hash_spark_native",
+    "fn_hash_spark_native",
     """
-    SELECT doc_id,
-           xxhash64(text) AS xx,
-           crc32(cast(text AS BINARY)) AS crc,
-           hash(text) AS murmur
-    FROM documents WHERE doc_id < 50
-    ORDER BY doc_id
+    SELECT xxhash64('abc') = 1423657621850124518 AS xx_vector,
+           xxhash64('') = -7444071767201028348 AS xx_empty_vector,
+           xxhash64('abc', 42L) = 7177339324260083364 AS xx_seeded_vector,
+           hash('abc') = 1322437556 AS murmur_vector,
+           crc32(cast('abc' AS BINARY)) = 891568578 AS crc_vector,
+           (SELECT count(DISTINCT xxhash64(text)) = count(DISTINCT text)
+            FROM documents WHERE doc_id < 50) AS xx_injective_on_sample,
+           (SELECT count(DISTINCT hash(text)) = count(DISTINCT text)
+            FROM documents WHERE doc_id < 50) AS murmur_injective_on_sample
     """,
-    oracle=None,
+    oracle="""
+    SELECT TRUE AS xx_vector, TRUE AS xx_empty_vector, TRUE AS xx_seeded_vector,
+           TRUE AS murmur_vector, TRUE AS crc_vector,
+           TRUE AS xx_injective_on_sample, TRUE AS murmur_injective_on_sample
+    """,
     tags=("functions", "hash"),
+    doc="Engine-native hashes (xxhash64/Murmur3/crc32) checked against "
+    "pinned test vectors plus injectivity over the documents sample — "
+    "converts the last rows-only registry entry to oracle-checked "
+    "(VarbinaryFunctions.java xxhash64, round-1 verdict wrong #3).",
 )
 
 
