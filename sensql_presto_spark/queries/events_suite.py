@@ -282,3 +282,27 @@ def events_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensql_presto_spark.streaming import stateful_running_extrema
 
     return stateful_running_extrema(spark, sf_dir)
+
+
+# --- Streaming exact dedup: dropDuplicatesWithinWatermark restores a
+#     doubled stream to the original set (streaming twin of dedup_exact). --
+
+
+@register(
+    "events_streaming_dedup",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS sum_val_e4
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("events", "streaming", "dedup"),
+    doc="Streaming dedup state (dropDuplicatesWithinWatermark) over a "
+    "self-unioned stream; oracle = batch aggregation of the un-duplicated "
+    "table.",
+)
+def events_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensql_presto_spark.streaming import streaming_dedup_exact
+
+    return streaming_dedup_exact(spark, sf_dir)

@@ -216,3 +216,53 @@ def stateful_running_extrema(
         .select("user_id", "n", "max_val", "sum_val_e4")
         .orderBy("user_id")
     )
+
+
+def streaming_dedup_exact(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "2 hours",
+    name: str = "events_stream_dedup",
+    timeout_s: int = 180,
+) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicatesWithinWatermark`` over an
+    intentionally duplicated stream.
+
+    The source is the events file stream unioned with itself, so every
+    event arrives exactly twice; the dedup state (keyed on ``event_id``,
+    expired by the watermark) must restore the original set — which the
+    per-type batch aggregation oracle verifies. This is the streaming twin
+    of ``dedup_exact``: at scale the state store holds only keys inside the
+    watermark horizon, so memory is bounded by arrival skew, not stream
+    length.
+    """
+    catalog._ensure_session_conf(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def _stream() -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+
+    doubled = _stream().unionByName(_stream())
+    events = doubled.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    dedup = events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+    agg = dedup.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")).alias("sum_val_e4"),
+    )
+
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_s)
+    return spark.table(name).orderBy("event_type")
