@@ -943,3 +943,68 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_schema = "doc_id bigint, frame_idx bigint, frame_len bigint, frame_checksum bigint"
     df = _binary_docs(spark, sf_dir).where(F.col("doc_id") < 100)
     return df.mapInPandas(sample, out_schema).orderBy("doc_id", "frame_idx")
+
+
+# --- exact-substring duplication ratio (training-data dedup literature:
+#     per-document fraction of 13-grams appearing in more than one doc).
+#     Scale shape: one explode to (doc, gram) rows, one groupBy on the
+#     gram — identical to the exact-dedup shuffle bound; at 100 TB the
+#     gram string would be xxhash64'd to 8 bytes before the shuffle (the
+#     string key is kept here so the DuckDB oracle shares the exact key).
+
+
+@register(
+    "text_substring_dup",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, array_to_string(w[i : i + 12], ' ') AS g
+        FROM toks, UNNEST(generate_series(1, len(w) - 12)) AS t(i)
+        WHERE len(w) >= 13
+    ),
+    dup AS (SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g)
+    SELECT grams.doc_id,
+           count(*) AS n_grams,
+           sum(CASE WHEN dup.nd > 1 THEN 1 ELSE 0 END) AS dup_grams,
+           round(CAST(sum(CASE WHEN dup.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS dup_ratio
+    FROM grams JOIN dup ON grams.g = dup.g
+    GROUP BY grams.doc_id
+    ORDER BY grams.doc_id
+    """,
+    tags=("pipeline", "text", "dedup"),
+    doc="Per-document exact 13-gram cross-document duplication ratio "
+    "(the substring-dedup metric): explode to (doc, gram), one gram-keyed "
+    "aggregation, join back — never O(n^2) pairs.",
+)
+def text_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    catalog.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH toks AS (
+            SELECT doc_id,
+                   filter(split(lower(text), '[^a-z0-9]+'), x -> x != '') AS w
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, concat_ws(' ', slice(w, i, 13)) AS g
+            FROM toks
+            LATERAL VIEW explode(sequence(1, size(w) - 12)) AS i
+            WHERE size(w) >= 13
+        ),
+        dup AS (SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g)
+        SELECT grams.doc_id,
+               count(*) AS n_grams,
+               sum(CASE WHEN dup.nd > 1 THEN 1 ELSE 0 END) AS dup_grams,
+               round(CAST(sum(CASE WHEN dup.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS dup_ratio
+        FROM grams JOIN dup ON grams.g = dup.g
+        GROUP BY grams.doc_id
+        ORDER BY grams.doc_id
+        """
+    )
