@@ -86,11 +86,12 @@ PRIORITY: tuple[str, ...] = (
     "sim_topk_bruteforce",
     "sim_ivf_topk",
     "sim_lsh_hyperplane",
-    # text analysis
+    # text analysis (token-stats/fingerprint cousins stay outside the block)
     "text_lang_id",
     "text_quality",
-    "text_token_stats",
-    "text_fingerprint",
+    # streaming family representative + TableWriter lifecycle (new)
+    "events_streaming_tumbling",
+    "ddl_ctas_insert",
     # multimodal plumbing
     "mm_features",
     "mm_frame_sample",
