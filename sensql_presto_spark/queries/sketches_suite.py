@@ -100,3 +100,82 @@ def agg_qdigest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_sketch_functions(spark)
     merged = merge_digests_sql("leaf", "c_nationkey")
     return catalog.sql(spark, sf_dir, _ROLLUP_SQL.replace("{MERGED}", merged))
+
+
+# --- setdigest / KMV parity (SetDigestFunctions.java: make_set_digest,
+#     merge_set_digest, intersection_cardinality, jaccard_index). A KMV
+#     (k-minimum-values) sketch is the k smallest hashes of a set; the
+#     Jaccard index of two sets is estimated by comparing their KMV unions.
+#     Pure SQL: the polynomial string hash is identical in both engines, so
+#     the sketch itself is cross-engine deterministic and the estimate is
+#     gated against the exact Jaccard.
+
+_KMV_K = 64
+
+# 31-polynomial string hash over the first 8 chars — identical arithmetic
+# in Spark and DuckDB (the dedup_simhash pattern), avoiding engine-native
+# hash functions inside the sketch.
+_POLYHASH = (
+    "aggregate(sequence(1, least(length({c}), 8)), cast(0 AS BIGINT), "
+    "(acc, i) -> acc * 31 + ascii(substring({c}, i, 1)))"
+)
+
+_SETDIGEST_SQL = f"""
+WITH vals AS (
+    SELECT c_mktsegment, cast(c_custkey % 400 AS STRING) AS v
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+hashed AS (
+    SELECT c_mktsegment, v, {_POLYHASH.format(c="v")} AS h
+    FROM (SELECT DISTINCT c_mktsegment, v FROM vals)
+),
+digests AS (
+    SELECT c_mktsegment,
+           slice(array_sort(collect_set(h)), 1, {_KMV_K}) AS kmv
+    FROM hashed GROUP BY c_mktsegment
+),
+pair AS (
+    SELECT a.kmv AS ka, b.kmv AS kb
+    FROM digests a JOIN digests b
+      ON a.c_mktsegment = 'BUILDING' AND b.c_mktsegment = 'MACHINERY'
+),
+est AS (
+    SELECT size(array_intersect(
+               slice(array_sort(array_union(ka, kb)), 1, {_KMV_K}),
+               array_intersect(ka, kb))) AS inter_k,
+           size(slice(array_sort(array_union(ka, kb)), 1, {_KMV_K})) AS union_k
+    FROM pair
+),
+exact AS (
+    SELECT CAST(count(CASE WHEN na = 1 AND nb = 1 THEN 1 END) AS DOUBLE)
+               / count(*) AS j
+    FROM (
+        SELECT v, max(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS na,
+               max(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS nb
+        FROM vals GROUP BY v
+    )
+)
+SELECT abs(CAST(est.inter_k AS DOUBLE) / est.union_k - exact.j) < 0.2 AS jaccard_ok,
+       est.union_k = {_KMV_K} AS digest_full,
+       exact.j > 0 AS sets_overlap
+FROM est CROSS JOIN exact
+"""
+
+_SETDIGEST_ORACLE = """
+SELECT TRUE AS jaccard_ok, TRUE AS digest_full, TRUE AS sets_overlap
+"""
+
+
+@register(
+    "agg_setdigest_jaccard",
+    oracle=_SETDIGEST_ORACLE,
+    tags=("aggregates", "sketch"),
+    doc="KMV set-digest Jaccard estimation (SetDigestFunctions.java "
+    "jaccard_index/intersection_cardinality): k smallest polynomial hashes "
+    "per set, estimate gated against the exact Jaccard. The digest is an "
+    "array value, mergeable with array_union + re-slice.",
+)
+def agg_setdigest_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    catalog.register_views(spark, sf_dir)
+    return spark.sql(_SETDIGEST_SQL)
