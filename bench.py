@@ -17,7 +17,10 @@ import time
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = int(os.environ.get("BENCH_RUNS", "3"))
-    prewarm = int(os.environ.get("BENCH_PREWARM", "1"))
+    # 2 untimed runs (the benchto protocol's prewarm): the first execution
+    # of a query pays JIT + whole-stage-codegen compilation, which belongs
+    # to neither engine's steady-state throughput.
+    prewarm = int(os.environ.get("BENCH_PREWARM", "2"))
 
     from sensql_presto_spark.queries import all_specs
     from sensql_presto_spark.session import get_spark
