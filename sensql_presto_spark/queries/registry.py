@@ -50,6 +50,7 @@ _QUERY_MODULES = (
     "sensql_presto_spark.queries.events_suite",
     "sensql_presto_spark.queries.sensql_suite",
     "sensql_presto_spark.queries.mutation_suite",
+    "sensql_presto_spark.queries.sources_suite",
 )
 
 _loaded = False
