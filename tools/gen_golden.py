@@ -414,3 +414,20 @@ SELECT n_name FROM nation WHERE n_nationkey < 0 ORDER BY n_name
 """,
     ["VARCHAR"],
 )
+
+# --- tpcds goldens (reference: sql-tests/testcases/tpcds/q01.sql|.result);
+#     the .sql text and oracle come straight from the registry pair -------
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from sensql_presto_spark.queries import all_specs  # noqa: E402
+
+_specs = all_specs()
+for _q, _name, _types in (
+    ("tpcds_q03", "q03_brand_revenue", ["BIGINT", "VARCHAR", "BIGINT"]),
+    ("tpcds_q52", "q52_brand_ext_price", ["BIGINT", "VARCHAR", "BIGINT"]),
+):
+    _spec = _specs[_q]
+    _spark_sql = _spec.build.__defaults__[0]  # _sql_query stores the text here
+    emit("tpcds", _name, _spark_sql, _types, duck_sql=_spec.oracle,
+         tables="lineitem,orders,part")
