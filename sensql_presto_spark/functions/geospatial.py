@@ -164,6 +164,43 @@ _GEO_SQL_FUNCTIONS: tuple[str, ...] = (
        RETURNS STRING RETURN regexp_replace(upper(trim(wkt)), '\\\\s+', ' ')""",
     """CREATE OR REPLACE TEMPORARY FUNCTION st_astext(g STRING)
        RETURNS STRING RETURN g""",
+    # Vertex accessors (GeoFunctions.java ST_StartPoint, ST_EndPoint,
+    # ST_PointN, ST_InteriorRingN-free subset): n is 1-based like Presto.
+    """CREATE OR REPLACE TEMPORARY FUNCTION st_point_n(wkt STRING, n INT)
+       RETURNS STRING RETURN
+       CASE WHEN n BETWEEN 1 AND size(st_xs(wkt))
+            THEN concat('POINT (', cast(element_at(st_xs(wkt), n) AS STRING), ' ',
+                        cast(element_at(st_ys(wkt), n) AS STRING), ')') END""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION st_start_point(wkt STRING)
+       RETURNS STRING RETURN st_point_n(wkt, 1)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION st_end_point(wkt STRING)
+       RETURNS STRING RETURN st_point_n(wkt, size(st_xs(wkt)))""",
+    # Typed constructors = validated normalization (ST_LineFromText,
+    # ST_Polygon): reject mismatched WKT kinds with NULL, Presto-style cast
+    # semantics under TRY.
+    """CREATE OR REPLACE TEMPORARY FUNCTION st_line_from_text(wkt STRING)
+       RETURNS STRING RETURN
+       CASE WHEN upper(trim(wkt)) LIKE 'LINESTRING%'
+            THEN regexp_replace(upper(trim(wkt)), '\\\\s+', ' ') END""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION st_polygon(wkt STRING)
+       RETURNS STRING RETURN
+       CASE WHEN upper(trim(wkt)) LIKE 'POLYGON%'
+            THEN regexp_replace(upper(trim(wkt)), '\\\\s+', ' ') END""",
+    # ST_Boundary of a polygon ring = its exterior LINESTRING.
+    """CREATE OR REPLACE TEMPORARY FUNCTION st_boundary(wkt STRING)
+       RETURNS STRING RETURN
+       CASE WHEN wkt LIKE 'POLYGON%'
+            THEN concat('LINESTRING (', regexp_extract(wkt, '\\\\(\\\\((.*)\\\\)\\\\)', 1), ')')
+            WHEN wkt LIKE 'LINESTRING%' THEN
+                concat('MULTIPOINT (', cast(element_at(st_xs(wkt), 1) AS STRING), ' ',
+                       cast(element_at(st_ys(wkt), 1) AS STRING), ', ',
+                       cast(element_at(st_xs(wkt), -1) AS STRING), ' ',
+                       cast(element_at(st_ys(wkt), -1) AS STRING), ')') END""",
+    # ST_NumGeometries: 1 for simple kinds, member count for MULTIPOINT.
+    """CREATE OR REPLACE TEMPORARY FUNCTION st_num_geometries(wkt STRING)
+       RETURNS INT RETURN
+       CASE WHEN wkt LIKE 'MULTIPOINT%' THEN size(st_xs(wkt))
+            WHEN wkt LIKE '%EMPTY%' THEN 0 ELSE 1 END""",
 )
 
 

@@ -319,3 +319,63 @@ def geo_st_surface2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_custkey
         """
     )
+
+
+@register(
+    "geo_st_accessors",
+    oracle="""
+    WITH g AS (
+        SELECT c_custkey,
+               (c_custkey % 20)::DOUBLE AS x0, (c_nationkey % 10)::DOUBLE AS y0,
+               (3 + c_custkey % 5)::DOUBLE AS w
+        FROM customer WHERE c_custkey < 60
+    )
+    SELECT c_custkey,
+           'POINT (' || x0 || ' ' || y0 || ')' AS start_pt,
+           'POINT (' || (x0 + w) || ' ' || (y0 + 1.0) || ')' AS end_pt,
+           'POINT (' || (x0 + w) || ' ' || y0 || ')' AS second_pt,
+           TRUE AS line_ctor_ok, TRUE AS poly_ctor_rejects, TRUE AS boundary_ok,
+           1 AS n_geoms, 3 AS n_multi
+    FROM g ORDER BY c_custkey
+    """,
+    tags=("sensql", "geospatial"),
+    doc="Vertex accessors + typed constructors + boundary (GeoFunctions.java "
+    "ST_StartPoint/ST_EndPoint/ST_PointN/ST_LineFromText/ST_Polygon/"
+    "ST_Boundary/ST_NumGeometries) with closed-form oracle.",
+)
+def geo_st_accessors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensql_presto_spark.functions.geospatial import register_geospatial
+
+    register_geospatial(spark)
+    catalog.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH g AS (
+            SELECT c_custkey,
+                   cast(c_custkey % 20 AS DOUBLE) AS x0,
+                   cast(c_nationkey % 10 AS DOUBLE) AS y0,
+                   cast(3 + c_custkey % 5 AS DOUBLE) AS w
+            FROM customer WHERE c_custkey < 60
+        ),
+        p AS (
+            SELECT c_custkey, x0, y0, w,
+                   concat('LINESTRING (', x0, ' ', y0, ', ', x0 + w, ' ', y0, ', ',
+                          x0 + w, ' ', y0 + 1.0, ')') AS line
+            FROM g
+        )
+        SELECT c_custkey,
+               st_start_point(line) AS start_pt,
+               st_end_point(line) AS end_pt,
+               st_point_n(line, 2) AS second_pt,
+               st_line_from_text(line) = line AS line_ctor_ok,
+               st_polygon(line) IS NULL AS poly_ctor_rejects,
+               st_boundary(concat('POLYGON ((', x0, ' ', y0, ', ', x0 + w, ' ', y0, ', ',
+                                  x0, ' ', y0 + 1.0, '))'))
+                   = concat('LINESTRING (', x0, ' ', y0, ', ', x0 + w, ' ', y0, ', ',
+                            x0, ' ', y0 + 1.0, ')') AS boundary_ok,
+               st_num_geometries(line) AS n_geoms,
+               st_num_geometries(concat('MULTIPOINT (1 2, 3 4, 5 6)')) AS n_multi
+        FROM p
+        ORDER BY c_custkey
+        """
+    )
