@@ -196,6 +196,21 @@ _SQL_FUNCTIONS: tuple[str, ...] = (
        RETURNS STRING RETURN hex(v)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION from_hex(s STRING)
        RETURNS BINARY RETURN unhex(s)""",
+    # -- math (MathFunctions.java wilson_interval_*, from_base/to_base) --
+    """CREATE OR REPLACE TEMPORARY FUNCTION wilson_interval_lower(
+           s DOUBLE, n DOUBLE, z DOUBLE) RETURNS DOUBLE RETURN
+       (s / n + z * z / (2 * n)
+        - z * sqrt((s / n) * (1 - s / n) / n + z * z / (4 * n * n)))
+       / (1 + z * z / n)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION wilson_interval_upper(
+           s DOUBLE, n DOUBLE, z DOUBLE) RETURNS DOUBLE RETURN
+       (s / n + z * z / (2 * n)
+        + z * sqrt((s / n) * (1 - s / n) / n + z * z / (4 * n * n)))
+       / (1 + z * z / n)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION to_base(v BIGINT, radix INT)
+       RETURNS STRING RETURN lower(conv(cast(v AS STRING), 10, radix))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION from_base(s STRING, radix INT)
+       RETURNS BIGINT RETURN cast(conv(s, radix, 10) AS BIGINT)""",
     # -- teradata compat (presto-teradata-functions/) --
     """CREATE OR REPLACE TEMPORARY FUNCTION index(s STRING, sub STRING)
        RETURNS INT RETURN instr(s, sub)""",

@@ -567,6 +567,13 @@ def fn_datetime_presto_formats(spark, sf_dir):
            o_orderstatus AS b64_rt, o_orderstatus AS hex_rt,
            strpos(o_orderpriority, '-') AS td_index,
            '00410042' AS c2h,
+           round((0.85 + 1.96 * 1.96 / 200
+                  - 1.96 * sqrt(0.85 * 0.15 / 100 + 1.96 * 1.96 / 40000))
+                 / (1 + 1.96 * 1.96 / 100), 6) AS wil,
+           round((0.85 + 1.96 * 1.96 / 200
+                  + 1.96 * sqrt(0.85 * 0.15 / 100 + 1.96 * 1.96 / 40000))
+                 / (1 + 1.96 * 1.96 / 100), 6) AS wiu,
+           'ff' AS tb, 255::BIGINT AS fb,
            'stori' AS stem1, lower(o_orderstatus) AS stem2,
            0.975002 AS ncdf, 1.96 AS incdf,
            'caf' || chr(233) AS nfc,
@@ -623,6 +630,10 @@ def fn_presto_compat(spark, sf_dir):
                decode(from_hex(to_hex(encode(o_orderstatus, 'UTF-8'))), 'UTF-8') AS hex_rt,
                index(o_orderpriority, '-') AS td_index,
                char2hexint('AB') AS c2h,
+               round(wilson_interval_lower(85.0D, 100.0D, 1.96D), 6) AS wil,
+               round(wilson_interval_upper(85.0D, 100.0D, 1.96D), 6) AS wiu,
+               to_base(255L, 16) AS tb,
+               from_base('ff', 16) AS fb,
                word_stem('stories') AS stem1,
                word_stem(o_orderstatus) AS stem2,
                round(normal_cdf(0.0D, 1.0D, 1.96D), 6) AS ncdf,
