@@ -925,3 +925,143 @@ ds(
     """,
     doc="Reference: tpcds/q99.sql.",
 )
+
+
+# --- the four _2 variants (reference ships 103 files: q14_2/q23_2/q24_2/
+#     q39_2 are distinct query shapes over the same CTE families) ----------
+
+# q14_2 — items whose (brand,class)-style key appears in ALL channels
+# (INTERSECT over dimension tuples), then per-channel weekly sales of
+# those items. Reference: tpcds/q14_2.sql.
+ds(
+    "tpcds_q14b",
+    """
+    , key_tuples AS (
+        SELECT i.p_brand, i.p_type
+        FROM sales s JOIN part i ON s.l_partkey = i.p_partkey
+        WHERE s.d_year BETWEEN 1995 AND 1997
+        INTERSECT
+        SELECT i.p_brand, i.p_type
+        FROM cat c JOIN part i ON c.l_partkey = i.p_partkey
+        WHERE c.d_year BETWEEN 1995 AND 1997
+        INTERSECT
+        SELECT i.p_brand, i.p_type
+        FROM web w JOIN part i ON w.l_partkey = i.p_partkey
+        WHERE w.d_year BETWEEN 1995 AND 1997
+    ),
+    cross_items AS (
+        SELECT p.p_partkey AS ss_item_sk
+        FROM part p
+        JOIN key_tuples k ON p.p_brand = k.p_brand AND p.p_type = k.p_type
+    )
+    SELECT s.d_week_seq, sum(s.net_c) AS sales, count(*) AS number_sales
+    FROM sales s
+    WHERE s.l_partkey IN (SELECT ss_item_sk FROM cross_items)
+      AND s.d_year = 1996 AND s.d_moy = 6
+    GROUP BY s.d_week_seq
+    ORDER BY s.d_week_seq
+    """,
+    doc="Reference: tpcds/q14_2.sql (brand/class tuple INTERSECT across "
+    "all three channels).",
+)
+
+# q23_2 — best customers' cross-channel purchases of frequent items,
+# reported per customer (the _1 variant reports the global total).
+ds(
+    "tpcds_q23b",
+    """
+    , frequent_ss_items AS (
+        SELECT l_partkey AS item_sk
+        FROM sales WHERE d_year BETWEEN 1995 AND 1998
+        GROUP BY l_partkey HAVING count(*) > 2
+    ),
+    best_ss_customer AS (
+        SELECT o_custkey AS c_sk, sum(price_c) AS ssales
+        FROM sales GROUP BY o_custkey
+        HAVING sum(price_c) > 0.5 * (
+            SELECT max(csales) FROM (
+                SELECT sum(price_c) AS csales FROM sales GROUP BY o_custkey))
+    )
+    SELECT c.c_name, sum(u.price_c) AS sales
+    FROM (
+        SELECT o_custkey, price_c FROM web
+        WHERE d_year = 1996
+          AND l_partkey IN (SELECT item_sk FROM frequent_ss_items)
+          AND o_custkey IN (SELECT c_sk FROM best_ss_customer)
+        UNION ALL
+        SELECT o_custkey, price_c FROM cat
+        WHERE d_year = 1996
+          AND l_partkey IN (SELECT item_sk FROM frequent_ss_items)
+          AND o_custkey IN (SELECT c_sk FROM best_ss_customer)
+    ) u
+    JOIN customer c ON u.o_custkey = c.c_custkey
+    GROUP BY c.c_name
+    ORDER BY sales DESC, c.c_name
+    LIMIT 100
+    """,
+    doc="Reference: tpcds/q23_2.sql (per-customer breakdown).",
+)
+
+# q24_2 — same-geography returns chain filtered to one item attribute
+# (color -> p_type slice; the _1 variant is unfiltered).
+ds(
+    "tpcds_q24b",
+    """
+    , ssales AS (
+        SELECT c.c_name, st.s_name, i.p_type, sum(s.net_c) AS netpaid
+        FROM sales s
+        JOIN customer c ON s.o_custkey = c.c_custkey
+        JOIN supplier st ON s.l_suppkey = st.s_suppkey
+        JOIN part i ON s.l_partkey = i.p_partkey
+        WHERE s.l_returnflag = 'R' AND c.c_nationkey = st.s_nationkey
+        GROUP BY c.c_name, st.s_name, i.p_type
+    )
+    SELECT c_name, s_name, netpaid
+    FROM ssales
+    WHERE p_type = 'ECONOMY'
+      AND netpaid > (SELECT 0.05 * avg(netpaid) FROM ssales)
+    ORDER BY c_name, s_name
+    LIMIT 100
+    """,
+    doc="Reference: tpcds/q24_2.sql (color slice -> p_type slice).",
+)
+
+# q39_2 — the q39 shape with the tighter cov > 1.5 threshold on BOTH
+# months (the _1 variant thresholds only the first).
+ds(
+    "tpcds_q39b",
+    """
+    , inv AS (
+        SELECT n.n_name AS w_warehouse_name, i.p_brand AS item_id, s.d_moy,
+               count(*) AS n, sum(s.qty) AS s1, sum(s.qty * s.qty) AS s2
+        FROM sales s
+        JOIN supplier st ON s.l_suppkey = st.s_suppkey
+        JOIN nation n ON st.s_nationkey = n.n_nationkey
+        JOIN part i ON s.l_partkey = i.p_partkey
+        WHERE s.d_year = 1995
+        GROUP BY n.n_name, i.p_brand, s.d_moy
+        HAVING count(*) > 1
+    ),
+    invcov AS (
+        SELECT w_warehouse_name, item_id, d_moy,
+               round(CAST(s1 AS DOUBLE) / n, 4) AS mean,
+               round(sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))
+                     / (CAST(s1 AS DOUBLE) / n), 4) AS cov
+        FROM inv
+        WHERE CAST(s1 AS DOUBLE) / n > 0
+          AND sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))
+              / (CAST(s1 AS DOUBLE) / n) > 0.3
+    )
+    SELECT i1.w_warehouse_name AS w1, i1.item_id AS i1_item, i1.d_moy AS moy1,
+           i1.mean AS mean1, i1.cov AS cov1,
+           i2.d_moy AS moy2, i2.mean AS mean2, i2.cov AS cov2
+    FROM invcov i1
+    JOIN invcov i2 ON i1.item_id = i2.item_id
+                  AND i1.w_warehouse_name = i2.w_warehouse_name
+    WHERE i1.d_moy = 1 AND i2.d_moy = 2
+      AND i2.cov > 0.3
+    ORDER BY w1, i1_item, moy1
+    """,
+    doc="Reference: tpcds/q39_2.sql (cov threshold on both months; 0.3 at "
+    "this data's variance profile).",
+)
