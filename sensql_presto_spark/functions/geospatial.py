@@ -201,6 +201,84 @@ _GEO_SQL_FUNCTIONS: tuple[str, ...] = (
        RETURNS INT RETURN
        CASE WHEN wkt LIKE 'MULTIPOINT%' THEN size(st_xs(wkt))
             WHEN wkt LIKE '%EMPTY%' THEN 0 ELSE 1 END""",
+    # Ring accessors for single-ring polygons (the engine's polygon model;
+    # GeoFunctions.java ST_ExteriorRing, ST_NumInteriorRing).
+    """CREATE OR REPLACE TEMPORARY FUNCTION st_exterior_ring(wkt STRING)
+       RETURNS STRING RETURN
+       CASE WHEN wkt LIKE 'POLYGON%'
+            THEN concat('LINESTRING (', regexp_extract(wkt, '\\\\(\\\\((.*)\\\\)\\\\)', 1), ')') END""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION st_num_interior_ring(wkt STRING)
+       RETURNS INT RETURN CASE WHEN wkt LIKE 'POLYGON%' THEN 0 END""",
+    # Validity/simplicity for the supported WKT kinds: parseable, paired
+    # coordinates, non-empty (ST_IsValid, ST_IsSimple, ST_IsRing).
+    """CREATE OR REPLACE TEMPORARY FUNCTION st_is_valid(wkt STRING)
+       RETURNS BOOLEAN RETURN
+       size(st_xs(wkt)) = size(st_ys(wkt)) AND size(st_xs(wkt)) > 0""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION st_is_simple(wkt STRING)
+       RETURNS BOOLEAN RETURN
+       st_is_valid(wkt) AND (NOT wkt LIKE 'LINESTRING%'
+           OR size(array_distinct(arrays_zip(st_xs(wkt), st_ys(wkt))))
+              >= size(st_xs(wkt)) - 1)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION st_is_ring(wkt STRING)
+       RETURNS BOOLEAN RETURN st_is_closed(wkt) AND st_is_simple(wkt)""",
+    # ST_Points: the vertex set as MULTIPOINT.
+    """CREATE OR REPLACE TEMPORARY FUNCTION st_points(wkt STRING)
+       RETURNS STRING RETURN
+       concat('MULTIPOINT (',
+              concat_ws(', ', transform(sequence(1, size(st_xs(wkt))),
+                  i -> concat(cast(element_at(st_xs(wkt), i) AS STRING), ' ',
+                              cast(element_at(st_ys(wkt), i) AS STRING)))), ')')""",
+    # ST_GeometryN (1-based; MULTIPOINT members, else the geometry itself).
+    """CREATE OR REPLACE TEMPORARY FUNCTION st_geometry_n(wkt STRING, n INT)
+       RETURNS STRING RETURN
+       CASE WHEN wkt LIKE 'MULTIPOINT%' THEN st_point_n(wkt, n)
+            WHEN n = 1 THEN wkt END""",
+    # bing_tiles_around: quadkeys of the 3x3 neighborhood, range-clamped
+    # (BingTileFunctions.java bingTilesAround).
+    # Helper: range-clamped quadkey (SQL-function inlining cannot pass a
+    # LAMBDA variable into another SQL function, so the 3x3 neighborhood is
+    # nine explicit calls — parameters and constants only).
+    """CREATE OR REPLACE TEMPORARY FUNCTION bing_tile_quadkey_clamped(
+           x BIGINT, y BIGINT, zoom INT) RETURNS STRING RETURN
+       bing_tile_quadkey(
+           least(cast(power(2, zoom) AS BIGINT) - 1, greatest(0L, x)),
+           least(cast(power(2, zoom) AS BIGINT) - 1, greatest(0L, y)), zoom)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION bing_tiles_around(
+           lat DOUBLE, lon DOUBLE, zoom INT) RETURNS ARRAY<STRING> RETURN
+       array_distinct(array(
+           bing_tile_quadkey_clamped(bing_tile_x_at(lon, zoom) - 1, bing_tile_y_at(lat, zoom) - 1, zoom),
+           bing_tile_quadkey_clamped(bing_tile_x_at(lon, zoom),     bing_tile_y_at(lat, zoom) - 1, zoom),
+           bing_tile_quadkey_clamped(bing_tile_x_at(lon, zoom) + 1, bing_tile_y_at(lat, zoom) - 1, zoom),
+           bing_tile_quadkey_clamped(bing_tile_x_at(lon, zoom) - 1, bing_tile_y_at(lat, zoom),     zoom),
+           bing_tile_quadkey_clamped(bing_tile_x_at(lon, zoom),     bing_tile_y_at(lat, zoom),     zoom),
+           bing_tile_quadkey_clamped(bing_tile_x_at(lon, zoom) + 1, bing_tile_y_at(lat, zoom),     zoom),
+           bing_tile_quadkey_clamped(bing_tile_x_at(lon, zoom) - 1, bing_tile_y_at(lat, zoom) + 1, zoom),
+           bing_tile_quadkey_clamped(bing_tile_x_at(lon, zoom),     bing_tile_y_at(lat, zoom) + 1, zoom),
+           bing_tile_quadkey_clamped(bing_tile_x_at(lon, zoom) + 1, bing_tile_y_at(lat, zoom) + 1, zoom)))""",
+    # geometry_to_bing_tiles: tiles covering the geometry's envelope
+    # (BingTileFunctions.java geometryToBingTiles; tile count is bounded by
+    # the caller's zoom choice, exactly as in the reference).
+    # Envelope tile cover: the quadkey bit-interleave is inlined in the
+    # lambda body (a lambda variable cannot cross into a SQL function, but
+    # plain nested-lambda capture is fine).
+    """CREATE OR REPLACE TEMPORARY FUNCTION geometry_to_bing_tiles(
+           wkt STRING, zoom INT) RETURNS ARRAY<STRING> RETURN
+       transform(
+           sequence(0,
+               cast((bing_tile_x_at(st_xmax(wkt), zoom) - bing_tile_x_at(st_xmin(wkt), zoom) + 1)
+                    * (bing_tile_y_at(st_ymin(wkt), zoom) - bing_tile_y_at(st_ymax(wkt), zoom) + 1)
+                    AS INT) - 1),
+           i -> concat_ws('', transform(sequence(zoom, 1, -1),
+               j -> cast(
+                   (shiftright(bing_tile_x_at(st_xmin(wkt), zoom)
+                               + cast(i / cast(bing_tile_y_at(st_ymin(wkt), zoom)
+                                               - bing_tile_y_at(st_ymax(wkt), zoom) + 1 AS INT)
+                                      AS INT), j - 1) & 1)
+                   + 2 * (shiftright(bing_tile_y_at(st_ymax(wkt), zoom)
+                                     + i % cast(bing_tile_y_at(st_ymin(wkt), zoom)
+                                                - bing_tile_y_at(st_ymax(wkt), zoom) + 1 AS INT),
+                                     j - 1) & 1)
+                   AS STRING))))""",
 )
 
 

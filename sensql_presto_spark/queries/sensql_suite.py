@@ -335,7 +335,12 @@ def geo_st_surface2(spark: SparkSession, sf_dir: str) -> DataFrame:
            'POINT (' || (x0 + w) || ' ' || (y0 + 1.0) || ')' AS end_pt,
            'POINT (' || (x0 + w) || ' ' || y0 || ')' AS second_pt,
            TRUE AS line_ctor_ok, TRUE AS poly_ctor_rejects, TRUE AS boundary_ok,
-           1 AS n_geoms, 3 AS n_multi
+           1 AS n_geoms, 3 AS n_multi,
+           TRUE AS ext_ring_ok, 0 AS n_int_ring,
+           TRUE AS valid_ok, TRUE AS simple_ok, FALSE AS open_line_is_ring,
+           'MULTIPOINT (' || x0 || ' ' || y0 || ', ' || (x0 + w) || ' ' || y0
+               || ', ' || (x0 + w) || ' ' || (y0 + 1.0) || ')' AS pts,
+           TRUE AS geom_n_ok, 9 AS tiles_around_n, TRUE AS g2bt_ok
     FROM g ORDER BY c_custkey
     """,
     tags=("sensql", "geospatial"),
@@ -374,7 +379,23 @@ def geo_st_accessors(spark: SparkSession, sf_dir: str) -> DataFrame:
                    = concat('LINESTRING (', x0, ' ', y0, ', ', x0 + w, ' ', y0, ', ',
                             x0, ' ', y0 + 1.0, ')') AS boundary_ok,
                st_num_geometries(line) AS n_geoms,
-               st_num_geometries(concat('MULTIPOINT (1 2, 3 4, 5 6)')) AS n_multi
+               st_num_geometries(concat('MULTIPOINT (1 2, 3 4, 5 6)')) AS n_multi,
+               st_exterior_ring(concat('POLYGON ((', x0, ' ', y0, ', ', x0 + w, ' ', y0, ', ',
+                                       x0, ' ', y0 + 1.0, '))'))
+                   = concat('LINESTRING (', x0, ' ', y0, ', ', x0 + w, ' ', y0, ', ',
+                            x0, ' ', y0 + 1.0, ')') AS ext_ring_ok,
+               st_num_interior_ring(concat('POLYGON ((', x0, ' ', y0, ', ', x0 + w, ' ', y0, ', ',
+                                           x0, ' ', y0 + 1.0, '))')) AS n_int_ring,
+               st_is_valid(line) AS valid_ok,
+               st_is_simple(line) AS simple_ok,
+               st_is_ring(line) AS open_line_is_ring,
+               st_points(line) AS pts,
+               st_geometry_n(line, 1) = line AS geom_n_ok,
+               size(bing_tiles_around(45.3, 7.7, 10)) AS tiles_around_n,
+               size(geometry_to_bing_tiles(
+                   concat('POLYGON ((', x0, ' ', y0, ', ', x0 + w, ' ', y0, ', ',
+                          x0 + w, ' ', y0 + 1.0, ', ', x0, ' ', y0 + 1.0, '))'), 8))
+                   BETWEEN 1 AND 64 AS g2bt_ok
         FROM p
         ORDER BY c_custkey
         """
