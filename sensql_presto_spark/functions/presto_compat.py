@@ -196,6 +196,31 @@ _SQL_FUNCTIONS: tuple[str, ...] = (
        RETURNS STRING RETURN hex(v)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION from_hex(s STRING)
        RETURNS BINARY RETURN unhex(s)""",
+    # -- map/multimap (SplitToMultimapFunction.java,
+    #    MultimapFromEntriesFunction.java, sql/MapNormalizeFunction.java) --
+    """CREATE OR REPLACE TEMPORARY FUNCTION split_to_multimap(
+           s STRING, entry_delim STRING, kv_delim STRING)
+       RETURNS MAP<STRING, ARRAY<STRING>> RETURN
+       map_from_arrays(
+           array_distinct(transform(split(s, entry_delim),
+                                    e -> split_part(e, kv_delim, 1))),
+           transform(array_distinct(transform(split(s, entry_delim),
+                                              e -> split_part(e, kv_delim, 1))),
+               k -> transform(filter(split(s, entry_delim),
+                                     e -> split_part(e, kv_delim, 1) = k),
+                              e -> split_part(e, kv_delim, 2))))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION multimap_from_entries(
+           entries ARRAY<STRUCT<k: STRING, v: STRING>>)
+       RETURNS MAP<STRING, ARRAY<STRING>> RETURN
+       map_from_arrays(
+           array_distinct(transform(entries, e -> e.k)),
+           transform(array_distinct(transform(entries, e -> e.k)),
+               k -> transform(filter(entries, e -> e.k = k), e -> e.v)))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION map_normalize(m MAP<STRING, DOUBLE>)
+       RETURNS MAP<STRING, DOUBLE> RETURN
+       map_from_arrays(map_keys(m),
+           transform(map_values(m),
+               v -> v / aggregate(map_values(m), cast(0 AS DOUBLE), (a, x) -> a + x)))""",
     # -- math (MathFunctions.java wilson_interval_*, from_base/to_base) --
     """CREATE OR REPLACE TEMPORARY FUNCTION wilson_interval_lower(
            s DOUBLE, n DOUBLE, z DOUBLE) RETURNS DOUBLE RETURN

@@ -574,6 +574,7 @@ def fn_datetime_presto_formats(spark, sf_dir):
                   + 1.96 * sqrt(0.85 * 0.15 / 100 + 1.96 * 1.96 / 40000))
                  / (1 + 1.96 * 1.96 / 100), 6) AS wiu,
            'ff' AS tb, 255::BIGINT AS fb,
+           '1|3' AS s2mm, '1|2' AS mmfe, 0.75 AS mnorm,
            'stori' AS stem1, lower(o_orderstatus) AS stem2,
            0.975002 AS ncdf, 1.96 AS incdf,
            'caf' || chr(233) AS nfc,
@@ -634,6 +635,11 @@ def fn_presto_compat(spark, sf_dir):
                round(wilson_interval_upper(85.0D, 100.0D, 1.96D), 6) AS wiu,
                to_base(255L, 16) AS tb,
                from_base('ff', 16) AS fb,
+               array_join(element_at(split_to_multimap('a=1,b=2,a=3', ',', '='), 'a'), '|') AS s2mm,
+               array_join(element_at(multimap_from_entries(
+                   array(named_struct('k', 'x', 'v', '1'), named_struct('k', 'x', 'v', '2'))), 'x'),
+                   '|') AS mmfe,
+               round(element_at(map_normalize(map('x', 1.0D, 'y', 3.0D)), 'y'), 4) AS mnorm,
                word_stem('stories') AS stem1,
                word_stem(o_orderstatus) AS stem2,
                round(normal_cdf(0.0D, 1.0D, 1.96D), 6) AS ncdf,
