@@ -431,3 +431,19 @@ for _q, _name, _types in (
     _spark_sql = _spec.build.__defaults__[0]  # _sql_query stores the text here
     emit("tpcds", _name, _spark_sql, _types, duck_sql=_spec.oracle,
          tables="lineitem,orders,part")
+
+# --- catalog (reference group: SHOW TABLES over the registered catalog) -----
+emit(
+    "catalog",
+    "show_tables",
+    """
+SHOW TABLES
+""",
+    ["VARCHAR", "VARCHAR", "BOOLEAN"],
+    rows=[
+        ("", t, True)
+        for t in ("customer", "documents", "embeddings", "events", "lineitem",
+                  "nation", "orders", "part", "region", "supplier")
+    ],
+    tables="",
+)
