@@ -1008,3 +1008,79 @@ def text_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY grams.doc_id
         """
     )
+
+
+# --- int8 scalar-quantized similarity: the memory/bandwidth scale path for
+#     embedding search (4x smaller vectors, integer dot products). One
+#     global symmetric scale (max |x|), q = round(x/scale*127); approximate
+#     cosine ranking is recall-gated against the exact float ranking inside
+#     the same query, so the oracle is constant-TRUE per query id.
+
+
+@register(
+    "sim_int8_quantized",
+    oracle="""
+    SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS scale_ok
+    FROM embeddings WHERE vec_id < 5 ORDER BY vec_id
+    """,
+    tags=("pipeline", "similarity", "quantization"),
+    doc="Scalar int8 quantization for embedding search: global symmetric "
+    "scale, integer dot products, recall@5 >= 0.6 vs the exact float "
+    "top-5 (per query), plus a quantization-range sanity gate. At 100 TB "
+    "this is the 4x memory/bandwidth reduction path; the scale constant "
+    "is a scalar subquery (one tiny broadcast), never a driver collect.",
+)
+def sim_int8_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    catalog.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH e AS (
+            SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS v
+            FROM embeddings
+        ),
+        scale AS (
+            SELECT max(aggregate(v, cast(0 AS double), (a, x) -> greatest(a, abs(x)))) AS s
+            FROM e
+        ),
+        quant AS (
+            -- scale joins in as a broadcast single-row relation: subquery
+            -- expressions are not allowed inside HOF lambdas
+            SELECT vec_id, v,
+                   transform(v, x -> cast(round(x / s * 127) AS INT)) AS qv, s
+            FROM e CROSS JOIN scale
+        ),
+        nq AS (
+            SELECT vec_id, v, qv, s,
+                   sqrt(aggregate(v, cast(0 AS double), (a, x) -> a + x * x)) AS nrm,
+                   sqrt(aggregate(qv, cast(0 AS double), (a, x) -> a + cast(x AS double) * x)) AS qnrm
+            FROM quant
+        ),
+        q AS (SELECT * FROM nq WHERE vec_id < 5),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   aggregate(zip_with(q.v, c.v, (x, y) -> x * y), cast(0 AS double),
+                             (acc, x) -> acc + x) / (q.nrm * c.nrm) AS cos_f,
+                   aggregate(zip_with(q.qv, c.qv, (x, y) -> cast(x AS double) * y),
+                             cast(0 AS double), (acc, x) -> acc + x)
+                       / (q.qnrm * c.qnrm) AS cos_q,
+                   q.s AS s
+            FROM q JOIN nq c ON q.vec_id <> c.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, s,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos_f DESC, neighbor_id)
+                       AS rk_f,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, neighbor_id)
+                       AS rk_q
+            FROM scored
+        )
+        SELECT query_id,
+               size(array_intersect(
+                   collect_list(CASE WHEN rk_f <= 5 THEN neighbor_id END),
+                   collect_list(CASE WHEN rk_q <= 5 THEN neighbor_id END))) >= 3 AS recall_ok,
+               max(s) > 0 AS scale_ok
+        FROM ranked
+        GROUP BY query_id
+        ORDER BY query_id
+        """
+    )
