@@ -1,2 +1,2 @@
 -- database: spark; tables: ; groups: catalog;
-SHOW TABLES
+SHOW TABLES LIKE 'customer|documents|embeddings|events|lineitem|nation|orders|part|region|supplier'

@@ -437,7 +437,7 @@ emit(
     "catalog",
     "show_tables",
     """
-SHOW TABLES
+SHOW TABLES LIKE 'customer|documents|embeddings|events|lineitem|nation|orders|part|region|supplier'
 """,
     ["VARCHAR", "VARCHAR", "BOOLEAN"],
     rows=[
