@@ -306,3 +306,63 @@ def events_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensql_presto_spark.streaming import streaming_dedup_exact
 
     return streaming_dedup_exact(spark, sf_dir)
+
+
+# --- hypertable-style gap-filled rollup: hourly buckets materialized for
+#     EVERY slot in the observed range (LEFT JOIN against a generated time
+#     spine), missing sums forward-filled with IGNORE NULLS last_value —
+#     the time_bucket_gapfill + locf pattern. Scale shape: the spine is
+#     tiny (one row per bucket) and broadcasts; the fact is touched once
+#     by the bucket aggregation.
+
+_sql_query(
+    "events_gap_fill",
+    """
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1
+        FROM events WHERE event_type = 'click'
+    ),
+    slots AS (
+        SELECT explode(sequence(t0, t1, interval 1 hour)) AS slot FROM bounds
+    ),
+    hourly AS (
+        SELECT date_trunc('hour', ts) AS slot, count(*) AS n,
+               sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS sum_val_e4
+        FROM events WHERE event_type = 'click'
+        GROUP BY date_trunc('hour', ts)
+    )
+    SELECT s.slot, coalesce(h.n, 0) AS n,
+           last_value(h.sum_val_e4) IGNORE NULLS OVER (
+               ORDER BY s.slot ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS locf_sum_e4,
+           h.sum_val_e4 IS NULL AS gap
+    FROM slots s LEFT JOIN hourly h ON s.slot = h.slot
+    ORDER BY s.slot
+    """,
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1
+        FROM events WHERE event_type = 'click'
+    ),
+    slots AS (
+        SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS slot FROM bounds
+    ),
+    hourly AS (
+        SELECT date_trunc('hour', ts) AS slot, count(*) AS n,
+               sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS sum_val_e4
+        FROM events WHERE event_type = 'click'
+        GROUP BY date_trunc('hour', ts)
+    )
+    SELECT s.slot, coalesce(h.n, 0) AS n,
+           last_value(h.sum_val_e4 IGNORE NULLS) OVER (
+               ORDER BY s.slot ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS locf_sum_e4,
+           h.sum_val_e4 IS NULL AS gap
+    FROM slots s LEFT JOIN hourly h ON s.slot = h.slot
+    ORDER BY s.slot
+    """,
+    tags=("events", "timeseries", "gapfill"),
+    doc="Gap-filled hourly rollup with forward fill (time_bucket_gapfill + "
+    "locf): generated time spine LEFT JOIN bucket aggregates, IGNORE NULLS "
+    "last_value window.",
+)
