@@ -366,3 +366,46 @@ _sql_query(
     "locf): generated time spine LEFT JOIN bucket aggregates, IGNORE NULLS "
     "last_value window.",
 )
+
+
+# --- range join: events matched to overlapping time windows. The naive
+#     plan for ts BETWEEN wstart AND wend is a nested-loop join; the scale
+#     technique is to explode each window into its covered hour buckets and
+#     equi-join on the bucket (hash join, shuffle bounded by windows x
+#     buckets) with the exact range as a residual filter.
+
+_RANGE_JOIN_BODY = """
+    , win AS (
+        SELECT row_number() OVER (ORDER BY wstart) AS win_id,
+               wstart, wstart + INTERVAL 90 MINUTE AS wend
+        FROM (SELECT DISTINCT date_trunc('day', ts) + INTERVAL 9 HOUR AS wstart
+              FROM events)
+    ),
+    wb AS (
+        SELECT win_id, wstart, wend, {EXPLODE} AS bk
+        FROM win
+    ),
+    e AS (SELECT event_id, ts, value, date_trunc('hour', ts) AS bk FROM events)
+    SELECT w.win_id, count(*) AS n,
+           sum(cast(floor(e.value * 10000 + 0.5) AS BIGINT)) AS sum_e4
+    FROM e JOIN wb w ON e.bk = w.bk
+    WHERE e.ts >= w.wstart AND e.ts < w.wend
+    GROUP BY w.win_id
+    ORDER BY w.win_id
+"""
+
+_sql_query(
+    "events_range_join",
+    "WITH x AS (SELECT 1)"
+    + _RANGE_JOIN_BODY.format(
+        EXPLODE="explode(sequence(date_trunc('hour', wstart), date_trunc('hour', wend), interval 1 hour))"
+    ),
+    oracle="WITH x AS (SELECT 1)"
+    + _RANGE_JOIN_BODY.format(
+        EXPLODE="unnest(generate_series(date_trunc('hour', wstart), date_trunc('hour', wend), INTERVAL 1 HOUR))"
+    ),
+    tags=("events", "timeseries", "range-join"),
+    doc="Interval/range join via bucketed equi-join + residual range "
+    "predicate (hash join, never nested-loop): each window explodes into "
+    "its covered hour buckets, events join on their bucket.",
+)

@@ -99,3 +99,12 @@ def test_qdigest_merge_shuffles_digests_not_rows(spark):
     plan = _plan(spark, "agg_qdigest_rollup")
     assert "Generate explode" in plan or "Generate" in plan
     assert plan.count("FileScan") <= 3  # leaf build + exact-percentile arm
+
+
+def test_range_join_is_hash_not_nested_loop(spark):
+    """The bucketed range join must plan as a hash join with the range as
+    a residual filter — never BroadcastNestedLoopJoin over the fact."""
+    plan = _plan(spark, "events_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan
