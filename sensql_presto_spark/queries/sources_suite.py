@@ -89,3 +89,43 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip(spark, sf_dir, "orc")
+
+
+@register(
+    "scale_bucketed_join",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS n_lines,
+           sum(cast(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_price_c
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    tags=("sources", "bucketing", "scale"),
+    doc="Bucketed co-located fact-fact join (SURVEY §4.2 grouped "
+    "execution): both sides written bucketBy(orderkey), so the join needs "
+    "no exchange on either input — at 100 TB the shuffle is paid once at "
+    "write time. The oracle recomputes from the unbucketed parquet.",
+)
+def scale_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    catalog.register_views(spark, sf_dir)
+    spark.sql("CREATE DATABASE IF NOT EXISTS bktq")
+    for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        # snapshot-overwrite the bucketed twin for this sf_dir
+        spark.sql(f"DROP TABLE IF EXISTS bktq.{tbl}_b")
+        (
+            spark.table(tbl)
+            .write.format("parquet")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .saveAsTable(f"bktq.{tbl}_b")
+        )
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority, count(*) AS n_lines,
+               sum(cast(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_price_c
+        FROM bktq.orders_b o JOIN bktq.lineitem_b l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+        """
+    )
