@@ -110,8 +110,14 @@ def scale_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog.register_views(spark, sf_dir)
     spark.sql("CREATE DATABASE IF NOT EXISTS bktq")
     for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
-        # snapshot-overwrite the bucketed twin for this sf_dir
+        # snapshot-overwrite the bucketed twin for this sf_dir; a fresh
+        # session's catalog does not know the table, so the previous run's
+        # warehouse directory must also go or saveAsTable fails with
+        # LOCATION_ALREADY_EXISTS
         spark.sql(f"DROP TABLE IF EXISTS bktq.{tbl}_b")
+        import shutil
+
+        shutil.rmtree(os.path.join(_DIR, "bktq.db", f"{tbl}_b"), ignore_errors=True)
         (
             spark.table(tbl)
             .write.format("parquet")
