@@ -135,3 +135,47 @@ def scale_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o.o_orderpriority
         """
     )
+
+
+@register(
+    "scale_salted_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n,
+           sum(cast(floor(e.value * 10000 + 0.5) AS BIGINT)) AS sum_val_e4
+    FROM events e JOIN customer c ON e.user_id % 100 = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    tags=("sources", "scale", "skew"),
+    doc="Skew-salted join as a first-class query: the fact side takes a "
+    "deterministic salt (event_id % S), the dim side explodes into all S "
+    "salt values, and the join key becomes (k, salt) — a hot key's rows "
+    "spread across S reducers instead of one. Result must equal the plain "
+    "join (the oracle).",
+)
+def scale_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    SALT = 8
+    e = catalog.table(spark, sf_dir, "events").withColumn(
+        "join_key", F.col("user_id") % 100
+    )
+    c = catalog.table(spark, sf_dir, "customer")
+    salted_fact = e.withColumn("salt", (F.col("event_id") % SALT).cast("int"))
+    salted_dim = c.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1)))
+    )
+    joined = salted_fact.join(
+        salted_dim,
+        (salted_fact.join_key == salted_dim.c_custkey)
+        & (salted_fact.salt == salted_dim.salt),
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")).alias(
+                "sum_val_e4"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
