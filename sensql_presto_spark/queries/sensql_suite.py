@@ -400,3 +400,412 @@ def geo_st_accessors(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_custkey
         """
     )
+
+
+@register(
+    "geo_st_setops",
+    oracle="""
+    WITH g AS (
+        SELECT c_custkey,
+               (c_custkey % 20)::DOUBLE AS x0, (c_nationkey % 10)::DOUBLE AS y0
+        FROM customer WHERE c_custkey < 60
+    )
+    SELECT c_custkey,
+           4.0 AS isect_area,
+           TRUE AS union_keeps_container,
+           TRUE AS diff_disjoint_is_self,
+           TRUE AS diff_contained_is_empty,
+           2 AS symd_n,
+           TRUE AS touch_adjacent,
+           FALSE AS touch_overlapping,
+           TRUE AS overlaps_proper,
+           FALSE AS overlaps_contained,
+           TRUE AS crosses_line,
+           TRUE AS relate_touch_pattern,
+           TRUE AS relate_within_pattern
+    FROM g ORDER BY c_custkey
+    """,
+    tags=("sensql", "geospatial"),
+    doc="Geometry set operations + remaining DE-9IM predicates "
+    "(GeoFunctions.java ST_Intersection/ST_Union/ST_Difference/"
+    "ST_SymDifference/ST_Touches/ST_Crosses/ST_Overlaps/ST_Relate): "
+    "Sutherland-Hodgman clipping and point-set algebra vs closed-form "
+    "oracle on synthesized rectangles.",
+)
+def geo_st_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensql_presto_spark.functions.geospatial import register_geospatial
+
+    register_geospatial(spark)
+    catalog.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH g AS (
+            SELECT c_custkey,
+                   cast(c_custkey % 20 AS DOUBLE) AS x0,
+                   cast(c_nationkey % 10 AS DOUBLE) AS y0
+            FROM customer WHERE c_custkey < 60
+        ),
+        p AS (
+            SELECT c_custkey, x0, y0,
+                   concat('POLYGON ((', x0, ' ', y0, ', ', x0 + 4, ' ', y0, ', ',
+                          x0 + 4, ' ', y0 + 4, ', ', x0, ' ', y0 + 4, '))') AS rect_a,
+                   concat('POLYGON ((', x0 + 2, ' ', y0 + 2, ', ', x0 + 6, ' ', y0 + 2, ', ',
+                          x0 + 6, ' ', y0 + 6, ', ', x0 + 2, ' ', y0 + 6, '))') AS rect_b,
+                   concat('POLYGON ((', x0 + 4, ' ', y0, ', ', x0 + 8, ' ', y0, ', ',
+                          x0 + 8, ' ', y0 + 4, ', ', x0 + 4, ' ', y0 + 4, '))') AS rect_adj,
+                   concat('POLYGON ((', x0 + 1, ' ', y0 + 1, ', ', x0 + 2, ' ', y0 + 1, ', ',
+                          x0 + 2, ' ', y0 + 2, ', ', x0 + 1, ' ', y0 + 2, '))') AS rect_in,
+                   concat('POLYGON ((', x0 + 50, ' ', y0, ', ', x0 + 54, ' ', y0, ', ',
+                          x0 + 54, ' ', y0 + 4, ', ', x0 + 50, ' ', y0 + 4, '))') AS rect_far,
+                   concat('MULTIPOINT (', x0, ' ', y0, ', ', x0 + 1, ' ', y0, ')') AS mp_ab,
+                   concat('MULTIPOINT (', x0 + 1, ' ', y0, ', ', x0 + 2, ' ', y0, ')') AS mp_bc,
+                   concat('LINESTRING (', x0 - 1, ' ', y0 + 1, ', ', x0 + 9, ' ', y0 + 1, ')') AS line_thru
+            FROM g
+        )
+        SELECT c_custkey,
+               st_area(st_intersection(rect_a, rect_b)) AS isect_area,
+               st_union(rect_a, rect_in) = rect_a AS union_keeps_container,
+               st_difference(rect_a, rect_far) = rect_a AS diff_disjoint_is_self,
+               st_difference(rect_in, rect_a) = 'POLYGON EMPTY' AS diff_contained_is_empty,
+               size(st_xs(st_sym_difference(mp_ab, mp_bc))) AS symd_n,
+               st_touches(rect_a, rect_adj) AS touch_adjacent,
+               st_touches(rect_a, rect_b) AS touch_overlapping,
+               st_overlaps(rect_a, rect_b) AS overlaps_proper,
+               st_overlaps(rect_a, rect_in) AS overlaps_contained,
+               st_crosses(line_thru, rect_a) AS crosses_line,
+               st_relate(rect_a, rect_adj, 'F***T****') AS relate_touch_pattern,
+               st_relate(concat('POINT (', x0 + 1, ' ', y0 + 1, ')'), rect_a,
+                         'T*F**F***') AS relate_within_pattern
+        FROM p
+        ORDER BY c_custkey
+        """
+    )
+
+
+@register(
+    "geo_wkb_geojson",
+    oracle="""
+    WITH g AS (
+        SELECT c_custkey,
+               (c_custkey % 20)::DOUBLE AS x0, (c_nationkey % 10)::DOUBLE AS y0
+        FROM customer WHERE c_custkey < 60
+    )
+    SELECT c_custkey,
+           42 AS wkb_pt_hex_len,
+           TRUE AS wkb_line_roundtrip,
+           TRUE AS wkb_poly_roundtrip,
+           TRUE AS geojson_roundtrip,
+           TRUE AS invalid_reason_null,
+           'Geometry has no coordinates' AS empty_reason,
+           2 AS env_pts_n,
+           3 AS geoms_n,
+           0 AS irings_n,
+           TRUE AS iring_n_null,
+           2 AS mp_ctor_n,
+           'ST_LineString' AS ls_ctor_type
+    FROM g ORDER BY c_custkey
+    """,
+    tags=("sensql", "geospatial"),
+    doc="WKB in/out (real OGC little-endian encoding, ST_AsBinary/"
+    "ST_GeomFromBinary), GeoJSON in/out (geometry_as_geojson/"
+    "geometry_from_geojson), geometry_invalid_reason, ST_EnvelopeAsPts, "
+    "ST_Geometries, ST_InteriorRings, ST_MultiPoint/ST_LineString "
+    "constructors — round-trip-checked numerically (coordinate arrays), "
+    "not textually, so WKT float formatting cannot drift.",
+)
+def geo_wkb_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensql_presto_spark.functions.geospatial import register_geospatial
+
+    register_geospatial(spark)
+    catalog.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH g AS (
+            SELECT c_custkey,
+                   cast(c_custkey % 20 AS DOUBLE) AS x0,
+                   cast(c_nationkey % 10 AS DOUBLE) AS y0
+            FROM customer WHERE c_custkey < 60
+        ),
+        p AS (
+            SELECT c_custkey, x0, y0,
+                   concat('POINT (', x0, ' ', y0, ')') AS pt,
+                   concat('LINESTRING (', x0, ' ', y0, ', ', x0 + 3, ' ', y0 + 4, ')') AS line,
+                   concat('POLYGON ((', x0, ' ', y0, ', ', x0 + 4, ' ', y0, ', ',
+                          x0 + 4, ' ', y0 + 3, ', ', x0, ' ', y0 + 3, '))') AS poly,
+                   concat('MULTIPOINT (', x0, ' ', y0, ', ', x0 + 1, ' ', y0, ', ',
+                          x0 + 2, ' ', y0, ')') AS mp
+            FROM g
+        )
+        SELECT c_custkey,
+               length(hex(st_as_binary(pt))) AS wkb_pt_hex_len,
+               st_xs(st_geom_from_binary(st_as_binary(line))) = st_xs(line)
+                   AND st_ys(st_geom_from_binary(st_as_binary(line))) = st_ys(line)
+                   AS wkb_line_roundtrip,
+               st_xs(st_geom_from_binary(st_as_binary(poly))) = st_xs(poly)
+                   AND st_geometry_type(st_geom_from_binary(st_as_binary(poly))) = 'ST_Polygon'
+                   AS wkb_poly_roundtrip,
+               st_xs(geometry_from_geojson(geometry_as_geojson(poly))) = st_xs(poly)
+                   AND st_ys(geometry_from_geojson(geometry_as_geojson(poly))) = st_ys(poly)
+                   AS geojson_roundtrip,
+               geometry_invalid_reason(poly) IS NULL AS invalid_reason_null,
+               geometry_invalid_reason('POLYGON EMPTY') AS empty_reason,
+               size(st_envelope_as_pts(poly)) AS env_pts_n,
+               size(st_geometries(mp)) AS geoms_n,
+               size(st_interior_rings(poly)) AS irings_n,
+               st_interior_ring_n(poly, 1) IS NULL AS iring_n_null,
+               size(st_xs(st_multipoint(array(pt, concat('POINT (', x0 + 1, ' ', y0, ')')))))
+                   AS mp_ctor_n,
+               st_geometry_type(st_linestring(array(pt, concat('POINT (', x0 + 1, ' ', y0, ')'))))
+                   AS ls_ctor_type
+        FROM p
+        ORDER BY c_custkey
+        """
+    )
+
+
+@register(
+    "geo_line_ops",
+    oracle="""
+    WITH g AS (
+        SELECT c_custkey,
+               (c_custkey % 20)::DOUBLE AS x0, (c_nationkey % 10)::DOUBLE AS y0
+        FROM customer WHERE c_custkey < 60
+    )
+    SELECT c_custkey,
+           0.25 AS locate_frac,
+           x0 + 2 AS interp_x,
+           y0 AS interp_y,
+           2 AS simplified_n,
+           3.0 AS nearest_gap
+    FROM g ORDER BY c_custkey
+    """,
+    tags=("sensql", "geospatial"),
+    doc="Linear referencing + simplification + nearest points "
+    "(GeoFunctions.java line_locate_point/line_interpolate_point/"
+    "simplify_geometry/geometry_nearest_points): exact segment projection "
+    "and Douglas-Peucker vs closed-form oracle.",
+)
+def geo_line_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensql_presto_spark.functions.geospatial import register_geospatial
+
+    register_geospatial(spark)
+    catalog.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH g AS (
+            SELECT c_custkey,
+                   cast(c_custkey % 20 AS DOUBLE) AS x0,
+                   cast(c_nationkey % 10 AS DOUBLE) AS y0
+            FROM customer WHERE c_custkey < 60
+        ),
+        p AS (
+            SELECT c_custkey, x0, y0,
+                   concat('LINESTRING (', x0, ' ', y0, ', ', x0 + 8, ' ', y0, ')') AS line,
+                   concat('LINESTRING (', x0, ' ', y0, ', ', x0 + 4, ' ', y0 + 0.1, ', ',
+                          x0 + 8, ' ', y0, ')') AS zigzag,
+                   concat('POLYGON ((', x0, ' ', y0, ', ', x0 + 4, ' ', y0, ', ',
+                          x0 + 4, ' ', y0 + 4, ', ', x0, ' ', y0 + 4, '))') AS rect,
+                   concat('POINT (', x0 - 3, ' ', y0 + 1, ')') AS probe
+            FROM g
+        )
+        SELECT c_custkey,
+               line_locate_point(line, concat('POINT (', x0 + 2, ' ', y0 + 5, ')')) AS locate_frac,
+               st_x(line_interpolate_point(line, 0.25)) AS interp_x,
+               st_y(line_interpolate_point(line, 0.25)) AS interp_y,
+               size(st_xs(simplify_geometry(zigzag, 0.5))) AS simplified_n,
+               round(st_distance(element_at(geometry_nearest_points(probe, rect), 1),
+                                 element_at(geometry_nearest_points(probe, rect), 2)), 6)
+                   AS nearest_gap
+        FROM p
+        ORDER BY c_custkey
+        """
+    )
+
+
+@register(
+    "geo_bing_parity",
+    oracle="""
+    WITH g AS (
+        SELECT c_custkey,
+               ((c_custkey % 120) - 60 + 0.5)::DOUBLE AS lat,
+               ((c_custkey % 360) - 180 + 0.5)::DOUBLE AS lon
+        FROM customer WHERE c_custkey < 60
+    )
+    SELECT c_custkey,
+           TRUE AS tile_eq_tile_at,
+           TRUE AS coords_roundtrip,
+           TRUE AS children_prefixed,
+           TRUE AS parent_roundtrip,
+           12 AS zoom_of_tile,
+           TRUE AS point_cover_single,
+           TRUE AS dissolve_to_parent
+    FROM g ORDER BY c_custkey
+    """,
+    tags=("sensql", "geospatial"),
+    doc="Bing tile constructor/accessor parity (BingTileFunctions.java "
+    "bing_tile/bing_tile_at/bing_tile_coordinates/bing_tile_children/"
+    "bing_tile_parent/geometry_to_dissolved_bing_tiles): quadkey algebra "
+    "round trips plus an exact four-children-dissolve-to-parent case "
+    "constructed from child tile envelope midpoints.",
+)
+def geo_bing_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensql_presto_spark.functions.geospatial import register_geospatial
+
+    register_geospatial(spark)
+    catalog.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH g AS (
+            SELECT c_custkey,
+                   cast((c_custkey % 120) - 60 + 0.5 AS DOUBLE) AS lat,
+                   cast((c_custkey % 360) - 180 + 0.5 AS DOUBLE) AS lon
+            FROM customer WHERE c_custkey < 60
+        ),
+        t AS (
+            SELECT c_custkey, lat, lon,
+                   bing_tile_at(lat, lon, 12) AS qk,
+                   bing_tile_x_at(lon, 8) AS px,
+                   bing_tile_y_at(lat, 8) AS py
+            FROM g
+        ),
+        c AS (
+            -- envelope spanning the midpoints of the parent's corner
+            -- children at zoom 9: covers exactly the four child tiles
+            SELECT c_custkey, lat, lon, qk, px, py,
+                   (st_xmin(bing_tile_polygon(2 * px, 2 * py, 9))
+                    + st_xmax(bing_tile_polygon(2 * px, 2 * py, 9))) / 2 AS lon_nw,
+                   (st_ymin(bing_tile_polygon(2 * px, 2 * py, 9))
+                    + st_ymax(bing_tile_polygon(2 * px, 2 * py, 9))) / 2 AS lat_nw,
+                   (st_xmin(bing_tile_polygon(2 * px + 1, 2 * py + 1, 9))
+                    + st_xmax(bing_tile_polygon(2 * px + 1, 2 * py + 1, 9))) / 2 AS lon_se,
+                   (st_ymin(bing_tile_polygon(2 * px + 1, 2 * py + 1, 9))
+                    + st_ymax(bing_tile_polygon(2 * px + 1, 2 * py + 1, 9))) / 2 AS lat_se
+            FROM t
+        )
+        SELECT c_custkey,
+               bing_tile(bing_tile_x_at(lon, 12), bing_tile_y_at(lat, 12), 12) = qk
+                   AS tile_eq_tile_at,
+               bing_tile_coordinates(qk).x = bing_tile_x_at(lon, 12)
+                   AND bing_tile_coordinates(qk).y = bing_tile_y_at(lat, 12)
+                   AS coords_roundtrip,
+               size(filter(bing_tile_children(qk), ch -> ch LIKE concat(qk, '%'))) = 4
+                   AS children_prefixed,
+               size(filter(bing_tile_children(qk),
+                           ch -> substring(ch, 1, length(ch) - 1) = qk)) = 4
+                   AS parent_roundtrip,
+               bing_tile_zoom_level(qk) AS zoom_of_tile,
+               size(geometry_to_bing_tiles(concat('POINT (', lon, ' ', lat, ')'), 10)) = 1
+                   AS point_cover_single,
+               geometry_to_dissolved_bing_tiles(
+                   concat('POLYGON ((', lon_nw, ' ', lat_se, ', ', lon_se, ' ', lat_se, ', ',
+                          lon_se, ' ', lat_nw, ', ', lon_nw, ' ', lat_nw, '))'), 9)
+                   = array(bing_tile_quadkey(px, py, 8))
+                   AS dissolve_to_parent
+        FROM c
+        ORDER BY c_custkey
+        """
+    )
+
+
+@register(
+    "geo_spherical",
+    oracle="""
+    WITH g AS (
+        SELECT c_custkey,
+               ((c_custkey % 100) - 50 + 0.5)::DOUBLE AS lat,
+               ((c_custkey % 300) - 150 + 0.5)::DOUBLE AS lon
+        FROM customer WHERE c_custkey < 60
+    )
+    SELECT c_custkey,
+           TRUE AS geography_valid,
+           TRUE AS geography_invalid_null,
+           round(1000 * 2 * 6371.01 * asin(sqrt(
+               pow(sin(radians(0.5)), 2) * pow(cos(radians(lat)), 2))), 3) AS seg_len_m,
+           TRUE AS equator_cell_area_ok
+    FROM g ORDER BY c_custkey
+    """,
+    tags=("sensql", "geospatial"),
+    doc="Spherical geography surface (SphericalGeoFunctions.java "
+    "to_spherical_geography/ST_Length/ST_Area on geography): geodesic "
+    "segment length matches the closed haversine form; 1-degree equator "
+    "cell area gated by an error-bound boolean vs the analytic value.",
+)
+def geo_spherical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensql_presto_spark.functions.geospatial import register_geospatial
+
+    register_geospatial(spark)
+    catalog.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH g AS (
+            SELECT c_custkey,
+                   cast((c_custkey % 100) - 50 + 0.5 AS DOUBLE) AS lat,
+                   cast((c_custkey % 300) - 150 + 0.5 AS DOUBLE) AS lon
+            FROM customer WHERE c_custkey < 60
+        )
+        SELECT c_custkey,
+               to_spherical_geography(concat('POINT (', lon, ' ', lat, ')')) IS NOT NULL
+                   AS geography_valid,
+               to_spherical_geography(concat('POINT (', lon + 400, ' ', lat, ')')) IS NULL
+                   AS geography_invalid_null,
+               round(st_geography_length(
+                   concat('LINESTRING (', lon, ' ', lat, ', ', lon + 1, ' ', lat, ')')), 3)
+                   AS seg_len_m,
+               abs(st_geography_area('POLYGON ((0 0, 1 0, 1 1, 0 1))') - 1.2364e10) / 1.2364e10
+                   < 0.01 AS equator_cell_area_ok
+        FROM g
+        ORDER BY c_custkey
+        """
+    )
+
+
+@register(
+    "geo_agg_hulls",
+    oracle="""
+    WITH g AS (
+        SELECT c_custkey % 5 AS grp,
+               ((c_custkey // 5) % 6)::DOUBLE AS px,
+               (((c_custkey // 5) // 6) % 4)::DOUBLE AS py
+        FROM customer WHERE c_custkey < 600
+    )
+    SELECT grp,
+           15.0 AS hull_area,
+           4 AS hull_n_pts,
+           24 AS union_n
+    FROM g GROUP BY grp ORDER BY grp
+    """,
+    tags=("sensql", "geospatial"),
+    doc="Geometry aggregates (presto-geospatial aggregation/: "
+    "convex_hull_agg, geometry_union_agg) as a grouped rollup: per group, "
+    "vertices are set-collected (map-side partial aggregation, one "
+    "shuffle), unioned as a MULTIPOINT, and hulled with the monotone-chain "
+    "kernel.  The deterministic (custkey/5 mod 6, /30 mod 4) grid makes "
+    "hull area/vertex count and union cardinality closed-form.",
+)
+def geo_agg_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensql_presto_spark.functions.geospatial import register_geospatial
+
+    register_geospatial(spark)
+    catalog.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH g AS (
+            SELECT c_custkey % 5 AS grp,
+                   st_point(cast(cast(c_custkey / 5 AS INT) % 6 AS DOUBLE),
+                            cast(cast(cast(c_custkey / 5 AS INT) / 6 AS INT) % 4 AS DOUBLE)) AS pt
+            FROM customer WHERE c_custkey < 600
+        ),
+        agg AS (
+            -- geometry_union_agg == set-union of member geometries;
+            -- convex_hull_agg == hull of the unioned vertex set
+            SELECT grp, st_multipoint(collect_set(pt)) AS union_geom
+            FROM g GROUP BY grp
+        )
+        SELECT grp,
+               st_area(st_convex_hull(union_geom)) AS hull_area,
+               st_num_points(st_convex_hull(union_geom)) AS hull_n_pts,
+               size(st_xs(union_geom)) AS union_n
+        FROM agg
+        ORDER BY grp
+        """
+    )
