@@ -45,6 +45,21 @@ def _emit(df, fmt: str, limit: int) -> None:
         print(_format_aligned(cols, [tuple(r) for r in rows]))
 
 
+def prepare_session(spark, sf_dir: str) -> None:
+    """Install the full engine surface on a session: catalog views plus the
+    Presto-name compat, geospatial, and sketch function families — what the
+    reference coordinator exposes with every plugin loaded."""
+    from sensql_presto_spark import catalog
+    from sensql_presto_spark.functions import register_all
+    from sensql_presto_spark.functions.geospatial import register_geospatial
+    from sensql_presto_spark.functions.sketches import register_sketch_functions
+
+    catalog.register_views(spark, sf_dir)
+    register_all(spark)
+    register_geospatial(spark)
+    register_sketch_functions(spark)
+
+
 def run_statement(spark, sf_dir: str, text: str, fmt: str = "aligned", limit: int = 1000) -> None:
     from sensql_presto_spark import catalog
 
@@ -72,15 +87,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--limit", type=int, default=1000, help="max rows printed")
     args = ap.parse_args(argv)
 
-    from sensql_presto_spark.functions import register_all
-    from sensql_presto_spark.functions.geospatial import register_geospatial
-    from sensql_presto_spark.functions.sketches import register_sketch_functions
     from sensql_presto_spark.session import get_spark
 
     spark = get_spark(app_name="sensql_cli")
-    register_all(spark)
-    register_geospatial(spark)
-    register_sketch_functions(spark)
+    prepare_session(spark, args.sf_dir)
 
     try:
         if args.execute:

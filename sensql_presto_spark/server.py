@@ -1,0 +1,281 @@
+"""HTTP SQL entry point — the reference's primary query path (SURVEY.md §3.1).
+
+Implements the Presto client REST protocol shape over the Spark engine:
+
+- ``POST /v1/statement`` with the SQL text as the request body submits a
+  query and returns the first response document with a ``nextUri``
+  (reference: ``presto-main/.../server/protocol/QueuedStatementResource.java:103``).
+- ``GET /v1/statement/executing/{id}/{token}`` pages through results —
+  each document carries ``columns``, a ``data`` page, query ``stats`` and,
+  until the result set is drained, the next ``nextUri``
+  (reference: ``server/protocol/ExecutingStatementResource.java``; the
+  client loop is ``presto-client/.../StatementClient``).
+- ``DELETE /v1/statement/executing/{id}/{token}`` cancels
+  (``QueuedStatementResource.java`` cancelQuery).
+- ``GET /v1/info`` reports server info like ``server/ServerInfoResource``.
+
+State machine per query: QUEUED → RUNNING → FINISHED | FAILED | CANCELED —
+the same client-visible states the reference's ``QueryState`` exposes.
+
+Execution is Spark-native: statements run through the same
+``cli.prepare_session`` surface (catalog views + Presto-name compat
+functions + geospatial + SenSQL federation availability), on a worker
+thread per query so the HTTP loop never blocks on a Spark job.  Result
+paging slices the *collected* driver-side rows — the reference's protocol
+also pages from coordinator memory after the root fragment drains
+(``TaskOutputOperator`` → coordinator buffer), so this matches the
+protocol's memory model; queries whose full result would not fit a driver
+belong behind INSERT/CTAS, exactly as in the reference.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import uuid
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import types as T
+
+PAGE_ROWS = 1000
+
+
+def _presto_type(dt: T.DataType) -> str:
+    """Spark type → Presto type-signature string (presto-client ClientTypeSignature)."""
+    if isinstance(dt, T.LongType):
+        return "bigint"
+    if isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
+        return "integer"
+    if isinstance(dt, T.DoubleType):
+        return "double"
+    if isinstance(dt, T.FloatType):
+        return "real"
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
+    if isinstance(dt, T.StringType):
+        return "varchar"
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, T.BinaryType):
+        return "varbinary"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.TimestampType):
+        return "timestamp"
+    if isinstance(dt, T.ArrayType):
+        return f"array({_presto_type(dt.elementType)})"
+    if isinstance(dt, T.MapType):
+        return f"map({_presto_type(dt.keyType)}, {_presto_type(dt.valueType)})"
+    if isinstance(dt, T.StructType):
+        inner = ", ".join(f"{f.name} {_presto_type(f.dataType)}" for f in dt.fields)
+        return f"row({inner})"
+    return dt.simpleString()
+
+
+def _json_cell(v):
+    import base64
+    import datetime
+    import decimal
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return str(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, (bytes, bytearray)):
+        return base64.b64encode(bytes(v)).decode()
+    if isinstance(v, dict):
+        return {k: _json_cell(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_json_cell(x) for x in v]
+    return v
+
+
+@dataclass
+class QueryExecution:
+    query_id: str
+    sql: str
+    state: str = "QUEUED"
+    columns: list | None = None
+    rows: list | None = None
+    error: dict | None = None
+    cursor: int = 0
+    token: int = 0
+    lock: threading.Lock = field(default_factory=threading.Lock)
+
+    def snapshot_stats(self) -> dict:
+        return {
+            "state": self.state,
+            "queued": self.state == "QUEUED",
+            "scheduled": self.state in ("RUNNING", "FINISHED"),
+            "completedSplits": self.cursor,
+            "totalSplits": len(self.rows) if self.rows is not None else 0,
+        }
+
+
+class SqlServer:
+    """Protocol server over one SparkSession (coordinator analog)."""
+
+    def __init__(self, spark, sf_dir: str, host: str = "127.0.0.1", port: int = 0):
+        from sensql_presto_spark.cli import prepare_session
+
+        self.spark = spark
+        self.sf_dir = sf_dir
+        prepare_session(spark, sf_dir)
+        self.queries: dict[str, QueryExecution] = {}
+        self._httpd = ThreadingHTTPServer((host, port), self._handler_class())
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+
+    # -- lifecycle ---------------------------------------------------------
+    def start(self) -> "SqlServer":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+
+    # -- query execution ---------------------------------------------------
+    def submit(self, sql: str) -> QueryExecution:
+        q = QueryExecution(query_id=f"q_{uuid.uuid4().hex[:12]}", sql=sql)
+        self.queries[q.query_id] = q
+        threading.Thread(target=self._run, args=(q,), daemon=True).start()
+        return q
+
+    def _run(self, q: QueryExecution) -> None:
+        with q.lock:
+            if q.state == "CANCELED":
+                return
+            q.state = "RUNNING"
+        try:
+            df = self.spark.sql(q.sql)
+            rows = [[_json_cell(v) for v in row] for row in df.collect()]
+            cols = [
+                {"name": f.name, "type": _presto_type(f.dataType)} for f in df.schema.fields
+            ]
+            with q.lock:
+                if q.state != "CANCELED":
+                    q.columns, q.rows, q.state = cols, rows, "FINISHED"
+        except Exception as exc:  # noqa: BLE001 — surfaced to the client as QueryError
+            with q.lock:
+                q.error = {
+                    "message": str(exc).split("\n")[0][:500],
+                    "errorCode": 1,
+                    "errorName": type(exc).__name__,
+                    "failureInfo": {"type": type(exc).__name__},
+                }
+                q.state = "FAILED"
+
+    # -- protocol documents ------------------------------------------------
+    def _document(self, q: QueryExecution, base: str) -> dict:
+        with q.lock:
+            doc: dict = {
+                "id": q.query_id,
+                "infoUri": f"{base}/v1/query/{q.query_id}",
+                "stats": q.snapshot_stats(),
+            }
+            if q.state in ("QUEUED", "RUNNING"):
+                doc["nextUri"] = f"{base}/v1/statement/executing/{q.query_id}/{q.token}"
+            elif q.state == "FAILED":
+                doc["error"] = q.error
+            elif q.state == "CANCELED":
+                doc["error"] = {"message": "Query was canceled", "errorName": "USER_CANCELED"}
+            elif q.state == "FINISHED":
+                doc["columns"] = q.columns
+                page = q.rows[q.cursor : q.cursor + PAGE_ROWS]
+                if page:
+                    doc["data"] = page
+                q.cursor += len(page)
+                q.token += 1
+                if q.cursor < len(q.rows):
+                    doc["nextUri"] = f"{base}/v1/statement/executing/{q.query_id}/{q.token}"
+        return doc
+
+    # -- http plumbing -----------------------------------------------------
+    def _handler_class(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet test output
+                pass
+
+            def _base(self) -> str:
+                return f"http://{self.headers.get('Host', 'localhost')}"
+
+            def _send(self, code: int, payload: dict) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):
+                if self.path != "/v1/statement":
+                    self._send(404, {"error": {"message": "not found"}})
+                    return
+                length = int(self.headers.get("Content-Length", 0))
+                sql = self.rfile.read(length).decode()
+                if not sql.strip():
+                    self._send(400, {"error": {"message": "SQL statement is empty"}})
+                    return
+                q = server.submit(sql)
+                self._send(200, server._document(q, self._base()))
+
+            def do_GET(self):
+                parts = self.path.strip("/").split("/")
+                if self.path == "/v1/info":
+                    self._send(
+                        200,
+                        {
+                            "nodeVersion": {"version": "sensql-presto-spark"},
+                            "coordinator": True,
+                            "starting": False,
+                        },
+                    )
+                    return
+                if len(parts) == 5 and parts[:3] == ["v1", "statement", "executing"]:
+                    q = server.queries.get(parts[3])
+                    if q is None:
+                        self._send(404, {"error": {"message": "unknown query"}})
+                        return
+                    self._send(200, server._document(q, self._base()))
+                    return
+                self._send(404, {"error": {"message": "not found"}})
+
+            def do_DELETE(self):
+                parts = self.path.strip("/").split("/")
+                if len(parts) == 5 and parts[:3] == ["v1", "statement", "executing"]:
+                    q = server.queries.get(parts[3])
+                    if q is not None:
+                        with q.lock:
+                            if q.state in ("QUEUED", "RUNNING"):
+                                q.state = "CANCELED"
+                        self.send_response(204)
+                        self.end_headers()
+                        return
+                self._send(404, {"error": {"message": "not found"}})
+
+        return Handler
+
+
+def main() -> None:
+    import argparse
+    import os
+
+    from sensql_presto_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description="Presto-protocol HTTP SQL server on Spark")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    )
+    args = ap.parse_args()
+    server = SqlServer(get_spark(), args.sf_dir, port=args.port).start()
+    print(f"listening on http://127.0.0.1:{server.port}/v1/statement")
+    threading.Event().wait()
+
+
+if __name__ == "__main__":
+    main()

