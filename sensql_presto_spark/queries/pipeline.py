@@ -1084,3 +1084,109 @@ def sim_int8_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY query_id
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected-components dedup clustering (large-star / small-star)
+# ---------------------------------------------------------------------------
+#
+# Near-dup detection emits PAIRS; "keep one document per duplicate group"
+# needs the transitive closure of those pairs.  At 100 TB that is the
+# alternating large-star/small-star algorithm (Kiveris et al., "Connected
+# Components in MapReduce and Beyond"): O(log n) rounds, each one
+# shuffle-by-node — never materializing a component in one task, so a
+# 100M-member duplicate cluster costs the same per round as a pair.  The
+# reference has no CC operator (its dedup surface stops at pairwise
+# queries); this is a beyond-reference pipeline operator like the others
+# in this module.
+#
+# The edge set is synthesized deterministically from doc_ids (a sparse
+# functional graph: every third doc links to (31*id+7) mod n), so both
+# engines build the identical graph and DuckDB can label components with a
+# recursive-CTE min-label propagation as the oracle.  Real usage feeds the
+# band-join pair output of dedup_minhash_lsh/dedup_ngram_jaccard in as
+# `edges` unchanged.
+
+
+@register(
+    "dedup_connected_components",
+    oracle="""
+    WITH RECURSIVE
+    nodes AS (SELECT doc_id AS id FROM documents),
+    raw AS (
+        SELECT id AS u, (id * 31 + 7) % (SELECT count(*) FROM nodes) AS v
+        FROM nodes WHERE id % 3 = 0
+    ),
+    edges AS (
+        SELECT u, v FROM raw WHERE u <> v
+        UNION
+        SELECT v, u FROM raw WHERE u <> v
+    ),
+    walk(node, label) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id
+    FROM walk GROUP BY node ORDER BY doc_id
+    """,
+    tags=("pipeline", "dedup"),
+    doc="Duplicate-cluster labeling via alternating large-star/small-star "
+    "(O(log n) shuffle rounds, lineage cut per round); oracle is DuckDB "
+    "recursive-CTE label propagation over the same synthesized graph.",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = catalog.table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    n = docs.count()
+    raw = docs.where(F.col("id") % 3 == 0).select(
+        F.col("id").alias("u"), ((F.col("id") * 31 + 7) % F.lit(n)).alias("v")
+    ).where(F.col("u") != F.col("v"))
+    edges = raw.union(raw.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    edges = edges.localCheckpoint(eager=True)
+
+    wu = Window.partitionBy("u")
+    for _ in range(20):  # converges in O(log n) rounds; 20 is a safety bound
+        # large-star: every neighbor v > u links to the min of u's closed
+        # neighborhood — long tails collapse toward small ids.
+        m = F.least(F.min("v").over(wu), F.col("u"))
+        lstar = (
+            edges.withColumn("m", m)
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+        )
+        # small-star: orient to the smaller endpoint, then relink every
+        # small neighbor (and the center) to the neighborhood min.
+        oriented = lstar.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m2 = F.min("v").over(wu)
+        sstar = (
+            oriented.withColumn("m", m2)
+            .select(
+                F.explode(F.array(F.struct(F.col("v").alias("a"), F.col("m")),
+                                  F.struct(F.col("u").alias("a"), F.col("m")))).alias("e")
+            )
+            .select(F.col("e.a").alias("u"), F.col("e.m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        nxt = sstar.union(sstar.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+        nxt = nxt.localCheckpoint(eager=True)  # cut lineage every round
+        if nxt.exceptAll(edges).isEmpty() and edges.exceptAll(nxt).isEmpty():
+            edges = nxt
+            break
+        edges = nxt
+
+    # converged star graph: every member's sole smaller neighbor is the
+    # component root; isolated nodes label themselves.
+    labels = (
+        docs.join(edges, docs.id == edges.u, "left")
+        .groupBy("id")
+        .agg(F.least(F.col("id"), F.coalesce(F.min("v"), F.col("id"))).alias("cluster_id"))
+        .select(F.col("id").alias("doc_id"), "cluster_id")
+        .orderBy("doc_id")
+    )
+    return labels
