@@ -13,6 +13,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 TABLES: tuple[str, ...] = (
     "region",
@@ -42,14 +43,30 @@ def _ensure_session_conf(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Coerce events.ts to TIMESTAMP regardless of testdata vintage.
+
+    Older driver testdata stored ts as TIMESTAMP(NANOS), surfaced as raw
+    long nanos under ``nanosAsLong``; newer testdata stores timestamp[us]
+    directly. Integer division for the nanos path: nanos-since-epoch
+    (~1.7e18) exceeds double's 2^53 exact range, so a float divide would
+    corrupt the microsecond digit.
+    """
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+        # Session TZ is pinned to UTC (session.py), so this cast is an
+        # identity on the instant and keeps unix_micros()/window() usable.
+        df = df.withColumn("ts", F.col("ts").cast(TimestampType()))
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One parquet-backed table. Columnar scan; Catalyst pushes filters."""
     _ensure_session_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # Integer division: nanos-since-epoch (~1.7e18) exceeds double's 2^53
-        # exact range, so a float divide corrupts the microsecond digit.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_events_ts(df)
     return df
 
 

@@ -53,7 +53,7 @@ def tumbling_window_counts(
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = catalog.normalize_events_ts(raw)
     agg = (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
@@ -110,7 +110,7 @@ def session_window_stats(
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = catalog.normalize_events_ts(raw)
     agg = (
         events.withWatermark("ts", "2 hours")
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
@@ -168,7 +168,7 @@ def stateful_running_extrema(
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = catalog.normalize_events_ts(raw)
 
     out_schema = "user_id bigint, n bigint, max_val double, sum_val_e4 bigint"
     state_schema = "n bigint, max_val double, sum_val_e4 bigint"
@@ -247,7 +247,7 @@ def streaming_dedup_exact(
         )
 
     doubled = _stream().unionByName(_stream())
-    events = doubled.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = catalog.normalize_events_ts(doubled)
     dedup = events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
     agg = dedup.groupBy("event_type").agg(
         F.count("*").alias("n"),
