@@ -732,7 +732,41 @@ LIMIT 100
     bench=True,
 )
 def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return catalog.sql(spark, sf_dir, _Q18_SQL)
+    """Large-volume-customer with the IN-set pushed to BOTH fact sides.
+
+    Catalyst plants the semi join only on orders and then broadcasts the
+    full lineitem (it squeaks under the 10 MB threshold at sf0.1 — and
+    at 100 TB that plan is a non-starter). The reference's optimizer
+    propagates the IN-predicate across the o_orderkey = l_orderkey
+    equi-join (PredicatePushDown.java + EqualityInference.java), so only
+    qualifying orders' line items reach the join. Mirror that here: the
+    qualifying-keys set (HAVING sum > 250 → a few hundred keys) is
+    broadcast to semi-filter lineitem AND orders before the 3-way join.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    qualifying = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 250)
+        .select("l_orderkey")
+    )
+    lq = l.join(F.broadcast(qualifying), "l_orderkey", "left_semi")
+    oq = o.join(
+        F.broadcast(qualifying.withColumnRenamed("l_orderkey", "o_orderkey")),
+        "o_orderkey",
+        "left_semi",
+    )
+    return (
+        c.join(oq, c.c_custkey == oq.o_custkey)
+        .join(lq, oq.o_orderkey == lq.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
+        .limit(100)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )
 
 
 # --------------------------------------------------------------------------
