@@ -86,11 +86,49 @@ def register_views(spark: SparkSession, sf_dir: str, force: bool = False) -> Non
     key = (id(spark.sparkContext), sf_dir)
     if not force and key in _registered:
         return
-    for name, df in load_tables(spark, sf_dir).items():
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
         df.createOrReplaceTempView(name)
+    _register_information_schema(spark, tables)
     # Only one sf_dir's views can be current in a session at a time.
     _registered.difference_update({k for k in _registered if k[0] == key[0]})
     _registered.add(key)
+
+
+def _register_information_schema(spark: SparkSession, tables: dict[str, DataFrame]) -> None:
+    """Emulate Presto's information_schema connector over the catalog.
+
+    The reference serves ``information_schema.tables/columns`` from table
+    metadata (presto-main/.../connector/informationSchema/
+    InformationSchemaMetadata.java, TABLE_TABLES/TABLE_COLUMNS); Spark has
+    no built-in information_schema, so expose the same two relations as
+    temp views derived from the registered DataFrames' schemas. Metadata
+    only — no data scan, no driver materialization of table contents.
+    """
+    col_rows = []
+    tab_rows = []
+    for name in sorted(tables):
+        tab_rows.append(("spark", "default", name, "BASE TABLE"))
+        for pos, f in enumerate(tables[name].schema.fields, start=1):
+            col_rows.append(
+                (
+                    "spark",
+                    "default",
+                    name,
+                    f.name,
+                    pos,
+                    f.dataType.simpleString(),
+                    "YES" if f.nullable else "NO",
+                )
+            )
+    spark.createDataFrame(
+        tab_rows, "table_catalog string, table_schema string, table_name string, table_type string"
+    ).createOrReplaceTempView("information_schema_tables")
+    spark.createDataFrame(
+        col_rows,
+        "table_catalog string, table_schema string, table_name string, column_name string, "
+        "ordinal_position int, data_type string, is_nullable string",
+    ).createOrReplaceTempView("information_schema_columns")
 
 
 def sql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:

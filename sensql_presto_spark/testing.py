@@ -181,7 +181,13 @@ def run_golden_case(spark, sf_dir: str, sql_path: str, rtol: float = 1e-6) -> No
     from sensql_presto_spark import catalog as _catalog
 
     case = parse_golden_case(sql_path)
-    actual = _catalog.sql(spark, sf_dir, case["sql"]).toPandas()
+    # Mutable-table cases (reference testcases/insert/) are written as
+    # semicolon-separated statements: every statement but the last is
+    # setup DDL/DML, the last is the SELECT compared against .result.
+    statements = [s.strip() for s in case["sql"].split(";") if s.strip()]
+    for setup in statements[:-1]:
+        _catalog.sql(spark, sf_dir, setup).collect()
+    actual = _catalog.sql(spark, sf_dir, statements[-1]).toPandas()
     types = case["types"] or ["VARCHAR"] * len(actual.columns)
     expected = pd.DataFrame(
         [
