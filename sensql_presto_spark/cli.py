@@ -60,8 +60,11 @@ def prepare_session(spark, sf_dir: str) -> None:
     register_sketch_functions(spark)
 
 
-def run_statement(spark, sf_dir: str, text: str, fmt: str = "aligned", limit: int = 1000) -> None:
+def run_statement(
+    spark, sf_dir: str, text: str, fmt: str = "aligned", limit: int = 1000, state=None
+) -> None:
     from sensql_presto_spark import catalog
+    from sensql_presto_spark.statements import StatementSession
 
     text = text.strip().rstrip(";")
     if not text:
@@ -72,7 +75,9 @@ def run_statement(spark, sf_dir: str, text: str, fmt: str = "aligned", limit: in
         inner = catalog.sql(spark, sf_dir, text[len("EXPLAIN ANALYZE ") :])
         _emit(explain_analyze(spark, inner), fmt, limit)
         return
-    _emit(catalog.sql(spark, sf_dir, text), fmt, limit)
+    if state is None:
+        state = StatementSession(spark, sf_dir)
+    _emit(state.execute(text), fmt, limit)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -91,10 +96,13 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name="sensql_cli")
     prepare_session(spark, args.sf_dir)
+    from sensql_presto_spark.statements import StatementSession
+
+    state = StatementSession(spark, args.sf_dir)
 
     try:
         if args.execute:
-            run_statement(spark, args.sf_dir, args.execute, args.format, args.limit)
+            run_statement(spark, args.sf_dir, args.execute, args.format, args.limit, state)
             return 0
         interactive = sys.stdin.isatty()
         buf = ""
@@ -107,7 +115,7 @@ def main(argv: list[str] | None = None) -> int:
             while ";" in buf:
                 stmt, buf = buf.split(";", 1)
                 try:
-                    run_statement(spark, args.sf_dir, stmt, args.format, args.limit)
+                    run_statement(spark, args.sf_dir, stmt, args.format, args.limit, state)
                 except Exception as exc:  # noqa: BLE001 — REPL surfaces, doesn't die
                     print(f"Query failed: {exc}", file=sys.stderr)
                     if not interactive:
@@ -115,7 +123,7 @@ def main(argv: list[str] | None = None) -> int:
             if interactive:
                 print("sensql-spark> ", end="", flush=True)
         if buf.strip():
-            run_statement(spark, args.sf_dir, buf, args.format, args.limit)
+            run_statement(spark, args.sf_dir, buf, args.format, args.limit, state)
         return 0
     finally:
         spark.stop()

@@ -504,3 +504,35 @@ def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("l_quantity"))
         .orderBy("l_returnflag")
     )
+
+
+# --- prepared statements (PREPARE/EXECUTE/DEALLOCATE, SURVEY §3.4;
+#     QueryPreparer.java + ParameterRewriter.java substitute positional ?
+#     parameters before planning — same here, so Catalyst sees literals and
+#     pushdown/folding work as if the user inlined them) ---------------------
+
+
+@register(
+    "prepared_execute",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n, CAST(sum(cast(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice < 150000.0
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("prepared", "session"),
+)
+def prepared_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREPARE + EXECUTE ... USING with positional parameters."""
+    from sensql_presto_spark.statements import StatementSession
+
+    sess = StatementSession(spark, sf_dir)
+    sess.execute(
+        "PREPARE prio_totals FROM "
+        "SELECT o_orderpriority, count(*) AS n, "
+        "CAST(sum(cast(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total "
+        "FROM orders WHERE o_orderstatus = ? AND o_totalprice < ? "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    )
+    return sess.execute("EXECUTE prio_totals USING 'F', 150000.0")

@@ -119,9 +119,14 @@ class SqlServer:
     def __init__(self, spark, sf_dir: str, host: str = "127.0.0.1", port: int = 0):
         from sensql_presto_spark.cli import prepare_session
 
+        from sensql_presto_spark.statements import StatementSession
+
         self.spark = spark
         self.sf_dir = sf_dir
         prepare_session(spark, sf_dir)
+        # Prepared-statement + SHOW STATS dispatch shared across requests
+        # (the reference keeps prepared statements in Session state).
+        self._stmts = StatementSession(spark, sf_dir)
         self.queries: dict[str, QueryExecution] = {}
         self._httpd = ThreadingHTTPServer((host, port), self._handler_class())
         self.port = self._httpd.server_address[1]
@@ -149,7 +154,7 @@ class SqlServer:
                 return
             q.state = "RUNNING"
         try:
-            df = self.spark.sql(q.sql)
+            df = self._stmts.execute(q.sql)
             rows = [[_json_cell(v) for v in row] for row in df.collect()]
             cols = [
                 {"name": f.name, "type": _presto_type(f.dataType)} for f in df.schema.fields

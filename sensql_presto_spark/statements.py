@@ -1,0 +1,215 @@
+"""Session statement layer: PREPARE / EXECUTE / DEALLOCATE and SHOW STATS.
+
+Reference surface (SURVEY.md §3.4): the grammar's preparable statements
+(presto-parser SqlBase.g4 PREPARE/EXECUTE/DEALLOCATE) are handled by
+QueryPreparer (presto-main/.../execution/QueryPreparer.java), which looks
+up the prepared text from session state and substitutes positional ``?``
+parameters (sql/ParameterRewriter.java); SHOW STATS is rewritten into a
+table-statistics scan by sql/rewrite/ShowStatsRewrite.java backed by
+MetadataManager.getTableStatistics.
+
+Spark mapping: prepared statements are session-side text with literal
+substitution before ``spark.sql`` (Catalyst then plans the substituted
+query normally — constant folding sees real literals, so pushdown works
+exactly as if the user had inlined them). SHOW STATS runs ONE distributed
+aggregation pass over the target relation; the driver receives only the
+per-column scalars, never data rows.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ByteType,
+    DateType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+from sensql_presto_spark import catalog
+
+_PREPARE_RE = re.compile(r"^\s*PREPARE\s+(\w+)\s+FROM\s+(.+)$", re.IGNORECASE | re.DOTALL)
+_EXECUTE_RE = re.compile(r"^\s*EXECUTE\s+(\w+)(?:\s+USING\s+(.+))?$", re.IGNORECASE | re.DOTALL)
+_DEALLOC_RE = re.compile(r"^\s*DEALLOCATE\s+PREPARE\s+(\w+)\s*$", re.IGNORECASE)
+_SHOW_STATS_RE = re.compile(r"^\s*SHOW\s+STATS\s+FOR\s+(.+)$", re.IGNORECASE | re.DOTALL)
+
+
+def split_top_level(text: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` outside single-quoted strings and parentheses."""
+    parts, depth, in_str, cur = [], 0, False, []
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if in_str:
+            cur.append(ch)
+            if ch == "'":
+                # '' is an escaped quote inside a string literal
+                if i + 1 < len(text) and text[i + 1] == "'":
+                    cur.append("'")
+                    i += 1
+                else:
+                    in_str = False
+        elif ch == "'":
+            in_str = True
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def substitute_parameters(sql: str, params: list[str]) -> str:
+    """Replace positional ``?`` markers (outside string literals) in order.
+
+    Mirrors ParameterRewriter: parameter count must match marker count.
+    """
+    out, in_str, used = [], False, 0
+    i = 0
+    while i < len(sql):
+        ch = sql[i]
+        if in_str:
+            out.append(ch)
+            if ch == "'":
+                if i + 1 < len(sql) and sql[i + 1] == "'":
+                    out.append("'")
+                    i += 1
+                else:
+                    in_str = False
+        elif ch == "'":
+            in_str = True
+            out.append(ch)
+        elif ch == "?":
+            if used >= len(params):
+                raise ValueError("Incorrect number of parameters: too few supplied")
+            out.append(f"({params[used]})")
+            used += 1
+        else:
+            out.append(ch)
+        i += 1
+    if used != len(params):
+        raise ValueError(f"Incorrect number of parameters: expected {used}, got {len(params)}")
+    return "".join(out)
+
+
+_NUMERIC = (ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+_FIXED_WIDTH_BYTES = {
+    ByteType: 1,
+    ShortType: 2,
+    IntegerType: 4,
+    LongType: 8,
+    FloatType: 4,
+    DoubleType: 8,
+    DateType: 4,
+    TimestampType: 8,
+    TimestampNTZType: 8,
+}
+
+
+def show_stats(spark: SparkSession, sf_dir: str, target: str) -> DataFrame:
+    """SHOW STATS FOR <table> | (query) — Presto's 7-column stats relation.
+
+    One aggregation pass over the relation (partial aggs map-side, a single
+    scalar row to the driver), then the per-column layout is assembled as a
+    local VALUES relation — same shape as ShowStatsRewrite's output:
+    column_name, data_size, distinct_values_count, nulls_fraction,
+    row_count, low_value, high_value (summary row carries row_count).
+    """
+    target = target.strip()
+    if target.startswith("(") and target.endswith(")"):
+        rel = catalog.sql(spark, sf_dir, target[1:-1])
+    else:
+        rel = catalog.sql(spark, sf_dir, f"SELECT * FROM {target}")
+
+    aggs: list = [F.count(F.lit(1)).alias("__rc")]
+    for f in rel.schema.fields:
+        c, n = F.col(f.name), f.name
+        aggs.append(F.sum(F.when(c.isNull(), 1).otherwise(0)).alias(f"{n}__nulls"))
+        dt = type(f.dataType)
+        if isinstance(f.dataType, (StringType, *_NUMERIC, DateType, TimestampType, TimestampNTZType)):
+            aggs.append(F.approx_count_distinct(c).alias(f"{n}__ndv"))
+            aggs.append(F.min(c).cast("string").alias(f"{n}__lo"))
+            aggs.append(F.max(c).cast("string").alias(f"{n}__hi"))
+        if isinstance(f.dataType, StringType):
+            aggs.append(F.sum(F.octet_length(c)).alias(f"{n}__size"))
+        elif dt in _FIXED_WIDTH_BYTES:
+            aggs.append(
+                F.sum(F.when(c.isNull(), 0).otherwise(_FIXED_WIDTH_BYTES[dt])).alias(f"{n}__size")
+            )
+    stats = rel.agg(*aggs).collect()[0].asDict()
+
+    rc = stats["__rc"]
+    rows = []
+    for f in rel.schema.fields:
+        n = f.name
+        rows.append(
+            (
+                n,
+                float(stats[f"{n}__size"]) if stats.get(f"{n}__size") is not None else None,
+                float(stats[f"{n}__ndv"]) if stats.get(f"{n}__ndv") is not None else None,
+                (float(stats[f"{n}__nulls"]) / rc) if rc else None,
+                None,
+                stats.get(f"{n}__lo"),
+                stats.get(f"{n}__hi"),
+            )
+        )
+    rows.append((None, None, None, None, float(rc), None, None))
+    return spark.createDataFrame(
+        rows,
+        "column_name string, data_size double, distinct_values_count double, "
+        "nulls_fraction double, row_count double, low_value string, high_value string",
+    )
+
+
+class StatementSession:
+    """Stateful statement dispatcher shared by the CLI and the HTTP server."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.prepared: dict[str, str] = {}
+
+    def execute(self, text: str) -> DataFrame:
+        text = text.strip().rstrip(";")
+        m = _PREPARE_RE.match(text)
+        if m:
+            self.prepared[m.group(1).lower()] = m.group(2).strip()
+            return self.spark.createDataFrame([("PREPARE",)], "result string")
+        m = _DEALLOC_RE.match(text)
+        if m:
+            name = m.group(1).lower()
+            if name not in self.prepared:
+                raise ValueError(f"Prepared statement not found: {name}")
+            del self.prepared[name]
+            return self.spark.createDataFrame([("DEALLOCATE",)], "result string")
+        m = _EXECUTE_RE.match(text)
+        if m:
+            name = m.group(1).lower()
+            if name not in self.prepared:
+                raise ValueError(f"Prepared statement not found: {name}")
+            params = split_top_level(m.group(2)) if m.group(2) else []
+            return catalog.sql(
+                self.spark, self.sf_dir, substitute_parameters(self.prepared[name], params)
+            )
+        m = _SHOW_STATS_RE.match(text)
+        if m:
+            return show_stats(self.spark, self.sf_dir, m.group(1))
+        return catalog.sql(self.spark, self.sf_dir, text)

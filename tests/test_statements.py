@@ -1,0 +1,119 @@
+"""PREPARE/EXECUTE/DEALLOCATE and SHOW STATS (reference SURVEY §3.4:
+QueryPreparer.java, ParameterRewriter.java, ShowStatsRewrite.java)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from sensql_presto_spark.statements import (
+    StatementSession,
+    split_top_level,
+    substitute_parameters,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_substitute_parameters_basic():
+    assert (
+        substitute_parameters("SELECT * FROM t WHERE a = ? AND b < ?", ["1", "'x'"])
+        == "SELECT * FROM t WHERE a = (1) AND b < ('x')"
+    )
+
+
+def test_substitute_parameters_ignores_question_mark_in_string():
+    out = substitute_parameters("SELECT 'what?' AS q, ? AS p", ["42"])
+    assert out == "SELECT 'what?' AS q, (42) AS p"
+
+
+def test_substitute_parameters_count_mismatch():
+    with pytest.raises(ValueError):
+        substitute_parameters("SELECT ?", [])
+    with pytest.raises(ValueError):
+        substitute_parameters("SELECT ?", ["1", "2"])
+
+
+def test_split_top_level_respects_nesting():
+    assert split_top_level("1, 'a,b', f(2, 3)") == ["1", "'a,b'", "f(2, 3)"]
+
+
+def test_prepare_execute_deallocate_lifecycle(spark):
+    sess = StatementSession(spark, SF)
+    assert sess.execute(
+        "PREPARE p1 FROM SELECT count(*) AS n FROM nation WHERE n_regionkey = ?"
+    ).collect()[0].result == "PREPARE"
+
+    rows = sess.execute("EXECUTE p1 USING 0").collect()
+    assert rows[0].n == 5
+
+    # re-execution with a different binding replans with the new literal
+    assert sess.execute("EXECUTE p1 USING 99").collect()[0].n == 0
+
+    assert sess.execute("DEALLOCATE PREPARE p1").collect()[0].result == "DEALLOCATE"
+    with pytest.raises(ValueError, match="not found"):
+        sess.execute("EXECUTE p1 USING 0")
+
+
+def test_execute_unknown_statement_raises(spark):
+    sess = StatementSession(spark, SF)
+    with pytest.raises(ValueError, match="not found"):
+        sess.execute("EXECUTE nope")
+
+
+def test_show_stats_matches_duckdb(spark):
+    sess = StatementSession(spark, SF)
+    got = {r.column_name: r for r in sess.execute("SHOW STATS FOR nation").collect()}
+
+    con = duckdb.connect()
+    exp = con.sql(
+        f"""SELECT count(*) AS rc, count(DISTINCT n_nationkey) AS ndv,
+                   min(n_nationkey) AS lo, max(n_nationkey) AS hi
+            FROM read_parquet('{SF}/nation.parquet')"""
+    ).fetchone()
+    con.close()
+    rc, ndv, lo, hi = exp
+
+    summary = got[None]
+    assert summary.row_count == float(rc)
+    col = got["n_nationkey"]
+    assert col.nulls_fraction == 0.0
+    assert col.low_value == str(lo) and col.high_value == str(hi)
+    # approx_count_distinct is within a few % at this cardinality
+    assert abs(col.distinct_values_count - ndv) / ndv < 0.05
+    assert col.row_count is None
+
+
+def test_show_stats_for_query(spark):
+    sess = StatementSession(spark, SF)
+    rows = sess.execute(
+        "SHOW STATS FOR (SELECT n_regionkey FROM nation WHERE n_nationkey < 10)"
+    ).collect()
+    summary = [r for r in rows if r.column_name is None][0]
+    assert summary.row_count == 10.0
+
+
+def test_prepared_statement_via_server():
+    """Prepared statements survive across protocol requests (shared session)."""
+    from sensql_presto_spark.server import SqlServer
+    from sensql_presto_spark.session import get_spark
+    import json
+    import urllib.request
+
+    spark = get_spark()
+    srv = SqlServer(spark, SF).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+
+        def post(sql: str):
+            req = urllib.request.Request(f"{base}/v1/statement", data=sql.encode())
+            doc = json.loads(urllib.request.urlopen(req).read())
+            while "nextUri" in doc:
+                doc = json.loads(urllib.request.urlopen(doc["nextUri"]).read())
+            return doc
+
+        post("PREPARE srv_p FROM SELECT r_name FROM region WHERE r_regionkey = ?")
+        doc = post("EXECUTE srv_p USING 2")
+        assert doc["data"] == [["ASIA"]]
+    finally:
+        srv.stop()
