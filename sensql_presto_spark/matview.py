@@ -1,0 +1,116 @@
+"""Materialized views: CREATE / REFRESH / DROP over versioned parquet.
+
+Parity target (SURVEY.md §3.4 listed this as an out-of-scope gap; closing
+it): the reference's CREATE/REFRESH/DROP MATERIALIZED VIEW statements
+(presto-parser SqlBase.g4 materialized-view productions; executed by
+presto-main/.../execution/CreateMaterializedViewTask.java and the
+refresh path that inserts into the MV's backing storage table). Presto
+models an MV as a view definition plus a backing storage table; queries
+against a *fresh* MV are rewritten to scan the storage table
+(sql/MaterializedViewQueryOptimizer rewrite).
+
+Spark mapping: the definition SQL is stored next to a snapshot-versioned
+parquet directory (same copy-on-write shape as mutation.WritableTable —
+an immutable ``v=N`` directory per refresh, ``_SUCCESS``-gated). The MV
+name is registered as a temp view over the latest snapshot, so any query
+referencing it scans the precomputed parquet (with normal pushdown and
+pruning) instead of re-running the defining query — exactly the storage-
+table read path. REFRESH recomputes declaratively and commits ``v=N+1``;
+readers of the previous version are unaffected.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sensql_presto_spark import catalog
+
+_DEF_FILE = "definition.json"
+
+
+class MaterializedViewStore:
+    """All materialized views under one root directory (one per engine)."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str, root: str = "spark-warehouse/matviews"):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.root = root
+
+    # -- paths / bookkeeping -------------------------------------------------
+
+    def _dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _versions(self, name: str) -> list[int]:
+        d = self._dir(name)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(e[2:])
+            for e in os.listdir(d)
+            if e.startswith("v=") and os.path.exists(os.path.join(d, e, "_SUCCESS"))
+        )
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(os.path.join(self._dir(name), _DEF_FILE))
+
+    def definition(self, name: str) -> str:
+        with open(os.path.join(self._dir(name), _DEF_FILE)) as f:
+            return json.load(f)["sql"]
+
+    def names(self) -> list[str]:
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(n for n in os.listdir(self.root) if self.exists(n))
+
+    # -- statements ----------------------------------------------------------
+
+    def create(self, name: str, sql: str, replace: bool = False) -> None:
+        if self.exists(name) and not replace:
+            raise ValueError(f"Materialized view already exists: {name}")
+        d = self._dir(name)
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+        os.makedirs(d, exist_ok=True)
+        df = catalog.sql(self.spark, self.sf_dir, sql)
+        df.write.parquet(os.path.join(d, "v=0"))
+        with open(os.path.join(d, _DEF_FILE), "w") as f:
+            json.dump({"sql": sql}, f)
+        self._register(name)
+
+    def refresh(self, name: str) -> None:
+        """Recompute the defining query into the next snapshot version."""
+        if not self.exists(name):
+            raise ValueError(f"Materialized view not found: {name}")
+        v = self._versions(name)[-1] + 1
+        df = catalog.sql(self.spark, self.sf_dir, self.definition(name))
+        df.write.parquet(os.path.join(self._dir(name), f"v={v}"))
+        self._register(name)
+
+    def drop(self, name: str) -> None:
+        if not self.exists(name):
+            raise ValueError(f"Materialized view not found: {name}")
+        shutil.rmtree(self._dir(name))
+        self.spark.catalog.dropTempView(name)
+
+    def read(self, name: str) -> DataFrame:
+        if not self.exists(name):
+            raise ValueError(f"Materialized view not found: {name}")
+        v = self._versions(name)[-1]
+        return self.spark.read.parquet(os.path.join(self._dir(name), f"v={v}"))
+
+    # -- view registration ---------------------------------------------------
+
+    def _register(self, name: str) -> None:
+        """Point the temp view at the latest snapshot — the storage-table
+        read path of MaterializedViewQueryOptimizer's rewrite."""
+        self.read(name).createOrReplaceTempView(name)
+
+    def register_all(self) -> None:
+        """Re-attach every persisted MV in a fresh session."""
+        for name in self.names():
+            self._register(name)

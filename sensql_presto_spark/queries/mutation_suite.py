@@ -129,3 +129,33 @@ def ddl_ctas_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.insert_overwrite(t.read().filter(F.col("n_nationkey") >= 10))
     assert t.version == 2  # CTAS (v0) + two committed writes
     return t.read().orderBy("n_nationkey")
+
+
+@register(
+    "ddl_materialized_view",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders,
+           CAST(sum(cast(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("ddl", "matview"),
+    doc="Materialized-view lifecycle (SURVEY §3.4; CreateMaterializedViewTask"
+    ".java + refresh path): CREATE MV -> query reads the storage snapshot, "
+    "REFRESH commits v=1; end state vs the defining query's oracle.",
+)
+def ddl_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensql_presto_spark.statements import StatementSession
+
+    sess = StatementSession(spark, sf_dir)
+    defn = (
+        "SELECT o_orderpriority, count(*) AS n_orders, "
+        "CAST(sum(cast(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total "
+        "FROM orders GROUP BY o_orderpriority"
+    )
+    sess.execute(f"CREATE OR REPLACE MATERIALIZED VIEW mv_prio_totals AS {defn}")
+    sess.execute("REFRESH MATERIALIZED VIEW mv_prio_totals")
+    # Query via the registered view name: scans the v=1 parquet snapshot,
+    # not the defining aggregation.
+    return sess.execute("SELECT * FROM mv_prio_totals ORDER BY o_orderpriority")

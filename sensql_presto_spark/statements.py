@@ -41,6 +41,12 @@ _PREPARE_RE = re.compile(r"^\s*PREPARE\s+(\w+)\s+FROM\s+(.+)$", re.IGNORECASE | 
 _EXECUTE_RE = re.compile(r"^\s*EXECUTE\s+(\w+)(?:\s+USING\s+(.+))?$", re.IGNORECASE | re.DOTALL)
 _DEALLOC_RE = re.compile(r"^\s*DEALLOCATE\s+PREPARE\s+(\w+)\s*$", re.IGNORECASE)
 _SHOW_STATS_RE = re.compile(r"^\s*SHOW\s+STATS\s+FOR\s+(.+)$", re.IGNORECASE | re.DOTALL)
+_CREATE_MV_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+(\w+)\s+AS\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_REFRESH_MV_RE = re.compile(r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*$", re.IGNORECASE)
+_DROP_MV_RE = re.compile(r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(\w+)\s*$", re.IGNORECASE)
 
 
 def split_top_level(text: str, sep: str = ",") -> list[str]:
@@ -183,9 +189,13 @@ class StatementSession:
     """Stateful statement dispatcher shared by the CLI and the HTTP server."""
 
     def __init__(self, spark: SparkSession, sf_dir: str):
+        from sensql_presto_spark.matview import MaterializedViewStore
+
         self.spark = spark
         self.sf_dir = sf_dir
         self.prepared: dict[str, str] = {}
+        self.matviews = MaterializedViewStore(spark, sf_dir)
+        self.matviews.register_all()
 
     def execute(self, text: str) -> DataFrame:
         text = text.strip().rstrip(";")
@@ -212,4 +222,16 @@ class StatementSession:
         m = _SHOW_STATS_RE.match(text)
         if m:
             return show_stats(self.spark, self.sf_dir, m.group(1))
+        m = _CREATE_MV_RE.match(text)
+        if m:
+            self.matviews.create(m.group(2), m.group(3).strip(), replace=bool(m.group(1)))
+            return self.spark.createDataFrame([("CREATE MATERIALIZED VIEW",)], "result string")
+        m = _REFRESH_MV_RE.match(text)
+        if m:
+            self.matviews.refresh(m.group(1))
+            return self.spark.createDataFrame([("REFRESH MATERIALIZED VIEW",)], "result string")
+        m = _DROP_MV_RE.match(text)
+        if m:
+            self.matviews.drop(m.group(1))
+            return self.spark.createDataFrame([("DROP MATERIALIZED VIEW",)], "result string")
         return catalog.sql(self.spark, self.sf_dir, text)

@@ -1,0 +1,73 @@
+"""Materialized views (SURVEY §3.4; CreateMaterializedViewTask.java)."""
+
+from __future__ import annotations
+
+import pytest
+
+from sensql_presto_spark.statements import StatementSession
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sess(spark):
+    return StatementSession(spark, SF)
+
+
+def test_create_select_refresh_drop(spark):
+    sess = _sess(spark)
+    sess.execute(
+        "CREATE OR REPLACE MATERIALIZED VIEW mv_region_counts AS "
+        "SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey"
+    )
+    rows = sess.execute(
+        "SELECT n_regionkey, n FROM mv_region_counts ORDER BY n_regionkey"
+    ).collect()
+    assert [(r.n_regionkey, r.n) for r in rows] == [(i, 5) for i in range(5)]
+
+    sess.execute("REFRESH MATERIALIZED VIEW mv_region_counts")
+    assert sess.matviews._versions("mv_region_counts") == [0, 1]
+    # still serves the same (recomputed) contents
+    assert sess.execute("SELECT count(*) AS c FROM mv_region_counts").collect()[0].c == 5
+
+    sess.execute("DROP MATERIALIZED VIEW mv_region_counts")
+    assert not sess.matviews.exists("mv_region_counts")
+
+
+def test_query_scans_snapshot_not_base_query(spark):
+    """The MV read path is a parquet scan of the storage table, not a
+    re-execution of the defining aggregation (the MaterializedView rewrite
+    contract)."""
+    sess = _sess(spark)
+    sess.execute(
+        "CREATE OR REPLACE MATERIALIZED VIEW mv_scan_probe AS "
+        "SELECT r_regionkey, r_name FROM region"
+    )
+    plan = sess.execute("SELECT * FROM mv_scan_probe")._jdf.queryExecution().executedPlan().toString()
+    assert "matviews/mv_scan_probe" in plan
+    assert "Aggregate" not in plan
+    sess.execute("DROP MATERIALIZED VIEW mv_scan_probe")
+
+
+def test_create_without_replace_conflicts(spark):
+    sess = _sess(spark)
+    sess.execute("CREATE OR REPLACE MATERIALIZED VIEW mv_dup AS SELECT 1 AS x")
+    with pytest.raises(ValueError, match="already exists"):
+        sess.execute("CREATE MATERIALIZED VIEW mv_dup AS SELECT 2 AS y")
+    sess.execute("DROP MATERIALIZED VIEW mv_dup")
+
+
+def test_mv_survives_new_statement_session(spark):
+    """Persisted MVs re-attach in a fresh session (register_all)."""
+    s1 = _sess(spark)
+    s1.execute(
+        "CREATE OR REPLACE MATERIALIZED VIEW mv_persist AS "
+        "SELECT count(*) AS n FROM nation"
+    )
+    s2 = _sess(spark)
+    assert s2.execute("SELECT n FROM mv_persist").collect()[0].n == 25
+    s2.execute("DROP MATERIALIZED VIEW mv_persist")
+
+
+def test_refresh_unknown_raises(spark):
+    with pytest.raises(ValueError, match="not found"):
+        _sess(spark).execute("REFRESH MATERIALIZED VIEW mv_nope")
