@@ -52,12 +52,14 @@ def prepare_session(spark, sf_dir: str) -> None:
     from sensql_presto_spark import catalog
     from sensql_presto_spark.functions import register_all
     from sensql_presto_spark.functions.geospatial import register_geospatial
+    from sensql_presto_spark.functions.ip import register_ip_functions
     from sensql_presto_spark.functions.sketches import register_sketch_functions
 
     catalog.register_views(spark, sf_dir)
     register_all(spark)
     register_geospatial(spark)
     register_sketch_functions(spark)
+    register_ip_functions(spark)
 
 
 def run_statement(

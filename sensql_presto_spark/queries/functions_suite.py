@@ -683,3 +683,66 @@ _sql_query(
     """,
     tags=("functions", "conditional", "try"),
 )
+
+
+# --- IP address/prefix functions (IpPrefixFunctions.java:50-135;
+#     IPADDRESS/IPPREFIX travel as canonical strings, arithmetic is
+#     Arrow-vectorized over stdlib ipaddress — IPv4 AND IPv6 work; the
+#     oracle replays the IPv4 cases with pure integer arithmetic) ------------
+
+
+@register(
+    "fn_ip",
+    oracle="""
+    WITH a AS (
+        SELECT c_custkey,
+               10 * 16777216 + ((c_custkey // 256) % 256) * 65536 +
+               (c_custkey % 256) * 256 + ((c_custkey * 7) % 256) AS ipint
+        FROM customer WHERE c_custkey <= 40
+    )
+    SELECT c_custkey,
+           '10.' || ((ipint // 65536) % 256) || '.' || ((ipint // 256) % 256) || '.0/24'
+               AS pfx24,
+           '10.' || ((ipint // 65536) % 256) || '.' || ((ipint // 256) % 256) || '.0'
+               AS sub_min,
+           '10.' || ((ipint // 65536) % 256) || '.' || ((ipint // 256) % 256) || '.255'
+               AS sub_max,
+           '10.' || ((ipint // 65536) % 256) || '.' || ((ipint // 256) % 256) || '.0,' ||
+           '10.' || ((ipint // 65536) % 256) || '.' || ((ipint // 256) % 256) || '.255'
+               AS sub_range,
+           ipint % 4294967296 BETWEEN 10 * 16777216 AND 10 * 16777216 + 8388607
+               AS in_10_0_0_0_slash9,
+           TRUE AS nested_24_in_16
+    FROM a
+    ORDER BY c_custkey
+    """,
+    tags=("functions", "ip"),
+    doc="IpPrefixFunctions.java parity: ip_prefix, ip_subnet_min/max/range, "
+    "is_subnet_of (address and prefix overloads), Arrow-vectorized.",
+)
+def fn_ip(spark, sf_dir):
+    from sensql_presto_spark import catalog
+    from sensql_presto_spark.functions.ip import register_ip_functions
+
+    register_ip_functions(spark)
+    return catalog.sql(
+        spark,
+        sf_dir,
+        """
+        WITH a AS (
+            SELECT c_custkey,
+                   concat('10.', (c_custkey div 256) % 256, '.', c_custkey % 256,
+                          '.', (c_custkey * 7) % 256) AS ip
+            FROM customer WHERE c_custkey <= 40
+        )
+        SELECT c_custkey,
+               ip_prefix(ip, 24) AS pfx24,
+               ip_subnet_min(ip_prefix(ip, 24)) AS sub_min,
+               ip_subnet_max(ip_prefix(ip, 24)) AS sub_max,
+               concat_ws(',', ip_subnet_range(ip_prefix(ip, 24))) AS sub_range,
+               is_subnet_of('10.0.0.0/9', ip) AS in_10_0_0_0_slash9,
+               is_subnet_of(ip_prefix(ip, 16), ip_prefix(ip, 24)) AS nested_24_in_16
+        FROM a
+        ORDER BY c_custkey
+        """,
+    )
