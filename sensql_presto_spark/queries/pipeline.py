@@ -1190,3 +1190,124 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
     )
     return labels
+
+
+# --- PII detection/redaction (training-data pipeline op). The corpus text
+# is synthetic, so deterministic PII (email/phone/IPv4 built from doc_id) is
+# spliced in first; detection+redaction is then pure regexp column work —
+# whole-stage codegen, no UDFs, embarrassingly parallel at 100 TB. Patterns
+# avoid \b and \. so the same regex text is valid in Java regex and RE2.
+_sql_query(
+    "text_pii_redact",
+    """
+    WITH aug AS (
+        SELECT doc_id,
+               concat(text, ' contact user', doc_id, '@mail.example.com or 555-',
+                      lpad(cast(doc_id % 100 AS string), 4, '0'),
+                      ' from 10.1.', cast(doc_id % 256 AS string), '.7') AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           size(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]+', 0)) AS n_emails,
+           size(regexp_extract_all(text, '555-[0-9]{4}', 0)) AS n_phones,
+           size(regexp_extract_all(text, '10[.][0-9]+[.][0-9]+[.][0-9]+', 0)) AS n_ips,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]+', '<EMAIL>'),
+               '555-[0-9]{4}', '<PHONE>'),
+               '10[.][0-9]+[.][0-9]+[.][0-9]+', '<IP>') AS redacted
+    FROM aug
+    ORDER BY doc_id
+    """,
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id || '@mail.example.com or 555-' ||
+               lpad(cast(doc_id % 100 AS varchar), 4, '0') ||
+               ' from 10.1.' || (doc_id % 256) || '.7' AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]+')) AS n_emails,
+           len(regexp_extract_all(text, '555-[0-9]{4}')) AS n_phones,
+           len(regexp_extract_all(text, '10[.][0-9]+[.][0-9]+[.][0-9]+')) AS n_ips,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]+', '<EMAIL>', 'g'),
+               '555-[0-9]{4}', '<PHONE>', 'g'),
+               '10[.][0-9]+[.][0-9]+[.][0-9]+', '<IP>', 'g') AS redacted
+    FROM aug
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "text", "pii"),
+)
+
+# --- Within-document repetition (Gopher-style quality signal): fraction of
+# duplicate word 2-grams and 3-grams per document. Pure array expressions —
+# one codegen'd projection, no shuffle at all (per-row metric).
+_sql_query(
+    "text_repetition",
+    """
+    WITH t AS (SELECT doc_id, split(text, ' ') AS toks FROM documents),
+    g AS (
+        SELECT doc_id, size(toks) AS n_tokens,
+               transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1])) AS g2,
+               transform(sequence(0, size(toks) - 3), i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])) AS g3
+        FROM t WHERE size(toks) >= 3
+    )
+    SELECT doc_id, n_tokens,
+           round(1.0 - size(array_distinct(g2)) / cast(size(g2) AS double), 6) AS dup2_frac,
+           round(1.0 - size(array_distinct(g3)) / cast(size(g3) AS double), 6) AS dup3_frac
+    FROM g
+    ORDER BY doc_id
+    """,
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+        SELECT doc_id, len(toks) AS n_tokens,
+               list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS g2,
+               list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS g3
+        FROM t WHERE len(toks) >= 3
+    )
+    SELECT doc_id, n_tokens,
+           round(1.0 - len(list_distinct(g2)) / cast(len(g2) AS double), 6) AS dup2_frac,
+           round(1.0 - len(list_distinct(g3)) / cast(len(g3) AS double), 6) AS dup3_frac
+    FROM g
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "text", "quality"),
+)
+
+# --- Corpus-level reporting rollup: per-language doc counts, size and
+# token totals, exact length quantiles. One partial-agg shuffle on lang —
+# the dataset-card summary a curation pipeline emits per snapshot.
+_sql_query(
+    "text_corpus_stats",
+    """
+    WITH t AS (
+        SELECT lang, n_chars, size(split(text, ' ')) AS n_tokens FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           sum(n_chars) AS total_chars,
+           sum(n_tokens) AS total_tokens,
+           cast(floor(percentile(n_chars, 0.5)) AS bigint) AS median_chars,
+           cast(floor(percentile(n_chars, 0.9)) AS bigint) AS p90_chars,
+           round(avg(n_tokens), 4) AS avg_tokens
+    FROM t
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    oracle="""
+    WITH t AS (
+        SELECT lang, n_chars, len(string_split(text, ' ')) AS n_tokens FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           sum(n_chars) AS total_chars,
+           sum(n_tokens) AS total_tokens,
+           cast(floor(quantile_cont(n_chars, 0.5)) AS bigint) AS median_chars,
+           cast(floor(quantile_cont(n_chars, 0.9)) AS bigint) AS p90_chars,
+           round(avg(n_tokens), 4) AS avg_tokens
+    FROM t
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("pipeline", "text", "stats"),
+)
