@@ -41,6 +41,9 @@ _PREPARE_RE = re.compile(r"^\s*PREPARE\s+(\w+)\s+FROM\s+(.+)$", re.IGNORECASE | 
 _EXECUTE_RE = re.compile(r"^\s*EXECUTE\s+(\w+)(?:\s+USING\s+(.+))?$", re.IGNORECASE | re.DOTALL)
 _DEALLOC_RE = re.compile(r"^\s*DEALLOCATE\s+PREPARE\s+(\w+)\s*$", re.IGNORECASE)
 _SHOW_STATS_RE = re.compile(r"^\s*SHOW\s+STATS\s+FOR\s+(.+)$", re.IGNORECASE | re.DOTALL)
+_SET_SESSION_RE = re.compile(r"^\s*SET\s+SESSION\s+(\w+)\s*=\s*(.+)$", re.IGNORECASE | re.DOTALL)
+_RESET_SESSION_RE = re.compile(r"^\s*RESET\s+SESSION\s+(\w+)\s*$", re.IGNORECASE)
+_SHOW_SESSION_RE = re.compile(r"^\s*SHOW\s+SESSION\s*$", re.IGNORECASE)
 _CREATE_MV_RE = re.compile(
     r"^\s*CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+(\w+)\s+AS\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
@@ -185,6 +188,80 @@ def show_stats(spark: SparkSession, sf_dir: str, target: str) -> DataFrame:
     )
 
 
+def _strip_quotes(v: str) -> str:
+    v = v.strip()
+    if len(v) >= 2 and v[0] == "'" and v[-1] == "'":
+        return v[1:-1].replace("''", "'")
+    return v
+
+
+class _SessionProperty:
+    """One Presto session property mapped onto a Spark conf."""
+
+    def __init__(self, conf: str, to_spark, from_spark, description: str):
+        self.conf = conf
+        self.to_spark = to_spark
+        self.from_spark = from_spark
+        self.description = description
+
+
+def _join_dist_to_spark(v: str) -> str:
+    v = v.upper()
+    if v == "PARTITIONED":
+        return "-1"  # never broadcast: both sides shuffle on the join keys
+    if v == "BROADCAST":
+        return "100MB"
+    if v == "AUTOMATIC":
+        return "10MB"  # Spark's default threshold; AQE refines at runtime
+    raise ValueError(f"Invalid value for join_distribution_type: {v}")
+
+
+def _join_dist_from_spark(v: str) -> str:
+    if v in ("-1", "-1b"):
+        return "PARTITIONED"
+    return "BROADCAST" if v.upper().startswith("100") else "AUTOMATIC"
+
+
+# The user-facing subset of SystemSessionProperties.java, each mapped to
+# the Spark conf that controls the equivalent planner/runtime behavior.
+SESSION_PROPERTIES: dict[str, _SessionProperty] = {
+    "join_distribution_type": _SessionProperty(
+        "spark.sql.autoBroadcastJoinThreshold",
+        _join_dist_to_spark,
+        _join_dist_from_spark,
+        "AUTOMATIC | PARTITIONED | BROADCAST (DetermineJoinDistributionType.java)",
+    ),
+    "join_reordering_strategy": _SessionProperty(
+        "spark.sql.cbo.joinReorder.enabled",
+        lambda v: {"AUTOMATIC": "true", "NONE": "false", "ELIMINATE_CROSS_JOINS": "false"}[
+            v.upper()
+        ],
+        lambda v: "AUTOMATIC" if v == "true" else "ELIMINATE_CROSS_JOINS",
+        "NONE | ELIMINATE_CROSS_JOINS | AUTOMATIC (ReorderJoins.java; "
+        "cross-join elimination is Catalyst's baseline either way)",
+    ),
+    "hash_partition_count": _SessionProperty(
+        "spark.sql.shuffle.partitions",
+        lambda v: str(int(v)),
+        lambda v: v,
+        "number of shuffle partitions (SystemSessionProperties.java "
+        "HASH_PARTITION_COUNT -> spark.sql.shuffle.partitions)",
+    ),
+    "enable_dynamic_filtering": _SessionProperty(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        lambda v: v.lower(),
+        lambda v: v,
+        "runtime bloom-filter pushdown (DynamicFilterSourceOperator.java)",
+    ),
+    "query_max_execution_time": _SessionProperty(
+        "spark.sql.broadcastTimeout",
+        lambda v: v,
+        lambda v: v,
+        "coarse per-exchange timeout analog",
+    ),
+}
+
+
 class StatementSession:
     """Stateful statement dispatcher shared by the CLI and the HTTP server."""
 
@@ -194,6 +271,7 @@ class StatementSession:
         self.spark = spark
         self.sf_dir = sf_dir
         self.prepared: dict[str, str] = {}
+        self._conf_defaults: dict[str, str | None] = {}
         self.matviews = MaterializedViewStore(spark, sf_dir)
         self.matviews.register_all()
 
@@ -222,6 +300,15 @@ class StatementSession:
         m = _SHOW_STATS_RE.match(text)
         if m:
             return show_stats(self.spark, self.sf_dir, m.group(1))
+        m = _SET_SESSION_RE.match(text)
+        if m:
+            return self._set_session(m.group(1).lower(), _strip_quotes(m.group(2)))
+        m = _RESET_SESSION_RE.match(text)
+        if m:
+            return self._reset_session(m.group(1).lower())
+        m = _SHOW_SESSION_RE.match(text)
+        if m:
+            return self._show_session()
         m = _CREATE_MV_RE.match(text)
         if m:
             self.matviews.create(m.group(2), m.group(3).strip(), replace=bool(m.group(1)))
@@ -235,3 +322,38 @@ class StatementSession:
             self.matviews.drop(m.group(1))
             return self.spark.createDataFrame([("DROP MATERIALIZED VIEW",)], "result string")
         return catalog.sql(self.spark, self.sf_dir, text)
+
+    # -- session properties (SET/RESET/SHOW SESSION, SURVEY §3.4;
+    #    SystemSessionProperties.java names -> Spark confs) -----------------
+
+    def _prop(self, name: str) -> _SessionProperty:
+        if name not in SESSION_PROPERTIES:
+            raise ValueError(f"Session property {name} does not exist")
+        return SESSION_PROPERTIES[name]
+
+    def _set_session(self, name: str, value: str) -> DataFrame:
+        prop = self._prop(name)
+        if prop.conf not in self._conf_defaults:
+            self._conf_defaults[prop.conf] = self.spark.conf.get(prop.conf, None)
+        self.spark.conf.set(prop.conf, prop.to_spark(value))
+        return self.spark.createDataFrame([("SET SESSION",)], "result string")
+
+    def _reset_session(self, name: str) -> DataFrame:
+        prop = self._prop(name)
+        default = self._conf_defaults.pop(prop.conf, None)
+        if default is not None:
+            self.spark.conf.set(prop.conf, default)
+        else:
+            self.spark.conf.unset(prop.conf)
+        return self.spark.createDataFrame([("RESET SESSION",)], "result string")
+
+    def _show_session(self) -> DataFrame:
+        rows = []
+        for name in sorted(SESSION_PROPERTIES):
+            prop = SESSION_PROPERTIES[name]
+            raw = self.spark.conf.get(prop.conf, None)
+            value = prop.from_spark(raw) if raw is not None else None
+            rows.append((name, value, prop.conf, prop.description))
+        return self.spark.createDataFrame(
+            rows, "name string, value string, spark_conf string, description string"
+        )

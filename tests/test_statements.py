@@ -15,6 +15,10 @@ from sensql_presto_spark.statements import (
 SF = "/root/testdata/sf0.001"
 
 
+def _sess(spark):
+    return StatementSession(spark, SF)
+
+
 def test_substitute_parameters_basic():
     assert (
         substitute_parameters("SELECT * FROM t WHERE a = ? AND b < ?", ["1", "'x'"])
@@ -117,3 +121,53 @@ def test_prepared_statement_via_server():
         assert doc["data"] == [["ASIA"]]
     finally:
         srv.stop()
+
+
+def test_set_session_join_distribution_affects_plan(spark):
+    """SET SESSION join_distribution_type = 'PARTITIONED' must stop
+    broadcast planning (DetermineJoinDistributionType.java analog)."""
+    sess = _sess(spark)
+    try:
+        sess.execute("SET SESSION join_distribution_type = 'PARTITIONED'")
+        plan = (
+            sess.execute(
+                "SELECT n.n_name, r.r_name FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey"
+            )
+            ._jdf.queryExecution()
+            .sparkPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        sess.execute("RESET SESSION join_distribution_type")
+    plan = (
+        sess.execute(
+            "SELECT n.n_name, r.r_name FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey"
+        )
+        ._jdf.queryExecution()
+        .sparkPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_set_session_hash_partition_count(spark):
+    sess = _sess(spark)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        sess.execute("SET SESSION hash_partition_count = 7")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    finally:
+        sess.execute("RESET SESSION hash_partition_count")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_show_session_lists_properties(spark):
+    rows = {r.name: r for r in _sess(spark).execute("SHOW SESSION").collect()}
+    assert "join_distribution_type" in rows
+    assert rows["hash_partition_count"].spark_conf == "spark.sql.shuffle.partitions"
+
+
+def test_set_unknown_session_property_raises(spark):
+    with pytest.raises(ValueError, match="does not exist"):
+        _sess(spark).execute("SET SESSION no_such_property = 1")
