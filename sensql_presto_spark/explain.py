@@ -51,3 +51,40 @@ def explain_analyze(spark: SparkSession, df: DataFrame) -> DataFrame:
     return spark.createDataFrame(
         rows, "operator_id INT, operator STRING, metric STRING, value BIGINT"
     )
+
+
+def explain_io(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """EXPLAIN (TYPE IO): which tables/files a query reads, with the
+    projected columns and the filters pushed into each scan.
+
+    Reference: the IO explain type (presto-main/.../sql/planner/planPrinter/
+    IOPlanPrinter.java) reports per-table column/filter access; here the
+    same facts come from the scan nodes' metadata (Location / ReadSchema /
+    PushedFilters), which is also how we assert pushdown in test_plans.py.
+    """
+    plan = df._jdf.queryExecution().sparkPlan()
+    rows: list[tuple[str, str, str, str]] = []
+
+    def walk(node) -> None:
+        try:
+            md = node.metadata()
+            if md.contains("Location"):
+                loc = str(md.get("Location").get())
+                rows.append(
+                    (
+                        loc[loc.rfind("/") + 1 :].rstrip("]"),
+                        str(md.get("ReadSchema").get()) if md.contains("ReadSchema") else "",
+                        str(md.get("PushedFilters").get()) if md.contains("PushedFilters") else "",
+                        loc,
+                    )
+                )
+        except Exception:  # noqa: BLE001 — only scan nodes carry metadata
+            pass
+        it = node.children().iterator()
+        while it.hasNext():
+            walk(it.next())
+
+    walk(plan)
+    return spark.createDataFrame(
+        rows, "table STRING, read_schema STRING, pushed_filters STRING, location STRING"
+    )

@@ -41,6 +41,9 @@ _PREPARE_RE = re.compile(r"^\s*PREPARE\s+(\w+)\s+FROM\s+(.+)$", re.IGNORECASE | 
 _EXECUTE_RE = re.compile(r"^\s*EXECUTE\s+(\w+)(?:\s+USING\s+(.+))?$", re.IGNORECASE | re.DOTALL)
 _DEALLOC_RE = re.compile(r"^\s*DEALLOCATE\s+PREPARE\s+(\w+)\s*$", re.IGNORECASE)
 _SHOW_STATS_RE = re.compile(r"^\s*SHOW\s+STATS\s+FOR\s+(.+)$", re.IGNORECASE | re.DOTALL)
+_EXPLAIN_IO_RE = re.compile(
+    r"^\s*EXPLAIN\s*\(\s*TYPE\s+IO\s*\)\s+(.+)$", re.IGNORECASE | re.DOTALL
+)
 _SET_SESSION_RE = re.compile(r"^\s*SET\s+SESSION\s+(\w+)\s*=\s*(.+)$", re.IGNORECASE | re.DOTALL)
 _RESET_SESSION_RE = re.compile(r"^\s*RESET\s+SESSION\s+(\w+)\s*$", re.IGNORECASE)
 _SHOW_SESSION_RE = re.compile(r"^\s*SHOW\s+SESSION\s*$", re.IGNORECASE)
@@ -300,6 +303,11 @@ class StatementSession:
         m = _SHOW_STATS_RE.match(text)
         if m:
             return show_stats(self.spark, self.sf_dir, m.group(1))
+        m = _EXPLAIN_IO_RE.match(text)
+        if m:
+            from sensql_presto_spark.explain import explain_io
+
+            return explain_io(self.spark, catalog.sql(self.spark, self.sf_dir, m.group(1)))
         m = _SET_SESSION_RE.match(text)
         if m:
             return self._set_session(m.group(1).lower(), _strip_quotes(m.group(2)))

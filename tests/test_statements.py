@@ -171,3 +171,14 @@ def test_show_session_lists_properties(spark):
 def test_set_unknown_session_property_raises(spark):
     with pytest.raises(ValueError, match="does not exist"):
         _sess(spark).execute("SET SESSION no_such_property = 1")
+
+
+def test_explain_type_io_reports_scans_and_pushdown(spark):
+    rows = _sess(spark).execute(
+        "EXPLAIN (TYPE IO) SELECT o_orderkey FROM orders WHERE o_totalprice > 100000.0"
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert "orders.parquet" in r.location
+    assert "o_orderkey" in r.read_schema
+    assert "o_totalprice" in r.pushed_filters and "GreaterThan" in r.pushed_filters
