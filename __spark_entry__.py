@@ -99,6 +99,19 @@ PRIORITY: tuple[str, ...] = (
     "geo_st_functions",
 )
 
+# Round-3 rotation plan: once the r2 window above is driver-green, swap in
+# the entries that have never had a driver row — the r2-late additions
+# (geo_st_setops, geo_wkb_geojson, geo_spherical, geo_agg_hulls,
+# geo_bing_parity, geo_line_ops, geo_st_accessors, geo_st_surface2,
+# source_csv/json/orc_roundtrip, scale_bucketed_join, scale_skew_salted_join,
+# events_gap_fill, events_range_join, dedup_connected_components,
+# text_substring_dup, sim_int8_quantized, agg_setdigest_jaccard,
+# fn_sketch_scalars) plus this round's new surface (fn_ip, prepared_execute,
+# ddl_materialized_view, text_pii_redact, text_repetition,
+# text_corpus_stats) and the r1-unchecked leftovers (rollup_lineitem,
+# values_inline, remaining tpch/tpcds bodies). Keep any r2 entry that FAILED
+# its driver check; everything green twice can rotate out.
+
 
 def _alias(i: int, name: str) -> str:
     return f"a{i:02d}_{name}"
