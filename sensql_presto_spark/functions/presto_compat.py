@@ -241,6 +241,34 @@ _SQL_FUNCTIONS: tuple[str, ...] = (
        RETURNS INT RETURN instr(s, sub)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION char2hexint(s STRING)
        RETURNS STRING RETURN upper(hex(encode(s, 'UTF-16BE')))""",
+    # Teradata datetime trio (DateFormatParser.java in
+    # presto-teradata-functions): the yyyy/mm/dd/hh24/mi/ss token set is
+    # rewritten to JDK letters inline (lower-case first, then month vs
+    # minute disambiguation: mm->MM before mi->mm). Spark 4 ships
+    # non-replaceable builtins named to_char/to_date/to_timestamp, so the
+    # Teradata-format variants carry a teradata_ prefix here.
+    """CREATE OR REPLACE TEMPORARY FUNCTION teradata_to_char(t TIMESTAMP, fmt STRING)
+       RETURNS STRING RETURN
+       date_format(t, replace(replace(replace(lower(fmt), 'hh24', 'HH'), 'mm', 'MM'), 'mi', 'mm'))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION teradata_to_timestamp(s STRING, fmt STRING)
+       RETURNS TIMESTAMP RETURN
+       cast(unix_timestamp(s, replace(replace(replace(lower(fmt), 'hh24', 'HH'), 'mm', 'MM'), 'mi', 'mm')) AS TIMESTAMP)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION teradata_to_date(s STRING, fmt STRING)
+       RETURNS DATE RETURN
+       cast(cast(unix_timestamp(s, replace(replace(replace(lower(fmt), 'hh24', 'HH'), 'mm', 'MM'), 'mi', 'mm')) AS TIMESTAMP) AS DATE)""",
+    # -- combinations (ArrayCombinationsFunction.java) — pure-SQL n<=3
+    #    (the reference caps n at 5; nested-transform expansion covers the
+    #    practical range without a UDF, and stays codegen'd)
+    """CREATE OR REPLACE TEMPORARY FUNCTION combinations(a ARRAY<STRING>, n INT)
+       RETURNS ARRAY<ARRAY<STRING>> RETURN
+       CASE WHEN size(a) < n OR n < 1 OR n > 3 THEN cast(array() AS ARRAY<ARRAY<STRING>>)
+            WHEN n = 1 THEN transform(a, x -> array(x))
+            WHEN n = 2 THEN flatten(transform(sequence(0, size(a) - 2), i ->
+                            transform(sequence(i + 1, size(a) - 1), j -> array(a[i], a[j]))))
+            ELSE flatten(flatten(transform(sequence(0, size(a) - 3), i ->
+                 transform(sequence(i + 1, size(a) - 2), j ->
+                 transform(sequence(j + 1, size(a) - 1), k -> array(a[i], a[j], a[k]))))))
+       END""",
 )
 
 

@@ -579,7 +579,12 @@ def fn_datetime_presto_formats(spark, sf_dir):
            0.975002 AS ncdf, 1.96 AS incdf,
            'caf' || chr(233) AS nfc,
            '9D5C73EF85594D34EC4438B7C97E51D8' AS hmac_md5_hex,
-           '5031FE3D989C6D1537A013FA6E739DA23463FDAEC3B70137D828E36ACE221BD0' AS hmac_sha256_hex
+           '5031FE3D989C6D1537A013FA6E739DA23463FDAEC3B70137D828E36ACE221BD0' AS hmac_sha256_hex,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS td_char,
+           '2021-07-09' AS td_date,
+           '2021-07-09 11:22:33' AS td_ts,
+           6::BIGINT AS comb2_n,
+           'ab,ac,bc' AS comb2_str
     FROM orders WHERE o_orderkey < 50
     ORDER BY o_orderkey
     """,
@@ -646,7 +651,13 @@ def fn_presto_compat(spark, sf_dir):
                round(inverse_normal_cdf(0.0D, 1.0D, 0.975D), 4) AS incdf,
                normalize_nfc('café') AS nfc,
                upper(hex(hmac_md5(encode('data', 'UTF-8'), encode('key', 'UTF-8')))) AS hmac_md5_hex,
-               upper(hex(hmac_sha256(encode('data', 'UTF-8'), encode('key', 'UTF-8')))) AS hmac_sha256_hex
+               upper(hex(hmac_sha256(encode('data', 'UTF-8'), encode('key', 'UTF-8')))) AS hmac_sha256_hex,
+               teradata_to_char(o_orderdate, 'yyyy-mm-dd hh24:mi:ss') AS td_char,
+               cast(teradata_to_date('2021-07-09', 'yyyy-mm-dd') AS STRING) AS td_date,
+               cast(teradata_to_timestamp('2021-07-09 11:22:33', 'yyyy-mm-dd hh24:mi:ss') AS STRING) AS td_ts,
+               cast(size(combinations(array('a', 'b', 'c', 'd'), 2)) AS BIGINT) AS comb2_n,
+               array_join(transform(combinations(array('a', 'b', 'c'), 2),
+                                    x -> array_join(x, '')), ',') AS comb2_str
         FROM orders WHERE o_orderkey < 50
         ORDER BY o_orderkey
         """,
