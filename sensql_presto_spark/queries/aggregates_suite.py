@@ -416,10 +416,10 @@ _sql_query(
 # double accumulation order differs between engines, integer sums don't.
 _COUNT_IF_SQL = """
     SELECT o_orderstatus,
-           count_if(o_totalprice > 100000) AS n_big,
-           sum(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS n_p1,
-           round(sum(if(o_totalprice > 100000,
-                        cast(floor(o_totalprice * 100 + 0.5) AS BIGINT), NULL)) / 100.0
+           CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
+           CAST(sum(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS BIGINT) AS n_p1,
+           round(cast(sum(if(o_totalprice > 100000,
+                        cast(floor(o_totalprice * 100 + 0.5) AS BIGINT), NULL)) AS DOUBLE) / 100.0
                  / count_if(o_totalprice > 100000), 2) AS avg_big
     FROM orders
     GROUP BY o_orderstatus

@@ -32,8 +32,8 @@ _sql_query(
     """
     SELECT w.start AS win_start, event_type,
            count(*) AS n,
-           sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS sum_val_e4,
-           round(sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) / 10000.0 / count(*), 4) AS avg_val
+           CAST(sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_val_e4,
+           round(CAST(sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 / count(*), 4) AS avg_val
     FROM (SELECT window(ts, '1 hour') AS w, event_type, value FROM events)
     GROUP BY w, event_type
     ORDER BY win_start, event_type
@@ -41,8 +41,8 @@ _sql_query(
     oracle="""
     SELECT date_trunc('hour', ts) AS win_start, event_type,
            count(*) AS n,
-           sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS sum_val_e4,
-           round(sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) / 10000.0 / count(*), 4) AS avg_val
+           CAST(sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_val_e4,
+           round(CAST(sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 / count(*), 4) AS avg_val
     FROM events
     GROUP BY 1, 2
     ORDER BY win_start, event_type
@@ -59,7 +59,7 @@ _sql_query(
     "events_hopping_window",
     """
     SELECT w.start AS win_start, count(*) AS n,
-           sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS sum_val_e4
+           CAST(sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_val_e4
     FROM (SELECT window(ts, '1 hour', '30 minutes') AS w, value FROM events)
     GROUP BY w
     ORDER BY win_start
@@ -72,7 +72,7 @@ _sql_query(
         FROM events
     )
     SELECT win_start, count(*) AS n,
-           sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS sum_val_e4
+           CAST(sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_val_e4
     FROM h GROUP BY 1 ORDER BY win_start
     """,
     tags=("events", "window"),
@@ -94,12 +94,12 @@ _sql_query(
     ),
     sessions AS (
         SELECT user_id, ts, value,
-               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
         FROM flagged
     )
     SELECT user_id, session_id, count(*) AS n_events,
            (unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000 AS dur_s,
-           sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS sum_val_e4
+           CAST(sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_val_e4
     FROM sessions
     WHERE user_id < 30
     GROUP BY user_id, session_id
@@ -116,12 +116,12 @@ _sql_query(
     ),
     sessions AS (
         SELECT user_id, ts, value,
-               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
         FROM flagged
     )
     SELECT user_id, session_id, count(*) AS n_events,
            (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS dur_s,
-           sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS sum_val_e4
+           CAST(sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_val_e4
     FROM sessions
     WHERE user_id < 30
     GROUP BY user_id, session_id
@@ -212,7 +212,7 @@ _sql_query(
     oracle="""
     SELECT date_trunc('hour', ts) AS win_start, event_type,
            count(*) AS n,
-           sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS sum_val_e4
+           CAST(sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_val_e4
     FROM events
     GROUP BY 1, 2
     ORDER BY win_start, event_type
@@ -242,11 +242,11 @@ def events_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
         SELECT user_id, ts, value,
-               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
         FROM flagged
     )
     SELECT user_id, min(ts) AS sess_start, count(*) AS n_events,
-           sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS sum_val_e4
+           CAST(sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_val_e4
     FROM sessions
     WHERE user_id < 30
     GROUP BY user_id, session_id
@@ -269,7 +269,7 @@ def events_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_streaming_stateful",
     oracle="""
     SELECT user_id, count(*) AS n, max(value) AS max_val,
-           sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS sum_val_e4
+           CAST(sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_val_e4
     FROM events
     WHERE user_id < 30
     GROUP BY user_id
@@ -292,7 +292,7 @@ def events_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_streaming_dedup",
     oracle="""
     SELECT event_type, count(*) AS n,
-           sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS sum_val_e4
+           CAST(sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_val_e4
     FROM events
     GROUP BY event_type
     ORDER BY event_type
@@ -327,7 +327,7 @@ _sql_query(
     ),
     hourly AS (
         SELECT date_trunc('hour', ts) AS slot, count(*) AS n,
-               sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS sum_val_e4
+               CAST(sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_val_e4
         FROM events WHERE event_type = 'click'
         GROUP BY date_trunc('hour', ts)
     )
@@ -349,7 +349,7 @@ _sql_query(
     ),
     hourly AS (
         SELECT date_trunc('hour', ts) AS slot, count(*) AS n,
-               sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS sum_val_e4
+               CAST(sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_val_e4
         FROM events WHERE event_type = 'click'
         GROUP BY date_trunc('hour', ts)
     )

@@ -170,8 +170,8 @@ _sql_query(
 _FN_MATH_SQL = """
     SELECT l_orderkey, l_linenumber,
            abs(l_quantity - 25) AS absd,
-           ceil(l_discount * 100) AS c100,
-           floor(l_extendedprice / 1000) AS kprice,
+           CAST(ceil(l_discount * 100) AS BIGINT) AS c100,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS kprice,
            round(l_extendedprice, 1) AS r1,
            round(sqrt(l_quantity), 6) AS sq,
            round(cbrt(l_quantity), 6) AS cb,
@@ -181,7 +181,7 @@ _FN_MATH_SQL = """
            round(log2(l_quantity), 6) AS lg2,
            power(l_quantity, 2) AS p2,
            mod(l_linenumber, 3) AS m3,
-           sign(l_quantity - 25) AS sg,
+           CAST(sign(l_quantity - 25) AS BIGINT) AS sg,
            greatest(l_quantity, l_linenumber * 10) AS gr,
            least(l_quantity, l_linenumber * 10) AS le,
            round(atan2(l_quantity, 3), 6) AS at2,

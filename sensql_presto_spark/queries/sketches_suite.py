@@ -179,3 +179,56 @@ SELECT TRUE AS jaccard_ok, TRUE AS digest_full, TRUE AS sets_overlap
 def agg_setdigest_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog.register_views(spark, sf_dir)
     return spark.sql(_SETDIGEST_SQL)
+
+
+# --- KHyperLogLog surface (type/khyperloglog/KHyperLogLog.java:307-327,
+# KHyperLogLogFunctions.java uniquenessDistribution:78-103 and
+# reidentificationPotential:105-110). A KHLL is a per-key minhash of value
+# HLLs; its two headline probes reduce to a two-level aggregation:
+# per-key distinct-value counts, then a histogram over those counts.
+# Exact count(DISTINCT) here (oracle-identical); at 100 TB swap level 1 to
+# approx_count_distinct — same shuffle shape (partial aggs map-side), the
+# histogram level is unchanged.
+_KHLL_SQL = """
+    WITH per_key AS (
+        SELECT user_id, count(DISTINCT event_type) AS nv
+        FROM events GROUP BY user_id
+    ),
+    hist AS (
+        SELECT least(nv, 5) AS bucket, count(*) AS n_keys
+        FROM per_key GROUP BY least(nv, 5)
+    )
+    SELECT bucket,
+           round(n_keys / cast(sum(n_keys) OVER () AS double), 6) AS frac_keys,
+           round(sum(CASE WHEN bucket <= 2 THEN n_keys ELSE 0 END) OVER ()
+                 / cast(sum(n_keys) OVER () AS double), 6) AS reident_potential_t2
+    FROM hist
+    ORDER BY bucket
+"""
+
+
+@register(
+    "agg_khll_uniqueness",
+    oracle="""
+    WITH per_key AS (
+        SELECT user_id, count(DISTINCT event_type) AS nv
+        FROM events GROUP BY user_id
+    ),
+    hist AS (
+        SELECT least(nv, 5) AS bucket, count(*) AS n_keys
+        FROM per_key GROUP BY least(nv, 5)
+    )
+    SELECT bucket,
+           round(n_keys / cast(sum(n_keys) OVER () AS double), 6) AS frac_keys,
+           round(sum(CASE WHEN bucket <= 2 THEN n_keys ELSE 0 END) OVER ()
+                 / cast(sum(n_keys) OVER () AS double), 6) AS reident_potential_t2
+    FROM hist
+    ORDER BY bucket
+    """,
+    tags=("sketch", "khll", "aggregation"),
+    doc="KHyperLogLog uniqueness_distribution + reidentification_potential "
+    "as the two-level aggregation the sketch approximates.",
+)
+def agg_khll_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    catalog.register_views(spark, sf_dir)
+    return spark.sql(_KHLL_SQL)

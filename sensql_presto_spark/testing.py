@@ -186,7 +186,21 @@ def run_golden_case(spark, sf_dir: str, sql_path: str, rtol: float = 1e-6) -> No
     # setup DDL/DML, the last is the SELECT compared against .result.
     statements = [s.strip() for s in case["sql"].split(";") if s.strip()]
     for setup in statements[:-1]:
-        _catalog.sql(spark, sf_dir, setup).collect()
+        try:
+            _catalog.sql(spark, sf_dir, setup).collect()
+        except Exception as exc:  # noqa: BLE001 — retried once below
+            # A fresh session's catalog does not know a prior run's managed
+            # table, so DROP TABLE IF EXISTS no-ops while the warehouse
+            # directory persists and CREATE fails with
+            # LOCATION_ALREADY_EXISTS; clear the stale location and retry.
+            import re as _re
+            import shutil as _shutil
+
+            m = _re.search(r"location 'file:([^']+)' already exists", str(exc))
+            if not m:
+                raise
+            _shutil.rmtree(m.group(1), ignore_errors=True)
+            _catalog.sql(spark, sf_dir, setup).collect()
     actual = _catalog.sql(spark, sf_dir, statements[-1]).toPandas()
     types = case["types"] or ["VARCHAR"] * len(actual.columns)
     expected = pd.DataFrame(
