@@ -108,3 +108,21 @@ def test_range_join_is_hash_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan
+
+
+def test_q18_semi_filters_both_fact_sides(spark):
+    """q18's IN-set must semi-filter lineitem AND orders (the reference's
+    EqualityInference propagation); without it Catalyst broadcasts the full
+    lineitem — fine at sf0.1, a non-starter at 100 TB."""
+    plan = _plan(spark, "tpch_q18")
+    # two semi joins (orders and lineitem each filtered by the IN-set);
+    # formatted mode mentions each join in the tree and the detail section
+    assert plan.count("LeftSemi") >= 2
+    # the qualifying-keys set itself is broadcast (1-column exchanges exist)
+    import re
+
+    widths = [
+        int(m.group(1))
+        for m in re.finditer(r"BroadcastExchange[^\n]*\n\s*Input \[(\d+)\]", plan)
+    ]
+    assert 1 in widths
