@@ -387,7 +387,7 @@ _RANGE_JOIN_BODY = """
     ),
     e AS (SELECT event_id, ts, value, date_trunc('hour', ts) AS bk FROM events)
     SELECT w.win_id, count(*) AS n,
-           sum(cast(floor(e.value * 10000 + 0.5) AS BIGINT)) AS sum_e4
+           CAST(sum(cast(floor(e.value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_e4
     FROM e JOIN wb w ON e.bk = w.bk
     WHERE e.ts >= w.wstart AND e.ts < w.wend
     GROUP BY w.win_id

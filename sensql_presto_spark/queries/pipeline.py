@@ -969,8 +969,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dup AS (SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g)
     SELECT grams.doc_id,
-           count(*) AS n_grams,
-           sum(CASE WHEN dup.nd > 1 THEN 1 ELSE 0 END) AS dup_grams,
+           count(*) AS n_grams,CAST(sum(CASE WHEN dup.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
            round(CAST(sum(CASE WHEN dup.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
                  / count(*), 6) AS dup_ratio
     FROM grams JOIN dup ON grams.g = dup.g
@@ -999,8 +998,7 @@ def text_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         dup AS (SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g)
         SELECT grams.doc_id,
-               count(*) AS n_grams,
-               sum(CASE WHEN dup.nd > 1 THEN 1 ELSE 0 END) AS dup_grams,
+               count(*) AS n_grams,CAST(sum(CASE WHEN dup.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
                round(CAST(sum(CASE WHEN dup.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
                      / count(*), 6) AS dup_ratio
         FROM grams JOIN dup ON grams.g = dup.g
@@ -1285,9 +1283,7 @@ _sql_query(
     WITH t AS (
         SELECT lang, n_chars, size(split(text, ' ')) AS n_tokens FROM documents
     )
-    SELECT lang, count(*) AS n_docs,
-           sum(n_chars) AS total_chars,
-           sum(n_tokens) AS total_tokens,
+    SELECT lang, count(*) AS n_docs,CAST(sum(n_chars) AS BIGINT) AS total_chars,CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            cast(floor(percentile(n_chars, 0.5)) AS bigint) AS median_chars,
            cast(floor(percentile(n_chars, 0.9)) AS bigint) AS p90_chars,
            round(avg(n_tokens), 4) AS avg_tokens
@@ -1299,9 +1295,7 @@ _sql_query(
     WITH t AS (
         SELECT lang, n_chars, len(string_split(text, ' ')) AS n_tokens FROM documents
     )
-    SELECT lang, count(*) AS n_docs,
-           sum(n_chars) AS total_chars,
-           sum(n_tokens) AS total_tokens,
+    SELECT lang, count(*) AS n_docs,CAST(sum(n_chars) AS BIGINT) AS total_chars,CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            cast(floor(quantile_cont(n_chars, 0.5)) AS bigint) AS median_chars,
            cast(floor(quantile_cont(n_chars, 0.9)) AS bigint) AS p90_chars,
            round(avg(n_tokens), 4) AS avg_tokens

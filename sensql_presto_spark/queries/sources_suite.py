@@ -94,8 +94,7 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "scale_bucketed_join",
     oracle="""
-    SELECT o.o_orderpriority, count(*) AS n_lines,
-           sum(cast(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_price_c
+    SELECT o.o_orderpriority, count(*) AS n_lines,CAST(sum(cast(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_orderpriority
     ORDER BY o.o_orderpriority
@@ -128,8 +127,7 @@ def scale_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return spark.sql(
         """
-        SELECT o.o_orderpriority, count(*) AS n_lines,
-               sum(cast(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_price_c
+        SELECT o.o_orderpriority, count(*) AS n_lines,CAST(sum(cast(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c
         FROM bktq.orders_b o JOIN bktq.lineitem_b l ON o.o_orderkey = l.l_orderkey
         GROUP BY o.o_orderpriority
         ORDER BY o.o_orderpriority
@@ -141,8 +139,7 @@ def scale_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scale_salted_join",
     oracle="""
     SELECT c.c_mktsegment,
-           count(*) AS n,
-           sum(cast(floor(e.value * 10000 + 0.5) AS BIGINT)) AS sum_val_e4
+           count(*) AS n,CAST(sum(cast(floor(e.value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_val_e4
     FROM events e JOIN customer c ON e.user_id % 100 = c.c_custkey
     GROUP BY c.c_mktsegment
     ORDER BY c.c_mktsegment

@@ -130,7 +130,7 @@ _sql_query(
     "tpcds_q03",
     f"""
     WITH {_S}
-    SELECT d_year, p.p_brand AS brand, sum(net_c) AS sum_agg
+    SELECT d_year, p.p_brand AS brand,CAST(sum(net_c) AS BIGINT) AS sum_agg
     FROM sales JOIN part p ON l_partkey = p.p_partkey
     WHERE p.p_size = 28 AND d_moy = 11
     GROUP BY d_year, p.p_brand
@@ -180,18 +180,14 @@ _sql_query(
     f"""
     WITH {_CHANNELS},
     ssr AS (
-        SELECT 'store' AS channel, l_suppkey AS id,
-               sum(price_c) AS sales,
-               sum(CASE WHEN l_returnflag = 'R' THEN price_c ELSE 0 END) AS returns_
+        SELECT 'store' AS channel, l_suppkey AS id,CAST(sum(price_c) AS BIGINT) AS sales,CAST(sum(CASE WHEN l_returnflag = 'R' THEN price_c ELSE 0 END) AS BIGINT) AS returns_
         FROM sales GROUP BY l_suppkey
     ),
     wsr AS (
-        SELECT 'web' AS channel, l_suppkey AS id,
-               sum(price_c) AS sales,
-               sum(CASE WHEN l_returnflag = 'R' THEN price_c ELSE 0 END) AS returns_
+        SELECT 'web' AS channel, l_suppkey AS id,CAST(sum(price_c) AS BIGINT) AS sales,CAST(sum(CASE WHEN l_returnflag = 'R' THEN price_c ELSE 0 END) AS BIGINT) AS returns_
         FROM web GROUP BY l_suppkey
     )
-    SELECT channel, id, sum(sales) AS sales, sum(returns_) AS returns_
+    SELECT channel, id,CAST(sum(sales) AS BIGINT) AS sales,CAST(sum(returns_) AS BIGINT) AS returns_
     FROM (SELECT * FROM ssr UNION ALL SELECT * FROM wsr)
     GROUP BY ROLLUP (channel, id)
     ORDER BY channel NULLS FIRST, id NULLS FIRST
@@ -254,7 +250,7 @@ _sql_query(
     "tpcds_q08",
     f"""
     WITH {_S}
-    SELECT s.s_name, sum(net_c) AS net_profit
+    SELECT s.s_name,CAST(sum(net_c) AS BIGINT) AS net_profit
     FROM sales
     JOIN supplier s ON l_suppkey = s.s_suppkey
     WHERE d_qoy = 2 AND d_year = 1995
@@ -352,11 +348,10 @@ _sql_query(
     "tpcds_q12",
     f"""
     WITH {_S}
-    SELECT p_brand, p_type, itemrevenue,
-           round(itemrevenue * 100.0
-                 / sum(itemrevenue) OVER (PARTITION BY p_type), 4) AS revenueratio
+    SELECT p_brand, p_type, itemrevenue,CAST(round(itemrevenue * 100.0
+                 / sum(itemrevenue) OVER (PARTITION BY p_type), 4) AS DOUBLE) AS revenueratio
     FROM (
-        SELECT p.p_brand, p.p_type, sum(net_c) AS itemrevenue
+        SELECT p.p_brand, p.p_type,CAST(sum(net_c) AS BIGINT) AS itemrevenue
         FROM sales JOIN part p ON l_partkey = p.p_partkey
         WHERE d_year = 1995 AND d_moy BETWEEN 1 AND 2
         GROUP BY p.p_brand, p.p_type
@@ -397,7 +392,7 @@ _sql_query(
         INTERSECT
         SELECT l_partkey FROM cat WHERE d_year = 1995
     )
-    SELECT channel, p_brand, sum(sales_c) AS sales, sum(n) AS number_sales
+    SELECT channel, p_brand,CAST(sum(sales_c) AS BIGINT) AS sales,CAST(sum(n) AS BIGINT) AS number_sales
     FROM (
         SELECT 'web' AS channel, p.p_brand, sum(net_c) AS sales_c, count(*) AS n
         FROM web JOIN part p ON l_partkey = p.p_partkey
@@ -421,7 +416,7 @@ _sql_query(
     "tpcds_q15",
     f"""
     WITH {_CHANNELS}
-    SELECT n.n_name AS ca_state, sum(price_c) AS total_sales
+    SELECT n.n_name AS ca_state,CAST(sum(price_c) AS BIGINT) AS total_sales
     FROM cat
     JOIN customer c ON o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -505,7 +500,7 @@ _sql_query(
     "tpcds_q19",
     f"""
     WITH {_S}
-    SELECT p.p_brand AS brand, sum(net_c) AS ext_price
+    SELECT p.p_brand AS brand,CAST(sum(net_c) AS BIGINT) AS ext_price
     FROM sales
     JOIN part p ON l_partkey = p.p_partkey
     JOIN customer c ON o_custkey = c.c_custkey
@@ -525,11 +520,10 @@ _sql_query(
     "tpcds_q20",
     f"""
     WITH {_CHANNELS}
-    SELECT p_brand, p_type, itemrevenue,
-           round(itemrevenue * 100.0
-                 / sum(itemrevenue) OVER (PARTITION BY p_type), 4) AS revenueratio
+    SELECT p_brand, p_type, itemrevenue,CAST(round(itemrevenue * 100.0
+                 / sum(itemrevenue) OVER (PARTITION BY p_type), 4) AS DOUBLE) AS revenueratio
     FROM (
-        SELECT p.p_brand, p.p_type, sum(net_c) AS itemrevenue
+        SELECT p.p_brand, p.p_type,CAST(sum(net_c) AS BIGINT) AS itemrevenue
         FROM cat JOIN part p ON l_partkey = p.p_partkey
         WHERE d_year = 1995 AND d_moy BETWEEN 1 AND 2
         GROUP BY p.p_brand, p.p_type
@@ -546,11 +540,9 @@ _sql_query(
     "tpcds_q21",
     f"""
     WITH {_S}
-    SELECT s.s_name,
-           sum(CASE WHEN o_orderdate < TIMESTAMP '1995-03-15' THEN cast(l_quantity AS BIGINT)
-                    ELSE 0 END) AS inv_before,
-           sum(CASE WHEN o_orderdate >= TIMESTAMP '1995-03-15' THEN cast(l_quantity AS BIGINT)
-                    ELSE 0 END) AS inv_after
+    SELECT s.s_name,CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1995-03-15' THEN cast(l_quantity AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS inv_before,CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1995-03-15' THEN cast(l_quantity AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS inv_after
     FROM sales JOIN supplier s ON l_suppkey = s.s_suppkey
     WHERE o_orderdate BETWEEN TIMESTAMP '1995-02-13' AND TIMESTAMP '1995-04-14'
     GROUP BY s.s_name
@@ -621,7 +613,7 @@ _sql_query(
     f"""
     WITH {_S},
     ssales AS (
-        SELECT c.c_name, s.s_name, sum(net_c) AS netpaid
+        SELECT c.c_name, s.s_name,CAST(sum(net_c) AS BIGINT) AS netpaid
         FROM sales
         JOIN customer c ON o_custkey = c.c_custkey
         JOIN supplier s ON l_suppkey = s.s_suppkey
@@ -643,10 +635,7 @@ _sql_query(
     "tpcds_q25",
     f"""
     WITH {_S}
-    SELECT p.p_type, s.s_name,
-           sum(ss.net_c) AS store_sales_profit,
-           sum(sr.price_c) AS store_returns_loss,
-           sum(cs.net_c) AS catalog_sales_profit
+    SELECT p.p_type, s.s_name,CAST(sum(ss.net_c) AS BIGINT) AS store_sales_profit,CAST(sum(sr.price_c) AS BIGINT) AS store_returns_loss,CAST(sum(cs.net_c) AS BIGINT) AS catalog_sales_profit
     FROM sales ss
     JOIN sales sr ON ss.o_custkey = sr.o_custkey AND ss.l_partkey = sr.l_partkey
                  AND sr.l_returnflag = 'R' AND sr.l_orderkey <> ss.l_orderkey
@@ -739,10 +728,7 @@ _sql_query(
     "tpcds_q29",
     f"""
     WITH {_S}
-    SELECT p.p_type, s.s_name,
-           sum(cast(ss.l_quantity AS BIGINT)) AS store_sales_quantity,
-           sum(cast(sr.l_quantity AS BIGINT)) AS store_returns_quantity,
-           sum(cast(cs.l_quantity AS BIGINT)) AS catalog_sales_quantity
+    SELECT p.p_type, s.s_name,CAST(sum(cast(ss.l_quantity AS BIGINT)) AS BIGINT) AS store_sales_quantity,CAST(sum(cast(sr.l_quantity AS BIGINT)) AS BIGINT) AS store_returns_quantity,CAST(sum(cast(cs.l_quantity AS BIGINT)) AS BIGINT) AS catalog_sales_quantity
     FROM sales ss
     JOIN sales sr ON ss.o_custkey = sr.o_custkey AND ss.l_partkey = sr.l_partkey
                  AND sr.l_returnflag = 'R' AND sr.l_orderkey <> ss.l_orderkey
@@ -767,8 +753,7 @@ _sql_query(
     f"""
     WITH {_CHANNELS},
     customer_total_return AS (
-        SELECT r.o_custkey AS ctr_customer_sk, c.c_nationkey AS ctr_state,
-               sum(r.price_c) AS ctr_total_return
+        SELECT r.o_custkey AS ctr_customer_sk, c.c_nationkey AS ctr_state,CAST(sum(r.price_c) AS BIGINT) AS ctr_total_return
         FROM ret r JOIN customer c ON r.o_custkey = c.c_custkey
         WHERE r.d_year = 1995
         GROUP BY r.o_custkey, c.c_nationkey

@@ -146,7 +146,7 @@ ds(
     "tpcds_q33",
     """
     , ss AS (
-        SELECT p.p_brand AS i_manufact_id, sum(s.net_c) AS total_sales
+        SELECT p.p_brand AS i_manufact_id,CAST(sum(s.net_c) AS BIGINT) AS total_sales
         FROM sales s
         JOIN part p ON s.l_partkey = p.p_partkey
         JOIN customer c ON s.o_custkey = c.c_custkey
@@ -156,7 +156,7 @@ ds(
         GROUP BY p.p_brand
     ),
     cs AS (
-        SELECT p.p_brand AS i_manufact_id, sum(w.net_c) AS total_sales
+        SELECT p.p_brand AS i_manufact_id,CAST(sum(w.net_c) AS BIGINT) AS total_sales
         FROM cat w
         JOIN part p ON w.l_partkey = p.p_partkey
         JOIN customer c ON w.o_custkey = c.c_custkey
@@ -166,7 +166,7 @@ ds(
         GROUP BY p.p_brand
     ),
     ws AS (
-        SELECT p.p_brand AS i_manufact_id, sum(w.net_c) AS total_sales
+        SELECT p.p_brand AS i_manufact_id,CAST(sum(w.net_c) AS BIGINT) AS total_sales
         FROM web w
         JOIN part p ON w.l_partkey = p.p_partkey
         JOIN customer c ON w.o_custkey = c.c_custkey
@@ -175,7 +175,7 @@ ds(
           AND w.d_year = 1995 AND w.d_moy = 5 AND n.n_regionkey = 1
         GROUP BY p.p_brand
     )
-    SELECT i_manufact_id, sum(total_sales) AS total_sales
+    SELECT i_manufact_id,CAST(sum(total_sales) AS BIGINT) AS total_sales
     FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs UNION ALL SELECT * FROM ws)
     GROUP BY i_manufact_id
     ORDER BY total_sales, i_manufact_id
@@ -400,7 +400,7 @@ ds(
 ds(
     "tpcds_q42",
     """
-    SELECT s.d_year, i.p_type AS i_category, sum(s.net_c) AS total_sales
+    SELECT s.d_year, i.p_type AS i_category,CAST(sum(s.net_c) AS BIGINT) AS total_sales
     FROM sales s JOIN part i ON s.l_partkey = i.p_partkey
     WHERE i.p_size < 25 AND s.d_moy = 11 AND s.d_year = 1995
     GROUP BY s.d_year, i.p_type
@@ -414,14 +414,9 @@ ds(
 ds(
     "tpcds_q43",
     """
-    SELECT st.s_name,
-           sum(CASE WHEN s.d_dow = 1 THEN s.price_c ELSE NULL END) AS sun_sales,
-           sum(CASE WHEN s.d_dow = 2 THEN s.price_c ELSE NULL END) AS mon_sales,
-           sum(CASE WHEN s.d_dow = 3 THEN s.price_c ELSE NULL END) AS tue_sales,
-           sum(CASE WHEN s.d_dow = 4 THEN s.price_c ELSE NULL END) AS wed_sales,
-           sum(CASE WHEN s.d_dow = 5 THEN s.price_c ELSE NULL END) AS thu_sales,
-           sum(CASE WHEN s.d_dow = 6 THEN s.price_c ELSE NULL END) AS fri_sales,
-           sum(CASE WHEN s.d_dow = 7 THEN s.price_c ELSE NULL END) AS sat_sales
+    SELECT st.s_name,CAST(sum(CASE WHEN s.d_dow = 1 THEN s.price_c ELSE NULL END) AS BIGINT) AS sun_sales,CAST(sum(CASE WHEN s.d_dow = 2 THEN s.price_c ELSE NULL END) AS BIGINT) AS mon_sales,
+           CAST(sum(CASE WHEN s.d_dow = 3 THEN s.price_c ELSE NULL END) AS BIGINT) AS tue_sales,
+           CAST(sum(CASE WHEN s.d_dow = 4 THEN s.price_c ELSE NULL END) AS BIGINT) AS wed_sales,CAST(sum(CASE WHEN s.d_dow = 5 THEN s.price_c ELSE NULL END) AS BIGINT) AS thu_sales,CAST(sum(CASE WHEN s.d_dow = 6 THEN s.price_c ELSE NULL END) AS BIGINT) AS fri_sales,CAST(sum(CASE WHEN s.d_dow = 7 THEN s.price_c ELSE NULL END) AS BIGINT) AS sat_sales
     FROM sales s JOIN supplier st ON s.l_suppkey = st.s_suppkey
     WHERE st.s_nationkey IN (1, 2, 3, 4, 5) AND s.d_year = 1995
     GROUP BY st.s_name
@@ -519,7 +514,7 @@ ds(
     """
     , v1 AS (
         SELECT i.p_type AS i_category, i.p_brand AS i_brand, st.s_name,
-               s.d_year, s.d_moy, sum(s.price_c) AS sum_sales,
+               s.d_year, s.d_moy,CAST(sum(s.price_c) AS BIGINT) AS sum_sales,
                avg(sum(s.price_c)) OVER (
                    PARTITION BY i.p_type, i.p_brand, st.s_name, s.d_year
                ) AS avg_monthly_sales,
@@ -559,7 +554,7 @@ ds(
 ds(
     "tpcds_q48",
     """
-    SELECT sum(s.qty) AS total_qty
+    SELECT CAST(sum(s.qty) AS BIGINT) AS total_qty
     FROM sales s
     JOIN customer c ON s.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -621,12 +616,7 @@ ds(
 ds(
     "tpcds_q50",
     """
-    SELECT st.s_name,
-           sum(CASE WHEN r.ship_days <= 30 THEN 1 ELSE 0 END) AS d30,
-           sum(CASE WHEN r.ship_days > 30 AND r.ship_days <= 60 THEN 1 ELSE 0 END) AS d60,
-           sum(CASE WHEN r.ship_days > 60 AND r.ship_days <= 90 THEN 1 ELSE 0 END) AS d90,
-           sum(CASE WHEN r.ship_days > 90 AND r.ship_days <= 120 THEN 1 ELSE 0 END) AS d120,
-           sum(CASE WHEN r.ship_days > 120 THEN 1 ELSE 0 END) AS d120plus
+    SELECT st.s_name,CAST(sum(CASE WHEN r.ship_days <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,CAST(sum(CASE WHEN r.ship_days > 30 AND r.ship_days <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS d60,CAST(sum(CASE WHEN r.ship_days > 60 AND r.ship_days <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS d90,CAST(sum(CASE WHEN r.ship_days > 90 AND r.ship_days <= 120 THEN 1 ELSE 0 END) AS BIGINT) AS d120,CAST(sum(CASE WHEN r.ship_days > 120 THEN 1 ELSE 0 END) AS BIGINT) AS d120plus
     FROM ret r JOIN supplier st ON r.l_suppkey = st.s_suppkey
     WHERE r.d_year = 1995 AND r.d_moy = 8
     GROUP BY st.s_name
@@ -665,7 +655,7 @@ ds(
     FROM (
         SELECT coalesce(w.item_sk, s.item_sk) AS item_sk,
                coalesce(w.o_orderdate, s.o_orderdate) AS o_orderdate,
-               w.cume_sales AS web_sales, s.cume_sales AS store_sales
+               CAST(w.cume_sales AS BIGINT) AS web_sales, CAST(s.cume_sales AS BIGINT) AS store_sales
         FROM web_v1 w
         FULL OUTER JOIN store_v1 s
             ON w.item_sk = s.item_sk AND w.o_orderdate = s.o_orderdate
@@ -681,7 +671,7 @@ ds(
 ds(
     "tpcds_q52",
     """
-    SELECT s.d_year, i.p_brand AS brand, sum(s.net_c) AS ext_price
+    SELECT s.d_year, i.p_brand AS brand,CAST(sum(s.net_c) AS BIGINT) AS ext_price
     FROM sales s JOIN part i ON s.l_partkey = i.p_partkey
     WHERE i.p_size = 1 AND s.d_moy = 11 AND s.d_year = 1995
     GROUP BY s.d_year, i.p_brand
@@ -698,7 +688,7 @@ ds(
     """
     SELECT *
     FROM (
-        SELECT i.p_brand AS i_manufact_id, s.d_qoy, sum(s.price_c) AS sum_sales,
+        SELECT i.p_brand AS i_manufact_id, s.d_qoy,CAST(sum(s.price_c) AS BIGINT) AS sum_sales,
                avg(sum(s.price_c)) OVER (PARTITION BY i.p_brand) AS avg_quarterly_sales
         FROM sales s JOIN part i ON s.l_partkey = i.p_partkey
         WHERE s.d_month_seq BETWEEN 23941 AND 23952
@@ -751,7 +741,7 @@ ds(
 ds(
     "tpcds_q55",
     """
-    SELECT i.p_brand AS brand, sum(s.net_c) AS ext_price
+    SELECT i.p_brand AS brand,CAST(sum(s.net_c) AS BIGINT) AS ext_price
     FROM sales s JOIN part i ON s.l_partkey = i.p_partkey
     WHERE i.p_size = 28 AND s.d_moy = 11 AND s.d_year = 1996
     GROUP BY i.p_brand
@@ -767,7 +757,7 @@ ds(
     "tpcds_q56",
     """
     , ss AS (
-        SELECT i.p_name AS i_item_id, sum(s.net_c) AS total_sales
+        SELECT i.p_name AS i_item_id,CAST(sum(s.net_c) AS BIGINT) AS total_sales
         FROM sales s
         JOIN part i ON s.l_partkey = i.p_partkey
         JOIN customer c ON s.o_custkey = c.c_custkey
@@ -777,7 +767,7 @@ ds(
         GROUP BY i.p_name
     ),
     cs AS (
-        SELECT i.p_name AS i_item_id, sum(w.net_c) AS total_sales
+        SELECT i.p_name AS i_item_id,CAST(sum(w.net_c) AS BIGINT) AS total_sales
         FROM cat w
         JOIN part i ON w.l_partkey = i.p_partkey
         JOIN customer c ON w.o_custkey = c.c_custkey
@@ -787,7 +777,7 @@ ds(
         GROUP BY i.p_name
     ),
     ws AS (
-        SELECT i.p_name AS i_item_id, sum(w.net_c) AS total_sales
+        SELECT i.p_name AS i_item_id,CAST(sum(w.net_c) AS BIGINT) AS total_sales
         FROM web w
         JOIN part i ON w.l_partkey = i.p_partkey
         JOIN customer c ON w.o_custkey = c.c_custkey
@@ -796,7 +786,7 @@ ds(
           AND w.d_year = 1995 AND w.d_moy = 2 AND n.n_regionkey = 2
         GROUP BY i.p_name
     )
-    SELECT i_item_id, sum(total_sales) AS total_sales
+    SELECT i_item_id,CAST(sum(total_sales) AS BIGINT) AS total_sales
     FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs UNION ALL SELECT * FROM ws)
     GROUP BY i_item_id
     ORDER BY total_sales, i_item_id
@@ -811,7 +801,7 @@ ds(
     """
     , v1 AS (
         SELECT i.p_type AS i_category, i.p_brand AS i_brand, n.n_name AS cc_name,
-               w.d_year, w.d_moy, sum(w.price_c) AS sum_sales,
+               w.d_year, w.d_moy,CAST(sum(w.price_c) AS BIGINT) AS sum_sales,
                avg(sum(w.price_c)) OVER (
                    PARTITION BY i.p_type, i.p_brand, n.n_name, w.d_year
                ) AS avg_monthly_sales,
@@ -853,19 +843,19 @@ ds(
     "tpcds_q58",
     """
     , ss_items AS (
-        SELECT l_partkey AS item_id, sum(net_c) AS ss_item_rev
+        SELECT l_partkey AS item_id,CAST(sum(net_c) AS BIGINT) AS ss_item_rev
         FROM sales
         WHERE d_moy = 6 AND d_year = 1995
         GROUP BY l_partkey
     ),
     cs_items AS (
-        SELECT l_partkey AS item_id, sum(net_c) AS cs_item_rev
+        SELECT l_partkey AS item_id,CAST(sum(net_c) AS BIGINT) AS cs_item_rev
         FROM cat
         WHERE d_moy = 6 AND d_year = 1995
         GROUP BY l_partkey
     ),
     ws_items AS (
-        SELECT l_partkey AS item_id, sum(net_c) AS ws_item_rev
+        SELECT l_partkey AS item_id,CAST(sum(net_c) AS BIGINT) AS ws_item_rev
         FROM web
         WHERE d_moy = 6 AND d_year = 1995
         GROUP BY l_partkey
@@ -890,11 +880,7 @@ ds(
     "tpcds_q59",
     """
     , wss AS (
-        SELECT d_week_seq, d_year, l_suppkey,
-               sum(CASE WHEN d_dow = 1 THEN price_c ELSE 0 END) AS sun_sales,
-               sum(CASE WHEN d_dow = 2 THEN price_c ELSE 0 END) AS mon_sales,
-               sum(CASE WHEN d_dow = 6 THEN price_c ELSE 0 END) AS fri_sales,
-               sum(CASE WHEN d_dow = 7 THEN price_c ELSE 0 END) AS sat_sales
+        SELECT d_week_seq, d_year, l_suppkey,CAST(sum(CASE WHEN d_dow = 1 THEN price_c ELSE 0 END) AS BIGINT) AS sun_sales,CAST(sum(CASE WHEN d_dow = 2 THEN price_c ELSE 0 END) AS BIGINT) AS mon_sales,CAST(sum(CASE WHEN d_dow = 6 THEN price_c ELSE 0 END) AS BIGINT) AS fri_sales,CAST(sum(CASE WHEN d_dow = 7 THEN price_c ELSE 0 END) AS BIGINT) AS sat_sales
         FROM sales
         GROUP BY d_week_seq, d_year, l_suppkey
     )
@@ -918,7 +904,7 @@ ds(
     "tpcds_q60",
     """
     , ss AS (
-        SELECT i.p_name AS i_item_id, sum(s.net_c) AS total_sales
+        SELECT i.p_name AS i_item_id,CAST(sum(s.net_c) AS BIGINT) AS total_sales
         FROM sales s
         JOIN part i ON s.l_partkey = i.p_partkey
         JOIN customer c ON s.o_custkey = c.c_custkey
@@ -928,7 +914,7 @@ ds(
         GROUP BY i.p_name
     ),
     cs AS (
-        SELECT i.p_name AS i_item_id, sum(w.net_c) AS total_sales
+        SELECT i.p_name AS i_item_id,CAST(sum(w.net_c) AS BIGINT) AS total_sales
         FROM cat w
         JOIN part i ON w.l_partkey = i.p_partkey
         JOIN customer c ON w.o_custkey = c.c_custkey
@@ -938,7 +924,7 @@ ds(
         GROUP BY i.p_name
     ),
     ws AS (
-        SELECT i.p_name AS i_item_id, sum(w.net_c) AS total_sales
+        SELECT i.p_name AS i_item_id,CAST(sum(w.net_c) AS BIGINT) AS total_sales
         FROM web w
         JOIN part i ON w.l_partkey = i.p_partkey
         JOIN customer c ON w.o_custkey = c.c_custkey
@@ -947,7 +933,7 @@ ds(
           AND w.d_year = 1995 AND w.d_moy = 9 AND n.n_regionkey = 3
         GROUP BY i.p_name
     )
-    SELECT i_item_id, sum(total_sales) AS total_sales
+    SELECT i_item_id,CAST(sum(total_sales) AS BIGINT) AS total_sales
     FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs UNION ALL SELECT * FROM ws)
     GROUP BY i_item_id
     ORDER BY i_item_id, total_sales
@@ -964,7 +950,7 @@ ds(
     SELECT p.promotions, t.total,
            round(CAST(p.promotions AS DOUBLE) / nullif(t.total, 0) * 100, 4) AS share
     FROM (
-        SELECT sum(s.net_c) AS promotions
+        SELECT CAST(sum(s.net_c) AS BIGINT) AS promotions
         FROM sales s
         JOIN part i ON s.l_partkey = i.p_partkey
         JOIN customer c ON s.o_custkey = c.c_custkey
@@ -973,7 +959,7 @@ ds(
           AND i.p_type = 'PROMO' AND n.n_regionkey = 1
           AND s.d_year = 1995 AND s.d_moy = 11
     ) p, (
-        SELECT sum(s.net_c) AS total
+        SELECT CAST(sum(s.net_c) AS BIGINT) AS total
         FROM sales s
         JOIN part i ON s.l_partkey = i.p_partkey
         JOIN customer c ON s.o_custkey = c.c_custkey
@@ -990,12 +976,7 @@ ds(
     "tpcds_q62",
     """
     SELECT substr(st.s_name, 1, 20) AS warehouse, w.l_linestatus AS sm_type,
-           w.o_orderpriority AS web_name,
-           sum(CASE WHEN w.ship_days <= 30 THEN 1 ELSE 0 END) AS d30,
-           sum(CASE WHEN w.ship_days > 30 AND w.ship_days <= 60 THEN 1 ELSE 0 END) AS d60,
-           sum(CASE WHEN w.ship_days > 60 AND w.ship_days <= 90 THEN 1 ELSE 0 END) AS d90,
-           sum(CASE WHEN w.ship_days > 90 AND w.ship_days <= 120 THEN 1 ELSE 0 END) AS d120,
-           sum(CASE WHEN w.ship_days > 120 THEN 1 ELSE 0 END) AS d120plus
+           w.o_orderpriority AS web_name,CAST(sum(CASE WHEN w.ship_days <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,CAST(sum(CASE WHEN w.ship_days > 30 AND w.ship_days <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS d60,CAST(sum(CASE WHEN w.ship_days > 60 AND w.ship_days <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS d90,CAST(sum(CASE WHEN w.ship_days > 90 AND w.ship_days <= 120 THEN 1 ELSE 0 END) AS BIGINT) AS d120,CAST(sum(CASE WHEN w.ship_days > 120 THEN 1 ELSE 0 END) AS BIGINT) AS d120plus
     FROM web w JOIN supplier st ON w.l_suppkey = st.s_suppkey
     WHERE w.d_month_seq BETWEEN 23941 AND 23952
     GROUP BY substr(st.s_name, 1, 20), w.l_linestatus, w.o_orderpriority
@@ -1011,7 +992,7 @@ ds(
     """
     SELECT *
     FROM (
-        SELECT i.p_size AS i_manager_id, s.d_moy, sum(s.price_c) AS sum_sales,
+        SELECT i.p_size AS i_manager_id, s.d_moy,CAST(sum(s.price_c) AS BIGINT) AS sum_sales,
                avg(sum(s.price_c)) OVER (PARTITION BY i.p_size) AS avg_monthly_sales
         FROM sales s JOIN part i ON s.l_partkey = i.p_partkey
         WHERE s.d_month_seq BETWEEN 23941 AND 23952
@@ -1052,7 +1033,7 @@ ds(
         GROUP BY i.p_name, s.l_partkey, st.s_name, s.d_year
     )
     SELECT cs1.product_name, cs1.store_name, cs1.d_year AS syear,
-           cs1.cnt AS cnt1, cs2.cnt AS cnt2, cs1.sales_c AS s1, cs2.sales_c AS s2
+           cs1.cnt AS cnt1, cs2.cnt AS cnt2, CAST(cs1.sales_c AS BIGINT) AS s1, CAST(cs2.sales_c AS BIGINT) AS s2
     FROM cross_sales cs1
     JOIN cross_sales cs2 ON cs1.l_partkey = cs2.l_partkey
                         AND cs1.store_name = cs2.store_name
@@ -1071,7 +1052,7 @@ ds(
     "tpcds_q65",
     """
     , sa AS (
-        SELECT l_suppkey, l_partkey, sum(price_c) AS revenue
+        SELECT l_suppkey, l_partkey,CAST(sum(price_c) AS BIGINT) AS revenue
         FROM sales
         WHERE d_month_seq BETWEEN 23941 AND 23952
         GROUP BY l_suppkey, l_partkey

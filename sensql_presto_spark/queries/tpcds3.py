@@ -15,30 +15,18 @@ ds(
     "tpcds_q66",
     """
     , monthly AS (
-        SELECT w.l_suppkey, w.d_year, 'web' AS carrier,
-               sum(CASE WHEN w.d_moy = 1 THEN w.net_c ELSE 0 END) AS jan_sales,
-               sum(CASE WHEN w.d_moy = 2 THEN w.net_c ELSE 0 END) AS feb_sales,
-               sum(CASE WHEN w.d_moy = 3 THEN w.net_c ELSE 0 END) AS mar_sales,
-               sum(CASE WHEN w.d_moy = 4 THEN w.net_c ELSE 0 END) AS apr_sales,
-               sum(CASE WHEN w.d_moy = 5 THEN w.net_c ELSE 0 END) AS may_sales,
-               sum(CASE WHEN w.d_moy = 6 THEN w.net_c ELSE 0 END) AS jun_sales
+        SELECT w.l_suppkey, w.d_year, 'web' AS carrier,CAST(sum(CASE WHEN w.d_moy = 1 THEN w.net_c ELSE 0 END) AS BIGINT) AS jan_sales,CAST(sum(CASE WHEN w.d_moy = 2 THEN w.net_c ELSE 0 END) AS BIGINT) AS feb_sales,CAST(sum(CASE WHEN w.d_moy = 3 THEN w.net_c ELSE 0 END) AS BIGINT) AS mar_sales,CAST(sum(CASE WHEN w.d_moy = 4 THEN w.net_c ELSE 0 END) AS BIGINT) AS apr_sales,
+               CAST(sum(CASE WHEN w.d_moy = 5 THEN w.net_c ELSE 0 END) AS BIGINT) AS may_sales,CAST(sum(CASE WHEN w.d_moy = 6 THEN w.net_c ELSE 0 END) AS BIGINT) AS jun_sales
         FROM web w WHERE w.d_year = 1995
         GROUP BY w.l_suppkey, w.d_year
         UNION ALL
-        SELECT c.l_suppkey, c.d_year, 'catalog' AS carrier,
-               sum(CASE WHEN c.d_moy = 1 THEN c.net_c ELSE 0 END) AS jan_sales,
-               sum(CASE WHEN c.d_moy = 2 THEN c.net_c ELSE 0 END) AS feb_sales,
-               sum(CASE WHEN c.d_moy = 3 THEN c.net_c ELSE 0 END) AS mar_sales,
-               sum(CASE WHEN c.d_moy = 4 THEN c.net_c ELSE 0 END) AS apr_sales,
-               sum(CASE WHEN c.d_moy = 5 THEN c.net_c ELSE 0 END) AS may_sales,
-               sum(CASE WHEN c.d_moy = 6 THEN c.net_c ELSE 0 END) AS jun_sales
+        SELECT c.l_suppkey, c.d_year, 'catalog' AS carrier,CAST(sum(CASE WHEN c.d_moy = 1 THEN c.net_c ELSE 0 END) AS BIGINT) AS jan_sales,CAST(sum(CASE WHEN c.d_moy = 2 THEN c.net_c ELSE 0 END) AS BIGINT) AS feb_sales,CAST(sum(CASE WHEN c.d_moy = 3 THEN c.net_c ELSE 0 END) AS BIGINT) AS mar_sales,CAST(sum(CASE WHEN c.d_moy = 4 THEN c.net_c ELSE 0 END) AS BIGINT) AS apr_sales,
+               CAST(sum(CASE WHEN c.d_moy = 5 THEN c.net_c ELSE 0 END) AS BIGINT) AS may_sales,CAST(sum(CASE WHEN c.d_moy = 6 THEN c.net_c ELSE 0 END) AS BIGINT) AS jun_sales
         FROM cat c WHERE c.d_year = 1995
         GROUP BY c.l_suppkey, c.d_year
     )
-    SELECT st.s_name AS w_warehouse_name, (st.s_suppkey + 1) * 100 AS w_sq_ft, m.d_year,
-           sum(m.jan_sales) AS jan_sales, sum(m.feb_sales) AS feb_sales,
-           sum(m.mar_sales) AS mar_sales, sum(m.apr_sales) AS apr_sales,
-           sum(m.may_sales) AS may_sales, sum(m.jun_sales) AS jun_sales,
+    SELECT st.s_name AS w_warehouse_name, (st.s_suppkey + 1) * 100 AS w_sq_ft, m.d_year,CAST(sum(m.jan_sales) AS BIGINT) AS jan_sales,CAST(sum(m.feb_sales) AS BIGINT) AS feb_sales,CAST(sum(m.mar_sales) AS BIGINT) AS mar_sales,CAST(sum(m.apr_sales) AS BIGINT) AS apr_sales,
+           CAST(sum(m.may_sales) AS BIGINT) AS may_sales,CAST(sum(m.jun_sales) AS BIGINT) AS jun_sales,
            round(CAST(sum(m.jan_sales) AS DOUBLE) / ((st.s_suppkey + 1) * 100), 4)
                AS jan_sales_per_sq_foot,
            round(CAST(sum(m.jun_sales) AS DOUBLE) / ((st.s_suppkey + 1) * 100), 4)
@@ -66,8 +54,7 @@ ds(
                ) AS rk
         FROM (
             SELECT i.p_type AS i_category, i.p_brand AS i_brand, s.d_year, s.d_qoy,
-                   s.d_moy, st.s_name AS s_store_id,
-                   sum(s.price_c * s.qty) AS sumsales
+                   s.d_moy, st.s_name AS s_store_id,CAST(sum(s.price_c * s.qty) AS BIGINT) AS sumsales
             FROM sales s
             JOIN supplier st ON s.l_suppkey = st.s_suppkey
             JOIN part i ON s.l_partkey = i.p_partkey
@@ -90,10 +77,7 @@ ds(
     SELECT c.c_name, hn.n_name AS home_city, dn.bought_city,
            dn.l_orderkey AS ticket, dn.extended_price, dn.extended_tax, dn.list_price
     FROM (
-        SELECT s.l_orderkey, s.o_custkey, sn.n_name AS bought_city,
-               sum(s.net_c) AS extended_price,
-               sum(s.tax_c) AS extended_tax,
-               sum(s.price_c) AS list_price
+        SELECT s.l_orderkey, s.o_custkey, sn.n_name AS bought_city,CAST(sum(s.net_c) AS BIGINT) AS extended_price,CAST(sum(s.tax_c) AS BIGINT) AS extended_tax,CAST(sum(s.price_c) AS BIGINT) AS list_price
         FROM sales s
         JOIN supplier st ON s.l_suppkey = st.s_suppkey
         JOIN nation sn ON st.s_nationkey = sn.n_nationkey
@@ -144,7 +128,7 @@ ds(
 ds(
     "tpcds_q70",
     """
-    SELECT sum(s.net_c) AS total_sum, n.n_name AS s_state, st.s_name AS s_county,
+    SELECT CAST(sum(s.net_c) AS BIGINT) AS total_sum, n.n_name AS s_state, st.s_name AS s_county,
            cast(grouping(n.n_name) + grouping(st.s_name) AS INT) AS lochierarchy,
            rank() OVER (
                PARTITION BY grouping(n.n_name) + grouping(st.s_name),
@@ -176,7 +160,7 @@ ds(
 ds(
     "tpcds_q71",
     """
-    SELECT i.p_brand AS brand, u.t_hour, sum(u.net_c) AS ext_price
+    SELECT i.p_brand AS brand, u.t_hour,CAST(sum(u.net_c) AS BIGINT) AS ext_price
     FROM (
         SELECT l_partkey, net_c, t_hour FROM web WHERE d_moy = 11 AND d_year = 1995
         UNION ALL
@@ -197,11 +181,9 @@ ds(
 ds(
     "tpcds_q72",
     """
-    SELECT i.p_name AS i_item_desc, st.s_name AS w_warehouse_name, c.d_week_seq,
-           sum(CASE WHEN c.o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
-                    THEN 1 ELSE 0 END) AS no_promo,
-           sum(CASE WHEN c.o_orderpriority NOT IN ('4-NOT SPECIFIED', '5-LOW')
-                    THEN 1 ELSE 0 END) AS promo,
+    SELECT i.p_name AS i_item_desc, st.s_name AS w_warehouse_name, c.d_week_seq,CAST(sum(CASE WHEN c.o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS no_promo,CAST(sum(CASE WHEN c.o_orderpriority NOT IN ('4-NOT SPECIFIED', '5-LOW')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS promo,
            count(*) AS total_cnt
     FROM cat c
     JOIN sales inv ON inv.l_partkey = c.l_partkey
@@ -301,9 +283,9 @@ ds(
     )
     SELECT prev_yr.d_year AS prev_year, curr_yr.d_year AS year_,
            curr_yr.i_brand_id, curr_yr.i_category_id,
-           prev_yr.sales_cnt AS prev_yr_cnt, curr_yr.sales_cnt AS curr_yr_cnt,
-           curr_yr.sales_cnt - prev_yr.sales_cnt AS sales_cnt_diff,
-           curr_yr.sales_amt - prev_yr.sales_amt AS sales_amt_diff
+           CAST(prev_yr.sales_cnt AS BIGINT) AS prev_yr_cnt, CAST(curr_yr.sales_cnt AS BIGINT) AS curr_yr_cnt,
+           CAST(curr_yr.sales_cnt - prev_yr.sales_cnt AS BIGINT) AS sales_cnt_diff,
+           CAST(curr_yr.sales_amt - prev_yr.sales_amt AS BIGINT) AS sales_amt_diff
     FROM all_sales curr_yr
     JOIN all_sales prev_yr ON curr_yr.i_brand_id = prev_yr.i_brand_id
                           AND curr_yr.i_category_id = prev_yr.i_category_id
@@ -321,7 +303,7 @@ ds(
     "tpcds_q76",
     """
     SELECT channel, col_name, d_year, d_qoy, i_category,
-           count(*) AS sales_cnt, sum(ext_sales_c) AS sales_amt
+           count(*) AS sales_cnt,CAST(sum(ext_sales_c) AS BIGINT) AS sales_amt
     FROM (
         SELECT 'store' AS channel, 'ss_store_sk' AS col_name, s.d_year, s.d_qoy,
                i.p_type AS i_category, s.net_c AS ext_sales_c
@@ -351,27 +333,26 @@ ds(
     "tpcds_q77",
     """
     , ss AS (
-        SELECT l_suppkey AS sk, sum(price_c) AS sales, sum(net_c) AS profit
+        SELECT l_suppkey AS sk,CAST(sum(price_c) AS BIGINT) AS sales,CAST(sum(net_c) AS BIGINT) AS profit
         FROM sales
         WHERE o_orderdate BETWEEN TIMESTAMP '1995-08-03' AND TIMESTAMP '1995-09-02'
           AND l_returnflag <> 'R'
         GROUP BY l_suppkey
     ),
     sr AS (
-        SELECT l_suppkey AS sk, sum(price_c) AS returns_, sum(net_c) AS profit_loss
+        SELECT l_suppkey AS sk,CAST(sum(price_c) AS BIGINT) AS returns_, sum(net_c) AS profit_loss
         FROM ret
         WHERE o_orderdate BETWEEN TIMESTAMP '1995-08-03' AND TIMESTAMP '1995-09-02'
         GROUP BY l_suppkey
     ),
     ws AS (
-        SELECT l_suppkey AS sk, sum(price_c) AS sales, sum(net_c) AS profit
+        SELECT l_suppkey AS sk,CAST(sum(price_c) AS BIGINT) AS sales,CAST(sum(net_c) AS BIGINT) AS profit
         FROM web
         WHERE o_orderdate BETWEEN TIMESTAMP '1995-08-03' AND TIMESTAMP '1995-09-02'
           AND l_returnflag <> 'R'
         GROUP BY l_suppkey
     )
-    SELECT channel, sk, sum(sales) AS sales, sum(returns_) AS returns_,
-           sum(profit) AS profit
+    SELECT channel, sk,CAST(sum(sales) AS BIGINT) AS sales,CAST(sum(returns_) AS BIGINT) AS returns_,CAST(sum(profit) AS BIGINT) AS profit
     FROM (
         SELECT 'store channel' AS channel, coalesce(ss.sk, sr.sk) AS sk,
                coalesce(ss.sales, 0) AS sales, coalesce(sr.returns_, 0) AS returns_,
@@ -401,15 +382,14 @@ ds(
         GROUP BY d_year, l_partkey, o_custkey
     ),
     ss AS (
-        SELECT d_year AS ss_sold_year, l_partkey, o_custkey,
-               sum(qty) AS ss_qty, sum(net_c) AS ss_sp
+        SELECT d_year AS ss_sold_year, l_partkey, o_custkey,CAST(sum(qty) AS BIGINT) AS ss_qty,CAST(sum(net_c) AS BIGINT) AS ss_sp
         FROM cat
         WHERE l_returnflag <> 'R'
         GROUP BY d_year, l_partkey, o_custkey
     )
     SELECT ss.ss_sold_year, ss.l_partkey, ss.o_custkey,
            round(CAST(coalesce(ws.ws_qty, 0) AS DOUBLE) / ss.ss_qty, 4) AS ratio,
-           ss.ss_qty, ss.ss_sp, coalesce(ws.ws_qty, 0) AS other_chan_qty
+           ss.ss_qty, ss.ss_sp, CAST(coalesce(ws.ws_qty, 0) AS BIGINT) AS other_chan_qty
     FROM ss
     LEFT JOIN ws ON ws.ws_sold_year = ss.ss_sold_year
                 AND ws.l_partkey = ss.l_partkey AND ws.o_custkey = ss.o_custkey
@@ -428,8 +408,7 @@ ds(
     SELECT c.c_name, substr(dn.s_name, 1, 30) AS store, dn.l_orderkey AS ticket,
            dn.amt, dn.profit
     FROM (
-        SELECT s.l_orderkey, s.o_custkey, st.s_name,
-               sum(s.disc_c) AS amt, sum(s.net_c) AS profit
+        SELECT s.l_orderkey, s.o_custkey, st.s_name,CAST(sum(s.disc_c) AS BIGINT) AS amt,CAST(sum(s.net_c) AS BIGINT) AS profit
         FROM sales s
         JOIN supplier st ON s.l_suppkey = st.s_suppkey
         WHERE (s.hd_dep_count = 6 OR s.hd_vehicle_count > 2)
@@ -450,9 +429,7 @@ ds(
     "tpcds_q80",
     """
     , ssr AS (
-        SELECT st.s_name AS store_id, sum(s.price_c) AS sales,
-               sum(coalesce(r.ret_c, 0)) AS returns_,
-               sum(s.net_c - coalesce(r.loss_c, 0)) AS profit
+        SELECT st.s_name AS store_id,CAST(sum(s.price_c) AS BIGINT) AS sales,CAST(sum(coalesce(r.ret_c, 0)) AS BIGINT) AS returns_,CAST(sum(s.net_c - coalesce(r.loss_c, 0)) AS BIGINT) AS profit
         FROM sales s
         LEFT JOIN (SELECT l_orderkey, l_partkey, sum(price_c) AS ret_c,
                           sum(net_c) AS loss_c
@@ -466,9 +443,7 @@ ds(
         GROUP BY st.s_name
     ),
     wsr AS (
-        SELECT st.s_name AS store_id, sum(w.price_c) AS sales,
-               sum(CASE WHEN w.l_returnflag = 'R' THEN w.price_c ELSE 0 END) AS returns_,
-               sum(w.net_c) AS profit
+        SELECT st.s_name AS store_id,CAST(sum(w.price_c) AS BIGINT) AS sales,CAST(sum(CASE WHEN w.l_returnflag = 'R' THEN w.price_c ELSE 0 END) AS BIGINT) AS returns_,CAST(sum(w.net_c) AS BIGINT) AS profit
         FROM web w
         JOIN supplier st ON w.l_suppkey = st.s_suppkey
         JOIN part i ON w.l_partkey = i.p_partkey
@@ -477,8 +452,7 @@ ds(
           AND w.o_orderpriority <> '1-URGENT'
         GROUP BY st.s_name
     )
-    SELECT channel, store_id, sum(sales) AS sales, sum(returns_) AS returns_,
-           sum(profit) AS profit
+    SELECT channel, store_id,CAST(sum(sales) AS BIGINT) AS sales,CAST(sum(returns_) AS BIGINT) AS returns_,CAST(sum(profit) AS BIGINT) AS profit
     FROM (
         SELECT 'store channel' AS channel, * FROM ssr
         UNION ALL
@@ -497,8 +471,7 @@ ds(
     "tpcds_q81",
     """
     , customer_total_return AS (
-        SELECT r.o_custkey AS ctr_customer_sk, c.c_nationkey AS ctr_state,
-               sum(r.price_c) AS ctr_total_return
+        SELECT r.o_custkey AS ctr_customer_sk, c.c_nationkey AS ctr_state,CAST(sum(r.price_c) AS BIGINT) AS ctr_total_return
         FROM ret r JOIN customer c ON r.o_custkey = c.c_custkey
         WHERE r.d_year = 1995 AND r.l_linenumber % 2 = 1
         GROUP BY r.o_custkey, c.c_nationkey
@@ -543,19 +516,19 @@ ds(
     "tpcds_q83",
     """
     , sr_items AS (
-        SELECT l_partkey AS item_id, sum(qty) AS sr_item_qty
+        SELECT l_partkey AS item_id,CAST(sum(qty) AS BIGINT) AS sr_item_qty
         FROM ret
         WHERE d_week_seq IN (26, 39, 46) AND d_year = 1995
         GROUP BY l_partkey
     ),
     cr_items AS (
-        SELECT l_partkey AS item_id, sum(qty) AS cr_item_qty
+        SELECT l_partkey AS item_id,CAST(sum(qty) AS BIGINT) AS cr_item_qty
         FROM ret
         WHERE d_week_seq IN (26, 39, 46) AND d_year = 1995 AND l_linenumber % 2 = 1
         GROUP BY l_partkey
     ),
     wr_items AS (
-        SELECT l_partkey AS item_id, sum(qty) AS wr_item_qty
+        SELECT l_partkey AS item_id,CAST(sum(qty) AS BIGINT) AS wr_item_qty
         FROM ret
         WHERE d_week_seq IN (26, 39, 46) AND d_year = 1995 AND l_linenumber % 2 = 0
         GROUP BY l_partkey
@@ -624,7 +597,7 @@ ds(
 ds(
     "tpcds_q86",
     """
-    SELECT sum(w.net_c) AS total_sum, i.p_type AS i_category, i.p_brand AS i_class,
+    SELECT CAST(sum(w.net_c) AS BIGINT) AS total_sum, i.p_type AS i_category, i.p_brand AS i_class,
            cast(grouping(i.p_type) + grouping(i.p_brand) AS INT) AS lochierarchy,
            rank() OVER (
                PARTITION BY grouping(i.p_type) + grouping(i.p_brand),
@@ -696,8 +669,7 @@ ds(
     """
     SELECT *
     FROM (
-        SELECT i.p_type AS i_category, i.p_brand AS i_brand, st.s_name, s.d_moy,
-               sum(s.price_c) AS sum_sales,
+        SELECT i.p_type AS i_category, i.p_brand AS i_brand, st.s_name, s.d_moy,CAST(sum(s.price_c) AS BIGINT) AS sum_sales,
                avg(sum(s.price_c)) OVER (
                    PARTITION BY i.p_type, i.p_brand, st.s_name
                ) AS avg_monthly_sales
@@ -737,8 +709,7 @@ ds(
 ds(
     "tpcds_q91",
     """
-    SELECT n.n_name AS call_center, r.o_orderpriority AS manager,
-           sum(r.net_c) AS returns_loss
+    SELECT n.n_name AS call_center, r.o_orderpriority AS manager,CAST(sum(r.net_c) AS BIGINT) AS returns_loss
     FROM ret r
     JOIN supplier st ON r.l_suppkey = st.s_suppkey
     JOIN nation n ON st.s_nationkey = n.n_nationkey
@@ -775,7 +746,7 @@ ds(
 ds(
     "tpcds_q93",
     """
-    SELECT t.o_custkey, sum(t.act_sales_c) AS sumsales
+    SELECT t.o_custkey,CAST(sum(t.act_sales_c) AS BIGINT) AS sumsales
     FROM (
         SELECT s.o_custkey,
                CASE WHEN r.qty IS NOT NULL
@@ -870,12 +841,10 @@ ds(
         WHERE d_month_seq BETWEEN 23941 AND 23952
         GROUP BY o_custkey, l_partkey
     )
-    SELECT sum(CASE WHEN ssci.customer_sk IS NOT NULL AND csci.customer_sk IS NULL
-                    THEN 1 ELSE 0 END) AS store_only,
-           sum(CASE WHEN ssci.customer_sk IS NULL AND csci.customer_sk IS NOT NULL
-                    THEN 1 ELSE 0 END) AS catalog_only,
-           sum(CASE WHEN ssci.customer_sk IS NOT NULL AND csci.customer_sk IS NOT NULL
-                    THEN 1 ELSE 0 END) AS store_and_catalog
+    SELECT CAST(sum(CASE WHEN ssci.customer_sk IS NOT NULL AND csci.customer_sk IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS store_only,CAST(sum(CASE WHEN ssci.customer_sk IS NULL AND csci.customer_sk IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS catalog_only,CAST(sum(CASE WHEN ssci.customer_sk IS NOT NULL AND csci.customer_sk IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS store_and_catalog
     FROM ssci
     FULL OUTER JOIN csci ON ssci.customer_sk = csci.customer_sk
                         AND ssci.item_sk = csci.item_sk
@@ -888,12 +857,11 @@ ds(
 ds(
     "tpcds_q98",
     """
-    SELECT i_item_id, i_category, i_class, i_current_price, itemrevenue,
-           round(itemrevenue * 100.0
-                 / sum(itemrevenue) OVER (PARTITION BY i_class), 4) AS revenueratio
+    SELECT i_item_id, i_category, i_class, i_current_price, itemrevenue,CAST(round(itemrevenue * 100.0
+                 / sum(itemrevenue) OVER (PARTITION BY i_class), 4) AS DOUBLE) AS revenueratio
     FROM (
         SELECT i.p_name AS i_item_id, i.p_type AS i_category, i.p_brand AS i_class,
-               i.p_retailprice AS i_current_price, sum(s.net_c) AS itemrevenue
+               i.p_retailprice AS i_current_price,CAST(sum(s.net_c) AS BIGINT) AS itemrevenue
         FROM sales s JOIN part i ON s.l_partkey = i.p_partkey
         WHERE i.p_type IN ('STANDARD', 'ECONOMY', 'PROMO')
           AND s.o_orderdate BETWEEN TIMESTAMP '1995-02-22' AND TIMESTAMP '1995-03-24'
@@ -909,12 +877,7 @@ ds(
     "tpcds_q99",
     """
     SELECT substr(st.s_name, 1, 20) AS warehouse, c.l_linestatus AS sm_type,
-           n.n_name AS cc_name,
-           sum(CASE WHEN c.ship_days <= 30 THEN 1 ELSE 0 END) AS d30,
-           sum(CASE WHEN c.ship_days > 30 AND c.ship_days <= 60 THEN 1 ELSE 0 END) AS d60,
-           sum(CASE WHEN c.ship_days > 60 AND c.ship_days <= 90 THEN 1 ELSE 0 END) AS d90,
-           sum(CASE WHEN c.ship_days > 90 AND c.ship_days <= 120 THEN 1 ELSE 0 END) AS d120,
-           sum(CASE WHEN c.ship_days > 120 THEN 1 ELSE 0 END) AS d120plus
+           n.n_name AS cc_name,CAST(sum(CASE WHEN c.ship_days <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,CAST(sum(CASE WHEN c.ship_days > 30 AND c.ship_days <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS d60,CAST(sum(CASE WHEN c.ship_days > 60 AND c.ship_days <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS d90,CAST(sum(CASE WHEN c.ship_days > 90 AND c.ship_days <= 120 THEN 1 ELSE 0 END) AS BIGINT) AS d120,CAST(sum(CASE WHEN c.ship_days > 120 THEN 1 ELSE 0 END) AS BIGINT) AS d120plus
     FROM cat c
     JOIN supplier st ON c.l_suppkey = st.s_suppkey
     JOIN nation n ON st.s_nationkey = n.n_nationkey
@@ -954,7 +917,7 @@ ds(
         FROM part p
         JOIN key_tuples k ON p.p_brand = k.p_brand AND p.p_type = k.p_type
     )
-    SELECT s.d_week_seq, sum(s.net_c) AS sales, count(*) AS number_sales
+    SELECT s.d_week_seq,CAST(sum(s.net_c) AS BIGINT) AS sales, count(*) AS number_sales
     FROM sales s
     WHERE s.l_partkey IN (SELECT ss_item_sk FROM cross_items)
       AND s.d_year = 1996 AND s.d_moy = 6
@@ -982,7 +945,7 @@ ds(
             SELECT max(csales) FROM (
                 SELECT sum(price_c) AS csales FROM sales GROUP BY o_custkey))
     )
-    SELECT c.c_name, sum(u.price_c) AS sales
+    SELECT c.c_name,CAST(sum(u.price_c) AS BIGINT) AS sales
     FROM (
         SELECT o_custkey, price_c FROM web
         WHERE d_year = 1996
@@ -1008,7 +971,7 @@ ds(
     "tpcds_q24b",
     """
     , ssales AS (
-        SELECT c.c_name, st.s_name, i.p_type, sum(s.net_c) AS netpaid
+        SELECT c.c_name, st.s_name, i.p_type,CAST(sum(s.net_c) AS BIGINT) AS netpaid
         FROM sales s
         JOIN customer c ON s.o_custkey = c.c_custkey
         JOIN supplier st ON s.l_suppkey = st.s_suppkey

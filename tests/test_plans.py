@@ -126,3 +126,24 @@ def test_q18_semi_filters_both_fact_sides(spark):
         for m in re.finditer(r"BroadcastExchange[^\n]*\n\s*Input \[(\d+)\]", plan)
     ]
     assert 1 in widths
+
+
+def test_no_bench_query_plans_cartesian_or_row_python(spark):
+    """Blanket 100 TB guard over the whole headline set: no benchmark query
+    may plan a cartesian product, a broadcast nested loop over a fact
+    table, or row-at-a-time Python (BatchEvalPython)."""
+    from sensql_presto_spark.queries import all_specs
+
+    offenders = {}
+    for name, spec in sorted(all_specs().items()):
+        if not spec.bench:
+            continue
+        plan = _plan(spark, name, mode="simple")
+        bad = [
+            marker
+            for marker in ("CartesianProduct", "BatchEvalPython")
+            if marker in plan
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"scale-hostile plans: {offenders}"
