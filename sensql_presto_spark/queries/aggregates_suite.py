@@ -562,3 +562,41 @@ _sql_query(
     """,
     tags=("aggregates", "sample"),
 )
+
+
+# --- classification metric aggregates (ClassificationPrecisionAggregation
+#     .java, ClassificationRecallAggregation.java, ClassificationMissRate
+#     Aggregation.java, ClassificationFallOutAggregation.java): each is a
+#     ratio of confusion-matrix cells, so the distributed shape is one
+#     partial-agg pass counting TP/FP/FN/TN — identical in any engine. The
+#     "classifier" is a deterministic threshold on order value; the label
+#     is the priority class. -------------------------------------------------
+
+_sql_query(
+    "agg_classification_metrics",
+    """
+    WITH scored AS (
+        SELECT o_orderstatus,
+               (o_totalprice > 150000) AS pred,
+               (o_orderpriority < '3') AS label
+        FROM orders
+    ),
+    cells AS (
+        SELECT o_orderstatus,
+               CAST(sum(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(sum(CASE WHEN NOT pred AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM scored
+        GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, tp, fp, fn, tn,
+           round(tp / CAST(tp + fp AS DOUBLE), 6) AS precision_,
+           round(tp / CAST(tp + fn AS DOUBLE), 6) AS recall_,
+           round(fn / CAST(tp + fn AS DOUBLE), 6) AS miss_rate,
+           round(fp / CAST(fp + tn AS DOUBLE), 6) AS fall_out
+    FROM cells
+    ORDER BY o_orderstatus
+    """,
+    tags=("aggregates", "classification"),
+)
