@@ -600,3 +600,35 @@ _sql_query(
     """,
     tags=("aggregates", "classification"),
 )
+
+
+# --- differential_entropy (differentialentropy/FixedHistogramMleStateStrategy
+#     .java): MLE entropy over a fixed-width histogram of the value range —
+#     h = -sum(p_i * ln(p_i)) + ln(bin_width). Expressed declaratively:
+#     one bucket-assignment projection + one groupBy + the closed form, so
+#     the distributed shape is a single partial-agg shuffle on bucket id. ----
+
+_sql_query(
+    "agg_differential_entropy",
+    """
+    WITH bounds AS (
+        SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi, count(*) AS n
+        FROM orders
+    ),
+    bucketed AS (
+        SELECT CAST(least(floor((o_totalprice - b.lo) / ((b.hi - b.lo) / 64)), 63) AS INT) AS bucket,
+               b.n, (b.hi - b.lo) / 64 AS width
+        FROM orders, bounds b
+    ),
+    hist AS (
+        SELECT bucket, width, n, count(*) AS c
+        FROM bucketed GROUP BY bucket, width, n
+    )
+    SELECT round(
+               CAST(-sum((c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE))) + ln(max(width)) AS DOUBLE),
+               6) AS diff_entropy,
+           CAST(sum(c) AS BIGINT) AS n_rows
+    FROM hist
+    """,
+    tags=("aggregates", "entropy"),
+)
