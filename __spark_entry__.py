@@ -108,7 +108,8 @@ PRIORITY: tuple[str, ...] = (
 # text_substring_dup, sim_int8_quantized, agg_setdigest_jaccard,
 # fn_sketch_scalars) plus this round's new surface (fn_ip, prepared_execute,
 # ddl_materialized_view, text_pii_redact, text_repetition,
-# text_corpus_stats) and the r1-unchecked leftovers (rollup_lineitem,
+# text_corpus_stats, agg_khll_uniqueness, agg_classification_metrics,
+# agg_differential_entropy) and the r1-unchecked leftovers (rollup_lineitem,
 # values_inline, remaining tpch/tpcds bodies). Keep any r2 entry that FAILED
 # its driver check; everything green twice can rotate out.
 

@@ -1305,3 +1305,75 @@ _sql_query(
     """,
     tags=("pipeline", "text", "stats"),
 )
+
+
+# --- End-to-end curation pipeline as ONE declarative plan: quality gate ->
+# exact dedup (min doc_id per content hash) -> PII redaction -> dataset-card
+# rollup. Composing the stages in a single DAG is the point: Catalyst fuses
+# the projections, the only shuffles are the dedup groupBy and the final
+# per-language aggregation — at 100 TB this runs as two exchanges, no
+# intermediate materialization, no driver round-trips between stages.
+_sql_query(
+    "pipeline_end_to_end",
+    """
+    WITH quality AS (
+        SELECT doc_id, lang, text, n_chars,
+               size(split(text, ' ')) AS n_tokens,
+               size(array_distinct(split(text, ' '))) AS n_unique
+        FROM documents
+        WHERE n_chars >= 150
+    ),
+    gated AS (
+        SELECT * FROM quality WHERE n_unique / cast(n_tokens AS double) > 0.3
+    ),
+    deduped AS (
+        SELECT min(doc_id) AS doc_id, min(lang) AS lang, min(n_tokens) AS n_tokens,
+               text
+        FROM gated
+        GROUP BY text
+    ),
+    redacted AS (
+        SELECT doc_id, lang, n_tokens,
+               regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]+', '<EMAIL>') AS text
+        FROM deduped
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+    FROM redacted
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    oracle="""
+    WITH quality AS (
+        SELECT doc_id, lang, text, n_chars,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_unique
+        FROM documents
+        WHERE n_chars >= 150
+    ),
+    gated AS (
+        SELECT * FROM quality WHERE n_unique / cast(n_tokens AS double) > 0.3
+    ),
+    deduped AS (
+        SELECT min(doc_id) AS doc_id, min(lang) AS lang, min(n_tokens) AS n_tokens,
+               text
+        FROM gated
+        GROUP BY text
+    ),
+    redacted AS (
+        SELECT doc_id, lang, n_tokens,
+               regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]+', '<EMAIL>', 'g') AS text
+        FROM deduped
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+    FROM redacted
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("pipeline", "end-to-end"),
+)
