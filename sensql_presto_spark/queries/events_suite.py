@@ -409,3 +409,41 @@ _sql_query(
     "predicate (hash join, never nested-loop): each window explodes into "
     "its covered hour buckets, events join on their bucket.",
 )
+
+
+# --- Structured Streaming stream-stream interval join (beyond-reference):
+#     purchases x same-user clicks within a 30-minute lookback, both sides
+#     watermarked so join state is bounded. One availableNow pass equals
+#     the batch range join the oracle runs. --------------------------------
+
+
+@register(
+    "events_streaming_interval_join",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id,
+           count(*) AS n_pairs,
+           count(DISTINCT p.event_id) AS n_purchases,
+           count(DISTINCT c.event_id) AS n_clicks
+    FROM purchases p
+    JOIN clicks c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    WHERE p.user_id < 50
+    GROUP BY p.user_id
+    ORDER BY p.user_id
+    """,
+    tags=("events", "streaming", "join"),
+    doc="Stream-stream interval join with bounded state (watermarks both "
+    "sides), oracle-checked against the batch range join.",
+)
+def events_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensql_presto_spark.streaming import streaming_interval_join
+
+    return streaming_interval_join(spark, sf_dir)

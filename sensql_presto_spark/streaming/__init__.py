@@ -266,3 +266,88 @@ def streaming_dedup_exact(
     )
     query.awaitTermination(timeout_s)
     return spark.table(name).orderBy("event_type")
+
+
+def streaming_interval_join(
+    spark: SparkSession,
+    sf_dir: str,
+    lookback: str = "30 minutes",
+    name: str = "events_stream_interval_join",
+    timeout_s: int = 240,
+) -> DataFrame:
+    """Stream-stream interval join: purchases joined to the same user's
+    clicks within a lookback window.
+
+    The genuinely streaming-only operator family left undemonstrated:
+    both sides are unbounded, watermarked streams; the equality key
+    (user_id) plus the event-time range condition lets Spark bound the
+    join state (clicks older than the watermark + lookback are evicted).
+    One availableNow pass drops nothing, so the result equals the batch
+    range join the DuckDB oracle runs. Output is aggregated per user so
+    the checked relation is small and deterministic.
+    """
+    catalog._ensure_session_conf(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def _stream() -> DataFrame:
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return catalog.normalize_events_ts(raw)
+
+    clicks = (
+        _stream()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_event"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        _stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_event"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}")),
+        "inner",
+    )
+
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    query = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_s)
+    pairs = spark.table(name)
+    return (
+        pairs.groupBy("p_user")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("p_event").alias("n_purchases"),
+            F.countDistinct("c_event").alias("n_clicks"),
+        )
+        .filter(F.col("p_user") < 50)
+        .orderBy("p_user")
+        .select(
+            F.col("p_user").alias("user_id"), "n_pairs", "n_purchases", "n_clicks"
+        )
+    )
