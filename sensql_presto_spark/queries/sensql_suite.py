@@ -809,3 +809,46 @@ def geo_agg_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY grp
         """
     )
+
+
+# --- KNN node resolution (beyond-reference federation mode): the probe
+#     point's k nearest service regions are resolved in the metadata plane
+#     (SenSQLModule.java's forward-query pattern, with distance ordering
+#     instead of st_intersects), then the measurement aggregation fans out
+#     over exactly those node catalogs. Probe (12,5) lies inside node_b and
+#     2 units from node_a → k=2 resolves {node_a, node_b} = user_id%4∈{0,1},
+#     which is what the oracle replays. -------------------------------------
+
+
+@register(
+    "sensql_knn_federated",
+    oracle="""
+    SELECT event_type AS sensor,
+           count(*) AS n,
+           CAST(sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_val_e4
+    FROM events
+    WHERE user_id % 4 IN (0, 1)
+    GROUP BY event_type
+    ORDER BY sensor
+    """,
+    tags=("sensql", "federation", "knn"),
+    doc="k-nearest-node federation: metadata-plane KNN resolution, "
+    "distributed UNION ALL fan-out over the resolved catalogs.",
+)
+def sensql_knn_federated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    eng = build_engine(spark, sf_dir)
+    node_ids = eng.metadata.resolve_knn("POINT (12 5)", 2)
+    assert node_ids == ["node_a", "node_b"]  # fixture geometry, by construction
+    fanout = reduce(DataFrame.unionAll, [eng.node_catalogs[n]() for n in node_ids])
+    return (
+        fanout.groupBy("sensor")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("sum_val_e4"),
+        )
+        .orderBy("sensor")
+    )

@@ -63,6 +63,17 @@ class MetadataDB:
         """Run the forward query; returns matching node ids (sorted)."""
         return sorted(r[0] for r in self.con.execute(forward_sql).fetchall())
 
+    def resolve_knn(self, point_wkt: str, k: int) -> list[str]:
+        """The k nodes whose service regions are nearest to a probe point
+        (distance 0 when the point lies inside a region). Metadata-plane
+        KNN — node count is small, so ORDER BY + LIMIT on the catalog DB
+        is the right plan; the measurement fan-out stays distributed."""
+        rows = self.con.execute(
+            "SELECT id FROM nodes ORDER BY st_distance(?, service_region), id LIMIT ?",
+            [point_wkt, k],
+        ).fetchall()
+        return sorted(r[0] for r in rows)
+
 
 class FederatedEngine:
     """``sql(text) -> DataFrame`` with the SenSQL federation rewrite applied.

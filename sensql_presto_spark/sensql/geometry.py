@@ -92,9 +92,33 @@ def st_contains(wkt_outer: str, wkt_inner: str) -> bool:
     return all(_point_in_polygon(p, co) for p in ci)
 
 
+def _point_segment_distance(p: Point, a: Point, b: Point) -> float:
+    ax, ay = a
+    bx, by = b
+    px, py = p
+    dx, dy = bx - ax, by - ay
+    seg_len2 = dx * dx + dy * dy
+    if seg_len2 == 0:
+        return math.dist(p, a)
+    t = max(0.0, min(1.0, ((px - ax) * dx + (py - ay) * dy) / seg_len2))
+    return math.dist(p, (ax + t * dx, ay + t * dy))
+
+
 def st_distance(wkt_a: str, wkt_b: str) -> float:
-    """Euclidean distance between two POINTs (the SenSQL usage)."""
+    """Euclidean distance: POINT↔POINT, and POINT↔POLYGON (0 when the
+    point is inside — the KNN-node resolution case)."""
     (ka, ca), (kb, cb) = parse_wkt(wkt_a), parse_wkt(wkt_b)
     if ka == "POINT" and kb == "POINT":
         return math.dist(ca[0], cb[0])
-    raise ValueError("st_distance supports POINT geometries")
+    if ka == "POLYGON" and kb == "POINT":
+        (ka, ca), (kb, cb) = (kb, cb), (ka, ca)
+    if ka == "POINT" and kb == "POLYGON":
+        p = ca[0]
+        ring = cb if cb[0] == cb[-1] else [*cb, cb[0]]
+        if _point_in_polygon(p, cb):
+            return 0.0
+        return min(
+            _point_segment_distance(p, ring[i], ring[i + 1])
+            for i in range(len(ring) - 1)
+        )
+    raise ValueError("st_distance supports POINT and POINT/POLYGON geometries")
