@@ -1377,3 +1377,51 @@ _sql_query(
     """,
     tags=("pipeline", "end-to-end"),
 )
+
+
+# --- audio-style windowed energy over a binary modality column: the blob
+#     is treated as 8-bit PCM (the deterministic fake for a decoded
+#     waveform; sensql_presto_spark.multimodal holds the real-decoder
+#     seam), windowed into 100-sample chunks, per-window integer energy
+#     sum((s-96)^2) — the RMS shape without float drift. mapInPandas
+#     explodes blob rows into window rows executor-side; no shuffle.
+
+
+@register(
+    "mm_audio_windows",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, text, unnest(range(0, length(text), 100)) AS off
+        FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           CAST(off // 100 AS BIGINT) AS window_idx,
+           CAST(length(substring(text, off + 1, 100)) AS BIGINT) AS n_samples,
+           CAST(list_sum([(ascii(c) - 96) * (ascii(c) - 96) FOR c IN string_split(substring(text, off + 1, 100), '')]) AS BIGINT) AS energy
+    FROM w
+    ORDER BY doc_id, window_idx
+    """,
+    tags=("pipeline", "multimodal", "audio"),
+    doc="Windowed audio-feature extraction shape over binary payloads "
+    "(Arrow mapInPandas, blob rows -> window rows, no shuffle).",
+)
+def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    def windows(batches):
+        for pdf in batches:
+            ids, idxs, ns, energies = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for window_idx, off in enumerate(range(0, len(payload), 100)):
+                    chunk = payload[off : off + 100]
+                    ids.append(doc_id)
+                    idxs.append(window_idx)
+                    ns.append(len(chunk))
+                    energies.append(int(sum((s - 96) * (s - 96) for s in chunk)))
+            yield pd.DataFrame(
+                {"doc_id": ids, "window_idx": idxs, "n_samples": ns, "energy": energies}
+            )
+
+    out_schema = "doc_id bigint, window_idx bigint, n_samples bigint, energy bigint"
+    df = _binary_docs(spark, sf_dir).where(F.col("doc_id") < 100)
+    return df.mapInPandas(windows, out_schema).orderBy("doc_id", "window_idx")
