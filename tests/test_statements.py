@@ -182,3 +182,54 @@ def test_explain_type_io_reports_scans_and_pushdown(spark):
     assert "orders.parquet" in r.location
     assert "o_orderkey" in r.read_schema
     assert "o_totalprice" in r.pushed_filters and "GreaterThan" in r.pushed_filters
+
+
+# --- property tests (hypothesis) -----------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_idents = st.text(alphabet="abcdefgh", min_size=1, max_size=6)
+_values = st.one_of(
+    st.integers(-10**6, 10**6).map(str),
+    st.text(alphabet="xyz ,()?'", min_size=0, max_size=8).map(
+        lambda s: "'" + s.replace("'", "''") + "'"
+    ),
+)
+
+
+@given(st.lists(_values, min_size=0, max_size=6))
+@settings(max_examples=200, deadline=None)
+def test_substitution_consumes_every_marker(params):
+    sql = "SELECT " + ", ".join(["?"] * len(params)) if params else "SELECT 1"
+    out = substitute_parameters(sql, params)
+    # every placeholder consumed, each param inserted in order
+    assert "?" not in _strip_strings(out)
+    for p in params:
+        assert f"({p})" in out
+
+
+def _strip_strings(sql: str) -> str:
+    out, in_str = [], False
+    i = 0
+    while i < len(sql):
+        ch = sql[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < len(sql) and sql[i + 1] == "'":
+                    i += 1
+                else:
+                    in_str = False
+        elif ch == "'":
+            in_str = True
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+@given(st.lists(_values, min_size=1, max_size=6))
+@settings(max_examples=200, deadline=None)
+def test_split_top_level_roundtrips_param_lists(params):
+    joined = ", ".join(params)
+    assert split_top_level(joined) == [p.strip() for p in params]
