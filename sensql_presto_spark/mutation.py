@@ -90,6 +90,14 @@ class WritableTable:
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self._vdir(self.version))
 
+    def read_version(self, v: int) -> DataFrame:
+        """Time travel: read snapshot ``v`` (``VERSION AS OF`` in Delta/
+        Iceberg terms). Every committed version is an immutable directory,
+        so historical reads are plain parquet scans — no log replay."""
+        if v not in self._versions():
+            raise ValueError(f"no committed version {v} under {self.path}")
+        return self.spark.read.parquet(self._vdir(v))
+
     def _commit(self, df: DataFrame) -> None:
         df.write.parquet(self._vdir(self.version + 1))
 

@@ -159,3 +159,43 @@ def ddl_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Query via the registered view name: scans the v=1 parquet snapshot,
     # not the defining aggregation.
     return sess.execute("SELECT * FROM mv_prio_totals ORDER BY o_orderpriority")
+
+
+_TT_DIR = os.path.join("spark-warehouse", "time_travel_demo")
+
+
+@register(
+    "mutation_time_travel",
+    oracle="""
+    WITH v0 AS (
+        SELECT n_nationkey, n_name FROM nation WHERE n_regionkey < 2
+    ),
+    v1 AS (
+        SELECT n_nationkey, n_name FROM v0 WHERE n_nationkey >= 5
+    )
+    SELECT COALESCE(a.n_nationkey, b.n_nationkey) AS n_nationkey,
+           (a.n_nationkey IS NOT NULL) AS in_v0,
+           (b.n_nationkey IS NOT NULL) AS in_v1
+    FROM v0 a FULL OUTER JOIN v1 b ON a.n_nationkey = b.n_nationkey
+    ORDER BY n_nationkey
+    """,
+    tags=("ddl", "mutation", "time-travel"),
+    doc="Snapshot time travel (Delta/Iceberg VERSION AS OF): v0 stays "
+    "readable after a DELETE commits v1; the oracle replays both versions "
+    "with set algebra and checks row membership per version.",
+)
+def mutation_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = catalog.table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    t = WritableTable.create(spark, _TT_DIR, nation.filter(F.col("n_regionkey") < 2))
+    t.delete(F.col("n_nationkey") < 5)
+    v0 = t.read_version(0).select("n_nationkey").withColumn("__v0", F.lit(1))
+    v1 = t.read_version(1).select("n_nationkey").withColumn("__v1", F.lit(1))
+    return (
+        v0.join(v1, "n_nationkey", "full_outer")
+        .select(
+            "n_nationkey",
+            F.col("__v0").isNotNull().alias("in_v0"),
+            F.col("__v1").isNotNull().alias("in_v1"),
+        )
+        .orderBy("n_nationkey")
+    )

@@ -44,6 +44,9 @@ _SHOW_STATS_RE = re.compile(r"^\s*SHOW\s+STATS\s+FOR\s+(.+)$", re.IGNORECASE | r
 _EXPLAIN_IO_RE = re.compile(
     r"^\s*EXPLAIN\s*\(\s*TYPE\s+IO\s*\)\s+(.+)$", re.IGNORECASE | re.DOTALL
 )
+_EXPLAIN_VALIDATE_RE = re.compile(
+    r"^\s*EXPLAIN\s*\(\s*TYPE\s+VALIDATE\s*\)\s+(.+)$", re.IGNORECASE | re.DOTALL
+)
 _SET_SESSION_RE = re.compile(r"^\s*SET\s+SESSION\s+(\w+)\s*=\s*(.+)$", re.IGNORECASE | re.DOTALL)
 _RESET_SESSION_RE = re.compile(r"^\s*RESET\s+SESSION\s+(\w+)\s*$", re.IGNORECASE)
 _SHOW_SESSION_RE = re.compile(r"^\s*SHOW\s+SESSION\s*$", re.IGNORECASE)
@@ -308,6 +311,13 @@ class StatementSession:
             from sensql_presto_spark.explain import explain_io
 
             return explain_io(self.spark, catalog.sql(self.spark, self.sf_dir, m.group(1)))
+        m = _EXPLAIN_VALIDATE_RE.match(text)
+        if m:
+            # Analyze without executing (the VALIDATE explain type): building
+            # the DataFrame runs Catalyst's parser + analyzer; any resolution
+            # error surfaces here, and no job is submitted.
+            catalog.sql(self.spark, self.sf_dir, m.group(1)).schema
+            return self.spark.createDataFrame([(True,)], "valid boolean")
         m = _SET_SESSION_RE.match(text)
         if m:
             return self._set_session(m.group(1).lower(), _strip_quotes(m.group(2)))

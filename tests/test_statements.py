@@ -233,3 +233,10 @@ def _strip_strings(sql: str) -> str:
 def test_split_top_level_roundtrips_param_lists(params):
     joined = ", ".join(params)
     assert split_top_level(joined) == [p.strip() for p in params]
+
+
+def test_explain_type_validate(spark):
+    sess = _sess(spark)
+    assert sess.execute("EXPLAIN (TYPE VALIDATE) SELECT n_name FROM nation").collect()[0].valid
+    with pytest.raises(Exception, match="UNRESOLVED_COLUMN|cannot be resolved"):
+        sess.execute("EXPLAIN (TYPE VALIDATE) SELECT no_such_col FROM nation")
