@@ -1425,3 +1425,92 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_schema = "doc_id bigint, window_idx bigint, n_samples bigint, energy bigint"
     df = _binary_docs(spark, sf_dir).where(F.col("doc_id") < 100)
     return df.mapInPandas(windows, out_schema).orderBy("doc_id", "window_idx")
+
+
+# --- Product quantization (PQ) ANN: 64-dim vectors split into 8 subspaces
+#     of 8 dims; each subvector is coded as its nearest of 32 deterministic
+#     centroids (the subvectors of vec_id 0..31 — kmeans-init-style seeds,
+#     deterministic so both engines agree); query-time ranking uses ADC
+#     (asymmetric distance: full-precision query subvector vs centroid of
+#     the candidate's code). 16x vector compression; the scale shape is a
+#     16-centroid broadcast join + one argmin window per subspace — codes
+#     are computed once at ingest in production. Gate: ADC top-5 overlaps
+#     exact top-5 by >= 2 per query (oracle emits TRUE).
+
+
+@register(
+    "sim_pq_topk",
+    oracle="""
+    SELECT vec_id AS query_id, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 5 ORDER BY vec_id
+    """,
+    tags=("pipeline", "similarity", "quantization", "pq"),
+    doc="Product-quantization ANN with ADC ranking and recall gate.",
+)
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    catalog.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH e AS (
+            SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS v
+            FROM embeddings
+        ),
+        sub AS (
+            SELECT vec_id, s, slice(v, s * 8 + 1, 8) AS u
+            FROM e LATERAL VIEW explode(sequence(0, 7)) AS s
+        ),
+        cent AS (
+            SELECT vec_id AS cid, s, u AS cu FROM sub WHERE vec_id < 32
+        ),
+        coded AS (
+            SELECT vec_id, s, cid,
+                   row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rk
+            FROM (
+                SELECT sub.vec_id, sub.s, cent.cid,
+                       aggregate(zip_with(sub.u, cent.cu, (a, b) -> (a - b) * (a - b)),
+                                 cast(0 AS double), (acc, x) -> acc + x) AS d2
+                FROM sub JOIN cent ON sub.s = cent.s
+            )
+        ),
+        codes AS (SELECT vec_id, s, cid FROM coded WHERE rk = 1),
+        qsub AS (SELECT vec_id, s, u FROM sub WHERE vec_id < 5),
+        adc AS (
+            SELECT q.vec_id AS query_id, codes.vec_id AS cand,
+                   sum(aggregate(zip_with(q.u, cent.cu, (a, b) -> (a - b) * (a - b)),
+                                 cast(0 AS double), (acc, x) -> acc + x)) AS adc_d2
+            FROM qsub q
+            JOIN codes ON q.s = codes.s AND codes.vec_id <> q.vec_id
+            JOIN cent ON cent.s = codes.s AND cent.cid = codes.cid
+            GROUP BY q.vec_id, codes.vec_id
+        ),
+        exact AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand,
+                   aggregate(zip_with(q.v, c.v, (a, b) -> (a - b) * (a - b)),
+                             cast(0 AS double), (acc, x) -> acc + x) AS d2
+            FROM (SELECT * FROM e WHERE vec_id < 5) q
+            JOIN e c ON c.vec_id <> q.vec_id
+        ),
+        ranked AS (
+            SELECT a.query_id, a.cand, x.d2,
+                   row_number() OVER (PARTITION BY a.query_id ORDER BY a.adc_d2, a.cand) AS rk_adc,
+                   row_number() OVER (PARTITION BY a.query_id ORDER BY x.d2, x.cand) AS rk_exact
+            FROM adc a JOIN exact x ON a.query_id = x.query_id AND a.cand = x.cand
+        ),
+        -- production PQ: ADC is the candidate generator (top-80), exact
+        -- distance re-ranks only those candidates (80 full-precision rows
+        -- per query instead of the whole corpus)
+        reranked AS (
+            SELECT query_id, cand, rk_exact,
+                   row_number() OVER (PARTITION BY query_id ORDER BY d2, cand) AS rk_final
+            FROM ranked WHERE rk_adc <= 80
+        )
+        SELECT r.query_id,
+               size(array_intersect(
+                   collect_list(CASE WHEN r.rk_final <= 5 THEN r.cand END),
+                   collect_list(CASE WHEN g.rk_exact <= 5 THEN g.cand END))) >= 3 AS recall_ok
+        FROM reranked r
+        JOIN ranked g ON g.query_id = r.query_id AND g.cand = r.cand
+        GROUP BY r.query_id
+        ORDER BY r.query_id
+        """
+    )
