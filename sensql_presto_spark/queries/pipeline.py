@@ -1236,6 +1236,7 @@ _sql_query(
     ORDER BY doc_id
     """,
     tags=("pipeline", "text", "pii"),
+    bench=True,
 )
 
 # --- Within-document repetition (Gopher-style quality signal): fraction of
@@ -1376,6 +1377,7 @@ _sql_query(
     ORDER BY lang
     """,
     tags=("pipeline", "end-to-end"),
+    bench=True,
 )
 
 
