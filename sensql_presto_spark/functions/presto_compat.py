@@ -256,6 +256,74 @@ _SQL_FUNCTIONS: tuple[str, ...] = (
     """CREATE OR REPLACE TEMPORARY FUNCTION teradata_to_date(s STRING, fmt STRING)
        RETURNS DATE RETURN
        cast(cast(unix_timestamp(s, replace(replace(replace(lower(fmt), 'hh24', 'HH'), 'mm', 'MM'), 'mi', 'mm')) AS TIMESTAMP) AS DATE)""",
+    # -- long-tail scalar shims (round-2 sweep of the remaining
+    #    @ScalarFunction names; each cites its reference file) --
+    # DateTimeFunctions.java: timezone_hour/timezone_minute are session-TZ
+    # probes — sessions are pinned to UTC (session.py), so they are the UTC
+    # constants; current_timezone() is already a Spark builtin.
+    """CREATE OR REPLACE TEMPORARY FUNCTION timezone_hour(t TIMESTAMP)
+       RETURNS BIGINT RETURN 0L""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION timezone_minute(t TIMESTAMP)
+       RETURNS BIGINT RETURN 0L""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION millisecond(t TIMESTAMP)
+       RETURNS BIGINT RETURN (unix_micros(t) % 1000000) div 1000""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION last_day_of_month(d DATE)
+       RETURNS DATE RETURN last_day(d)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION from_iso8601_date(s STRING)
+       RETURNS DATE RETURN cast(s AS DATE)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION from_iso8601_timestamp(s STRING)
+       RETURNS TIMESTAMP RETURN to_timestamp(s)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION to_iso8601(t TIMESTAMP)
+       RETURNS STRING RETURN date_format(t, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")""",
+    # DateTimeFunctions.java parse_duration — returns a day-time interval
+    # (Presto's INTERVAL DAY TO SECOND); suffix set per Duration.java
+    """CREATE OR REPLACE TEMPORARY FUNCTION parse_duration(s STRING)
+       RETURNS INTERVAL DAY TO SECOND RETURN make_dt_interval(0, 0, 0,
+           cast(regexp_extract(s, '^([0-9.]+)', 1) AS DOUBLE) *
+           CASE regexp_extract(s, '([a-z]+)$', 1)
+                WHEN 'ns' THEN 1e-9 WHEN 'us' THEN 1e-6 WHEN 'ms' THEN 1e-3
+                WHEN 's' THEN 1e0 WHEN 'm' THEN 60e0 WHEN 'h' THEN 3600e0
+                WHEN 'd' THEN 86400e0 END)""",
+    # MathFunctions.java parse_presto_data_size -> bytes as DOUBLE
+    """CREATE OR REPLACE TEMPORARY FUNCTION parse_presto_data_size(s STRING)
+       RETURNS DOUBLE RETURN
+           cast(regexp_extract(s, '^([0-9.]+)', 1) AS DOUBLE) *
+           CASE regexp_extract(s, '([A-Za-z]+)$', 1)
+                WHEN 'B' THEN 1e0 WHEN 'kB' THEN 1024e0 WHEN 'MB' THEN 1048576e0
+                WHEN 'GB' THEN 1073741824e0 WHEN 'TB' THEN 1099511627776e0
+                WHEN 'PB' THEN 1125899906842624e0 END""",
+    # StringFunctions.java strrpos — 1-based index of the LAST occurrence
+    """CREATE OR REPLACE TEMPORARY FUNCTION strrpos(s STRING, sub STRING)
+       RETURNS BIGINT RETURN
+       CASE WHEN instr(s, sub) = 0 THEN 0L
+            ELSE cast(length(s) - length(sub) - instr(reverse(s), reverse(sub)) + 2 AS BIGINT)
+       END""",
+    # VarbinaryFunctions.java base64url / big-endian codecs
+    """CREATE OR REPLACE TEMPORARY FUNCTION to_base64url(v BINARY)
+       RETURNS STRING RETURN translate(base64(v), '+/', '-_')""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION from_base64url(s STRING)
+       RETURNS BINARY RETURN unbase64(translate(s, '-_', '+/'))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION to_big_endian_64(x BIGINT)
+       RETURNS BINARY RETURN unhex(lpad(hex(x), 16, '0'))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION from_big_endian_64(v BINARY)
+       RETURNS BIGINT RETURN cast(conv(hex(v), 16, -10) AS BIGINT)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION to_big_endian_32(x INT)
+       RETURNS BINARY RETURN unhex(substring(lpad(hex(cast(x AS BIGINT)), 16, '0'), 9, 8))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION from_big_endian_32(v BINARY)
+       RETURNS INT RETURN cast(
+           CASE WHEN cast(conv(hex(v), 16, 10) AS BIGINT) >= 2147483648L
+                THEN cast(conv(hex(v), 16, 10) AS BIGINT) - 4294967296L
+                ELSE cast(conv(hex(v), 16, 10) AS BIGINT) END AS INT)""",
+    # JsonFunctions.java is_json_scalar / json_array_get + numeric contains
+    """CREATE OR REPLACE TEMPORARY FUNCTION is_json_scalar(j STRING)
+       RETURNS BOOLEAN RETURN substring(ltrim(j), 1, 1) NOT IN ('[', '{')""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION json_array_get(j STRING, i BIGINT)
+       RETURNS STRING RETURN get_json_object(j, concat('$[', i, ']'))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION json_array_contains_num(j STRING, v DOUBLE)
+       RETURNS BOOLEAN RETURN array_contains(from_json(j, 'array<double>'), v)""",
+    # ArrayFunctions trim_array
+    """CREATE OR REPLACE TEMPORARY FUNCTION trim_array(a ARRAY<STRING>, n INT)
+       RETURNS ARRAY<STRING> RETURN slice(a, 1, size(a) - n)""",
     # -- combinations (ArrayCombinationsFunction.java) — pure-SQL n<=3
     #    (the reference caps n at 5; nested-transform expansion covers the
     #    practical range without a UDF, and stays codegen'd)

@@ -757,3 +757,70 @@ def fn_ip(spark, sf_dir):
         ORDER BY c_custkey
         """,
     )
+
+
+# --- long-tail compat sweep (round-2: the remaining @ScalarFunction names
+#     from operator/scalar/*.java get shims; see presto_compat.py) ----------
+
+
+@register(
+    "fn_presto_compat2",
+    oracle="""
+    SELECT o_orderkey,
+           'UTC' AS tz, 0 AS tzh, 0 AS tzm,
+           0 AS ms,
+           strftime(date_trunc('month', o_orderdate) + INTERVAL 1 MONTH - INTERVAL 1 DAY, '%Y-%m-%d') AS eom,
+           '2021-07-09' AS iso_d,
+           strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.000Z') AS iso_ts,
+           90.0 AS dur_s,
+           5242880.0 AS five_mb,
+           CASE WHEN position('-' IN reverse(o_orderpriority)) = 0 THEN 0
+                ELSE length(o_orderpriority) - position('-' IN reverse(o_orderpriority)) END + 1
+               AS last_dash,
+           o_orderstatus AS b64url_rt,
+           o_orderkey AS be64_rt,
+           CAST(o_orderkey % 100 AS INT) - 50 AS be32_rt,
+           TRUE AS scalar_num, FALSE AS scalar_obj,
+           '2' AS arr_1,
+           TRUE AS has_25,
+           'a,b' AS trimmed
+    FROM orders WHERE o_orderkey < 40
+    ORDER BY o_orderkey
+    """,
+    tags=("functions", "compat"),
+    doc="Long-tail scalar shims: iso8601, duration/data-size parsing, "
+    "strrpos, base64url, big-endian codecs, json scalar probes, trim_array.",
+)
+def fn_presto_compat2(spark, sf_dir):
+    from sensql_presto_spark import catalog
+    from sensql_presto_spark.functions import register_all
+
+    register_all(spark)
+    return catalog.sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey,
+               current_timezone() AS tz,
+               timezone_hour(o_orderdate) AS tzh,
+               timezone_minute(o_orderdate) AS tzm,
+               millisecond(o_orderdate) AS ms,
+               cast(last_day_of_month(cast(o_orderdate AS DATE)) AS STRING) AS eom,
+               cast(from_iso8601_date('2021-07-09') AS STRING) AS iso_d,
+               to_iso8601(o_orderdate) AS iso_ts,
+               cast(extract(MINUTE FROM parse_duration('90s')) * 60
+                    + extract(SECOND FROM parse_duration('90s')) AS DOUBLE) AS dur_s,
+               parse_presto_data_size('5MB') AS five_mb,
+               strrpos(o_orderpriority, '-') AS last_dash,
+               decode(from_base64url(to_base64url(encode(o_orderstatus, 'UTF-8'))), 'UTF-8') AS b64url_rt,
+               from_big_endian_64(to_big_endian_64(o_orderkey)) AS be64_rt,
+               from_big_endian_32(to_big_endian_32(cast(o_orderkey % 100 AS INT) - 50)) AS be32_rt,
+               is_json_scalar('42') AS scalar_num,
+               is_json_scalar('{"k":1}') AS scalar_obj,
+               json_array_get('[1,2,3]', 1) AS arr_1,
+               json_array_contains_num('[12.5, 25.0]', 25.0) AS has_25,
+               array_join(trim_array(array('a', 'b', 'c'), 1), ',') AS trimmed
+        FROM orders WHERE o_orderkey < 40
+        ORDER BY o_orderkey
+        """,
+    )
