@@ -104,6 +104,7 @@ def register_python_udfs(spark: SparkSession) -> None:
     spark.udf.register("word_stem", word_stem)
     register_geo_udfs(spark)
     register_hmac_udfs(spark)
+    register_hash_codec_udfs(spark)
     spark.udf.register("normal_cdf", normal_cdf)
     spark.udf.register("inverse_normal_cdf", inverse_normal_cdf)
     spark.udf.register("normalize_nfc", unicode_normalize_nfc)
@@ -147,3 +148,82 @@ def _make_hmac(algo: str):
 def register_hmac_udfs(spark: SparkSession) -> None:
     for algo in ("md5", "sha1", "sha256", "sha512"):
         spark.udf.register(f"hmac_{algo}", _make_hmac(algo))
+
+
+# --- FNV hashes (VarbinaryFunctions.java fnv1_32/fnv1_64/fnv1a_32/fnv1a_64)
+#     and IEEE754 codecs (to/from_ieee754_32/64). Pure-SQL is blocked by
+#     ANSI-mode overflow on 64-bit wrap-around multiplication, so these run
+#     as Arrow-batched pandas UDFs (per-blob byte loops, no JVM round trip
+#     per row).
+
+_FNV64_PRIME = 0x100000001B3
+_FNV64_OFFSET = 0xCBF29CE484222325
+_FNV32_PRIME = 0x01000193
+_FNV32_OFFSET = 0x811C9DC5
+
+
+def _fnv(data: bytes, offset: int, prime: int, mask: int, a_variant: bool) -> int:
+    h = offset
+    for b in data:
+        if a_variant:
+            h = ((h ^ b) * prime) & mask
+        else:
+            h = ((h * prime) & mask) ^ b
+    return h
+
+
+def _fnv_udf(offset: int, prime: int, bits: int, a_variant: bool):
+    mask = (1 << bits) - 1
+    sign = 1 << (bits - 1)
+
+    @F.pandas_udf(T.LongType())
+    def fn(payload: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            h = _fnv(bytes(v), offset, prime, mask, a_variant)
+            # two's complement into the signed range (Presto returns BIGINT)
+            return h - (1 << bits) if bits == 64 and h >= sign else h
+
+        return payload.map(one)
+
+    return fn
+
+
+@F.pandas_udf(T.BinaryType())
+def to_ieee754_64(x: pd.Series) -> pd.Series:
+    import struct
+
+    return x.map(lambda v: None if v is None else struct.pack(">d", float(v)))
+
+
+@F.pandas_udf(T.DoubleType())
+def from_ieee754_64(v: pd.Series) -> pd.Series:
+    import struct
+
+    return v.map(lambda b: None if b is None else struct.unpack(">d", bytes(b))[0])
+
+
+@F.pandas_udf(T.BinaryType())
+def to_ieee754_32(x: pd.Series) -> pd.Series:
+    import struct
+
+    return x.map(lambda v: None if v is None else struct.pack(">f", float(v)))
+
+
+@F.pandas_udf(T.DoubleType())
+def from_ieee754_32(v: pd.Series) -> pd.Series:
+    import struct
+
+    return v.map(lambda b: None if b is None else float(struct.unpack(">f", bytes(b))[0]))
+
+
+def register_hash_codec_udfs(spark: SparkSession) -> None:
+    spark.udf.register("fnv1_64", _fnv_udf(_FNV64_OFFSET, _FNV64_PRIME, 64, False))
+    spark.udf.register("fnv1a_64", _fnv_udf(_FNV64_OFFSET, _FNV64_PRIME, 64, True))
+    spark.udf.register("fnv1_32", _fnv_udf(_FNV32_OFFSET, _FNV32_PRIME, 32, False))
+    spark.udf.register("fnv1a_32", _fnv_udf(_FNV32_OFFSET, _FNV32_PRIME, 32, True))
+    spark.udf.register("to_ieee754_64", to_ieee754_64)
+    spark.udf.register("from_ieee754_64", from_ieee754_64)
+    spark.udf.register("to_ieee754_32", to_ieee754_32)
+    spark.udf.register("from_ieee754_32", from_ieee754_32)
