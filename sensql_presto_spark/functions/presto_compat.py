@@ -85,6 +85,10 @@ PRESTO_EQUIVALENTS: dict[str, str] = {
     "try_cast": "try_cast",
     "greatest/least": "same",
     "coalesce/nullif/if/case": "same",
+    "merge_hll": "hll_union_agg (array-of-sketches merge via aggregate)",
+    "localtime": "localtimestamp (Spark has no TIME type; documented gap)",
+    "murmur3_x64_128": "xxhash64 recommended (128-bit murmur not provided; documented gap)",
+    "scale_qdigest": "no-op for quantile reads (uniform weight scaling preserves quantiles)",
 }
 
 # Each entry must be a pure-builtin expression body -> Catalyst inlines it.
@@ -321,6 +325,15 @@ _SQL_FUNCTIONS: tuple[str, ...] = (
        RETURNS STRING RETURN get_json_object(j, concat('$[', i, ']'))""",
     """CREATE OR REPLACE TEMPORARY FUNCTION json_array_contains_num(j STRING, v DOUBLE)
        RETURNS BOOLEAN RETURN array_contains(from_json(j, 'array<double>'), v)""",
+    # bare Presto name carries the (json, varchar) overload — the most
+    # common call shape; numeric callers use the _num spelling above
+    """CREATE OR REPLACE TEMPORARY FUNCTION json_array_contains(j STRING, v STRING)
+       RETURNS BOOLEAN RETURN array_contains(from_json(j, 'array<string>'), v)""",
+    # DateTimeFunctions.java to_milliseconds(interval day to second)
+    """CREATE OR REPLACE TEMPORARY FUNCTION to_milliseconds(i INTERVAL DAY TO SECOND)
+       RETURNS BIGINT RETURN cast(extract(DAY FROM i) * 86400000
+           + extract(HOUR FROM i) * 3600000 + extract(MINUTE FROM i) * 60000
+           + extract(SECOND FROM i) * 1000 AS BIGINT)""",
     # ArrayFunctions trim_array
     """CREATE OR REPLACE TEMPORARY FUNCTION trim_array(a ARRAY<STRING>, n INT)
        RETURNS ARRAY<STRING> RETURN slice(a, 1, size(a) - n)""",
