@@ -147,3 +147,11 @@ def test_no_bench_query_plans_cartesian_or_row_python(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, f"scale-hostile plans: {offenders}"
+
+
+def test_pipeline_end_to_end_is_two_exchanges(spark):
+    """The composed curation DAG (quality -> dedup -> redact -> rollup)
+    must fuse into exactly two shuffles: the dedup groupBy and the final
+    per-language aggregation."""
+    plan = _plan(spark, "pipeline_end_to_end", mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 2
