@@ -1,0 +1,56 @@
+"""Error contracts mirrored from the reference (INVALID_FUNCTION_ARGUMENT
+paths and NULL-vs-throw semantics noted in PRESTO_EQUIVALENTS)."""
+
+from __future__ import annotations
+
+import pytest
+
+from sensql_presto_spark.functions import register_all
+
+
+def test_hamming_distance_length_mismatch_raises(spark):
+    """StringFunctions.java hammingDistance throws on length mismatch —
+    the shim mirrors that instead of counting NULL-padded positions
+    (round-1 advisor finding)."""
+    register_all(spark)
+    assert spark.sql("SELECT hamming_distance('abc', 'abd') AS h").collect()[0].h == 1
+    with pytest.raises(Exception, match="same length"):
+        spark.sql("SELECT hamming_distance('abc', 'abcd') AS h").collect()
+
+
+def test_map_missing_key_null_via_try_element_at(spark):
+    """Presto map subscript throws on a missing key; Spark ANSI element_at
+    does too, and try_element_at is the documented NULL-returning path."""
+    row = spark.sql(
+        "SELECT try_element_at(map('a', 1), 'b') AS missing, "
+        "try_element_at(map('a', 1), 'a') AS hit"
+    ).collect()[0]
+    assert row.missing is None and row.hit == 1
+
+
+def test_division_by_zero_ansi_vs_try(spark):
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO|Division by zero"):
+        spark.sql("SELECT 1 / 0 AS x").collect()
+    assert spark.sql("SELECT try_divide(1, 0) AS x").collect()[0].x is None
+
+
+def test_registry_names_in_coverage_doc_exist():
+    """Drift guard: every registry-shaped name cited in COVERAGE.md must
+    actually exist in the registry."""
+    import re
+
+    from sensql_presto_spark.queries import all_specs
+
+    specs = all_specs()
+    prefixes = (
+        "tpch_", "tpcds_", "fn_", "agg_", "dedup_", "sim_", "text_", "mm_",
+        "events_", "sensql_", "geo_", "setop_", "window_", "scale_",
+        "source_", "mutation_", "ddl_", "pipeline_", "prepared_",
+    )
+    cited = set()
+    for m in re.finditer(r"`([a-z0-9_]+)`", open("COVERAGE.md").read()):
+        name = m.group(1)
+        if name.startswith(prefixes):
+            cited.add(name)
+    missing = sorted(n for n in cited if n not in specs)
+    assert not missing, f"COVERAGE.md cites unknown registry entries: {missing}"
