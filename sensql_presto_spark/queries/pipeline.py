@@ -1516,3 +1516,93 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY r.query_id
         """
     )
+
+
+# --- Stratified (per-language) deterministic sampling: cap each language
+# at K docs, chosen by a Knuth multiplicative hash of doc_id so the sample
+# is stable across runs and engines (no rand()). One window per stratum —
+# at 100 TB this is the balanced-subsample op that follows language ID.
+_sql_query(
+    "text_stratified_sample",
+    """
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_sampled,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+    FROM ranked WHERE rk <= 30
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_sampled,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+    FROM ranked WHERE rk <= 30
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("pipeline", "text", "sampling"),
+)
+
+# --- TF-IDF top terms per language: one explode to (lang, doc, term), a
+# document-frequency aggregation, and a windowed top-3 — the corpus
+# keyword-extraction shape (two shuffles: term stats, then per-lang rank).
+# Scores are quantized to integers before ranking so ties and hashes are
+# engine-stable.
+_sql_query(
+    "text_tfidf_top_terms",
+    """
+    WITH docs AS (SELECT doc_id, lang, array_distinct(split(text, ' ')) AS terms FROM documents),
+    n_docs AS (SELECT count(*) AS n FROM docs),
+    posting AS (SELECT doc_id, lang, explode(terms) AS term FROM docs),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM posting GROUP BY term),
+    lang_tf AS (SELECT lang, term, count(*) AS tf FROM posting GROUP BY lang, term),
+    scored AS (
+        SELECT l.lang, l.term,
+               cast(floor(l.tf * ln(cast(n.n AS double) / d.df) * 10000 + 0.5) AS BIGINT) AS score_e4
+        FROM lang_tf l JOIN df d ON l.term = d.term CROSS JOIN n_docs n
+    ),
+    ranked AS (
+        SELECT lang, term, score_e4,
+               row_number() OVER (PARTITION BY lang ORDER BY score_e4 DESC, term) AS rk
+        FROM scored
+    )
+    SELECT lang, rk, term, score_e4
+    FROM ranked WHERE rk <= 3
+    ORDER BY lang, rk
+    """,
+    oracle="""
+    WITH docs AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS terms FROM documents),
+    n_docs AS (SELECT count(*) AS n FROM docs),
+    posting AS (SELECT doc_id, lang, unnest(terms) AS term FROM docs),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM posting GROUP BY term),
+    lang_tf AS (SELECT lang, term, count(*) AS tf FROM posting GROUP BY lang, term),
+    scored AS (
+        SELECT l.lang, l.term,
+               cast(floor(l.tf * ln(cast(n.n AS double) / d.df) * 10000 + 0.5) AS BIGINT) AS score_e4
+        FROM lang_tf l JOIN df d ON l.term = d.term CROSS JOIN n_docs n
+    ),
+    ranked AS (
+        SELECT lang, term, score_e4,
+               row_number() OVER (PARTITION BY lang ORDER BY score_e4 DESC, term) AS rk
+        FROM scored
+    )
+    SELECT lang, rk, term, score_e4
+    FROM ranked WHERE rk <= 3
+    ORDER BY lang, rk
+    """,
+    tags=("pipeline", "text", "tfidf"),
+)
