@@ -23,7 +23,11 @@ from pyspark.sql import types as T
 
 
 def _net(prefix: str) -> ipaddress._BaseNetwork:
-    return ipaddress.ip_network(prefix, strict=True)
+    # strict=False masks host bits to zero, matching the reference's
+    # IPPREFIX cast (IpPrefixOperators.castFromVarcharToIpPrefix): in
+    # Presto, ip_subnet_min('1.2.3.4/24') is valid input and means
+    # 1.2.3.0/24; strict=True would raise inside the Spark task.
+    return ipaddress.ip_network(prefix, strict=False)
 
 
 @F.pandas_udf(T.StringType())
@@ -65,8 +69,9 @@ def _is_subnet_of(prefix: pd.Series, other: pd.Series) -> pd.Series:
             return None
         net = _net(p)
         if "/" in o:
-            # prefix ⊇ prefix (IpPrefixFunctions.java:133 overload)
-            return ipaddress.ip_network(o, strict=True).subnet_of(net)
+            # prefix ⊇ prefix (IpPrefixFunctions.java:133 overload);
+            # strict=False canonicalizes host bits like the IPPREFIX cast
+            return ipaddress.ip_network(o, strict=False).subnet_of(net)
         return ipaddress.ip_address(o) in net
 
     return pd.Series([one(p, o) for p, o in zip(prefix, other)], dtype=object)

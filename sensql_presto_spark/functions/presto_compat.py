@@ -337,18 +337,33 @@ _SQL_FUNCTIONS: tuple[str, ...] = (
     # ArrayFunctions trim_array
     """CREATE OR REPLACE TEMPORARY FUNCTION trim_array(a ARRAY<STRING>, n INT)
        RETURNS ARRAY<STRING> RETURN slice(a, 1, size(a) - n)""",
-    # -- combinations (ArrayCombinationsFunction.java) — pure-SQL n<=3
-    #    (the reference caps n at 5; nested-transform expansion covers the
-    #    practical range without a UDF, and stays codegen'd)
+    # -- combinations (ArrayCombinationsFunction.java) — pure-SQL, full
+    #    reference range n<=5 via nested-transform expansion (stays
+    #    codegen'd); n>5 errors exactly like the reference's
+    #    checkCondition rather than silently returning empty
     """CREATE OR REPLACE TEMPORARY FUNCTION combinations(a ARRAY<STRING>, n INT)
        RETURNS ARRAY<ARRAY<STRING>> RETURN
-       CASE WHEN size(a) < n OR n < 1 OR n > 3 THEN cast(array() AS ARRAY<ARRAY<STRING>>)
+       CASE WHEN n < 0 OR n > 5 THEN cast(raise_error(concat(
+                 'combinations argument n must be in [0, 5]: ', cast(n AS STRING)))
+                 AS ARRAY<ARRAY<STRING>>)
+            WHEN n = 0 THEN array(cast(array() AS ARRAY<STRING>))
+            WHEN size(a) < n THEN cast(array() AS ARRAY<ARRAY<STRING>>)
             WHEN n = 1 THEN transform(a, x -> array(x))
             WHEN n = 2 THEN flatten(transform(sequence(0, size(a) - 2), i ->
                             transform(sequence(i + 1, size(a) - 1), j -> array(a[i], a[j]))))
-            ELSE flatten(flatten(transform(sequence(0, size(a) - 3), i ->
+            WHEN n = 3 THEN flatten(flatten(transform(sequence(0, size(a) - 3), i ->
                  transform(sequence(i + 1, size(a) - 2), j ->
                  transform(sequence(j + 1, size(a) - 1), k -> array(a[i], a[j], a[k]))))))
+            WHEN n = 4 THEN flatten(flatten(flatten(transform(sequence(0, size(a) - 4), i ->
+                 transform(sequence(i + 1, size(a) - 3), j ->
+                 transform(sequence(j + 1, size(a) - 2), k ->
+                 transform(sequence(k + 1, size(a) - 1), l -> array(a[i], a[j], a[k], a[l]))))))))
+            ELSE flatten(flatten(flatten(flatten(transform(sequence(0, size(a) - 5), i ->
+                 transform(sequence(i + 1, size(a) - 4), j ->
+                 transform(sequence(j + 1, size(a) - 3), k ->
+                 transform(sequence(k + 1, size(a) - 2), l ->
+                 transform(sequence(l + 1, size(a) - 1), m ->
+                     array(a[i], a[j], a[k], a[l], a[m]))))))))))
        END""",
 )
 

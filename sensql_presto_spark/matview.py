@@ -70,16 +70,30 @@ class MaterializedViewStore:
     # -- statements ----------------------------------------------------------
 
     def create(self, name: str, sql: str, replace: bool = False) -> None:
-        if self.exists(name) and not replace:
+        # The reference raises whenever ANY table with the name exists, not
+        # just another MV (CreateMaterializedViewTask.java:81-84); without
+        # this, an MV named after a base table silently shadows its temp
+        # view for the rest of the session.
+        if name in catalog.TABLES:
+            raise ValueError(f"Table already exists (cannot shadow base table): {name}")
+        existing = self._versions(name) if self.exists(name) else []
+        if existing and not replace:
             raise ValueError(f"Materialized view already exists: {name}")
         d = self._dir(name)
-        if os.path.isdir(d):
-            shutil.rmtree(d)
+        if not existing and os.path.isdir(d):
+            shutil.rmtree(d)  # debris from a failed earlier create
         os.makedirs(d, exist_ok=True)
+        # Copy-on-write replace: commit the new snapshot (and only then the
+        # new definition) before retiring old versions, so a failing
+        # defining query or a crash mid-write leaves the prior MV intact —
+        # same discipline as mutation.WritableTable.
+        v = existing[-1] + 1 if existing else 0
         df = catalog.sql(self.spark, self.sf_dir, sql)
-        df.write.parquet(os.path.join(d, "v=0"))
+        df.write.parquet(os.path.join(d, f"v={v}"))
         with open(os.path.join(d, _DEF_FILE), "w") as f:
             json.dump({"sql": sql}, f)
+        for old in existing:
+            shutil.rmtree(os.path.join(d, f"v={old}"), ignore_errors=True)
         self._register(name)
 
     def refresh(self, name: str) -> None:
@@ -95,7 +109,10 @@ class MaterializedViewStore:
         if not self.exists(name):
             raise ValueError(f"Materialized view not found: {name}")
         shutil.rmtree(self._dir(name))
-        self.spark.catalog.dropTempView(name)
+        # Only unregister views this store registered; never a base table's
+        # temp view (create() rejects those names, this is belt-and-braces).
+        if name not in catalog.TABLES:
+            self.spark.catalog.dropTempView(name)
 
     def read(self, name: str) -> DataFrame:
         if not self.exists(name):

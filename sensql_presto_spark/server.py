@@ -95,6 +95,7 @@ def _json_cell(v):
 class QueryExecution:
     query_id: str
     sql: str
+    client: str = "anonymous"
     state: str = "QUEUED"
     columns: list | None = None
     rows: list | None = None
@@ -124,9 +125,17 @@ class SqlServer:
         self.spark = spark
         self.sf_dir = sf_dir
         prepare_session(spark, sf_dir)
-        # Prepared-statement + SHOW STATS dispatch shared across requests
-        # (the reference keeps prepared statements in Session state).
-        self._stmts = StatementSession(spark, sf_dir)
+        # Statement state (PREPARE names, SET SESSION defaults) is keyed per
+        # client identity (X-Presto-User / X-Presto-Session header), matching
+        # the reference's per-Session scoping in QueryPreparer /
+        # SystemSessionProperties.  Caveat, documented: all clients share ONE
+        # SparkSession, so a SET SESSION's underlying Spark conf is
+        # process-global while set — the per-client map scopes the
+        # *namespace* (PREPARE names, saved defaults), not conf isolation
+        # between concurrently-running queries.
+        self._stmts_cls = StatementSession
+        self._sessions: dict[str, StatementSession] = {}
+        self._sessions_lock = threading.Lock()
         self.queries: dict[str, QueryExecution] = {}
         self._httpd = ThreadingHTTPServer((host, port), self._handler_class())
         self.port = self._httpd.server_address[1]
@@ -142,8 +151,14 @@ class SqlServer:
         self._httpd.server_close()
 
     # -- query execution ---------------------------------------------------
-    def submit(self, sql: str) -> QueryExecution:
-        q = QueryExecution(query_id=f"q_{uuid.uuid4().hex[:12]}", sql=sql)
+    def _session_for(self, client: str) -> "object":
+        with self._sessions_lock:
+            if client not in self._sessions:
+                self._sessions[client] = self._stmts_cls(self.spark, self.sf_dir)
+            return self._sessions[client]
+
+    def submit(self, sql: str, client: str = "anonymous") -> QueryExecution:
+        q = QueryExecution(query_id=f"q_{uuid.uuid4().hex[:12]}", sql=sql, client=client)
         self.queries[q.query_id] = q
         threading.Thread(target=self._run, args=(q,), daemon=True).start()
         return q
@@ -154,7 +169,7 @@ class SqlServer:
                 return
             q.state = "RUNNING"
         try:
-            df = self._stmts.execute(q.sql)
+            df = self._session_for(q.client).execute(q.sql)
             rows = [[_json_cell(v) for v in row] for row in df.collect()]
             cols = [
                 {"name": f.name, "type": _presto_type(f.dataType)} for f in df.schema.fields
@@ -225,7 +240,10 @@ class SqlServer:
                 if not sql.strip():
                     self._send(400, {"error": {"message": "SQL statement is empty"}})
                     return
-                q = server.submit(sql)
+                client = self.headers.get("X-Presto-Session-Id") or self.headers.get(
+                    "X-Presto-User", "anonymous"
+                )
+                q = server.submit(sql, client=client)
                 self._send(200, server._document(q, self._base()))
 
             def do_GET(self):

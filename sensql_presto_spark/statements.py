@@ -56,6 +56,58 @@ _CREATE_MV_RE = re.compile(
 )
 _REFRESH_MV_RE = re.compile(r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*$", re.IGNORECASE)
 _DROP_MV_RE = re.compile(r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(\w+)\s*$", re.IGNORECASE)
+# CREATE FUNCTION (SqlBase.g4:72-79 createFunction; executed by the
+# function-namespace managers in the reference). Optional routine
+# characteristics between RETURNS <type> and RETURN <expr> are accepted
+# and discarded: LANGUAGE SQL / DETERMINISTIC / null-input behavior /
+# COMMENT — Spark SQL functions are SQL-language and deterministic-iff-
+# their-body-is by construction.
+_CREATE_FN_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(TEMPORARY\s+)?FUNCTION\s+([\w.]+)\s*"
+    r"\((.*?)\)\s*RETURNS\s+([\w]+(?:\s*\([\w,\s]*\))?(?:\s*<.*?>)?)\s*"
+    r"((?:COMMENT\s+'[^']*'|LANGUAGE\s+SQL|NOT\s+DETERMINISTIC|DETERMINISTIC|"
+    r"RETURNS\s+NULL\s+ON\s+NULL\s+INPUT|CALLED\s+ON\s+NULL\s+INPUT)(?:\s+|$))*"
+    r"RETURN\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_FN_RE = re.compile(
+    r"^\s*DROP\s+(?:TEMPORARY\s+)?FUNCTION\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$", re.IGNORECASE
+)
+_SHOW_FNS_RE = re.compile(r"^\s*SHOW\s+FUNCTIONS\s*(?:LIKE\s+('.*')\s*)?$", re.IGNORECASE)
+# Transaction statements (SqlBase.g4 startTransaction/commit/rollback;
+# presto-main/.../transaction/TransactionManager.java).
+_START_TXN_RE = re.compile(
+    r"^\s*START\s+TRANSACTION"
+    r"((?:\s*,?\s*(?:ISOLATION\s+LEVEL\s+(?:READ\s+UNCOMMITTED|READ\s+COMMITTED|"
+    r"REPEATABLE\s+READ|SERIALIZABLE)|READ\s+ONLY|READ\s+WRITE))*)\s*$",
+    re.IGNORECASE,
+)
+_COMMIT_RE = re.compile(r"^\s*COMMIT(?:\s+WORK)?\s*$", re.IGNORECASE)
+_ROLLBACK_RE = re.compile(r"^\s*ROLLBACK(?:\s+WORK)?\s*$", re.IGNORECASE)
+
+# Presto parameter/return types that spell differently in Spark DDL.
+_FN_TYPE_MAP = {
+    "varchar": "STRING",
+    "real": "FLOAT",
+    "integer": "INT",
+    "varbinary": "BINARY",
+}
+
+
+def _translate_fn_type(presto_type: str) -> str:
+    t = presto_type.strip()
+    return _FN_TYPE_MAP.get(t.lower(), t)
+
+
+def _translate_fn_params(params: str) -> str:
+    """``x double, s varchar`` → Spark DDL parameter list, types mapped."""
+    out = []
+    for p in split_top_level(params):
+        bits = p.split()
+        if len(bits) < 2:
+            raise ValueError(f"Invalid function parameter declaration: {p!r}")
+        out.append(f"{bits[0]} {_translate_fn_type(' '.join(bits[1:]))}")
+    return ", ".join(out)
 
 
 def split_top_level(text: str, sep: str = ",") -> list[str]:
@@ -278,6 +330,7 @@ class StatementSession:
         self.sf_dir = sf_dir
         self.prepared: dict[str, str] = {}
         self._conf_defaults: dict[str, str | None] = {}
+        self._in_txn = False
         self.matviews = MaterializedViewStore(spark, sf_dir)
         self.matviews.register_all()
 
@@ -339,7 +392,93 @@ class StatementSession:
         if m:
             self.matviews.drop(m.group(1))
             return self.spark.createDataFrame([("DROP MATERIALIZED VIEW",)], "result string")
+        m = _CREATE_FN_RE.match(text)
+        if m:
+            return self._create_function(
+                replace=bool(m.group(1)),
+                name=m.group(3),
+                params=m.group(4),
+                rtype=m.group(5),
+                body=m.group(7).strip(),
+            )
+        m = _DROP_FN_RE.match(text)
+        if m:
+            name = m.group(2).split(".")[-1]
+            self.spark.sql(
+                f"DROP TEMPORARY FUNCTION {'IF EXISTS ' if m.group(1) else ''}{name}"
+            )
+            return self.spark.createDataFrame([("DROP FUNCTION",)], "result string")
+        m = _SHOW_FNS_RE.match(text)
+        if m:
+            like = f" LIKE {m.group(1)}" if m.group(1) else ""
+            return self.spark.sql(f"SHOW USER FUNCTIONS{like}")
+        m = _START_TXN_RE.match(text)
+        if m:
+            return self._start_transaction()
+        if _COMMIT_RE.match(text):
+            return self._commit()
+        if _ROLLBACK_RE.match(text):
+            return self._rollback()
         return catalog.sql(self.spark, self.sf_dir, text)
+
+    # -- CREATE FUNCTION (SqlBase.g4:72-79 → Spark SQL-function DDL) --------
+
+    def _create_function(
+        self, replace: bool, name: str, params: str, rtype: str, body: str
+    ) -> DataFrame:
+        """Route Presto CREATE FUNCTION to a Spark SQL temporary function.
+
+        Qualified names (``catalog.schema.fn``) register under the bare
+        function name — Spark temp functions have a single namespace, the
+        same visible behavior as the reference's session function namespace
+        for unqualified calls.  The expression body is handed to Catalyst
+        verbatim: any registered scalar (including the Presto-compat layer)
+        is callable inside it, and calls inline into codegen like every
+        other SQL function.
+        """
+        bare = name.split(".")[-1]
+        ddl = (
+            f"CREATE {'OR REPLACE ' if replace else ''}TEMPORARY FUNCTION {bare}"
+            f"({_translate_fn_params(params)}) RETURNS {_translate_fn_type(rtype)} "
+            f"RETURN {body}"
+        )
+        self.spark.sql(ddl)
+        return self.spark.createDataFrame([("CREATE FUNCTION",)], "result string")
+
+    # -- transactions (TransactionManager.java; explicit autocommit
+    #    contract: this engine commits each statement as it executes — the
+    #    same model as Presto's autocommit sessions, where writes outside
+    #    START TRANSACTION commit immediately) -------------------------------
+
+    def _start_transaction(self) -> DataFrame:
+        if self._in_txn:
+            # NestedTransactionsNotSupportedException in the reference
+            raise ValueError("Nested transactions not supported")
+        self._in_txn = True
+        return self.spark.createDataFrame([("START TRANSACTION",)], "result string")
+
+    def _commit(self) -> DataFrame:
+        if not self._in_txn:
+            # reference: NOT_IN_TRANSACTION error outside a transaction
+            raise ValueError("No transaction in progress")
+        self._in_txn = False
+        # No-op by contract: every statement already committed durably via
+        # the copy-on-write snapshot discipline (mutation.WritableTable,
+        # matviews) when it executed.
+        return self.spark.createDataFrame([("COMMIT",)], "result string")
+
+    def _rollback(self) -> DataFrame:
+        if not self._in_txn:
+            raise ValueError("No transaction in progress")
+        self._in_txn = False
+        # Loud contract instead of a silent wrong answer: statements inside
+        # the transaction were autocommitted as they ran, so a rollback
+        # cannot undo them.  (Snapshot time travel in mutation.py is the
+        # recovery path for committed writes.)
+        raise ValueError(
+            "ROLLBACK is not supported: this engine runs in autocommit — "
+            "each statement commits a durable snapshot as it executes"
+        )
 
     # -- session properties (SET/RESET/SHOW SESSION, SURVEY §3.4;
     #    SystemSessionProperties.java names -> Spark confs) -----------------

@@ -54,3 +54,32 @@ def test_registry_names_in_coverage_doc_exist():
             cited.add(name)
     missing = sorted(n for n in cited if n not in specs)
     assert not missing, f"COVERAGE.md cites unknown registry entries: {missing}"
+
+
+def test_combinations_full_reference_range_and_error(spark):
+    """ArrayCombinationsFunction.java supports n in [0, 5] and raises above
+    — previously n=4/5 silently returned empty (round-2 advisor finding)."""
+    import math
+
+    register_all(spark)
+    for n in range(6):
+        got = spark.sql(
+            f"SELECT size(combinations(array('a','b','c','d','e','f'), {n})) AS s"
+        ).collect()[0].s
+        assert got == math.comb(6, n), (n, got)
+    with pytest.raises(Exception, match="combinations argument n"):
+        spark.sql("SELECT combinations(array('a'), 6) AS c").collect()
+
+
+def test_ip_prefix_host_bits_masked(spark):
+    """IpPrefixOperators.castFromVarcharToIpPrefix masks host bits — a
+    prefix like 1.2.3.4/24 is valid input, not an error (round-2 advisor
+    finding: strict=True raised inside the task)."""
+    from sensql_presto_spark.functions.ip import register_ip_functions
+
+    register_ip_functions(spark)
+    row = spark.sql(
+        "SELECT ip_subnet_min('1.2.3.4/24') AS lo, ip_subnet_max('1.2.3.4/24') AS hi, "
+        "is_subnet_of('10.0.0.0/8', '10.1.2.3/16') AS sub"
+    ).collect()[0]
+    assert (row.lo, row.hi, row.sub) == ("1.2.3.0", "1.2.3.255", True)

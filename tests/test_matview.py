@@ -71,3 +71,36 @@ def test_mv_survives_new_statement_session(spark):
 def test_refresh_unknown_raises(spark):
     with pytest.raises(ValueError, match="not found"):
         _sess(spark).execute("REFRESH MATERIALIZED VIEW mv_nope")
+
+
+def test_create_mv_cannot_shadow_base_table(spark):
+    """Reference CreateMaterializedViewTask.java:81-84 — ANY existing table
+    with the name conflicts, not just another MV."""
+    sess = _sess(spark)
+    with pytest.raises(ValueError, match="base table"):
+        sess.execute("CREATE MATERIALIZED VIEW nation AS SELECT 1 AS x")
+    # base table still queryable afterwards
+    assert sess.execute("SELECT count(*) AS n FROM nation").collect()[0].n == 25
+
+
+def test_create_or_replace_is_atomic_on_failure(spark):
+    """A failing defining query must leave the previous MV intact."""
+    sess = _sess(spark)
+    sess.execute("CREATE OR REPLACE MATERIALIZED VIEW mv_atomic AS SELECT 41 AS x")
+    with pytest.raises(Exception):
+        sess.execute(
+            "CREATE OR REPLACE MATERIALIZED VIEW mv_atomic AS SELECT no_such_col FROM nation"
+        )
+    # old contents and definition survive the failed replace
+    assert sess.execute("SELECT x FROM mv_atomic").collect()[0].x == 41
+    sess.execute("REFRESH MATERIALIZED VIEW mv_atomic")
+    assert sess.execute("SELECT x FROM mv_atomic").collect()[0].x == 41
+    sess.execute("DROP MATERIALIZED VIEW mv_atomic")
+
+
+def test_create_or_replace_success_swaps_contents(spark):
+    sess = _sess(spark)
+    sess.execute("CREATE OR REPLACE MATERIALIZED VIEW mv_swap AS SELECT 1 AS x")
+    sess.execute("CREATE OR REPLACE MATERIALIZED VIEW mv_swap AS SELECT 2 AS x")
+    assert sess.execute("SELECT x FROM mv_swap").collect()[0].x == 2
+    sess.execute("DROP MATERIALIZED VIEW mv_swap")

@@ -145,3 +145,51 @@ def test_presto_compat_functions_available(sql_server):
     )
     assert err is None
     assert rows[0][0] == 3
+
+
+def _run_query_as(s: srv.SqlServer, sql: str, user: str):
+    """Like run_query but with an X-Presto-User identity header."""
+    base = f"http://127.0.0.1:{s.port}"
+    req = urllib.request.Request(
+        f"{base}/v1/statement",
+        data=sql.encode(),
+        method="POST",
+        headers={"X-Presto-User": user},
+    )
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        doc = json.loads(resp.read())
+    rows = []
+    t0 = time.time()
+    while True:
+        rows.extend(doc.get("data", []))
+        if "error" in doc:
+            return doc["error"], rows
+        nxt = doc.get("nextUri")
+        if nxt is None:
+            return None, rows
+        assert time.time() - t0 < 120
+        if doc["stats"]["state"] in ("QUEUED", "RUNNING"):
+            time.sleep(0.05)
+        status, doc = _http("GET", nxt)
+        assert status == 200
+
+
+def test_prepare_namespace_scoped_per_client(sql_server):
+    """Two clients' PREPARE names don't collide (reference scopes prepared
+    statements to Session state in QueryPreparer)."""
+    err, _ = _run_query_as(sql_server, "PREPARE p1 FROM SELECT 1 AS one", "alice")
+    assert err is None
+    # alice can execute her statement
+    err, rows = _run_query_as(sql_server, "EXECUTE p1", "alice")
+    assert err is None and rows == [[1]]
+    # bob does not see alice's prepared statement
+    err, _ = _run_query_as(sql_server, "EXECUTE p1", "bob")
+    assert err is not None and "not found" in err["message"]
+    # bob can claim the same name independently
+    err, _ = _run_query_as(sql_server, "PREPARE p1 FROM SELECT 2 AS two", "bob")
+    assert err is None
+    err, rows = _run_query_as(sql_server, "EXECUTE p1", "bob")
+    assert err is None and rows == [[2]]
+    # alice's binding is unchanged
+    err, rows = _run_query_as(sql_server, "EXECUTE p1", "alice")
+    assert err is None and rows == [[1]]

@@ -240,3 +240,105 @@ def test_explain_type_validate(spark):
     assert sess.execute("EXPLAIN (TYPE VALIDATE) SELECT n_name FROM nation").collect()[0].valid
     with pytest.raises(Exception, match="UNRESOLVED_COLUMN|cannot be resolved"):
         sess.execute("EXPLAIN (TYPE VALIDATE) SELECT no_such_col FROM nation")
+
+
+# -- CREATE FUNCTION / DROP FUNCTION (SqlBase.g4:72-79) ----------------------
+
+
+def test_create_function_and_call(spark):
+    sess = _sess(spark)
+    r = sess.execute(
+        "CREATE OR REPLACE FUNCTION disc_price(p double, d double) "
+        "RETURNS double RETURN p * (1 - d)"
+    ).collect()
+    assert r[0].result == "CREATE FUNCTION"
+    got = sess.execute("SELECT disc_price(100.0, 0.25) AS v").collect()[0].v
+    assert got == 75.0
+
+
+def test_create_function_routine_characteristics_accepted(spark):
+    """LANGUAGE SQL / DETERMINISTIC / null-input clauses parse and drop."""
+    sess = _sess(spark)
+    sess.execute(
+        "CREATE OR REPLACE FUNCTION shout(s varchar) RETURNS varchar "
+        "COMMENT 'upper + bang' LANGUAGE SQL DETERMINISTIC "
+        "RETURNS NULL ON NULL INPUT RETURN concat(upper(s), '!')"
+    )
+    assert sess.execute("SELECT shout('hi') AS v").collect()[0].v == "HI!"
+
+
+def test_create_function_qualified_name_registers_bare(spark):
+    sess = _sess(spark)
+    sess.execute(
+        "CREATE OR REPLACE FUNCTION memory.default.double_it(x bigint) "
+        "RETURNS bigint RETURN x * 2"
+    )
+    assert sess.execute("SELECT double_it(21) AS v").collect()[0].v == 42
+
+
+def test_create_function_usable_from_plain_sql_and_compat_layer(spark):
+    """A created function composes with registered compat scalars."""
+    sess = _sess(spark)
+    sess.execute(
+        "CREATE OR REPLACE FUNCTION nation_tag(n varchar) RETURNS varchar "
+        "RETURN concat('tag:', lower(n))"
+    )
+    rows = sess.execute(
+        "SELECT n_name, nation_tag(n_name) AS tag FROM nation ORDER BY n_name LIMIT 2"
+    ).collect()
+    assert rows[0].tag == "tag:" + rows[0].n_name.lower()
+
+
+def test_drop_function(spark):
+    sess = _sess(spark)
+    sess.execute("CREATE OR REPLACE FUNCTION ephemeral_fn(x int) RETURNS int RETURN x + 1")
+    sess.execute("DROP FUNCTION ephemeral_fn")
+    with pytest.raises(Exception, match="UNRESOLVED_ROUTINE|Undefined function|not found"):
+        sess.execute("SELECT ephemeral_fn(1)").collect()
+    # IF EXISTS on a missing function is a no-op
+    sess.execute("DROP FUNCTION IF EXISTS ephemeral_fn")
+
+
+# -- transactions (TransactionManager.java autocommit contract) --------------
+
+
+def test_transaction_lifecycle_commit(spark):
+    sess = _sess(spark)
+    assert sess.execute("START TRANSACTION").collect()[0].result == "START TRANSACTION"
+    # statements inside run normally (autocommit per statement)
+    assert sess.execute("SELECT count(*) AS n FROM region").collect()[0].n == 5
+    assert sess.execute("COMMIT").collect()[0].result == "COMMIT"
+
+
+def test_transaction_modes_accepted(spark):
+    sess = _sess(spark)
+    sess.execute("START TRANSACTION ISOLATION LEVEL READ COMMITTED, READ WRITE")
+    sess.execute("COMMIT WORK")
+
+
+def test_commit_outside_transaction_errors(spark):
+    with pytest.raises(ValueError, match="No transaction in progress"):
+        _sess(spark).execute("COMMIT")
+
+
+def test_rollback_outside_transaction_errors(spark):
+    with pytest.raises(ValueError, match="No transaction in progress"):
+        _sess(spark).execute("ROLLBACK")
+
+
+def test_nested_transaction_errors(spark):
+    sess = _sess(spark)
+    sess.execute("START TRANSACTION")
+    with pytest.raises(ValueError, match="Nested transactions"):
+        sess.execute("START TRANSACTION")
+    sess.execute("COMMIT")
+
+
+def test_rollback_inside_transaction_raises_loud_autocommit_contract(spark):
+    sess = _sess(spark)
+    sess.execute("START TRANSACTION")
+    with pytest.raises(ValueError, match="autocommit"):
+        sess.execute("ROLLBACK")
+    # the failed rollback still ended the transaction
+    sess.execute("START TRANSACTION")
+    sess.execute("COMMIT")
