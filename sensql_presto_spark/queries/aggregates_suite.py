@@ -386,7 +386,8 @@ _sql_query(
     """
     SELECT CAST(least(floor(o_totalprice / 50000), 9) AS INT) AS bucket,
            count(*) AS n,
-           avg(o_totalprice) AS avg_in_bucket
+           CAST(sum(cast(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+               / count(*) AS avg_in_bucket
     FROM orders
     GROUP BY 1
     ORDER BY 1

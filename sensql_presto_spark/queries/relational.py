@@ -141,8 +141,11 @@ _sql_query(
     "window_aggregates",
     """
     SELECT c_custkey, c_acctbal,
-           sum(c_acctbal) OVER (PARTITION BY c_nationkey) AS nation_bal,
-           avg(c_acctbal) OVER (PARTITION BY c_nationkey) AS nation_avg_bal,
+           CAST(sum(cast(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                OVER (PARTITION BY c_nationkey) AS DOUBLE) / 100.0 AS nation_bal,
+           CAST(sum(cast(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                OVER (PARTITION BY c_nationkey) AS DOUBLE) / 100.0
+               / count(*) OVER (PARTITION BY c_nationkey) AS nation_avg_bal,
            min(c_acctbal) OVER (PARTITION BY c_nationkey) AS nation_min,
            max(c_acctbal) OVER (PARTITION BY c_nationkey) AS nation_max,
            count(*) OVER (PARTITION BY c_nationkey) AS nation_n
@@ -163,7 +166,8 @@ _sql_query(
            CAST(grouping(r_name) AS INT) AS g_r,
            CAST(grouping(n_name) AS INT) AS g_n,
            count(*) AS n_customers,
-           sum(c_acctbal) AS total_bal
+           CAST(sum(cast(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_bal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey

@@ -15,6 +15,14 @@ Each query is written in the DataFrame API (Catalyst plans it; broadcast
 hints mark dimension tables that must replicate, not shuffle, at 100 TB)
 or in Spark SQL where correlated-subquery syntax is clearer. The paired
 oracle is ANSI SQL for DuckDB on the same parquet.
+
+Money-sum discipline (round-3 sweep, complete): every sum/avg over a
+double money column quantizes to exact integer cents BEFORE aggregation
+(``floor(x*100+0.5)`` — identical IEEE arithmetic in both engines), so
+aggregates are merge-order-independent and hash-stable; ratios and
+averages divide the exact integer sums. ``l_quantity`` is integral-valued,
+so its double sums are exact without quantization. Audited q01-q22:
+no raw-double ``sum()``/``avg()`` over non-integral columns remains.
 """
 
 from __future__ import annotations
@@ -38,12 +46,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            sum(l_quantity) AS sum_qty,
-           sum(l_extendedprice) AS sum_base_price,
-           sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+           CAST(sum(cast(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_base_price,
+           CAST(sum(cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_disc_price,
+           CAST(sum(cast(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_charge,
            avg(l_quantity) AS avg_qty,
-           avg(l_extendedprice) AS avg_price,
-           avg(l_discount) AS avg_disc,
+           CAST(sum(cast(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / count(*)
+               AS avg_price,
+           CAST(sum(cast(floor(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / count(*)
+               AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -55,18 +68,35 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 )
 def tpch_q01(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
+
+    # Exact integer cents before every money aggregate: double addition is
+    # merge-order-sensitive, and Spark's partial-agg combine order is not
+    # deterministic, so raw double sums are not hash-stable across engines
+    # or runs (l_quantity is integral-valued — its double sum is exact).
+    # The testdata's prices/discounts are 2-decimal, so cents are lossless.
+    def cents(col):
+        return F.floor(col * 100 + F.lit(0.5)).cast("long")
+
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price).alias("sum_disc_price"),
-            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            (F.sum(cents(F.col("l_extendedprice"))).cast("double") / 100.0).alias(
+                "sum_base_price"
+            ),
+            (F.sum(cents(disc_price)).cast("double") / 100.0).alias("sum_disc_price"),
+            (F.sum(cents(disc_price * (1 + F.col("l_tax")))).cast("double") / 100.0).alias(
+                "sum_charge"
+            ),
             F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
+            (
+                F.sum(cents(F.col("l_extendedprice"))).cast("double") / 100.0 / F.count("*")
+            ).alias("avg_price"),
+            (F.sum(cents(F.col("l_discount"))).cast("double") / 100.0 / F.count("*")).alias(
+                "avg_disc"
+            ),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -116,7 +146,8 @@ def tpch_q02(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q03",
     oracle="""
     SELECT l.l_orderkey,
-           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+           CAST(sum(cast(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+               AS revenue,
            o.o_orderdate
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -139,7 +170,17 @@ def tpch_q03(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        # integer cents before the sum — order-independent, hash-stable
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+                    ).cast("long")
+                ).cast("double")
+                / 100.0
+            ).alias("revenue")
+        )
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -249,7 +290,8 @@ def tpch_q05(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q06",
     oracle="""
-    SELECT sum(l_extendedprice * l_discount) AS revenue
+    SELECT CAST(sum(cast(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+               AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -266,7 +308,16 @@ def tpch_q06(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         & (F.col("l_discount").between(0.05, 0.07))
         & (F.col("l_quantity") < 24)
-    ).agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    ).agg(
+        (
+            F.sum(
+                F.floor(F.col("l_extendedprice") * F.col("l_discount") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).cast("double")
+            / 100.0
+        ).alias("revenue")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -438,7 +489,8 @@ def tpch_q09(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10",
     oracle="""
     SELECT c.c_custkey, c.c_name,
-           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+           CAST(sum(cast(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+               AS revenue,
            c.c_acctbal, n.n_name
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -467,7 +519,17 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        # integer cents before the sum — order-independent, hash-stable
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+                    ).cast("long")
+                ).cast("double")
+                / 100.0
+            ).alias("revenue")
+        )
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
@@ -480,14 +542,15 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 # against a global-scalar-subquery threshold.
 _Q11_SQL = """
 SELECT l.l_partkey AS ps_partkey,
-       sum(l.l_extendedprice * (1 - l.l_discount)) AS part_value
+       CAST(sum(cast(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+           AS part_value
 FROM lineitem l
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 WHERE n.n_name = 'NATION_5'
 GROUP BY l.l_partkey
-HAVING sum(l.l_extendedprice * (1 - l.l_discount)) > (
-    SELECT sum(l2.l_extendedprice * (1 - l2.l_discount)) * 0.001
+HAVING sum(cast(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) > (
+    SELECT CAST(sum(cast(floor(l2.l_extendedprice * (1 - l2.l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE) * 0.001
     FROM lineitem l2
     JOIN supplier s2 ON l2.l_suppkey = s2.s_suppkey
     JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
@@ -586,10 +649,11 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q14",
     oracle="""
-    SELECT 100.00 * sum(CASE WHEN p.p_type = 'PROMO'
-                             THEN l.l_extendedprice * (1 - l.l_discount)
-                             ELSE 0 END)
-           / sum(l.l_extendedprice * (1 - l.l_discount)) AS promo_revenue
+    SELECT CAST(100 * sum(CASE WHEN p.p_type = 'PROMO'
+                             THEN cast(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)
+                             ELSE 0 END) AS DOUBLE)
+           / CAST(sum(cast(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+               AS promo_revenue
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
@@ -604,14 +668,20 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
     )
     p = _t(spark, sf_dir, "part")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # integer cents before both sums; the ratio divides two exact bigints
+    # cast to double, so the result is deterministic
+    disc_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .agg(
             (
-                F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0)))
-                / F.sum(disc_price)
+                (
+                    100
+                    * F.sum(F.when(F.col("p_type") == "PROMO", disc_cents).otherwise(F.lit(0)))
+                ).cast("double")
+                / F.sum(disc_cents).cast("double")
             ).alias("promo_revenue")
         )
     )
@@ -622,7 +692,8 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q15_SQL = """
 WITH revenue0 AS (
     SELECT l_suppkey AS supplier_no,
-           sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+           CAST(sum(cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate < TIMESTAMP '1997-04-01'
@@ -888,13 +959,17 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 # anti-join is "never placed a high-value order" to stay non-degenerate.
 # Scalar-avg subquery + NOT EXISTS anti-join shape intact.
 _Q22_SQL = """
-SELECT cntrycode, count(*) AS numcust, sum(c_acctbal) AS totacctbal
+SELECT cntrycode, count(*) AS numcust,
+       CAST(sum(cast(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS totacctbal
 FROM (
     SELECT CAST(c.c_custkey % 10 AS INT) AS cntrycode, c.c_acctbal
     FROM customer c
     WHERE c.c_custkey % 10 IN (1, 3, 5, 7, 9)
       AND c.c_acctbal > (
-          SELECT avg(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0
+          -- exact-cents average: an order-sensitive double avg could flip a
+          -- customer sitting on the threshold between runs/engines
+          SELECT CAST(sum(cast(floor(c2.c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / count(*)
+          FROM customer c2 WHERE c2.c_acctbal > 0
       )
       AND NOT EXISTS (
           SELECT 1 FROM orders o
