@@ -27,91 +27,91 @@ from pyspark.sql import DataFrame, SparkSession
 
 from sensql_presto_spark.queries import all_specs
 
-# One representative per §2 family that lacked a driver-green row in round 1,
-# plus every query whose oracle/canonicalization was fixed this round.
+# ROUND-3 ROTATION (r2 window was 50/50 green — everything rotated out).
+# This block holds only entries that have NEVER received a driver row:
+# the r2-late additions, the full geo surface, sources, sketches, text/
+# events tails, plus a second TPC-H tranche (q03-q05, q07-q12) and a
+# TPC-DS tranche (q31-q38).  Rotation ledger: COVERAGE.md §Rotation.
 PRIORITY: tuple[str, ...] = (
-    # round-2 fixes: float canonicalization, array-column crash, new oracles
-    "agg_approx_sketches",
-    "agg_count_if",
-    "agg_stats_moments",
-    "agg_checksum",
-    "agg_hll_sketch_rollup",
-    "fn_math",
-    "events_sessionize",
-    # compat layer, newly exercised this round
-    "fn_presto_compat",
-    # TPC-H representatives: agg-heavy, correlated, filter-scan, outer, semi/anti
-    "tpch_q01",
-    "tpch_q02",
-    "tpch_q06",
-    "tpch_q13",
-    "tpch_q21",
-    # TPC-DS representatives (new this round)
-    "tpcds_q01",
-    "tpcds_q07",
-    "tpcds_q28",
-    # window functions (§2.5)
-    "window_ranking",
-    "window_value",
-    "window_frames",
-    "window_aggregates",
-    "window_topn_per_group",
-    # set operations (§2.7)
-    "setop_union",
-    "setop_intersect_all",
-    "setop_except_all",
-    # unnest / lateral / subqueries (§2.9)
-    "unnest_with_ordinality",
-    "unnest_multi_zip",
-    "lateral_topn",
-    "scalar_subquery_select",
-    "quantified_all",
-    "null_safe_semantics",
-    # grouping sets / rollup / pivot / limit-order-sample (§2.4, §2.6)
-    "grouping_sets",
-    # qdigest surface (new this round; rollup_lineitem's family is already
-    # represented in-window by grouping_sets)
-    "agg_qdigest_rollup",
-    "pivot_linestatus",
-    "offset_fetch",
-    "order_nulls_last",
-    "sample_hash_mod",
-    # row-level mutation (DELETE/UPDATE/MERGE, new this round)
-    "mutation_delete_merge",
-    # SenSQL federation
-    "sensql_federated_single_node",
-    "sensql_federated_agg",
-    "sensql_spatial_filter",
-    # similarity search
-    "sim_topk_bruteforce",
-    "sim_ivf_topk",
-    "sim_lsh_hyperplane",
-    # text analysis (token-stats/fingerprint cousins stay outside the block)
-    "text_lang_id",
-    "text_quality",
-    # streaming family representative + TableWriter lifecycle (new)
-    "events_streaming_tumbling",
-    "ddl_ctas_insert",
-    # multimodal plumbing
-    "mm_features",
-    "mm_frame_sample",
-    # geospatial surface (vectorized this round)
-    "geo_st_functions",
+    # geospatial surface beyond geo_st_functions (a49 green in r2)
+    "geo_st_setops",
+    "geo_wkb_geojson",
+    "geo_spherical",
+    "geo_agg_hulls",
+    "geo_bing_parity",
+    "geo_line_ops",
+    "geo_st_accessors",
+    "geo_st_surface2",
+    # source connectors (§2.1)
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    "source_orc_roundtrip",
+    # scalar function tails
+    "fn_ip",
+    "fn_sketch_scalars",
+    # sketch/ML aggregates never driver-checked
+    "agg_setdigest_jaccard",
+    "agg_khll_uniqueness",
+    "agg_classification_metrics",
+    "agg_differential_entropy",
+    # statement layer (r2 additions)
+    "prepared_execute",
+    "ddl_materialized_view",
+    "mutation_time_travel",
+    # events tails
+    "events_gap_fill",
+    "events_range_join",
+    # dedup/similarity tails
+    "dedup_connected_components",
+    "sim_int8_quantized",
+    "sim_pq_topk",
+    # text-pipeline tails
+    "text_substring_dup",
+    "text_pii_redact",
+    "text_repetition",
+    "text_corpus_stats",
+    "text_stratified_sample",
+    "text_tfidf_top_terms",
+    # scale patterns (bucketed co-located join, skew salting)
+    "scale_bucketed_join",
+    "scale_salted_join",
+    # TPC-H second tranche
+    "tpch_q03",
+    "tpch_q04",
+    "tpch_q05",
+    "tpch_q07",
+    "tpch_q08",
+    "tpch_q09",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    # TPC-DS second tranche
+    "tpcds_q31",
+    "tpcds_q32",
+    "tpcds_q33",
+    "tpcds_q34",
+    "tpcds_q35",
+    "tpcds_q36",
+    "tpcds_q37",
+    "tpcds_q38",
 )
 
-# Round-3 rotation plan: once the r2 window above is driver-green, swap in
-# the entries that have never had a driver row — the r2-late additions
-# (geo_st_setops, geo_wkb_geojson, geo_spherical, geo_agg_hulls,
-# geo_bing_parity, geo_line_ops, geo_st_accessors, geo_st_surface2,
-# source_csv/json/orc_roundtrip, scale_bucketed_join, scale_skew_salted_join,
-# events_gap_fill, events_range_join, dedup_connected_components,
-# text_substring_dup, sim_int8_quantized, agg_setdigest_jaccard,
-# fn_sketch_scalars) plus this round's new surface (fn_ip, prepared_execute,
-# ddl_materialized_view, text_pii_redact, text_repetition,
-# text_corpus_stats, agg_khll_uniqueness, agg_classification_metrics,
-# agg_differential_entropy) and the r1-unchecked leftovers (rollup_lineitem,
-# values_inline, remaining tpch/tpcds bodies). Keep any r2 entry that FAILED
-# its driver check; everything green twice can rotate out.
+# Round-4 rotation plan: if r3 comes back green, swap in the next
+# never-checked tranches — tpch q14-q20 + q22, tpcds q39-q55, the
+# remaining fn_* (fn_array, fn_bitwise, fn_conditional, fn_datetime,
+# fn_datetime_presto_formats, fn_hash, fn_higher_order, fn_json, fn_map,
+# fn_regex, fn_string_basic, fn_string_distance, fn_try_semantics,
+# fn_url, fn_presto_compat2, fn_hash_spark_native), agg tails
+# (agg_any_value, agg_basic, agg_bool_bitwise, agg_collect, agg_corr_regr,
+# agg_geomean_entropy, agg_map_histogram, agg_minmax_by, agg_most_frequent,
+# agg_percentile_exact, agg_reduce, agg_reservoir_sample, agg_top_n_values),
+# and relational leftovers (cube_orders, rollup_lineitem, values_inline,
+# distinct_limit, quantified_any, setop_union_distinct, setop_intersect,
+# setop_except, events_asof_join, events_hopping_window, events_json_props,
+# events_tumbling_window, text_fingerprint, text_token_stats,
+# dedup_exact/minhash/simhash/ngram/embedding, pipeline_end_to_end,
+# sensql_knn_federated, mm_audio_windows). Keep any r3 entry that FAILED.
+# By r5 every registry entry should have at least one driver-green row.
 
 
 def _alias(i: int, name: str) -> str:
