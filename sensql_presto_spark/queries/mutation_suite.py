@@ -199,3 +199,44 @@ def mutation_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_nationkey")
     )
+
+
+@register(
+    "ddl_create_function",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           CAST(sum(CASE WHEN o_totalprice * 0.9 > 150000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_big_discounted
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("ddl", "function"),
+    doc="CREATE FUNCTION DDL (SqlBase.g4:72-79 createFunction; executed by "
+    "the reference's function-namespace managers): a Presto-syntax scalar "
+    "SQL function with routine characteristics is routed to a Spark SQL "
+    "temporary function by statements.StatementSession, then used inside "
+    "an aggregation; the oracle inlines the expression body. The created "
+    "function inlines into Catalyst codegen — zero UDF overhead.",
+)
+def ddl_create_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensql_presto_spark.statements import StatementSession
+
+    sess = StatementSession(spark, sf_dir)
+    sess.execute(
+        "CREATE OR REPLACE FUNCTION discounted(price double) RETURNS double "
+        "COMMENT '10 pct off' LANGUAGE SQL DETERMINISTIC "
+        "RETURN price * 0.9"
+    )
+    return sess.execute(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n,
+               CAST(sum(CASE WHEN discounted(o_totalprice) > 150000 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_big_discounted
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
