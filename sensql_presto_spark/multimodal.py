@@ -1,13 +1,19 @@
-"""Multimodal decode stubs — real decoders gated behind optional imports.
+"""Multimodal decoders — one real codec, one gated stub.
 
 The pipeline queries (``queries/pipeline.py``) treat image/audio/video as
-opaque ``binary`` columns with typed metadata and run deterministic fake
-extractors through ``mapInPandas``. This module holds the seam where real
-decoders plug in: each ``decode_*`` resolves its library at call time and
-raises ``NotImplementedError`` when the library is absent (this container
-ships no image/audio codecs), so the Spark-side plumbing — schema, Arrow
-batch shape, partitioning — is fully exercised while the codec itself is
-swappable.
+opaque ``binary`` columns with typed metadata and decode them only inside
+``mapInPandas`` Arrow batches.
+
+Audio is REAL (round 3): ``encode_wav_pcm16``/``decode_wav`` implement the
+RIFF/WAVE PCM container with the stdlib ``wave`` + ``struct`` modules —
+no third-party codec needed — and ``queries/pipeline.py::mm_audio_windows``
+computes its windowed energies from actually-decoded samples.
+
+Image decode remains the single gated stub: ``decode_image`` resolves
+Pillow at call time and raises ``NotImplementedError`` when absent (this
+container ships no image codec), so the Spark-side plumbing — schema,
+Arrow batch shape, partitioning — is fully exercised while the codec
+itself stays swappable.
 """
 
 from __future__ import annotations
@@ -43,11 +49,66 @@ def decode_image(payload: bytes) -> tuple[int, int, str]:
         return im.width, im.height, im.mode
 
 
+def encode_wav_pcm16(samples: list[int], sample_rate: int = 8000) -> bytes:
+    """Serialize mono 16-bit PCM samples as a complete RIFF/WAVE file.
+
+    Pure stdlib (``wave`` writes the RIFF header + fmt/data chunks,
+    ``struct`` packs little-endian int16 frames) — the ingest-side twin of
+    :func:`decode_wav`.
+    """
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
+    """REAL audio decode: parse a RIFF/WAVE payload to (rate, channels, samples).
+
+    Stdlib-only — ``wave`` validates the RIFF/WAVE header and walks the
+    chunk list; frames are unpacked with ``struct`` (16-bit signed LE) or
+    offset-shifted (8-bit WAV stores unsigned bytes). Raises ``wave.Error``
+    on a malformed container and ``NotImplementedError`` for PCM widths
+    this engine doesn't handle — the same loud-contract style as the other
+    unsupported seams.
+    """
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate = w.getframerate()
+        nch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 2:
+        samples = list(struct.unpack(f"<{len(raw) // 2}h", raw))
+    elif width == 1:
+        samples = [b - 128 for b in raw]  # 8-bit WAV stores unsigned bytes
+    else:
+        raise NotImplementedError(f"PCM sample width {width * 8} bits not supported")
+    return rate, nch, samples
+
+
 def decode_audio(payload: bytes) -> tuple[int, int]:
-    """Return (n_samples, sample_rate) for an encoded audio payload."""
+    """Return (n_samples_per_channel, sample_rate) for an audio payload.
+
+    WAV/PCM decodes natively via :func:`decode_wav`; other containers
+    (flac/ogg/mp3) still require soundfile and raise until installed.
+    """
+    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        rate, nch, samples = decode_wav(payload)
+        return len(samples) // max(nch, 1), rate
     if not _HAVE_SOUNDFILE:
         raise NotImplementedError(
-            "audio decode requires soundfile; install it and this stub becomes real."
+            "non-WAV audio decode requires soundfile; WAV/PCM decodes natively."
         )
     import io
 

@@ -1381,12 +1381,17 @@ _sql_query(
 )
 
 
-# --- audio-style windowed energy over a binary modality column: the blob
-#     is treated as 8-bit PCM (the deterministic fake for a decoded
-#     waveform; sensql_presto_spark.multimodal holds the real-decoder
-#     seam), windowed into 100-sample chunks, per-window integer energy
-#     sum((s-96)^2) — the RMS shape without float drift. mapInPandas
-#     explodes blob rows into window rows executor-side; no shuffle.
+# --- audio windowed energy over a binary modality column, with a REAL
+#     WAV/PCM codec (round 3; replaces the 8-bit fake): each text payload
+#     is serialized executor-side into a complete RIFF/WAVE file (16-bit
+#     mono PCM at 8 kHz, sample s = (byte-96)*256 — deterministic, since
+#     the container ships no audio corpus), then decoded back with the
+#     stdlib wave/struct parser in sensql_presto_spark.multimodal and
+#     windowed into 100-sample chunks with integer energy sum(s^2) — the
+#     RMS shape without float drift. The oracle predicts the decoded
+#     samples from the same byte arithmetic (energy scales by 256^2) and
+#     asserts the decoded sample rate. mapInPandas explodes blob rows into
+#     window rows executor-side; no shuffle, driver never sees payloads.
 
 
 @register(
@@ -1399,32 +1404,49 @@ _sql_query(
     SELECT doc_id,
            CAST(off // 100 AS BIGINT) AS window_idx,
            CAST(length(substring(text, off + 1, 100)) AS BIGINT) AS n_samples,
-           CAST(list_sum([(ascii(c) - 96) * (ascii(c) - 96) FOR c IN string_split(substring(text, off + 1, 100), '')]) AS BIGINT) AS energy
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(65536 * list_sum([(ascii(c) - 96) * (ascii(c) - 96) FOR c IN string_split(substring(text, off + 1, 100), '')]) AS BIGINT) AS energy
     FROM w
     ORDER BY doc_id, window_idx
     """,
     tags=("pipeline", "multimodal", "audio"),
-    doc="Windowed audio-feature extraction shape over binary payloads "
-    "(Arrow mapInPandas, blob rows -> window rows, no shuffle).",
+    doc="Windowed audio-feature extraction over real RIFF/WAVE payloads: "
+    "stdlib wave/struct decode (multimodal.decode_wav) inside Arrow "
+    "mapInPandas, blob rows -> window rows, no shuffle.",
 )
 def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
+    from sensql_presto_spark.multimodal import decode_wav, encode_wav_pcm16
+
     def windows(batches):
         for pdf in batches:
-            ids, idxs, ns, energies = [], [], [], []
+            ids, idxs, ns, rates, energies = [], [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                for window_idx, off in enumerate(range(0, len(payload), 100)):
-                    chunk = payload[off : off + 100]
+                # ingest twin: text bytes -> 16-bit PCM WAV blob
+                wav = encode_wav_pcm16([(b - 96) * 256 for b in payload], sample_rate=8000)
+                # REAL decode: parse the RIFF/WAVE container back to samples
+                rate, _nch, samples = decode_wav(wav)
+                for window_idx, off in enumerate(range(0, len(samples), 100)):
+                    chunk = samples[off : off + 100]
                     ids.append(doc_id)
                     idxs.append(window_idx)
                     ns.append(len(chunk))
-                    energies.append(int(sum((s - 96) * (s - 96) for s in chunk)))
+                    rates.append(rate)
+                    energies.append(int(sum(s * s for s in chunk)))
             yield pd.DataFrame(
-                {"doc_id": ids, "window_idx": idxs, "n_samples": ns, "energy": energies}
+                {
+                    "doc_id": ids,
+                    "window_idx": idxs,
+                    "n_samples": ns,
+                    "sample_rate": rates,
+                    "energy": energies,
+                }
             )
 
-    out_schema = "doc_id bigint, window_idx bigint, n_samples bigint, energy bigint"
+    out_schema = (
+        "doc_id bigint, window_idx bigint, n_samples bigint, sample_rate bigint, energy bigint"
+    )
     df = _binary_docs(spark, sf_dir).where(F.col("doc_id") < 100)
     return df.mapInPandas(windows, out_schema).orderBy("doc_id", "window_idx")
 

@@ -54,3 +54,71 @@ def test_ivf_is_bounded_by_bruteforce(spark):
         if r.query_id in last:
             assert r.cos_sim <= last[r.query_id] + 1e-9, "ranks must be cos-descending"
         last[r.query_id] = r.cos_sim
+
+
+# -- WAV/PCM codec (multimodal.py, real decoder since round 3) ---------------
+
+
+def test_wav_pcm16_roundtrip():
+    from sensql_presto_spark.multimodal import decode_wav, encode_wav_pcm16
+
+    samples = [0, 1, -1, 32767, -32768, 1234, -4321]
+    payload = encode_wav_pcm16(samples, sample_rate=44100)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    rate, nch, out = decode_wav(payload)
+    assert (rate, nch) == (44100, 1)
+    assert out == samples
+
+
+def test_wav_8bit_decode():
+    """8-bit WAV stores unsigned bytes; decode shifts to signed."""
+    import io
+    import wave
+
+    from sensql_presto_spark.multimodal import decode_wav
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes([0, 128, 255]))
+    rate, nch, out = decode_wav(buf.getvalue())
+    assert (rate, nch) == (8000, 1)
+    assert out == [-128, 0, 127]
+
+
+def test_wav_malformed_raises():
+    import wave
+
+    import pytest
+
+    from sensql_presto_spark.multimodal import decode_wav
+
+    with pytest.raises(wave.Error):
+        decode_wav(b"not a riff file at all, definitely")
+
+
+def test_wav_unsupported_width_raises():
+    import io
+    import wave
+
+    import pytest
+
+    from sensql_presto_spark.multimodal import decode_wav
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)  # 24-bit PCM — not handled
+        w.setframerate(8000)
+        w.writeframes(bytes(6))
+    with pytest.raises(NotImplementedError, match="24 bits"):
+        decode_wav(buf.getvalue())
+
+
+def test_decode_audio_wav_fast_path():
+    from sensql_presto_spark.multimodal import decode_audio, encode_wav_pcm16
+
+    payload = encode_wav_pcm16([5] * 250, sample_rate=16000)
+    assert decode_audio(payload) == (250, 16000)
