@@ -240,3 +240,34 @@ def ddl_create_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderpriority
         """
     )
+
+
+@register(
+    "ddl_create_type",
+    oracle="""
+    SELECT o_orderstatus AS status, count(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("ddl", "type", "enum"),
+    doc="CREATE TYPE … AS ENUM (SqlBase.g4:61-63; BigintEnumType.java / "
+    "VarcharEnumType.java): enum emulation as base type + membership check "
+    "constraint. The constructor function validates every o_orderstatus "
+    "value (all members, so the column passes through unchanged); a "
+    "non-member value raises — the INVALID_CAST_ARGUMENT contract "
+    "(EnumCasts.java) — covered by tests/test_statements.py.",
+)
+def ddl_create_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensql_presto_spark.statements import StatementSession
+
+    sess = StatementSession(spark, sf_dir)
+    sess.execute("CREATE TYPE orderstatus_t AS ENUM ('F', 'O', 'P')")
+    return sess.execute(
+        """
+        SELECT orderstatus_t(o_orderstatus) AS status, count(*) AS n
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    )

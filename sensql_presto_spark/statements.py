@@ -84,6 +84,15 @@ _START_TXN_RE = re.compile(
 )
 _COMMIT_RE = re.compile(r"^\s*COMMIT(?:\s+WORK)?\s*$", re.IGNORECASE)
 _ROLLBACK_RE = re.compile(r"^\s*ROLLBACK(?:\s+WORK)?\s*$", re.IGNORECASE)
+# CREATE TYPE … AS ENUM (SqlBase.g4:61-63 createType; BigintEnumType.java /
+# VarcharEnumType.java). Minimal enum surface: the type registers a
+# constructor function that validates membership and errors on any value
+# outside the enum — the reference's INVALID_CAST_ARGUMENT contract for
+# casting to an enum type.
+_CREATE_TYPE_RE = re.compile(
+    r"^\s*CREATE\s+TYPE\s+([\w.]+)\s+AS\s+ENUM\s*\((.+)\)\s*$", re.IGNORECASE | re.DOTALL
+)
+_DROP_TYPE_RE = re.compile(r"^\s*DROP\s+TYPE\s+([\w.]+)\s*$", re.IGNORECASE)
 
 # Presto parameter/return types that spell differently in Spark DDL.
 _FN_TYPE_MAP = {
@@ -329,6 +338,7 @@ class StatementSession:
         self.spark = spark
         self.sf_dir = sf_dir
         self.prepared: dict[str, str] = {}
+        self.types: dict[str, list[str]] = {}
         self._conf_defaults: dict[str, str | None] = {}
         self._in_txn = False
         self.matviews = MaterializedViewStore(spark, sf_dir)
@@ -412,6 +422,17 @@ class StatementSession:
         if m:
             like = f" LIKE {m.group(1)}" if m.group(1) else ""
             return self.spark.sql(f"SHOW USER FUNCTIONS{like}")
+        m = _CREATE_TYPE_RE.match(text)
+        if m:
+            return self._create_type(m.group(1), m.group(2))
+        m = _DROP_TYPE_RE.match(text)
+        if m:
+            name = m.group(1).split(".")[-1]
+            if name not in self.types:
+                raise ValueError(f"Type not found: {name}")
+            del self.types[name]
+            self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
+            return self.spark.createDataFrame([("DROP TYPE",)], "result string")
         m = _START_TXN_RE.match(text)
         if m:
             return self._start_transaction()
@@ -444,6 +465,42 @@ class StatementSession:
         )
         self.spark.sql(ddl)
         return self.spark.createDataFrame([("CREATE FUNCTION",)], "result string")
+
+    # -- CREATE TYPE … AS ENUM (BigintEnumType.java / VarcharEnumType.java) -
+
+    def _create_type(self, name: str, values: str) -> DataFrame:
+        """Enum emulation: base type + membership check constraint.
+
+        The enum registers as a constructor function ``<name>(v)`` whose
+        body is a codegen'd CASE: member values pass through, NULL stays
+        NULL, anything else raises — the reference's INVALID_CAST_ARGUMENT
+        behavior when casting a non-member to an enum type
+        (EnumCasts.java). All-numeric value lists make a BIGINT enum,
+        otherwise VARCHAR (BigintEnumType/VarcharEnumType distinction).
+        """
+        bare = name.split(".")[-1]
+        vals = split_top_level(values)
+        if not vals:
+            raise ValueError(f"Enum type must declare at least one value: {name}")
+        numeric = all(re.fullmatch(r"-?\d+", v) for v in vals)
+        if numeric:
+            param_t, members = "BIGINT", ", ".join(vals)
+        else:
+            bad = [v for v in vals if not (len(v) >= 2 and v[0] == "'" and v[-1] == "'")]
+            if bad:
+                raise ValueError(f"Enum values must be quoted strings or integers: {bad}")
+            param_t, members = "STRING", ", ".join(vals)
+        self.spark.sql(
+            f"""CREATE OR REPLACE TEMPORARY FUNCTION {bare}(v {param_t})
+                RETURNS {param_t} RETURN
+                CASE WHEN v IN ({members}) THEN v
+                     WHEN v IS NULL THEN NULL
+                     ELSE cast(raise_error(concat(
+                          'Invalid enum value for {bare}: ', cast(v AS STRING)))
+                          AS {param_t}) END"""
+        )
+        self.types[bare] = [v.strip("'") for v in vals]
+        return self.spark.createDataFrame([("CREATE TYPE",)], "result string")
 
     # -- transactions (TransactionManager.java; explicit autocommit
     #    contract: this engine commits each statement as it executes — the

@@ -342,3 +342,49 @@ def test_rollback_inside_transaction_raises_loud_autocommit_contract(spark):
     # the failed rollback still ended the transaction
     sess.execute("START TRANSACTION")
     sess.execute("COMMIT")
+
+
+# -- CREATE TYPE … AS ENUM (BigintEnumType / VarcharEnumType) ----------------
+
+
+def test_create_type_varchar_enum(spark):
+    sess = _sess(spark)
+    assert (
+        sess.execute("CREATE TYPE mood AS ENUM ('happy', 'sad', 'ok')").collect()[0].result
+        == "CREATE TYPE"
+    )
+    row = sess.execute("SELECT mood('happy') AS a, mood(NULL) AS b").collect()[0]
+    assert row.a == "happy" and row.b is None
+    with pytest.raises(Exception, match="Invalid enum value for mood: angry"):
+        sess.execute("SELECT mood('angry')").collect()
+    sess.execute("DROP TYPE mood")
+    with pytest.raises(ValueError, match="Type not found"):
+        sess.execute("DROP TYPE mood")
+
+
+def test_create_type_bigint_enum(spark):
+    sess = _sess(spark)
+    sess.execute("CREATE TYPE http_status AS ENUM (200, 404, 500)")
+    assert sess.execute("SELECT http_status(404) AS v").collect()[0].v == 404
+    with pytest.raises(Exception, match="Invalid enum value for http_status: 418"):
+        sess.execute("SELECT http_status(418)").collect()
+    sess.execute("DROP TYPE http_status")
+
+
+def test_create_type_enum_over_table_column(spark):
+    """Enum constraint as a column validator — every o_orderstatus value is
+    a member, so the constructor passes the whole column through."""
+    sess = _sess(spark)
+    sess.execute("CREATE TYPE orderstatus AS ENUM ('F', 'O', 'P')")
+    n = sess.execute(
+        "SELECT count(orderstatus(o_orderstatus)) AS n FROM orders"
+    ).collect()[0].n
+    total = sess.execute("SELECT count(*) AS n FROM orders").collect()[0].n
+    assert n == total
+    sess.execute("DROP TYPE orderstatus")
+
+
+def test_create_type_rejects_bad_declarations(spark):
+    sess = _sess(spark)
+    with pytest.raises(ValueError, match="quoted strings or integers"):
+        sess.execute("CREATE TYPE broken AS ENUM (happy, sad)")
