@@ -88,3 +88,55 @@ def explain_io(spark: SparkSession, df: DataFrame) -> DataFrame:
     return spark.createDataFrame(
         rows, "table STRING, read_schema STRING, pushed_filters STRING, location STRING"
     )
+
+
+def explain_distributed(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """EXPLAIN (TYPE DISTRIBUTED): the plan split into fragments.
+
+    Reference: PlanPrinter.textDistributedPlan (presto-main/.../planner/
+    planPrinter/PlanPrinter.java) renders one section per PlanFragment,
+    with the fragment's partitioning handle. Spark's physical plan has the
+    same seams: every Exchange node is a fragment boundary (shuffle =>
+    hash/range repartition, broadcast => replicate-everywhere — Presto's
+    REPARTITION/REPLICATE output-buffer modes), so fragments here are the
+    exchange-delimited subtrees, numbered root-first. Static analysis
+    only — nothing executes (exchanges exist after EnsureRequirements, so
+    this walks the executed plan's initial tree, before AQE mutates it).
+    """
+    plan = df._jdf.queryExecution().executedPlan()
+    rows: list[tuple[int, int | None, int, str, str]] = []
+    next_frag = [0]
+
+    def walk(node, frag: int, parent: int | None, seq: int) -> int:
+        name = node.nodeName()
+        # AQE wrappers: unwrap to the real operator tree (cf. explain_analyze)
+        if name == "AdaptiveSparkPlan":
+            return walk(node.initialPlan(), frag, parent, seq)
+        if name.endswith("QueryStage"):
+            return walk(node.plan(), frag, parent, seq)
+        if "Exchange" in name:
+            next_frag[0] += 1
+            child = next_frag[0]
+            how = (
+                "REPLICATE (broadcast)"
+                if "Broadcast" in name
+                else str(node.outputPartitioning().toString())[:120]
+            )
+            rows.append((child, frag, 0, name, how))
+            cseq = 1
+            it = node.children().iterator()
+            while it.hasNext():
+                cseq = walk(it.next(), child, frag, cseq)
+            return seq
+        rows.append((frag, parent, seq, name, ""))
+        seq += 1
+        it = node.children().iterator()
+        while it.hasNext():
+            seq = walk(it.next(), frag, parent, seq)
+        return seq
+
+    walk(plan, 0, None, 0)
+    return spark.createDataFrame(
+        rows,
+        "fragment INT, parent_fragment INT, op_seq INT, operator STRING, partitioning STRING",
+    )

@@ -176,3 +176,58 @@ def scale_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --- JDBC connector (the reference's presto-base-jdbc family: mysql/
+#     postgresql/sqlserver connectors all extend BaseJdbcClient). Spark's
+#     built-in jdbc datasource is the same role: predicate pushdown +
+#     column pruning travel to the remote database as SQL, and big tables
+#     parallelize with partitionColumn/lowerBound/upperBound/numPartitions
+#     (one executor task per split — the 100 TB read path; unpartitioned
+#     JDBC reads are single-task and belong to dimension tables only).
+#     Exercised against the Derby embedded engine that ships with Spark's
+#     Hive dependency — a real JDBC driver, zero extra installs.
+
+_DERBY_URL = f"jdbc:derby:{_DIR}/source_jdbc_demo;create=true"
+_DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+@register(
+    "source_jdbc_roundtrip",
+    oracle=_ORACLE,
+    tags=("sources", "jdbc"),
+    doc="JDBC connector roundtrip (presto-base-jdbc/BaseJdbcClient.java "
+    "analog): write the slice to an embedded Derby database through the "
+    "jdbc sink, read it back through the jdbc source with a partitioned "
+    "read (4 splits on c_custkey — the parallel-scan shape used for big "
+    "remote tables), and compare values against the parquet oracle.",
+)
+def source_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _slice(spark, sf_dir)
+    (
+        df.write.format("jdbc")
+        .option("url", _DERBY_URL)
+        .option("dbtable", "customer_slice")
+        .option("driver", _DERBY_DRIVER)
+        .mode("overwrite")
+        .save()
+    )
+    out = (
+        spark.read.format("jdbc")
+        .option("url", _DERBY_URL)
+        .option("dbtable", "customer_slice")
+        .option("driver", _DERBY_DRIVER)
+        # partitioned read: 4 parallel range splits on the key column
+        .option("partitionColumn", "c_custkey")
+        .option("lowerBound", "0")
+        .option("upperBound", "200")
+        .option("numPartitions", "4")
+        .load()
+    )
+    out = out.select(
+        F.col("c_custkey").cast("long"),
+        F.col("c_name").cast("string"),
+        F.col("c_nationkey").cast("int"),
+        F.col("c_acctbal").cast("double"),
+    )
+    return out.orderBy("c_custkey")

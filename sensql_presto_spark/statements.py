@@ -47,6 +47,9 @@ _EXPLAIN_IO_RE = re.compile(
 _EXPLAIN_VALIDATE_RE = re.compile(
     r"^\s*EXPLAIN\s*\(\s*TYPE\s+VALIDATE\s*\)\s+(.+)$", re.IGNORECASE | re.DOTALL
 )
+_EXPLAIN_DISTRIBUTED_RE = re.compile(
+    r"^\s*EXPLAIN\s*\(\s*TYPE\s+DISTRIBUTED\s*\)\s+(.+)$", re.IGNORECASE | re.DOTALL
+)
 _SET_SESSION_RE = re.compile(r"^\s*SET\s+SESSION\s+(\w+)\s*=\s*(.+)$", re.IGNORECASE | re.DOTALL)
 _RESET_SESSION_RE = re.compile(r"^\s*RESET\s+SESSION\s+(\w+)\s*$", re.IGNORECASE)
 _SHOW_SESSION_RE = re.compile(r"^\s*SHOW\s+SESSION\s*$", re.IGNORECASE)
@@ -93,6 +96,17 @@ _CREATE_TYPE_RE = re.compile(
     r"^\s*CREATE\s+TYPE\s+([\w.]+)\s+AS\s+ENUM\s*\((.+)\)\s*$", re.IGNORECASE | re.DOTALL
 )
 _DROP_TYPE_RE = re.compile(r"^\s*DROP\s+TYPE\s+([\w.]+)\s*$", re.IGNORECASE)
+# Access control & procedures (SqlBase.g4 grant/revoke/call rules;
+# presto-main/.../security/AccessControlManager.java, CALL via
+# ProcedureRegistry). Out of scope in this single-user engine — each gets
+# a LOUD unsupported contract instead of silently parsing as a query
+# (the DELETE-on-parquet error-contract pattern from round 1).
+_ACCESS_CONTROL_RE = re.compile(
+    r"^\s*(GRANT|REVOKE|CREATE\s+ROLE|DROP\s+ROLE|SET\s+ROLE|SHOW\s+ROLES|"
+    r"SHOW\s+ROLE\s+GRANTS|SHOW\s+GRANTS)\b",
+    re.IGNORECASE,
+)
+_CALL_RE = re.compile(r"^\s*CALL\s+([\w.]+)\s*\(", re.IGNORECASE)
 
 # Presto parameter/return types that spell differently in Spark DDL.
 _FN_TYPE_MAP = {
@@ -374,6 +388,13 @@ class StatementSession:
             from sensql_presto_spark.explain import explain_io
 
             return explain_io(self.spark, catalog.sql(self.spark, self.sf_dir, m.group(1)))
+        m = _EXPLAIN_DISTRIBUTED_RE.match(text)
+        if m:
+            from sensql_presto_spark.explain import explain_distributed
+
+            return explain_distributed(
+                self.spark, catalog.sql(self.spark, self.sf_dir, m.group(1))
+            )
         m = _EXPLAIN_VALIDATE_RE.match(text)
         if m:
             # Analyze without executing (the VALIDATE explain type): building
@@ -440,6 +461,19 @@ class StatementSession:
             return self._commit()
         if _ROLLBACK_RE.match(text):
             return self._rollback()
+        m = _ACCESS_CONTROL_RE.match(text)
+        if m:
+            raise ValueError(
+                f"{' '.join(m.group(1).upper().split())} is not supported: this engine "
+                "has no access-control subsystem (single-user deployment; reference "
+                "AccessControlManager.java)"
+            )
+        m = _CALL_RE.match(text)
+        if m:
+            raise ValueError(
+                f"Procedure not registered: {m.group(1)} — CALL is not supported "
+                "(no connector procedures in this engine; reference ProcedureRegistry)"
+            )
         return catalog.sql(self.spark, self.sf_dir, text)
 
     # -- CREATE FUNCTION (SqlBase.g4:72-79 → Spark SQL-function DDL) --------

@@ -26,3 +26,28 @@ def test_explain_analyze_sees_shuffle_metrics(spark):
     assert any("Exchange" in o or "ShuffleQueryStage" in o for o in set(stats.operator)) or (
         stats.metric.str.contains("shuffle").any()
     )
+
+
+def test_explain_distributed_fragments(spark):
+    """EXPLAIN (TYPE DISTRIBUTED): fragments split at exchange boundaries
+    (PlanPrinter.textDistributedPlan analog)."""
+    from sensql_presto_spark.statements import StatementSession
+
+    sess = StatementSession(spark, "/root/testdata/sf0.001")
+    rows = sess.execute(
+        "EXPLAIN (TYPE DISTRIBUTED) "
+        "SELECT c_nationkey, count(*) AS n FROM customer GROUP BY c_nationkey"
+    ).collect()
+    frags = {r.fragment for r in rows}
+    assert 0 in frags and len(frags) >= 2, "group-by must introduce a shuffle fragment"
+    exchanges = [r for r in rows if "Exchange" in r.operator]
+    assert exchanges and all("hashpartitioning" in r.partitioning for r in exchanges)
+    # root fragment has no parent; exchange-created fragments point at parents
+    assert all(r.parent_fragment is None for r in rows if r.fragment == 0)
+
+    # broadcast join renders a REPLICATE fragment
+    rows = sess.execute(
+        "EXPLAIN (TYPE DISTRIBUTED) "
+        "SELECT n.n_name, r.r_name FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey"
+    ).collect()
+    assert any("REPLICATE" in r.partitioning for r in rows if "Exchange" in r.operator)

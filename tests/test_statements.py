@@ -388,3 +388,26 @@ def test_create_type_rejects_bad_declarations(spark):
     sess = _sess(spark)
     with pytest.raises(ValueError, match="quoted strings or integers"):
         sess.execute("CREATE TYPE broken AS ENUM (happy, sad)")
+
+
+# -- access control / CALL unsupported contracts (AccessControlManager) ------
+
+
+def test_grant_revoke_roles_raise_loud_unsupported(spark):
+    sess = _sess(spark)
+    for stmt in [
+        "GRANT SELECT ON nation TO alice",
+        "REVOKE SELECT ON nation FROM alice",
+        "CREATE ROLE admin",
+        "DROP ROLE admin",
+        "SET ROLE admin",
+        "SHOW ROLES",
+        "SHOW GRANTS",
+    ]:
+        with pytest.raises(ValueError, match="not supported"):
+            sess.execute(stmt)
+
+
+def test_call_procedure_raises_loud_unsupported(spark):
+    with pytest.raises(ValueError, match="CALL is not supported"):
+        _sess(spark).execute("CALL system.runtime.kill_query('q1')")
