@@ -61,7 +61,9 @@ def _presto_type(dt: T.DataType) -> str:
         return "varbinary"
     if isinstance(dt, T.DateType):
         return "date"
-    if isinstance(dt, T.TimestampType):
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        # Presto's plain timestamp is wall-clock; the engine pins session
+        # TZ to UTC, so LTZ values also serialize as wall-clock strings
         return "timestamp"
     if isinstance(dt, T.ArrayType):
         return f"array({_presto_type(dt.elementType)})"

@@ -77,6 +77,22 @@ _DROP_FN_RE = re.compile(
     r"^\s*DROP\s+(?:TEMPORARY\s+)?FUNCTION\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$", re.IGNORECASE
 )
 _SHOW_FNS_RE = re.compile(r"^\s*SHOW\s+FUNCTIONS\s*(?:LIKE\s+('.*')\s*)?$", re.IGNORECASE)
+# Metadata listing statements (SqlBase.g4 showTables/showSchemas/
+# showCatalogs/showColumns/showCreate; served by MetadataListing.java /
+# ShowQueriesRewrite.java in the reference).
+_SHOW_CATALOGS_RE = re.compile(r"^\s*SHOW\s+CATALOGS\s*$", re.IGNORECASE)
+_SHOW_SCHEMAS_RE = re.compile(r"^\s*SHOW\s+SCHEMAS(?:\s+FROM\s+\w+)?\s*$", re.IGNORECASE)
+_SHOW_TABLES_RE = re.compile(
+    r"^\s*SHOW\s+TABLES(?:\s+FROM\s+\w+)?(?:\s+LIKE\s+'([^']*)')?\s*$", re.IGNORECASE
+)
+_SHOW_COLUMNS_RE = re.compile(
+    r"^\s*(?:SHOW\s+COLUMNS\s+(?:FROM|IN)|DESCRIBE|DESC)\s+(\w+)\s*$", re.IGNORECASE
+)
+_SHOW_CREATE_MV_RE = re.compile(
+    r"^\s*SHOW\s+CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s*$", re.IGNORECASE
+)
+_SHOW_CREATE_FN_RE = re.compile(r"^\s*SHOW\s+CREATE\s+FUNCTION\s+([\w.]+)\s*$", re.IGNORECASE)
+_SHOW_CREATE_TABLE_RE = re.compile(r"^\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*$", re.IGNORECASE)
 # Transaction statements (SqlBase.g4 startTransaction/commit/rollback;
 # presto-main/.../transaction/TransactionManager.java).
 _START_TXN_RE = re.compile(
@@ -353,6 +369,7 @@ class StatementSession:
         self.sf_dir = sf_dir
         self.prepared: dict[str, str] = {}
         self.types: dict[str, list[str]] = {}
+        self.functions: dict[str, str] = {}  # bare name -> original CREATE text
         self._conf_defaults: dict[str, str | None] = {}
         self._in_txn = False
         self.matviews = MaterializedViewStore(spark, sf_dir)
@@ -443,6 +460,42 @@ class StatementSession:
         if m:
             like = f" LIKE {m.group(1)}" if m.group(1) else ""
             return self.spark.sql(f"SHOW USER FUNCTIONS{like}")
+        if _SHOW_CATALOGS_RE.match(text):
+            return self.spark.createDataFrame([("spark",)], "Catalog string")
+        if _SHOW_SCHEMAS_RE.match(text):
+            return self.spark.createDataFrame(
+                [("default",), ("information_schema",)], "Schema string"
+            ).orderBy("Schema")
+        m = _SHOW_TABLES_RE.match(text)
+        if m:
+            names = sorted(set(catalog.TABLES) | set(self.matviews.names()))
+            if m.group(1):
+                import fnmatch
+
+                pat = m.group(1).replace("%", "*").replace("_", "?")
+                names = [n for n in names if fnmatch.fnmatch(n, pat)]
+            return self.spark.createDataFrame([(n,) for n in names], "Table string")
+        m = _SHOW_COLUMNS_RE.match(text)
+        if m:
+            return self._show_columns(m.group(1))
+        m = _SHOW_CREATE_MV_RE.match(text)
+        if m:
+            name = m.group(1)
+            if not self.matviews.exists(name):
+                raise ValueError(f"Materialized view not found: {name}")
+            ddl = f"CREATE MATERIALIZED VIEW {name} AS\n{self.matviews.definition(name)}"
+            return self.spark.createDataFrame([(ddl,)], "`Create Materialized View` string")
+        m = _SHOW_CREATE_FN_RE.match(text)
+        if m:
+            name = m.group(1).split(".")[-1].lower()
+            if name not in self.functions:
+                raise ValueError(f"Function not found: {name}")
+            return self.spark.createDataFrame(
+                [(self.functions[name],)], "`Create Function` string"
+            )
+        m = _SHOW_CREATE_TABLE_RE.match(text)
+        if m:
+            return self._show_create_table(m.group(1))
         m = _CREATE_TYPE_RE.match(text)
         if m:
             return self._create_type(m.group(1), m.group(2))
@@ -498,7 +551,41 @@ class StatementSession:
             f"RETURN {body}"
         )
         self.spark.sql(ddl)
+        # remember the canonical Presto-shaped DDL for SHOW CREATE FUNCTION
+        self.functions[bare.lower()] = (
+            f"CREATE FUNCTION {bare}({params.strip()}) RETURNS {rtype.strip()} "
+            f"RETURN {body}"
+        )
         return self.spark.createDataFrame([("CREATE FUNCTION",)], "result string")
+
+    # -- metadata listing (MetadataListing.java / ShowQueriesRewrite.java) --
+
+    def _relation(self, name: str):
+        if name in catalog.TABLES:
+            return catalog.table(self.spark, self.sf_dir, name)
+        if self.matviews.exists(name):
+            return self.matviews.read(name)
+        raise ValueError(f"Table not found: {name}")
+
+    def _show_columns(self, name: str) -> DataFrame:
+        """SHOW COLUMNS / DESCRIBE — Presto's 4-column layout with
+        Presto-type signature strings (ShowColumnsRewrite output shape)."""
+        from sensql_presto_spark.server import _presto_type
+
+        rows = [
+            (f.name, _presto_type(f.dataType), "", "") for f in self._relation(name).schema.fields
+        ]
+        return self.spark.createDataFrame(
+            rows, "Column string, Type string, Extra string, Comment string"
+        )
+
+    def _show_create_table(self, name: str) -> DataFrame:
+        from sensql_presto_spark.server import _presto_type
+
+        fields = self._relation(name).schema.fields
+        cols = ",\n".join(f'   "{f.name}" {_presto_type(f.dataType)}' for f in fields)
+        ddl = f'CREATE TABLE {name} (\n{cols}\n)\nWITH (\n   format = \'PARQUET\'\n)'
+        return self.spark.createDataFrame([(ddl,)], "`Create Table` string")
 
     # -- CREATE TYPE … AS ENUM (BigintEnumType.java / VarcharEnumType.java) -
 

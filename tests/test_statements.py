@@ -411,3 +411,56 @@ def test_grant_revoke_roles_raise_loud_unsupported(spark):
 def test_call_procedure_raises_loud_unsupported(spark):
     with pytest.raises(ValueError, match="CALL is not supported"):
         _sess(spark).execute("CALL system.runtime.kill_query('q1')")
+
+
+# -- metadata listing: SHOW TABLES/SCHEMAS/CATALOGS/COLUMNS, SHOW CREATE -----
+
+
+def test_show_catalogs_schemas_tables(spark):
+    sess = _sess(spark)
+    assert sess.execute("SHOW CATALOGS").collect()[0].Catalog == "spark"
+    schemas = {r.Schema for r in sess.execute("SHOW SCHEMAS").collect()}
+    assert {"default", "information_schema"} <= schemas
+    tables = [r.Table for r in sess.execute("SHOW TABLES").collect()]
+    assert "nation" in tables and "lineitem" in tables
+    liked = [r.Table for r in sess.execute("SHOW TABLES LIKE 'n%'").collect()]
+    assert liked == ["nation"]
+
+
+def test_show_tables_includes_matviews(spark):
+    sess = _sess(spark)
+    sess.execute("CREATE OR REPLACE MATERIALIZED VIEW mv_listing_probe AS SELECT 1 AS x")
+    assert "mv_listing_probe" in [r.Table for r in sess.execute("SHOW TABLES").collect()]
+    sess.execute("DROP MATERIALIZED VIEW mv_listing_probe")
+
+
+def test_show_columns_and_describe_presto_types(spark):
+    sess = _sess(spark)
+    cols = {r.Column: r.Type for r in sess.execute("SHOW COLUMNS FROM nation").collect()}
+    assert cols["n_nationkey"] == "integer" and cols["n_name"] == "varchar"
+    desc = {r.Column: r.Type for r in sess.execute("DESCRIBE lineitem").collect()}
+    assert desc["l_quantity"] == "double" and desc["l_shipdate"] == "timestamp"
+    with pytest.raises(ValueError, match="Table not found"):
+        sess.execute("DESCRIBE no_such_table")
+
+
+def test_show_create_table(spark):
+    ddl = _sess(spark).execute("SHOW CREATE TABLE region").collect()[0][0]
+    assert ddl.startswith("CREATE TABLE region (")
+    assert '"r_regionkey" integer' in ddl and "PARQUET" in ddl
+
+
+def test_show_create_materialized_view_and_function(spark):
+    sess = _sess(spark)
+    sess.execute("CREATE OR REPLACE MATERIALIZED VIEW mv_ddl_probe AS SELECT 1 AS x")
+    ddl = sess.execute("SHOW CREATE MATERIALIZED VIEW mv_ddl_probe").collect()[0][0]
+    assert ddl == "CREATE MATERIALIZED VIEW mv_ddl_probe AS\nSELECT 1 AS x"
+    sess.execute("DROP MATERIALIZED VIEW mv_ddl_probe")
+
+    sess.execute(
+        "CREATE OR REPLACE FUNCTION show_probe(x bigint) RETURNS bigint RETURN x + 1"
+    )
+    fn = sess.execute("SHOW CREATE FUNCTION show_probe").collect()[0][0]
+    assert fn == "CREATE FUNCTION show_probe(x bigint) RETURNS bigint RETURN x + 1"
+    with pytest.raises(ValueError, match="Function not found"):
+        sess.execute("SHOW CREATE FUNCTION nope_fn")
