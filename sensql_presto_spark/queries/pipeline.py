@@ -1628,3 +1628,72 @@ _sql_query(
     """,
     tags=("pipeline", "text", "tfidf"),
 )
+
+
+# --- character-trigram language-model scoring (the KenLM-perplexity role in
+#     pretraining pipelines, e.g. CCNet's quality filter): one global pass
+#     builds the trigram unigram-count model, then each document scores as
+#     the average log2 probability of its trigrams under that model. Scale
+#     shape: ONE shuffle for the model counts (map-side combined), the
+#     model itself is a ~10k-row broadcast back onto the trigram stream, and
+#     the per-doc re-aggregation rides the same exchange as the explode —
+#     no driver materialization anywhere. Each per-trigram log2 quantizes
+#     to integer micro-units BEFORE summing (log2 is libm and could differ
+#     in the last ulp across engines; exact integer sums cannot).
+
+_TRIGRAM_SPARK = """
+    WITH tri AS (
+        SELECT doc_id, explode(transform(sequence(1, length(text) - 2),
+                                         i -> substring(text, i, 3))) AS tg
+        FROM documents
+    ),
+    model AS (
+        SELECT tg, count(*) AS c FROM tri GROUP BY tg
+    ),
+    total AS (SELECT count(*) AS t FROM tri),  -- == sum(model.c), no recompute
+    scored AS (
+        SELECT tri.doc_id,
+               cast(floor(log2(CAST(m.c AS DOUBLE) / t.t) * 1000000 + 0.5) AS BIGINT)
+                   AS lp_micro
+        FROM tri JOIN model m ON tri.tg = m.tg CROSS JOIN total t
+        WHERE tri.doc_id < 300
+    )
+    SELECT doc_id, count(*) AS n_trigrams,
+           round(CAST(sum(lp_micro) AS DOUBLE) / 1000000.0 / count(*), 4) AS avg_log2p
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+_TRIGRAM_DUCK = """
+    WITH tri AS (
+        SELECT doc_id, unnest([substring(text, i, 3) for i in range(1, length(text) - 1)]) AS tg
+        FROM documents
+    ),
+    model AS (
+        SELECT tg, count(*) AS c FROM tri GROUP BY tg
+    ),
+    total AS (SELECT count(*) AS t FROM tri),  -- == sum(model.c), no recompute
+    scored AS (
+        SELECT tri.doc_id,
+               cast(floor(log2(CAST(m.c AS DOUBLE) / t.t) * 1000000 + 0.5) AS BIGINT)
+                   AS lp_micro
+        FROM tri JOIN model m ON tri.tg = m.tg CROSS JOIN total t
+        WHERE tri.doc_id < 300
+    )
+    SELECT doc_id, count(*) AS n_trigrams,
+           round(CAST(sum(lp_micro) AS DOUBLE) / 1000000.0 / count(*), 4) AS avg_log2p
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+_sql_query(
+    "text_trigram_logprob",
+    _TRIGRAM_SPARK,
+    oracle=_TRIGRAM_DUCK,
+    tags=("pipeline", "text", "language-model"),
+    doc="Char-trigram LM quality scoring (CCNet/KenLM-style perplexity "
+    "filter): global trigram model in one shuffle, broadcast back, per-doc "
+    "avg log2 prob from exact micro-unit sums.",
+)
