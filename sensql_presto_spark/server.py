@@ -117,9 +117,19 @@ class QueryExecution:
 
 
 class SqlServer:
-    """Protocol server over one SparkSession (coordinator analog)."""
+    """Protocol server over one SparkSession (coordinator analog).
 
-    def __init__(self, spark, sf_dir: str, host: str = "127.0.0.1", port: int = 0):
+    ``max_concurrent`` is the resource-group admission control analog
+    (reference: presto-main/.../execution/resourceGroups/
+    InternalResourceGroup.java hardConcurrencyLimit): at most that many
+    queries run simultaneously; excess submissions hold in the QUEUED
+    state (visible to the polling client exactly like a queued Presto
+    query) until a slot frees. 0 = unlimited.
+    """
+
+    def __init__(
+        self, spark, sf_dir: str, host: str = "127.0.0.1", port: int = 0, max_concurrent: int = 0
+    ):
         from sensql_presto_spark.cli import prepare_session
 
         from sensql_presto_spark.statements import StatementSession
@@ -138,6 +148,7 @@ class SqlServer:
         self._stmts_cls = StatementSession
         self._sessions: dict[str, StatementSession] = {}
         self._sessions_lock = threading.Lock()
+        self._slots = threading.Semaphore(max_concurrent) if max_concurrent > 0 else None
         self.queries: dict[str, QueryExecution] = {}
         self._httpd = ThreadingHTTPServer((host, port), self._handler_class())
         self.port = self._httpd.server_address[1]
@@ -166,6 +177,20 @@ class SqlServer:
         return q
 
     def _run(self, q: QueryExecution) -> None:
+        if self._slots is not None:
+            # admission control: stay QUEUED until a concurrency slot frees
+            # (InternalResourceGroup.hardConcurrencyLimit behavior)
+            while not self._slots.acquire(timeout=0.05):
+                with q.lock:
+                    if q.state == "CANCELED":
+                        return
+        try:
+            self._run_admitted(q)
+        finally:
+            if self._slots is not None:
+                self._slots.release()
+
+    def _run_admitted(self, q: QueryExecution) -> None:
         with q.lock:
             if q.state == "CANCELED":
                 return
@@ -266,6 +291,25 @@ class SqlServer:
                         self._send(404, {"error": {"message": "unknown query"}})
                         return
                     self._send(200, server._document(q, self._base()))
+                    return
+                if len(parts) == 3 and parts[:2] == ["v1", "query"]:
+                    # QueryResource.getQueryInfo — the infoUri target
+                    q = server.queries.get(parts[2])
+                    if q is None:
+                        self._send(404, {"error": {"message": "unknown query"}})
+                        return
+                    with q.lock:
+                        self._send(
+                            200,
+                            {
+                                "queryId": q.query_id,
+                                "state": q.state,
+                                "query": q.sql,
+                                "session": {"user": q.client},
+                                "queryStats": q.snapshot_stats(),
+                                "errorMessage": (q.error or {}).get("message"),
+                            },
+                        )
                     return
                 self._send(404, {"error": {"message": "not found"}})
 
