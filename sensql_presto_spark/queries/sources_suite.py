@@ -231,3 +231,53 @@ def source_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").cast("double"),
     )
     return out.orderBy("c_custkey")
+
+
+@register(
+    "scale_dpp_join",
+    oracle="""
+    SELECT l.l_returnflag, count(*) AS n,
+           CAST(sum(cast(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c
+    FROM lineitem l
+    JOIN (SELECT r_regionkey + 1995 AS yr FROM region WHERE r_name = 'ASIA') y
+      ON CAST(year(l.l_shipdate) AS BIGINT) = y.yr
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+    tags=("sources", "scale", "partition-pruning"),
+    doc="Dynamic partition pruning (SURVEY §2.2 DynamicFilter's scan-level "
+    "twin; reference LocalDynamicFilter + hive partition pruning): the "
+    "fact is stored partitioned by ship year, the dim's qualifying year "
+    "is only known at runtime (it is read from another table, not a "
+    "literal), and Catalyst injects a dynamicpruning subquery into the "
+    "fact scan so only the matching year's partition directories are "
+    "read. At 100 TB this is the difference between scanning one "
+    "partition and scanning the table. Plan-asserted in test_plans.py; "
+    "the oracle recomputes from the unpartitioned parquet.",
+)
+def scale_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    catalog.register_views(spark, sf_dir)
+    spark.sql("CREATE DATABASE IF NOT EXISTS dppq")
+    spark.sql("DROP TABLE IF EXISTS dppq.lineitem_p")
+    import shutil
+
+    shutil.rmtree(os.path.join(_DIR, "dppq.db", "lineitem_p"), ignore_errors=True)
+    (
+        spark.table("lineitem")
+        .withColumn("ship_year", F.year("l_shipdate").cast("long"))
+        .write.format("parquet")
+        .partitionBy("ship_year")
+        .mode("overwrite")
+        .saveAsTable("dppq.lineitem_p")
+    )
+    return spark.sql(
+        """
+        SELECT l.l_returnflag, count(*) AS n,
+               CAST(sum(cast(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c
+        FROM dppq.lineitem_p l
+        JOIN (SELECT r_regionkey + 1995 AS yr FROM region WHERE r_name = 'ASIA') y
+          ON l.ship_year = y.yr
+        GROUP BY l.l_returnflag
+        ORDER BY l.l_returnflag
+        """
+    )

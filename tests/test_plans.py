@@ -183,3 +183,15 @@ def test_jdbc_source_filter_pushdown_and_parallel_read(spark):
     filtered = scan.filter("c_custkey < 50").select("c_custkey")
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "c_custkey" in plan
+
+
+def test_dpp_join_prunes_partitions_at_runtime(spark):
+    """scale_dpp_join: the partitioned fact scan must carry a dynamic-
+    pruning subquery on ship_year (Catalyst's PartitionPruning rule — the
+    reference's dynamic-filter-at-the-scan behavior)."""
+    from sensql_presto_spark.queries import all_specs
+
+    df = all_specs()["scale_dpp_join"].build(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert "ship_year" in plan
