@@ -111,6 +111,13 @@ _ROLLBACK_RE = re.compile(r"^\s*ROLLBACK(?:\s+WORK)?\s*$", re.IGNORECASE)
 _CREATE_TYPE_RE = re.compile(
     r"^\s*CREATE\s+TYPE\s+([\w.]+)\s+AS\s+ENUM\s*\((.+)\)\s*$", re.IGNORECASE | re.DOTALL
 )
+# Distinct types (DistinctType.java; CREATE TYPE name AS base) — a named
+# alias over a base type whose constructor is just an identity cast, the
+# reference's semantics for casting base -> distinct type.
+_CREATE_DISTINCT_TYPE_RE = re.compile(
+    r"^\s*CREATE\s+TYPE\s+([\w.]+)\s+AS\s+(\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*$",
+    re.IGNORECASE,
+)
 _DROP_TYPE_RE = re.compile(r"^\s*DROP\s+TYPE\s+([\w.]+)\s*$", re.IGNORECASE)
 # Access control & procedures (SqlBase.g4 grant/revoke/call rules;
 # presto-main/.../security/AccessControlManager.java, CALL via
@@ -499,6 +506,16 @@ class StatementSession:
         m = _CREATE_TYPE_RE.match(text)
         if m:
             return self._create_type(m.group(1), m.group(2))
+        m = _CREATE_DISTINCT_TYPE_RE.match(text)
+        if m:
+            bare = m.group(1).split(".")[-1]
+            base = _translate_fn_type(m.group(2))
+            self.spark.sql(
+                f"CREATE OR REPLACE TEMPORARY FUNCTION {bare}(v {base}) "
+                f"RETURNS {base} RETURN v"
+            )
+            self.types[bare] = [f"DISTINCT OF {m.group(2).strip()}"]
+            return self.spark.createDataFrame([("CREATE TYPE",)], "result string")
         m = _DROP_TYPE_RE.match(text)
         if m:
             name = m.group(1).split(".")[-1]

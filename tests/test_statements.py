@@ -464,3 +464,15 @@ def test_show_create_materialized_view_and_function(spark):
     assert fn == "CREATE FUNCTION show_probe(x bigint) RETURNS bigint RETURN x + 1"
     with pytest.raises(ValueError, match="Function not found"):
         sess.execute("SHOW CREATE FUNCTION nope_fn")
+
+
+def test_create_distinct_type(spark):
+    """DistinctType.java: CREATE TYPE name AS base — a named alias whose
+    constructor is an identity cast over the base type."""
+    sess = _sess(spark)
+    sess.execute("CREATE TYPE ssn AS varchar")
+    assert sess.execute("SELECT ssn('123-45-6789') AS v").collect()[0].v == "123-45-6789"
+    sess.execute("CREATE TYPE money_cents AS bigint")
+    assert sess.execute("SELECT money_cents(100) AS v").collect()[0].v == 100
+    sess.execute("DROP TYPE ssn")
+    sess.execute("DROP TYPE money_cents")
