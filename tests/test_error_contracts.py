@@ -83,3 +83,33 @@ def test_ip_prefix_host_bits_masked(spark):
         "is_subnet_of('10.0.0.0/8', '10.1.2.3/16') AS sub"
     ).collect()[0]
     assert (row.lo, row.hi, row.sub) == ("1.2.3.0", "1.2.3.255", True)
+
+
+def test_combinations_matches_itertools_in_bulk(spark):
+    """combinations(a, n) must agree with itertools.combinations for every
+    n in the reference's supported range [0, 5], checked for 60 random
+    (array, n) cases in ONE Spark job (SQL-literal batch, no per-example
+    session round trips)."""
+    import itertools
+    import random
+
+    register_all(spark)
+    rng = random.Random(20260814)
+    cases = []
+    for i in range(60):
+        size = rng.randint(0, 8)
+        arr = [f"e{rng.randint(0, 9)}_{j}" for j in range(size)]
+        n = rng.randint(0, 5)
+        cases.append((i, arr, n))
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS case_id, combinations(array({', '.join(repr(x) for x in arr)}), {n}) AS c"
+        if arr
+        else f"SELECT {i} AS case_id, combinations(cast(array() AS ARRAY<STRING>), {n}) AS c"
+        for i, arr, n in cases
+    )
+    got = {r.case_id: r.c for r in spark.sql(selects).collect()}
+    for i, arr, n in cases:
+        expected = [list(c) for c in itertools.combinations(arr, n)] if n <= len(arr) else []
+        if n == 0:
+            expected = [[]]
+        assert got[i] == expected, (i, arr, n, got[i], expected)

@@ -122,3 +122,22 @@ def test_decode_audio_wav_fast_path():
 
     payload = encode_wav_pcm16([5] * 250, sample_rate=16000)
     assert decode_audio(payload) == (250, 16000)
+
+
+def test_wav_roundtrip_property():
+    """Property: any int16 sample vector survives encode->decode exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sensql_presto_spark.multimodal import decode_wav, encode_wav_pcm16
+
+    @given(
+        st.lists(st.integers(-32768, 32767), min_size=0, max_size=400),
+        st.sampled_from([8000, 16000, 44100]),
+    )
+    @settings(max_examples=200, deadline=None)
+    def roundtrip(samples, rate):
+        got_rate, nch, out = decode_wav(encode_wav_pcm16(samples, sample_rate=rate))
+        assert (got_rate, nch, out) == (rate, 1, samples)
+
+    roundtrip()
