@@ -1696,4 +1696,5 @@ _sql_query(
     doc="Char-trigram LM quality scoring (CCNet/KenLM-style perplexity "
     "filter): global trigram model in one shuffle, broadcast back, per-doc "
     "avg log2 prob from exact micro-unit sums.",
+    bench=True,
 )
