@@ -31,6 +31,18 @@ def main() -> None:
 
     spark = get_spark(app_name="sensql_bench")
 
+    # Host-speed calibration: a fixed, data-independent Spark job. The
+    # host's effective speed shifts between runs (measured 2.6x within an
+    # hour on 2026-08-14 with identical plans — co-tenant contention), so
+    # absolute seconds are only comparable after dividing by this number.
+    def calibrate() -> float:
+        spark.range(50_000_000).selectExpr("sum(id * 3 + 1)").collect()  # warm
+        t0 = time.perf_counter()
+        spark.range(50_000_000).selectExpr("sum(id * 3 + 1)").collect()
+        return round(time.perf_counter() - t0, 4)
+
+    calib = calibrate()
+
     specs = {n: s for n, s in all_specs().items() if s.bench}
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
@@ -56,6 +68,7 @@ def main() -> None:
                 "metric": "tpch_like_median_total",
                 "value": total,
                 "unit": "sec",
+                "calibration_sec": calib,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
