@@ -1698,3 +1698,59 @@ _sql_query(
     "avg log2 prob from exact micro-unit sums.",
     bench=True,
 )
+
+
+# --- benchmark decontamination (the n-gram-overlap eval-leak check every
+#     production pretraining pipeline runs before training; production
+#     uses 8-13-word grams — 4-word here keeps the synthetic corpus's
+#     result set non-degenerate, the operator shape is identical). Scale
+#     shape: the eval set's distinct grams are tiny and BROADCAST onto the
+#     corpus gram stream (no shuffle of corpus grams for the join); one
+#     shuffle for the per-doc hit rollup. Flagged docs would be dropped by
+#     the curation DAG; here they are reported with hit counts.
+
+_DECON_SPARK = """
+    WITH eg AS (
+        SELECT DISTINCT explode(transform(sequence(1, size(w) - 3),
+                                          i -> concat_ws(' ', slice(w, i, 4)))) AS g
+        FROM (SELECT split(text, ' ') AS w FROM documents WHERE doc_id < 20)
+        WHERE size(w) >= 4
+    ),
+    cg AS (
+        SELECT doc_id, explode(transform(sequence(1, size(w) - 3),
+                                         i -> concat_ws(' ', slice(w, i, 4)))) AS g
+        FROM (SELECT doc_id, split(text, ' ') AS w FROM documents WHERE doc_id >= 100)
+        WHERE size(w) >= 4
+    )
+    SELECT cg.doc_id, count(DISTINCT cg.g) AS n_hit_grams, count(*) AS n_hits
+    FROM cg JOIN eg ON cg.g = eg.g
+    GROUP BY cg.doc_id
+    ORDER BY cg.doc_id
+    """
+
+_DECON_DUCK = """
+    WITH eg AS (
+        SELECT DISTINCT unnest([array_to_string(w[i:i+3], ' ') for i in range(1, len(w) - 2)]) AS g
+        FROM (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id < 20)
+        WHERE len(w) >= 4
+    ),
+    cg AS (
+        SELECT doc_id, unnest([array_to_string(w[i:i+3], ' ') for i in range(1, len(w) - 2)]) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id >= 100)
+        WHERE len(w) >= 4
+    )
+    SELECT cg.doc_id, count(DISTINCT cg.g) AS n_hit_grams, count(*) AS n_hits
+    FROM cg JOIN eg ON cg.g = eg.g
+    GROUP BY cg.doc_id
+    ORDER BY cg.doc_id
+    """
+
+_sql_query(
+    "text_decontaminate",
+    _DECON_SPARK,
+    oracle=_DECON_DUCK,
+    tags=("pipeline", "text", "decontamination"),
+    doc="Benchmark decontamination: word-n-gram overlap between the corpus "
+    "and a held-out eval set (doc_id < 20 stands in); eval grams broadcast "
+    "onto the corpus gram stream, per-doc hit counts reported.",
+)
