@@ -110,8 +110,11 @@ PRIORITY: tuple[str, ...] = (
 # setop_except, events_asof_join, events_hopping_window, events_json_props,
 # events_tumbling_window, text_fingerprint, text_token_stats,
 # dedup_exact/minhash/simhash/ngram/embedding, pipeline_end_to_end,
-# sensql_knn_federated, mm_audio_windows). Keep any r3 entry that FAILED.
-# By r5 every registry entry should have at least one driver-green row.
+# sensql_knn_federated, mm_audio_windows) plus the r3 additions
+# (ddl_create_function, ddl_create_type, source_jdbc_roundtrip,
+# text_trigram_logprob, text_decontaminate, scale_dpp_join — each was
+# driver_sim-EXACT when added). Keep any r3 entry that FAILED.
+# By r5-r6 every registry entry should have at least one driver-green row.
 
 
 def _alias(i: int, name: str) -> str:

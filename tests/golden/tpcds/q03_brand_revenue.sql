@@ -12,7 +12,7 @@ WITH
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     )
 
-    SELECT d_year, p.p_brand AS brand, sum(net_c) AS sum_agg
+    SELECT d_year, p.p_brand AS brand,CAST(sum(net_c) AS BIGINT) AS sum_agg
     FROM sales JOIN part p ON l_partkey = p.p_partkey
     WHERE p.p_size = 28 AND d_moy = 11
     GROUP BY d_year, p.p_brand

@@ -28,7 +28,7 @@ WITH
     cat AS (SELECT * FROM sales WHERE l_linenumber % 2 = 1),
     ret AS (SELECT * FROM sales WHERE l_returnflag = 'R')
 
-    SELECT s.d_year, i.p_brand AS brand, sum(s.net_c) AS ext_price
+    SELECT s.d_year, i.p_brand AS brand,CAST(sum(s.net_c) AS BIGINT) AS ext_price
     FROM sales s JOIN part i ON s.l_partkey = i.p_partkey
     WHERE i.p_size = 1 AND s.d_moy = 11 AND s.d_year = 1995
     GROUP BY s.d_year, i.p_brand

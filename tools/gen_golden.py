@@ -447,3 +447,151 @@ SHOW TABLES LIKE 'customer|documents|embeddings|events|lineitem|nation|orders|pa
     ],
     tables="",
 )
+
+# --- round-3 additions: semantics worth locking as goldens ------------------
+
+# grouping_id / GROUPING() arithmetic over CUBE (GroupIdOperator parity)
+emit(
+    "group-by",
+    "grouping_id_cube",
+    """
+SELECT r_name, n_regionkey,
+       cast(grouping(r_name) AS INT) AS g_r,
+       cast(grouping(n_regionkey) AS INT) AS g_n,
+       cast(grouping_id(r_name, n_regionkey) AS INT) AS gid,
+       count(*) AS n
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY CUBE (r_name, n_regionkey)
+ORDER BY gid, r_name NULLS FIRST, n_regionkey NULLS FIRST
+""",
+    ["VARCHAR", "INTEGER", "INTEGER", "INTEGER", "INTEGER", "BIGINT"],
+    duck_sql="""
+SELECT r_name, n_regionkey,
+       cast(grouping(r_name) AS INT) AS g_r,
+       cast(grouping(n_regionkey) AS INT) AS g_n,
+       cast(grouping(r_name) * 2 + grouping(n_regionkey) AS INT) AS gid,
+       count(*) AS n
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY CUBE (r_name, n_regionkey)
+ORDER BY gid, r_name NULLS FIRST, n_regionkey NULLS FIRST
+""",
+    tables="nation,region",
+)
+
+# RANGE BETWEEN INTERVAL frame over timestamps (WindowFrame RANGE parity)
+emit(
+    "window_functions",
+    "range_interval_frame",
+    """
+SELECT o_orderkey,
+       count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                      RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW)
+           AS n_last_90d
+FROM orders WHERE o_custkey <= 20
+ORDER BY o_orderkey
+""",
+    ["BIGINT", "BIGINT"],
+    duck_sql="""
+SELECT o_orderkey,
+       count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                      RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW)
+           AS n_last_90d
+FROM orders WHERE o_custkey <= 20
+ORDER BY o_orderkey
+""",
+    tables="orders",
+)
+
+# try_* arithmetic: NULL on overflow/bad input instead of ANSI error
+emit(
+    "math_functions",
+    "try_arithmetic",
+    """
+SELECT try_add(9223372036854775807, 1) AS add_ovf,
+       try_multiply(9223372036854775807, 2) AS mul_ovf,
+       try_divide(1, 0) AS div0,
+       try_add(1, 2) AS ok_add,
+       try_to_number('abc', '999') AS bad_num
+""",
+    ["BIGINT", "BIGINT", "DOUBLE", "BIGINT", "DECIMAL"],
+    rows=[(None, None, None, 3, None)],
+    tables="",
+)
+
+# map higher-order functions (transform_keys/transform_values/map_zip_with)
+emit(
+    "map_functions",
+    "map_higher_order",
+    """
+SELECT cast(map_entries(transform_keys(map('a', 1, 'b', 2), (k, v) -> upper(k))) AS STRING) AS upper_keys,
+       cast(map_entries(transform_values(map('a', 1, 'b', 2), (k, v) -> v * 10)) AS STRING) AS v10,
+       cast(map_entries(map_zip_with(map('a', 1, 'b', 2), map('a', 10, 'c', 30),
+                                (k, v1, v2) -> coalesce(v1, 0) + coalesce(v2, 0))) AS STRING) AS zipped
+""",
+    ["VARCHAR", "VARCHAR", "VARCHAR"],
+    rows=[
+        (
+            "[{A, 1}, {B, 2}]",
+            "[{a, 10}, {b, 20}]",
+            "[{a, 11}, {b, 2}, {c, 30}]",
+        )
+    ],
+    tables="",
+)
+
+# generator expressions: stack() and posexplode_outer() incl. empty input
+emit(
+    "select_no_from",
+    "generators",
+    """
+SELECT s.col0 AS k, s.col1 AS v
+FROM (SELECT stack(3, 'a', 1, 'b', 2, 'c', 3)) s
+ORDER BY k
+""",
+    ["VARCHAR", "INTEGER"],
+    rows=[("a", 1), ("b", 2), ("c", 3)],
+    tables="",
+)
+
+emit(
+    "array_functions",
+    "posexplode_outer_null",
+    """
+SELECT id, pos, val
+FROM (SELECT 1 AS id, array('x', 'y') AS a
+      UNION ALL SELECT 2, array()
+      UNION ALL SELECT 3, NULL)
+LATERAL VIEW OUTER posexplode(a) AS pos, val
+ORDER BY id, pos
+""",
+    ["INTEGER", "INTEGER", "VARCHAR"],
+    rows=[(1, 0, "x"), (1, 1, "y"), (2, None, None), (3, None, None)],
+    tables="",
+)
+
+# bitmap-style integer bit functions
+emit(
+    "math_functions",
+    "bit_probe",
+    """
+SELECT bit_count(255) AS c255, bit_count(-1) AS cneg,
+       getbit(5, 0) AS b0, getbit(5, 1) AS b1, getbit(5, 2) AS b2
+""",
+    ["INTEGER", "INTEGER", "TINYINT", "TINYINT", "TINYINT"],
+    rows=[(8, 64, 1, 0, 1)],
+    tables="",
+)
+
+# make_timestamp / weekday / dayofweek trio (dialect-split dow conventions)
+emit(
+    "horology",
+    "make_ts_weekday",
+    """
+SELECT make_timestamp(1995, 3, 14, 1, 59, 26.535897) AS ts,
+       weekday(DATE '1995-03-14') AS wd_mon0,
+       dayofweek(DATE '1995-03-14') AS dow_sun1
+""",
+    ["TIMESTAMP", "INTEGER", "INTEGER"],
+    rows=[("1995-03-14 01:59:26.535897", 1, 3)],
+    tables="",
+)
