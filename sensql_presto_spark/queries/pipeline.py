@@ -1754,3 +1754,67 @@ _sql_query(
     "and a held-out eval set (doc_id < 20 stands in); eval grams broadcast "
     "onto the corpus gram stream, per-doc hit counts reported.",
 )
+
+
+# --- sequence packing (LLM training prep: concatenate documents into
+#     fixed-token-budget training sequences). The scalable variant packs
+#     contiguously after a size-descending sort WITHIN each source shard —
+#     the cumulative-sum window is PARTITIONED (one sort per shard, all
+#     shards parallel), never a global sort; budget spill between packs is
+#     the documented trade-off vs exact first-fit (which is inherently
+#     sequential). Output is per-pack occupancy so fill efficiency is
+#     auditable.
+
+_PACK_SPARK = """
+    WITH t AS (
+        SELECT doc_id, source, size(split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    ordered AS (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY n_tokens DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t
+    )
+    SELECT source, cast(floor((cum - 1) / 2048) AS BIGINT) AS pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(CAST(sum(n_tokens) AS DOUBLE) / 2048, 4) AS fill_ratio
+    FROM ordered
+    GROUP BY source, cast(floor((cum - 1) / 2048) AS BIGINT)
+    ORDER BY source, pack_id
+    """
+
+_PACK_DUCK = """
+    WITH t AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    ordered AS (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY n_tokens DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t
+    )
+    SELECT source, cast(floor((cum - 1) / 2048) AS BIGINT) AS pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(CAST(sum(n_tokens) AS DOUBLE) / 2048, 4) AS fill_ratio
+    FROM ordered
+    GROUP BY source, cast(floor((cum - 1) / 2048) AS BIGINT)
+    ORDER BY source, pack_id
+    """
+
+_sql_query(
+    "text_sequence_pack",
+    _PACK_SPARK,
+    oracle=_PACK_DUCK,
+    tags=("pipeline", "text", "packing"),
+    doc="Sequence packing for LLM training: contiguous-fill packing into "
+    "2048-token budgets, windowed per source shard (parallel, no global "
+    "sort); per-pack occupancy and fill ratio reported.",
+)
