@@ -1818,3 +1818,47 @@ _sql_query(
     "2048-token budgets, windowed per source shard (parallel, no global "
     "sort); per-pack occupancy and fill ratio reported.",
 )
+
+
+# --- mixture weighting (the sampling-weights step of a pretraining data
+#     recipe: rebalance source shares to target weights by deterministic
+#     per-doc Bernoulli sampling). The binding source keeps 100% and every
+#     other source downsamples to match its relative weight — the standard
+#     no-upsampling mixture solve: keep_s = min(1, C*w_s/size_s) with
+#     C = min_s(size_s/w_s). The keep decision hashes doc_id with the same
+#     Knuth multiplicative hash as text_stratified_sample, so the sample is
+#     reproducible, engine-independent, and embarrassingly parallel (the
+#     per-source aggregates are a ~20-row broadcast; no row-level shuffle
+#     beyond the final rollup). Sizes use n_chars as the token proxy.
+
+_sql_query(
+    "text_source_mix",
+    """
+    WITH agg AS (
+        SELECT source, sum(n_chars) AS toks,
+               CASE WHEN cast(substr(source, 4) AS INT) % 2 = 0 THEN 3.0 ELSE 1.0 END AS w
+        FROM documents GROUP BY source
+    ),
+    c AS (SELECT min(toks / w) AS cmin FROM agg),
+    keep AS (
+        SELECT source, w, least(CAST(1.0 AS DOUBLE), c.cmin * w / toks) AS keep_frac
+        FROM agg CROSS JOIN c
+    ),
+    sampled AS (
+        SELECT d.doc_id, d.source, d.n_chars, k.keep_frac
+        FROM documents d JOIN keep k ON d.source = k.source
+        WHERE (d.doc_id * 2654435761) % 4294967296 < k.keep_frac * 4294967296
+    )
+    SELECT source,
+           count(*) AS n_docs_kept,
+           CAST(sum(n_chars) AS BIGINT) AS kept_tokens,
+           CAST(round(min(keep_frac), 4) AS DOUBLE) AS keep_frac
+    FROM sampled
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("pipeline", "text", "sampling", "mixture"),
+    doc="Pretraining mixture weighting: per-source deterministic Bernoulli "
+    "downsampling to target relative weights (3:1 alternating here), "
+    "no-upsampling solve, reproducible Knuth-hash keep decisions.",
+)
