@@ -5,7 +5,13 @@ exact values — so float outputs must be bit-identical between Spark and the
 DuckDB oracle, not merely np.isclose.  This script runs each query both ways
 at sf0.01 and reports EXACT / FLOAT-DRIFT / MISMATCH / ERROR per query.
 
-Usage: python tools/driver_sim.py [name ...]   (default: the priority block)
+Usage: python tools/driver_sim.py [--vanilla] [name ...]
+       (default names: the priority block)
+
+--vanilla runs against a bare ``SparkSession.builder.master("local[8]")``
+instead of the tuned session — the closest simulation of the driver's own
+environment, which also exercises catalog._ensure_session_conf's runtime
+self-healing of timezone/parquet confs.
 """
 
 from __future__ import annotations
@@ -132,14 +138,20 @@ def main() -> None:
     from sensql_presto_spark.testing import duckdb_connection
 
     specs = all_specs()
-    if len(sys.argv) > 1:
-        names = sys.argv[1:]
-    else:
+    args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    names = [a for a in args if a != "--vanilla"]
+    if not names:
         from __spark_entry__ import PRIORITY
 
         names = list(PRIORITY)
 
-    spark = get_spark()
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        spark = get_spark()
     con = duckdb_connection(SF_DIR)
     failures = 0
     for name in names:
