@@ -1,4 +1,4 @@
-"""Multimodal decoders — one real codec, one gated stub.
+"""Multimodal decoders — real stdlib codecs for WAV/PCM audio and PNG images.
 
 The pipeline queries (``queries/pipeline.py``) treat image/audio/video as
 opaque ``binary`` columns with typed metadata and decode them only inside
@@ -9,11 +9,13 @@ RIFF/WAVE PCM container with the stdlib ``wave`` + ``struct`` modules —
 no third-party codec needed — and ``queries/pipeline.py::mm_audio_windows``
 computes its windowed energies from actually-decoded samples.
 
-Image decode remains the single gated stub: ``decode_image`` resolves
-Pillow at call time and raises ``NotImplementedError`` when absent (this
-container ships no image codec), so the Spark-side plumbing — schema,
-Arrow batch shape, partitioning — is fully exercised while the codec
-itself stays swappable.
+Images are REAL too (round 3): ``encode_png``/``decode_png`` implement the
+PNG container with stdlib ``zlib`` + ``struct`` — chunk walk with CRC
+validation, IDAT inflate, and the full scanline-filter set (None/Sub/Up/
+Average/Paeth) on decode.  ``decode_image`` dispatches PNG natively and
+falls back to Pillow only for other formats (jpeg/webp/...), raising
+``NotImplementedError`` when it's absent — the same loud-contract seam
+style used elsewhere.
 """
 
 from __future__ import annotations
@@ -35,13 +37,179 @@ except ImportError:
     _HAVE_SOUNDFILE = False
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> (mode name, samples per pixel); 8-bit depth only.
+_PNG_MODES = {0: ("L", 1), 2: ("RGB", 3), 4: ("LA", 2), 6: ("RGBA", 4)}
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixels: bytes,
+    mode: str = "L",
+    filter_for_row=None,
+) -> bytes:
+    """Serialize raw 8-bit pixels as a complete PNG file (stdlib zlib/struct).
+
+    ``pixels`` is row-major, ``width * height * samples_per_pixel`` bytes.
+    ``filter_for_row(y) -> int`` picks the scanline filter type (0..4) per
+    row — defaults to 0 (None); passing a mix exercises every decode-side
+    unfilter path (Sub/Up/Average/Paeth), which is how the tests prove the
+    decoder is a real codec rather than a passthrough.
+    """
+    import struct
+    import zlib
+
+    try:
+        color_type, spp = next((ct, s) for ct, (m, s) in _PNG_MODES.items() if m == mode)
+    except StopIteration:
+        raise NotImplementedError(f"PNG encode mode {mode!r} not supported") from None
+    stride = width * spp
+    if len(pixels) != stride * height:
+        raise ValueError(f"pixel buffer {len(pixels)} != {stride}*{height}")
+    pick = filter_for_row or (lambda y: 0)
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        row = pixels[y * stride : (y + 1) * stride]
+        ftype = pick(y)
+        raw.append(ftype)
+        raw += _png_filter(ftype, row, prev, spp)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_filter(ftype: int, row: bytes, prev: bytes, spp: int) -> bytes:
+    """Apply PNG scanline filter ``ftype`` (encode direction)."""
+    if ftype == 0:
+        return row
+    out = bytearray(len(row))
+    for i, x in enumerate(row):
+        a = row[i - spp] if i >= spp else 0
+        b = prev[i]
+        c = prev[i - spp] if i >= spp else 0
+        if ftype == 1:  # Sub
+            out[i] = (x - a) & 0xFF
+        elif ftype == 2:  # Up
+            out[i] = (x - b) & 0xFF
+        elif ftype == 3:  # Average
+            out[i] = (x - (a + b) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            out[i] = (x - _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ftype} invalid")
+    return bytes(out)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> tuple[int, int, str, bytes]:
+    """REAL image decode: parse a PNG payload to (width, height, mode, pixels).
+
+    Stdlib-only — walks the chunk list with CRC32 validation, inflates the
+    concatenated IDAT stream with zlib, and reverses the scanline filters
+    (None/Sub/Up/Average/Paeth per the PNG spec §9).  Supports 8-bit
+    greyscale/RGB/LA/RGBA, non-interlaced; anything else raises
+    ``NotImplementedError`` loudly (same contract style as decode_wav).
+    """
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos, idat, ihdr = 8, bytearray(), None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} compression={comp} interlace={interlace} not supported"
+        )
+    if color_type not in _PNG_MODES:
+        raise NotImplementedError(f"PNG color type {color_type} not supported")
+    mode, spp = _PNG_MODES[color_type]
+    stride = width * spp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel data size mismatch")
+    out = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ftype == 1:  # Sub
+            for i in range(spp, stride):
+                line[i] = (line[i] + line[i - spp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - spp] if i >= spp else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - spp] if i >= spp else 0
+                c = prev[i - spp] if i >= spp else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"PNG filter type {ftype} invalid")
+        out += line
+        prev = line
+    return width, height, mode, bytes(out)
+
+
 def decode_image(payload: bytes) -> tuple[int, int, str]:
-    """Return (width, height, mode) for an encoded image payload."""
+    """Return (width, height, mode) for an encoded image payload.
+
+    PNG decodes natively via :func:`decode_png`; other containers
+    (jpeg/webp/...) still require Pillow and raise until installed.
+    """
+    if payload[:8] == _PNG_SIG:
+        width, height, mode, _ = decode_png(payload)
+        return width, height, mode
     if not _HAVE_PIL:
         raise NotImplementedError(
-            "image decode requires Pillow; install it and this stub becomes real. "
-            "The Spark plumbing (binary column -> mapInPandas -> typed rows) is "
-            "tested with the deterministic fake extractor in queries/pipeline.py."
+            "non-PNG image decode requires Pillow; PNG decodes natively "
+            "(decode_png, stdlib zlib/struct)."
         )
     import io
 

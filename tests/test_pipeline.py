@@ -16,9 +16,10 @@ from sensql_presto_spark.queries import registry
 SF_DIR = "/root/testdata/sf0.01"
 
 
-def test_decode_image_stub_raises():
+def test_decode_image_non_png_stub_raises():
+    # jpeg (and any non-PNG container) still needs Pillow; PNG is native.
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG\r\n")
+        multimodal.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
 
 
 def test_decode_audio_stub_raises():
@@ -139,5 +140,64 @@ def test_wav_roundtrip_property():
     def roundtrip(samples, rate):
         got_rate, nch, out = decode_wav(encode_wav_pcm16(samples, sample_rate=rate))
         assert (got_rate, nch, out) == (rate, 1, samples)
+
+    roundtrip()
+
+
+# -- PNG codec (multimodal.py, real decoder since round 3) --------------------
+
+
+def test_png_roundtrip_all_modes_and_filters():
+    from sensql_presto_spark.multimodal import decode_image, decode_png, encode_png
+
+    spp = {"L": 1, "LA": 2, "RGB": 3, "RGBA": 4}
+    for mode, s in spp.items():
+        w, h = 13, 9
+        px = bytes((i * 37 + 11) % 256 for i in range(w * h * s))
+        for filt in (lambda y: 0, lambda y: y % 5, lambda y: 4):
+            blob = encode_png(w, h, px, mode, filter_for_row=filt)
+            assert decode_png(blob) == (w, h, mode, px)
+        assert decode_image(blob) == (w, h, mode)
+
+
+def test_png_crc_validation():
+    from sensql_presto_spark.multimodal import decode_png, encode_png
+
+    blob = bytearray(encode_png(4, 4, bytes(range(16)), "L"))
+    blob[20] ^= 0xFF  # corrupt a byte inside IHDR
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(blob))
+
+
+def test_png_bad_signature_and_unsupported():
+    from sensql_presto_spark.multimodal import decode_png, encode_png
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"GIF89a" + b"\x00" * 20)
+    with pytest.raises(NotImplementedError):
+        encode_png(2, 2, bytes(4), "CMYK")
+
+
+def test_png_roundtrip_property():
+    """Property: any 8-bit pixel buffer survives encode->decode exactly,
+    under every scanline filter type (the unfilter paths are the codec)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sensql_presto_spark.multimodal import decode_png, encode_png
+
+    @given(
+        st.integers(1, 12),
+        st.integers(1, 12),
+        st.sampled_from(["L", "RGB", "RGBA"]),
+        st.integers(0, 4),
+        st.randoms(use_true_random=False),
+    )
+    @settings(max_examples=120, deadline=None)
+    def roundtrip(w, h, mode, ftype, rng):
+        s = {"L": 1, "RGB": 3, "RGBA": 4}[mode]
+        px = bytes(rng.randrange(256) for _ in range(w * h * s))
+        blob = encode_png(w, h, px, mode, filter_for_row=lambda y: ftype)
+        assert decode_png(blob) == (w, h, mode, px)
 
     roundtrip()
