@@ -422,6 +422,221 @@ _sql_query(
 )
 
 # ---------------------------------------------------------------------------
+# Clustering
+# ---------------------------------------------------------------------------
+
+# Distributed k-means (Lloyd's algorithm, k=8, two fixed iterations) over
+# the embedding corpus — the document-clustering primitive of a training-
+# data pipeline (topic balancing, per-cluster sampling).  Scale shape per
+# iteration: the k x 64 centroid table is a broadcast join against the
+# distributed corpus (no corpus shuffle), assignment is an argmin window
+# keyed on vec_id (corpus-partition local after the broadcast), and the
+# recompute is ONE groupBy(cid, pos) shuffle of k*64-bounded partial sums
+# (map-side combine makes the shuffle O(partitions * k * dims), not O(n)).
+# In production the loop runs to convergence with a localCheckpoint per
+# round (same discipline as dedup_connected_components); two iterations
+# are fixed here so the DuckDB oracle is an exact replay.
+#
+# Determinism discipline: element values are quantized to integer
+# milliunits (round(x*1000)) so distances are exact BIGINT sums; centroid
+# elements are re-rounded to integers each iteration (round(sum/count) —
+# one IEEE-exact double division of two exact ints), so both engines
+# agree bit-for-bit and the output hash is stable.  Ties in the argmin
+# break on cluster id.
+_sql_query(
+    "cluster_kmeans",
+    """
+    WITH q AS (
+        SELECT vec_id,
+               transform(embedding, x -> cast(round(cast(x AS double) * 1000) AS bigint)) AS v
+        FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < 8),
+    d1 AS (
+        SELECT q.vec_id, q.v, c0.cid,
+               aggregate(zip_with(q.v, c0.cv, (x, y) -> (x - y) * (x - y)),
+                         cast(0 AS bigint), (acc, x) -> acc + x) AS dist
+        FROM q CROSS JOIN c0
+    ),
+    m1 AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT vec_id, v, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+            FROM d1
+        ) WHERE rk = 1
+    ),
+    c1 AS (
+        SELECT cid,
+               transform(array_sort(collect_list(named_struct('pos', pos, 'cval', cval))),
+                         t -> t.cval) AS cv
+        FROM (
+            SELECT cid, pos, cast(round(cast(sum(val) AS double) / count(1)) AS bigint) AS cval
+            FROM m1 LATERAL VIEW posexplode(v) t AS pos, val
+            GROUP BY cid, pos
+        )
+        GROUP BY cid
+    ),
+    d2 AS (
+        SELECT q.vec_id, c1.cid,
+               aggregate(zip_with(q.v, c1.cv, (x, y) -> (x - y) * (x - y)),
+                         cast(0 AS bigint), (acc, x) -> acc + x) AS dist
+        FROM q CROSS JOIN c1
+    ),
+    m2 AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+            FROM d2
+        ) WHERE rk = 1
+    )
+    SELECT cid AS cluster_id,
+           count(1) AS n_members,
+           sum(vec_id) AS id_checksum,
+           min(vec_id) AS first_member
+    FROM m2 GROUP BY cid ORDER BY cid
+    """,
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding] AS v
+        FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < 8),
+    d1 AS (
+        SELECT q.vec_id, q.v, c0.cid,
+               list_sum([(q.v[i] - c0.cv[i]) * (q.v[i] - c0.cv[i])
+                         FOR i IN generate_series(1, 64)]) AS dist
+        FROM q CROSS JOIN c0
+    ),
+    m1 AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT vec_id, v, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+            FROM d1
+        ) WHERE rk = 1
+    ),
+    c1 AS (
+        SELECT cid, list(cval ORDER BY pos) AS cv
+        FROM (
+            SELECT cid, i - 1 AS pos,
+                   CAST(round(CAST(sum(v[i]) AS DOUBLE) / count(*)) AS BIGINT) AS cval
+            FROM m1, UNNEST(generate_series(1, 64)) AS t(i)
+            GROUP BY cid, i
+        )
+        GROUP BY cid
+    ),
+    d2 AS (
+        SELECT q.vec_id, c1.cid,
+               list_sum([(q.v[i] - c1.cv[i]) * (q.v[i] - c1.cv[i])
+                         FOR i IN generate_series(1, 64)]) AS dist
+        FROM q CROSS JOIN c1
+    ),
+    m2 AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+            FROM d2
+        ) WHERE rk = 1
+    )
+    SELECT cid AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(vec_id) AS BIGINT) AS id_checksum,
+           min(vec_id) AS first_member
+    FROM m2 GROUP BY cid ORDER BY cid
+    """,
+    tags=("pipeline", "clustering", "kmeans"),
+    doc="Distributed k-means (Lloyd, k=8, 2 iterations): centroid broadcast "
+    "join + argmin window + one k*dims-bounded recompute shuffle per round; "
+    "integer-milliunits quantization keeps both engines bit-identical.",
+)
+
+# SemDeDup-style semantic dedup (Abbas et al. 2023): bucket the corpus by
+# nearest seed centroid (one broadcast-join assignment pass — the k-means
+# E-step), then compare pairs ONLY within a bucket and drop the higher id
+# of any pair with cosine > 2/5.  Scale shape: the all-pairs comparison is
+# confined to each cluster (sum of n_c^2, not n^2), clusters can be
+# repartitioned independently, and the threshold test is EXACT integer
+# arithmetic on milliunit-quantized vectors — cos > t is evaluated as
+# dot > 0 AND 25*dot^2 > 4*|a|^2*|b|^2 (t = 2/5), so no float summation
+# order can flip a pair and the oracle matches bit-for-bit.
+_sql_query(
+    "dedup_semantic",
+    """
+    WITH q AS (
+        SELECT vec_id,
+               transform(embedding, x -> cast(round(cast(x AS double) * 1000) AS bigint)) AS v
+        FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < 8),
+    assign AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT q.vec_id, q.v, c0.cid,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY aggregate(zip_with(q.v, c0.cv, (x, y) -> (x - y) * (x - y)),
+                                          cast(0 AS bigint), (acc, x) -> acc + x), c0.cid
+                   ) AS rk
+            FROM q CROSS JOIN c0
+        ) WHERE rk = 1
+    ),
+    n AS (
+        SELECT vec_id, v, cid,
+               aggregate(v, cast(0 AS bigint), (acc, x) -> acc + x * x) AS nrm2
+        FROM assign
+    ),
+    pairs AS (
+        SELECT a.cid, a.vec_id AS kept_id, b.vec_id AS dropped_id,
+               aggregate(zip_with(a.v, b.v, (x, y) -> x * y),
+                         cast(0 AS bigint), (acc, x) -> acc + x) AS dot,
+               a.nrm2 AS na2, b.nrm2 AS nb2
+        FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    )
+    SELECT cid AS cluster_id, kept_id, dropped_id
+    FROM pairs
+    WHERE dot > 0 AND 25 * dot * dot > 4 * na2 * nb2
+    ORDER BY cid, kept_id, dropped_id
+    """,
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding] AS v
+        FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < 8),
+    assign AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT q.vec_id, q.v, c0.cid,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_sum([(q.v[i] - c0.cv[i]) * (q.v[i] - c0.cv[i])
+                                          FOR i IN generate_series(1, 64)]), c0.cid
+                   ) AS rk
+            FROM q CROSS JOIN c0
+        ) WHERE rk = 1
+    ),
+    n AS (
+        SELECT vec_id, v, cid,
+               CAST(list_sum([x * x FOR x IN v]) AS BIGINT) AS nrm2
+        FROM assign
+    ),
+    pairs AS (
+        SELECT a.cid, a.vec_id AS kept_id, b.vec_id AS dropped_id,
+               CAST(list_sum([a.v[i] * b.v[i] FOR i IN generate_series(1, 64)]) AS BIGINT) AS dot,
+               a.nrm2 AS na2, b.nrm2 AS nb2
+        FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    )
+    SELECT cid AS cluster_id, kept_id, dropped_id
+    FROM pairs
+    WHERE dot > 0 AND 25 * dot * dot > 4 * na2 * nb2
+    ORDER BY cid, kept_id, dropped_id
+    """,
+    tags=("pipeline", "dedup", "clustering", "semantic"),
+    doc="SemDeDup: centroid-bucketed within-cluster cosine dedup with an "
+    "exact-integer threshold test (no float flakiness), pairwise work "
+    "bounded by per-cluster sizes instead of n^2.",
+)
+
+# ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
 
