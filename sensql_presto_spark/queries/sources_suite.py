@@ -281,3 +281,91 @@ def scale_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l.l_returnflag
         """
     )
+
+
+@register(
+    "source_text_roundtrip",
+    oracle="""
+    SELECT doc_id, text
+    FROM documents WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+    tags=("sources", "text"),
+    doc="Line-oriented text sink+source (presto-hive TEXTFILE serde "
+    "parity): docs serialized as '<id>\\t<text>' lines through Spark's "
+    "text format and parsed back; values must survive the round trip.",
+)
+def source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark `text` datasource round trip.
+
+    The corpus is single-line ASCII (TESTDATA.md), so one doc = one line;
+    the id is prefixed with a tab separator and split back on read with a
+    2-limit so tabs inside text would still parse. Reference: TEXTFILE
+    tables in presto-hive (HiveStorageFormat.TEXTFILE serde).
+    """
+    path = os.path.join(_DIR, "source_text_demo")
+    docs = catalog.table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs.select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text")).alias("value")
+    ).write.mode("overwrite").format("text").save(path)
+    lines = spark.read.format("text").load(path)
+    parsed = lines.select(
+        F.split_part(F.col("value"), F.lit("\t"), F.lit(1)).cast("long").alias("doc_id"),
+        F.expr("substring(value, instr(value, '\t') + 1)").alias("text"),
+    )
+    return parsed.orderBy("doc_id")
+
+
+@register(
+    "source_binaryfile_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(list_sum([ascii(c)::BIGINT FOR c IN string_split(text, '')]) % 999983
+                AS BIGINT) AS content_checksum
+    FROM documents WHERE doc_id < 50
+    ORDER BY doc_id
+    """,
+    tags=("sources", "binary", "multimodal"),
+    doc="binaryFile source: whole-file binary ingest (the image/audio "
+    "corpus on-ramp). One opaque blob file per doc is laid down, read "
+    "back via Spark's binaryFile format, and checksummed executor-side.",
+)
+def source_binaryfile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark `binaryFile` datasource: file-per-blob ingest.
+
+    This is how a real multimodal corpus (jpg/wav shards) enters the
+    engine: `spark.read.format("binaryFile")` yields (path, length,
+    content) rows with bytes kept executor-side. The demo lays down one
+    file per doc (driver-side write is the test fixture, not the
+    operator), parses the doc id from the filename, and reduces content
+    to an exact integer checksum the oracle recomputes from the text
+    column. At 100 TB the same reader scales by directory sharding —
+    files are split units, never concatenated driver-side.
+    """
+    import shutil
+
+    path = os.path.join(_DIR, "source_binaryfile_demo")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    docs = (
+        catalog.table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+        .collect()  # 50 tiny fixture rows: writing the demo corpus, not querying
+    )
+    for row in docs:
+        with open(os.path.join(path, f"doc_{row.doc_id:06d}.bin"), "wb") as fh:
+            fh.write(row.text.encode("utf-8"))
+    blobs = spark.read.format("binaryFile").load(path)
+    return (
+        blobs.select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1).cast("long").alias("doc_id"),
+            F.col("length").cast("long").alias("n_bytes"),
+            F.expr(
+                "aggregate(transform(split(cast(content AS string), ''),"
+                " c -> ascii(c)), cast(0 AS bigint), (acc, x) -> acc + x) % 999983"
+            ).alias("content_checksum"),
+        )
+        .orderBy("doc_id")
+    )
