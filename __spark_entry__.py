@@ -112,8 +112,10 @@ PRIORITY: tuple[str, ...] = (
 # dedup_exact/minhash/simhash/ngram/embedding, pipeline_end_to_end,
 # sensql_knn_federated, mm_audio_windows) plus the r3 additions
 # (ddl_create_function, ddl_create_type, source_jdbc_roundtrip,
-# text_trigram_logprob, text_decontaminate, scale_dpp_join — each was
-# driver_sim-EXACT when added). Keep any r3 entry that FAILED.
+# text_trigram_logprob, text_decontaminate, scale_dpp_join,
+# mm_image_decode, cluster_kmeans, dedup_semantic, source_text_roundtrip,
+# source_binaryfile_stats — each was driver_sim-EXACT when added).
+# Keep any r3 entry that FAILED.
 # By r5-r6 every registry entry should have at least one driver-green row.
 
 
