@@ -1925,14 +1925,19 @@ _TRIGRAM_SPARK = """
         FROM documents
     ),
     model AS (
-        SELECT tg, count(*) AS c FROM tri GROUP BY tg
+        -- the corpus total rides a global window over the ~vocab-sized
+        -- aggregate (one partition of ~10k rows), so the full-corpus
+        -- trigram explode runs ONCE — a separate `SELECT count(*) FROM
+        -- tri` total would re-explode the whole corpus (Spark CTEs are
+        -- not materialized)
+        SELECT tg, c, sum(c) OVER () AS t
+        FROM (SELECT tg, count(*) AS c FROM tri GROUP BY tg)
     ),
-    total AS (SELECT count(*) AS t FROM tri),  -- == sum(model.c), no recompute
     scored AS (
         SELECT tri.doc_id,
-               cast(floor(log2(CAST(m.c AS DOUBLE) / t.t) * 1000000 + 0.5) AS BIGINT)
+               cast(floor(log2(CAST(m.c AS DOUBLE) / m.t) * 1000000 + 0.5) AS BIGINT)
                    AS lp_micro
-        FROM tri JOIN model m ON tri.tg = m.tg CROSS JOIN total t
+        FROM tri JOIN model m ON tri.tg = m.tg
         WHERE tri.doc_id < 300
     )
     SELECT doc_id, count(*) AS n_trigrams,
@@ -1948,14 +1953,14 @@ _TRIGRAM_DUCK = """
         FROM documents
     ),
     model AS (
-        SELECT tg, count(*) AS c FROM tri GROUP BY tg
+        SELECT tg, c, sum(c) OVER () AS t
+        FROM (SELECT tg, count(*) AS c FROM tri GROUP BY tg)
     ),
-    total AS (SELECT count(*) AS t FROM tri),  -- == sum(model.c), no recompute
     scored AS (
         SELECT tri.doc_id,
-               cast(floor(log2(CAST(m.c AS DOUBLE) / t.t) * 1000000 + 0.5) AS BIGINT)
+               cast(floor(log2(CAST(m.c AS DOUBLE) / m.t) * 1000000 + 0.5) AS BIGINT)
                    AS lp_micro
-        FROM tri JOIN model m ON tri.tg = m.tg CROSS JOIN total t
+        FROM tri JOIN model m ON tri.tg = m.tg
         WHERE tri.doc_id < 300
     )
     SELECT doc_id, count(*) AS n_trigrams,
