@@ -1919,10 +1919,18 @@ _sql_query(
 #     in the last ulp across engines; exact integer sums cannot).
 
 _TRIGRAM_SPARK = """
-    WITH tri AS (
+    WITH docs AS (
+        -- compute-dense explode ahead: file-split sizing is a byte
+        -- heuristic and would scan this small zstd corpus in ~1 task, so
+        -- fan the rows out explicitly before generating ~20x their bytes
+        -- in trigrams (shuffling the raw docs costs ~nothing). At cluster
+        -- scale the same hint bounds per-task explode output.
+        SELECT /*+ REPARTITION(64) */ doc_id, text FROM documents
+    ),
+    tri AS (
         SELECT doc_id, explode(transform(sequence(1, length(text) - 2),
                                          i -> substring(text, i, 3))) AS tg
-        FROM documents
+        FROM docs
     ),
     model AS (
         -- the corpus total rides a global window over the ~vocab-sized
