@@ -345,18 +345,24 @@ def source_binaryfile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import shutil
 
-    path = os.path.join(_DIR, "source_binaryfile_demo")
+    path = os.path.abspath(os.path.join(_DIR, "source_binaryfile_demo"))
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
-    docs = (
+
+    def _write_blobs(rows):
+        # executor-side: each task writes its own partition's files (to
+        # shared storage at cluster scale); doc_id-named files can't
+        # collide across tasks, and the driver never sees a payload
+        for row in rows:
+            with open(os.path.join(path, f"doc_{row.doc_id:06d}.bin"), "wb") as fh:
+                fh.write(row.text.encode("utf-8"))
+
+    (
         catalog.table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 50)
         .select("doc_id", "text")
-        .collect()  # 50 tiny fixture rows: writing the demo corpus, not querying
+        .foreachPartition(_write_blobs)
     )
-    for row in docs:
-        with open(os.path.join(path, f"doc_{row.doc_id:06d}.bin"), "wb") as fh:
-            fh.write(row.text.encode("utf-8"))
     blobs = spark.read.format("binaryFile").load(path)
     return (
         blobs.select(
