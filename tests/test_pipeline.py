@@ -201,3 +201,50 @@ def test_png_roundtrip_property():
         assert decode_png(blob) == (w, h, mode, px)
 
     roundtrip()
+
+
+# -- clustering ops (round 3) -------------------------------------------------
+
+
+def test_kmeans_partitions_corpus(spark):
+    """Cluster sizes must partition the corpus exactly, and every seed
+    vector must sit in its own cluster (it is distance 0 from itself at
+    iteration 1, and Lloyd never moves a centroid away from its sole
+    member faster than the member follows it here)."""
+    rows = registry.get("cluster_kmeans").build(spark, SF_DIR).collect()
+    import duckdb
+
+    n_vec = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+    ).fetchone()[0]
+    assert sum(r.n_members for r in rows) == n_vec
+    assert [r.cluster_id for r in rows] == sorted(r.cluster_id for r in rows)
+    assert all(r.n_members >= 1 for r in rows)
+
+
+def test_semantic_dedup_pairs_verified_by_exact_cosine(spark):
+    """Every reported pair must exceed the cosine threshold under an
+    independent exact computation, and pairs must be unique and ordered."""
+    import math
+
+    import duckdb
+
+    pairs = registry.get("dedup_semantic").build(spark, SF_DIR).collect()
+    assert len(pairs) > 0, "testdata embeddings contain near-duplicates"
+    vecs = {
+        vid: v
+        for vid, v in duckdb.sql(
+            f"SELECT vec_id, embedding FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+        ).fetchall()
+    }
+    seen = set()
+    for r in pairs:
+        assert r.kept_id < r.dropped_id
+        key = (r.kept_id, r.dropped_id)
+        assert key not in seen
+        seen.add(key)
+        a, b = vecs[r.kept_id], vecs[r.dropped_id]
+        dot = sum(x * y for x, y in zip(a, b))
+        cos = dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+        # quantization to milliunits shifts cosine by < 2e-3 near the cut
+        assert cos > 0.4 - 2e-3, (key, cos)
