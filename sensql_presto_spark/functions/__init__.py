@@ -42,5 +42,8 @@ __all__ = [
 
 def register_all(spark: SparkSession) -> None:
     """Install the full compat surface on a session (idempotent)."""
+    from sensql_presto_spark.functions.color import register_color_functions
+
     register_sql_functions(spark)
     register_python_udfs(spark)
+    register_color_functions(spark)

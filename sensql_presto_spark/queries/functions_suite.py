@@ -824,3 +824,85 @@ def fn_presto_compat2(spark, sf_dir):
         ORDER BY o_orderkey
         """,
     )
+
+
+# --- color functions (ColorFunctions.java; round 3 closes the last
+#     "partial by design" family) ---------------------------------------------
+#
+# color/rgb/render/bar over the orders table. The ANSI-cube math
+# (c*6/256 per channel, ColorFunctions.toAnsi:250-258) is exact integer
+# arithmetic, so the oracle reproduces every escape sequence
+# bit-for-bit; the HSB gradient path is exercised with equal endpoints
+# (interpolation of c->c is exactly c for every fraction), which keeps
+# the pandas-UDF bar in the differential gate too. The float32 gradient
+# itself is golden-tested against TestColorFunctions.java in
+# tests/test_color.py.
+
+
+@register(
+    "fn_color",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderkey,
+               (o_orderkey * 7) % 256 AS r,
+               (o_orderkey * 13) % 256 AS g,
+               (o_orderkey * 29) % 256 AS b,
+               (o_orderkey % 10) / 10.0 AS pct
+        FROM orders WHERE o_orderkey < 60
+    ),
+    p AS (
+        SELECT o_orderkey, pct, r * 65536 + g * 256 + b AS packed,
+               16 + (r * 6 // 256) * 36 + (g * 6 // 256) * 6 + (b * 6 // 256) AS ansi
+        FROM c
+    )
+    SELECT o_orderkey,
+           packed,
+           CAST(16711680 AS BIGINT) AS hex_f00,
+           CAST(-7 AS BIGINT) AS sys_cyan,
+           ansi,
+           chr(27) || '[38;5;' || ansi || 'm' || 'val' || chr(27) || '[0m' AS rendered,
+           CASE WHEN o_orderkey % 2 = 0
+                THEN chr(27) || '[38;5;2m' || '✓' || chr(27) || '[0m'
+                ELSE chr(27) || '[38;5;1m' || '✗' || chr(27) || '[0m' END AS rb,
+           repeat(chr(27) || '[38;5;' || ansi || 'm' || '█',
+                  CAST(floor(pct * 8) AS INTEGER))
+               || chr(27) || '[0m'
+               || repeat(' ', 8 - CAST(floor(pct * 8) AS INTEGER)) AS bar8
+    FROM p
+    ORDER BY o_orderkey
+    """,
+    tags=("functions", "color"),
+    doc="Presto color surface (ColorFunctions.java): color/rgb/"
+    "color_to_ansi/render/render_bool + equal-endpoint bar via the "
+    "Arrow-vectorized gradient UDF; escape sequences oracle-checked "
+    "bit-for-bit.",
+)
+def fn_color(spark, sf_dir):
+    from sensql_presto_spark import catalog
+    from sensql_presto_spark.functions import register_all
+
+    register_all(spark)
+    return catalog.sql(
+        spark,
+        sf_dir,
+        """
+        WITH c AS (
+            SELECT o_orderkey,
+                   rgb(cast((o_orderkey * 7) % 256 AS BIGINT),
+                       cast((o_orderkey * 13) % 256 AS BIGINT),
+                       cast((o_orderkey * 29) % 256 AS BIGINT)) AS col,
+                   cast((o_orderkey % 10) / 10.0 AS DOUBLE) AS pct
+            FROM orders WHERE o_orderkey < 60
+        )
+        SELECT o_orderkey,
+               col AS packed,
+               color('#f00') AS hex_f00,
+               color('cyan') AS sys_cyan,
+               color_to_ansi(col) AS ansi,
+               render('val', col) AS rendered,
+               render_bool(o_orderkey % 2 = 0) AS rb,
+               bar_gradient(pct, 8L, col, col) AS bar8
+        FROM c
+        ORDER BY o_orderkey
+        """,
+    )
