@@ -100,6 +100,23 @@ def unicode_normalize_nfc(s: pd.Series) -> pd.Series:
     return s.map(lambda v: unicodedata.normalize("NFC", v) if v is not None else None)
 
 
+@F.pandas_udf(T.StringType())
+def unicode_normalize(s: pd.Series, form: pd.Series) -> pd.Series:
+    """Presto normalize(string, form): NFC/NFD/NFKC/NFKD (StringFunctions.java
+    normalize; form names match NormalizationForm). Invalid form raises like
+    Presto's INVALID_FUNCTION_ARGUMENT."""
+
+    def one(v, f):
+        if v is None or f is None:
+            return None
+        fu = f.upper()
+        if fu not in ("NFC", "NFD", "NFKC", "NFKD"):
+            raise ValueError(f"Normalization form must be one of [NFD, NFC, NFKD, NFKC]: {f}")
+        return unicodedata.normalize(fu, v)
+
+    return pd.Series([one(v, f) for v, f in zip(s, form)])
+
+
 def register_python_udfs(spark: SparkSession) -> None:
     spark.udf.register("word_stem", word_stem)
     register_geo_udfs(spark)
@@ -108,6 +125,7 @@ def register_python_udfs(spark: SparkSession) -> None:
     spark.udf.register("normal_cdf", normal_cdf)
     spark.udf.register("inverse_normal_cdf", inverse_normal_cdf)
     spark.udf.register("normalize_nfc", unicode_normalize_nfc)
+    spark.udf.register("normalize_unicode", unicode_normalize)
 
 
 # --- geospatial surface (reference: presto-geospatial/GeoFunctions.java):

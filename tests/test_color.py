@@ -75,3 +75,24 @@ def test_sql_color_error_contracts(spark):
         spark.sql("SELECT color('mauve')").collect()
     with pytest.raises(Exception, match="red must be between"):
         spark.sql("SELECT rgb(300, 0, 0)").collect()
+
+
+def test_normalize_unicode_forms(spark):
+    from sensql_presto_spark.functions import register_all
+
+    register_all(spark)
+    row = spark.sql(
+        """
+        SELECT normalize_unicode('cafe\u0301', 'NFC') AS nfc,
+               normalize_unicode('café', 'NFD') AS nfd,
+               length(normalize_unicode('café', 'NFD')) AS nfd_len,
+               normalize_unicode('ﬁ', 'NFKC') AS nfkc
+        """
+    ).collect()[0]
+    assert row.nfc == "café" and len(row.nfc) == 4
+    assert row.nfd_len == 5  # e + combining acute
+    assert row.nfkc == "fi"  # compatibility decomposition of the ligature
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="Normalization form"):
+        spark.sql("SELECT normalize_unicode('x', 'NFX')").collect()
