@@ -429,10 +429,12 @@ _sql_query(
 # the embedding corpus — the document-clustering primitive of a training-
 # data pipeline (topic balancing, per-cluster sampling).  Scale shape per
 # iteration: the k x 64 centroid table is a broadcast join against the
-# distributed corpus (no corpus shuffle), assignment is an argmin window
-# keyed on vec_id (corpus-partition local after the broadcast), and the
-# recompute is ONE groupBy(cid, pos) shuffle of k*64-bounded partial sums
-# (map-side combine makes the shuffle O(partitions * k * dims), not O(n)).
+# distributed corpus (no corpus shuffle), assignment is a min_by argmin
+# aggregate (partial agg collapses the k candidates per vector map-side,
+# so the exchange carries n unsorted rows — not a sort-shuffle of n*k as
+# a row_number window would), and the recompute is ONE groupBy(cid, pos)
+# shuffle of k*64-bounded partial sums (map-side combine makes the final
+# shuffle O(partitions * k * dims), not O(n)).
 # In production the loop runs to convergence with a localCheckpoint per
 # round (same discipline as dedup_connected_components); two iterations
 # are fixed here so the DuckDB oracle is an exact replay.
@@ -458,12 +460,17 @@ _sql_query(
                          cast(0 AS bigint), (acc, x) -> acc + x) AS dist
         FROM q CROSS JOIN c0
     ),
+    -- argmin as min_by (ties: dist then cid), NOT a row_number window:
+    -- the partial aggregate collapses the k candidate rows per vector
+    -- map-side, so the exchange carries n rows unsorted instead of
+    -- sort-shuffling n*k
     m1 AS (
-        SELECT vec_id, v, cid FROM (
-            SELECT vec_id, v, cid,
-                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
-            FROM d1
-        ) WHERE rk = 1
+        SELECT vec_id,
+               min_by(named_struct('cid', cid, 'v', v),
+                      named_struct('d', dist, 'c', cid)).cid AS cid,
+               min_by(named_struct('cid', cid, 'v', v),
+                      named_struct('d', dist, 'c', cid)).v AS v
+        FROM d1 GROUP BY vec_id
     ),
     c1 AS (
         SELECT cid,
@@ -483,11 +490,9 @@ _sql_query(
         FROM q CROSS JOIN c1
     ),
     m2 AS (
-        SELECT vec_id, cid FROM (
-            SELECT vec_id, cid,
-                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
-            FROM d2
-        ) WHERE rk = 1
+        SELECT vec_id,
+               min_by(cid, named_struct('d', dist, 'c', cid)) AS cid
+        FROM d2 GROUP BY vec_id
     )
     SELECT cid AS cluster_id,
            count(1) AS n_members,
@@ -568,16 +573,20 @@ _sql_query(
         FROM embeddings
     ),
     c0 AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < 8),
+    -- argmin via min_by, same map-side-combine shape as cluster_kmeans
     assign AS (
-        SELECT vec_id, v, cid FROM (
+        SELECT vec_id,
+               min_by(named_struct('cid', cid, 'v', v),
+                      named_struct('d', dist, 'c', cid)).cid AS cid,
+               min_by(named_struct('cid', cid, 'v', v),
+                      named_struct('d', dist, 'c', cid)).v AS v
+        FROM (
             SELECT q.vec_id, q.v, c0.cid,
-                   row_number() OVER (
-                       PARTITION BY q.vec_id
-                       ORDER BY aggregate(zip_with(q.v, c0.cv, (x, y) -> (x - y) * (x - y)),
-                                          cast(0 AS bigint), (acc, x) -> acc + x), c0.cid
-                   ) AS rk
+                   aggregate(zip_with(q.v, c0.cv, (x, y) -> (x - y) * (x - y)),
+                             cast(0 AS bigint), (acc, x) -> acc + x) AS dist
             FROM q CROSS JOIN c0
-        ) WHERE rk = 1
+        )
+        GROUP BY vec_id
     ),
     n AS (
         SELECT vec_id, v, cid,
