@@ -2055,6 +2055,77 @@ _sql_query(
 )
 
 
+# --- SEMANTIC decontamination (the embedding twin of text_decontaminate:
+#     modern pipelines also drop training docs whose embeddings sit too
+#     close to an eval item, catching paraphrased leaks n-grams miss).
+#     Scale shape: the eval set is tiny and BROADCASTS whole onto the
+#     distributed corpus — one BroadcastNestedLoopJoin, zero corpus
+#     shuffle before the per-doc rollup. Threshold cos > 2/5 is the same
+#     exact-integer test as dedup_semantic (25*dot^2 vs 4*|a|^2*|b|^2 on
+#     milliunit-quantized vectors), so the oracle matches bit-for-bit.
+_sql_query(
+    "sim_decontaminate",
+    """
+    WITH q AS (
+        SELECT vec_id,
+               transform(embedding, x -> cast(round(cast(x AS double) * 1000) AS bigint)) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v,
+               aggregate(v, cast(0 AS bigint), (acc, x) -> acc + x * x) AS nrm2
+        FROM q
+    ),
+    ev AS (SELECT * FROM n WHERE vec_id < 20),
+    corpus AS (SELECT * FROM n WHERE vec_id >= 100),
+    hits AS (
+        SELECT c.vec_id, ev.vec_id AS eval_id,
+               aggregate(zip_with(c.v, ev.v, (x, y) -> x * y),
+                         cast(0 AS bigint), (acc, x) -> acc + x) AS dot,
+               c.nrm2 AS nc2, ev.nrm2 AS ne2
+        FROM corpus c CROSS JOIN ev
+    )
+    SELECT vec_id AS flagged_id,
+           count(1) AS n_eval_hits,
+           min(eval_id) AS closest_eval_seen
+    FROM hits
+    WHERE dot > 0 AND 25 * dot * dot > 4 * nc2 * ne2
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """,
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding] AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v, CAST(list_sum([x * x FOR x IN v]) AS BIGINT) AS nrm2
+        FROM q
+    ),
+    ev AS (SELECT * FROM n WHERE vec_id < 20),
+    corpus AS (SELECT * FROM n WHERE vec_id >= 100),
+    hits AS (
+        SELECT c.vec_id, ev.vec_id AS eval_id,
+               CAST(list_sum([c.v[i] * ev.v[i] FOR i IN generate_series(1, 64)]) AS BIGINT) AS dot,
+               c.nrm2 AS nc2, ev.nrm2 AS ne2
+        FROM corpus c CROSS JOIN ev
+    )
+    SELECT vec_id AS flagged_id,
+           CAST(count(*) AS BIGINT) AS n_eval_hits,
+           min(eval_id) AS closest_eval_seen
+    FROM hits
+    WHERE dot > 0 AND 25 * dot * dot > 4 * nc2 * ne2
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """,
+    tags=("pipeline", "decontamination", "similarity"),
+    doc="Semantic (embedding-space) benchmark decontamination: tiny eval "
+    "set broadcast against the distributed corpus, exact-integer cosine "
+    "threshold, per-doc hit rollup.",
+)
+
+
 # --- sequence packing (LLM training prep: concatenate documents into
 #     fixed-token-budget training sequences). The scalable variant packs
 #     contiguously after a size-descending sort WITHIN each source shard —

@@ -195,3 +195,22 @@ def test_dpp_join_prunes_partitions_at_runtime(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     assert "ship_year" in plan
+
+
+def test_kmeans_broadcasts_centroids_no_argmin_sort(spark):
+    """k-means: both iteration joins broadcast the k-row centroid side
+    (corpus never shuffles for assignment), and the argmin is a min_by
+    aggregate — no row_number Window sort-shuffle of the n*k stream."""
+    plan = _plan(spark, "cluster_kmeans")
+    # formatted mode lists each operator in tree + detail section
+    assert plan.count("BroadcastNestedLoopJoin") >= 2
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "Window" not in plan  # argmin is an aggregate, not a window
+
+
+def test_semantic_decontaminate_broadcasts_eval_set(spark):
+    """Semantic decontamination: the eval set broadcasts onto the corpus;
+    the only hash exchange is the per-doc hit rollup."""
+    plan = _plan(spark, "sim_decontaminate")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
