@@ -551,8 +551,9 @@ _sql_query(
     """,
     tags=("pipeline", "clustering", "kmeans"),
     doc="Distributed k-means (Lloyd, k=8, 2 iterations): centroid broadcast "
-    "join + argmin window + one k*dims-bounded recompute shuffle per round; "
+    "join + min_by argmin + one k*dims-bounded recompute shuffle per round; "
     "integer-milliunits quantization keeps both engines bit-identical.",
+    bench=True,
 )
 
 # SemDeDup-style semantic dedup (Abbas et al. 2023): bucket the corpus by
@@ -572,7 +573,11 @@ _sql_query(
                transform(embedding, x -> cast(round(cast(x AS double) * 1000) AS bigint)) AS v
         FROM embeddings
     ),
-    c0 AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < 8),
+    -- k scales with corpus size (SemDeDup keeps expected cluster size
+    -- ~constant, so within-cluster pair work stays linear, never n^2/k
+    -- with fixed k); at the sf0.01 oracle scale greatest(8, n/64) = 8
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM q
+           WHERE vec_id < (SELECT greatest(cast(8 AS bigint), count(1) DIV 64) FROM q)),
     -- argmin via min_by, same map-side-combine shape as cluster_kmeans
     assign AS (
         SELECT vec_id,
@@ -611,7 +616,8 @@ _sql_query(
                [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding] AS v
         FROM embeddings
     ),
-    c0 AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < 8),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM q
+           WHERE vec_id < (SELECT greatest(8, count(*) // 64) FROM q)),
     assign AS (
         SELECT vec_id, v, cid FROM (
             SELECT q.vec_id, q.v, c0.cid,
@@ -643,6 +649,7 @@ _sql_query(
     doc="SemDeDup: centroid-bucketed within-cluster cosine dedup with an "
     "exact-integer threshold test (no float flakiness), pairwise work "
     "bounded by per-cluster sizes instead of n^2.",
+    bench=True,
 )
 
 # ---------------------------------------------------------------------------
