@@ -50,6 +50,9 @@ _EXPLAIN_VALIDATE_RE = re.compile(
 _EXPLAIN_DISTRIBUTED_RE = re.compile(
     r"^\s*EXPLAIN\s*\(\s*TYPE\s+DISTRIBUTED\s*\)\s+(.+)$", re.IGNORECASE | re.DOTALL
 )
+_EXPLAIN_LOGICAL_RE = re.compile(
+    r"^\s*EXPLAIN\s*\(\s*TYPE\s+LOGICAL\s*\)\s+(.+)$", re.IGNORECASE | re.DOTALL
+)
 _SET_SESSION_RE = re.compile(r"^\s*SET\s+SESSION\s+(\w+)\s*=\s*(.+)$", re.IGNORECASE | re.DOTALL)
 _RESET_SESSION_RE = re.compile(r"^\s*RESET\s+SESSION\s+(\w+)\s*$", re.IGNORECASE)
 _SHOW_SESSION_RE = re.compile(r"^\s*SHOW\s+SESSION\s*$", re.IGNORECASE)
@@ -419,6 +422,15 @@ class StatementSession:
             return explain_distributed(
                 self.spark, catalog.sql(self.spark, self.sf_dir, m.group(1))
             )
+        m = _EXPLAIN_LOGICAL_RE.match(text)
+        if m:
+            # EXPLAIN (TYPE LOGICAL): Presto's default explain — the
+            # optimizer's output before fragmentation (PlanPrinter.
+            # textLogicalPlan). Catalyst analog: the optimized logical
+            # plan, one line per operator.
+            qe = catalog.sql(self.spark, self.sf_dir, m.group(1))._jdf.queryExecution()
+            lines = [(ln,) for ln in str(qe.optimizedPlan()).rstrip("\n").split("\n")]
+            return self.spark.createDataFrame(lines, "query_plan STRING")
         m = _EXPLAIN_VALIDATE_RE.match(text)
         if m:
             # Analyze without executing (the VALIDATE explain type): building

@@ -476,3 +476,12 @@ def test_create_distinct_type(spark):
     assert sess.execute("SELECT money_cents(100) AS v").collect()[0].v == 100
     sess.execute("DROP TYPE ssn")
     sess.execute("DROP TYPE money_cents")
+
+
+def test_explain_type_logical(spark):
+    rows = _sess(spark).execute(
+        "EXPLAIN (TYPE LOGICAL) SELECT r_name FROM region WHERE r_regionkey = 1"
+    ).collect()
+    text = "\n".join(r.query_plan for r in rows)
+    assert "Filter" in text or "r_regionkey" in text
+    assert "Relation" in text or "Project" in text
