@@ -375,3 +375,73 @@ def source_binaryfile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "scale_distributed_sort",
+    oracle="""
+    WITH mx AS (SELECT max(l_orderkey) + 1 AS m FROM lineitem),
+    sharded AS (
+        SELECT l.l_orderkey, l.l_linenumber,
+               CAST(l.l_orderkey * 32 // mx.m AS BIGINT) AS shard
+        FROM lineitem l CROSS JOIN mx
+    ),
+    ranked AS (
+        SELECT shard, l_orderkey, l_linenumber,
+               row_number() OVER (PARTITION BY shard
+                                  ORDER BY l_orderkey, l_linenumber) AS rn
+        FROM sharded
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(l_orderkey) AS min_key,
+           max(l_orderkey) AS max_key,
+           CAST(sum(rn * (l_orderkey % 9973 + l_linenumber)) % 2147483647
+                AS BIGINT) AS ordered_fingerprint
+    FROM ranked
+    GROUP BY shard
+    ORDER BY shard
+    """,
+    tags=("sources", "scale", "sort"),
+    bench=True,
+    doc="Distributed sort (reference benchto distributed_sort.yaml / "
+    "sort_query_*.sql with distributed_sort=true): range-sharded global "
+    "sort of lineitem — deterministic key-range shards sort in parallel "
+    "with one exchange, the Presto distributed-sort topology (local sorted "
+    "runs, ordered merge per range). The fingerprint pairs each row's rank "
+    "with its key, so any mis-ordering inside any shard changes the value.",
+)
+def scale_distributed_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shards are key ranges (shard k holds keys in [k*m/32, (k+1)*m/32)),
+    so shard order + within-shard order = total order — exactly what
+    Presto's distributed_sort session flag buys: no single-node sort.
+    Spark executes the PARTITION BY shard window as hash-exchange + 32
+    parallel in-partition sorts; at 100 TB the same plan holds with more
+    shards (and AQE splits skewed ones).
+    """
+    catalog.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH mx AS (SELECT max(l_orderkey) + 1 AS m FROM lineitem),
+        sharded AS (
+            SELECT l.l_orderkey, l.l_linenumber,
+                   CAST(l.l_orderkey * 32 DIV mx.m AS BIGINT) AS shard
+            FROM lineitem l CROSS JOIN mx
+        ),
+        ranked AS (
+            SELECT shard, l_orderkey, l_linenumber,
+                   row_number() OVER (PARTITION BY shard
+                                      ORDER BY l_orderkey, l_linenumber) AS rn
+            FROM sharded
+        )
+        SELECT shard,
+               count(1) AS n_rows,
+               min(l_orderkey) AS min_key,
+               max(l_orderkey) AS max_key,
+               sum(rn * (l_orderkey % 9973 + l_linenumber)) % 2147483647
+                   AS ordered_fingerprint
+        FROM ranked
+        GROUP BY shard
+        ORDER BY shard
+        """
+    )
