@@ -652,6 +652,82 @@ _sql_query(
     bench=True,
 )
 
+# Cluster-balanced sampling: take the SAME number of items from every
+# semantic cluster (topic balancing for pretraining mixes — the cluster
+# twin of text_stratified_sample's per-language strata). One k-means
+# E-step assigns clusters (centroid broadcast, min_by argmin, zero corpus
+# shuffle), then a deterministic Knuth-multiplicative hash ranks within
+# each cluster and the top-8 survive — reproducible across runs/engines,
+# no rand(). Scale: one exchange for the per-cluster rank window; the
+# hash ranking avoids any global sort.
+_sql_query(
+    "cluster_balanced_sample",
+    """
+    WITH q AS (
+        SELECT vec_id,
+               transform(embedding, x -> cast(round(cast(x AS double) * 1000) AS bigint)) AS v
+        FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < 8),
+    assign AS (
+        SELECT vec_id,
+               min_by(cid, named_struct('d', dist, 'c', cid)) AS cid
+        FROM (
+            SELECT q.vec_id, c0.cid,
+                   aggregate(zip_with(q.v, c0.cv, (x, y) -> (x - y) * (x - y)),
+                             cast(0 AS bigint), (acc, x) -> acc + x) AS dist
+            FROM q CROSS JOIN c0
+        )
+        GROUP BY vec_id
+    ),
+    ranked AS (
+        SELECT vec_id, cid,
+               row_number() OVER (
+                   PARTITION BY cid
+                   ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+               ) AS rk
+        FROM assign
+    )
+    SELECT cid AS cluster_id, rk AS sample_rank, vec_id
+    FROM ranked WHERE rk <= 8
+    ORDER BY cid, rk
+    """,
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding] AS v
+        FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < 8),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT q.vec_id, c0.cid,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_sum([(q.v[i] - c0.cv[i]) * (q.v[i] - c0.cv[i])
+                                          FOR i IN generate_series(1, 64)]), c0.cid
+                   ) AS rk
+            FROM q CROSS JOIN c0
+        ) WHERE rk = 1
+    ),
+    ranked AS (
+        SELECT vec_id, cid,
+               row_number() OVER (
+                   PARTITION BY cid
+                   ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+               ) AS rk
+        FROM assign
+    )
+    SELECT cid AS cluster_id, rk AS sample_rank, vec_id
+    FROM ranked WHERE rk <= 8
+    ORDER BY cid, rk
+    """,
+    tags=("pipeline", "clustering", "sampling"),
+    doc="Cluster-balanced sampling: k-means E-step assignment + "
+    "deterministic Knuth-hash top-8 per cluster — topic-balanced "
+    "subcorpus selection with zero randomness.",
+)
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
