@@ -6,6 +6,8 @@
   hot path) for Presto names Spark lacks (``presto_compat``),
 - Arrow-vectorized pandas UDFs for the genuinely non-expressible gaps
   (``udfs``: word_stem, normal_cdf, inverse_normal_cdf, unicode normalize),
+- the color-function family (``color``: ColorFunctions.java parity — SQL
+  temp fns for color/rgb/render, float32-HSB gradient UDFs for bar),
 - nothing for Presto names Spark already covers under a different name —
   those are documented in ``PRESTO_EQUIVALENTS`` for query authors.
 """

@@ -53,6 +53,8 @@ _EXPLAIN_DISTRIBUTED_RE = re.compile(
 _EXPLAIN_LOGICAL_RE = re.compile(
     r"^\s*EXPLAIN\s*\(\s*TYPE\s+LOGICAL\s*\)\s+(.+)$", re.IGNORECASE | re.DOTALL
 )
+_DESCRIBE_INPUT_RE = re.compile(r"^\s*DESCRIBE\s+INPUT\s+(\w+)\s*$", re.IGNORECASE)
+_DESCRIBE_OUTPUT_RE = re.compile(r"^\s*DESCRIBE\s+OUTPUT\s+(\w+)\s*$", re.IGNORECASE)
 _SET_SESSION_RE = re.compile(r"^\s*SET\s+SESSION\s+(\w+)\s*=\s*(.+)$", re.IGNORECASE | re.DOTALL)
 _RESET_SESSION_RE = re.compile(r"^\s*RESET\s+SESSION\s+(\w+)\s*$", re.IGNORECASE)
 _SHOW_SESSION_RE = re.compile(r"^\s*SHOW\s+SESSION\s*$", re.IGNORECASE)
@@ -191,6 +193,25 @@ def split_top_level(text: str, sep: str = ",") -> list[str]:
         i += 1
     parts.append("".join(cur))
     return [p.strip() for p in parts if p.strip()]
+
+
+def count_parameters(sql: str) -> int:
+    """Number of positional ``?`` markers outside string literals."""
+    n, in_str, i = 0, False, 0
+    while i < len(sql):
+        ch = sql[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < len(sql) and sql[i + 1] == "'":
+                    i += 1
+                else:
+                    in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "?":
+            n += 1
+        i += 1
+    return n
 
 
 def substitute_parameters(sql: str, params: list[str]) -> str:
@@ -407,6 +428,13 @@ class StatementSession:
             return catalog.sql(
                 self.spark, self.sf_dir, substitute_parameters(self.prepared[name], params)
             )
+        # must run before the generic DESCRIBE <table> (SHOW COLUMNS) match
+        m = _DESCRIBE_INPUT_RE.match(text)
+        if m:
+            return self._describe_input(m.group(1).lower())
+        m = _DESCRIBE_OUTPUT_RE.match(text)
+        if m:
+            return self._describe_output(m.group(1).lower())
         m = _SHOW_STATS_RE.match(text)
         if m:
             return show_stats(self.spark, self.sf_dir, m.group(1))
@@ -595,6 +623,53 @@ class StatementSession:
         if self.matviews.exists(name):
             return self.matviews.read(name)
         raise ValueError(f"Table not found: {name}")
+
+    def _describe_input(self, name: str) -> DataFrame:
+        """DESCRIBE INPUT <stmt> (DescribeInputRewrite): one row per ``?``
+        parameter. Presto infers parameter types from context where it can;
+        this engine reports ``unknown`` for every position (the documented
+        always-valid answer per describe-input.rst — Catalyst has no
+        type-inference hook for unbound parameters)."""
+        if name not in self.prepared:
+            raise ValueError(f"Prepared statement not found: {name}")
+        n = count_parameters(self.prepared[name])
+        return self.spark.createDataFrame(
+            [(i, "unknown") for i in range(n)] or self.spark.sparkContext.emptyRDD(),
+            "Position int, Type string",
+        )
+
+    def _describe_output(self, name: str) -> DataFrame:
+        """DESCRIBE OUTPUT <stmt> (DescribeOutputRewrite): the prepared
+        query's output columns with Presto type signatures and fixed-width
+        byte sizes (0 for variable-width, matching describe-output.rst).
+        ``?`` parameters are bound to NULL for analysis only — the query
+        never executes. Catalog/schema/table provenance and the aliased
+        bit are not tracked through Catalyst's analyzed plan here; they
+        render as the single-catalog defaults."""
+        from sensql_presto_spark.server import _presto_type
+
+        if name not in self.prepared:
+            raise ValueError(f"Prepared statement not found: {name}")
+        sql = self.prepared[name]
+        bound = substitute_parameters(sql, ["NULL"] * count_parameters(sql))
+        schema = catalog.sql(self.spark, self.sf_dir, bound).schema
+        rows = [
+            (
+                f.name,
+                "spark",
+                "default",
+                "",
+                _presto_type(f.dataType),
+                _FIXED_WIDTH_BYTES.get(type(f.dataType), 0),
+                False,
+            )
+            for f in schema.fields
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            '`Column Name` string, Catalog string, Schema string, `Table` string, '
+            "Type string, `Type Size` int, Aliased boolean",
+        )
 
     def _show_columns(self, name: str) -> DataFrame:
         """SHOW COLUMNS / DESCRIBE — Presto's 4-column layout with

@@ -485,3 +485,29 @@ def test_explain_type_logical(spark):
     text = "\n".join(r.query_plan for r in rows)
     assert "Filter" in text or "r_regionkey" in text
     assert "Relation" in text or "Project" in text
+
+
+# -- DESCRIBE INPUT / OUTPUT (describe-input.rst, describe-output.rst) -------
+
+
+def test_describe_input_positions(spark):
+    sess = _sess(spark)
+    sess.execute("PREPARE my_sel FROM SELECT ? FROM nation WHERE n_regionkey = ? AND n_name < ?")
+    rows = sess.execute("DESCRIBE INPUT my_sel").collect()
+    assert [(r.Position, r.Type) for r in rows] == [(0, "unknown"), (1, "unknown"), (2, "unknown")]
+    # '?' inside a string literal is not a parameter
+    sess.execute("PREPARE my_lit FROM SELECT '?' FROM nation")
+    assert sess.execute("DESCRIBE INPUT my_lit").count() == 0
+
+
+def test_describe_output_columns(spark):
+    sess = _sess(spark)
+    sess.execute("PREPARE my_out FROM SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = ?")
+    rows = sess.execute("DESCRIBE OUTPUT my_out").collect()
+    got = [(r["Column Name"], r.Type, r["Type Size"]) for r in rows]
+    assert got == [("n_nationkey", "integer", 4), ("n_name", "varchar", 0)]
+
+
+def test_describe_output_unknown_statement(spark):
+    with pytest.raises(ValueError, match="Prepared statement not found"):
+        _sess(spark).execute("DESCRIBE OUTPUT nope")
