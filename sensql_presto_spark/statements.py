@@ -64,6 +64,19 @@ _CREATE_MV_RE = re.compile(
 )
 _REFRESH_MV_RE = re.compile(r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*$", re.IGNORECASE)
 _DROP_MV_RE = re.compile(r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(\w+)\s*$", re.IGNORECASE)
+# Logical views (create-view.rst / CreateViewTask.java). The engine's
+# catalog is session-scoped temp views, so CREATE VIEW lands as a session
+# view over them (Spark rejects a *persistent* view referencing temp
+# relations — INVALID_TEMP_OBJ_REFERENCE); definition text is kept for
+# SHOW CREATE VIEW, and names must not shadow base tables or matviews
+# (the round-2 advisor's matview-shadowing rule, applied here too).
+_CREATE_VIEW_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.+)$", re.IGNORECASE | re.DOTALL
+)
+_DROP_VIEW_RE = re.compile(
+    r"^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?(\w+)\s*$", re.IGNORECASE
+)
+_SHOW_CREATE_VIEW_RE = re.compile(r"^\s*SHOW\s+CREATE\s+VIEW\s+(\w+)\s*$", re.IGNORECASE)
 # CREATE FUNCTION (SqlBase.g4:72-79 createFunction; executed by the
 # function-namespace managers in the reference). Optional routine
 # characteristics between RETURNS <type> and RETURN <expr> are accepted
@@ -399,6 +412,7 @@ class StatementSession:
         self.spark = spark
         self.sf_dir = sf_dir
         self.prepared: dict[str, str] = {}
+        self.views: dict[str, str] = {}  # logical views: name -> defining SQL
         self.types: dict[str, list[str]] = {}
         self.functions: dict[str, str] = {}  # bare name -> original CREATE text
         self._conf_defaults: dict[str, str | None] = {}
@@ -487,6 +501,34 @@ class StatementSession:
         if m:
             self.matviews.drop(m.group(1))
             return self.spark.createDataFrame([("DROP MATERIALIZED VIEW",)], "result string")
+        m = _CREATE_VIEW_RE.match(text)
+        if m:
+            name, body = m.group(2), m.group(3).strip()
+            if name.lower() in catalog.TABLES or self.matviews.exists(name):
+                raise ValueError(f"View name conflicts with an existing table: {name}")
+            if not m.group(1) and name in self.views:
+                raise ValueError(f"View already exists: {name}")
+            catalog.register_views(self.spark, self.sf_dir)
+            self.spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {body}")
+            self.views[name] = body
+            return self.spark.createDataFrame([("CREATE VIEW",)], "result string")
+        m = _DROP_VIEW_RE.match(text)
+        if m:
+            name = m.group(2)
+            if name not in self.views:
+                if m.group(1):
+                    return self.spark.createDataFrame([("DROP VIEW",)], "result string")
+                raise ValueError(f"View not found: {name}")
+            del self.views[name]
+            self.spark.catalog.dropTempView(name)
+            return self.spark.createDataFrame([("DROP VIEW",)], "result string")
+        m = _SHOW_CREATE_VIEW_RE.match(text)
+        if m:
+            name = m.group(1)
+            if name not in self.views:
+                raise ValueError(f"View not found: {name}")
+            ddl = f"CREATE VIEW {name} AS\n{self.views[name]}"
+            return self.spark.createDataFrame([(ddl,)], "`Create View` string")
         m = _CREATE_FN_RE.match(text)
         if m:
             return self._create_function(

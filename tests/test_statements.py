@@ -511,3 +511,27 @@ def test_describe_output_columns(spark):
 def test_describe_output_unknown_statement(spark):
     with pytest.raises(ValueError, match="Prepared statement not found"):
         _sess(spark).execute("DESCRIBE OUTPUT nope")
+
+
+# -- logical views (create-view.rst / CreateViewTask.java) -------------------
+
+
+def test_create_view_lifecycle(spark):
+    sess = _sess(spark)
+    sess.execute("CREATE VIEW asia_nations AS SELECT n_name FROM nation WHERE n_regionkey = 2")
+    assert sess.execute("SELECT count(*) AS n FROM asia_nations").collect()[0].n == 5
+    ddl = sess.execute("SHOW CREATE VIEW asia_nations").collect()[0][0]
+    assert ddl.startswith("CREATE VIEW asia_nations AS")
+    with pytest.raises(ValueError, match="already exists"):
+        sess.execute("CREATE VIEW asia_nations AS SELECT 1")
+    sess.execute("CREATE OR REPLACE VIEW asia_nations AS SELECT n_name FROM nation")
+    assert sess.execute("SELECT count(*) AS n FROM asia_nations").collect()[0].n == 25
+    sess.execute("DROP VIEW asia_nations")
+    with pytest.raises(ValueError, match="not found"):
+        sess.execute("SHOW CREATE VIEW asia_nations")
+    sess.execute("DROP VIEW IF EXISTS asia_nations")  # no-op, no raise
+
+
+def test_create_view_cannot_shadow_base_table(spark):
+    with pytest.raises(ValueError, match="conflicts"):
+        _sess(spark).execute("CREATE VIEW nation AS SELECT 1")
