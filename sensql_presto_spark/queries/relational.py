@@ -540,3 +540,32 @@ def prepared_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY o_orderpriority ORDER BY o_orderpriority"
     )
     return sess.execute("EXECUTE prio_totals USING 'F', 150000.0")
+
+
+@register(
+    "ddl_logical_view",
+    oracle="""
+    SELECT n_name, count(*) AS n_suppliers
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    tags=("ddl", "view", "session"),
+    doc="Logical CREATE VIEW lifecycle (create-view.rst / CreateViewTask."
+    "java): a view defined through the statement layer is queried like a "
+    "table; Catalyst inlines the definition so pushdown/broadcast apply "
+    "as if the user had written the subquery.",
+)
+def ddl_logical_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensql_presto_spark.statements import StatementSession
+
+    sess = StatementSession(spark, sf_dir)
+    sess.execute("DROP VIEW IF EXISTS supplier_nations")
+    sess.execute(
+        "CREATE VIEW supplier_nations AS "
+        "SELECT s_suppkey, n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey"
+    )
+    return sess.execute(
+        "SELECT n_name, count(*) AS n_suppliers FROM supplier_nations "
+        "GROUP BY n_name ORDER BY n_name"
+    )
