@@ -535,3 +535,29 @@ def test_create_view_lifecycle(spark):
 def test_create_view_cannot_shadow_base_table(spark):
     with pytest.raises(ValueError, match="conflicts"):
         _sess(spark).execute("CREATE VIEW nation AS SELECT 1")
+
+
+def test_parameter_tokenizer_property():
+    """Property: count_parameters agrees with substitute_parameters — for
+    any SQL-ish text built from literals/quotes/markers, substituting
+    exactly count() params succeeds and leaves no '?' outside strings."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sensql_presto_spark.statements import count_parameters, substitute_parameters
+
+    piece = st.sampled_from(
+        ["SELECT x", " ? ", "'it''s ? quoted'", "'?'", ", ", "a = ?", "'abc'", "?"]
+    )
+
+    @given(st.lists(piece, min_size=1, max_size=8))
+    @settings(max_examples=200, deadline=None)
+    def check(pieces):
+        sql = "".join(pieces)
+        n = count_parameters(sql)
+        out = substitute_parameters(sql, ["1"] * n)
+        assert count_parameters(out) == 0  # every real marker consumed
+        # string literals survive untouched
+        assert out.count("it''s") == sql.count("it''s")
+
+    check()
