@@ -111,10 +111,13 @@ PRIORITY: tuple[str, ...] = (
 # events_tumbling_window, text_fingerprint, text_token_stats,
 # dedup_exact/minhash/simhash/ngram/embedding, pipeline_end_to_end,
 # sensql_knn_federated, mm_audio_windows) plus the r3 additions
-# (ddl_create_function, ddl_create_type, source_jdbc_roundtrip,
-# text_trigram_logprob, text_decontaminate, scale_dpp_join,
-# mm_image_decode, cluster_kmeans, dedup_semantic, source_text_roundtrip,
-# source_binaryfile_stats — each was driver_sim-EXACT when added).
+# (ddl_create_function, ddl_create_type, ddl_logical_view,
+# source_jdbc_roundtrip, text_trigram_logprob, text_decontaminate,
+# scale_dpp_join, scale_distributed_sort, mm_image_decode,
+# cluster_kmeans, cluster_balanced_sample, dedup_semantic,
+# sim_decontaminate, fn_color, source_text_roundtrip,
+# source_binaryfile_stats — each was driver_sim-EXACT when added, and the
+# end-of-round full sweep was 273/273 EXACT before the last two entries).
 # Keep any r3 entry that FAILED.
 # By r5-r6 every registry entry should have at least one driver-green row.
 
