@@ -25,7 +25,9 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF_DIR = "/root/testdata/sf0.01"
+# Override with DRIVER_SIM_SF_DIR to differential-check at another scale
+# (e.g. sf0.1 — catches scale-sensitive logic the sf0.01 gate can't).
+SF_DIR = os.environ.get("DRIVER_SIM_SF_DIR", "/root/testdata/sf0.01")
 
 
 def canon(pdf: pd.DataFrame) -> pd.DataFrame:
