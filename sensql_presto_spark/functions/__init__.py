@@ -45,7 +45,14 @@ __all__ = [
 def register_all(spark: SparkSession) -> None:
     """Install the full compat surface on a session (idempotent)."""
     from sensql_presto_spark.functions.color import register_color_functions
+    from sensql_presto_spark.functions.ip import register_ip_functions
+    from sensql_presto_spark.functions.sketches import register_sketch_functions
 
     register_sql_functions(spark)
     register_python_udfs(spark)
     register_color_functions(spark)
+    # IpPrefixFunctions.java + qdigest/tdigest scalar surface used to be
+    # registered only by the suites that exercised them; a user calling
+    # register_all() expects the whole reference name surface.
+    register_ip_functions(spark)
+    register_sketch_functions(spark)

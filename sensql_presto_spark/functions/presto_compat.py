@@ -365,6 +365,87 @@ _SQL_FUNCTIONS: tuple[str, ...] = (
                  transform(sequence(l + 1, size(a) - 1), m ->
                      array(a[i], a[j], a[k], a[l], a[m]))))))))))
        END""",
+    # -- parity tranche from a name diff of every @ScalarFunction /
+    #    @SqlInvokedScalarFunction in the reference against
+    #    spark.catalog.listFunctions() after register_all --
+    # DateTimeFunctions.java:969 day_of_week/dow is ISO-8601 (Mon=1..Sun=7);
+    # Spark's dayofweek() is 1=Sunday, weekday() is 0=Monday.
+    """CREATE OR REPLACE TEMPORARY FUNCTION day_of_week(d DATE)
+       RETURNS BIGINT RETURN cast(weekday(d) + 1 AS BIGINT)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION dow(d DATE)
+       RETURNS BIGINT RETURN cast(weekday(d) + 1 AS BIGINT)""",
+    # DateTimeFunctions.java:1071 day_of_year/doy
+    """CREATE OR REPLACE TEMPORARY FUNCTION day_of_year(d DATE)
+       RETURNS BIGINT RETURN cast(dayofyear(d) AS BIGINT)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION doy(d DATE)
+       RETURNS BIGINT RETURN cast(dayofyear(d) AS BIGINT)""",
+    # DateTimeFunctions.java:1100 week/week_of_year (ISO week number —
+    # Spark's weekofyear is already ISO)
+    """CREATE OR REPLACE TEMPORARY FUNCTION week(d DATE)
+       RETURNS BIGINT RETURN cast(weekofyear(d) AS BIGINT)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION week_of_year(d DATE)
+       RETURNS BIGINT RETURN cast(weekofyear(d) AS BIGINT)""",
+    # DateTimeFunctions.java:1129 year_of_week/yow: the ISO week-numbering
+    # year = calendar year of that week's Thursday (weekday(): Mon=0)
+    """CREATE OR REPLACE TEMPORARY FUNCTION year_of_week(d DATE)
+       RETURNS BIGINT RETURN cast(year(date_add(d, 3 - weekday(d))) AS BIGINT)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION yow(d DATE)
+       RETURNS BIGINT RETURN cast(year(date_add(d, 3 - weekday(d))) AS BIGINT)""",
+    # DateTimeFunctions.java:318 at_timezone — same instant re-rendered in
+    # the target zone (Spark has no tz-annotated timestamp; the wall-clock
+    # shift is the observable equivalent)
+    """CREATE OR REPLACE TEMPORARY FUNCTION at_timezone(ts TIMESTAMP, tz STRING)
+       RETURNS TIMESTAMP RETURN from_utc_timestamp(to_utc_timestamp(ts, current_timezone()), tz)""",
+    # FailureFunction.java fail(message) — Presto's explicit error scalar
+    """CREATE OR REPLACE TEMPORARY FUNCTION fail(msg STRING)
+       RETURNS STRING RETURN raise_error(msg)""",
+    # ArraySqlFunctions.java:56 array_frequency (varchar signature; Spark
+    # SQL fns are single-signature — numeric callers cast to string)
+    """CREATE OR REPLACE TEMPORARY FUNCTION array_frequency(a ARRAY<STRING>)
+       RETURNS MAP<STRING, INT> RETURN map_from_entries(
+           transform(array_distinct(filter(a, x -> x IS NOT NULL)),
+                     x -> struct(x, cast(size(filter(a, y -> y = x)) AS INT))))""",
+    # ArraySqlFunctions.java:82 array_duplicates/array_dupes — more-than-one
+    # NULL contributes a NULL entry, then each value seen more than once, in
+    # first-appearance order (reference uses map_keys(map_filter(freq)))
+    """CREATE OR REPLACE TEMPORARY FUNCTION array_duplicates(a ARRAY<STRING>)
+       RETURNS ARRAY<STRING> RETURN concat(
+           CASE WHEN size(filter(a, x -> x IS NULL)) > 1
+                THEN array(cast(NULL AS STRING))
+                ELSE cast(array() AS ARRAY<STRING>) END,
+           filter(array_distinct(filter(a, x -> x IS NOT NULL)),
+                  x -> size(filter(a, y -> y = x)) > 1))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION array_dupes(a ARRAY<STRING>)
+       RETURNS ARRAY<STRING> RETURN array_duplicates(a)""",
+    # JsonFunctions.java json_extract / json_size (JsonPath subset that
+    # get_json_object shares: $, ., [..] accessors)
+    """CREATE OR REPLACE TEMPORARY FUNCTION json_extract(j STRING, p STRING)
+       RETURNS STRING RETURN get_json_object(j, p)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION json_size(j STRING, p STRING)
+       RETURNS INT RETURN CASE
+           WHEN get_json_object(j, p) IS NULL THEN cast(NULL AS INT)
+           WHEN startswith(ltrim(get_json_object(j, p)), '[')
+                THEN cast(json_array_length(get_json_object(j, p)) AS INT)
+           WHEN startswith(ltrim(get_json_object(j, p)), '{')
+                THEN size(json_object_keys(get_json_object(j, p)))
+           ELSE 0 END""",
+    # StringFunctions.java split_to_map — literal delimiters (Spark's
+    # str_to_map is regex-based, so quote via \\Q..\\E); duplicate keys
+    # error out of map_from_entries exactly like Presto's "Duplicate keys"
+    """CREATE OR REPLACE TEMPORARY FUNCTION split_to_map(s STRING, ed STRING, kvd STRING)
+       RETURNS MAP<STRING, STRING> RETURN map_from_entries(
+           transform(split(s, concat(char(92), 'Q', ed, char(92), 'E')),
+               kv -> struct(
+                   CASE WHEN instr(kv, kvd) = 0 THEN kv
+                        ELSE substring(kv, 1, instr(kv, kvd) - 1) END,
+                   CASE WHEN instr(kv, kvd) = 0 THEN cast(NULL AS STRING)
+                        ELSE substring(kv, instr(kv, kvd) + length(kvd)) END)))""",
+    # SimpleSamplingPercent.java key_sampling_percent — deterministic
+    # per-key double in [0, 1). The reference buckets abs(reinterpreted
+    # hash) % 100 / 100; we bucket pmod(xxhash64) % 100 / 100 — same
+    # contract (stable 1%-granular sampling keys), different hash bits.
+    """CREATE OR REPLACE TEMPORARY FUNCTION key_sampling_percent(s STRING)
+       RETURNS DOUBLE RETURN cast(pmod(xxhash64(s), 100L) AS DOUBLE) / 100.0""",
 )
 
 

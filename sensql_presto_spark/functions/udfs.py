@@ -126,6 +126,10 @@ def register_python_udfs(spark: SparkSession) -> None:
     spark.udf.register("inverse_normal_cdf", inverse_normal_cdf)
     spark.udf.register("normalize_nfc", unicode_normalize_nfc)
     spark.udf.register("normalize_unicode", unicode_normalize)
+    # bare Presto name carries the 2-arg (string, form) signature
+    # (StringFunctions.java normalize); the 1-arg NFC default lives at
+    # normalize_nfc since Spark UDF names can't overload by arity
+    spark.udf.register("normalize", unicode_normalize)
 
 
 # --- geospatial surface (reference: presto-geospatial/GeoFunctions.java):

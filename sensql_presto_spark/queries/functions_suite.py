@@ -826,6 +826,104 @@ def fn_presto_compat2(spark, sf_dir):
     )
 
 
+# --- round-3 parity tranche: names surfaced by diffing every
+#     @ScalarFunction/@SqlInvokedScalarFunction in the reference against
+#     spark.catalog.listFunctions() after register_all() ---------------------
+#
+# ISO-8601 date parts (DateTimeFunctions.java:969-1150), at_timezone
+# (:318), array_frequency/array_duplicates (ArraySqlFunctions.java:56-97),
+# json_extract/json_size (JsonFunctions.java), split_to_map
+# (StringFunctions.java), key_sampling_percent (SimpleSamplingPercent.java).
+# The frequency map is canonicalized to sorted "k:v" entries on both sides
+# (map iteration order is engine-specific); key_sampling_percent is checked
+# as a property (deterministic, [0,1), 1%-granular) since its hash bits are
+# engine-specific by design.
+
+
+@register(
+    "fn_presto_compat3",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(isodow(CAST(o_orderdate AS DATE)) AS BIGINT) AS dw,
+           CAST(dayofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS doy,
+           CAST(week(CAST(o_orderdate AS DATE)) AS BIGINT) AS wk,
+           CAST(isoyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS yw,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL '5 hours'
+                    + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS atz,
+           array_to_string(
+               list_transform(
+                   list_sort(list_distinct(list_filter(
+                       str_split(o_orderpriority, '-'), x -> x IS NOT NULL))),
+                   x -> x || ':' || CAST(len(list_filter(
+                       str_split(o_orderpriority, '-'), y -> y = x)) AS VARCHAR)),
+               ',') AS freq,
+           array_to_string(
+               list_sort(list_filter(
+                   list_distinct([o_orderstatus, o_orderpriority, o_orderstatus]),
+                   x -> len(list_filter([o_orderstatus, o_orderpriority, o_orderstatus],
+                                        y -> y = x)) > 1)),
+               ',') AS dups,
+           CAST(o_orderkey AS VARCHAR) AS first_elem,
+           CAST(o_orderkey % 5 + 1 AS INT) AS n_elems,
+           o_orderpriority AS mp,
+           o_orderstatus AS ms,
+           CAST(o_orderkey AS VARCHAR) AS mk,
+           TRUE AS ksp_ok
+    FROM orders WHERE o_orderkey < 60
+    ORDER BY o_orderkey
+    """,
+    tags=("functions", "compat"),
+    doc="Parity tranche 3: ISO date parts (day_of_week/doy/week/year_of_week),"
+    " at_timezone, array_frequency/array_duplicates, json_extract/json_size,"
+    " split_to_map, key_sampling_percent.",
+)
+def fn_presto_compat3(spark, sf_dir):
+    from sensql_presto_spark import catalog
+    from sensql_presto_spark.functions import register_all
+
+    register_all(spark)
+    return catalog.sql(
+        spark,
+        sf_dir,
+        """
+        WITH src AS (
+            SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                   cast(o_orderdate AS DATE) AS d,
+                   concat('[', array_join(array_repeat(cast(o_orderkey AS STRING),
+                          cast(o_orderkey % 5 + 1 AS INT)), ','), ']') AS jarr,
+                   concat('p=', o_orderpriority, '|s=', o_orderstatus,
+                          '|k=', o_orderkey) AS kvs
+            FROM orders WHERE o_orderkey < 60
+        )
+        SELECT o_orderkey,
+               day_of_week(d) AS dw,
+               doy(d) AS doy,
+               week_of_year(d) AS wk,
+               year_of_week(d) AS yw,
+               cast(at_timezone(cast(d AS TIMESTAMP), 'Asia/Kolkata') AS STRING) AS atz,
+               array_join(transform(
+                   array_sort(map_keys(array_frequency(split(o_orderpriority, '-')))),
+                   k -> concat(k, ':', array_frequency(split(o_orderpriority, '-'))[k])),
+                   ',') AS freq,
+               array_join(array_sort(array_duplicates(
+                   array(o_orderstatus, o_orderpriority, o_orderstatus))), ',') AS dups,
+               json_extract(jarr, '$[0]') AS first_elem,
+               json_size(concat('{"a": ', jarr, '}'), '$.a') AS n_elems,
+               split_to_map(kvs, '|', '=')['p'] AS mp,
+               split_to_map(kvs, '|', '=')['s'] AS ms,
+               split_to_map(kvs, '|', '=')['k'] AS mk,
+               key_sampling_percent(cast(o_orderkey AS STRING)) >= 0
+                   AND key_sampling_percent(cast(o_orderkey AS STRING)) < 1
+                   AND key_sampling_percent(cast(o_orderkey AS STRING))
+                       = round(key_sampling_percent(cast(o_orderkey AS STRING)), 2)
+                   AND key_sampling_percent(cast(o_orderkey AS STRING))
+                       = key_sampling_percent(cast(o_orderkey AS STRING)) AS ksp_ok
+        FROM src
+        ORDER BY o_orderkey
+        """,
+    )
+
+
 # --- color functions (ColorFunctions.java; round 3 closes the last
 #     "partial by design" family) ---------------------------------------------
 #

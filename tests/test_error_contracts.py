@@ -113,3 +113,67 @@ def test_combinations_matches_itertools_in_bulk(spark):
         if n == 0:
             expected = [[]]
         assert got[i] == expected, (i, arr, n, got[i], expected)
+
+
+def test_fail_scalar_raises_user_error(spark):
+    """FailureFunction.java fail(message) — explicit user-raised error."""
+    register_all(spark)
+    with pytest.raises(Exception, match="boom"):
+        spark.sql("SELECT fail('boom')").collect()
+
+
+def test_split_to_map_duplicate_keys_raise(spark):
+    """StringFunctions.java splitToMap raises 'Duplicate keys' — Spark's
+    map_from_entries has the same contract under the default
+    spark.sql.mapKeyDedupPolicy=EXCEPTION."""
+    register_all(spark)
+    with pytest.raises(Exception, match="[Dd]uplicate"):
+        spark.sql("SELECT split_to_map('a=1,a=2', ',', '=')").collect()
+
+
+def test_split_to_map_regex_metachar_delimiters_are_literal(spark):
+    """Presto delimiters are literal strings; the shim \\Q-quotes them so
+    regex metacharacters like '|' and '.' split literally."""
+    register_all(spark)
+    row = spark.sql(
+        "SELECT split_to_map('a.b=1|c=2', '|', '=') AS m"
+    ).collect()[0]
+    assert row.m == {"a.b": "1", "c": "2"}
+
+
+def test_array_duplicates_multi_null_contract(spark):
+    """ArraySqlFunctions.java:82 — more than one NULL contributes a single
+    NULL entry; a single NULL does not."""
+    register_all(spark)
+    row = spark.sql(
+        "SELECT array_duplicates(array('a', NULL, NULL, 'a', 'b')) AS two_nulls, "
+        "array_duplicates(array('a', NULL, 'b')) AS one_null"
+    ).collect()[0]
+    assert row.two_nulls == [None, "a"] and row.one_null == []
+
+
+def test_iso_date_parts_match_reference_semantics(spark):
+    """day_of_week is ISO Mon=1..Sun=7; year_of_week is the ISO
+    week-numbering year (2021-01-01 belongs to 2020-W53)."""
+    register_all(spark)
+    row = spark.sql(
+        "SELECT day_of_week(DATE'2026-08-16') AS sunday, "
+        "day_of_week(DATE'2026-08-10') AS monday, "
+        "week(DATE'2021-01-01') AS w, year_of_week(DATE'2021-01-01') AS yw, "
+        "week(DATE'2020-12-31') AS w2, year_of_week(DATE'2020-12-31') AS yw2"
+    ).collect()[0]
+    assert (row.sunday, row.monday) == (7, 1)
+    assert (row.w, row.yw) == (53, 2020)
+    assert (row.w2, row.yw2) == (53, 2020)
+
+
+def test_at_timezone_preserves_instant(spark):
+    """at_timezone re-renders the same instant: converting the shifted
+    wall-clock back from the target zone recovers the original."""
+    register_all(spark)
+    row = spark.sql(
+        "SELECT to_utc_timestamp(at_timezone(TIMESTAMP'2026-01-01 12:00:00', "
+        "'Asia/Kolkata'), 'Asia/Kolkata') AS back, "
+        "to_utc_timestamp(TIMESTAMP'2026-01-01 12:00:00', current_timezone()) AS orig"
+    ).collect()[0]
+    assert row.back == row.orig
