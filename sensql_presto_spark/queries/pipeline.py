@@ -2315,3 +2315,173 @@ _sql_query(
     "downsampling to target relative weights (3:1 alternating here), "
     "no-upsampling solve, reproducible Knuth-hash keep decisions.",
 )
+
+
+# --- context-window chunking (LLM training/RAG prep: split each document
+#     into fixed-token windows with overlap). One generator expression per
+#     row (sequence + slice) — zero shuffles before the output sort, so the
+#     operator is embarrassingly parallel at 100 TB: every chunk row is
+#     derived from its own document partition-locally. Chunk identity is
+#     checked end-to-end via md5 over the joined window (same hex text in
+#     Spark and DuckDB).
+
+_sql_query(
+    "text_chunk_overlap",
+    """
+    WITH t AS (
+        SELECT doc_id, split(text, ' ') AS toks, size(split(text, ' ')) AS n
+        FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, toks, n, pos
+        FROM t LATERAL VIEW explode(sequence(0, n - 1, 48)) s AS pos
+        WHERE n > 0
+    )
+    SELECT doc_id,
+           CAST(pos / 48 AS BIGINT) AS chunk_idx,
+           CAST(least(64, n - pos) AS BIGINT) AS n_tokens,
+           md5(array_join(slice(toks, pos + 1, 64), ' ')) AS chunk_md5
+    FROM starts
+    ORDER BY doc_id, chunk_idx
+    """,
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, toks, n, unnest(range(0, n, 48)) AS pos
+        FROM t WHERE n > 0
+    )
+    SELECT doc_id,
+           CAST(pos / 48 AS BIGINT) AS chunk_idx,
+           CAST(least(64, n - pos) AS BIGINT) AS n_tokens,
+           md5(array_to_string(toks[pos + 1 : pos + 64], ' ')) AS chunk_md5
+    FROM starts
+    ORDER BY doc_id, chunk_idx
+    """,
+    tags=("pipeline", "text", "chunking"),
+    doc="Context-window chunking: 64-token windows at stride 48 (16-token "
+    "overlap) per document; zero-shuffle generator plan, md5-fingerprinted "
+    "chunks.",
+)
+
+
+# --- incremental ingest dedup (the daily-batch pattern: an at-least-once
+#     delivery re-sends part of the already-ingested corpus; new docs are
+#     the anti-join of the incoming batch against the snapshot's content
+#     hashes). NOT EXISTS compiles to a hash anti join (asserted in
+#     tests/test_optimizer_rewrites.py); at 100 TB the snapshot side is a
+#     hash-partitioned build with a bloom pre-filter pushed to the probe
+#     scan (spark.sql.optimizer.runtime.bloomFilter.enabled is on in
+#     session.py), so re-delivered rows drop before the exchange.
+#     Snapshot/batch membership is doc_id arithmetic so the overlap is
+#     deterministic and non-empty at every SF: batch doc_id%10 IN (0,1,2),
+#     snapshot doc_id%5 IN (0,1) -> re-delivered rows are %10 IN (0,1).
+
+_sql_query(
+    "dedup_incremental",
+    """
+    WITH snapshot AS (
+        SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 < 2
+    ),
+    incoming AS (
+        SELECT doc_id, source, md5(text) AS h, n_chars
+        FROM documents WHERE doc_id % 10 < 3
+    )
+    SELECT source,
+           count(*) AS new_docs,
+           CAST(sum(n_chars) AS BIGINT) AS new_chars,
+           CAST(min(doc_id) AS BIGINT) AS first_new_doc
+    FROM incoming i
+    WHERE NOT EXISTS (SELECT 1 FROM snapshot s WHERE s.h = i.h)
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("pipeline", "dedup", "incremental"),
+    doc="Incremental-batch dedup: anti-join the incoming delivery against "
+    "the ingested snapshot's content hashes; only genuinely-new documents "
+    "survive (re-delivered rows drop).",
+)
+
+
+# --- URL-keyed dedup (the CommonCrawl pattern: many crawled variants of
+#     one page differ only in scheme case, www prefix, trailing slash and
+#     tracking parameters). Canonicalization is pure column expressions
+#     (zero shuffle); the keep-one step is a single groupBy on the
+#     canonical key. URLs are synthesized deterministically from doc
+#     fields with all four noise modes, and doc_id%1000 aliasing makes
+#     genuine variant groups at every SF.
+
+_sql_query(
+    "dedup_url",
+    """
+    WITH crawled AS (
+        SELECT doc_id, source, n_chars,
+               concat(
+                   CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END,
+                   CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
+                   'Site-', source, '.Example.com/docs/', doc_id % 1000,
+                   CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+                   CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&id=7&b=2'
+                        WHEN doc_id % 5 = 1 THEN '?id=7&b=2&utm_campaign=x'
+                        ELSE '?b=2&id=7' END) AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id, source, n_chars,
+               concat(
+                   regexp_replace(lower(split_part(url, '?', 1)),
+                                  '^https?://(www\\\\.)?|/$', ''),
+                   '?',
+                   array_join(array_sort(filter(
+                       split(split_part(url, '?', 2), '&'),
+                       kv -> NOT startswith(kv, 'utm_'))), '&')) AS canonical_url
+        FROM crawled
+    )
+    SELECT canonical_url,
+           count(*) AS n_variants,
+           CAST(min(doc_id) AS BIGINT) AS kept_doc,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM canon
+    GROUP BY canonical_url
+    ORDER BY canonical_url
+    """,
+    oracle="""
+    WITH crawled AS (
+        SELECT doc_id, source, n_chars,
+               concat(
+                   CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END,
+                   CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
+                   'Site-', source, '.Example.com/docs/', doc_id % 1000,
+                   CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+                   CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&id=7&b=2'
+                        WHEN doc_id % 5 = 1 THEN '?id=7&b=2&utm_campaign=x'
+                        ELSE '?b=2&id=7' END) AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id, source, n_chars,
+               concat(
+                   regexp_replace(lower(split_part(url, '?', 1)),
+                                  '^https?://(www\\.)?|/$', '', 'g'),
+                   '?',
+                   array_to_string(list_sort(list_filter(
+                       string_split(split_part(url, '?', 2), '&'),
+                       kv -> NOT starts_with(kv, 'utm_'))), '&')) AS canonical_url
+        FROM crawled
+    )
+    SELECT canonical_url,
+           count(*) AS n_variants,
+           CAST(min(doc_id) AS BIGINT) AS kept_doc,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM canon
+    GROUP BY canonical_url
+    ORDER BY canonical_url
+    """,
+    tags=("pipeline", "dedup", "url"),
+    doc="URL canonicalization dedup: lowercase, strip scheme/www/trailing "
+    "slash, drop utm_* params, sort the rest; group by canonical key and "
+    "keep the first doc per group.",
+)

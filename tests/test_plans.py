@@ -214,3 +214,29 @@ def test_semantic_decontaminate_broadcasts_eval_set(spark):
     plan = _plan(spark, "sim_decontaminate")
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_chunk_overlap_is_zero_shuffle_generator(spark):
+    """text_chunk_overlap derives every chunk partition-locally: the only
+    Exchange in the plan is the rangepartitioning for the output sort."""
+    plan = _plan(spark, "text_chunk_overlap")
+    assert "Generate" in plan and "explode(sequence" in plan
+    # one Exchange node, and it is the range partitioning for the sort
+    n_exchanges = sum(1 for l in plan.splitlines() if l.startswith("(") and "Exchange" in l)
+    assert n_exchanges == 1 and "rangepartitioning" in plan
+
+
+def test_dedup_incremental_is_anti_join(spark):
+    """NOT EXISTS against the snapshot compiles to a hash anti join, never
+    a nested-loop or cartesian shape."""
+    plan = _plan(spark, "dedup_incremental")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_url_canonicalization_stays_codegen(spark):
+    """URL canonicalization is pure column expressions: no Python
+    evaluation, one hash aggregate on the canonical key."""
+    plan = _plan(spark, "dedup_url")
+    assert "Python" not in plan
+    assert "HashAggregate" in plan
