@@ -87,7 +87,8 @@ PRESTO_EQUIVALENTS: dict[str, str] = {
     "coalesce/nullif/if/case": "same",
     "merge_hll": "hll_union_agg (array-of-sketches merge via aggregate)",
     "localtime": "localtimestamp (Spark has no TIME type; documented gap)",
-    "murmur3_x64_128": "xxhash64 recommended (128-bit murmur not provided; documented gap)",
+    "murmur3_x64_128/spooky_hash_v2_32/spooky_hash_v2_64":
+        "registered (pure-Python ports golden-tested vs TestVarbinaryFunctions.java)",
     "scale_qdigest": "no-op for quantile reads (uniform weight scaling preserves quantiles)",
 }
 

@@ -1,0 +1,244 @@
+"""Pure-Python SpookyHashV2 and MurmurHash3 x64-128.
+
+Closes the last two "documented gap" entries in PRESTO_EQUIVALENTS:
+``spooky_hash_v2_32`` / ``spooky_hash_v2_64`` / ``murmur3_x64_128``
+(reference ``VarbinaryFunctions.java:311-329`` and ``:339-346``, which
+delegate to airlift's SpookyHashV2 / Murmur3Hash128).
+
+Both algorithms are public domain (Bob Jenkins' SpookyV2; Austin Appleby's
+MurmurHash3).  The short-input Spooky path and both murmur vectors are
+golden-verified bit-for-bit against ``TestVarbinaryFunctions.java:310-311``
+and ``:343-348`` in ``tests/test_spooky_murmur.py``; the >=192-byte Spooky
+long path follows the published SpookyV2 spec (the reference test suite has
+no long-input vector, so it is covered by self-consistency properties
+instead).
+
+These are parity functions, not hot-path operators — they run as
+Arrow-batched pandas UDFs with a per-blob Python loop, same discipline as
+the FNV family in ``udfs.py``.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_M = (1 << 64) - 1
+_SC = 0xDEADBEEFDEADBEEF
+
+
+def _rot(x: int, k: int) -> int:
+    return ((x << k) | (x >> (64 - k))) & _M
+
+
+def _short_mix(a: int, b: int, c: int, d: int) -> tuple[int, int, int, int]:
+    c = _rot(c, 50); c = (c + d) & _M; a ^= c
+    d = _rot(d, 52); d = (d + a) & _M; b ^= d
+    a = _rot(a, 30); a = (a + b) & _M; c ^= a
+    b = _rot(b, 41); b = (b + c) & _M; d ^= b
+    c = _rot(c, 54); c = (c + d) & _M; a ^= c
+    d = _rot(d, 48); d = (d + a) & _M; b ^= d
+    a = _rot(a, 38); a = (a + b) & _M; c ^= a
+    b = _rot(b, 37); b = (b + c) & _M; d ^= b
+    c = _rot(c, 62); c = (c + d) & _M; a ^= c
+    d = _rot(d, 34); d = (d + a) & _M; b ^= d
+    a = _rot(a, 5);  a = (a + b) & _M; c ^= a
+    b = _rot(b, 36); b = (b + c) & _M; d ^= b
+    return a, b, c, d
+
+
+def _short_end(a: int, b: int, c: int, d: int) -> tuple[int, int, int, int]:
+    d ^= c; c = _rot(c, 15); d = (d + c) & _M
+    a ^= d; d = _rot(d, 52); a = (a + d) & _M
+    b ^= a; a = _rot(a, 26); b = (b + a) & _M
+    c ^= b; b = _rot(b, 51); c = (c + b) & _M
+    d ^= c; c = _rot(c, 28); d = (d + c) & _M
+    a ^= d; d = _rot(d, 9);  a = (a + d) & _M
+    b ^= a; a = _rot(a, 47); b = (b + a) & _M
+    c ^= b; b = _rot(b, 54); c = (c + b) & _M
+    d ^= c; c = _rot(c, 32); d = (d + c) & _M
+    a ^= d; d = _rot(d, 25); a = (a + d) & _M
+    b ^= a; a = _rot(a, 63); b = (b + a) & _M
+    return a, b, c, d
+
+
+def _spooky_short(msg: bytes, seed1: int, seed2: int) -> tuple[int, int]:
+    length = len(msg)
+    remainder = length % 32
+    a, b, c, d = seed1 & _M, seed2 & _M, _SC, _SC
+    pos = 0
+    if length > 15:
+        end = (length // 32) * 32
+        while pos < end:
+            u = struct.unpack_from("<4Q", msg, pos)
+            c = (c + u[0]) & _M
+            d = (d + u[1]) & _M
+            a, b, c, d = _short_mix(a, b, c, d)
+            a = (a + u[2]) & _M
+            b = (b + u[3]) & _M
+            pos += 32
+        if remainder >= 16:
+            u = struct.unpack_from("<2Q", msg, pos)
+            c = (c + u[0]) & _M
+            d = (d + u[1]) & _M
+            a, b, c, d = _short_mix(a, b, c, d)
+            pos += 16
+            remainder -= 16
+    d = (d + ((length << 56) & _M)) & _M
+    rest = msg[pos:]
+    r = remainder
+    if r >= 8:
+        c = (c + struct.unpack_from("<Q", rest, 0)[0]) & _M
+        dd = 0
+        for i in range(8, r):
+            dd |= rest[i] << (8 * (i - 8))
+        d = (d + dd) & _M
+    elif r > 0:
+        cc = 0
+        for i in range(r):
+            cc |= rest[i] << (8 * i)
+        c = (c + cc) & _M
+    else:
+        c = (c + _SC) & _M
+        d = (d + _SC) & _M
+    a, b, c, d = _short_end(a, b, c, d)
+    return a, b
+
+
+def _long_mix(u: tuple, h: list) -> None:
+    h[0] = (h[0] + u[0]) & _M;  h[2] ^= h[10]; h[11] ^= h[0];  h[0] = _rot(h[0], 11);  h[11] = (h[11] + h[1]) & _M
+    h[1] = (h[1] + u[1]) & _M;  h[3] ^= h[11]; h[0] ^= h[1];   h[1] = _rot(h[1], 32);  h[0] = (h[0] + h[2]) & _M
+    h[2] = (h[2] + u[2]) & _M;  h[4] ^= h[0];  h[1] ^= h[2];   h[2] = _rot(h[2], 43);  h[1] = (h[1] + h[3]) & _M
+    h[3] = (h[3] + u[3]) & _M;  h[5] ^= h[1];  h[2] ^= h[3];   h[3] = _rot(h[3], 31);  h[2] = (h[2] + h[4]) & _M
+    h[4] = (h[4] + u[4]) & _M;  h[6] ^= h[2];  h[3] ^= h[4];   h[4] = _rot(h[4], 17);  h[3] = (h[3] + h[5]) & _M
+    h[5] = (h[5] + u[5]) & _M;  h[7] ^= h[3];  h[4] ^= h[5];   h[5] = _rot(h[5], 28);  h[4] = (h[4] + h[6]) & _M
+    h[6] = (h[6] + u[6]) & _M;  h[8] ^= h[4];  h[5] ^= h[6];   h[6] = _rot(h[6], 39);  h[5] = (h[5] + h[7]) & _M
+    h[7] = (h[7] + u[7]) & _M;  h[9] ^= h[5];  h[6] ^= h[7];   h[7] = _rot(h[7], 57);  h[6] = (h[6] + h[8]) & _M
+    h[8] = (h[8] + u[8]) & _M;  h[10] ^= h[6]; h[7] ^= h[8];   h[8] = _rot(h[8], 55);  h[7] = (h[7] + h[9]) & _M
+    h[9] = (h[9] + u[9]) & _M;  h[11] ^= h[7]; h[8] ^= h[9];   h[9] = _rot(h[9], 54);  h[8] = (h[8] + h[10]) & _M
+    h[10] = (h[10] + u[10]) & _M; h[0] ^= h[8]; h[9] ^= h[10]; h[10] = _rot(h[10], 22); h[9] = (h[9] + h[11]) & _M
+    h[11] = (h[11] + u[11]) & _M; h[1] ^= h[9]; h[10] ^= h[11]; h[11] = _rot(h[11], 46); h[10] = (h[10] + h[0]) & _M
+
+
+def _end_partial(h: list) -> None:
+    h[11] = (h[11] + h[1]) & _M; h[2] ^= h[11]; h[1] = _rot(h[1], 44)
+    h[0] = (h[0] + h[2]) & _M;   h[3] ^= h[0];  h[2] = _rot(h[2], 15)
+    h[1] = (h[1] + h[3]) & _M;   h[4] ^= h[1];  h[3] = _rot(h[3], 34)
+    h[2] = (h[2] + h[4]) & _M;   h[5] ^= h[2];  h[4] = _rot(h[4], 21)
+    h[3] = (h[3] + h[5]) & _M;   h[6] ^= h[3];  h[5] = _rot(h[5], 38)
+    h[4] = (h[4] + h[6]) & _M;   h[7] ^= h[4];  h[6] = _rot(h[6], 33)
+    h[5] = (h[5] + h[7]) & _M;   h[8] ^= h[5];  h[7] = _rot(h[7], 10)
+    h[6] = (h[6] + h[8]) & _M;   h[9] ^= h[6];  h[8] = _rot(h[8], 13)
+    h[7] = (h[7] + h[9]) & _M;   h[10] ^= h[7]; h[9] = _rot(h[9], 38)
+    h[8] = (h[8] + h[10]) & _M;  h[11] ^= h[8]; h[10] = _rot(h[10], 53)
+    h[9] = (h[9] + h[11]) & _M;  h[0] ^= h[9];  h[11] = _rot(h[11], 42)
+    h[10] = (h[10] + h[0]) & _M; h[1] ^= h[10]; h[0] = _rot(h[0], 54)
+
+
+def spooky_hash128(msg: bytes, seed1: int = 0, seed2: int = 0) -> tuple[int, int]:
+    """SpookyHashV2 128-bit; returns (hash1, hash2) as u64s."""
+    length = len(msg)
+    if length < 192:
+        return _spooky_short(msg, seed1, seed2)
+    h = [seed1 & _M, seed2 & _M, _SC] * 4
+    # reorder to h0..h11 = s1,s2,SC, s1,s2,SC, ... per the spec layout
+    h = [seed1 & _M, seed2 & _M, _SC,
+         seed1 & _M, seed2 & _M, _SC,
+         seed1 & _M, seed2 & _M, _SC,
+         seed1 & _M, seed2 & _M, _SC]
+    pos = 0
+    end = (length // 96) * 96
+    while pos < end:
+        _long_mix(struct.unpack_from("<12Q", msg, pos), h)
+        pos += 96
+    # last partial block: zero-padded, remainder length in the final byte
+    remainder = length - pos
+    buf = bytearray(96)
+    buf[:remainder] = msg[pos:]
+    buf[95] = remainder
+    u = struct.unpack("<12Q", bytes(buf))
+    # End (V2): inject the final block, then three EndPartial rounds
+    for i in range(12):
+        h[i] = (h[i] + u[i]) & _M
+    _end_partial(h)
+    _end_partial(h)
+    _end_partial(h)
+    return h[0], h[1]
+
+
+def spooky_hash_v2_64(msg: bytes, seed: int = 0) -> bytes:
+    """Presto spooky_hash_v2_64: 8-byte varbinary, big-endian rendering
+    (VarbinaryFunctions.java:327 Long.reverseBytes into a LE slice)."""
+    h1, _ = spooky_hash128(msg, seed, seed)
+    return struct.pack(">Q", h1)
+
+
+def spooky_hash_v2_32(msg: bytes, seed: int = 0) -> bytes:
+    """Presto spooky_hash_v2_32: low 32 bits, 4-byte big-endian varbinary."""
+    h1, _ = spooky_hash128(msg, seed, seed)
+    return struct.pack(">I", h1 & 0xFFFFFFFF)
+
+
+# --- MurmurHash3 x64-128 (Appleby; airlift Murmur3Hash128) ------------------
+
+_C1 = 0x87C37B91114253D5
+_C2 = 0x4CF5AD432745937F
+
+
+def _fmix(k: int) -> int:
+    k ^= k >> 33
+    k = (k * 0xFF51AFD7ED558CCD) & _M
+    k ^= k >> 33
+    k = (k * 0xC4CEB9FE1A85EC53) & _M
+    k ^= k >> 33
+    return k
+
+
+def murmur3_x64_128(msg: bytes, seed: int = 0) -> bytes:
+    """16-byte varbinary (h1 then h2, little-endian words — matching the
+    airlift Slice layout the reference returns)."""
+    length = len(msg)
+    h1 = seed & _M
+    h2 = seed & _M
+    nblocks = length // 16
+    for i in range(nblocks):
+        k1, k2 = struct.unpack_from("<2Q", msg, i * 16)
+        k1 = (k1 * _C1) & _M
+        k1 = _rot(k1, 31)
+        k1 = (k1 * _C2) & _M
+        h1 ^= k1
+        h1 = _rot(h1, 27)
+        h1 = (h1 + h2) & _M
+        h1 = (h1 * 5 + 0x52DCE729) & _M
+        k2 = (k2 * _C2) & _M
+        k2 = _rot(k2, 33)
+        k2 = (k2 * _C1) & _M
+        h2 ^= k2
+        h2 = _rot(h2, 31)
+        h2 = (h2 + h1) & _M
+        h2 = (h2 * 5 + 0x38495AB5) & _M
+    tail = msg[nblocks * 16 :]
+    k1 = 0
+    k2 = 0
+    for i in range(len(tail) - 1, 7, -1):
+        k2 |= tail[i] << (8 * (i - 8))
+    for i in range(min(len(tail), 8) - 1, -1, -1):
+        k1 |= tail[i] << (8 * i)
+    if len(tail) > 8:
+        k2 = (k2 * _C2) & _M
+        k2 = _rot(k2, 33)
+        k2 = (k2 * _C1) & _M
+        h2 ^= k2
+    if len(tail) > 0:
+        k1 = (k1 * _C1) & _M
+        k1 = _rot(k1, 31)
+        k1 = (k1 * _C2) & _M
+        h1 ^= k1
+    h1 ^= length
+    h2 ^= length
+    h1 = (h1 + h2) & _M
+    h2 = (h2 + h1) & _M
+    h1 = _fmix(h1)
+    h2 = _fmix(h2)
+    h1 = (h1 + h2) & _M
+    h2 = (h2 + h1) & _M
+    return struct.pack("<2Q", h1, h2)

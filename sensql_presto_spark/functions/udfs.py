@@ -240,7 +240,31 @@ def from_ieee754_32(v: pd.Series) -> pd.Series:
     return v.map(lambda b: None if b is None else float(struct.unpack(">f", bytes(b))[0]))
 
 
+@F.pandas_udf(T.BinaryType())
+def _spooky32_udf(payload: pd.Series) -> pd.Series:
+    from sensql_presto_spark.functions.spooky_murmur import spooky_hash_v2_32
+
+    return payload.map(lambda v: None if v is None else spooky_hash_v2_32(bytes(v)))
+
+
+@F.pandas_udf(T.BinaryType())
+def _spooky64_udf(payload: pd.Series) -> pd.Series:
+    from sensql_presto_spark.functions.spooky_murmur import spooky_hash_v2_64
+
+    return payload.map(lambda v: None if v is None else spooky_hash_v2_64(bytes(v)))
+
+
+@F.pandas_udf(T.BinaryType())
+def _murmur128_udf(payload: pd.Series) -> pd.Series:
+    from sensql_presto_spark.functions.spooky_murmur import murmur3_x64_128
+
+    return payload.map(lambda v: None if v is None else murmur3_x64_128(bytes(v)))
+
+
 def register_hash_codec_udfs(spark: SparkSession) -> None:
+    spark.udf.register("spooky_hash_v2_32", _spooky32_udf)
+    spark.udf.register("spooky_hash_v2_64", _spooky64_udf)
+    spark.udf.register("murmur3_x64_128", _murmur128_udf)
     spark.udf.register("fnv1_64", _fnv_udf(_FNV64_OFFSET, _FNV64_PRIME, 64, False))
     spark.udf.register("fnv1a_64", _fnv_udf(_FNV64_OFFSET, _FNV64_PRIME, 64, True))
     spark.udf.register("fnv1_32", _fnv_udf(_FNV32_OFFSET, _FNV32_PRIME, 32, False))

@@ -493,6 +493,52 @@ _sql_query(
 )
 
 
+# --- Presto-port hashes (spooky_hash_v2_32/64, murmur3_x64_128): the
+#     oracle pins the REFERENCE's own golden vectors
+#     (TestVarbinaryFunctions.java:310-311, :343-348), so the gate proves
+#     bit-parity with Presto, not just self-consistency; injectivity over
+#     the documents sample exercises arbitrary-length inputs including the
+#     >=192-byte Spooky long path.
+
+
+@register(
+    "fn_hash_presto_ports",
+    oracle="""
+    SELECT '6BF50919' AS s32_hello_empty, 'D382E6CA' AS s32_hello,
+           '232706FC6BF50919' AS s64_empty, '3768826AD382E6CA' AS s64_hello,
+           '00000000000000000000000000000000' AS m128_empty,
+           '93192FE805BE23041C8318F67EC4F2BC' AS m128_hashme,
+           TRUE AS spooky_injective, TRUE AS murmur_injective
+    """,
+    tags=("functions", "hash"),
+    doc="SpookyHashV2 + MurmurHash3-x64-128 pure-Python ports, gate-checked "
+    "against the reference's published vectors and injectivity on documents.",
+)
+def fn_hash_presto_ports(spark, sf_dir):
+    from sensql_presto_spark import catalog
+    from sensql_presto_spark.functions import register_all
+
+    register_all(spark)
+    return catalog.sql(
+        spark,
+        sf_dir,
+        """
+        SELECT hex(spooky_hash_v2_32(encode('', 'UTF-8'))) AS s32_hello_empty,
+               hex(spooky_hash_v2_32(encode('hello', 'UTF-8'))) AS s32_hello,
+               hex(spooky_hash_v2_64(encode('', 'UTF-8'))) AS s64_empty,
+               hex(spooky_hash_v2_64(encode('hello', 'UTF-8'))) AS s64_hello,
+               hex(murmur3_x64_128(encode('', 'UTF-8'))) AS m128_empty,
+               hex(murmur3_x64_128(encode('hashme', 'UTF-8'))) AS m128_hashme,
+               (SELECT count(DISTINCT spooky_hash_v2_64(encode(repeat(text, 4), 'UTF-8')))
+                       = count(DISTINCT text)
+                FROM documents WHERE doc_id < 50) AS spooky_injective,
+               (SELECT count(DISTINCT murmur3_x64_128(encode(text, 'UTF-8')))
+                       = count(DISTINCT text)
+                FROM documents WHERE doc_id < 50) AS murmur_injective
+        """,
+    )
+
+
 # --- Presto datetime format-string families (DateTimeFunctions.java:1239 —
 #     MySQL-% date_format/date_parse; Joda format_datetime). The shim
 #     translates patterns driver-side (functions/datetime_fmt.py); the
