@@ -447,6 +447,11 @@ _SQL_FUNCTIONS: tuple[str, ...] = (
     # contract (stable 1%-granular sampling keys), different hash bits.
     """CREATE OR REPLACE TEMPORARY FUNCTION key_sampling_percent(s STRING)
        RETURNS DOUBLE RETURN cast(pmod(xxhash64(s), 100L) AS DOUBLE) / 100.0""",
+    # MathFunctions.java secure_random(lower, upper) — nondeterministic by
+    # contract (never appears in an oracle-checked query); Spark's rand()
+    # is the entropy source, the [lower, upper) range contract is Presto's
+    """CREATE OR REPLACE TEMPORARY FUNCTION secure_random(lo DOUBLE, hi DOUBLE)
+       RETURNS DOUBLE RETURN lo + rand() * (hi - lo)""",
 )
 
 

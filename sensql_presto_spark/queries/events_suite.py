@@ -447,3 +447,31 @@ def events_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFram
     from sensql_presto_spark.streaming import streaming_interval_join
 
     return streaming_interval_join(spark, sf_dir)
+
+
+# --- streaming MERGE sink (foreachBatch + WritableTable upsert): the
+#     streaming TableWriter path. Doubled delivery + full stream replay,
+#     yet the keyed merge leaves each event exactly once — the
+#     at-least-once -> exactly-once idempotency contract every streaming
+#     ingest pipeline needs. Oracle: per-type aggregation of the base
+#     table (each event landed once).
+
+
+@register(
+    "events_streaming_upsert",
+    oracle="""
+    SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS n_ids,
+           CAST(sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_val_e4
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("events", "streaming", "mutation"),
+    doc="Streaming upsert sink: foreachBatch MERGE keyed on event_id over a "
+    "doubled stream replayed twice; exactly-once table state from "
+    "at-least-once delivery.",
+)
+def events_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensql_presto_spark.streaming import streaming_upsert_sink
+
+    return streaming_upsert_sink(spark, sf_dir)

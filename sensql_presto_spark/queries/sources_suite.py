@@ -445,3 +445,50 @@ def scale_distributed_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY shard
         """
     )
+
+
+# --- training-shard export: the sink-side discipline a 100 TB corpus
+#     export needs — partitionBy for partition pruning downstream,
+#     sortWithinPartitions for locality, maxRecordsPerFile to bound shard
+#     size (the knob that keeps downstream loaders' input splits uniform).
+#     The read-back manifest aggregates the ACTUAL written files, and the
+#     shard bound is verified from input_file_name(), so an oversized or
+#     dropped shard breaks the oracle hash.
+
+
+@register(
+    "sink_partitioned_shards",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           TRUE AS shards_bounded
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("sources", "sink", "pipeline"),
+    doc="Partitioned training-shard export: partitionBy(lang) + "
+    "sortWithinPartitions + maxRecordsPerFile=200, manifest read back from "
+    "the written files with a per-file size-bound check.",
+)
+def sink_partitioned_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = os.path.join(_DIR, "doc_shards")
+    docs = catalog.table(spark, sf_dir, "documents")
+    (
+        docs.repartition("lang")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .option("maxRecordsPerFile", 200)
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    per_file = back.groupBy("lang", F.input_file_name().alias("f")).count()
+    bound_ok = per_file.groupBy("lang").agg(
+        (F.max("count") <= F.lit(200)).alias("shards_bounded")
+    )
+    manifest = back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    return manifest.join(bound_ok, "lang").orderBy("lang")

@@ -351,3 +351,95 @@ def streaming_interval_join(
             F.col("p_user").alias("user_id"), "n_pairs", "n_purchases", "n_clicks"
         )
     )
+
+
+def streaming_upsert_sink(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str = "events_stream_upsert",
+    timeout_s: int = 240,
+) -> DataFrame:
+    """Streaming MERGE sink: ``foreachBatch`` + ``WritableTable.merge`` —
+    the streaming TableWriter path (reference analog: a Kafka->Hive
+    ingest pipeline committing idempotent upserts per batch).
+
+    The source doubles the events stream (union with itself) so every
+    event id is delivered at least twice, and the whole stream is then
+    REPLAYED with a fresh checkpoint — at-least-once delivery at both the
+    row and the stream level. The keyed merge makes the table state
+    exactly-once anyway: after both passes each event_id appears exactly
+    once, which the batch per-type oracle verifies. At scale the merge is
+    one shuffle per side on event_id per microbatch (copy-on-write), and
+    the state the pipeline depends on lives in the table, not the stream —
+    so a crash-restart (simulated by the replay) is safe by construction.
+    """
+    import shutil
+    import tempfile
+
+    catalog._ensure_session_conf(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    cols = ("event_id", "event_type", "user_id", "value")
+    table_dir = tempfile.mkdtemp(prefix="sensql_stream_upsert_")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    from sensql_presto_spark.mutation import WritableTable
+
+    seed = (
+        catalog.normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+        .select(*cols)
+        .limit(0)
+    )
+    table = WritableTable.create(spark, table_dir, seed)
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        # in-batch dedup (doubled delivery produces identical rows)
+        b = batch_df.dropDuplicates(["event_id"])
+        data_cols = [c for c in cols if c != "event_id"]
+        table.merge(
+            b,
+            on=["event_id"],
+            when_matched_update={c: F.col(f"s_{c}") for c in data_cols},
+            when_not_matched_insert={
+                "event_id": F.col("event_id"),
+                **{c: F.col(f"s_{c}") for c in data_cols},
+            },
+        )
+
+    def _run_pass() -> None:
+        ckpt = tempfile.mkdtemp(prefix="sensql_stream_upsert_ckpt_")
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        doubled = raw.unionByName(raw)
+        events = catalog.normalize_events_ts(doubled).select(*cols)
+        for q in spark.streams.active:
+            if q.name == name:
+                q.stop()
+        query = (
+            events.writeStream.foreachBatch(_upsert)
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(timeout_s)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    _run_pass()
+    _run_pass()  # full replay: fresh checkpoint redelivers everything
+
+    result = (
+        table.read()
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("event_id").alias("n_ids"),
+            F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")).alias(
+                "sum_val_e4"
+            ),
+        )
+        .orderBy("event_type")
+    )
+    return result

@@ -177,3 +177,15 @@ def test_at_timezone_preserves_instant(spark):
         "to_utc_timestamp(TIMESTAMP'2026-01-01 12:00:00', current_timezone()) AS orig"
     ).collect()[0]
     assert row.back == row.orig
+
+
+def test_secure_random_range_contract(spark):
+    """MathFunctions.java secure_random(lower, upper): values land in
+    [lower, upper); nondeterministic so never oracle-checked."""
+    register_all(spark)
+    rows = spark.sql(
+        "SELECT secure_random(5.0, 6.0) AS r FROM range(100)"
+    ).collect()
+    vals = [r.r for r in rows]
+    assert all(5.0 <= v < 6.0 for v in vals)
+    assert len(set(vals)) > 1
