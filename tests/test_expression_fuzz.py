@@ -1,0 +1,29 @@
+"""Differential expression fuzzing (the presto-verifier analog,
+``tools/expr_fuzz.py``) with pinned seeds so CI is deterministic.
+
+Two batches of 30 expressions each — one Spark job per batch (all
+expressions ride as columns of a single SELECT). Open-ended hunting:
+``python tools/expr_fuzz.py 500 <seed>``.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+_spec = importlib.util.spec_from_file_location(
+    "expr_fuzz",
+    os.path.join(os.path.dirname(__file__), "..", "tools", "expr_fuzz.py"),
+)
+expr_fuzz = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(expr_fuzz)
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_seeds_0_29_agree(spark):
+    assert expr_fuzz.run_batch(spark, SF, list(range(30))) == []
+
+
+def test_seeds_30_59_agree(spark):
+    assert expr_fuzz.run_batch(spark, SF, list(range(30, 60))) == []

@@ -1,0 +1,227 @@
+"""Differential expression fuzzer — the presto-verifier analog.
+
+The reference ships ``presto-verifier`` (runs the same query against two
+engines and diffs results); this module does the same for scalar
+expressions: a seeded generator produces random expression trees from a
+dialect-shared grammar (valid Spark SQL AND DuckDB SQL with identical
+semantics), both engines evaluate them over the same deterministic
+orders-x-customer slice, and results are compared cell-for-cell.
+
+Grammar discipline (what keeps the two dialects semantically identical):
+
+- integer + string expressions only — float formatting/rounding drift is
+  the classic false-positive source, so doubles are excluded by
+  construction;
+- ``||`` for concatenation (NULL-propagating in both; Spark's
+  ``concat`` is, DuckDB's is not);
+- division excluded; ``%`` allowed with nonzero integer literal rhs
+  (C-style sign semantics in both);
+- multiplication depth is magnitude-tracked so products stay far from
+  int64 overflow (ANSI Spark would raise, DuckDB would widen — either
+  way a false diff);
+- ``substr`` generated with start >= 1 only (negative-start semantics
+  differ);
+- NULL introducers (``nullif``) appear only where a NULL result is
+  compared directly, never under ``least``/``greatest``.
+
+Usage: ``python tools/expr_fuzz.py [n_exprs] [seed]`` — prints each
+mismatch and exits nonzero on any. The pytest wrapper pins seeds so CI is
+deterministic.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# deterministic row slice both engines read (orders x customer join keeps
+# one row per order); all referenced columns are NOT NULL in TPC-H data
+_BASE = (
+    "SELECT o_orderkey, o_custkey, c_nationkey, "
+    "o_orderstatus, o_orderpriority, c_name, c_mktsegment "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "WHERE o_orderkey < 600 "
+)
+
+_INT_COLS = ("o_orderkey", "o_custkey", "c_nationkey")
+_STR_COLS = ("o_orderstatus", "o_orderpriority", "c_name", "c_mktsegment")
+
+
+class _Gen:
+    """Seeded expression generator. ``magnitude`` tracks a loose upper
+    bound of |value| so integer expressions never approach overflow."""
+
+    def __init__(self, seed: int):
+        self.rng = random.Random(seed)
+
+    # --- integer expressions -------------------------------------------
+    def int_expr(self, depth: int, mag: float = 0.0) -> tuple[str, float]:
+        r = self.rng
+        if depth <= 0:
+            if r.random() < 0.5:
+                c = r.choice(_INT_COLS)
+                return c, 2_000_000.0
+            v = r.randint(-99, 99)
+            return str(v), abs(v) + 1.0
+        pick = r.random()
+        if pick < 0.25:
+            a, ma = self.int_expr(depth - 1)
+            b, mb = self.int_expr(depth - 1)
+            op = r.choice(("+", "-"))
+            return f"({a} {op} {b})", ma + mb
+        if pick < 0.40:
+            a, ma = self.int_expr(depth - 1)
+            b, mb = self.int_expr(0)
+            if ma * mb < 1e14:  # keep far from int64 range
+                return f"({a} * {b})", ma * mb
+            return a, ma
+        if pick < 0.50:
+            a, ma = self.int_expr(depth - 1)
+            m = r.randint(2, 97)
+            return f"({a} % {m})", float(m)
+        if pick < 0.60:
+            a, ma = self.int_expr(depth - 1)
+            return f"abs({a})", ma
+        if pick < 0.72:
+            a, ma = self.int_expr(depth - 1)
+            b, mb = self.int_expr(depth - 1)
+            fn = r.choice(("least", "greatest"))
+            return f"{fn}({a}, {b})", max(ma, mb)
+        if pick < 0.84:
+            s, _ = self.str_expr(depth - 1)
+            return f"length({s})", 4_000.0
+        # CASE over an integer predicate
+        p = self.bool_expr(depth - 1)
+        a, ma = self.int_expr(depth - 1)
+        b, mb = self.int_expr(depth - 1)
+        return f"(CASE WHEN {p} THEN {a} ELSE {b} END)", max(ma, mb)
+
+    # --- string expressions --------------------------------------------
+    def str_expr(self, depth: int) -> tuple[str, None]:
+        r = self.rng
+        if depth <= 0:
+            if r.random() < 0.6:
+                return r.choice(_STR_COLS), None
+            lit = "".join(r.choice("abcxyz ") for _ in range(r.randint(1, 6)))
+            return f"'{lit}'", None
+        pick = r.random()
+        if pick < 0.25:
+            a, _ = self.str_expr(depth - 1)
+            b, _ = self.str_expr(depth - 1)
+            return f"({a} || {b})", None
+        if pick < 0.45:
+            a, _ = self.str_expr(depth - 1)
+            fn = r.choice(("upper", "lower", "trim", "reverse"))
+            return f"{fn}({a})", None
+        if pick < 0.60:
+            a, _ = self.str_expr(depth - 1)
+            start = r.randint(1, 5)
+            ln = r.randint(1, 8)
+            return f"substr({a}, {start}, {ln})", None
+        if pick < 0.75:
+            a, _ = self.str_expr(depth - 1)
+            old = self.rng.choice("aeilnorst")
+            new = self.rng.choice("AEILNORST_")
+            return f"replace({a}, '{old}', '{new}')", None
+        p = self.bool_expr(depth - 1)
+        a, _ = self.str_expr(depth - 1)
+        b, _ = self.str_expr(depth - 1)
+        return f"(CASE WHEN {p} THEN {a} ELSE {b} END)", None
+
+    # --- boolean predicates --------------------------------------------
+    def bool_expr(self, depth: int) -> str:
+        r = self.rng
+        if depth <= 0 or r.random() < 0.5:
+            a, _ = self.int_expr(max(depth - 1, 0))
+            b, _ = self.int_expr(max(depth - 1, 0))
+            op = r.choice(("<", "<=", ">", ">=", "=", "<>"))
+            return f"({a} {op} {b})"
+        if r.random() < 0.5:
+            a, _ = self.str_expr(depth - 1)
+            b, _ = self.str_expr(depth - 1)
+            return f"({a} = {b})"
+        p = self.bool_expr(depth - 1)
+        q = self.bool_expr(depth - 1)
+        op = r.choice(("AND", "OR"))
+        return f"({p} {op} {q})"
+
+    def top_expr(self) -> str:
+        """One output column: int, string, or a NULL-exercising variant."""
+        pick = self.rng.random()
+        if pick < 0.40:
+            e, _ = self.int_expr(3)
+            return f"CAST({e} AS BIGINT)"
+        if pick < 0.75:
+            e, _ = self.str_expr(3)
+            return e
+        if pick < 0.90:
+            # NULL path: nullif compared/coalesced at top level only
+            a, _ = self.int_expr(2)
+            b, _ = self.int_expr(1)
+            c, _ = self.int_expr(1)
+            return f"CAST(coalesce(nullif({a}, {b}), {c}) AS BIGINT)"
+        a, _ = self.str_expr(2)
+        b, _ = self.str_expr(1)
+        return f"nullif({a}, {b})"
+
+
+def build_query(seeds: list[int]) -> str:
+    cols = []
+    for s in seeds:
+        cols.append(f"{_Gen(s).top_expr()} AS e{s}")
+    return (
+        "SELECT o_orderkey, "
+        + ", ".join(cols)
+        + " FROM ("
+        + _BASE
+        + ") t ORDER BY o_orderkey"
+    )
+
+
+def run_batch(spark, sf_dir: str, seeds: list[int]) -> list[str]:
+    """Returns a list of mismatch descriptions (empty = all agree)."""
+    from sensql_presto_spark import catalog
+    from sensql_presto_spark.testing import duckdb_connection
+
+    q = build_query(seeds)
+    actual = catalog.sql(spark, sf_dir, q).toPandas()
+    con = duckdb_connection(sf_dir)
+    expected = con.sql(q).df()
+    con.close()
+    problems = []
+    for s in seeds:
+        col = f"e{s}"
+        av, ev = actual[col], expected[col]
+        eq = (av == ev) | (av.isna() & ev.isna())
+        if not eq.all():
+            i = int((~eq).idxmax())
+            problems.append(
+                f"seed {s}: row {i} spark={av[i]!r} duckdb={ev[i]!r} "
+                f"expr: {_Gen(s).top_expr()}"
+            )
+    return problems
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+    seed0 = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    from sensql_presto_spark.session import get_spark
+
+    spark = get_spark()
+    sf_dir = "/root/testdata/sf0.01"
+    all_problems = []
+    batch = 30  # 30 expression columns per query keeps plans compilable
+    seeds = list(range(seed0, seed0 + n))
+    for i in range(0, len(seeds), batch):
+        all_problems += run_batch(spark, sf_dir, seeds[i : i + batch])
+    for p in all_problems:
+        print("MISMATCH", p)
+    print(f"{n - len(all_problems)}/{n} expressions agree")
+    sys.exit(1 if all_problems else 0)
+
+
+if __name__ == "__main__":
+    main()
