@@ -749,14 +749,29 @@ class StatementSession:
         vals = split_top_level(values)
         if not vals:
             raise ValueError(f"Enum type must declare at least one value: {name}")
-        numeric = all(re.fullmatch(r"-?\d+", v) for v in vals)
+        # Presto declares enums as 'KEY' = value pairs (BigintEnumType /
+        # VarcharEnumType); a bare value list (our shorthand) uses the
+        # value's own text as its key.
+        entries: list[tuple[str, str]] = []
+        for v in vals:
+            m = re.match(r"^\s*'([^']*)'\s*=\s*(.+?)\s*$", v)
+            if m:
+                entries.append((m.group(1), m.group(2).strip()))
+            else:
+                entries.append((v.strip().strip("'"), v.strip()))
+        value_lits = [lit for _, lit in entries]
+        numeric = all(re.fullmatch(r"-?\d+", lit) for lit in value_lits)
         if numeric:
-            param_t, members = "BIGINT", ", ".join(vals)
+            param_t, members = "BIGINT", ", ".join(value_lits)
         else:
-            bad = [v for v in vals if not (len(v) >= 2 and v[0] == "'" and v[-1] == "'")]
+            bad = [
+                lit
+                for lit in value_lits
+                if not (len(lit) >= 2 and lit[0] == "'" and lit[-1] == "'")
+            ]
             if bad:
                 raise ValueError(f"Enum values must be quoted strings or integers: {bad}")
-            param_t, members = "STRING", ", ".join(vals)
+            param_t, members = "STRING", ", ".join(value_lits)
         self.spark.sql(
             f"""CREATE OR REPLACE TEMPORARY FUNCTION {bare}(v {param_t})
                 RETURNS {param_t} RETURN
@@ -766,7 +781,22 @@ class StatementSession:
                           'Invalid enum value for {bare}: ', cast(v AS STRING)))
                           AS {param_t}) END"""
         )
-        self.types[bare] = [v.strip("'") for v in vals]
+        # enum_key accessor (LongEnumOperators.java:155 / VarcharEnum
+        # equivalent): value -> declared key, INVALID_FUNCTION_ARGUMENT on
+        # a non-member. Registered per-type (<name>_enum_key) because Spark
+        # has no type-directed dispatch for the generic enum_key name.
+        key_cases = " ".join(
+            f"WHEN v = {lit} THEN '{key}'" for key, lit in entries
+        )
+        self.spark.sql(
+            f"""CREATE OR REPLACE TEMPORARY FUNCTION {bare}_enum_key(v {param_t})
+                RETURNS STRING RETURN
+                CASE {key_cases}
+                     ELSE cast(raise_error(concat(
+                          'No value ', cast(v AS STRING),
+                          ' in enum type {bare}')) AS STRING) END"""
+        )
+        self.types[bare] = [key for key, _ in entries]
         return self.spark.createDataFrame([("CREATE TYPE",)], "result string")
 
     # -- transactions (TransactionManager.java; explicit autocommit

@@ -561,3 +561,27 @@ def test_parameter_tokenizer_property():
         assert out.count("it''s") == sql.count("it''s")
 
     check()
+
+
+def test_create_type_keyed_enum_and_enum_key(spark):
+    """Presto's 'KEY' = value declaration form (BigintEnumType) plus the
+    enum_key accessor (LongEnumOperators.java:155): value -> declared key,
+    INVALID_FUNCTION_ARGUMENT on a non-member."""
+    sess = StatementSession(spark, SF)
+    sess.execute("CREATE TYPE mood_level AS ENUM ('HAPPY' = 0, 'SAD' = 1, 'OK' = 2)")
+    row = spark.sql(
+        "SELECT mood_level(1) AS v, mood_level_enum_key(1) AS k, "
+        "mood_level_enum_key(0) AS k0"
+    ).collect()[0]
+    assert (row.v, row.k, row.k0) == (1, "SAD", "HAPPY")
+    with pytest.raises(Exception, match="No value"):
+        spark.sql("SELECT mood_level_enum_key(9)").collect()
+    with pytest.raises(Exception, match="Invalid enum value"):
+        spark.sql("SELECT mood_level(9)").collect()
+
+
+def test_enum_key_varchar_defaults_to_value_text(spark):
+    sess = StatementSession(spark, SF)
+    sess.execute("CREATE TYPE flagtype AS ENUM ('F', 'O', 'P')")
+    row = spark.sql("SELECT flagtype_enum_key('O') AS k").collect()[0]
+    assert row.k == "O"
