@@ -27,3 +27,11 @@ def test_seeds_0_29_agree(spark):
 
 def test_seeds_30_59_agree(spark):
     assert expr_fuzz.run_batch(spark, SF, list(range(30, 60))) == []
+
+
+def test_agg_seeds_agree(spark):
+    """Aggregation-mode fuzz: SUM/COUNT/MIN/MAX over generated expressions
+    grouped by a generated key — the partial/final agg path differentially
+    checked."""
+    assert expr_fuzz.run_agg_batch(spark, SF, list(range(100, 125))) == []
+    assert expr_fuzz.run_agg_batch(spark, SF, list(range(125, 150))) == []

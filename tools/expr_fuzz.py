@@ -225,3 +225,57 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+# --- aggregation mode: the same grammar under GROUP BY --------------------
+#
+# Wraps generated integer expressions in SUM/COUNT/MIN/MAX and groups by a
+# generated string expression — fuzzing the partial/final aggregation path
+# (map-side combine + exchange) against DuckDB's single-node aggregation.
+# Sums of |e| <= ~1e7 over <= 600 rows stay far from int64 overflow.
+
+
+def build_agg_query(seeds: list[int]) -> str:
+    cols = []
+    for s in seeds:
+        g = _Gen(s)
+        e, _ = g.int_expr(2)
+        fn = g.rng.choice(("sum", "count", "min", "max"))
+        cols.append(f"CAST({fn}({e}) AS BIGINT) AS e{s}")
+    grp = _Gen(seeds[0] ^ 0x5EED).str_expr(2)[0]
+    return (
+        "SELECT "
+        + grp
+        + " AS g, "
+        + ", ".join(cols)
+        + " FROM ("
+        + _BASE
+        + ") t GROUP BY "
+        + grp
+        + " ORDER BY g"
+    )
+
+
+def run_agg_batch(spark, sf_dir: str, seeds: list[int]) -> list[str]:
+    from sensql_presto_spark import catalog
+    from sensql_presto_spark.testing import duckdb_connection
+
+    q = build_agg_query(seeds)
+    actual = catalog.sql(spark, sf_dir, q).toPandas()
+    con = duckdb_connection(sf_dir)
+    expected = con.sql(q).df()
+    con.close()
+    problems = []
+    if len(actual) != len(expected):
+        return [f"group count differs: spark={len(actual)} duckdb={len(expected)}"]
+    for s in seeds:
+        col = f"e{s}"
+        av, ev = actual[col], expected[col]
+        eq = (av == ev) | (av.isna() & ev.isna())
+        if not eq.all():
+            i = int((~eq).idxmax())
+            problems.append(
+                f"agg seed {s}: group {actual['g'][i]!r} "
+                f"spark={av[i]!r} duckdb={ev[i]!r}"
+            )
+    return problems
