@@ -296,3 +296,150 @@ def image_feature_batches(batches: Iterator, out_columns: tuple[str, ...]):
     for pdf in batches:
         rows = [decode_image(p) for p in pdf["payload"]]
         yield pd.DataFrame(dict(zip(out_columns, zip(*rows))), index=pdf.index)
+
+
+# --- AVI (RIFF) video container — real stdlib codec, round-3 final ---------
+#
+# Completes the multimodal trio (WAV audio, PNG image, AVI video). The
+# encoder writes a spec-complete RIFF('AVI ') file: LIST(hdrl) with avih +
+# LIST(strl){strh 'vids'/'DIB ', strf BITMAPINFOHEADER}, LIST(movi) with
+# one '00db' chunk per frame storing the uncompressed DIB (BGR, bottom-up
+# rows, 4-byte row padding), and an idx1 index. The decoder walks the
+# chunk tree back to top-down RGB24 frames — so a row-order/channel-order/
+# padding bug anywhere breaks the encode->decode roundtrip identity that
+# mm_video_frames' oracle checks. Compressed streams (fccHandler other
+# than DIB/raw, biCompression != 0) raise NotImplementedError loudly.
+
+
+def encode_avi_rgb24(
+    frames: list[bytes], width: int, height: int, fps: int = 10
+) -> bytes:
+    """Serialize top-down RGB24 frames as an uncompressed RIFF/AVI file."""
+    import struct
+
+    row = width * 3
+    pad = (4 - row % 4) % 4
+    dib_frames = []
+    for fr in frames:
+        if len(fr) != row * height:
+            raise ValueError(f"frame must be {row * height} bytes, got {len(fr)}")
+        out = bytearray()
+        for y in range(height - 1, -1, -1):  # bottom-up rows
+            line = fr[y * row : (y + 1) * row]
+            # RGB -> BGR per pixel
+            for x in range(width):
+                out += line[x * 3 : x * 3 + 3][::-1]
+            out += b"\x00" * pad
+        dib_frames.append(bytes(out))
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) % 2))
+
+    def lst(tag: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", tag + body)
+
+    frame_bytes = (row + pad) * height
+    avih = struct.pack(
+        "<10I",
+        1_000_000 // fps,  # microseconds per frame
+        frame_bytes * fps,  # max bytes per second
+        0,  # padding granularity
+        0x10,  # AVIF_HASINDEX
+        len(frames),
+        0,  # initial frames
+        1,  # streams
+        frame_bytes,  # suggested buffer
+        width,
+        height,
+    ) + struct.pack("<4I", 0, 0, 0, 0)
+    strh = (
+        b"vids"
+        + b"DIB "
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), frame_bytes, 0, 0)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_bytes, 0, 0, 0, 0
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b"".join(chunk(b"00db", f) for f in dib_frames)
+    movi = lst(b"movi", movi_body)
+    # idx1: one entry per frame (chunk id, flags=KEYFRAME, offset, size)
+    idx = b""
+    off = 4  # offsets are relative to the start of the 'movi' fourcc + 4
+    for f in dib_frames:
+        idx += b"00db" + struct.pack("<3I", 0x10, off, len(f))
+        off += 8 + len(f) + (len(f) % 2)
+    riff_body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi(payload: bytes) -> tuple[int, int, int, list[bytes]]:
+    """REAL video decode: parse an uncompressed AVI to
+    (width, height, n_frames, frames) with frames as top-down RGB24 bytes.
+
+    Stdlib-only RIFF chunk walk; validates the container fourccs, reads
+    dimensions from avih, rejects compressed streams (the loud-contract
+    seam), collects movi '00db'/'00dc' chunks and undoes the DIB layout
+    (BGR -> RGB, bottom-up -> top-down, strip row padding).
+    """
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    width = height = None
+    declared_frames = 0
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        nonlocal width, height, declared_frames
+        import struct as _s
+
+        while pos + 8 <= end:
+            tag = buf[pos : pos + 4]
+            (size,) = _s.unpack_from("<I", buf, pos + 4)
+            body_start = pos + 8
+            if tag == b"LIST":
+                walk(buf, body_start + 4, body_start + size)
+            elif tag == b"avih":
+                fields = _s.unpack_from("<10I", buf, body_start)
+                declared_frames = fields[4]
+                width, height = fields[8], fields[9]
+            elif tag == b"strh":
+                fcc_type = buf[body_start : body_start + 4]
+                handler = buf[body_start + 4 : body_start + 8]
+                if fcc_type == b"vids" and handler not in (b"DIB ", b"\x00\x00\x00\x00", b"RAW "):
+                    raise NotImplementedError(
+                        f"compressed AVI stream {handler!r} not supported"
+                    )
+            elif tag == b"strf":
+                (compression,) = _s.unpack_from("<I", buf, body_start + 16)
+                (bits,) = _s.unpack_from("<H", buf, body_start + 14)
+                if compression != 0 or bits != 24:
+                    raise NotImplementedError(
+                        f"AVI biCompression={compression} bitcount={bits} not supported"
+                    )
+            elif tag in (b"00db", b"00dc"):
+                frames.append(buf[body_start : body_start + size])
+            pos = body_start + size + (size % 2)
+
+    walk(payload, 12, len(payload))
+    if width is None or height is None:
+        raise ValueError("AVI missing avih header")
+    row = width * 3
+    pad = (4 - row % 4) % 4
+    rgb_frames = []
+    for dib in frames:
+        if len(dib) != (row + pad) * height:
+            raise ValueError("AVI frame size does not match avih dimensions")
+        out = bytearray()
+        for y in range(height - 1, -1, -1):  # undo bottom-up
+            line = dib[y * (row + pad) : y * (row + pad) + row]
+            for x in range(width):  # undo BGR
+                out += line[x * 3 : x * 3 + 3][::-1]
+        rgb_frames.append(bytes(out))
+    if declared_frames and declared_frames != len(rgb_frames):
+        raise ValueError(
+            f"avih declares {declared_frames} frames, movi has {len(rgb_frames)}"
+        )
+    return width, height, len(rgb_frames), rgb_frames

@@ -2485,3 +2485,89 @@ _sql_query(
     "slash, drop utm_* params, sort the rest; group by canonical key and "
     "keep the first doc per group.",
 )
+
+
+# --- video frame extraction through a REAL container codec (the AVI/RIFF
+#     twin of mm_audio_windows' WAV and mm_image_decode's PNG). Each doc's
+#     text bytes deterministically fill 3x4 RGB24 frames; the UDF encodes
+#     a spec-complete uncompressed AVI (DIB frames: BGR, bottom-up, padded
+#     rows, idx1) and decodes it back executor-side before sampling every
+#     2nd frame. The oracle recomputes the POSITION-WEIGHTED checksum of
+#     the decoded top-down RGB bytes straight from the text — so any
+#     channel-order / row-order / padding bug in either codec direction
+#     breaks the roundtrip identity and the hash. Payloads never reach the
+#     driver; one mapInPandas, no shuffle before the output sort.
+
+_VID_W, _VID_H = 3, 4  # width 3 -> 9-byte rows padded to 12: pad path exercised
+
+
+@register(
+    "mm_video_frames",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, text, length(text) AS L,
+               unnest(range(0, 1 + length(text) % 5, 2)) AS fi
+        FROM documents WHERE doc_id < 120
+    )
+    SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+           CAST(1 + L % 5 AS BIGINT) AS n_frames,
+           CAST(list_sum([ascii(substring(text, ((fi * 7 + i) % L) + 1, 1)) * (i + 1)
+                          FOR i IN generate_series(0, 35)]) % 9973 AS BIGINT) AS frame_wsum,
+           CAST(list_sum([ascii(substring(text, ((fi * 7 + i) % L) + 1, 1))
+                          FOR i IN generate_series(0, 35)]) % 997 AS BIGINT) AS frame_sum
+    FROM f
+    ORDER BY doc_id, frame_idx
+    """,
+    tags=("pipeline", "multimodal", "video"),
+    doc="Video frame sampling through a real AVI/RIFF codec: encode "
+    "uncompressed DIB frames, decode back, sample stride 2; "
+    "position-weighted checksum proves byte-exact roundtrip.",
+)
+def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from sensql_presto_spark.multimodal import decode_avi, encode_avi_rgb24
+
+    frame_len = _VID_W * _VID_H * 3
+
+    def sample(batches):
+        for pdf in batches:
+            ids, idxs, counts, wsums, sums = [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                n = len(data)
+                n_frames = 1 + n % 5
+                frames = [
+                    bytes(data[(fi * 7 + i) % n] for i in range(frame_len))
+                    for fi in range(n_frames)
+                ]
+                payload = encode_avi_rgb24(frames, _VID_W, _VID_H)
+                w, h, nf, decoded = decode_avi(payload)
+                assert (w, h, nf) == (_VID_W, _VID_H, n_frames)
+                for fi in range(0, nf, 2):
+                    fr = decoded[fi]
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    counts.append(nf)
+                    wsums.append(sum((i + 1) * b for i, b in enumerate(fr)) % 9973)
+                    sums.append(sum(fr) % 997)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "n_frames": counts,
+                    "frame_wsum": wsums,
+                    "frame_sum": sums,
+                }
+            )
+
+    schema = (
+        "doc_id bigint, frame_idx bigint, n_frames bigint, "
+        "frame_wsum bigint, frame_sum bigint"
+    )
+    docs = catalog.table(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(sample, schema)
+        .orderBy("doc_id", "frame_idx")
+    )

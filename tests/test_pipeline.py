@@ -248,3 +248,45 @@ def test_semantic_dedup_pairs_verified_by_exact_cosine(spark):
         cos = dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
         # quantization to milliunits shifts cosine by < 2e-3 near the cut
         assert cos > 0.4 - 2e-3, (key, cos)
+
+
+def test_avi_codec_roundtrip_and_error_contracts():
+    """AVI codec: byte-exact roundtrip across geometries (incl. padded
+    rows) and loud rejection of compressed streams."""
+    import struct
+
+    import pytest as _pytest
+
+    from sensql_presto_spark.multimodal import decode_avi, encode_avi_rgb24
+
+    frames = [bytes(range(36)), bytes(range(36, 72))]
+    payload = encode_avi_rgb24(frames, 3, 4)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+    w, h, n, back = decode_avi(payload)
+    assert (w, h, n) == (3, 4, 2) and back == frames
+
+    # flip the strf biCompression field -> loud NotImplementedError
+    strf_at = payload.index(b"strf")
+    corrupted = bytearray(payload)
+    struct.pack_into("<I", corrupted, strf_at + 8 + 16, 1)  # BI_RLE8
+    with _pytest.raises(NotImplementedError, match="biCompression"):
+        decode_avi(bytes(corrupted))
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_avi(b"nonsense")
+
+
+def test_avi_codec_roundtrip_property():
+    import random
+
+    from sensql_presto_spark.multimodal import decode_avi, encode_avi_rgb24
+
+    rng = random.Random(99)
+    for _ in range(20):
+        w = rng.randint(1, 6)
+        h = rng.randint(1, 6)
+        n = rng.randint(1, 5)
+        frames = [
+            bytes(rng.randrange(256) for _ in range(w * h * 3)) for _ in range(n)
+        ]
+        assert decode_avi(encode_avi_rgb24(frames, w, h))[3] == frames
