@@ -35,3 +35,10 @@ def test_agg_seeds_agree(spark):
     checked."""
     assert expr_fuzz.run_agg_batch(spark, SF, list(range(100, 125))) == []
     assert expr_fuzz.run_agg_batch(spark, SF, list(range(125, 150))) == []
+
+
+def test_window_seeds_agree(spark):
+    """Window-mode fuzz: ranking + windowed aggregates over generated
+    partition/order keys, full-order tiebreak for determinism."""
+    assert expr_fuzz.run_window_batch(spark, SF, list(range(200, 225))) == []
+    assert expr_fuzz.run_window_batch(spark, SF, list(range(225, 250))) == []

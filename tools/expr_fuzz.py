@@ -279,3 +279,59 @@ def run_agg_batch(spark, sf_dir: str, seeds: list[int]) -> list[str]:
                 f"spark={av[i]!r} duckdb={ev[i]!r}"
             )
     return problems
+
+
+# --- window mode: ranking/aggregate window functions --------------------
+#
+# row_number is made deterministic by a full-order tiebreak (o_orderkey);
+# rank/dense_rank/sum/min/max/count OVER are deterministic for any
+# ordering. Frames are left at each function's default (RANGE UNBOUNDED
+# PRECEDING for aggregates — identical defaults in both dialects).
+
+
+def build_window_query(seeds: list[int]) -> str:
+    cols = []
+    for s in seeds:
+        g = _Gen(s)
+        part, _ = g.str_expr(1)
+        order, _ = g.int_expr(2)
+        fn = g.rng.choice(
+            ("row_number()", "rank()", "dense_rank()", "count(*)", None, None)
+        )
+        if fn is None:
+            e, _ = g.int_expr(1)
+            agg = g.rng.choice(("sum", "min", "max"))
+            fn = f"{agg}({e})"
+        cols.append(
+            f"CAST({fn} OVER (PARTITION BY {part} "
+            f"ORDER BY {order}, o_orderkey) AS BIGINT) AS e{s}"
+        )
+    return (
+        "SELECT o_orderkey, "
+        + ", ".join(cols)
+        + " FROM ("
+        + _BASE
+        + ") t ORDER BY o_orderkey"
+    )
+
+
+def run_window_batch(spark, sf_dir: str, seeds: list[int]) -> list[str]:
+    from sensql_presto_spark import catalog
+    from sensql_presto_spark.testing import duckdb_connection
+
+    q = build_window_query(seeds)
+    actual = catalog.sql(spark, sf_dir, q).toPandas()
+    con = duckdb_connection(sf_dir)
+    expected = con.sql(q).df()
+    con.close()
+    problems = []
+    for s in seeds:
+        col = f"e{s}"
+        av, ev = actual[col], expected[col]
+        eq = (av == ev) | (av.isna() & ev.isna())
+        if not eq.all():
+            i = int((~eq).idxmax())
+            problems.append(
+                f"window seed {s}: row {i} spark={av[i]!r} duckdb={ev[i]!r}"
+            )
+    return problems
