@@ -603,6 +603,54 @@ _sql_query(
 )
 
 
+# --- classification_thresholds + the per-threshold curve family
+#     (ClassificationThresholdsAggregation.java + the Precision/Recall/
+#     MissRate/FallOut siblings over PrecisionRecallState): scores bucket
+#     into fixed-width bins and each non-empty bin's lower bound is a
+#     threshold; metrics at threshold t classify score >= t as positive.
+#     Expressed as one histogram shuffle + reverse-cumulative windows over
+#     the (tiny) bucket relation — the same two-phase shape the reference's
+#     state merge produces, flattened to one row per threshold instead of
+#     parallel arrays. ------------------------------------------------------
+
+_sql_query(
+    "agg_classification_curve",
+    """
+    WITH scored AS (
+        SELECT CAST(o_orderkey % 100 AS DOUBLE) / 100.0 AS score,
+               (o_orderpriority < '3') AS label
+        FROM orders
+    ),
+    hist AS (
+        SELECT CAST(floor(score * 10) AS BIGINT) AS bucket,
+               CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+               CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS neg
+        FROM scored GROUP BY 1
+    ),
+    cum AS (
+        SELECT bucket,
+               sum(pos) OVER (ORDER BY bucket DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+               sum(neg) OVER (ORDER BY bucket DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+               sum(pos) OVER () AS all_pos,
+               sum(neg) OVER () AS all_neg
+        FROM hist
+    )
+    SELECT CAST(bucket AS DOUBLE) / 10 AS threshold,
+           round(tp / CAST(tp + fp AS DOUBLE), 6) AS precision_,
+           round(tp / CAST(all_pos AS DOUBLE), 6) AS recall_,
+           round((all_pos - tp) / CAST(all_pos AS DOUBLE), 6) AS miss_rate,
+           round(fp / CAST(all_neg AS DOUBLE), 6) AS fall_out
+    FROM cum ORDER BY threshold
+    """,
+    tags=("aggregates", "classification"),
+    doc="Binary-classification threshold curve: bucketed score histogram + "
+    "reverse-cumulative windows give classification_thresholds and the "
+    "precision/recall/miss_rate/fall_out arrays, one row per threshold.",
+)
+
+
 # --- differential_entropy (differentialentropy/FixedHistogramMleStateStrategy
 #     .java): MLE entropy over a fixed-width histogram of the value range —
 #     h = -sum(p_i * ln(p_i)) + ln(bin_width). Expressed declaratively:
