@@ -492,3 +492,68 @@ def sink_partitioned_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
     return manifest.join(bound_ok, "lang").orderBy("lang")
+
+
+# --- Z-order layout (multi-dimensional clustering for data skipping —
+#     the Delta/Iceberg OPTIMIZE ZORDER role). Interleaving the bits of
+#     two filter dimensions into one sort key makes every run of 4096
+#     consecutive z-values a 64x64 tile of the (a, b) plane, so per-file
+#     min/max stats prune BOTH dimensions: a predicate on either column
+#     skips ~15/16 of the layout instead of scanning everything (a
+#     single-column sort gives pruning on one dimension only — each of its
+#     buckets spans the full 0..255 range of the other). The z-value is a
+#     pure codegen'd bit-interleave (aggregate over sequence — no UDF);
+#     bucket bounds are verified tile-exact: area(max-min box) <= 4096 in
+#     every bucket.
+
+
+@register(
+    "scale_zorder_layout",
+    oracle="""
+    WITH z AS (
+        SELECT o_orderkey % 256 AS a, o_custkey % 256 AS b,
+               list_sum([((o_orderkey % 256) // CAST(pow(2, i) AS BIGINT) % 2)
+                             * CAST(pow(2, 2 * i + 1) AS BIGINT)
+                         + ((o_custkey % 256) // CAST(pow(2, i) AS BIGINT) % 2)
+                             * CAST(pow(2, 2 * i) AS BIGINT)
+                         FOR i IN generate_series(0, 7)]) AS zval
+        FROM orders
+    )
+    SELECT CAST(zval // 4096 AS BIGINT) AS z_bucket,
+           count(*) AS n_rows,
+           CAST(min(a) AS BIGINT) AS min_a, CAST(max(a) AS BIGINT) AS max_a,
+           CAST(min(b) AS BIGINT) AS min_b, CAST(max(b) AS BIGINT) AS max_b,
+           (max(a) - min(a) + 1) * (max(b) - min(b) + 1) <= 4096 AS tile_bounded
+    FROM z
+    GROUP BY 1
+    ORDER BY z_bucket
+    """,
+    tags=("scale", "layout", "zorder"),
+    doc="Z-order layout: bit-interleaved (orderkey, custkey) sort key; "
+    "4096-z-value buckets are 64x64 tiles, so min/max stats prune both "
+    "dimensions — verified tile-exact per bucket.",
+)
+def scale_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog.sql(
+        spark,
+        sf_dir,
+        """
+        WITH z AS (
+            SELECT o_orderkey % 256 AS a, o_custkey % 256 AS b,
+                   aggregate(sequence(0, 7), cast(0 AS BIGINT), (acc, i) ->
+                       acc + ((o_orderkey % 256) DIV cast(pow(2, i) AS BIGINT) % 2)
+                                 * cast(pow(2, 2 * i + 1) AS BIGINT)
+                           + ((o_custkey % 256) DIV cast(pow(2, i) AS BIGINT) % 2)
+                                 * cast(pow(2, 2 * i) AS BIGINT)) AS zval
+            FROM orders
+        )
+        SELECT cast(zval DIV 4096 AS BIGINT) AS z_bucket,
+               count(*) AS n_rows,
+               cast(min(a) AS BIGINT) AS min_a, cast(max(a) AS BIGINT) AS max_a,
+               cast(min(b) AS BIGINT) AS min_b, cast(max(b) AS BIGINT) AS max_b,
+               (max(a) - min(a) + 1) * (max(b) - min(b) + 1) <= 4096 AS tile_bounded
+        FROM z
+        GROUP BY 1
+        ORDER BY z_bucket
+        """,
+    )
