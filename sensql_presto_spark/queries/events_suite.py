@@ -475,3 +475,41 @@ def events_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensql_presto_spark.streaming import streaming_upsert_sink
 
     return streaming_upsert_sink(spark, sf_dir)
+
+
+# --- funnel analysis (the MATCH_RECOGNIZE/sequence-match workload, done
+#     with one conditional-min aggregation since Spark has no
+#     MATCH_RECOGNIZE): per user, the earliest ts of each step, then
+#     strictly-ordered step timestamps decide funnel depth. Scale shape:
+#     ONE shuffle on user_id with map-side partial min aggregation —
+#     funnel depth over any event volume is a single pass, state bounded
+#     by steps x users, never by events.
+
+_sql_query(
+    "events_funnel",
+    """
+    WITH steps AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           count(t_signup) AS signed_up,
+           CAST(sum(CASE WHEN t_view > t_signup THEN 1 ELSE 0 END) AS BIGINT)
+               AS viewed_after_signup,
+           CAST(sum(CASE WHEN t_click > t_view AND t_view > t_signup
+                         THEN 1 ELSE 0 END) AS BIGINT) AS clicked_in_order,
+           CAST(sum(CASE WHEN t_purchase > t_click AND t_click > t_view
+                              AND t_view > t_signup
+                         THEN 1 ELSE 0 END) AS BIGINT) AS full_funnel
+    FROM steps
+    """,
+    tags=("events", "funnel"),
+    doc="Conversion funnel: per-user earliest step timestamps via one "
+    "conditional-min pass, strictly-ordered comparisons give depth counts "
+    "(the MATCH_RECOGNIZE role in a single shuffle).",
+)
