@@ -116,8 +116,12 @@ PRIORITY: tuple[str, ...] = (
 # scale_dpp_join, scale_distributed_sort, mm_image_decode,
 # cluster_kmeans, cluster_balanced_sample, dedup_semantic,
 # sim_decontaminate, fn_color, source_text_roundtrip,
-# source_binaryfile_stats — each was driver_sim-EXACT when added, and the
-# end-of-round full sweep was 273/273 EXACT before the last two entries).
+# source_binaryfile_stats) and the r3-final tranche (fn_presto_compat3,
+# fn_hash_presto_ports, text_chunk_overlap, dedup_incremental, dedup_url,
+# events_streaming_upsert, sink_partitioned_shards, mm_video_frames,
+# agg_classification_curve, scale_zorder_layout, events_funnel) — each was
+# driver_sim-EXACT when added, and the end-of-round full sweep was
+# 282/282 EXACT (COVERAGE.md §Rotation).
 # Keep any r3 entry that FAILED.
 # By r5-r6 every registry entry should have at least one driver-green row.
 

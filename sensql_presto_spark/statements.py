@@ -99,6 +99,10 @@ _SHOW_FNS_RE = re.compile(r"^\s*SHOW\s+FUNCTIONS\s*(?:LIKE\s+('.*')\s*)?$", re.I
 # showCatalogs/showColumns/showCreate; served by MetadataListing.java /
 # ShowQueriesRewrite.java in the reference).
 _SHOW_CATALOGS_RE = re.compile(r"^\s*SHOW\s+CATALOGS\s*$", re.IGNORECASE)
+# USE catalog.schema / USE schema (SqlBase.g4 use rule; the reference's
+# Session catalog/schema defaults with CATALOG_NOT_FOUND / SCHEMA_NOT_FOUND
+# error contracts).
+_USE_RE = re.compile(r"^\s*USE\s+(?:(\w+)\.)?(\w+)\s*$", re.IGNORECASE)
 _SHOW_SCHEMAS_RE = re.compile(r"^\s*SHOW\s+SCHEMAS(?:\s+FROM\s+\w+)?\s*$", re.IGNORECASE)
 _SHOW_TABLES_RE = re.compile(
     r"^\s*SHOW\s+TABLES(?:\s+FROM\s+\w+)?(?:\s+LIKE\s+'([^']*)')?\s*$", re.IGNORECASE
@@ -417,6 +421,7 @@ class StatementSession:
         self.functions: dict[str, str] = {}  # bare name -> original CREATE text
         self._conf_defaults: dict[str, str | None] = {}
         self._in_txn = False
+        self.schema = "default"  # USE target; single-catalog engine
         self.matviews = MaterializedViewStore(spark, sf_dir)
         self.matviews.register_all()
 
@@ -551,6 +556,15 @@ class StatementSession:
             return self.spark.sql(f"SHOW USER FUNCTIONS{like}")
         if _SHOW_CATALOGS_RE.match(text):
             return self.spark.createDataFrame([("spark",)], "Catalog string")
+        m = _USE_RE.match(text)
+        if m:
+            cat, schema = m.group(1), m.group(2).lower()
+            if cat is not None and cat.lower() != "spark":
+                raise ValueError(f"Catalog does not exist: {cat}")
+            if schema not in ("default", "information_schema"):
+                raise ValueError(f"Schema does not exist: {schema}")
+            self.schema = schema
+            return self.spark.createDataFrame([("USE",)], "result string")
         if _SHOW_SCHEMAS_RE.match(text):
             return self.spark.createDataFrame(
                 [("default",), ("information_schema",)], "Schema string"

@@ -585,3 +585,18 @@ def test_enum_key_varchar_defaults_to_value_text(spark):
     sess.execute("CREATE TYPE flagtype AS ENUM ('F', 'O', 'P')")
     row = spark.sql("SELECT flagtype_enum_key('O') AS k").collect()[0]
     assert row.k == "O"
+
+
+def test_use_statement_contracts(spark):
+    """USE catalog.schema: valid targets switch the session schema; unknown
+    catalog/schema raise the reference's not-found errors."""
+    sess = StatementSession(spark, SF)
+    assert sess.schema == "default"
+    sess.execute("USE information_schema")
+    assert sess.schema == "information_schema"
+    sess.execute("USE spark.default")
+    assert sess.schema == "default"
+    with pytest.raises(ValueError, match="Catalog does not exist"):
+        sess.execute("USE hive.default")
+    with pytest.raises(ValueError, match="Schema does not exist"):
+        sess.execute("USE nosuch")
