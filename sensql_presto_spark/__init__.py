@@ -17,3 +17,12 @@ parser/optimizer/executor; this package supplies:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy so `import sensql_presto_spark` stays free of a Spark dependency
+    if name == "Engine":
+        from sensql_presto_spark.engine import Engine
+
+        return Engine
+    raise AttributeError(name)
