@@ -595,3 +595,55 @@ SELECT make_timestamp(1995, 3, 14, 1, 59, 26.535897) AS ts,
     rows=[("1995-03-14 01:59:26.535897", 1, 3)],
     tables="",
 )
+
+# --- round-3-final compat tranche (requires register_all — the golden
+#     runner registers the compat layer module-scoped). ISO date parts,
+#     array_frequency/duplicates, split_to_map, json_size over literals;
+#     expected rows hand-derived (checkable by inspection) or via DuckDB
+#     equivalents.
+emit(
+    "presto_compat",
+    "iso_date_parts",
+    """
+SELECT day_of_week(DATE '2026-08-16') AS dw_sun,
+       dow(DATE '2026-08-10') AS dw_mon,
+       day_of_year(DATE '2026-02-01') AS doy,
+       week(DATE '2021-01-01') AS w53,
+       year_of_week(DATE '2021-01-01') AS yow2020,
+       yow(DATE '2026-08-14') AS yow2026
+""",
+    ["BIGINT", "BIGINT", "BIGINT", "BIGINT", "BIGINT", "BIGINT"],
+    rows=[(7, 1, 32, 53, 2020, 2026)],
+    tables="",
+)
+
+emit(
+    "presto_compat",
+    "array_dup_freq",
+    """
+SELECT array_join(array_duplicates(array('a', 'b', 'a', 'c', 'b')), ',') AS dups,
+       array_join(array_dupes(array('x', 'x', 'y')), ',') AS dupes_alias,
+       size(array_duplicates(array('p', 'q'))) AS none_dup,
+       array_frequency(array('a', 'b', 'a'))['a'] AS freq_a,
+       array_frequency(array('a', 'b', 'a'))['b'] AS freq_b
+""",
+    ["VARCHAR", "VARCHAR", "INTEGER", "INTEGER", "INTEGER"],
+    rows=[("a,b", "x", 0, 2, 1)],
+    tables="",
+)
+
+emit(
+    "presto_compat",
+    "split_to_map_json_size",
+    """
+SELECT split_to_map('a=1,b=2', ',', '=')['a'] AS va,
+       split_to_map('k.x:1|k.y:2', '|', ':')['k.y'] AS vy,
+       json_size('{"a": {"b": [1,2,3]}}', '$.a') AS obj_size,
+       json_size('{"a": {"b": [1,2,3]}}', '$.a.b') AS arr_size,
+       json_size('{"a": 7}', '$.a') AS scalar_size,
+       json_extract('{"a": [5,6]}', '$.a[1]') AS second
+""",
+    ["VARCHAR", "VARCHAR", "INTEGER", "INTEGER", "INTEGER", "VARCHAR"],
+    rows=[("1", "2", 1, 3, 0, "6")],
+    tables="",
+)
