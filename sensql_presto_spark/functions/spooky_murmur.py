@@ -139,12 +139,8 @@ def spooky_hash128(msg: bytes, seed1: int = 0, seed2: int = 0) -> tuple[int, int
     length = len(msg)
     if length < 192:
         return _spooky_short(msg, seed1, seed2)
+    # h0..h11 = s1,s2,SC repeated — the spec's 12-lane initial state
     h = [seed1 & _M, seed2 & _M, _SC] * 4
-    # reorder to h0..h11 = s1,s2,SC, s1,s2,SC, ... per the spec layout
-    h = [seed1 & _M, seed2 & _M, _SC,
-         seed1 & _M, seed2 & _M, _SC,
-         seed1 & _M, seed2 & _M, _SC,
-         seed1 & _M, seed2 & _M, _SC]
     pos = 0
     end = (length // 96) * 96
     while pos < end:
