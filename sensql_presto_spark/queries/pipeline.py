@@ -2571,3 +2571,164 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(sample, schema)
         .orderBy("doc_id", "frame_idx")
     )
+
+
+# --- MMR diversity re-ranking (maximal marginal relevance — the retrieval
+#     diversification step after top-k: greedily pick results that are
+#     relevant to the probe but dissimilar to what's already picked).
+#     Greedy selection is inherently sequential, but its depth is the
+#     number of picks, not the corpus size — so three picks unroll into
+#     three fixed declarative rounds over the per-probe top-8 candidate
+#     relation. Scale shape: the corpus is scanned ONCE for the candidate
+#     stage (probe set broadcast, WindowGroupLimit top-8); every later
+#     round joins k-row-per-probe relations (k=8), constant work per
+#     probe. Scores are exact integer dot products on milliunit-quantized
+#     vectors (dot-MMR: score = 2*rel - max sim-to-selected), so both
+#     engines agree bit-for-bit — no float tie can flip a pick.
+
+_MMR_SPARK_DOT = """aggregate(zip_with({a}, {b}, (x, y) -> x * y),
+                             cast(0 AS bigint), (acc, x) -> acc + x)"""
+
+
+@register(
+    "sim_mmr_rerank",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding] AS v
+        FROM embeddings
+    ),
+    probes AS (SELECT * FROM q WHERE vec_id < 4),
+    cand AS (
+        SELECT * FROM (
+            SELECT p.vec_id AS pid, c.vec_id AS cid, c.v AS cv,
+                   list_sum([p.v[i] * c.v[i] FOR i IN generate_series(1, 64)]) AS rel,
+                   row_number() OVER (
+                       PARTITION BY p.vec_id
+                       ORDER BY list_sum([p.v[i] * c.v[i] FOR i IN generate_series(1, 64)]) DESC,
+                                c.vec_id) AS rk
+            FROM probes p JOIN q c ON c.vec_id <> p.vec_id
+        ) WHERE rk <= 8
+    ),
+    pair AS (
+        SELECT a.pid, a.cid AS ca, b.cid AS cb,
+               list_sum([a.cv[i] * b.cv[i] FOR i IN generate_series(1, 64)]) AS sim
+        FROM cand a JOIN cand b ON a.pid = b.pid AND a.cid <> b.cid
+    ),
+    s1 AS (
+        SELECT pid, cid AS sel, rel FROM (
+            SELECT pid, cid, rel,
+                   row_number() OVER (PARTITION BY pid ORDER BY rel DESC, cid) AS rk
+            FROM cand) t WHERE rk = 1
+    ),
+    r2 AS (
+        SELECT c.pid, c.cid, c.rel, p.sim AS pen
+        FROM cand c
+        JOIN s1 ON c.pid = s1.pid AND c.cid <> s1.sel
+        JOIN pair p ON p.pid = c.pid AND p.ca = c.cid AND p.cb = s1.sel
+    ),
+    s2 AS (
+        SELECT pid, cid AS sel, rel FROM (
+            SELECT pid, cid, rel,
+                   row_number() OVER (
+                       PARTITION BY pid ORDER BY 2 * rel - pen DESC, cid) AS rk
+            FROM r2) t WHERE rk = 1
+    ),
+    r3 AS (
+        SELECT c.pid, c.cid, c.rel, greatest(p1.sim, p2.sim) AS pen
+        FROM cand c
+        JOIN s1 ON c.pid = s1.pid AND c.cid <> s1.sel
+        JOIN s2 ON c.pid = s2.pid AND c.cid <> s2.sel
+        JOIN pair p1 ON p1.pid = c.pid AND p1.ca = c.cid AND p1.cb = s1.sel
+        JOIN pair p2 ON p2.pid = c.pid AND p2.ca = c.cid AND p2.cb = s2.sel
+    ),
+    s3 AS (
+        SELECT pid, cid AS sel, rel FROM (
+            SELECT pid, cid, rel,
+                   row_number() OVER (
+                       PARTITION BY pid ORDER BY 2 * rel - pen DESC, cid) AS rk
+            FROM r3) t WHERE rk = 1
+    )
+    SELECT pid AS query_id, CAST(1 AS BIGINT) AS pick, sel AS selected_id,
+           CAST(rel AS BIGINT) AS rel_dot FROM s1
+    UNION ALL
+    SELECT pid, CAST(2 AS BIGINT), sel, CAST(rel AS BIGINT) FROM s2
+    UNION ALL
+    SELECT pid, CAST(3 AS BIGINT), sel, CAST(rel AS BIGINT) FROM s3
+    ORDER BY query_id, pick
+    """,
+    tags=("pipeline", "similarity", "mmr"),
+    doc="MMR diversity re-ranking: greedy 3-pick maximal marginal relevance "
+    "over per-probe top-8 candidates, unrolled as fixed declarative rounds; "
+    "exact integer dot-MMR scores.",
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dot_pc = _MMR_SPARK_DOT.format(a="p.v", b="c.v")
+    dot_ab = _MMR_SPARK_DOT.format(a="a.cv", b="b.cv")
+    return catalog.sql(
+        spark,
+        sf_dir,
+        f"""
+        WITH q AS (
+            SELECT vec_id,
+                   transform(embedding, x -> cast(round(cast(x AS double) * 1000) AS bigint)) AS v
+            FROM embeddings
+        ),
+        probes AS (SELECT * FROM q WHERE vec_id < 4),
+        cand AS (
+            SELECT * FROM (
+                SELECT p.vec_id AS pid, c.vec_id AS cid, c.v AS cv,
+                       {dot_pc} AS rel,
+                       row_number() OVER (
+                           PARTITION BY p.vec_id
+                           ORDER BY {dot_pc} DESC, c.vec_id) AS rk
+                FROM probes p JOIN q c ON c.vec_id <> p.vec_id
+            ) t WHERE rk <= 8
+        ),
+        pair AS (
+            SELECT a.pid, a.cid AS ca, b.cid AS cb, {dot_ab} AS sim
+            FROM cand a JOIN cand b ON a.pid = b.pid AND a.cid <> b.cid
+        ),
+        s1 AS (
+            SELECT pid, cid AS sel, rel FROM (
+                SELECT pid, cid, rel,
+                       row_number() OVER (PARTITION BY pid ORDER BY rel DESC, cid) AS rk
+                FROM cand) t WHERE rk = 1
+        ),
+        r2 AS (
+            SELECT c.pid, c.cid, c.rel, p.sim AS pen
+            FROM cand c
+            JOIN s1 ON c.pid = s1.pid AND c.cid <> s1.sel
+            JOIN pair p ON p.pid = c.pid AND p.ca = c.cid AND p.cb = s1.sel
+        ),
+        s2 AS (
+            SELECT pid, cid AS sel, rel FROM (
+                SELECT pid, cid, rel,
+                       row_number() OVER (
+                           PARTITION BY pid ORDER BY 2 * rel - pen DESC, cid) AS rk
+                FROM r2) t WHERE rk = 1
+        ),
+        r3 AS (
+            SELECT c.pid, c.cid, c.rel, greatest(p1.sim, p2.sim) AS pen
+            FROM cand c
+            JOIN s1 ON c.pid = s1.pid AND c.cid <> s1.sel
+            JOIN s2 ON c.pid = s2.pid AND c.cid <> s2.sel
+            JOIN pair p1 ON p1.pid = c.pid AND p1.ca = c.cid AND p1.cb = s1.sel
+            JOIN pair p2 ON p2.pid = c.pid AND p2.ca = c.cid AND p2.cb = s2.sel
+        ),
+        s3 AS (
+            SELECT pid, cid AS sel, rel FROM (
+                SELECT pid, cid, rel,
+                       row_number() OVER (
+                           PARTITION BY pid ORDER BY 2 * rel - pen DESC, cid) AS rk
+                FROM r3) t WHERE rk = 1
+        )
+        SELECT pid AS query_id, cast(1 AS BIGINT) AS pick, sel AS selected_id,
+               cast(rel AS BIGINT) AS rel_dot FROM s1
+        UNION ALL
+        SELECT pid, cast(2 AS BIGINT), sel, cast(rel AS BIGINT) FROM s2
+        UNION ALL
+        SELECT pid, cast(3 AS BIGINT), sel, cast(rel AS BIGINT) FROM s3
+        ORDER BY query_id, pick
+        """,
+    )

