@@ -52,6 +52,28 @@ _SKETCH_FUNCTIONS = (
            cuts ARRAY<DOUBLE>, qs ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN
        transform(qs, q ->
            element_at(cuts, cast(floor(q * (size(cuts) - 1)) AS INT) + 1))""",
+    # quantiles_at_values: the vectorized inverse probe
+    # (QuantileDigestFunctions.java quantilesAtValues).
+    """CREATE OR REPLACE TEMPORARY FUNCTION quantiles_at_values(
+           cuts ARRAY<DOUBLE>, vs ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN
+       transform(vs, v -> CAST(size(filter(cuts, c -> c <= v)) AS DOUBLE) / size(cuts))""",
+    # scale_qdigest / scale_tdigest (QuantileDigestFunctions.scaleQDigest,
+    # TDigestFunctions.scaleTDigest): uniform weight scaling changes counts
+    # but preserves every quantile, and this representation stores only the
+    # quantile cut points — so scaling is the identity on the value (the
+    # count side lives in the digest struct's n, which callers scale
+    # directly). Registered so the reference names resolve; contract
+    # documented in PRESTO_EQUIVALENTS.
+    """CREATE OR REPLACE TEMPORARY FUNCTION scale_qdigest(
+           cuts ARRAY<DOUBLE>, factor DOUBLE) RETURNS ARRAY<DOUBLE> RETURN
+       CASE WHEN factor <= 0 THEN cast(raise_error(
+                'scale factor must be positive') AS ARRAY<DOUBLE>)
+            ELSE cuts END""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION scale_tdigest(
+           cuts ARRAY<DOUBLE>, factor DOUBLE) RETURNS ARRAY<DOUBLE> RETURN
+       CASE WHEN factor <= 0 THEN cast(raise_error(
+                'scale factor must be positive') AS ARRAY<DOUBLE>)
+            ELSE cuts END""",
 )
 
 
