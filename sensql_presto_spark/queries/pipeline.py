@@ -2732,3 +2732,87 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY query_id, pick
         """,
     )
+
+
+# --- exact-substring REMOVAL (the transform twin of text_substring_dup's
+#     metric: Lee et al. 2022 "Deduplicating Training Data Makes Language
+#     Models Better" removes every span covered by a corpus-duplicated
+#     13-gram, not just the duplicated document). Shape: one explode to
+#     (doc, pos, gram), one corpus-wide groupBy on the gram (the exact-
+#     dedup shuffle bound), position-coverage via a bounded 13x generator,
+#     and an anti-join back onto the token stream — all linear in corpus
+#     size; the 13x coverage amplification is a constant factor, never a
+#     blow-up. Output is per-doc kept/removed token accounting (the
+#     reconstruction is array_join over kept positions — same plan shape).
+
+_SUBSTR_REMOVE_SPARK = """
+    WITH t AS (
+        SELECT doc_id, split(text, ' ') AS toks, size(split(text, ' ')) AS n
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, pos, array_join(slice(toks, pos + 1, 13), ' ') AS gram
+        FROM t LATERAL VIEW explode(sequence(0, n - 13)) g AS pos
+        WHERE n >= 13
+    ),
+    dup_grams AS (
+        SELECT gram FROM grams GROUP BY gram
+        HAVING count(*) > 1
+    ),
+    covered AS (
+        SELECT DISTINCT g.doc_id, cpos
+        FROM grams g
+        JOIN dup_grams d ON g.gram = d.gram
+        LATERAL VIEW explode(sequence(g.pos, g.pos + 12)) c AS cpos
+    )
+    SELECT t.doc_id,
+           CAST(t.n AS BIGINT) AS n_tokens,
+           CAST(t.n - coalesce(c.n_covered, 0) AS BIGINT) AS n_kept,
+           CAST(coalesce(c.n_covered, 0) AS BIGINT) AS n_removed
+    FROM t
+    LEFT JOIN (SELECT doc_id, count(*) AS n_covered FROM covered GROUP BY doc_id) c
+      ON t.doc_id = c.doc_id
+    WHERE t.doc_id < 300
+    ORDER BY t.doc_id
+    """
+
+_SUBSTR_REMOVE_DUCK = """
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, pos, array_to_string(toks[pos + 1 : pos + 13], ' ') AS gram
+        FROM t, UNNEST(range(0, n - 12)) AS g(pos)
+        WHERE n >= 13
+    ),
+    dup_grams AS (
+        SELECT gram FROM grams GROUP BY gram
+        HAVING count(*) > 1
+    ),
+    covered AS (
+        SELECT DISTINCT g.doc_id, cpos
+        FROM (SELECT g2.* FROM grams g2 JOIN dup_grams d ON g2.gram = d.gram) g,
+             UNNEST(range(g.pos, g.pos + 13)) AS c(cpos)
+    )
+    SELECT t.doc_id,
+           CAST(t.n AS BIGINT) AS n_tokens,
+           CAST(t.n - coalesce(c.n_covered, 0) AS BIGINT) AS n_kept,
+           CAST(coalesce(c.n_covered, 0) AS BIGINT) AS n_removed
+    FROM t
+    LEFT JOIN (SELECT doc_id, count(*) AS n_covered FROM covered GROUP BY doc_id) c
+      ON t.doc_id = c.doc_id
+    WHERE t.doc_id < 300
+    ORDER BY t.doc_id
+    """
+
+_sql_query(
+    "text_substring_removal",
+    _SUBSTR_REMOVE_SPARK,
+    oracle=_SUBSTR_REMOVE_DUCK,
+    tags=("pipeline", "text", "dedup"),
+    doc="Exact-substring removal (Lee et al. 2022): drop every token span "
+    "covered by a corpus-duplicated 13-gram; per-doc kept/removed "
+    "accounting, one gram shuffle + bounded coverage generator.",
+)
