@@ -240,3 +240,21 @@ def test_dedup_url_canonicalization_stays_codegen(spark):
     plan = _plan(spark, "dedup_url")
     assert "Python" not in plan
     assert "HashAggregate" in plan
+
+
+def test_mmr_rerank_broadcasts_probe_rounds(spark):
+    """sim_mmr_rerank: the candidate stage streams the corpus against a
+    BROADCAST probe set (non-equi join -> BroadcastNestedLoopJoin with the
+    4-row probe side as build — the sim_topk shape); selection rounds are
+    joins over k-row relations. Never a cartesian or row-Python plan."""
+    plan = _plan(spark, "sim_mmr_rerank")
+    assert "BroadcastNestedLoopJoin BuildRight" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "Python" not in plan
+
+
+def test_substring_removal_single_gram_shuffle(spark):
+    """text_substring_removal: the corpus-wide dup-gram detection is a hash
+    aggregation on the gram (the exact-dedup bound), no cartesian."""
+    plan = _plan(spark, "text_substring_removal")
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan and "Python" not in plan
