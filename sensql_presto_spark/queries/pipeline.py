@@ -2816,3 +2816,84 @@ _sql_query(
     "covered by a corpus-duplicated 13-gram; per-doc kept/removed "
     "accounting, one gram shuffle + bounded coverage generator.",
 )
+
+
+# --- PageRank (the quality-weighting graph primitive — e.g. web-graph
+#     rank as a quality prior for crawl corpora; the iterative twin of
+#     dedup_connected_components' label propagation). Each iteration is
+#     the standard distributed shape: one join of the edge list against
+#     the current ranks + one groupBy on the destination — state is one
+#     rank per node, never per edge. Three iterations unroll declaratively
+#     (a production run loops with localCheckpoint per round, the
+#     connected-components discipline); ranks are re-quantized to integer
+#     micro-units after every round, so both engines agree bit-for-bit.
+#     The graph derives deterministically from orders (custkey%50 ->
+#     orderkey%50, deduped), giving a dense 50-node web at every SF.
+
+_PAGERANK_SQL = """
+    WITH edges AS (
+        -- skewed web: hub links (dst skews toward low ids, the power-law
+        -- shape) plus a ring so every node has an in-link
+        SELECT DISTINCT o_custkey % 60 AS src,
+               o_orderkey % (1 + o_custkey % 12) AS dst
+        FROM orders WHERE o_custkey % 60 <> o_orderkey % (1 + o_custkey % 12)
+        UNION
+        SELECT DISTINCT o_custkey % 60 AS src, (o_custkey % 60 + 1) % 60 AS dst
+        FROM orders
+    ),
+    outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    n AS (SELECT count(*) AS cnt FROM nodes),
+    -- floor() before the cast: DuckDB ROUNDS on double->BIGINT casts
+    -- while Spark truncates, so a bare CAST(x/y AS BIGINT) silently
+    -- diverges on any non-integral quotient
+    r0 AS (SELECT id, CAST(floor(1000000.0 / (SELECT cnt FROM n)) AS BIGINT) AS r FROM nodes),
+    r1 AS (
+        SELECT nodes.id,
+               CAST(round(150000.0 / (SELECT cnt FROM n)) AS BIGINT)
+               + CAST(floor(coalesce(sum(
+                     CAST(floor(r0.r * 1000.0 / outdeg.d) AS BIGINT)), 0)
+                     * 85 / 100000.0) AS BIGINT) AS r
+        FROM nodes
+        LEFT JOIN edges ON edges.dst = nodes.id
+        LEFT JOIN r0 ON r0.id = edges.src
+        LEFT JOIN outdeg ON outdeg.src = edges.src
+        GROUP BY nodes.id, (SELECT cnt FROM n)
+    ),
+    r2 AS (
+        SELECT nodes.id,
+               CAST(round(150000.0 / (SELECT cnt FROM n)) AS BIGINT)
+               + CAST(floor(coalesce(sum(
+                     CAST(floor(r1.r * 1000.0 / outdeg.d) AS BIGINT)), 0)
+                     * 85 / 100000.0) AS BIGINT) AS r
+        FROM nodes
+        LEFT JOIN edges ON edges.dst = nodes.id
+        LEFT JOIN r1 ON r1.id = edges.src
+        LEFT JOIN outdeg ON outdeg.src = edges.src
+        GROUP BY nodes.id, (SELECT cnt FROM n)
+    ),
+    r3 AS (
+        SELECT nodes.id,
+               CAST(round(150000.0 / (SELECT cnt FROM n)) AS BIGINT)
+               + CAST(floor(coalesce(sum(
+                     CAST(floor(r2.r * 1000.0 / outdeg.d) AS BIGINT)), 0)
+                     * 85 / 100000.0) AS BIGINT) AS r
+        FROM nodes
+        LEFT JOIN edges ON edges.dst = nodes.id
+        LEFT JOIN r2 ON r2.id = edges.src
+        LEFT JOIN outdeg ON outdeg.src = edges.src
+        GROUP BY nodes.id, (SELECT cnt FROM n)
+    )
+    SELECT id AS node_id, r AS rank_micro
+    FROM r3
+    ORDER BY rank_micro DESC, node_id
+    """
+
+_sql_query(
+    "graph_pagerank",
+    _PAGERANK_SQL,
+    tags=("pipeline", "graph", "pagerank"),
+    doc="PageRank (damping 0.85, 3 unrolled iterations): edge-join + "
+    "dst-groupBy per round, per-edge contributions floor-quantized so every "
+    "round is exact integer arithmetic in both engines; the quality-prior graph primitive.",
+)
