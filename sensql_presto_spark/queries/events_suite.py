@@ -33,7 +33,8 @@ _sql_query(
     SELECT w.start AS win_start, event_type,
            count(*) AS n,
            CAST(sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_val_e4,
-           round(CAST(sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 / count(*), 4) AS avg_val
+           CAST(CAST(floor(sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) * 1.0
+                / count(*) + 0.5) AS BIGINT) AS DOUBLE) / 10000.0 AS avg_val
     FROM (SELECT window(ts, '1 hour') AS w, event_type, value FROM events)
     GROUP BY w, event_type
     ORDER BY win_start, event_type
@@ -42,7 +43,8 @@ _sql_query(
     SELECT date_trunc('hour', ts) AS win_start, event_type,
            count(*) AS n,
            CAST(sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_val_e4,
-           round(CAST(sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 / count(*), 4) AS avg_val
+           CAST(CAST(floor(sum(cast(floor(value * 10000 + 0.5) AS BIGINT)) * 1.0
+                / count(*) + 0.5) AS BIGINT) AS DOUBLE) / 10000.0 AS avg_val
     FROM events
     GROUP BY 1, 2
     ORDER BY win_start, event_type

@@ -1032,9 +1032,12 @@ _sql_query(
     )
     SELECT b.doc_id, b.n_tokens, b.n_unique, b.mean_tok_len, b.stop_ratio,
            f.max_tok_freq,
-           round(0.5 * (b.n_unique / b.n_tokens)
-                 + 0.3 * (1.0 - f.max_tok_freq / b.n_tokens)
-                 + 0.2 * least(b.n_tokens / 60.0, 1.0), 4) AS quality,
+           -- exact rational: (150u + 90(n-f) + n*min(n,60)) / 300n, one
+           -- deterministic division (multi-op float accumulation differs
+           -- in the last ulp across engines and can flip round(.,4))
+           CAST(CAST(floor((150 * b.n_unique + 90 * (b.n_tokens - f.max_tok_freq)
+                 + b.n_tokens * least(b.n_tokens, 60)) * 10000.0
+                 / (300.0 * b.n_tokens) + 0.5) AS BIGINT) AS DOUBLE) / 10000.0 AS quality,
            CASE WHEN b.n_unique / b.n_tokens >= 0.25 AND b.n_tokens >= 20 THEN 1 ELSE 0 END AS keep
     FROM base b JOIN freq f ON b.doc_id = f.doc_id
     ORDER BY b.doc_id
@@ -1057,9 +1060,9 @@ _sql_query(
     )
     SELECT b.doc_id, b.n_tokens, b.n_unique, b.mean_tok_len, b.stop_ratio,
            f.max_tok_freq,
-           round(0.5 * (b.n_unique * 1.0 / b.n_tokens)
-                 + 0.3 * (1.0 - f.max_tok_freq * 1.0 / b.n_tokens)
-                 + 0.2 * least(b.n_tokens / 60.0, 1.0), 4) AS quality,
+           CAST(CAST(floor((150 * b.n_unique + 90 * (b.n_tokens - f.max_tok_freq)
+                 + b.n_tokens * least(b.n_tokens, 60)) * 10000.0
+                 / (300.0 * b.n_tokens) + 0.5) AS BIGINT) AS DOUBLE) / 10000.0 AS quality,
            CASE WHEN b.n_unique * 1.0 / b.n_tokens >= 0.25 AND b.n_tokens >= 20 THEN 1 ELSE 0 END AS keep
     FROM base b JOIN freq f ON b.doc_id = f.doc_id
     ORDER BY b.doc_id
