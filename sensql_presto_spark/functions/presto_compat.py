@@ -89,7 +89,7 @@ PRESTO_EQUIVALENTS: dict[str, str] = {
     "localtime": "localtimestamp (Spark has no TIME type; documented gap)",
     "murmur3_x64_128/spooky_hash_v2_32/spooky_hash_v2_64":
         "registered (pure-Python ports golden-tested vs TestVarbinaryFunctions.java)",
-    "scale_qdigest": "no-op for quantile reads (uniform weight scaling preserves quantiles)",
+    "scale_qdigest/scale_tdigest": "registered (identity on the cut-point representation — uniform weight scaling preserves quantiles; positive-factor contract)",
 }
 
 # Each entry must be a pure-builtin expression body -> Catalyst inlines it.

@@ -22,7 +22,10 @@ Grammar discipline (what keeps the two dialects semantically identical):
 - ``substr`` generated with start >= 1 only (negative-start semantics
   differ);
 - NULL introducers (``nullif``) appear only where a NULL result is
-  compared directly, never under ``least``/``greatest``.
+  compared directly, never under ``least``/``greatest``;
+- no CAST of a fractional double to an integer type: DuckDB ROUNDS on
+  that cast while Spark truncates (a real divergence this harness
+  surfaced via graph_pagerank — floor()/round() explicitly instead).
 
 Usage: ``python tools/expr_fuzz.py [n_exprs] [seed]`` — prints each
 mismatch and exits nonzero on any. The pytest wrapper pins seeds so CI is
