@@ -119,9 +119,10 @@ PRIORITY: tuple[str, ...] = (
 # source_binaryfile_stats) and the r3-final tranche (fn_presto_compat3,
 # fn_hash_presto_ports, text_chunk_overlap, dedup_incremental, dedup_url,
 # events_streaming_upsert, sink_partitioned_shards, mm_video_frames,
-# agg_classification_curve, scale_zorder_layout, events_funnel) — each was
-# driver_sim-EXACT when added, and the end-of-round full sweep was
-# 282/282 EXACT (COVERAGE.md §Rotation).
+# agg_classification_curve, scale_zorder_layout, events_funnel,
+# sim_mmr_rerank, text_substring_removal, graph_pagerank — 288 registered
+# total) — each was driver_sim-EXACT when added; full-registry sweeps and
+# the sf0.1 differential sweep are recorded in COVERAGE.md §Rotation.
 # Keep any r3 entry that FAILED.
 # By r5-r6 every registry entry should have at least one driver-green row.
 
