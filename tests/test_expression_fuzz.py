@@ -42,3 +42,11 @@ def test_window_seeds_agree(spark):
     partition/order keys, full-order tiebreak for determinism."""
     assert expr_fuzz.run_window_batch(spark, SF, list(range(200, 225))) == []
     assert expr_fuzz.run_window_batch(spark, SF, list(range(225, 250))) == []
+
+
+def test_datetime_seeds_agree(spark):
+    """Datetime-mode fuzz: extracts, date_trunc, interval arithmetic and
+    date comparisons from the dialect-shared grammar (DuckDB's DATE+
+    INTERVAL->TIMESTAMP widening is normalized in the grammar)."""
+    assert expr_fuzz.run_datetime_batch(spark, SF, list(range(500, 525))) == []
+    assert expr_fuzz.run_datetime_batch(spark, SF, list(range(525, 550))) == []

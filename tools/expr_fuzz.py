@@ -338,3 +338,77 @@ def run_window_batch(spark, sf_dir: str, seeds: list[int]) -> list[str]:
                 f"window seed {s}: row {i} spark={av[i]!r} duckdb={ev[i]!r}"
             )
     return problems
+
+
+# --- datetime mode: the dialect-shared date grammar ----------------------
+#
+# Date arithmetic is a classic divergence area; the shared subset here is
+# extracts (year/month/day), date_trunc, INTERVAL literal addition, date
+# comparisons and min/max via CASE. Excluded by construction: datediff
+# (argument conventions differ), date_add (int-days in Spark, interval in
+# DuckDB), and fractional casts. o_orderdate is cast to DATE once at the
+# base.
+
+
+def _date_expr(g: "_Gen", depth: int) -> str:
+    r = g.rng
+    if depth <= 0:
+        return "d"
+    pick = r.random()
+    if pick < 0.30:
+        unit = r.choice(("year", "quarter", "month", "week", "day"))
+        return f"CAST(date_trunc('{unit}', {_date_expr(g, depth - 1)}) AS DATE)"
+    if pick < 0.60:
+        n = r.randint(1, 400)
+        unit = r.choice(("DAY", "MONTH", "YEAR"))
+        op = r.choice(("+", "-"))
+        # CAST back to DATE: DuckDB widens DATE +/- INTERVAL to TIMESTAMP
+        # (same instant, different type/rendering), Spark keeps DATE
+        return f"CAST(({_date_expr(g, depth - 1)} {op} INTERVAL {n} {unit}) AS DATE)"
+    a = _date_expr(g, depth - 1)
+    b = _date_expr(g, depth - 1)
+    return f"(CASE WHEN {a} < {b} THEN {a} ELSE {b} END)"
+
+
+def build_datetime_query(seeds: list[int]) -> str:
+    cols = []
+    for s in seeds:
+        g = _Gen(s)
+        e = _date_expr(g, 3)
+        out = g.rng.choice(
+            (
+                f"CAST(year({e}) AS BIGINT)",
+                f"CAST(month({e}) AS BIGINT)",
+                f"CAST(day({e}) AS BIGINT)",
+                f"CAST({e} AS STRING)",
+            )
+        )
+        cols.append(f"{out} AS e{s}")
+    return (
+        "SELECT o_orderkey, "
+        + ", ".join(cols)
+        + " FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d"
+        + "       FROM orders WHERE o_orderkey < 600) t ORDER BY o_orderkey"
+    )
+
+
+def run_datetime_batch(spark, sf_dir: str, seeds: list[int]) -> list[str]:
+    from sensql_presto_spark import catalog
+    from sensql_presto_spark.testing import duckdb_connection
+
+    q = build_datetime_query(seeds)
+    actual = catalog.sql(spark, sf_dir, q).toPandas()
+    con = duckdb_connection(sf_dir)
+    expected = con.sql(q).df()
+    con.close()
+    problems = []
+    for s in seeds:
+        col = f"e{s}"
+        av, ev = actual[col].astype(str), expected[col].astype(str)
+        eq = av == ev
+        if not eq.all():
+            i = int((~eq).idxmax())
+            problems.append(
+                f"datetime seed {s}: row {i} spark={av[i]!r} duckdb={ev[i]!r}"
+            )
+    return problems
