@@ -1,0 +1,33 @@
+#!/usr/bin/env bash
+# One-command end-of-round validation — the protocol every round runs
+# before the driver grades it (kept in sync with .claude/skills/verify):
+#
+#   1. full pytest suite
+#   2. full-registry driver_sim sweep (exact-hash, sf0.01 — the gate's own
+#      canonicalization)
+#   3. vanilla-session priority window (the CORRECTNESS_r{N} simulation)
+#   4. bench smoke (JSON contract)
+#
+# Usage: tools/roundcheck.sh [--fast]   (--fast skips pytest)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+if [[ "${1:-}" != "--fast" ]]; then
+    echo "== pytest =="
+    python -m pytest tests/ -q
+fi
+
+echo "== full-registry sweep (sf0.01 exact-hash) =="
+python tools/driver_sim.py $(python -c \
+    "from sensql_presto_spark.queries import all_specs; print(' '.join(sorted(all_specs())))" \
+    2>/dev/null | tail -1)
+
+echo "== vanilla priority window (driver simulation) =="
+python tools/driver_sim.py --vanilla
+
+echo "== bench smoke =="
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 BENCH_RUNS=1 BENCH_PREWARM=0 \
+    python bench.py | python -c "import json,sys; d=json.loads(sys.stdin.read()); \
+print('bench OK:', d['metric'], d['value'], 'sec,', len(d['queries']), 'queries')"
+
+echo "ROUNDCHECK PASSED"
