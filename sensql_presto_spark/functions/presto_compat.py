@@ -451,7 +451,10 @@ _SQL_FUNCTIONS: tuple[str, ...] = (
     # contract (never appears in an oracle-checked query); Spark's rand()
     # is the entropy source, the [lower, upper) range contract is Presto's
     """CREATE OR REPLACE TEMPORARY FUNCTION secure_random(lo DOUBLE, hi DOUBLE)
-       RETURNS DOUBLE RETURN lo + rand() * (hi - lo)""",
+       RETURNS DOUBLE RETURN
+       CASE WHEN lo >= hi THEN cast(raise_error(
+                'start value must be less than stop value') AS DOUBLE)
+            ELSE lo + rand() * (hi - lo) END""",
 )
 
 

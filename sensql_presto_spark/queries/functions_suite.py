@@ -962,8 +962,7 @@ def fn_presto_compat3(spark, sf_dir):
                    AND key_sampling_percent(cast(o_orderkey AS STRING)) < 1
                    AND key_sampling_percent(cast(o_orderkey AS STRING))
                        = round(key_sampling_percent(cast(o_orderkey AS STRING)), 2)
-                   AND key_sampling_percent(cast(o_orderkey AS STRING))
-                       = key_sampling_percent(cast(o_orderkey AS STRING)) AS ksp_ok
+                   AS ksp_ok
         FROM src
         ORDER BY o_orderkey
         """,

@@ -2514,9 +2514,9 @@ _VID_W, _VID_H = 3, 4  # width 3 -> 9-byte rows padded to 12: pad path exercised
     )
     SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
            CAST(1 + L % 5 AS BIGINT) AS n_frames,
-           CAST(list_sum([ascii(substring(text, ((fi * 7 + i) % L) + 1, 1)) * (i + 1)
+           CAST(list_sum([(ascii(substring(text, ((fi * 7 + i) % L) + 1, 1)) % 256) * (i + 1)
                           FOR i IN generate_series(0, 35)]) % 9973 AS BIGINT) AS frame_wsum,
-           CAST(list_sum([ascii(substring(text, ((fi * 7 + i) % L) + 1, 1))
+           CAST(list_sum([ascii(substring(text, ((fi * 7 + i) % L) + 1, 1)) % 256
                           FOR i IN generate_series(0, 35)]) % 997 AS BIGINT) AS frame_sum
     FROM f
     ORDER BY doc_id, frame_idx
@@ -2537,11 +2537,15 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, idxs, counts, wsums, sums = [], [], [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                data = text.encode("utf-8")
-                n = len(data)
+                # characters, not UTF-8 bytes: the oracle indexes with
+                # length(text)/ascii(substring(...)), which count CHARS and
+                # return codepoints — byte indexing silently diverges the
+                # moment the corpus gains a non-ASCII character
+                codes = [ord(c) % 256 for c in text]
+                n = len(codes)
                 n_frames = 1 + n % 5
                 frames = [
-                    bytes(data[(fi * 7 + i) % n] for i in range(frame_len))
+                    bytes(codes[(fi * 7 + i) % n] for i in range(frame_len))
                     for fi in range(n_frames)
                 ]
                 payload = encode_avi_rgb24(frames, _VID_W, _VID_H)

@@ -571,7 +571,12 @@ class StatementSession:
             ).orderBy("Schema")
         m = _SHOW_TABLES_RE.match(text)
         if m:
-            names = sorted(set(catalog.TABLES) | set(self.matviews.names()))
+            # honor the USE target: information_schema lists its metadata
+            # relations, not the default schema's tables
+            if self.schema == "information_schema":
+                names = ["columns", "tables"]
+            else:
+                names = sorted(set(catalog.TABLES) | set(self.matviews.names()))
             if m.group(1):
                 import fnmatch
 
@@ -619,6 +624,10 @@ class StatementSession:
                 raise ValueError(f"Type not found: {name}")
             del self.types[name]
             self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
+            # enum types also registered a <name>_enum_key accessor —
+            # leaving it behind would serve the old type's keys after a
+            # re-CREATE with different members
+            self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}_enum_key")
             return self.spark.createDataFrame([("DROP TYPE",)], "result string")
         m = _START_TXN_RE.match(text)
         if m:

@@ -424,7 +424,14 @@ def streaming_upsert_sink(
             .trigger(availableNow=True)
             .start()
         )
-        query.awaitTermination(timeout_s)
+        finished = query.awaitTermination(timeout_s)
+        if not finished:
+            # loud failure instead of racing a second pass against a query
+            # that is still merging into the same table
+            query.stop()
+            raise TimeoutError(
+                f"streaming upsert pass did not finish within {timeout_s}s"
+            )
         shutil.rmtree(ckpt, ignore_errors=True)
 
     _run_pass()

@@ -594,6 +594,8 @@ def test_use_statement_contracts(spark):
     assert sess.schema == "default"
     sess.execute("USE information_schema")
     assert sess.schema == "information_schema"
+    # the USE target is honored: SHOW TABLES now lists the metadata schema
+    assert {r[0] for r in sess.execute("SHOW TABLES").collect()} == {"columns", "tables"}
     sess.execute("USE spark.default")
     assert sess.schema == "default"
     with pytest.raises(ValueError, match="Catalog does not exist"):

@@ -171,6 +171,34 @@ class _Gen:
         return f"nullif({a}, {b})"
 
 
+def _run_and_compare(spark, sf_dir, q, seeds, label, text_cols=False):
+    """Shared execute-and-diff loop for every fuzz mode: run the query on
+    both engines, compare each seed column NaN-aware cell-by-cell (as
+    strings when text_cols — datetime mode mixes date/str outputs)."""
+    from sensql_presto_spark import catalog
+    from sensql_presto_spark.testing import duckdb_connection
+
+    actual = catalog.sql(spark, sf_dir, q).toPandas()
+    con = duckdb_connection(sf_dir)
+    expected = con.sql(q).df()
+    con.close()
+    problems = []
+    if len(actual) != len(expected):
+        return [f"{label}: row count differs: spark={len(actual)} duckdb={len(expected)}"]
+    for s in seeds:
+        col = f"e{s}"
+        av, ev = actual[col], expected[col]
+        if text_cols:
+            av, ev = av.astype(str), ev.astype(str)
+        eq = (av == ev) | (av.isna() & ev.isna())
+        if not eq.all():
+            i = int((~eq).idxmax())
+            problems.append(
+                f"{label} seed {s}: row {i} spark={av[i]!r} duckdb={ev[i]!r}"
+            )
+    return problems
+
+
 def build_query(seeds: list[int]) -> str:
     cols = []
     for s in seeds:
@@ -186,26 +214,7 @@ def build_query(seeds: list[int]) -> str:
 
 def run_batch(spark, sf_dir: str, seeds: list[int]) -> list[str]:
     """Returns a list of mismatch descriptions (empty = all agree)."""
-    from sensql_presto_spark import catalog
-    from sensql_presto_spark.testing import duckdb_connection
-
-    q = build_query(seeds)
-    actual = catalog.sql(spark, sf_dir, q).toPandas()
-    con = duckdb_connection(sf_dir)
-    expected = con.sql(q).df()
-    con.close()
-    problems = []
-    for s in seeds:
-        col = f"e{s}"
-        av, ev = actual[col], expected[col]
-        eq = (av == ev) | (av.isna() & ev.isna())
-        if not eq.all():
-            i = int((~eq).idxmax())
-            problems.append(
-                f"seed {s}: row {i} spark={av[i]!r} duckdb={ev[i]!r} "
-                f"expr: {_Gen(s).top_expr()}"
-            )
-    return problems
+    return _run_and_compare(spark, sf_dir, build_query(seeds), seeds, "scalar")
 
 
 def main() -> None:
@@ -260,28 +269,7 @@ def build_agg_query(seeds: list[int]) -> str:
 
 
 def run_agg_batch(spark, sf_dir: str, seeds: list[int]) -> list[str]:
-    from sensql_presto_spark import catalog
-    from sensql_presto_spark.testing import duckdb_connection
-
-    q = build_agg_query(seeds)
-    actual = catalog.sql(spark, sf_dir, q).toPandas()
-    con = duckdb_connection(sf_dir)
-    expected = con.sql(q).df()
-    con.close()
-    problems = []
-    if len(actual) != len(expected):
-        return [f"group count differs: spark={len(actual)} duckdb={len(expected)}"]
-    for s in seeds:
-        col = f"e{s}"
-        av, ev = actual[col], expected[col]
-        eq = (av == ev) | (av.isna() & ev.isna())
-        if not eq.all():
-            i = int((~eq).idxmax())
-            problems.append(
-                f"agg seed {s}: group {actual['g'][i]!r} "
-                f"spark={av[i]!r} duckdb={ev[i]!r}"
-            )
-    return problems
+    return _run_and_compare(spark, sf_dir, build_agg_query(seeds), seeds, "agg")
 
 
 # --- window mode: ranking/aggregate window functions --------------------
@@ -319,25 +307,7 @@ def build_window_query(seeds: list[int]) -> str:
 
 
 def run_window_batch(spark, sf_dir: str, seeds: list[int]) -> list[str]:
-    from sensql_presto_spark import catalog
-    from sensql_presto_spark.testing import duckdb_connection
-
-    q = build_window_query(seeds)
-    actual = catalog.sql(spark, sf_dir, q).toPandas()
-    con = duckdb_connection(sf_dir)
-    expected = con.sql(q).df()
-    con.close()
-    problems = []
-    for s in seeds:
-        col = f"e{s}"
-        av, ev = actual[col], expected[col]
-        eq = (av == ev) | (av.isna() & ev.isna())
-        if not eq.all():
-            i = int((~eq).idxmax())
-            problems.append(
-                f"window seed {s}: row {i} spark={av[i]!r} duckdb={ev[i]!r}"
-            )
-    return problems
+    return _run_and_compare(spark, sf_dir, build_window_query(seeds), seeds, "window")
 
 
 # --- datetime mode: the dialect-shared date grammar ----------------------
@@ -393,22 +363,5 @@ def build_datetime_query(seeds: list[int]) -> str:
 
 
 def run_datetime_batch(spark, sf_dir: str, seeds: list[int]) -> list[str]:
-    from sensql_presto_spark import catalog
-    from sensql_presto_spark.testing import duckdb_connection
-
-    q = build_datetime_query(seeds)
-    actual = catalog.sql(spark, sf_dir, q).toPandas()
-    con = duckdb_connection(sf_dir)
-    expected = con.sql(q).df()
-    con.close()
-    problems = []
-    for s in seeds:
-        col = f"e{s}"
-        av, ev = actual[col].astype(str), expected[col].astype(str)
-        eq = av == ev
-        if not eq.all():
-            i = int((~eq).idxmax())
-            problems.append(
-                f"datetime seed {s}: row {i} spark={av[i]!r} duckdb={ev[i]!r}"
-            )
-    return problems
+    return _run_and_compare(spark, sf_dir, build_datetime_query(seeds), seeds,
+                            "datetime", text_cols=True)

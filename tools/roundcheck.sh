@@ -18,9 +18,16 @@ if [[ "${1:-}" != "--fast" ]]; then
 fi
 
 echo "== full-registry sweep (sf0.01 exact-hash) =="
-python tools/driver_sim.py $(python -c \
+# capture the list first and fail loudly if it is empty — a silent import
+# failure must not degrade the "full sweep" to the 50-entry default window
+ALL_NAMES=$(python -c \
     "from sensql_presto_spark.queries import all_specs; print(' '.join(sorted(all_specs())))" \
     2>/dev/null | tail -1)
+if [[ -z "$ALL_NAMES" ]]; then
+    echo "FATAL: could not enumerate the registry (import failure?)" >&2
+    exit 1
+fi
+python tools/driver_sim.py $ALL_NAMES
 
 echo "== vanilla priority window (driver simulation) =="
 python tools/driver_sim.py --vanilla
