@@ -504,7 +504,11 @@ ds(
       AND inv.o_orderdate BETWEEN TIMESTAMP '1995-05-25' AND TIMESTAMP '1995-07-24'
       AND inv.qty BETWEEN 10 AND 50
     GROUP BY i.p_name, i.p_type, i.p_retailprice
-    ORDER BY i_item_id
+    -- full group-key tiebreak: the reference orders by i_item_id
+    -- alone, but duplicate item ids at the LIMIT boundary make the
+    -- cut engine-dependent at larger SFs (caught by the sf0.1
+    -- differential sweep)
+    ORDER BY i_item_id, i_item_desc, i_current_price
     LIMIT 100
     """,
     doc="Reference: tpcds/q82.sql.",
