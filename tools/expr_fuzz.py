@@ -61,7 +61,7 @@ class _Gen:
         self.rng = random.Random(seed)
 
     # --- integer expressions -------------------------------------------
-    def int_expr(self, depth: int, mag: float = 0.0) -> tuple[str, float]:
+    def int_expr(self, depth: int) -> tuple[str, float]:
         r = self.rng
         if depth <= 0:
             if r.random() < 0.5:
