@@ -569,3 +569,34 @@ def ddl_logical_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT n_name, count(*) AS n_suppliers FROM supplier_nations "
         "GROUP BY n_name ORDER BY n_name"
     )
+
+
+# --- WITH RECURSIVE (SqlBase.g4:143 "WITH RECURSIVE? namedQuery") -------
+#
+# Spark 4 executes recursive CTEs natively (the UnionLoop operator), so the
+# reference's recursive grammar maps 1:1. The hierarchy is a binary tree
+# over the nation keys (parent(k) = floor((k-1)/2) — pure arithmetic, so
+# both engines walk the identical tree); the walk accumulates depth and
+# the ancestor-path key sum. Scale shape: each recursion step is one join
+# of the frontier against the base relation — frontier-sized state, the
+# same bound as the connected-components rounds.
+
+_sql_query(
+    "recursive_cte_hierarchy",
+    """
+    WITH RECURSIVE anc(id, depth, path_sum) AS (
+        SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT n.n_nationkey, a.depth + CAST(1 AS BIGINT),
+               a.path_sum + n.n_nationkey
+        FROM nation n JOIN anc a
+          ON CAST((n.n_nationkey - 1 - ((n.n_nationkey - 1) % 2)) / 2 AS BIGINT) = a.id
+         AND n.n_nationkey > 0
+    )
+    SELECT id, depth, path_sum FROM anc ORDER BY id
+    """,
+    tags=("relational", "recursive"),
+    doc="WITH RECURSIVE hierarchy walk: binary tree over nation keys, "
+    "per-node depth and ancestor-path sum; frontier-join recursion "
+    "(Spark 4 UnionLoop).",
+)
