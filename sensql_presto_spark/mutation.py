@@ -113,6 +113,37 @@ class WritableTable:
         snapshot version, so readers of the prior version are unaffected)."""
         self._commit(df)
 
+    # -- ALTER TABLE (SqlBase.g4 alterTable: ADD/DROP/RENAME COLUMN) -------
+    # Copy-on-write schema evolution: each change commits a new snapshot
+    # with the evolved schema, so time-travel reads of prior versions keep
+    # the old shape (the same contract a table format gives ALTER TABLE).
+
+    def add_column(self, name: str, value: Column) -> None:
+        """ALTER TABLE ADD COLUMN — existing rows get the value expression
+        (NULL literal for plain ADD COLUMN, the reference's behavior)."""
+        snap = self.read()
+        if name in snap.columns:
+            raise ValueError(f"Column already exists: {name}")
+        self._commit(snap.withColumn(name, value))
+
+    def drop_column(self, name: str) -> None:
+        """ALTER TABLE DROP COLUMN."""
+        snap = self.read()
+        if name not in snap.columns:
+            raise ValueError(f"Column not found: {name}")
+        if len(snap.columns) == 1:
+            raise ValueError("Cannot drop the only column of a table")
+        self._commit(snap.drop(name))
+
+    def rename_column(self, old: str, new: str) -> None:
+        """ALTER TABLE RENAME COLUMN old TO new."""
+        snap = self.read()
+        if old not in snap.columns:
+            raise ValueError(f"Column not found: {old}")
+        if new in snap.columns:
+            raise ValueError(f"Column already exists: {new}")
+        self._commit(snap.withColumnRenamed(old, new))
+
     def delete(self, condition: Column) -> None:
         """DELETE WHERE condition — keep the complement."""
         snap = self.read()

@@ -271,3 +271,35 @@ def ddl_create_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderstatus
         """
     )
+
+
+@register(
+    "ddl_alter_table",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           CAST(n_regionkey * 10 AS BIGINT) AS region_decade
+    FROM nation WHERE n_regionkey < 3
+    ORDER BY n_nationkey
+    """,
+    tags=("ddl", "mutation", "alter"),
+    doc="ALTER TABLE lifecycle (SqlBase.g4 alterTable): ADD COLUMN with a "
+    "value expression -> RENAME COLUMN -> DROP COLUMN, each a committed "
+    "copy-on-write snapshot; prior versions keep the pre-evolution schema "
+    "(time-travel asserted in the builder).",
+)
+def ddl_alter_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    nation = catalog.table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = os.path.join(_WRITE_DIR, "..", "alter_demo")
+    t = WritableTable.create(spark, path, nation.filter(F.col("n_regionkey") < 3))
+    t.add_column("bal_class", (F.col("n_regionkey") * 10).cast("long"))
+    t.rename_column("bal_class", "region_decade")
+    t.drop_column("n_regionkey")
+    assert t.version == 3  # CTAS v0 + three schema-evolution snapshots
+    # prior snapshots keep their schema (time travel across evolution)
+    assert t.read_version(0).columns == ["n_nationkey", "n_name", "n_regionkey"]
+    assert "region_decade" in t.read_version(2).columns
+    return t.read().orderBy("n_nationkey")

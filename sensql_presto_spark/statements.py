@@ -103,6 +103,10 @@ _SHOW_CATALOGS_RE = re.compile(r"^\s*SHOW\s+CATALOGS\s*$", re.IGNORECASE)
 # Session catalog/schema defaults with CATALOG_NOT_FOUND / SCHEMA_NOT_FOUND
 # error contracts).
 _USE_RE = re.compile(r"^\s*USE\s+(?:(\w+)\.)?(\w+)\s*$", re.IGNORECASE)
+# ALTER TABLE (SqlBase.g4 alterTable rules). The parquet catalog views are
+# immutable — ALTER on them gets the DELETE-on-parquet-style loud contract
+# pointing at the snapshot-table path; Spark-managed tables pass through.
+_ALTER_TABLE_RE = re.compile(r"^\s*ALTER\s+TABLE\s+(\w+)\s+(.*)$", re.IGNORECASE | re.DOTALL)
 _SHOW_SCHEMAS_RE = re.compile(r"^\s*SHOW\s+SCHEMAS(?:\s+FROM\s+\w+)?\s*$", re.IGNORECASE)
 _SHOW_TABLES_RE = re.compile(
     r"^\s*SHOW\s+TABLES(?:\s+FROM\s+\w+)?(?:\s+LIKE\s+'([^']*)')?\s*$", re.IGNORECASE
@@ -556,6 +560,19 @@ class StatementSession:
             return self.spark.sql(f"SHOW USER FUNCTIONS{like}")
         if _SHOW_CATALOGS_RE.match(text):
             return self.spark.createDataFrame([("spark",)], "Catalog string")
+        m = _ALTER_TABLE_RE.match(text)
+        if m:
+            target = m.group(1).lower()
+            if target in catalog.TABLES:
+                raise ValueError(
+                    f"ALTER TABLE is not supported on the immutable parquet "
+                    f"catalog table '{target}' — snapshot-versioned tables "
+                    f"(mutation.WritableTable) support ADD/DROP/RENAME COLUMN "
+                    f"as copy-on-write schema evolution"
+                )
+            # Spark-managed tables (CREATE TABLE ... via this session) pass
+            # through to Spark's own ALTER TABLE DDL
+            return self.spark.sql(text)
         m = _USE_RE.match(text)
         if m:
             cat, schema = m.group(1), m.group(2).lower()

@@ -4,9 +4,13 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from sensql_presto_spark.mutation import WritableTable
 
 PATH = "spark-warehouse/mutation_unit_test"
+SF = "/root/testdata/sf0.001"
+
 
 
 def _fresh(spark):
@@ -62,3 +66,43 @@ def test_versions_accumulate_and_latest_wins(spark):
     t.delete(F.col("k") == 2)
     assert t.version == 2
     assert sorted(r.k for r in t.read().collect()) == [3, 4]
+
+
+def test_alter_table_schema_evolution_and_time_travel(spark, tmp_path):
+    """ADD/RENAME/DROP COLUMN each commit a snapshot; earlier versions
+    keep their pre-evolution schema; error contracts on bad columns."""
+    import pyspark.sql.functions as F
+
+    from sensql_presto_spark import catalog
+    from sensql_presto_spark.mutation import WritableTable
+
+    base = catalog.table(spark, SF, "region").select("r_regionkey", "r_name")
+    t = WritableTable.create(spark, str(tmp_path / "alter_t"), base)
+    t.add_column("code", (F.col("r_regionkey") + 100).cast("long"))
+    assert t.read().filter("code = 100").count() == 1
+    t.rename_column("code", "region_code")
+    t.drop_column("r_name")
+    assert t.read().columns == ["r_regionkey", "region_code"]
+    assert t.read_version(0).columns == ["r_regionkey", "r_name"]
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("region_code", F.lit(None).cast("long"))
+    with pytest.raises(ValueError, match="not found"):
+        t.drop_column("nope")
+    with pytest.raises(ValueError, match="only column"):
+        t.drop_column("r_regionkey")
+        t.drop_column("region_code")
+
+
+def test_alter_table_statement_contract(spark):
+    """Statement layer: ALTER TABLE on an immutable catalog table raises
+    the loud contract; managed tables pass through to Spark DDL."""
+    from sensql_presto_spark.statements import StatementSession
+
+    sess = StatementSession(spark, SF)
+    with pytest.raises(ValueError, match="immutable parquet catalog"):
+        sess.execute("ALTER TABLE nation ADD COLUMN x BIGINT")
+    spark.sql("DROP TABLE IF EXISTS alter_stmt_demo")
+    sess.execute("CREATE TABLE alter_stmt_demo AS SELECT 1 AS a")
+    sess.execute("ALTER TABLE alter_stmt_demo ADD COLUMNS (b BIGINT)")
+    assert spark.table("alter_stmt_demo").columns == ["a", "b"]
+    spark.sql("DROP TABLE alter_stmt_demo")
