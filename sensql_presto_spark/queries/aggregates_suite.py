@@ -30,8 +30,8 @@ _sql_query(
            count(*) AS n_rows,
            count(DISTINCT l_partkey) AS n_parts,
            sum(l_quantity) AS sum_qty,
-           round(CAST(sum(cast(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
-                 / 100.0 / count(*), 4) AS avg_price,
+           CAST(CAST(floor(sum(cast(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                 * 100.0 / count(*) + 0.5) AS BIGINT) AS DOUBLE) / 10000.0 AS avg_price,
            min(l_shipdate) AS min_ship,
            max(l_shipdate) AS max_ship,
            count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,

@@ -2044,7 +2044,7 @@ _TRIGRAM_SPARK = """
         WHERE tri.doc_id < 300
     )
     SELECT doc_id, count(*) AS n_trigrams,
-           round(CAST(sum(lp_micro) AS DOUBLE) / 1000000.0 / count(*), 4) AS avg_log2p
+           CAST(CAST(floor(sum(lp_micro) * 1.0 / count(*) / 100.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0 AS avg_log2p
     FROM scored
     GROUP BY doc_id
     ORDER BY doc_id
@@ -2067,7 +2067,7 @@ _TRIGRAM_DUCK = """
         WHERE tri.doc_id < 300
     )
     SELECT doc_id, count(*) AS n_trigrams,
-           round(CAST(sum(lp_micro) AS DOUBLE) / 1000000.0 / count(*), 4) AS avg_log2p
+           CAST(CAST(floor(sum(lp_micro) * 1.0 / count(*) / 100.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0 AS avg_log2p
     FROM scored
     GROUP BY doc_id
     ORDER BY doc_id

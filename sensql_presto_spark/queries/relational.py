@@ -406,7 +406,14 @@ _sql_query(
     """
     SELECT s_suppkey, s_name, s_acctbal
     FROM supplier
-    WHERE s_acctbal > (SELECT max(s2.s_acctbal) FROM supplier s2 WHERE s2.s_nationkey = 1)
+    -- > ALL(S) via max() must carry the empty-set case explicitly:
+    -- ALL over an empty subquery is TRUE (no counterexample), while
+    -- > max(empty) is > NULL = NULL and silently drops every row
+    -- (caught by the sf0.001 empty-edge sweep)
+    WHERE CASE WHEN (SELECT count(*) FROM supplier s2 WHERE s2.s_nationkey = 1) = 0
+               THEN TRUE
+               ELSE s_acctbal > (SELECT max(s2.s_acctbal)
+                                 FROM supplier s2 WHERE s2.s_nationkey = 1) END
     ORDER BY s_suppkey
     """,
     oracle="""

@@ -226,11 +226,10 @@ _sql_query(
     f"""
     WITH {_S}
     SELECT p.p_brand AS i_item_id,
-           round(CAST(sum(cast(l_quantity AS BIGINT)) AS DOUBLE) / count(*), 4) AS agg1,
-           round(CAST(sum(price_c) AS DOUBLE) / 100.0 / count(*), 2) AS agg2,
-           round(CAST(sum(cast(floor(l_discount * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
-                 / 10000.0 / count(*), 4) AS agg3,
-           round(CAST(sum(net_c) AS DOUBLE) / 100.0 / count(*), 2) AS agg4
+           CAST(CAST(floor(sum(cast(l_quantity AS BIGINT)) * 10000.0 / count(*) + 0.5) AS BIGINT) AS DOUBLE) / 10000.0 AS agg1,
+           CAST(CAST(floor(sum(price_c) * 1.0 / count(*) + 0.5) AS BIGINT) AS DOUBLE) / 100.0 AS agg2,
+           CAST(CAST(floor(sum(cast(floor(l_discount * 10000 + 0.5) AS BIGINT)) * 1.0 / count(*) + 0.5) AS BIGINT) AS DOUBLE) / 10000.0 AS agg3,
+           CAST(CAST(floor(sum(net_c) * 1.0 / count(*) + 0.5) AS BIGINT) AS DOUBLE) / 100.0 AS agg4
     FROM sales
     JOIN customer c ON o_custkey = c.c_custkey
     JOIN part p ON l_partkey = p.p_partkey
@@ -368,8 +367,8 @@ _sql_query(
     "tpcds_q13",
     f"""
     WITH {_S}
-    SELECT round(CAST(sum(cast(l_quantity AS BIGINT)) AS DOUBLE) / count(*), 4) AS avg_qty,
-           round(CAST(sum(price_c) AS DOUBLE) / 100.0 / count(*), 2) AS avg_price,
+    SELECT CAST(CAST(floor(sum(cast(l_quantity AS BIGINT)) * 10000.0 / count(*) + 0.5) AS BIGINT) AS DOUBLE) / 10000.0 AS avg_qty,
+           CAST(CAST(floor(sum(price_c) * 1.0 / count(*) + 0.5) AS BIGINT) AS DOUBLE) / 100.0 AS avg_price,
            round(CAST(sum(net_c) AS DOUBLE) / 100.0, 2) AS total_net
     FROM sales
     JOIN customer c ON o_custkey = c.c_custkey
@@ -459,8 +458,8 @@ _sql_query(
     f"""
     WITH {_S}
     SELECT p.p_type, count(*) AS cnt,
-           round(CAST(sum(cast(ss.l_quantity AS BIGINT)) AS DOUBLE) / count(*), 4) AS avg_sold_qty,
-           round(CAST(sum(cast(sr.l_quantity AS BIGINT)) AS DOUBLE) / count(*), 4) AS avg_ret_qty
+           CAST(CAST(floor(sum(cast(ss.l_quantity AS BIGINT)) * 10000.0 / count(*) + 0.5) AS BIGINT) AS DOUBLE) / 10000.0 AS avg_sold_qty,
+           CAST(CAST(floor(sum(cast(sr.l_quantity AS BIGINT)) * 10000.0 / count(*) + 0.5) AS BIGINT) AS DOUBLE) / 10000.0 AS avg_ret_qty
     FROM sales ss
     JOIN sales sr ON ss.o_custkey = sr.o_custkey AND ss.l_partkey = sr.l_partkey
                  AND sr.l_returnflag = 'R' AND sr.l_orderkey <> ss.l_orderkey
@@ -481,8 +480,8 @@ _sql_query(
     WITH {_S}
     SELECT n.n_name, c.c_mktsegment,
            count(*) AS cnt,
-           round(CAST(sum(cast(l_quantity AS BIGINT)) AS DOUBLE) / count(*), 4) AS agg1,
-           round(CAST(sum(price_c) AS DOUBLE) / 100.0 / count(*), 2) AS agg2
+           CAST(CAST(floor(sum(cast(l_quantity AS BIGINT)) * 10000.0 / count(*) + 0.5) AS BIGINT) AS DOUBLE) / 10000.0 AS agg1,
+           CAST(CAST(floor(sum(price_c) * 1.0 / count(*) + 0.5) AS BIGINT) AS DOUBLE) / 100.0 AS agg2
     FROM sales
     JOIN customer c ON o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -562,7 +561,7 @@ _sql_query(
     f"""
     WITH {_S}
     SELECT p.p_type, p.p_brand,
-           round(CAST(sum(cast(l_quantity AS BIGINT)) AS DOUBLE) / count(*), 4) AS qoh
+           CAST(CAST(floor(sum(cast(l_quantity AS BIGINT)) * 10000.0 / count(*) + 0.5) AS BIGINT) AS DOUBLE) / 10000.0 AS qoh
     FROM sales JOIN part p ON l_partkey = p.p_partkey
     WHERE d_year = 1995
     GROUP BY ROLLUP (p.p_type, p.p_brand)
@@ -660,9 +659,9 @@ _sql_query(
     f"""
     WITH {_CHANNELS}
     SELECT p.p_brand AS i_item_id,
-           round(CAST(sum(cast(l_quantity AS BIGINT)) AS DOUBLE) / count(*), 4) AS agg1,
-           round(CAST(sum(price_c) AS DOUBLE) / 100.0 / count(*), 2) AS agg2,
-           round(CAST(sum(net_c) AS DOUBLE) / 100.0 / count(*), 2) AS agg4
+           CAST(CAST(floor(sum(cast(l_quantity AS BIGINT)) * 10000.0 / count(*) + 0.5) AS BIGINT) AS DOUBLE) / 10000.0 AS agg1,
+           CAST(CAST(floor(sum(price_c) * 1.0 / count(*) + 0.5) AS BIGINT) AS DOUBLE) / 100.0 AS agg2,
+           CAST(CAST(floor(sum(net_c) * 1.0 / count(*) + 0.5) AS BIGINT) AS DOUBLE) / 100.0 AS agg4
     FROM cat
     JOIN customer c ON o_custkey = c.c_custkey
     JOIN part p ON l_partkey = p.p_partkey
@@ -683,7 +682,7 @@ _sql_query(
     WITH {_S}
     SELECT p.p_brand, n.n_name,
            count(*) AS cnt,
-           round(CAST(sum(cast(l_quantity AS BIGINT)) AS DOUBLE) / count(*), 4) AS agg1
+           CAST(CAST(floor(sum(cast(l_quantity AS BIGINT)) * 10000.0 / count(*) + 0.5) AS BIGINT) AS DOUBLE) / 10000.0 AS agg1
     FROM sales
     JOIN customer c ON o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -707,16 +706,16 @@ _sql_query(
            b3.cnt AS b3_cnt, b3.avg_p AS b3_avg,
            b4.cnt AS b4_cnt, b4.avg_p AS b4_avg
     FROM (SELECT count(*) AS cnt,
-                 round(CAST(sum(price_c) AS DOUBLE) / 100.0 / count(*), 2) AS avg_p
+                 CAST(CAST(floor(sum(price_c) * 1.0 / count(*) + 0.5) AS BIGINT) AS DOUBLE) / 100.0 AS avg_p
           FROM sales WHERE l_quantity BETWEEN 0 AND 5) b1,
          (SELECT count(*) AS cnt,
-                 round(CAST(sum(price_c) AS DOUBLE) / 100.0 / count(*), 2) AS avg_p
+                 CAST(CAST(floor(sum(price_c) * 1.0 / count(*) + 0.5) AS BIGINT) AS DOUBLE) / 100.0 AS avg_p
           FROM sales WHERE l_quantity BETWEEN 6 AND 10) b2,
          (SELECT count(*) AS cnt,
-                 round(CAST(sum(price_c) AS DOUBLE) / 100.0 / count(*), 2) AS avg_p
+                 CAST(CAST(floor(sum(price_c) * 1.0 / count(*) + 0.5) AS BIGINT) AS DOUBLE) / 100.0 AS avg_p
           FROM sales WHERE l_quantity BETWEEN 11 AND 15) b3,
          (SELECT count(*) AS cnt,
-                 round(CAST(sum(price_c) AS DOUBLE) / 100.0 / count(*), 2) AS avg_p
+                 CAST(CAST(floor(sum(price_c) * 1.0 / count(*) + 0.5) AS BIGINT) AS DOUBLE) / 100.0 AS avg_p
           FROM sales WHERE l_quantity BETWEEN 16 AND 20) b4
     """,
     tags=("tpcds",),

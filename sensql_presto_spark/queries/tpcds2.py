@@ -437,11 +437,11 @@ ds(
     """
     , profits AS (
         SELECT l_partkey AS item_sk,
-               round(CAST(sum(net_c) AS DOUBLE) / count(*), 4) AS rank_col
+               CAST(CAST(floor(sum(net_c) * 10000.0 / count(*) + 0.5) AS BIGINT) AS DOUBLE) / 10000.0 AS rank_col
         FROM sales WHERE l_suppkey = 4
         GROUP BY l_partkey
-        HAVING round(CAST(sum(net_c) AS DOUBLE) / count(*), 4) > 0.9 * (
-            SELECT round(CAST(sum(net_c) AS DOUBLE) / count(*), 4)
+        HAVING CAST(CAST(floor(sum(net_c) * 10000.0 / count(*) + 0.5) AS BIGINT) AS DOUBLE) / 10000.0 > 0.9 * (
+            SELECT CAST(CAST(floor(sum(net_c) * 10000.0 / count(*) + 0.5) AS BIGINT) AS DOUBLE) / 10000.0
             FROM sales WHERE l_suppkey = 4 AND l_returnflag = 'R')
     ),
     asceding AS (

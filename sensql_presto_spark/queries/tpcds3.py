@@ -577,9 +577,9 @@ ds(
     "tpcds_q85",
     """
     SELECT substr(r.o_orderpriority, 1, 20) AS reason,
-           round(CAST(sum(r.qty) AS DOUBLE) / count(*), 4) AS avg_quantity,
-           round(CAST(sum(r.price_c) AS DOUBLE) / 100.0 / count(*), 2) AS avg_refunded,
-           round(CAST(sum(r.tax_c) AS DOUBLE) / 100.0 / count(*), 2) AS avg_fee
+           CAST(CAST(floor(sum(r.qty) * 10000.0 / count(*) + 0.5) AS BIGINT) AS DOUBLE) / 10000.0 AS avg_quantity,
+           CAST(CAST(floor(sum(r.price_c) * 1.0 / count(*) + 0.5) AS BIGINT) AS DOUBLE) / 100.0 AS avg_refunded,
+           CAST(CAST(floor(sum(r.tax_c) * 1.0 / count(*) + 0.5) AS BIGINT) AS DOUBLE) / 100.0 AS avg_fee
     FROM ret r
     JOIN customer c ON r.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
