@@ -157,19 +157,34 @@ def test_pipeline_end_to_end_is_two_exchanges(spark):
     assert plan.count("Exchange hashpartitioning") == 2
 
 
-def test_jdbc_source_filter_pushdown_and_parallel_read(spark):
+def test_jdbc_source_filter_pushdown_and_parallel_read(spark, tmp_path):
     """JDBC source (presto-base-jdbc analog): predicates push into the
     remote SQL (PushedFilters on the JDBC scan) and a partitioned read
-    plans multiple splits."""
-    from sensql_presto_spark.queries import all_specs
+    plans multiple splits.
 
-    # materialize the Derby table (the final orderBy coalesces under AQE,
-    # so split-count is asserted on a raw partitioned scan below)
-    all_specs()["source_jdbc_roundtrip"].build(spark, "/root/testdata/sf0.001").collect()
+    Writes its own Derby database under tmp_path — embedded Derby allows
+    one JVM per database directory, and sharing the registry entry's
+    spark-warehouse db collides with a concurrently running driver_sim
+    sweep (observed flake)."""
+    from sensql_presto_spark import catalog
+
+    db = str(tmp_path / "plan_jdbc_db")
+    url = f"jdbc:derby:{db};create=true"
+    (
+        catalog.table(spark, "/root/testdata/sf0.001", "customer")
+        .select("c_custkey", "c_name", "c_nationkey")
+        .filter("c_custkey < 200")
+        .write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "customer_slice")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .mode("overwrite")
+        .save()
+    )
 
     scan = (
         spark.read.format("jdbc")
-        .option("url", "jdbc:derby:spark-warehouse/source_jdbc_demo")
+        .option("url", f"jdbc:derby:{db}")
         .option("dbtable", "customer_slice")
         .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
         .option("partitionColumn", "c_custkey")
