@@ -120,8 +120,8 @@ PRIORITY: tuple[str, ...] = (
 # fn_hash_presto_ports, text_chunk_overlap, dedup_incremental, dedup_url,
 # events_streaming_upsert, sink_partitioned_shards, mm_video_frames,
 # agg_classification_curve, scale_zorder_layout, events_funnel,
-# sim_mmr_rerank, text_substring_removal, graph_pagerank — 288 registered
-# total) — each was driver_sim-EXACT when added; full-registry sweeps and
+# sim_mmr_rerank, text_substring_removal, graph_pagerank,
+# recursive_cte_hierarchy, ddl_alter_table — 290 registered total) — each was driver_sim-EXACT when added; full-registry sweeps and
 # the sf0.1 differential sweep are recorded in COVERAGE.md §Rotation.
 # Keep any r3 entry that FAILED.
 # By r5-r6 every registry entry should have at least one driver-green row.
