@@ -27,104 +27,88 @@ from pyspark.sql import DataFrame, SparkSession
 
 from sensql_presto_spark.queries import all_specs
 
-# ROUND-3 ROTATION (r2 window was 50/50 green — everything rotated out).
-# This block holds only entries that have NEVER received a driver row:
-# the r2-late additions, the full geo surface, sources, sketches, text/
-# events tails, plus a second TPC-H tranche (q03-q05, q07-q12) and a
-# TPC-DS tranche (q31-q38).  Rotation ledger: COVERAGE.md §Rotation.
+# ROUND-4 ROTATION (r3 window was 50/50 green — everything rotated out).
+# 149 registry entries have never received a driver row: 49 non-TPC
+# leftovers, tpch q14-q20+q22, and 92 TPC-DS bodies.  This window takes
+# ALL 49 non-TPC leftovers (maximizing operator-family diversity — every
+# remaining statement/source/streaming/mm/scale/sensql/text/dedup family
+# gets its driver row this round) plus tpch_q14.  r5 takes tpch q15-q22 +
+# the first TPC-DS tranche (q02-q30 + q39-q51); r6 takes the remaining
+# TPC-DS bodies — every entry driver-checked by r6.
+# Rotation ledger: COVERAGE.md §Rotation.
 PRIORITY: tuple[str, ...] = (
-    # geospatial surface beyond geo_st_functions (a49 green in r2)
-    "geo_st_setops",
-    "geo_wkb_geojson",
-    "geo_spherical",
-    "geo_agg_hulls",
-    "geo_bing_parity",
-    "geo_line_ops",
-    "geo_st_accessors",
-    "geo_st_surface2",
-    # source connectors (§2.1)
-    "source_csv_roundtrip",
-    "source_json_roundtrip",
-    "source_orc_roundtrip",
-    # scalar function tails
-    "fn_ip",
-    "fn_sketch_scalars",
-    # sketch/ML aggregates never driver-checked
-    "agg_setdigest_jaccard",
-    "agg_khll_uniqueness",
-    "agg_classification_metrics",
-    "agg_differential_entropy",
-    # statement layer (r2 additions)
-    "prepared_execute",
-    "ddl_materialized_view",
-    "mutation_time_travel",
-    # events tails
-    "events_gap_fill",
-    "events_range_join",
-    # dedup/similarity tails
-    "dedup_connected_components",
-    "sim_int8_quantized",
-    "sim_pq_topk",
+    # statement layer / DDL leftovers (§3.4)
+    "ddl_alter_table",
+    "ddl_create_function",
+    "ddl_create_type",
+    "ddl_logical_view",
+    # relational leftovers (§2.2/2.4/2.6/2.7/2.9)
+    "values_inline",
+    "quantified_any",
+    "rollup_lineitem",
+    "setop_union_distinct",
+    "setop_intersect",
+    "setop_except",
+    "recursive_cte_hierarchy",
+    # source/sink connectors (§2.1)
+    "source_text_roundtrip",
+    "source_binaryfile_stats",
+    "source_jdbc_roundtrip",
+    "sink_partitioned_shards",
+    # scalar-function tails (§2.8)
+    "fn_color",
+    "fn_hash_presto_ports",
+    "fn_hash_spark_native",
+    "fn_presto_compat2",
+    "fn_presto_compat3",
+    # ML/sketch aggregate tails (§2.4)
+    "agg_classification_curve",
+    # events / streaming (§2.11)
+    "events_funnel",
+    "events_streaming_dedup",
+    "events_streaming_interval_join",
+    "events_streaming_upsert",
+    # dedup family tails
+    "dedup_incremental",
+    "dedup_url",
+    "dedup_semantic",
+    # clustering / graph
+    "cluster_kmeans",
+    "cluster_balanced_sample",
+    "graph_pagerank",
+    # similarity tails
+    "sim_decontaminate",
+    "sim_mmr_rerank",
     # text-pipeline tails
-    "text_substring_dup",
-    "text_pii_redact",
-    "text_repetition",
-    "text_corpus_stats",
-    "text_stratified_sample",
-    "text_tfidf_top_terms",
-    # scale patterns (bucketed co-located join, skew salting)
-    "scale_bucketed_join",
-    "scale_salted_join",
-    # TPC-H second tranche
-    "tpch_q03",
-    "tpch_q04",
-    "tpch_q05",
-    "tpch_q07",
-    "tpch_q08",
-    "tpch_q09",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
-    # TPC-DS second tranche
-    "tpcds_q31",
-    "tpcds_q32",
-    "tpcds_q33",
-    "tpcds_q34",
-    "tpcds_q35",
-    "tpcds_q36",
-    "tpcds_q37",
-    "tpcds_q38",
+    "text_chunk_overlap",
+    "text_decontaminate",
+    "text_fingerprint",
+    "text_sequence_pack",
+    "text_source_mix",
+    "text_substring_removal",
+    "text_token_stats",
+    "text_trigram_logprob",
+    # multimodal (§ pipeline)
+    "mm_audio_windows",
+    "mm_image_decode",
+    "mm_video_frames",
+    # scale patterns
+    "scale_distributed_sort",
+    "scale_dpp_join",
+    "scale_zorder_layout",
+    # federation + composed pipeline
+    "sensql_knn_federated",
+    "pipeline_end_to_end",
+    # TPC-H third tranche starts
+    "tpch_q14",
 )
 
-# Round-4 rotation plan: if r3 comes back green, swap in the next
-# never-checked tranches — tpch q14-q20 + q22, tpcds q39-q55, the
-# remaining fn_* (fn_array, fn_bitwise, fn_conditional, fn_datetime,
-# fn_datetime_presto_formats, fn_hash, fn_higher_order, fn_json, fn_map,
-# fn_regex, fn_string_basic, fn_string_distance, fn_try_semantics,
-# fn_url, fn_presto_compat2, fn_hash_spark_native), agg tails
-# (agg_any_value, agg_basic, agg_bool_bitwise, agg_collect, agg_corr_regr,
-# agg_geomean_entropy, agg_map_histogram, agg_minmax_by, agg_most_frequent,
-# agg_percentile_exact, agg_reduce, agg_reservoir_sample, agg_top_n_values),
-# and relational leftovers (cube_orders, rollup_lineitem, values_inline,
-# distinct_limit, quantified_any, setop_union_distinct, setop_intersect,
-# setop_except, events_asof_join, events_hopping_window, events_json_props,
-# events_tumbling_window, text_fingerprint, text_token_stats,
-# dedup_exact/minhash/simhash/ngram/embedding, pipeline_end_to_end,
-# sensql_knn_federated, mm_audio_windows) plus the r3 additions
-# (ddl_create_function, ddl_create_type, ddl_logical_view,
-# source_jdbc_roundtrip, text_trigram_logprob, text_decontaminate,
-# scale_dpp_join, scale_distributed_sort, mm_image_decode,
-# cluster_kmeans, cluster_balanced_sample, dedup_semantic,
-# sim_decontaminate, fn_color, source_text_roundtrip,
-# source_binaryfile_stats) and the r3-final tranche (fn_presto_compat3,
-# fn_hash_presto_ports, text_chunk_overlap, dedup_incremental, dedup_url,
-# events_streaming_upsert, sink_partitioned_shards, mm_video_frames,
-# agg_classification_curve, scale_zorder_layout, events_funnel,
-# sim_mmr_rerank, text_substring_removal, graph_pagerank,
-# recursive_cte_hierarchy, ddl_alter_table — 290 registered total) — each was driver_sim-EXACT when added; full-registry sweeps and
-# the sf0.1 differential sweep are recorded in COVERAGE.md §Rotation.
-# Keep any r3 entry that FAILED.
-# By r5-r6 every registry entry should have at least one driver-green row.
+# Round-5 rotation plan: if r4 comes back green, swap in tpch q15-q22 and
+# the first TPC-DS tranche (q02-q06, q08-q27, q29-q30, q39-q51 with the
+# b-variants q14b/q23b/q24b/q39b) — 50 slots; r6 takes the remaining
+# TPC-DS bodies (q52-q99 leftovers).  Keep any r4 entry that FAILED.
+# Every one of these was driver_sim-EXACT at sf0.01 (full-registry sweep)
+# and the scale-sensitive surface EXACT at sf0.1; see COVERAGE.md §Rotation.
 
 
 def _alias(i: int, name: str) -> str:

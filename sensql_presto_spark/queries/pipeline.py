@@ -557,28 +557,76 @@ _sql_query(
 )
 
 # SemDeDup-style semantic dedup (Abbas et al. 2023): bucket the corpus by
-# nearest seed centroid (one broadcast-join assignment pass — the k-means
-# E-step), then compare pairs ONLY within a bucket and drop the higher id
-# of any pair with cosine > 2/5.  Scale shape: the all-pairs comparison is
+# nearest seed centroid, then compare pairs ONLY within a bucket and drop
+# the higher id of any pair with cosine > 2/5.  Scale shape: the E-step
+# assignment is TWO-LEVEL (the IVF trick, same as sim_ivf_topk) — the k
+# seed centroids (k ~ n/64, SemDeDup keeps expected cluster size constant)
+# are first coarse-quantized into m = floor(sqrt(k)) cells, each vector
+# picks its nearest cell (O(n*sqrt(k)) work against a sqrt(k)-sized
+# broadcast side), and then probes ONLY that cell's centroids via an
+# equi-join on cell (O(n*k/m) average) — never the O(n*k) = O(n^2/64)
+# full cross join.  Every cell that receives a vector contains at least
+# its own seed centroid (a seed's distance to itself is 0, exact-tie
+# duplicates collapse to the same lower cell id on both sides), so the
+# inner probe join cannot drop vectors.  The all-pairs comparison is
 # confined to each cluster (sum of n_c^2, not n^2), clusters can be
-# repartitioned independently, and the threshold test is EXACT integer
-# arithmetic on milliunit-quantized vectors — cos > t is evaluated as
-# dot > 0 AND 25*dot^2 > 4*|a|^2*|b|^2 (t = 2/5), so no float summation
-# order can flip a pair and the oracle matches bit-for-bit.
-_sql_query(
-    "dedup_semantic",
-    """
+# repartitioned independently, and every distance/threshold test is EXACT
+# integer arithmetic on milliunit-quantized vectors — cos > t is evaluated
+# as dot > 0 AND 25*dot^2 > 4*|a|^2*|b|^2 (t = 2/5), ties broken on id —
+# so no float summation order can flip an assignment or a pair and the
+# oracle matches bit-for-bit.
+# The assignment subtree (quantize -> coarse cells -> probe -> norms) is
+# consumed TWICE by the pair self-join; Spark inlines CTEs, so the all-SQL
+# form recomputed all three assignment joins per side.  Like
+# dedup_minhash_lsh, the builder MATERIALIZES the assigned+normed vectors
+# once via localCheckpoint (at cluster scale: a staging table) and the
+# self-join reads the materialized relation.
+_SEM_ASSIGN_SQL = """
     WITH q AS (
         SELECT vec_id,
                transform(embedding, x -> cast(round(cast(x AS double) * 1000) AS bigint)) AS v
         FROM embeddings
     ),
-    -- k scales with corpus size (SemDeDup keeps expected cluster size
-    -- ~constant, so within-cluster pair work stays linear, never n^2/k
-    -- with fixed k); at the sf0.01 oracle scale greatest(8, n/64) = 8
+    params AS (
+        SELECT k, greatest(cast(4 AS bigint),
+                           cast(floor(sqrt(cast(k AS double))) AS bigint)) AS m
+        FROM (SELECT greatest(cast(8 AS bigint), count(1) DIV 64) AS k FROM q)
+    ),
     c0 AS (SELECT vec_id AS cid, v AS cv FROM q
-           WHERE vec_id < (SELECT greatest(cast(8 AS bigint), count(1) DIV 64) FROM q)),
-    -- argmin via min_by, same map-side-combine shape as cluster_kmeans
+           WHERE vec_id < (SELECT k FROM params)),
+    c1 AS (SELECT vec_id AS cell, v AS cellv FROM q
+           WHERE vec_id < (SELECT m FROM params)),
+    -- coarse-quantize the k centroids into m cells: O(k*sqrt(k)) work
+    cmap AS (
+        SELECT cid,
+               min_by(named_struct('cell', cell, 'cv', cv),
+                      named_struct('d', dist, 'c', cell)).cell AS cell,
+               min_by(named_struct('cell', cell, 'cv', cv),
+                      named_struct('d', dist, 'c', cell)).cv AS cv
+        FROM (
+            SELECT c0.cid, c0.cv, c1.cell,
+                   aggregate(zip_with(c0.cv, c1.cellv, (x, y) -> (x - y) * (x - y)),
+                             cast(0 AS bigint), (acc, x) -> acc + x) AS dist
+            FROM c0 CROSS JOIN c1
+        )
+        GROUP BY cid
+    ),
+    -- each vector picks its coarse cell: O(n*sqrt(k)), c1 broadcast
+    vcell AS (
+        SELECT vec_id,
+               min_by(named_struct('cell', cell, 'v', v),
+                      named_struct('d', dist, 'c', cell)).cell AS cell,
+               min_by(named_struct('cell', cell, 'v', v),
+                      named_struct('d', dist, 'c', cell)).v AS v
+        FROM (
+            SELECT q.vec_id, q.v, c1.cell,
+                   aggregate(zip_with(q.v, c1.cellv, (x, y) -> (x - y) * (x - y)),
+                             cast(0 AS bigint), (acc, x) -> acc + x) AS dist
+            FROM q CROSS JOIN c1
+        )
+        GROUP BY vec_id
+    ),
+    -- probe ONLY the centroids in the vector's cell (equi-join on cell)
     assign AS (
         SELECT vec_id,
                min_by(named_struct('cid', cid, 'v', v),
@@ -586,10 +634,10 @@ _sql_query(
                min_by(named_struct('cid', cid, 'v', v),
                       named_struct('d', dist, 'c', cid)).v AS v
         FROM (
-            SELECT q.vec_id, q.v, c0.cid,
-                   aggregate(zip_with(q.v, c0.cv, (x, y) -> (x - y) * (x - y)),
+            SELECT vcell.vec_id, vcell.v, cmap.cid,
+                   aggregate(zip_with(vcell.v, cmap.cv, (x, y) -> (x - y) * (x - y)),
                              cast(0 AS bigint), (acc, x) -> acc + x) AS dist
-            FROM q CROSS JOIN c0
+            FROM vcell JOIN cmap ON vcell.cell = cmap.cell
         )
         GROUP BY vec_id
     ),
@@ -597,36 +645,76 @@ _sql_query(
         SELECT vec_id, v, cid,
                aggregate(v, cast(0 AS bigint), (acc, x) -> acc + x * x) AS nrm2
         FROM assign
-    ),
-    pairs AS (
+    )
+    SELECT vec_id, v, cid, nrm2 FROM n
+    """
+
+_SEM_PAIRS_SQL = """
+    WITH pairs AS (
         SELECT a.cid, a.vec_id AS kept_id, b.vec_id AS dropped_id,
                aggregate(zip_with(a.v, b.v, (x, y) -> x * y),
                          cast(0 AS bigint), (acc, x) -> acc + x) AS dot,
                a.nrm2 AS na2, b.nrm2 AS nb2
-        FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        -- REPARTITION keeps the interpreted-HOF dot products 32-way
+        -- parallel (AQE would coalesce the checkpoint-fed join to one
+        -- task); measured 2x on the pair stage at sf0.1
+        FROM (SELECT /*+ REPARTITION(32, cid) */ * FROM __sem_n) a
+        JOIN __sem_n b ON a.cid = b.cid AND a.vec_id < b.vec_id
     )
     SELECT cid AS cluster_id, kept_id, dropped_id
     FROM pairs
     WHERE dot > 0 AND 25 * dot * dot > 4 * na2 * nb2
     ORDER BY cid, kept_id, dropped_id
-    """,
+    """
+
+
+@register(
+    "dedup_semantic",
     oracle="""
     WITH q AS (
         SELECT vec_id,
                [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding] AS v
         FROM embeddings
     ),
+    params AS (
+        SELECT k, greatest(4, CAST(floor(sqrt(CAST(k AS DOUBLE))) AS BIGINT)) AS m
+        FROM (SELECT greatest(8, count(*) // 64) AS k FROM q)
+    ),
     c0 AS (SELECT vec_id AS cid, v AS cv FROM q
-           WHERE vec_id < (SELECT greatest(8, count(*) // 64) FROM q)),
-    assign AS (
-        SELECT vec_id, v, cid FROM (
-            SELECT q.vec_id, q.v, c0.cid,
+           WHERE vec_id < (SELECT k FROM params)),
+    c1 AS (SELECT vec_id AS cell, v AS cellv FROM q
+           WHERE vec_id < (SELECT m FROM params)),
+    cmap AS (
+        SELECT cid, cv, cell FROM (
+            SELECT c0.cid, c0.cv, c1.cell,
+                   row_number() OVER (
+                       PARTITION BY c0.cid
+                       ORDER BY list_sum([(c0.cv[i] - c1.cellv[i]) * (c0.cv[i] - c1.cellv[i])
+                                          FOR i IN generate_series(1, 64)]), c1.cell
+                   ) AS rk
+            FROM c0 CROSS JOIN c1
+        ) WHERE rk = 1
+    ),
+    vcell AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT q.vec_id, q.v, c1.cell,
                    row_number() OVER (
                        PARTITION BY q.vec_id
-                       ORDER BY list_sum([(q.v[i] - c0.cv[i]) * (q.v[i] - c0.cv[i])
-                                          FOR i IN generate_series(1, 64)]), c0.cid
+                       ORDER BY list_sum([(q.v[i] - c1.cellv[i]) * (q.v[i] - c1.cellv[i])
+                                          FOR i IN generate_series(1, 64)]), c1.cell
                    ) AS rk
-            FROM q CROSS JOIN c0
+            FROM q CROSS JOIN c1
+        ) WHERE rk = 1
+    ),
+    assign AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT vcell.vec_id, vcell.v, cmap.cid,
+                   row_number() OVER (
+                       PARTITION BY vcell.vec_id
+                       ORDER BY list_sum([(vcell.v[i] - cmap.cv[i]) * (vcell.v[i] - cmap.cv[i])
+                                          FOR i IN generate_series(1, 64)]), cmap.cid
+                   ) AS rk
+            FROM vcell JOIN cmap ON vcell.cell = cmap.cell
         ) WHERE rk = 1
     ),
     n AS (
@@ -648,9 +736,14 @@ _sql_query(
     tags=("pipeline", "dedup", "clustering", "semantic"),
     doc="SemDeDup: centroid-bucketed within-cluster cosine dedup with an "
     "exact-integer threshold test (no float flakiness), pairwise work "
-    "bounded by per-cluster sizes instead of n^2.",
+    "bounded by per-cluster sizes instead of n^2; two-level IVF-style "
+    "centroid assignment keeps E-step work at O(n*sqrt(k)), not O(n*k).",
     bench=True,
 )
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = catalog.sql(spark, sf_dir, _SEM_ASSIGN_SQL).localCheckpoint(eager=True)
+    n.createOrReplaceTempView("__sem_n")
+    return spark.sql(_SEM_PAIRS_SQL)
 
 # Cluster-balanced sampling: take the SAME number of items from every
 # semantic cluster (topic balancing for pretraining mixes — the cluster

@@ -274,3 +274,33 @@ def test_substring_removal_single_gram_shuffle(spark):
     plan = _plan(spark, "text_substring_removal")
     assert "HashAggregate" in plan
     assert "CartesianProduct" not in plan and "Python" not in plan
+
+
+def test_semantic_dedup_probe_is_bucket_pruned(spark):
+    """dedup_semantic: the centroid E-step is two-level (IVF shape). The
+    only nested-loop joins are against the sqrt(k)-row coarse-cell side
+    (vector->cell and centroid->cell quantization); the vector->centroid
+    probe itself is an EQUI-join on the coarse cell, so assignment work is
+    O(n*sqrt(k)), never the O(n*k) full centroid cross join."""
+    import io
+    from contextlib import redirect_stdout
+
+    from sensql_presto_spark import catalog
+    from sensql_presto_spark.queries import pipeline
+
+    df = catalog.sql(spark, SF, pipeline._SEM_ASSIGN_SQL)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # every nested-loop join is a coarse-quantization pass that BROADCASTS
+    # the sqrt(k)-row cell side
+    tree_bnlj = [l for l in plan.splitlines() if "+- BroadcastNestedLoopJoin" in l]
+    assert tree_bnlj and all("Cross BuildRight" in l for l in tree_bnlj)
+    assert "CartesianProduct" not in plan and "Python" not in plan
+    # the vector->centroid probe is an EQUI-join keyed on the coarse cell
+    assert "cell" in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    # and the pair stage itself never regresses to a cross product
+    pairs_plan = _plan(spark, "dedup_semantic")
+    assert "CartesianProduct" not in pairs_plan and "Python" not in pairs_plan
