@@ -10,6 +10,7 @@ statically types every query; ``StatementAnalyzer.java:277``).
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -74,25 +75,28 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 
 
-# (session id, sf_dir) pairs whose views are already registered. Re-running
+# session -> sf_dir whose views are already registered. Re-running
 # register_views per query re-read every parquet footer AND invalidated any
 # cached plan that referenced a replaced view — measurable per-query
 # overhead once bench timed builds (round-1 verdict "what's wrong" #6).
-_registered: set[tuple[int, str]] = set()
+# Keyed on the SparkSession OBJECT (weakly), not the SparkContext: temp
+# views are per-session state, and forked sessions (spark.newSession(),
+# the HTTP server's per-client isolation) share one context but need their
+# own registration.  WeakKeyDictionary so a collected session can never
+# alias a later one's cache slot.
+_registered: "weakref.WeakKeyDictionary[SparkSession, str]" = weakref.WeakKeyDictionary()
 
 
 def register_views(spark: SparkSession, sf_dir: str, force: bool = False) -> None:
     """Register every testdata table as a temp view, once per (session, dir)."""
-    key = (id(spark.sparkContext), sf_dir)
-    if not force and key in _registered:
+    if not force and _registered.get(spark) == sf_dir:
         return
     tables = load_tables(spark, sf_dir)
     for name, df in tables.items():
         df.createOrReplaceTempView(name)
     _register_information_schema(spark, tables)
     # Only one sf_dir's views can be current in a session at a time.
-    _registered.difference_update({k for k in _registered if k[0] == key[0]})
-    _registered.add(key)
+    _registered[spark] = sf_dir
 
 
 def _register_information_schema(spark: SparkSession, tables: dict[str, DataFrame]) -> None:

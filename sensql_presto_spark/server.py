@@ -137,15 +137,17 @@ class SqlServer:
         self.spark = spark
         self.sf_dir = sf_dir
         prepare_session(spark, sf_dir)
-        # Statement state (PREPARE names, SET SESSION defaults) is keyed per
-        # client identity (X-Presto-User / X-Presto-Session header), matching
-        # the reference's per-Session scoping in QueryPreparer /
-        # SystemSessionProperties.  Caveat, documented: all clients share ONE
-        # SparkSession, so a SET SESSION's underlying Spark conf is
-        # process-global while set — the per-client map scopes the
-        # *namespace* (PREPARE names, saved defaults), not conf isolation
-        # between concurrently-running queries.
+        # Statement state (PREPARE names, SET SESSION properties, temp
+        # objects) is keyed per client identity (X-Presto-User /
+        # X-Presto-Session header), matching the reference's per-Session
+        # scoping in QueryPreparer / SystemSessionProperties.  Each client
+        # gets a FORKED SparkSession (``spark.newSession()``): same
+        # SparkContext/executors, but its own SQLConf and temp-view
+        # catalog — so one client's SET SESSION (a SQLConf write) and
+        # CREATE TEMP objects are invisible to every other client, exactly
+        # the coordinator's Session isolation model.
         self._stmts_cls = StatementSession
+        self._prepare = prepare_session
         self._sessions: dict[str, StatementSession] = {}
         self._sessions_lock = threading.Lock()
         self._slots = threading.Semaphore(max_concurrent) if max_concurrent > 0 else None
@@ -167,7 +169,9 @@ class SqlServer:
     def _session_for(self, client: str) -> "object":
         with self._sessions_lock:
             if client not in self._sessions:
-                self._sessions[client] = self._stmts_cls(self.spark, self.sf_dir)
+                forked = self.spark.newSession()
+                self._prepare(forked, self.sf_dir)
+                self._sessions[client] = self._stmts_cls(forked, self.sf_dir)
             return self._sessions[client]
 
     def submit(self, sql: str, client: str = "anonymous") -> QueryExecution:

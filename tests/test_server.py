@@ -195,6 +195,45 @@ def test_prepare_namespace_scoped_per_client(sql_server):
     assert err is None and rows == [[1]]
 
 
+def test_set_session_scoped_per_client(sql_server):
+    """SET SESSION is Session state (SystemSessionProperties), not server
+    state: each client runs on a forked SparkSession with its own SQLConf,
+    so alice's override is invisible to bob and RESET restores only hers."""
+    err, rows = _run_query_as(sql_server, "SHOW SESSION", "bob")
+    assert err is None
+    bob_before = {r[0]: r[1] for r in rows}["hash_partition_count"]
+
+    err, _ = _run_query_as(sql_server, "SET SESSION hash_partition_count = 7", "alice")
+    assert err is None
+    err, rows = _run_query_as(sql_server, "SHOW SESSION", "alice")
+    assert err is None
+    assert {r[0]: r[1] for r in rows}["hash_partition_count"] == "7"
+    # bob's view is unchanged — no process-global leak
+    err, rows = _run_query_as(sql_server, "SHOW SESSION", "bob")
+    assert err is None
+    assert {r[0]: r[1] for r in rows}["hash_partition_count"] == bob_before
+    # and alice's RESET restores her default without touching bob
+    err, _ = _run_query_as(sql_server, "RESET SESSION hash_partition_count", "alice")
+    assert err is None
+    err, rows = _run_query_as(sql_server, "SHOW SESSION", "alice")
+    assert err is None
+    assert {r[0]: r[1] for r in rows}["hash_partition_count"] == bob_before
+
+
+def test_temp_views_scoped_per_client(sql_server):
+    """Forked sessions isolate the temp-object namespace too: a view one
+    client creates is not visible to another (reference: temp objects live
+    in Session, not the shared catalog)."""
+    err, _ = _run_query_as(
+        sql_server, "CREATE OR REPLACE TEMPORARY VIEW my_v AS SELECT 41 AS x", "alice"
+    )
+    assert err is None
+    err, rows = _run_query_as(sql_server, "SELECT x + 1 FROM my_v", "alice")
+    assert err is None and rows == [[42]]
+    err, _ = _run_query_as(sql_server, "SELECT * FROM my_v", "bob")
+    assert err is not None
+
+
 def test_query_info_endpoint(sql_server):
     """GET /v1/query/{id} — the infoUri target (QueryResource.getQueryInfo)."""
     base = f"http://127.0.0.1:{sql_server.port}"
