@@ -55,6 +55,25 @@ class MaterializedViewStore:
             if e.startswith("v=") and os.path.exists(os.path.join(d, e, "_SUCCESS"))
         )
 
+    def _next_version(self, name: str) -> int:
+        """Next snapshot number, counting UNCOMMITTED (_SUCCESS-less) debris
+        from a killed write too — reusing a partial version's number would
+        make the committed write collide with its leftover directory."""
+        d = self._dir(name)
+        if not os.path.isdir(d):
+            return 0
+        all_vs = [int(e[2:]) for e in os.listdir(d) if e.startswith("v=")]
+        return max(all_vs) + 1 if all_vs else 0
+
+    def _write_definition(self, name: str, sql: str) -> None:
+        """Atomic definition swap (tmp + rename): a crash mid-write must
+        never corrupt the committed definition."""
+        path = os.path.join(self._dir(name), _DEF_FILE)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"sql": sql}, f)
+        os.replace(tmp, path)
+
     def exists(self, name: str) -> bool:
         return os.path.exists(os.path.join(self._dir(name), _DEF_FILE))
 
@@ -87,20 +106,21 @@ class MaterializedViewStore:
         # new definition) before retiring old versions, so a failing
         # defining query or a crash mid-write leaves the prior MV intact —
         # same discipline as mutation.WritableTable.
-        v = existing[-1] + 1 if existing else 0
+        v = self._next_version(name)
         df = catalog.sql(self.spark, self.sf_dir, sql)
         df.write.parquet(os.path.join(d, f"v={v}"))
-        with open(os.path.join(d, _DEF_FILE), "w") as f:
-            json.dump({"sql": sql}, f)
-        for old in existing:
-            shutil.rmtree(os.path.join(d, f"v={old}"), ignore_errors=True)
+        self._write_definition(name, sql)
+        # retire committed predecessors AND any _SUCCESS-less partial debris
+        for e in os.listdir(d):
+            if e.startswith("v=") and int(e[2:]) != v:
+                shutil.rmtree(os.path.join(d, e), ignore_errors=True)
         self._register(name)
 
     def refresh(self, name: str) -> None:
         """Recompute the defining query into the next snapshot version."""
         if not self.exists(name):
             raise ValueError(f"Materialized view not found: {name}")
-        v = self._versions(name)[-1] + 1
+        v = self._next_version(name)
         df = catalog.sql(self.spark, self.sf_dir, self.definition(name))
         df.write.parquet(os.path.join(self._dir(name), f"v={v}"))
         self._register(name)

@@ -104,3 +104,37 @@ def test_create_or_replace_success_swaps_contents(spark):
     sess.execute("CREATE OR REPLACE MATERIALIZED VIEW mv_swap AS SELECT 2 AS x")
     assert sess.execute("SELECT x FROM mv_swap").collect()[0].x == 2
     sess.execute("DROP MATERIALIZED VIEW mv_swap")
+
+
+def test_kill_mid_replace_leaves_old_mv_readable(spark):
+    """Crash-mid-replace simulation: a partial (_SUCCESS-less) snapshot dir
+    and a torn definition tmp file — the debris a kill between write start
+    and commit leaves — must neither hide the committed version nor break
+    the next replace (CreateMaterializedViewTask's storage-table swap is
+    atomic in the reference)."""
+    import os
+    import shutil
+
+    sess = _sess(spark)
+    sess.execute("CREATE OR REPLACE MATERIALIZED VIEW mv_kill AS SELECT 7 AS x")
+    mv_dir = os.path.join("spark-warehouse/matviews", "mv_kill")
+    committed = [e for e in os.listdir(mv_dir) if e.startswith("v=")]
+    assert len(committed) == 1
+    v = int(committed[0][2:])
+    # simulate a killed replace: partial next version without _SUCCESS,
+    # plus a torn definition tmp
+    partial = os.path.join(mv_dir, f"v={v + 1}")
+    os.makedirs(partial)
+    with open(os.path.join(partial, "part-00000.parquet"), "wb") as f:
+        f.write(b"garbage")
+    with open(os.path.join(mv_dir, "definition.json.tmp"), "w") as f:
+        f.write('{"sql": "SELECT broke')
+    # old MV still reads the committed snapshot
+    assert sess.execute("SELECT x FROM mv_kill").collect()[0].x == 7
+    # a subsequent replace commits cleanly past the debris and retires it
+    sess.execute("CREATE OR REPLACE MATERIALIZED VIEW mv_kill AS SELECT 8 AS x")
+    assert sess.execute("SELECT x FROM mv_kill").collect()[0].x == 8
+    left = [e for e in os.listdir(mv_dir) if e.startswith("v=")]
+    assert len(left) == 1 and int(left[0][2:]) > v + 1
+    sess.execute("DROP MATERIALIZED VIEW mv_kill")
+    shutil.rmtree(mv_dir, ignore_errors=True)
