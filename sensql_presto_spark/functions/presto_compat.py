@@ -45,7 +45,8 @@ PRESTO_EQUIVALENTS: dict[str, str] = {
     "transform/filter/reduce": "transform/filter/aggregate (higher-order)",
     "any_match/all_match/none_match": "exists/forall/not exists",
     "zip_with/map_zip_with/transform_keys/transform_values/map_filter": "same",
-    "json_extract_scalar": "get_json_object (also registered as alias)",
+    "json_extract_scalar": "get_json_object, gated to scalar leaves (object/array match -> NULL)",
+    "json_extract": "to_json(try_variant_get(try_parse_json(j), p, 'variant')) — JSON-encoded result, string leaves keep quotes",
     "json_parse/json_format": "from_json/to_json (schema-full) or identity on strings",
     "json_size": "json_array_length / json_object_keys",
     "date_trunc": "date_trunc (arg order: Spark (fmt, ts) vs Presto (unit, ts) — same)",
@@ -113,8 +114,15 @@ _SQL_FUNCTIONS: tuple[str, ...] = (
     """CREATE OR REPLACE TEMPORARY FUNCTION codepoint(s STRING)
        RETURNS INT RETURN ascii(s)""",
     # -- json (JsonFunctions.java) --
+    # scalar leaves only: Presto returns NULL for an object/array match
+    # (JsonFunctions.java jsonExtractScalar), where get_json_object would
+    # return its JSON text
     """CREATE OR REPLACE TEMPORARY FUNCTION json_extract_scalar(j STRING, p STRING)
-       RETURNS STRING RETURN get_json_object(j, p)""",
+       RETURNS STRING RETURN CASE
+           WHEN startswith(to_json(try_variant_get(try_parse_json(j), p, 'variant')), '{')
+                OR startswith(to_json(try_variant_get(try_parse_json(j), p, 'variant')), '[')
+           THEN cast(NULL AS STRING)
+           ELSE get_json_object(j, p) END""",
     """CREATE OR REPLACE TEMPORARY FUNCTION json_array_contains_str(j STRING, v STRING)
        RETURNS BOOLEAN RETURN array_contains(from_json(j, 'array<string>'), v)""",
     # -- datetime (DateTimeFunctions.java) --
@@ -418,29 +426,41 @@ _SQL_FUNCTIONS: tuple[str, ...] = (
                   x -> size(filter(a, y -> y = x)) > 1))""",
     """CREATE OR REPLACE TEMPORARY FUNCTION array_dupes(a ARRAY<STRING>)
        RETURNS ARRAY<STRING> RETURN array_duplicates(a)""",
-    # JsonFunctions.java json_extract / json_size (JsonPath subset that
-    # get_json_object shares: $, ., [..] accessors)
+    # JsonFunctions.java json_extract / json_size.  json_extract returns the
+    # JSON-ENCODED text of the matched element — a string leaf keeps its
+    # quotes ('"x"', not 'x'), unlike json_extract_scalar / Spark's
+    # get_json_object which unquote — so the shim routes through Spark 4's
+    # VARIANT type: variant_get(.., 'variant') + to_json re-encodes the
+    # element exactly (strings quoted, objects/arrays/true/false/null as
+    # JSON text, NULL on malformed input or missing path).
     """CREATE OR REPLACE TEMPORARY FUNCTION json_extract(j STRING, p STRING)
-       RETURNS STRING RETURN get_json_object(j, p)""",
+       RETURNS STRING RETURN
+       to_json(try_variant_get(try_parse_json(j), p, 'variant'))""",
     """CREATE OR REPLACE TEMPORARY FUNCTION json_size(j STRING, p STRING)
        RETURNS INT RETURN CASE
-           WHEN get_json_object(j, p) IS NULL THEN cast(NULL AS INT)
-           WHEN startswith(ltrim(get_json_object(j, p)), '[')
-                THEN cast(json_array_length(get_json_object(j, p)) AS INT)
-           WHEN startswith(ltrim(get_json_object(j, p)), '{')
-                THEN size(json_object_keys(get_json_object(j, p)))
+           WHEN json_extract(j, p) IS NULL THEN cast(NULL AS INT)
+           WHEN startswith(json_extract(j, p), '[')
+                THEN cast(json_array_length(json_extract(j, p)) AS INT)
+           WHEN startswith(json_extract(j, p), '{')
+                THEN size(json_object_keys(json_extract(j, p)))
            ELSE 0 END""",
     # StringFunctions.java split_to_map — literal delimiters (Spark's
     # str_to_map is regex-based, so quote via \\Q..\\E); duplicate keys
-    # error out of map_from_entries exactly like Presto's "Duplicate keys"
+    # error out of map_from_entries exactly like Presto's "Duplicate keys";
+    # an entry in which the key-value delimiter does not appear EXACTLY
+    # once raises, matching splitToMap's INVALID_FUNCTION_ARGUMENT contract
     """CREATE OR REPLACE TEMPORARY FUNCTION split_to_map(s STRING, ed STRING, kvd STRING)
        RETURNS MAP<STRING, STRING> RETURN map_from_entries(
            transform(split(s, concat(char(92), 'Q', ed, char(92), 'E')),
-               kv -> struct(
-                   CASE WHEN instr(kv, kvd) = 0 THEN kv
-                        ELSE substring(kv, 1, instr(kv, kvd) - 1) END,
-                   CASE WHEN instr(kv, kvd) = 0 THEN cast(NULL AS STRING)
-                        ELSE substring(kv, instr(kv, kvd) + length(kvd)) END)))""",
+               kv -> CASE
+                   WHEN (length(kv) - length(replace(kv, kvd, ''))) DIV length(kvd) != 1
+                   THEN struct(cast(raise_error(concat(
+                            'Key-value delimiter must appear exactly once in each entry. ',
+                            'Bad input: ', char(39), kv, char(39))) AS STRING),
+                        cast(NULL AS STRING))
+                   ELSE struct(
+                       substring(kv, 1, instr(kv, kvd) - 1),
+                       substring(kv, instr(kv, kvd) + length(kvd))) END))""",
     # SimpleSamplingPercent.java key_sampling_percent — deterministic
     # per-key double in [0, 1). The reference buckets abs(reinterpreted
     # hash) % 100 / 100; we bucket pmod(xxhash64) % 100 / 100 — same

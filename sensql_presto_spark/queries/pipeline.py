@@ -2603,7 +2603,7 @@ _VID_W, _VID_H = 3, 4  # width 3 -> 9-byte rows padded to 12: pad path exercised
     WITH f AS (
         SELECT doc_id, text, length(text) AS L,
                unnest(range(0, 1 + length(text) % 5, 2)) AS fi
-        FROM documents WHERE doc_id < 120
+        FROM documents WHERE doc_id < 120 AND length(text) > 0
     )
     SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
            CAST(1 + L % 5 AS BIGINT) AS n_frames,
@@ -2636,6 +2636,14 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # moment the corpus gains a non-ASCII character
                 codes = [ord(c) % 256 for c in text]
                 n = len(codes)
+                if n == 0:
+                    # loud per-row contract instead of a ZeroDivisionError
+                    # failing the whole stage; the builder filters empty
+                    # text, so reaching this means the filter was dropped
+                    raise ValueError(
+                        f"mm_video_frames: empty text for doc_id={doc_id} "
+                        "(filter length(text) > 0 upstream)"
+                    )
                 n_frames = 1 + n % 5
                 frames = [
                     bytes(codes[(fi * 7 + i) % n] for i in range(frame_len))
@@ -2665,7 +2673,9 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, frame_idx bigint, n_frames bigint, "
         "frame_wsum bigint, frame_sum bigint"
     )
-    docs = catalog.table(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    docs = catalog.table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 120) & (F.length("text") > 0)
+    )
     return (
         docs.select("doc_id", "text")
         .mapInPandas(sample, schema)

@@ -380,8 +380,11 @@ def streaming_upsert_sink(
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
     cols = ("event_id", "event_type", "user_id", "value")
+    # WritableTable.create replaces the path itself — no pre-rmtree needed
+    # (the old mkdtemp-then-rmtree was a TOCTOU); the directory is removed
+    # in the finally below once the result is materialized, so repeated
+    # invocations don't leak snapshot tables into /tmp.
     table_dir = tempfile.mkdtemp(prefix="sensql_stream_upsert_")
-    shutil.rmtree(table_dir, ignore_errors=True)
     from sensql_presto_spark.mutation import WritableTable
 
     seed = (
@@ -407,46 +410,53 @@ def streaming_upsert_sink(
 
     def _run_pass() -> None:
         ckpt = tempfile.mkdtemp(prefix="sensql_stream_upsert_ckpt_")
-        raw = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
-        doubled = raw.unionByName(raw)
-        events = catalog.normalize_events_ts(doubled).select(*cols)
-        for q in spark.streams.active:
-            if q.name == name:
-                q.stop()
-        query = (
-            events.writeStream.foreachBatch(_upsert)
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        finished = query.awaitTermination(timeout_s)
-        if not finished:
-            # loud failure instead of racing a second pass against a query
-            # that is still merging into the same table
-            query.stop()
-            raise TimeoutError(
-                f"streaming upsert pass did not finish within {timeout_s}s"
+        try:
+            raw = (
+                spark.readStream.schema(schema)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir)
             )
-        shutil.rmtree(ckpt, ignore_errors=True)
+            doubled = raw.unionByName(raw)
+            events = catalog.normalize_events_ts(doubled).select(*cols)
+            for q in spark.streams.active:
+                if q.name == name:
+                    q.stop()
+            query = (
+                events.writeStream.foreachBatch(_upsert)
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            finished = query.awaitTermination(timeout_s)
+            if not finished:
+                # loud failure instead of racing a second pass against a
+                # query that is still merging into the same table
+                query.stop()
+                raise TimeoutError(
+                    f"streaming upsert pass did not finish within {timeout_s}s"
+                )
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
 
-    _run_pass()
-    _run_pass()  # full replay: fresh checkpoint redelivers everything
+    try:
+        _run_pass()
+        _run_pass()  # full replay: fresh checkpoint redelivers everything
 
-    result = (
-        table.read()
-        .groupBy("event_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.countDistinct("event_id").alias("n_ids"),
-            F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")).alias(
-                "sum_val_e4"
-            ),
+        # materialize before the finally deletes the backing table files —
+        # the aggregate is per-event-type, a handful of rows
+        return (
+            table.read()
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.countDistinct("event_id").alias("n_ids"),
+                F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")).alias(
+                    "sum_val_e4"
+                ),
+            )
+            .orderBy("event_type")
+            .localCheckpoint(eager=True)
         )
-        .orderBy("event_type")
-    )
-    return result
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)

@@ -131,6 +131,18 @@ def test_split_to_map_duplicate_keys_raise(spark):
         spark.sql("SELECT split_to_map('a=1,a=2', ',', '=')").collect()
 
 
+def test_split_to_map_missing_delimiter_raises(spark):
+    """StringFunctions.java splitToMap: an entry without the key-value
+    delimiter (or with more than one) raises INVALID_FUNCTION_ARGUMENT
+    ('Key-value delimiter must appear exactly once in each entry'), never
+    maps the entry to key->NULL."""
+    register_all(spark)
+    with pytest.raises(Exception, match="exactly once"):
+        spark.sql("SELECT split_to_map('a=1,b', ',', '=')").collect()
+    with pytest.raises(Exception, match="exactly once"):
+        spark.sql("SELECT split_to_map('a=1=2', ',', '=')").collect()
+
+
 def test_split_to_map_regex_metachar_delimiters_are_literal(spark):
     """Presto delimiters are literal strings; the shim \\Q-quotes them so
     regex metacharacters like '|' and '.' split literally."""
