@@ -628,6 +628,10 @@ _sql_query(
         FROM scored GROUP BY 1
     ),
     cum AS (
+        -- every window here (ordered cumulative + global totals) rides
+        -- `hist`, which is AT MOST 11 rows (bucket = floor(score*10),
+        -- score in [0,1]) regardless of corpus size — the single-partition
+        -- WindowExec is constant-bounded, never the 100x bottleneck
         SELECT bucket,
                sum(pos) OVER (ORDER BY bucket DESC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,

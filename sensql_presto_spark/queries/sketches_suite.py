@@ -214,6 +214,9 @@ _KHLL_SQL = """
         SELECT least(nv, 5) AS bucket, count(*) AS n_keys
         FROM per_key GROUP BY least(nv, 5)
     )
+    -- the global windows ride `hist`, which is AT MOST 5 rows (bucket =
+    -- least(nv, 5)) at any corpus size — the single-partition WindowExec
+    -- is constant-bounded, never the 100x-scale bottleneck
     SELECT bucket,
            round(n_keys / cast(sum(n_keys) OVER () AS double), 6) AS frac_keys,
            round(sum(CASE WHEN bucket <= 2 THEN n_keys ELSE 0 END) OVER ()
