@@ -47,7 +47,8 @@ PRESTO_EQUIVALENTS: dict[str, str] = {
     "zip_with/map_zip_with/transform_keys/transform_values/map_filter": "same",
     "json_extract_scalar": "get_json_object, gated to scalar leaves (object/array match -> NULL)",
     "json_extract": "to_json(try_variant_get(try_parse_json(j), p, 'variant')) — JSON-encoded result, string leaves keep quotes",
-    "json_parse/json_format": "from_json/to_json (schema-full) or identity on strings",
+    "json_parse": "to_json(parse_json(j)) — validates + canonical compact re-serialization, raises on malformed",
+    "json_format": "identity (JSON values are text in this engine)",
     "json_size": "json_array_length / json_object_keys",
     "date_trunc": "date_trunc (arg order: Spark (fmt, ts) vs Presto (unit, ts) — same)",
     "date_add(unit,n,ts)": "ts + make_interval(...) / date_add for days",
@@ -330,8 +331,21 @@ _SQL_FUNCTIONS: tuple[str, ...] = (
     # JsonFunctions.java is_json_scalar / json_array_get + numeric contains
     """CREATE OR REPLACE TEMPORARY FUNCTION is_json_scalar(j STRING)
        RETURNS BOOLEAN RETURN substring(ltrim(j), 1, 1) NOT IN ('[', '{')""",
+    # json_array_get returns the JSON-ENCODED element (string elements keep
+    # their quotes — it is a JSON-typed return in the reference) and
+    # supports negative indices from the end (JsonFunctions.jsonArrayGet)
     """CREATE OR REPLACE TEMPORARY FUNCTION json_array_get(j STRING, i BIGINT)
-       RETURNS STRING RETURN get_json_object(j, concat('$[', i, ']'))""",
+       RETURNS STRING RETURN to_json(try_variant_get(try_parse_json(j),
+           concat('$[', CASE WHEN i < 0 THEN json_array_length(j) + i ELSE i END, ']'),
+           'variant'))""",
+    # JsonFunctions.java json_parse: validate + canonical compact
+    # re-serialization (raises on malformed input, like the reference's
+    # INVALID_FUNCTION_ARGUMENT); json_format renders a JSON value as text
+    # — identity in this engine's text-JSON model
+    """CREATE OR REPLACE TEMPORARY FUNCTION json_parse(j STRING)
+       RETURNS STRING RETURN to_json(parse_json(j))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION json_format(j STRING)
+       RETURNS STRING RETURN j""",
     """CREATE OR REPLACE TEMPORARY FUNCTION json_array_contains_num(j STRING, v DOUBLE)
        RETURNS BOOLEAN RETURN array_contains(from_json(j, 'array<double>'), v)""",
     # bare Presto name carries the (json, varchar) overload — the most

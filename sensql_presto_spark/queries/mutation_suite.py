@@ -303,3 +303,42 @@ def ddl_alter_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert t.read_version(0).columns == ["n_nationkey", "n_name", "n_regionkey"]
     assert "region_decade" in t.read_version(2).columns
     return t.read().orderBy("n_nationkey")
+
+
+@register(
+    "ddl_access_control",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('alice', 'USER', 'SELECT', 'nation', FALSE),
+        ('readers', 'ROLE', 'SELECT', 'region', TRUE))
+        AS t(grantee, grantee_type, privilege_type, table_name, is_grantable)
+    ORDER BY grantee, table_name
+    """,
+    tags=("ddl", "access"),
+    doc="Access-control statement surface (SqlBase.g4:97-117; "
+    "AccessControlManager.java): CREATE ROLE, table GRANT to user and "
+    "role (WITH GRANT OPTION), role membership, enforcement allow/deny "
+    "round-trip asserted in the builder; returns SHOW GRANTS in the "
+    "information_schema.table_privileges shape.",
+)
+def ddl_access_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensql_presto_spark.access import AccessControl, AccessDeniedError
+    from sensql_presto_spark.statements import StatementSession
+
+    store = AccessControl()
+    admin = StatementSession(spark, sf_dir, user="admin", access=store)
+    alice = StatementSession(
+        spark, sf_dir, user="alice", access=store, enforce_access=True
+    )
+    try:
+        alice.execute("SELECT count(*) FROM nation")
+        raise AssertionError("expected Access Denied before any grant")
+    except AccessDeniedError:
+        pass
+    admin.execute("CREATE ROLE readers")
+    admin.execute("GRANT SELECT ON nation TO USER alice")
+    admin.execute("GRANT SELECT ON region TO ROLE readers WITH GRANT OPTION")
+    admin.execute("GRANT readers TO USER alice")
+    assert alice.execute("SELECT count(*) AS n FROM nation").collect()[0].n > 0
+    assert alice.execute("SELECT count(*) AS n FROM region").collect()[0].n > 0
+    return alice.execute("SHOW GRANTS").orderBy("grantee", "table_name")

@@ -128,8 +128,15 @@ class SqlServer:
     """
 
     def __init__(
-        self, spark, sf_dir: str, host: str = "127.0.0.1", port: int = 0, max_concurrent: int = 0
+        self,
+        spark,
+        sf_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        max_concurrent: int = 0,
+        enforce_access: bool = False,
     ):
+        from sensql_presto_spark.access import AccessControl
         from sensql_presto_spark.cli import prepare_session
 
         from sensql_presto_spark.statements import StatementSession
@@ -148,6 +155,12 @@ class SqlServer:
         # the coordinator's Session isolation model.
         self._stmts_cls = StatementSession
         self._prepare = prepare_session
+        # one AccessControl store for the whole server (coordinator scope):
+        # an admin client's GRANT is visible to the granted user's next
+        # query; enforcement mirrors the reference's configured-system-
+        # access-control switch (off = AllowAllAccessControl)
+        self._access = AccessControl()
+        self._enforce_access = enforce_access
         self._sessions: dict[str, StatementSession] = {}
         self._sessions_lock = threading.Lock()
         self._slots = threading.Semaphore(max_concurrent) if max_concurrent > 0 else None
@@ -171,7 +184,13 @@ class SqlServer:
             if client not in self._sessions:
                 forked = self.spark.newSession()
                 self._prepare(forked, self.sf_dir)
-                self._sessions[client] = self._stmts_cls(forked, self.sf_dir)
+                self._sessions[client] = self._stmts_cls(
+                    forked,
+                    self.sf_dir,
+                    user=client,
+                    access=self._access,
+                    enforce_access=self._enforce_access,
+                )
             return self._sessions[client]
 
     def submit(self, sql: str, client: str = "anonymous") -> QueryExecution:

@@ -145,15 +145,33 @@ _CREATE_DISTINCT_TYPE_RE = re.compile(
     re.IGNORECASE,
 )
 _DROP_TYPE_RE = re.compile(r"^\s*DROP\s+TYPE\s+([\w.]+)\s*$", re.IGNORECASE)
-# Access control & procedures (SqlBase.g4 grant/revoke/call rules;
-# presto-main/.../security/AccessControlManager.java, CALL via
-# ProcedureRegistry). Out of scope in this single-user engine — each gets
-# a LOUD unsupported contract instead of silently parsing as a query
-# (the DELETE-on-parquet error-contract pattern from round 1).
-_ACCESS_CONTROL_RE = re.compile(
-    r"^\s*(GRANT|REVOKE|CREATE\s+ROLE|DROP\s+ROLE|SET\s+ROLE|SHOW\s+ROLES|"
-    r"SHOW\s+ROLE\s+GRANTS|SHOW\s+GRANTS)\b",
+# Access control (SqlBase.g4:97-117 grant/revoke/role productions;
+# presto-main/.../security/AccessControlManager.java). Implemented over
+# sensql_presto_spark.access.AccessControl — see that module's docstring
+# for the scope contract (table-level privileges, transitive roles,
+# PUBLIC, WITH GRANT OPTION, opt-in enforcement).
+_CREATE_ROLE_RE = re.compile(r"^\s*CREATE\s+ROLE\s+(\w+)\s*$", re.IGNORECASE)
+_DROP_ROLE_RE = re.compile(r"^\s*DROP\s+ROLE\s+(\w+)\s*$", re.IGNORECASE)
+_GRANT_ROLE_RE = re.compile(
+    r"^\s*GRANT\s+(\w+)\s+TO\s+(?:(USER|ROLE)\s+)?(\w+)\s*$", re.IGNORECASE
+)
+_REVOKE_ROLE_RE = re.compile(
+    r"^\s*REVOKE\s+(\w+)\s+FROM\s+(?:(USER|ROLE)\s+)?(\w+)\s*$", re.IGNORECASE
+)
+_GRANT_RE = re.compile(
+    r"^\s*GRANT\s+([\w\s,]+?)\s+ON\s+(?:TABLE\s+)?([\w.]+)\s+TO\s+"
+    r"(?:(USER|ROLE)\s+)?(\w+)(\s+WITH\s+GRANT\s+OPTION)?\s*$",
     re.IGNORECASE,
+)
+_REVOKE_RE = re.compile(
+    r"^\s*REVOKE\s+(GRANT\s+OPTION\s+FOR\s+)?([\w\s,]+?)\s+ON\s+(?:TABLE\s+)?"
+    r"([\w.]+)\s+FROM\s+(?:(USER|ROLE)\s+)?(\w+)\s*$",
+    re.IGNORECASE,
+)
+_SET_ROLE_RE = re.compile(r"^\s*SET\s+ROLE\s+(\w+)\s*$", re.IGNORECASE)
+_SHOW_ROLES_RE = re.compile(r"^\s*SHOW\s+(?:CURRENT\s+)?ROLES\s*$", re.IGNORECASE)
+_SHOW_GRANTS_RE = re.compile(
+    r"^\s*SHOW\s+GRANTS(?:\s+ON\s+(?:TABLE\s+)?([\w.]+))?\s*$", re.IGNORECASE
 )
 _CALL_RE = re.compile(r"^\s*CALL\s+([\w.]+)\s*\(", re.IGNORECASE)
 
@@ -414,7 +432,15 @@ SESSION_PROPERTIES: dict[str, _SessionProperty] = {
 class StatementSession:
     """Stateful statement dispatcher shared by the CLI and the HTTP server."""
 
-    def __init__(self, spark: SparkSession, sf_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        user: str = "admin",
+        access: "object | None" = None,
+        enforce_access: bool = False,
+    ):
+        from sensql_presto_spark.access import AccessControl
         from sensql_presto_spark.matview import MaterializedViewStore
 
         self.spark = spark
@@ -426,8 +452,36 @@ class StatementSession:
         self._conf_defaults: dict[str, str | None] = {}
         self._in_txn = False
         self.schema = "default"  # USE target; single-catalog engine
+        # Session identity + access control (AccessControlManager analog).
+        # ``access`` is shared engine state (the server passes one store to
+        # all client sessions); enforcement is opt-in like the reference's
+        # configured-system-access-control path, and the default user is
+        # an admin so single-user flows are unaffected.
+        self.user = user
+        self.access = access if access is not None else AccessControl()
+        self.enforce_access = enforce_access
+        self._enabled_roles: set[str] | None = None  # None = ALL granted roles
         self.matviews = MaterializedViewStore(spark, sf_dir)
         self.matviews.register_all()
+
+    def _active_roles(self) -> set[str]:
+        granted = self.access.roles_of(self.user)
+        if self._enabled_roles is None:
+            return granted
+        return granted & self._enabled_roles | {"public"}
+
+    def _check_table_access(self, text: str) -> None:
+        """Table-level SELECT enforcement for query statements: every known
+        base-table name referenced in the text needs a SELECT grant.  Name
+        matching is lexical over the fixed catalog table set — the
+        FileBasedAccessControl table-granularity model; a table name inside
+        a string literal over-checks at worst (fails closed)."""
+        if not self.enforce_access:
+            return
+        lowered = re.findall(r"[a-z_][a-z0-9_]*", text.lower())
+        for t in catalog.TABLES:
+            if t in lowered:
+                self.access.check(self.user, self._active_roles(), "SELECT", t)
 
     def execute(self, text: str) -> DataFrame:
         text = text.strip().rstrip(";")
@@ -653,12 +707,70 @@ class StatementSession:
             return self._commit()
         if _ROLLBACK_RE.match(text):
             return self._rollback()
-        m = _ACCESS_CONTROL_RE.match(text)
+        m = _CREATE_ROLE_RE.match(text)
         if m:
-            raise ValueError(
-                f"{' '.join(m.group(1).upper().split())} is not supported: this engine "
-                "has no access-control subsystem (single-user deployment; reference "
-                "AccessControlManager.java)"
+            self.access.create_role(m.group(1), self.user, self.enforce_access)
+            return self.spark.createDataFrame([("CREATE ROLE",)], "result string")
+        m = _DROP_ROLE_RE.match(text)
+        if m:
+            self.access.drop_role(m.group(1), self.user, self.enforce_access)
+            return self.spark.createDataFrame([("DROP ROLE",)], "result string")
+        m = _GRANT_RE.match(text)
+        if m:
+            privs = [p for p in m.group(1).split(",")]
+            self.access.grant(
+                privs, m.group(2), m.group(3) or "USER", m.group(4),
+                self.user, self.enforce_access, grant_option=bool(m.group(5)),
+            )
+            return self.spark.createDataFrame([("GRANT",)], "result string")
+        m = _REVOKE_RE.match(text)
+        if m:
+            privs = [p for p in m.group(2).split(",")]
+            self.access.revoke(
+                privs, m.group(3), m.group(4) or "USER", m.group(5),
+                self.user, self.enforce_access, grant_option_for=bool(m.group(1)),
+            )
+            return self.spark.createDataFrame([("REVOKE",)], "result string")
+        m = _GRANT_ROLE_RE.match(text)
+        if m:
+            self.access.grant_role(
+                m.group(1), m.group(2) or "USER", m.group(3), self.user, self.enforce_access
+            )
+            return self.spark.createDataFrame([("GRANT ROLE",)], "result string")
+        m = _REVOKE_ROLE_RE.match(text)
+        if m:
+            self.access.revoke_role(
+                m.group(1), m.group(2) or "USER", m.group(3), self.user, self.enforce_access
+            )
+            return self.spark.createDataFrame([("REVOKE ROLE",)], "result string")
+        m = _SET_ROLE_RE.match(text)
+        if m:
+            role = m.group(1).lower()
+            if role == "all":
+                self._enabled_roles = None
+            elif role == "none":
+                self._enabled_roles = set()
+            else:
+                if role not in self.access.roles_of(self.user):
+                    raise ValueError(f"Role '{role}' has not been granted to {self.user}")
+                self._enabled_roles = {role}
+            return self.spark.createDataFrame([("SET ROLE",)], "result string")
+        if _SHOW_ROLES_RE.match(text):
+            rows = [(r,) for r in self.access.roles()] or []
+            return self.spark.createDataFrame(rows, "role string") if rows else (
+                self.spark.createDataFrame([], "role string")
+            )
+        m = _SHOW_GRANTS_RE.match(text)
+        if m:
+            rows = self.access.grants_for(self.user, self._active_roles(), m.group(1))
+            schema = (
+                "grantee string, grantee_type string, privilege_type string, "
+                "table_name string, is_grantable boolean"
+            )
+            return (
+                self.spark.createDataFrame(rows, schema)
+                if rows
+                else self.spark.createDataFrame([], schema)
             )
         m = _CALL_RE.match(text)
         if m:
@@ -666,6 +778,7 @@ class StatementSession:
                 f"Procedure not registered: {m.group(1)} — CALL is not supported "
                 "(no connector procedures in this engine; reference ProcedureRegistry)"
             )
+        self._check_table_access(text)
         return catalog.sql(self.spark, self.sf_dir, text)
 
     # -- CREATE FUNCTION (SqlBase.g4:72-79 → Spark SQL-function DDL) --------

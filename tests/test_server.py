@@ -285,3 +285,23 @@ def test_admission_control_queues_beyond_limit(spark, oracle_dir):
             time.sleep(0.1)
     finally:
         s.stop()
+
+
+def test_enforced_access_control_over_http(spark, oracle_dir):
+    """enforce_access=True server: an ungranted client is denied, an admin
+    GRANT over HTTP opens access, REVOKE closes it again — the protocol
+    surface of AccessControlManager enforcement."""
+    s = srv.SqlServer(spark, oracle_dir, enforce_access=True).start()
+    try:
+        err, _ = _run_query_as(s, "SELECT count(*) FROM nation", "eve")
+        assert err is not None and "Access Denied" in err["message"]
+        err, _ = _run_query_as(s, "GRANT SELECT ON nation TO USER eve", "admin")
+        assert err is None
+        err, rows = _run_query_as(s, "SELECT count(*) AS n FROM nation", "eve")
+        assert err is None and rows == [[25]]
+        err, _ = _run_query_as(s, "REVOKE SELECT ON nation FROM USER eve", "admin")
+        assert err is None
+        err, _ = _run_query_as(s, "SELECT count(*) FROM nation", "eve")
+        assert err is not None and "Access Denied" in err["message"]
+    finally:
+        s.stop()

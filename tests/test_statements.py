@@ -390,22 +390,88 @@ def test_create_type_rejects_bad_declarations(spark):
         sess.execute("CREATE TYPE broken AS ENUM (happy, sad)")
 
 
-# -- access control / CALL unsupported contracts (AccessControlManager) ------
+# -- access control (SqlBase.g4:97-117; AccessControlManager.java) -----------
 
 
-def test_grant_revoke_roles_raise_loud_unsupported(spark):
-    sess = _sess(spark)
-    for stmt in [
-        "GRANT SELECT ON nation TO alice",
-        "REVOKE SELECT ON nation FROM alice",
-        "CREATE ROLE admin",
-        "DROP ROLE admin",
-        "SET ROLE admin",
-        "SHOW ROLES",
-        "SHOW GRANTS",
-    ]:
-        with pytest.raises(ValueError, match="not supported"):
-            sess.execute(stmt)
+def test_roles_lifecycle_and_show(spark):
+    """CREATE/DROP ROLE, GRANT role TO USER, SHOW ROLES — the role surface
+    of SqlBase.g4's createRole/dropRole/grantRoles productions."""
+    from sensql_presto_spark.access import AccessControl
+
+    store = AccessControl()
+    sess = StatementSession(spark, SF, user="admin", access=store)
+    sess.execute("CREATE ROLE analyst")
+    sess.execute("CREATE ROLE reader")
+    assert [r.role for r in sess.execute("SHOW ROLES").collect()] == ["analyst", "reader"]
+    with pytest.raises(ValueError, match="already exists"):
+        sess.execute("CREATE ROLE analyst")
+    sess.execute("GRANT analyst TO USER alice")
+    assert "analyst" in store.roles_of("alice")
+    sess.execute("REVOKE analyst FROM USER alice")
+    assert "analyst" not in store.roles_of("alice")
+    sess.execute("DROP ROLE analyst")
+    sess.execute("DROP ROLE reader")
+    with pytest.raises(ValueError, match="does not exist"):
+        sess.execute("DROP ROLE analyst")
+
+
+def test_grant_revoke_enforced_select(spark):
+    """Table-level SELECT enforcement: denied without a grant, allowed
+    after GRANT (directly or via a role), denied again after REVOKE —
+    AccessControlManager.checkCanSelectFromColumns semantics."""
+    from sensql_presto_spark.access import AccessControl, AccessDeniedError
+
+    store = AccessControl()
+    admin = StatementSession(spark, SF, user="admin", access=store)
+    alice = StatementSession(
+        spark, SF, user="alice", access=store, enforce_access=True
+    )
+    with pytest.raises(AccessDeniedError, match="Access Denied"):
+        alice.execute("SELECT count(*) FROM nation")
+    admin.execute("GRANT SELECT ON nation TO USER alice")
+    assert alice.execute("SELECT count(*) AS n FROM nation").collect()[0].n == 25
+    # grants surface in SHOW GRANTS with the table_privileges shape
+    rows = alice.execute("SHOW GRANTS ON nation").collect()
+    assert [(r.grantee, r.privilege_type, r.table_name, r.is_grantable) for r in rows] == [
+        ("alice", "SELECT", "nation", False)
+    ]
+    admin.execute("REVOKE SELECT ON nation FROM USER alice")
+    with pytest.raises(AccessDeniedError):
+        alice.execute("SELECT count(*) FROM nation")
+    # role-inherited grant
+    admin.execute("CREATE ROLE readers")
+    admin.execute("GRANT SELECT ON nation TO ROLE readers")
+    admin.execute("GRANT readers TO USER alice")
+    assert alice.execute("SELECT count(*) AS n FROM nation").collect()[0].n == 25
+    # SET ROLE NONE disables the role's grant; SET ROLE ALL restores
+    alice.execute("SET ROLE NONE")
+    with pytest.raises(AccessDeniedError):
+        alice.execute("SELECT count(*) FROM nation")
+    alice.execute("SET ROLE ALL")
+    assert alice.execute("SELECT count(*) AS n FROM nation").collect()[0].n == 25
+    admin.execute("DROP ROLE readers")
+
+
+def test_grant_option_regrant_contract(spark):
+    """WITH GRANT OPTION lets a non-admin regrant; without it, a grant
+    attempt is denied (AccessControlManager.checkCanGrantTablePrivilege)."""
+    from sensql_presto_spark.access import AccessControl, AccessDeniedError
+
+    store = AccessControl()
+    admin = StatementSession(spark, SF, user="admin", access=store)
+    bob = StatementSession(spark, SF, user="bob", access=store, enforce_access=True)
+    admin.execute("GRANT SELECT ON region TO USER bob")
+    with pytest.raises(AccessDeniedError, match="Cannot grant"):
+        bob.execute("GRANT SELECT ON region TO USER carol")
+    admin.execute("GRANT SELECT ON region TO USER bob WITH GRANT OPTION")
+    bob.execute("GRANT SELECT ON region TO USER carol")
+    carol = StatementSession(spark, SF, user="carol", access=store, enforce_access=True)
+    assert carol.execute("SELECT count(*) AS n FROM region").collect()[0].n == 5
+    # REVOKE GRANT OPTION FOR strips regrant ability but keeps the privilege
+    admin.execute("REVOKE GRANT OPTION FOR SELECT ON region FROM USER bob")
+    assert bob.execute("SELECT count(*) AS n FROM region").collect()[0].n == 5
+    with pytest.raises(AccessDeniedError, match="Cannot grant"):
+        bob.execute("GRANT SELECT ON region TO USER dave")
 
 
 def test_call_procedure_raises_loud_unsupported(spark):
