@@ -342,3 +342,65 @@ def ddl_access_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert alice.execute("SELECT count(*) AS n FROM nation").collect()[0].n > 0
     assert alice.execute("SELECT count(*) AS n FROM region").collect()[0].n > 0
     return alice.execute("SHOW GRANTS").orderBy("grantee", "table_name")
+
+
+@register(
+    "mutation_sql_dml",
+    oracle="""
+    WITH base AS (SELECT n_nationkey, n_name, n_regionkey FROM nation),
+    after_delete AS (SELECT * FROM base WHERE NOT (n_nationkey >= 20)),
+    after_update AS (
+        SELECT n_nationkey,
+               CASE WHEN n_regionkey = 0 THEN n_name || '!' ELSE n_name END AS n_name,
+               n_regionkey
+        FROM after_delete
+    ),
+    src AS (SELECT n_nationkey AS k, upper(n_name) || '?' AS nm
+            FROM nation WHERE n_nationkey BETWEEN 18 AND 22),
+    merged AS (
+        SELECT u.n_nationkey,
+               CASE WHEN s.k IS NOT NULL THEN s.nm ELSE u.n_name END AS n_name,
+               u.n_regionkey
+        FROM after_update u LEFT JOIN src s ON u.n_nationkey = s.k
+        UNION ALL
+        SELECT s.k, s.nm, CAST(NULL AS BIGINT)
+        FROM src s WHERE s.k NOT IN (SELECT n_nationkey FROM after_update)
+    )
+    SELECT n_nationkey, n_name, n_regionkey FROM merged ORDER BY n_nationkey
+    """,
+    tags=("mutation", "dml", "statements"),
+    doc="SQL-statement DML surface (SqlBase.g4 delete/update/merge; "
+    "DeleteExecute/UpdateExecute/MergeOperator): CTAS a managed table, "
+    "then DELETE, UPDATE and a two-clause MERGE as plain SQL statements — "
+    "each a copy-on-write table replace; end state vs the set-algebra "
+    "oracle, affected-row counts asserted in the builder.",
+)
+def mutation_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    from urllib.parse import urlparse
+
+    from sensql_presto_spark.statements import StatementSession
+
+    t = "__dml_demo"
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    sess = StatementSession(spark, sf_dir)
+    sess.execute(f"CREATE TABLE {t} AS SELECT n_nationkey, n_name, n_regionkey FROM nation")
+    assert sess.execute(f"DELETE FROM {t} WHERE n_nationkey >= 20").collect()[0].rows == 5
+    assert (
+        sess.execute(
+            f"UPDATE {t} SET n_name = concat(n_name, '!') WHERE n_regionkey = 0"
+        ).collect()[0].rows
+        == 4
+    )
+    r = sess.execute(
+        f"MERGE INTO {t} t USING (SELECT n_nationkey AS k, concat(upper(n_name), '?') AS nm "
+        "FROM nation WHERE n_nationkey BETWEEN 18 AND 22) s "
+        "ON t.n_nationkey = s.k "
+        "WHEN MATCHED THEN UPDATE SET n_name = s.nm "
+        "WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name) VALUES (s.k, s.nm)"
+    ).collect()
+    assert r[0].rows == 5  # 2 matched + 3 inserted
+    out = spark.table(t).select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
+    return out.localCheckpoint(eager=True)

@@ -169,6 +169,27 @@ _REVOKE_RE = re.compile(
     re.IGNORECASE,
 )
 _SET_ROLE_RE = re.compile(r"^\s*SET\s+ROLE\s+(\w+)\s*$", re.IGNORECASE)
+# SQL-statement DML on managed tables (SqlBase.g4 delete/update/merge
+# productions; executed by DeleteExecute / UpdateExecute / MergeOperator in
+# the reference). Spark's v1 parquet tables reject row-level operations, so
+# each statement rewrites to a copy-on-write full-table replace — the same
+# discipline mutation.WritableTable uses, applied to spark_catalog managed
+# tables (the tables a statement-layer CTAS creates). Base parquet views
+# keep their immutable loud contract.
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.+))?\s*$", re.IGNORECASE | re.DOTALL
+)
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+"
+    r"(\([\s\S]+?\)|[\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+ON\s+([\s\S]+?)"
+    r"\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+([\s\S]+?)"
+    r"(?:\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*\(([^)]*)\)\s*VALUES\s*\(([\s\S]+)\))?\s*$",
+    re.IGNORECASE,
+)
 _SHOW_ROLES_RE = re.compile(r"^\s*SHOW\s+(?:CURRENT\s+)?ROLES\s*$", re.IGNORECASE)
 _SHOW_GRANTS_RE = re.compile(
     r"^\s*SHOW\s+GRANTS(?:\s+ON\s+(?:TABLE\s+)?([\w.]+))?\s*$", re.IGNORECASE
@@ -707,6 +728,15 @@ class StatementSession:
             return self._commit()
         if _ROLLBACK_RE.match(text):
             return self._rollback()
+        m = _DELETE_RE.match(text)
+        if m:
+            return self._sql_delete(m.group(1), m.group(2))
+        m = _UPDATE_RE.match(text)
+        if m:
+            return self._sql_update(m.group(1), m.group(2), m.group(3))
+        m = _MERGE_RE.match(text)
+        if m:
+            return self._sql_merge(*m.groups())
         m = _CREATE_ROLE_RE.match(text)
         if m:
             self.access.create_role(m.group(1), self.user, self.enforce_access)
@@ -951,6 +981,148 @@ class StatementSession:
         )
         self.types[bare] = [key for key, _ in entries]
         return self.spark.createDataFrame([("CREATE TYPE",)], "result string")
+
+    # -- SQL DML on managed tables (SqlBase.g4 delete/update/merge;
+    #    DeleteExecute / UpdateExecute / MergeOperator). Spark v1 parquet
+    #    tables reject row-level ops, so each statement is a copy-on-write
+    #    full-table replace: compute the post-image, materialize it
+    #    (localCheckpoint breaks the overwrite-while-reading cycle), then
+    #    overwrite — mutation.WritableTable's discipline on spark_catalog
+    #    managed tables. Returns the affected-row count like the
+    #    reference's update-count protocol field. -----------------------------
+
+    def _writable_table(self, name: str) -> str:
+        bare = name.split(".")[-1].lower()
+        if bare in catalog.TABLES:
+            raise ValueError(
+                f"DML is not supported on the immutable base parquet table "
+                f"{bare}: CREATE TABLE ... AS SELECT a managed copy first "
+                "(reference: connector without row-level write support)"
+            )
+        if not self.spark.catalog.tableExists(name):
+            raise ValueError(f"Table not found: {name}")
+        return name
+
+    def _replace_table(self, name: str, df: DataFrame) -> None:
+        out = df.localCheckpoint(eager=True)
+        out.write.mode("overwrite").saveAsTable(name)
+
+    def _sql_delete(self, table: str, cond: str | None) -> DataFrame:
+        t = self._writable_table(table)
+        df = self.spark.table(t)
+        total = df.count()
+        keep = df.filter(f"NOT ({cond})") if cond else df.limit(0)
+        keep = keep.localCheckpoint(eager=True)
+        deleted = total - keep.count()
+        keep.write.mode("overwrite").saveAsTable(t)
+        return self.spark.createDataFrame([(deleted,)], "rows bigint")
+
+    def _sql_update(self, table: str, assignments: str, cond: str | None) -> DataFrame:
+        t = self._writable_table(table)
+        df = self.spark.table(t)
+        sets: dict[str, str] = {}
+        for part in split_top_level(assignments):
+            col, expr = part.split("=", 1)
+            sets[col.strip().lower()] = expr.strip()
+        unknown = set(sets) - {f.name.lower() for f in df.schema.fields}
+        if unknown:
+            raise ValueError(f"Column not found in {t}: {sorted(unknown)}")
+        cols = []
+        for f in df.schema.fields:
+            if f.name.lower() in sets:
+                e = f"CAST(({sets[f.name.lower()]}) AS {f.dataType.simpleString()})"
+                if cond:
+                    e = f"CASE WHEN {cond} THEN {e} ELSE `{f.name}` END"
+                cols.append(F.expr(e).alias(f.name))
+            else:
+                cols.append(F.col(f.name))
+        updated = df.filter(cond).count() if cond else df.count()
+        self._replace_table(t, df.select(*cols))
+        return self.spark.createDataFrame([(updated,)], "rows bigint")
+
+    def _sql_merge(
+        self,
+        target: str,
+        talias: str | None,
+        source: str,
+        salias: str | None,
+        on: str,
+        set_clause: str,
+        ins_cols: str | None,
+        ins_vals: str | None,
+    ) -> DataFrame:
+        t = self._writable_table(target)
+        ta = talias or "t"
+        sa = salias or "s"
+        tdf = self.spark.table(t).withColumn("__tid", F.monotonically_increasing_id())
+        tdf = tdf.localCheckpoint(eager=True)  # pin ids for the guard
+        tdf.createOrReplaceTempView("__merge_t")
+        src_sql = source if source.strip().startswith("(") else f"(SELECT * FROM {source})"
+        self.spark.sql(
+            f"SELECT *, true AS __m FROM {src_sql} {sa}"
+        ).createOrReplaceTempView("__merge_s")
+        fields = [f for f in self.spark.table(t).schema.fields]
+        # reference contract: one target row must match at most one source row
+        # (MergeOperator raises MULTIPLE_TARGET_MATCHES)
+        multi = self.spark.sql(
+            f"SELECT {ta}.__tid FROM __merge_t {ta} JOIN __merge_s {sa} ON {on} "
+            f"GROUP BY {ta}.__tid HAVING count(*) > 1"
+        ).limit(1).collect()
+        if multi:
+            raise ValueError(
+                "MERGE: one target table row matched more than one source row"
+            )
+        sets = {}
+        for part in split_top_level(set_clause):
+            col, expr = part.split("=", 1)
+            sets[col.strip().lower().removeprefix(f"{ta.lower()}.")] = expr.strip()
+        proj = []
+        for f in fields:
+            if f.name.lower() in sets:
+                e = f"CAST(({sets[f.name.lower()]}) AS {f.dataType.simpleString()})"
+                proj.append(
+                    f"CASE WHEN {sa}.__m THEN {e} ELSE {ta}.`{f.name}` END AS `{f.name}`"
+                )
+            else:
+                proj.append(f"{ta}.`{f.name}` AS `{f.name}`")
+        merged = self.spark.sql(
+            f"SELECT {', '.join(proj)} FROM __merge_t {ta} "
+            f"LEFT JOIN __merge_s {sa} ON {on}"
+        )
+        # update count = matched (updated) + inserted rows, the reference's
+        # MERGE update-count semantics
+        n_touched = (
+            self.spark.sql(
+                f"SELECT count(*) AS c FROM __merge_t {ta} JOIN __merge_s {sa} ON {on}"
+            )
+            .collect()[0]
+            .c
+        )
+        if ins_cols:
+            names = [c.strip().lower() for c in split_top_level(ins_cols)]
+            vals = split_top_level(ins_vals or "")
+            if len(names) != len(vals):
+                raise ValueError("MERGE INSERT column/value count mismatch")
+            val_for = dict(zip(names, vals))
+            ins_proj = []
+            for f in fields:
+                if f.name.lower() in val_for:
+                    ins_proj.append(
+                        f"CAST(({val_for[f.name.lower()]}) AS "
+                        f"{f.dataType.simpleString()}) AS `{f.name}`"
+                    )
+                else:
+                    ins_proj.append(
+                        f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`"
+                    )
+            inserts = self.spark.sql(
+                f"SELECT {', '.join(ins_proj)} FROM __merge_s {sa} WHERE NOT EXISTS "
+                f"(SELECT 1 FROM __merge_t {ta} WHERE {on})"
+            )
+            n_touched += inserts.count()
+            merged = merged.unionByName(inserts)
+        self._replace_table(t, merged)
+        return self.spark.createDataFrame([(n_touched,)], "rows bigint")
 
     # -- transactions (TransactionManager.java; explicit autocommit
     #    contract: this engine commits each statement as it executes — the

@@ -668,3 +668,81 @@ def test_use_statement_contracts(spark):
         sess.execute("USE hive.default")
     with pytest.raises(ValueError, match="Schema does not exist"):
         sess.execute("USE nosuch")
+
+
+# -- SQL DML statements on managed tables (delete/update/merge productions) --
+
+
+def _fresh_dml_table(spark, sess, name="t_dml_test"):
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
+    sess.execute(
+        f"CREATE TABLE {name} AS SELECT n_nationkey, n_name, n_regionkey FROM nation"
+    )
+    return name
+
+
+def test_sql_delete_update_roundtrip(spark):
+    """DELETE FROM / UPDATE ... SET as SQL statements: copy-on-write
+    replace on a managed table, affected-row counts returned (reference
+    delete/update productions + update-count protocol)."""
+    sess = _sess(spark)
+    t = _fresh_dml_table(spark, sess)
+    assert sess.execute(f"DELETE FROM {t} WHERE n_nationkey >= 20").collect()[0].rows == 5
+    assert sess.execute(f"SELECT count(*) AS n FROM {t}").collect()[0].n == 20
+    r = sess.execute(
+        f"UPDATE {t} SET n_name = concat(n_name, '!') WHERE n_regionkey = 0"
+    ).collect()
+    assert r[0].rows == 4
+    got = sess.execute(
+        f"SELECT n_name FROM {t} WHERE n_nationkey = 0"
+    ).collect()[0].n_name
+    assert got.endswith("!")
+    # unconditional delete empties the table
+    sess.execute(f"DELETE FROM {t}")
+    assert sess.execute(f"SELECT count(*) AS n FROM {t}").collect()[0].n == 0
+    spark.sql(f"DROP TABLE {t}")
+
+
+def test_sql_merge_update_insert(spark):
+    """MERGE INTO with matched-update + not-matched-insert: update count =
+    matched + inserted; unmentioned insert columns become NULL; a target
+    row matching multiple source rows raises (MergeOperator contract)."""
+    sess = _sess(spark)
+    t = _fresh_dml_table(spark, sess)
+    sess.execute(f"DELETE FROM {t} WHERE n_nationkey >= 20")
+    r = sess.execute(
+        f"MERGE INTO {t} t USING (SELECT n_nationkey, upper(n_name) AS nm "
+        "FROM nation WHERE n_nationkey BETWEEN 18 AND 22) s "
+        "ON t.n_nationkey = s.n_nationkey "
+        "WHEN MATCHED THEN UPDATE SET n_name = s.nm "
+        "WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name) VALUES (s.n_nationkey, s.nm)"
+    ).collect()
+    assert r[0].rows == 5  # 2 matched + 3 inserted
+    assert sess.execute(f"SELECT count(*) AS n FROM {t}").collect()[0].n == 23
+    row = sess.execute(
+        f"SELECT n_name, n_regionkey FROM {t} WHERE n_nationkey = 21"
+    ).collect()[0]
+    assert row.n_name == "NATION_21" and row.n_regionkey is None
+    # ambiguous source: two source rows hit one target row -> loud error
+    with pytest.raises(ValueError, match="more than one source row"):
+        sess.execute(
+            f"MERGE INTO {t} t USING (SELECT 1 AS k UNION ALL SELECT 1 AS k) s "
+            "ON t.n_nationkey = s.k "
+            "WHEN MATCHED THEN UPDATE SET n_name = 'dup'"
+        )
+    spark.sql(f"DROP TABLE {t}")
+
+
+def test_sql_dml_rejects_immutable_base_tables(spark):
+    sess = _sess(spark)
+    for stmt in [
+        "DELETE FROM nation WHERE n_nationkey = 1",
+        "UPDATE nation SET n_name = 'x'",
+    ]:
+        with pytest.raises(ValueError, match="immutable base parquet"):
+            sess.execute(stmt)
