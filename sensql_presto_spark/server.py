@@ -184,14 +184,25 @@ class SqlServer:
             if client not in self._sessions:
                 forked = self.spark.newSession()
                 self._prepare(forked, self.sf_dir)
-                self._sessions[client] = self._stmts_cls(
+                sess = self._stmts_cls(
                     forked,
                     self.sf_dir,
                     user=client,
                     access=self._access,
                     enforce_access=self._enforce_access,
                 )
+                # coordinator-bound procedure (KillQueryProcedure.java)
+                sess.procedures["system.runtime.kill_query"] = self._kill_query
+                self._sessions[client] = sess
             return self._sessions[client]
+
+    def _kill_query(self, query_id: str) -> None:
+        q = self.queries.get(query_id)
+        if q is None:
+            raise ValueError(f"Query not found: {query_id}")
+        with q.lock:
+            if q.state in ("QUEUED", "RUNNING"):
+                q.state = "CANCELED"
 
     def submit(self, sql: str, client: str = "anonymous") -> QueryExecution:
         q = QueryExecution(query_id=f"q_{uuid.uuid4().hex[:12]}", sql=sql, client=client)

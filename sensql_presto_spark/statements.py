@@ -194,7 +194,7 @@ _SHOW_ROLES_RE = re.compile(r"^\s*SHOW\s+(?:CURRENT\s+)?ROLES\s*$", re.IGNORECAS
 _SHOW_GRANTS_RE = re.compile(
     r"^\s*SHOW\s+GRANTS(?:\s+ON\s+(?:TABLE\s+)?([\w.]+))?\s*$", re.IGNORECASE
 )
-_CALL_RE = re.compile(r"^\s*CALL\s+([\w.]+)\s*\(", re.IGNORECASE)
+_CALL_RE = re.compile(r"^\s*CALL\s+([\w.]+)\s*\((.*)\)\s*$", re.IGNORECASE | re.DOTALL)
 
 # Presto parameter/return types that spell differently in Spark DDL.
 _FN_TYPE_MAP = {
@@ -219,6 +219,17 @@ def _translate_fn_params(params: str) -> str:
             raise ValueError(f"Invalid function parameter declaration: {p!r}")
         out.append(f"{bits[0]} {_translate_fn_type(' '.join(bits[1:]))}")
     return ", ".join(out)
+
+
+def _proc_literal(text: str):
+    """CALL argument literal: quoted string (with '' escapes) or integer."""
+    text = text.strip()
+    if text.startswith("'") and text.endswith("'"):
+        return text[1:-1].replace("''", "'")
+    try:
+        return int(text)
+    except ValueError:
+        return text
 
 
 def split_top_level(text: str, sep: str = ",") -> list[str]:
@@ -484,6 +495,12 @@ class StatementSession:
         self._enabled_roles: set[str] | None = None  # None = ALL granted roles
         self.matviews = MaterializedViewStore(spark, sf_dir)
         self.matviews.register_all()
+        # CALL targets (ProcedureRegistry.java analog); hosts may add more
+        self.procedures: dict[str, object] = {
+            "system.runtime.kill_query": self._proc_kill_query_default,
+            "system.rollback_to_snapshot": self._proc_rollback_to_snapshot,
+            "system.refresh_materialized_view": self.matviews.refresh,
+        }
 
     def _active_roles(self) -> set[str]:
         granted = self.access.roles_of(self.user)
@@ -804,12 +821,48 @@ class StatementSession:
             )
         m = _CALL_RE.match(text)
         if m:
-            raise ValueError(
-                f"Procedure not registered: {m.group(1)} — CALL is not supported "
-                "(no connector procedures in this engine; reference ProcedureRegistry)"
-            )
+            return self._call_procedure(m.group(1), m.group(2))
         self._check_table_access(text)
         return catalog.sql(self.spark, self.sf_dir, text)
+
+    # -- CALL procedures (SqlBase.g4 call rule; metadata/ProcedureRegistry
+    #    .java). Built-ins mirror the reference's shipped procedures:
+    #    system.runtime.kill_query (connector/system/KillQueryProcedure
+    #    .java — the HTTP server injects the coordinator-bound impl),
+    #    system.rollback_to_snapshot (the iceberg connector's
+    #    RollbackToSnapshotProcedure over mutation.WritableTable snapshot
+    #    versions), and system.refresh_materialized_view (the REFRESH
+    #    statement as a procedure). Hosts can register more via
+    #    ``self.procedures[name] = callable``. ------------------------------
+
+    def _call_procedure(self, name: str, argtext: str) -> DataFrame:
+        key = name.lower()
+        if key not in self.procedures:
+            raise ValueError(
+                f"Procedure not registered: {name} (reference ProcedureRegistry)"
+            )
+        args, kwargs = [], {}
+        for part in split_top_level(argtext) if argtext.strip() else []:
+            part = part.strip()
+            m = re.match(r"^(\w+)\s*=>\s*(.+)$", part, re.DOTALL)
+            if m:
+                kwargs[m.group(1).lower()] = _proc_literal(m.group(2).strip())
+            else:
+                args.append(_proc_literal(part))
+        self.procedures[key](*args, **kwargs)
+        return self.spark.createDataFrame([("CALL",)], "result string")
+
+    def _proc_kill_query_default(self, query_id: str) -> None:
+        raise ValueError(
+            "system.runtime.kill_query needs the coordinator's query registry "
+            "— available on HTTP-server sessions (KillQueryProcedure.java)"
+        )
+
+    def _proc_rollback_to_snapshot(self, table_path: str, version) -> None:
+        from sensql_presto_spark.mutation import WritableTable
+
+        t = WritableTable(self.spark, table_path)
+        t.insert_overwrite(t.read_version(int(version)))
 
     # -- CREATE FUNCTION (SqlBase.g4:72-79 → Spark SQL-function DDL) --------
 

@@ -305,3 +305,24 @@ def test_enforced_access_control_over_http(spark, oracle_dir):
         assert err is not None and "Access Denied" in err["message"]
     finally:
         s.stop()
+
+
+def test_call_kill_query_over_http(spark, oracle_dir):
+    """CALL system.runtime.kill_query cancels a running query — the
+    coordinator-bound procedure (KillQueryProcedure.java)."""
+    s = srv.SqlServer(spark, oracle_dir).start()
+    try:
+        q = s.submit(
+            "SELECT count(*) FROM lineitem l1 CROSS JOIN lineitem l2 CROSS JOIN lineitem l3"
+        )
+        time.sleep(0.2)
+        err, _ = _run_query_as(
+            s, f"CALL system.runtime.kill_query('{q.query_id}')", "admin"
+        )
+        assert err is None
+        with q.lock:
+            assert q.state in ("CANCELED", "FINISHED")
+        err, _ = _run_query_as(s, "CALL system.runtime.kill_query('nope')", "admin")
+        assert err is not None and "not found" in err["message"].lower()
+    finally:
+        s.stop()

@@ -474,9 +474,51 @@ def test_grant_option_regrant_contract(spark):
         bob.execute("GRANT SELECT ON region TO USER dave")
 
 
-def test_call_procedure_raises_loud_unsupported(spark):
-    with pytest.raises(ValueError, match="CALL is not supported"):
+def test_call_unknown_procedure_raises(spark):
+    with pytest.raises(ValueError, match="Procedure not registered"):
+        _sess(spark).execute("CALL system.no_such_proc('x')")
+
+
+def test_call_kill_query_needs_coordinator(spark):
+    """The session-level default is a loud contract; the HTTP server
+    injects the real KillQueryProcedure implementation."""
+    with pytest.raises(ValueError, match="coordinator"):
         _sess(spark).execute("CALL system.runtime.kill_query('q1')")
+
+
+def test_call_refresh_materialized_view(spark):
+    sess = _sess(spark)
+    sess.execute("CREATE OR REPLACE MATERIALIZED VIEW mv_proc AS SELECT 5 AS x")
+    sess.execute("CALL system.refresh_materialized_view('mv_proc')")
+    assert sess.matviews._versions("mv_proc") == [0, 1]
+    # named-argument spelling (Presto CALL supports name => value)
+    sess.execute("CALL system.refresh_materialized_view(name => 'mv_proc')")
+    assert sess.matviews._versions("mv_proc") == [0, 1, 2]
+    sess.execute("DROP MATERIALIZED VIEW mv_proc")
+
+
+def test_call_rollback_to_snapshot(spark):
+    """RollbackToSnapshotProcedure semantics: committing the old snapshot's
+    contents as a NEW version (history preserved, like the iceberg proc)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from sensql_presto_spark import catalog
+    from sensql_presto_spark.mutation import WritableTable
+
+    path = os.path.join("spark-warehouse", "rollback_demo")
+    shutil.rmtree(path, ignore_errors=True)
+    nation = catalog.table(spark, SF, "nation").select("n_nationkey", "n_name")
+    t = WritableTable.create(spark, path, nation)
+    t.delete(F.col("n_nationkey") >= 5)
+    assert t.read().count() == 5
+    _sess(spark).execute(f"CALL system.rollback_to_snapshot('{path}', 0)")
+    t2 = WritableTable(spark, path)
+    assert t2.read().count() == 25  # restored
+    assert t2.version == 2  # rollback commits a new version
+    shutil.rmtree(path, ignore_errors=True)
 
 
 # -- metadata listing: SHOW TABLES/SCHEMAS/CATALOGS/COLUMNS, SHOW CREATE -----
