@@ -483,6 +483,8 @@ class StatementSession:
         self.functions: dict[str, str] = {}  # bare name -> original CREATE text
         self._conf_defaults: dict[str, str | None] = {}
         self._in_txn = False
+        self._txn_backups: dict[str, str] = {}
+        self._txn_unrollbackable: str | None = None
         self.schema = "default"  # USE target; single-catalog engine
         # Session identity + access control (AccessControlManager analog).
         # ``access`` is shared engine state (the server passes one store to
@@ -523,6 +525,27 @@ class StatementSession:
 
     def execute(self, text: str) -> DataFrame:
         text = text.strip().rstrip(";")
+        if self._in_txn:
+            # writes OUTSIDE the transactional DML surface autocommit; note
+            # the first one so a later ROLLBACK fails loudly instead of
+            # silently keeping it (durable-write classes only — session
+            # state like CREATE VIEW/FUNCTION/TYPE is not data)
+            if re.match(
+                r"^\s*(CREATE\s+TABLE|CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED|"
+                r"REFRESH\s+MATERIALIZED|DROP\s+(TABLE|MATERIALIZED)|"
+                r"INSERT\s+OVERWRITE|ALTER\s+TABLE|CALL)\b",
+                text,
+                re.IGNORECASE,
+            ) and self._txn_unrollbackable is None:
+                self._txn_unrollbackable = " ".join(text.split())[:60]
+            m = re.match(r"^\s*INSERT\s+INTO\s+([\w.]+)", text, re.IGNORECASE)
+            if m:
+                name = m.group(1)
+                if (
+                    name.split(".")[-1].lower() not in catalog.TABLES
+                    and self.spark.catalog.tableExists(name)
+                ):
+                    self._txn_backup(name)
         m = _PREPARE_RE.match(text)
         if m:
             self.prepared[m.group(1).lower()] = m.group(2).strip()
@@ -1062,6 +1085,7 @@ class StatementSession:
 
     def _sql_delete(self, table: str, cond: str | None) -> DataFrame:
         t = self._writable_table(table)
+        self._txn_backup(t)
         df = self.spark.table(t)
         total = df.count()
         keep = df.filter(f"NOT ({cond})") if cond else df.limit(0)
@@ -1072,6 +1096,7 @@ class StatementSession:
 
     def _sql_update(self, table: str, assignments: str, cond: str | None) -> DataFrame:
         t = self._writable_table(table)
+        self._txn_backup(t)
         df = self.spark.table(t)
         sets: dict[str, str] = {}
         for part in split_top_level(assignments):
@@ -1105,6 +1130,7 @@ class StatementSession:
         ins_vals: str | None,
     ) -> DataFrame:
         t = self._writable_table(target)
+        self._txn_backup(t)
         ta = talias or "t"
         sa = salias or "s"
         tdf = self.spark.table(t).withColumn("__tid", F.monotonically_increasing_id())
@@ -1177,16 +1203,33 @@ class StatementSession:
         self._replace_table(t, merged)
         return self.spark.createDataFrame([(n_touched,)], "rows bigint")
 
-    # -- transactions (TransactionManager.java; explicit autocommit
-    #    contract: this engine commits each statement as it executes — the
-    #    same model as Presto's autocommit sessions, where writes outside
-    #    START TRANSACTION commit immediately) -------------------------------
+    # -- transactions (TransactionManager.java). Statement-layer DML on
+    #    managed tables is TRANSACTIONAL: the first mutation of a table
+    #    inside START TRANSACTION snapshots its pre-image to a backup
+    #    table; ROLLBACK restores every touched table from its backup and
+    #    COMMIT drops the backups — single-session atomicity, the scope a
+    #    single-coordinator deployment needs (cross-session isolation is
+    #    connector-delegated in the reference too). Writes the engine
+    #    cannot undo (CTAS, matview DDL, WritableTable API calls) keep the
+    #    loud cannot-rollback contract via _txn_unrollbackable. -------------
+
+    def _txn_backup(self, table: str) -> None:
+        """Snapshot ``table``'s pre-image before its first in-txn mutation."""
+        if not self._in_txn or table in self._txn_backups:
+            return
+        backup = f"__txn_backup_{len(self._txn_backups)}_{abs(hash(table)) % 10**6}"
+        self.spark.sql(f"DROP TABLE IF EXISTS {backup}")
+        df = self.spark.table(table).localCheckpoint(eager=True)
+        df.write.saveAsTable(backup)
+        self._txn_backups[table] = backup
 
     def _start_transaction(self) -> DataFrame:
         if self._in_txn:
             # NestedTransactionsNotSupportedException in the reference
             raise ValueError("Nested transactions not supported")
         self._in_txn = True
+        self._txn_backups = {}
+        self._txn_unrollbackable = None
         return self.spark.createDataFrame([("START TRANSACTION",)], "result string")
 
     def _commit(self) -> DataFrame:
@@ -1194,23 +1237,36 @@ class StatementSession:
             # reference: NOT_IN_TRANSACTION error outside a transaction
             raise ValueError("No transaction in progress")
         self._in_txn = False
-        # No-op by contract: every statement already committed durably via
-        # the copy-on-write snapshot discipline (mutation.WritableTable,
-        # matviews) when it executed.
+        for backup in self._txn_backups.values():
+            self.spark.sql(f"DROP TABLE IF EXISTS {backup}")
+        self._txn_backups = {}
         return self.spark.createDataFrame([("COMMIT",)], "result string")
 
     def _rollback(self) -> DataFrame:
         if not self._in_txn:
             raise ValueError("No transaction in progress")
         self._in_txn = False
-        # Loud contract instead of a silent wrong answer: statements inside
-        # the transaction were autocommitted as they ran, so a rollback
-        # cannot undo them.  (Snapshot time travel in mutation.py is the
-        # recovery path for committed writes.)
-        raise ValueError(
-            "ROLLBACK is not supported: this engine runs in autocommit — "
-            "each statement commits a durable snapshot as it executes"
-        )
+        try:
+            if self._txn_unrollbackable:
+                # Loud contract instead of a silent wrong answer: a write
+                # outside the transactional DML surface already committed
+                # durably (snapshot time travel in mutation.py is the
+                # recovery path for those).
+                raise ValueError(
+                    "ROLLBACK cannot undo this transaction: statement "
+                    f"'{self._txn_unrollbackable}' committed outside the "
+                    "transactional DML surface (managed-table DELETE/UPDATE/"
+                    "MERGE/INSERT are rolled back; other writes autocommit)"
+                )
+            for table, backup in self._txn_backups.items():
+                pre = self.spark.table(backup).localCheckpoint(eager=True)
+                pre.write.mode("overwrite").saveAsTable(table)
+        finally:
+            for backup in self._txn_backups.values():
+                self.spark.sql(f"DROP TABLE IF EXISTS {backup}")
+            self._txn_backups = {}
+            self._txn_unrollbackable = None
+        return self.spark.createDataFrame([("ROLLBACK",)], "result string")
 
     # -- session properties (SET/RESET/SHOW SESSION, SURVEY §3.4;
     #    SystemSessionProperties.java names -> Spark confs) -----------------

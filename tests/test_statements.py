@@ -334,12 +334,14 @@ def test_nested_transaction_errors(spark):
     sess.execute("COMMIT")
 
 
-def test_rollback_inside_transaction_raises_loud_autocommit_contract(spark):
+def test_rollback_of_empty_transaction_succeeds(spark):
+    """A transaction with no writes rolls back cleanly (and used to raise
+    under the old autocommit-only contract — the DML surface is now
+    transactional; see the transactional-DML tests below)."""
     sess = _sess(spark)
     sess.execute("START TRANSACTION")
-    with pytest.raises(ValueError, match="autocommit"):
-        sess.execute("ROLLBACK")
-    # the failed rollback still ended the transaction
+    assert sess.execute("ROLLBACK").collect()[0].result == "ROLLBACK"
+    # rollback ended the transaction
     sess.execute("START TRANSACTION")
     sess.execute("COMMIT")
 
@@ -788,3 +790,56 @@ def test_sql_dml_rejects_immutable_base_tables(spark):
     ]:
         with pytest.raises(ValueError, match="immutable base parquet"):
             sess.execute(stmt)
+
+
+# -- transactional DML (TransactionManager.java; backup/restore atomicity) ---
+
+
+def test_transaction_rollback_restores_dml(spark):
+    """START TRANSACTION + DELETE/UPDATE/INSERT INTO + ROLLBACK restores
+    every touched managed table to its pre-transaction state."""
+    sess = _sess(spark)
+    t = _fresh_dml_table(spark, sess, "t_txn_test")
+    sess.execute("START TRANSACTION")
+    sess.execute(f"DELETE FROM {t} WHERE n_nationkey >= 10")
+    sess.execute(f"UPDATE {t} SET n_name = 'gone' WHERE n_nationkey = 0")
+    sess.execute(f"INSERT INTO {t} VALUES (99, 'NEW', 0)")
+    assert sess.execute(f"SELECT count(*) AS n FROM {t}").collect()[0].n == 11
+    r = sess.execute("ROLLBACK")
+    assert r.collect()[0].result == "ROLLBACK"
+    assert sess.execute(f"SELECT count(*) AS n FROM {t}").collect()[0].n == 25
+    assert (
+        sess.execute(f"SELECT n_name FROM {t} WHERE n_nationkey = 0").collect()[0].n_name
+        == "NATION_0"
+    )
+    # backup tables are cleaned up
+    assert not [x for x in spark.catalog.listTables() if x.name.startswith("__txn_backup")]
+    spark.sql(f"DROP TABLE {t}")
+
+
+def test_transaction_commit_keeps_dml(spark):
+    sess = _sess(spark)
+    t = _fresh_dml_table(spark, sess, "t_txn_commit")
+    sess.execute("START TRANSACTION")
+    sess.execute(f"DELETE FROM {t} WHERE n_nationkey >= 5")
+    sess.execute("COMMIT")
+    assert sess.execute(f"SELECT count(*) AS n FROM {t}").collect()[0].n == 5
+    assert not [x for x in spark.catalog.listTables() if x.name.startswith("__txn_backup")]
+    spark.sql(f"DROP TABLE {t}")
+
+
+def test_transaction_rollback_loud_on_autocommitted_write(spark):
+    """A CTAS inside the transaction autocommits; ROLLBACK must fail loudly
+    rather than silently keep it."""
+    import shutil
+    from urllib.parse import urlparse
+
+    sess = _sess(spark)
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    spark.sql("DROP TABLE IF EXISTS t_txn_ctas")
+    shutil.rmtree(f"{wh}/t_txn_ctas", ignore_errors=True)
+    sess.execute("START TRANSACTION")
+    sess.execute("CREATE TABLE t_txn_ctas AS SELECT 1 AS x")
+    with pytest.raises(ValueError, match="cannot undo"):
+        sess.execute("ROLLBACK")
+    spark.sql("DROP TABLE IF EXISTS t_txn_ctas")
