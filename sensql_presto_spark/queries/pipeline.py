@@ -2525,6 +2525,108 @@ _sql_query(
 )
 
 
+# Bloom-prefiltered incremental dedup — the 100 TB shape of the entry
+# above. A plain anti-join shuffles BOTH sides on the content hash; when
+# the seen-snapshot is billions of keys and the incoming delivery mostly
+# new, the right production plan is: (1) aggregate the snapshot into a
+# BLOOM FILTER, (2) broadcast it and prefilter the incoming stream
+# (definitely-new rows exit with zero shuffle; no false negatives, so
+# nothing new is lost), (3) exact anti-join ONLY the might-contain
+# candidates — false positives are eliminated, so the OUTPUT is exact.
+# Spark's bloom_filter_agg/might_contain pair is internal-only SQL, so the
+# bloom is built from public primitives as a BITMAP RELATION: k=5 probe
+# positions per key (xxhash64(h, i) mod m), bit_or-aggregated into
+# m/64 = 16k 64-bit words — a tiny broadcastable table; membership =
+# all k probed bits set. Same structure the runtime bloom-join injects,
+# expressed declaratively. The oracle is the plain anti-join —
+# bit-identical output by the no-false-negative guarantee.
+@register(
+    "dedup_bloom_prefilter",
+    oracle="""
+    WITH snapshot AS (
+        SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 < 2
+    ),
+    incoming AS (
+        SELECT doc_id, source, md5(text) AS h, n_chars
+        FROM documents WHERE doc_id % 10 < 3
+    )
+    SELECT source,
+           count(*) AS new_docs,
+           CAST(sum(n_chars) AS BIGINT) AS new_chars,
+           CAST(min(doc_id) AS BIGINT) AS first_new_doc
+    FROM incoming i
+    WHERE NOT EXISTS (SELECT 1 FROM snapshot s WHERE s.h = i.h)
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("pipeline", "dedup", "incremental", "scale"),
+    doc="Bloom-prefiltered incremental dedup: bloom_filter_agg over the "
+    "seen snapshot, broadcast might_contain prefilter (no false "
+    "negatives), exact anti-join of only the candidate slice — exact "
+    "output with the shuffle bounded by bloom-hit cardinality.",
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K, M = 5, 1 << 20  # 5 probes into 2^20 bits = 16,384 bitmap words
+    docs = catalog.table(spark, sf_dir, "documents")
+    docs.where(F.col("doc_id") % 5 < 2).select(
+        F.md5("text").alias("h")
+    ).distinct().createOrReplaceTempView("__bloom_snapshot")
+    docs.where(F.col("doc_id") % 10 < 3).select(
+        "doc_id", "source", F.md5("text").alias("h"), "n_chars"
+    ).createOrReplaceTempView("__bloom_incoming")
+    # (1) one aggregation pass folds the snapshot into the bitmap relation
+    spark.sql(
+        f"""
+        SELECT pos DIV 64 AS word,
+               bit_or(shiftleft(1L, cast(pos % 64 AS INT))) AS mask
+        FROM (
+            SELECT pmod(xxhash64(h, k.i), {M}) AS pos
+            FROM __bloom_snapshot LATERAL VIEW explode(sequence(1, {K})) k AS i
+        )
+        GROUP BY pos DIV 64
+        """
+    ).createOrReplaceTempView("__bloom_bitmap")
+    # (2) broadcast prefilter: a doc whose K probed bits are not all set is
+    #     DEFINITELY new (no false negatives) and never reaches the join
+    # (3) exact anti-join of just the candidate slice kills false positives
+    return spark.sql(
+        f"""
+        WITH probes AS (
+            SELECT i.doc_id, i.source, i.h, i.n_chars,
+                   pmod(xxhash64(i.h, k.i), {M}) AS pos
+            FROM __bloom_incoming i LATERAL VIEW explode(sequence(1, {K})) k AS i
+        ),
+        flagged AS (
+            SELECT /*+ BROADCAST(b) */ doc_id, source, h, n_chars,
+                   min(CASE WHEN b.word IS NOT NULL
+                            AND (shiftright(b.mask, cast(pos % 64 AS INT)) & 1) = 1
+                            THEN 1 ELSE 0 END) AS all_bits_set
+            FROM probes p LEFT JOIN __bloom_bitmap b ON p.pos DIV 64 = b.word
+            GROUP BY doc_id, source, h, n_chars
+        ),
+        definitely_new AS (
+            SELECT doc_id, source, h, n_chars FROM flagged WHERE all_bits_set = 0
+        ),
+        verified_new AS (
+            SELECT f.doc_id, f.source, f.h, f.n_chars
+            FROM flagged f
+            WHERE f.all_bits_set = 1
+              AND NOT EXISTS (SELECT 1 FROM __bloom_snapshot s WHERE s.h = f.h)
+        ),
+        new_docs AS (
+            SELECT * FROM definitely_new UNION ALL SELECT * FROM verified_new
+        )
+        SELECT source,
+               count(*) AS new_docs,
+               CAST(sum(n_chars) AS BIGINT) AS new_chars,
+               CAST(min(doc_id) AS BIGINT) AS first_new_doc
+        FROM new_docs
+        GROUP BY source
+        ORDER BY source
+        """
+    )
+
+
 # --- URL-keyed dedup (the CommonCrawl pattern: many crawled variants of
 #     one page differ only in scheme case, www prefix, trailing slash and
 #     tracking parameters). Canonicalization is pure column expressions
