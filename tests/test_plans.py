@@ -304,3 +304,12 @@ def test_semantic_dedup_probe_is_bucket_pruned(spark):
     # and the pair stage itself never regresses to a cross product
     pairs_plan = _plan(spark, "dedup_semantic")
     assert "CartesianProduct" not in pairs_plan and "Python" not in pairs_plan
+
+
+def test_bloom_prefilter_broadcasts_bitmap(spark):
+    """dedup_bloom_prefilter: the bitmap side of the probe join broadcasts
+    (16k words, never a shuffle of the incoming stream for the prefilter)
+    and the plan stays codegen — no cartesian, no Python."""
+    plan = _plan(spark, "dedup_bloom_prefilter")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "Python" not in plan
