@@ -56,3 +56,21 @@ def register_all(spark: SparkSession) -> None:
     # register_all() expects the whole reference name surface.
     register_ip_functions(spark)
     register_sketch_functions(spark)
+    _register_builtin_aliases(spark)
+
+
+def _register_builtin_aliases(spark: SparkSession) -> None:
+    """Presto spellings for lambda-taking builtins (ArrayFunctions.java
+    any_match/all_match): SQL temp functions cannot take function-typed
+    parameters, so the Presto name is aliased directly onto the builtin's
+    expression builder in the session FunctionRegistry — full lambda
+    support under the reference name.  (none_match stays a documented
+    rewrite to NOT any_match: Spark has no negated builtin to alias and a
+    builder cannot be composed from Python.)"""
+    reg = spark._jsparkSession.sessionState().functionRegistry()
+    fi = spark.sparkContext._jvm.org.apache.spark.sql.catalyst.FunctionIdentifier
+    for presto_name, spark_name in (("any_match", "exists"), ("all_match", "forall")):
+        builder = reg.lookupFunctionBuilder(fi(spark_name))
+        info = reg.lookupFunction(fi(spark_name))
+        if builder.isDefined() and info.isDefined():
+            reg.registerFunction(fi(presto_name), info.get(), builder.get())

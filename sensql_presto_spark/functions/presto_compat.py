@@ -43,7 +43,8 @@ PRESTO_EQUIVALENTS: dict[str, str] = {
     "map_concat": "map_concat",
     "map_keys/map_values/map_entries/map_from_entries": "same",
     "transform/filter/reduce": "transform/filter/aggregate (higher-order)",
-    "any_match/all_match/none_match": "exists/forall/not exists",
+    "any_match/all_match": "registered under the Presto names (builtin-builder aliases of exists/forall, full lambda support)",
+    "none_match": "NOT any_match(...) — no negated builtin to alias",
     "zip_with/map_zip_with/transform_keys/transform_values/map_filter": "same",
     "json_extract_scalar": "get_json_object, gated to scalar leaves (object/array match -> NULL)",
     "json_extract": "to_json(try_variant_get(try_parse_json(j), p, 'variant')) — JSON-encoded result, string leaves keep quotes",
@@ -87,7 +88,8 @@ PRESTO_EQUIVALENTS: dict[str, str] = {
     "try_cast": "try_cast",
     "greatest/least": "same",
     "coalesce/nullif/if/case": "same",
-    "merge_hll": "hll_union_agg (array-of-sketches merge via aggregate)",
+    "merge_hll": "registered (hll_union fold over the sketch array)",
+    "combine_hash": "registered (wrapping 31*p + v via 32-bit limb arithmetic)",
     "localtime": "localtimestamp (Spark has no TIME type; documented gap)",
     "murmur3_x64_128/spooky_hash_v2_32/spooky_hash_v2_64":
         "registered (pure-Python ports golden-tested vs TestVarbinaryFunctions.java)",
@@ -346,6 +348,28 @@ _SQL_FUNCTIONS: tuple[str, ...] = (
        RETURNS STRING RETURN to_json(parse_json(j))""",
     """CREATE OR REPLACE TEMPORARY FUNCTION json_format(j STRING)
        RETURNS STRING RETURN j""",
+    # CombineHashFunction.java: 31 * previous + value in WRAPPING int64
+    # arithmetic. ANSI Spark raises on bigint overflow, so the product is
+    # computed in 32-bit limbs (each term < 2^37 — never overflows) and
+    # reassembled with shifts/bitwise ops, which wrap by definition.
+    """CREATE OR REPLACE TEMPORARY FUNCTION combine_hash(p BIGINT, v BIGINT)
+       RETURNS BIGINT RETURN
+       shiftleft((31 * (shiftright(p, 32) & 4294967295)
+                  + (shiftright(v, 32) & 4294967295)
+                  + shiftright(31 * (p & 4294967295) + (v & 4294967295), 32))
+                 & 4294967295, 32)
+       | ((31 * (p & 4294967295) + (v & 4294967295)) & 4294967295)""",
+    # HyperLogLogFunctions.java merge_hll(array(hll)) — fold over Spark's
+    # hll_union (DataSketches binary); NULL elements skip, empty/NULL
+    # input returns NULL, exactly the reference's scalar merge contract
+    """CREATE OR REPLACE TEMPORARY FUNCTION merge_hll(a ARRAY<BINARY>)
+       RETURNS BINARY RETURN CASE
+           WHEN a IS NULL OR size(a) = 0 THEN CAST(NULL AS BINARY)
+           ELSE aggregate(slice(a, 2, size(a) - 1), a[0],
+                          (acc, x) -> CASE WHEN acc IS NULL THEN x
+                                           WHEN x IS NULL THEN acc
+                                           ELSE hll_union(acc, x, true) END)
+       END""",
     """CREATE OR REPLACE TEMPORARY FUNCTION json_array_contains_num(j STRING, v DOUBLE)
        RETURNS BOOLEAN RETURN array_contains(from_json(j, 'array<double>'), v)""",
     # bare Presto name carries the (json, varchar) overload — the most
