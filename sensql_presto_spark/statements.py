@@ -191,9 +191,16 @@ _MERGE_RE = re.compile(
     re.IGNORECASE,
 )
 _SHOW_ROLES_RE = re.compile(r"^\s*SHOW\s+(?:CURRENT\s+)?ROLES\s*$", re.IGNORECASE)
+_SHOW_ROLE_GRANTS_RE = re.compile(r"^\s*SHOW\s+ROLE\s+GRANTS\s*$", re.IGNORECASE)
 _SHOW_GRANTS_RE = re.compile(
     r"^\s*SHOW\s+GRANTS(?:\s+ON\s+(?:TABLE\s+)?([\w.]+))?\s*$", re.IGNORECASE
 )
+# alterFunction / renameSchema productions (SqlBase.g4 statement audit) —
+# no Spark counterpart (SQL functions carry no alterable characteristics;
+# Spark databases cannot be renamed), so each gets a loud contract
+# instead of a raw parser error
+_ALTER_FN_RE = re.compile(r"^\s*ALTER\s+FUNCTION\b", re.IGNORECASE)
+_RENAME_SCHEMA_RE = re.compile(r"^\s*ALTER\s+SCHEMA\s+[\w.]+\s+RENAME\b", re.IGNORECASE)
 _CALL_RE = re.compile(r"^\s*CALL\s+([\w.]+)\s*\((.*)\)\s*$", re.IGNORECASE | re.DOTALL)
 
 # Presto parameter/return types that spell differently in Spark DDL.
@@ -825,10 +832,30 @@ class StatementSession:
                     raise ValueError(f"Role '{role}' has not been granted to {self.user}")
                 self._enabled_roles = {role}
             return self.spark.createDataFrame([("SET ROLE",)], "result string")
+        if _SHOW_ROLE_GRANTS_RE.match(text):
+            # roles granted to the session user, including transitively via
+            # role-to-role grants (reference showRoleGrants production)
+            rows = [(r,) for r in sorted(self.access.roles_of(self.user)) if r != "public"]
+            return (
+                self.spark.createDataFrame(rows, "role string")
+                if rows
+                else self.spark.createDataFrame([], "role string")
+            )
         if _SHOW_ROLES_RE.match(text):
             rows = [(r,) for r in self.access.roles()] or []
             return self.spark.createDataFrame(rows, "role string") if rows else (
                 self.spark.createDataFrame([], "role string")
+            )
+        if _ALTER_FN_RE.match(text):
+            raise ValueError(
+                "ALTER FUNCTION is not supported: SQL functions in this engine "
+                "carry no alterable routine characteristics (reference "
+                "alterFunction production; DROP + CREATE OR REPLACE instead)"
+            )
+        if _RENAME_SCHEMA_RE.match(text):
+            raise ValueError(
+                "ALTER SCHEMA ... RENAME is not supported: Spark databases "
+                "cannot be renamed (reference renameSchema production)"
             )
         m = _SHOW_GRANTS_RE.match(text)
         if m:

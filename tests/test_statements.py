@@ -843,3 +843,27 @@ def test_transaction_rollback_loud_on_autocommitted_write(spark):
     with pytest.raises(ValueError, match="cannot undo"):
         sess.execute("ROLLBACK")
     spark.sql("DROP TABLE IF EXISTS t_txn_ctas")
+
+
+def test_show_role_grants_and_grammar_tail_contracts(spark):
+    """SHOW ROLE GRANTS lists the session user's (transitive) roles;
+    ALTER FUNCTION / ALTER SCHEMA RENAME get loud contracts — closes the
+    SqlBase.g4 statement-production audit."""
+    from sensql_presto_spark.access import AccessControl
+
+    store = AccessControl()
+    admin = StatementSession(spark, SF, user="admin", access=store)
+    alice = StatementSession(spark, SF, user="alice", access=store)
+    admin.execute("CREATE ROLE tier1")
+    admin.execute("CREATE ROLE tier2")
+    admin.execute("GRANT tier1 TO USER alice")
+    admin.execute("GRANT tier2 TO ROLE tier1")  # transitive
+    roles = [r.role for r in alice.execute("SHOW ROLE GRANTS").collect()]
+    assert roles == ["tier1", "tier2"]
+    assert admin.execute("SHOW ROLE GRANTS").collect() == []
+    with pytest.raises(ValueError, match="ALTER FUNCTION is not supported"):
+        admin.execute("ALTER FUNCTION f CALLED ON NULL INPUT")
+    with pytest.raises(ValueError, match="cannot be renamed"):
+        admin.execute("ALTER SCHEMA s RENAME TO t")
+    admin.execute("DROP ROLE tier1")
+    admin.execute("DROP ROLE tier2")
