@@ -1094,7 +1094,7 @@ class StatementSession:
     #    managed tables. Returns the affected-row count like the
     #    reference's update-count protocol field. -----------------------------
 
-    def _writable_table(self, name: str) -> str:
+    def _writable_table(self, name: str, priv: str = "SELECT") -> str:
         bare = name.split(".")[-1].lower()
         if bare in catalog.TABLES:
             raise ValueError(
@@ -1104,6 +1104,10 @@ class StatementSession:
             )
         if not self.spark.catalog.tableExists(name):
             raise ValueError(f"Table not found: {name}")
+        if self.enforce_access:
+            # each DML statement checks ITS OWN privilege class
+            # (checkCanDeleteFromTable / checkCanInsertIntoTable / ...)
+            self.access.check(self.user, self._active_roles(), priv, bare)
         return name
 
     def _replace_table(self, name: str, df: DataFrame) -> None:
@@ -1111,7 +1115,7 @@ class StatementSession:
         out.write.mode("overwrite").saveAsTable(name)
 
     def _sql_delete(self, table: str, cond: str | None) -> DataFrame:
-        t = self._writable_table(table)
+        t = self._writable_table(table, "DELETE")
         self._txn_backup(t)
         df = self.spark.table(t)
         total = df.count()
@@ -1122,7 +1126,7 @@ class StatementSession:
         return self.spark.createDataFrame([(deleted,)], "rows bigint")
 
     def _sql_update(self, table: str, assignments: str, cond: str | None) -> DataFrame:
-        t = self._writable_table(table)
+        t = self._writable_table(table, "UPDATE")
         self._txn_backup(t)
         df = self.spark.table(t)
         sets: dict[str, str] = {}
@@ -1156,7 +1160,11 @@ class StatementSession:
         ins_cols: str | None,
         ins_vals: str | None,
     ) -> DataFrame:
-        t = self._writable_table(target)
+        t = self._writable_table(target, "UPDATE")
+        if ins_cols and self.enforce_access:
+            self.access.check(
+                self.user, self._active_roles(), "INSERT", t.split(".")[-1].lower()
+            )
         self._txn_backup(t)
         ta = talias or "t"
         sa = salias or "s"

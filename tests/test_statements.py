@@ -867,3 +867,23 @@ def test_show_role_grants_and_grammar_tail_contracts(spark):
         admin.execute("ALTER SCHEMA s RENAME TO t")
     admin.execute("DROP ROLE tier1")
     admin.execute("DROP ROLE tier2")
+
+
+def test_dml_enforces_per_statement_privileges(spark):
+    """DELETE/UPDATE check their own privilege class, not SELECT
+    (checkCanDeleteFromTable / checkCanUpdateTableColumns)."""
+    from sensql_presto_spark.access import AccessControl, AccessDeniedError
+
+    store = AccessControl()
+    admin = StatementSession(spark, SF, user="admin", access=store)
+    t = _fresh_dml_table(spark, admin, "t_priv_dml")
+    bob = StatementSession(spark, SF, user="bob", access=store, enforce_access=True)
+    admin.execute(f"GRANT SELECT ON {t} TO USER bob")
+    assert bob.execute(f"SELECT count(*) AS n FROM {t}").collect()[0].n == 25
+    with pytest.raises(AccessDeniedError):
+        bob.execute(f"DELETE FROM {t} WHERE n_nationkey = 0")
+    admin.execute(f"GRANT DELETE ON {t} TO USER bob")
+    assert bob.execute(f"DELETE FROM {t} WHERE n_nationkey = 0").collect()[0].rows == 1
+    with pytest.raises(AccessDeniedError):
+        bob.execute(f"UPDATE {t} SET n_name = 'x' WHERE n_nationkey = 1")
+    spark.sql(f"DROP TABLE {t}")
