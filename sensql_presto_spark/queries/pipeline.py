@@ -3132,3 +3132,115 @@ _sql_query(
     "dst-groupBy per round, per-edge contributions floor-quantized so every "
     "round is exact integer arithmetic in both engines; the quality-prior graph primitive.",
 )
+
+
+# Paragraph-level exact dedup (the Dolma/CommonCrawl curation pass that
+# complements text_substring_removal's 13-gram spans): documents are
+# segmented into fixed 12-word paragraphs, a corpus-wide exact count on
+# the paragraph TEXT finds cross-document duplicates, and every
+# occurrence except the lowest-doc_id one is dropped before the doc is
+# reassembled in order. Scale shape: one shuffle keyed on the paragraph
+# text (the exact-dedup bound — never pairwise), one shuffle back on
+# doc_id for reassembly; keep-first is min(doc_id) carried on the
+# paragraph aggregate, no window over the corpus.
+_sql_query(
+    "text_dedup_paragraph",
+    """
+    WITH tok AS (
+        SELECT doc_id, split(text, ' ') AS t FROM documents
+    ),
+    paras AS (
+        SELECT doc_id, p,
+               array_join(slice(t, p * 12 + 1, 12), ' ') AS para
+        FROM tok
+        LATERAL VIEW explode(sequence(0, cast(ceil(size(t) / 12.0) AS INT) - 1)) s AS p
+    ),
+    owners AS (
+        SELECT para, count(*) AS n_occ, min(doc_id) AS first_doc
+        FROM paras GROUP BY para
+    ),
+    kept AS (
+        SELECT p.doc_id, p.p, p.para,
+               (o.n_occ = 1 OR p.doc_id = o.first_doc) AS keep
+        FROM paras p JOIN owners o ON p.para = o.para
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(length(concat_ws(' ',
+               sort_array(collect_list(CASE WHEN keep
+                   THEN concat(lpad(cast(p AS STRING), 6, '0'), ':', para) END)))) AS BIGINT) AS kept_len
+    FROM kept
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    paras AS (
+        SELECT doc_id, p.i - 1 AS p,
+               array_to_string(t[(p.i - 1) * 12 + 1 : (p.i - 1) * 12 + 12], ' ') AS para
+        FROM tok, LATERAL (
+            SELECT unnest(range(1, CAST(ceil(len(t) / 12.0) AS INT) + 1)) AS i
+        ) p
+    ),
+    owners AS (
+        SELECT para, count(*) AS n_occ, min(doc_id) AS first_doc
+        FROM paras GROUP BY para
+    ),
+    kept AS (
+        SELECT p.doc_id, p.p, p.para,
+               (o.n_occ = 1 OR p.doc_id = o.first_doc) AS keep
+        FROM paras p JOIN owners o ON p.para = o.para
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(COALESCE(length(string_agg(CASE WHEN keep
+               THEN lpad(CAST(p AS VARCHAR), 6, '0') || ':' || para END, ' '
+               ORDER BY lpad(CAST(p AS VARCHAR), 6, '0') || ':' || para)), 0) AS BIGINT) AS kept_len
+    FROM kept
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "text", "dedup"),
+    doc="Paragraph-level exact dedup (Dolma-style): 12-word paragraph "
+    "segmentation, corpus-wide exact count, keep-first policy, in-order "
+    "reassembly length — one shuffle on paragraph text, one on doc_id.",
+)
+
+
+# CDC apply (change-data-capture log -> table state): the warehouse merge
+# that applies an ordered I/U/D log with last-writer-wins per key — the
+# MergeOperator pattern fed by a log instead of a source table. The log is
+# synthesized deterministically from orders. Scale shape: ONE shuffle on
+# the key for the per-key max-sequence reduction (WindowGroupLimit prunes
+# to the latest row map-side); no self-join of the log.
+_sql_query(
+    "events_cdc_apply",
+    """
+    WITH cdc AS (
+        SELECT o_custkey % 500 AS k,
+               o_orderkey AS seq,
+               CASE WHEN o_orderkey % 11 = 0 THEN 'D'
+                    WHEN o_orderkey % 3 = 0 THEN 'U'
+                    ELSE 'I' END AS op,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS val_cents
+        FROM orders
+    ),
+    latest AS (
+        SELECT k, seq, op, val_cents,
+               row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        FROM cdc
+    )
+    SELECT k, seq AS last_seq, op AS last_op, val_cents
+    FROM latest
+    WHERE rn = 1 AND op <> 'D'
+    ORDER BY k
+    """,
+    tags=("events", "cdc", "mutation"),
+    doc="CDC log application: last-writer-wins per key over an ordered "
+    "I/U/D change log, deletes tombstone the key — one shuffle on key, "
+    "WindowGroupLimit keeps the reduction map-side.",
+)
