@@ -2564,6 +2564,7 @@ _sql_query(
     "seen snapshot, broadcast might_contain prefilter (no false "
     "negatives), exact anti-join of only the candidate slice — exact "
     "output with the shuffle bounded by bloom-hit cardinality.",
+    bench=True,
 )
 def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     K, M = 5, 1 << 20  # 5 probes into 2^20 bits = 16,384 bitmap words
@@ -3208,6 +3209,7 @@ _sql_query(
     doc="Paragraph-level exact dedup (Dolma-style): 12-word paragraph "
     "segmentation, corpus-wide exact count, keep-first policy, in-order "
     "reassembly length — one shuffle on paragraph text, one on doc_id.",
+    bench=True,
 )
 
 
