@@ -443,3 +443,27 @@ def decode_avi(payload: bytes) -> tuple[int, int, int, list[bytes]]:
             f"avih declares {declared_frames} frames, movi has {len(rgb_frames)}"
         )
     return width, height, len(rgb_frames), rgb_frames
+
+
+def resize_nearest(
+    width: int, height: int, pixels: bytes, new_w: int, new_h: int
+) -> bytes:
+    """Nearest-neighbor resample of a grayscale pixel buffer.
+
+    The standard integer mapping (src = dst * src_dim // dst_dim) — the
+    resize step of an image-preprocessing pipeline, kept dependency-free
+    like the codecs above.
+    """
+    if new_w <= 0 or new_h <= 0:
+        raise ValueError(f"resize_nearest: bad target {new_w}x{new_h}")
+    if len(pixels) != width * height:
+        raise ValueError(
+            f"resize_nearest: buffer {len(pixels)} != {width}x{height}"
+        )
+    out = bytearray()
+    for y in range(new_h):
+        sy = y * height // new_h
+        row = sy * width
+        for x in range(new_w):
+            out.append(pixels[row + x * width // new_w])
+    return bytes(out)

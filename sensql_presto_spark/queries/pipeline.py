@@ -3246,3 +3246,65 @@ _sql_query(
     "I/U/D change log, deletes tombstone the key — one shuffle on key, "
     "WindowGroupLimit keeps the reduction map-side.",
 )
+
+
+# Image resize through the REAL codec path: per doc, a deterministic 6x6
+# grayscale image (first 36 chars as pixels) is PNG-encoded (mixed row
+# filters), PNG-decoded (CRC-checked inflate + unfilter), then
+# nearest-neighbor downsampled to 3x3 inside the same Arrow batch — the
+# decode->resize preprocessing stage of a multimodal ingest pipeline.
+# The oracle recomputes the 3x3 checksum directly from the source chars
+# (resized(y,x) = src(2y,2x) for the 2:1 factor), so any codec or
+# resampling drift is a hash mismatch. Chars, not UTF-8 bytes (the
+# mm_video_frames indexing discipline).
+@register(
+    "mm_image_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(3 AS BIGINT) AS width,
+           CAST(3 AS BIGINT) AS height,
+           CAST(list_sum([(j + 1) * (ascii(substring(text,
+                    (j // 3) * 12 + (j % 3) * 2 + 1, 1)) % 256)
+                 FOR j IN generate_series(0, 8)]) % 9973 AS BIGINT) AS wsum
+    FROM documents
+    WHERE doc_id < 150 AND length(text) >= 36
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "multimodal", "image", "resize"),
+    doc="PNG decode + nearest-neighbor resize (6x6 -> 3x3) through the "
+    "stdlib codec inside Arrow mapInPandas; position-weighted checksum "
+    "of the resized pixels vs a direct source-char oracle.",
+)
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from sensql_presto_spark.multimodal import decode_png, encode_png, resize_nearest
+
+    def work(batches):
+        for pdf in batches:
+            ids, ws, hs, wsums = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = [ord(c) % 256 for c in text[:36]]
+                if len(codes) < 36:
+                    raise ValueError(
+                        f"mm_image_resize: doc {doc_id} shorter than 36 chars "
+                        "(filter length(text) >= 36 upstream)"
+                    )
+                png = encode_png(6, 6, bytes(codes), "L",
+                                 filter_for_row=lambda y: y % 5)
+                w, h, mode, pixels = decode_png(png)
+                assert (w, h, mode) == (6, 6, "L")
+                small = resize_nearest(w, h, pixels, 3, 3)
+                ids.append(doc_id)
+                ws.append(3)
+                hs.append(3)
+                wsums.append(sum((i + 1) * b for i, b in enumerate(small)) % 9973)
+            yield pd.DataFrame(
+                {"doc_id": ids, "width": ws, "height": hs, "wsum": wsums}
+            )
+
+    schema = "doc_id bigint, width bigint, height bigint, wsum bigint"
+    docs = catalog.table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 150) & (F.length("text") >= 36)
+    )
+    return docs.select("doc_id", "text").mapInPandas(work, schema).orderBy("doc_id")

@@ -305,3 +305,23 @@ def test_mmr_rerank_diversity_property(spark, oracle_dir):
         # pick 1 must be the relevance argmax (rel_dot of pick1 >= others)
         p1 = grp.loc[grp["pick"] == 1, "rel_dot"].iloc[0]
         assert (grp["rel_dot"] <= p1).all()
+
+
+def test_resize_nearest_contract():
+    """Integer nearest-neighbor mapping + loud contracts on bad input."""
+    import pytest
+
+    from sensql_presto_spark.multimodal import resize_nearest
+
+    pix = bytes(range(36))  # 6x6 ramp
+    small = resize_nearest(6, 6, pix, 3, 3)
+    assert list(small) == [pix[(2 * y) * 6 + 2 * x] for y in range(3) for x in range(3)]
+    # identity resize
+    assert resize_nearest(6, 6, pix, 6, 6) == pix
+    # upsample duplicates neighbors deterministically
+    up = resize_nearest(2, 1, bytes([10, 20]), 4, 1)
+    assert list(up) == [10, 10, 20, 20]
+    with pytest.raises(ValueError, match="bad target"):
+        resize_nearest(6, 6, pix, 0, 3)
+    with pytest.raises(ValueError, match="buffer"):
+        resize_nearest(6, 6, pix[:-1], 3, 3)
