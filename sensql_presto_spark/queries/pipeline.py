@@ -3308,3 +3308,36 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") < 150) & (F.length("text") >= 36)
     )
     return docs.select("doc_id", "text").mapInPandas(work, schema).orderBy("doc_id")
+
+
+# Deterministic train/validation/test split — the companion to
+# text_stratified_sample for building eval sets: every document lands in
+# exactly one split via a Knuth-multiplicative hash bucket (stable across
+# runs, engines and corpus growth for a fixed doc_id — no rand(), no
+# global sort), with the per-(source, split) composition reported so
+# stratification drift is visible. Scale shape: pure column expressions
+# plus ONE aggregation shuffle; the split is assignable at read time at
+# any corpus size.
+_sql_query(
+    "text_train_val_split",
+    """
+    WITH assigned AS (
+        SELECT doc_id, source, n_chars,
+               CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train'
+                    WHEN (doc_id * 2654435761) % 100 < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT source, split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM assigned
+    GROUP BY source, split
+    ORDER BY source, split
+    """,
+    tags=("pipeline", "text", "sampling", "split"),
+    doc="Deterministic stratified train/val/test split: hash-bucket "
+    "assignment (90/5/5), zero shuffle before the composition rollup; "
+    "stable across engines and corpus growth.",
+)
