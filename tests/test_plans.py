@@ -313,3 +313,31 @@ def test_bloom_prefilter_broadcasts_bitmap(spark):
     plan = _plan(spark, "dedup_bloom_prefilter")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "Python" not in plan
+
+
+def test_cdc_apply_single_shuffle_with_group_limit(spark):
+    """events_cdc_apply: ONE exchange on the key; the rn=1 filter pushes
+    into WindowGroupLimit so the last-writer reduction happens map-side,
+    never materializing the full per-key log sort output."""
+    plan = _plan(spark, "events_cdc_apply", mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan and "Python" not in plan
+
+
+def test_paragraph_dedup_two_shuffles(spark):
+    """text_dedup_paragraph: exactly the two designed exchanges — the
+    corpus-wide paragraph-text aggregation and the doc_id reassembly —
+    with no window over the corpus and no cartesian."""
+    plan = _plan(spark, "text_dedup_paragraph", mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan and "Python" not in plan
+
+
+def test_train_val_split_zero_shuffle_before_rollup(spark):
+    """text_train_val_split: the split assignment is pure codegen; the
+    only exchange is the (source, split) composition rollup."""
+    plan = _plan(spark, "text_train_val_split", mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan and "Python" not in plan
