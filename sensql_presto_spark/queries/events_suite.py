@@ -515,3 +515,54 @@ _sql_query(
     "conditional-min pass, strictly-ordered comparisons give depth counts "
     "(the MATCH_RECOGNIZE role in a single shuffle).",
 )
+
+
+# Retention cohorts — the product-analytics staple: bucket users by the
+# week they first appeared, then count distinct active users at each
+# week offset from their cohort. Week index is an epoch-day DIV 7 (day 0
+# = Monday 1970-01-05), sidestepping engine week-truncation conventions.
+# Scale shape: two aggregations on user_id (activity dedup + first-seen),
+# one broadcastable cohort join back (cohort table is |users|, bounded by
+# the entity dimension, not the event stream), final rollup — the event
+# stream is scanned once and never self-joined.
+_sql_query(
+    "events_retention_cohorts",
+    """
+    WITH activity AS (
+        SELECT DISTINCT user_id,
+               CAST(datediff(CAST(ts AS DATE), DATE '1970-01-05') DIV 7 AS BIGINT) AS wk
+        FROM events
+    ),
+    cohorts AS (
+        SELECT user_id, min(wk) AS cohort_wk FROM activity GROUP BY user_id
+    )
+    SELECT c.cohort_wk,
+           CAST(a.wk - c.cohort_wk AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+    WHERE a.wk - c.cohort_wk <= 4
+    GROUP BY c.cohort_wk, a.wk - c.cohort_wk
+    ORDER BY cohort_wk, week_offset
+    """,
+    oracle="""
+    WITH activity AS (
+        SELECT DISTINCT user_id,
+               CAST(date_diff('day', DATE '1970-01-05', CAST(ts AS DATE)) // 7 AS BIGINT) AS wk
+        FROM events
+    ),
+    cohorts AS (
+        SELECT user_id, min(wk) AS cohort_wk FROM activity GROUP BY user_id
+    )
+    SELECT c.cohort_wk,
+           CAST(a.wk - c.cohort_wk AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+    WHERE a.wk - c.cohort_wk <= 4
+    GROUP BY c.cohort_wk, a.wk - c.cohort_wk
+    ORDER BY cohort_wk, week_offset
+    """,
+    tags=("events", "retention", "cohort"),
+    doc="Weekly retention cohorts: first-seen-week bucketing + distinct "
+    "active users per week offset; epoch-week arithmetic keeps both "
+    "engines' week boundaries identical.",
+)
