@@ -566,3 +566,33 @@ _sql_query(
     "active users per week offset; epoch-week arithmetic keeps both "
     "engines' week boundaries identical.",
 )
+
+
+# Event-transition matrix (user path analysis): per-user event streams
+# ordered by time yield (from -> to) bigram counts — the Markov-chain
+# view of product flows. Deterministic ordering ties on (ts, event_id).
+# Scale shape: ONE sort-shuffle on user_id for the lead() window (the
+# sessionize shape), then a map-side-combining rollup on the 5x5-bounded
+# transition key space.
+_sql_query(
+    "events_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+    )
+    SELECT from_type, to_type,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM seq
+    WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    ORDER BY from_type, to_type
+    """,
+    tags=("events", "path", "markov"),
+    doc="Event-transition matrix: per-user time-ordered bigrams via one "
+    "lead() window (single sort-shuffle on user_id), rolled up over the "
+    "event-type-bounded key space.",
+)
