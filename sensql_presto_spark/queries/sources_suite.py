@@ -557,3 +557,66 @@ def scale_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY z_bucket
         """,
     )
+
+
+# Small-file compaction planning — the lakehouse maintenance op (Iceberg
+# rewrite_data_files / Delta OPTIMIZE's bin-packing step): group shard
+# files into target-size compaction buckets with a running-total window.
+# File inventory is synthesized as one "file" per (doc_id % 97) shard
+# (size = its documents' total chars); the planner assigns each file the
+# bucket floor(running_total_before / target) — the standard cumulative
+# bin assignment, exact integer arithmetic. Scale shape: the window runs
+# over the FILE INVENTORY (metadata, 97 rows here; millions at worst in
+# production — never data rows), so the single-partition sort is
+# metadata-bounded by design.
+from sensql_presto_spark.queries.relational import _sql_query as _sql_q
+
+_sql_q(
+    "scale_file_compaction",
+    """
+    WITH files AS (
+        SELECT CAST(doc_id % 97 AS BIGINT) AS shard,
+               CAST(sum(n_chars) AS BIGINT) AS bytes
+        FROM documents GROUP BY doc_id % 97
+    ),
+    planned AS (
+        SELECT shard, bytes,
+               CAST(coalesce(sum(bytes) OVER (ORDER BY shard
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   DIV 4096 AS BIGINT) AS bucket
+        FROM files
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(bytes) AS BIGINT) AS bytes_total,
+           CAST(min(shard) AS BIGINT) AS first_shard
+    FROM planned
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    oracle="""
+    WITH files AS (
+        SELECT CAST(doc_id % 97 AS BIGINT) AS shard,
+               CAST(sum(n_chars) AS BIGINT) AS bytes
+        FROM documents GROUP BY doc_id % 97
+    ),
+    planned AS (
+        SELECT shard, bytes,
+               CAST(coalesce(sum(bytes) OVER (ORDER BY shard
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   // 4096 AS BIGINT) AS bucket
+        FROM files
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(bytes) AS BIGINT) AS bytes_total,
+           CAST(min(shard) AS BIGINT) AS first_shard
+    FROM planned
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    tags=("scale", "compaction", "maintenance"),
+    doc="Small-file compaction planner (Iceberg rewrite_data_files / Delta "
+    "OPTIMIZE bin-packing): running-total bucket assignment over the file "
+    "inventory — the window rides metadata rows, never data.",
+)
