@@ -103,12 +103,14 @@ PRIORITY: tuple[str, ...] = (
     "tpch_q14",
 )
 
-# Round-5 rotation plan: if r4 comes back green, swap in the r4-added
+# Round-5 rotation plan: if r4 comes back green, swap in the TEN r4-added
 # entries (ddl_access_control, mutation_sql_dml, dedup_bloom_prefilter,
-# text_dedup_paragraph, events_cdc_apply — each vanilla-EXACT when
-# added), tpch q15-q22, and the first TPC-DS tranche (q02-q06, q08-q27,
-# q29-q30, q39-q46 with the b-variants q14b/q23b/q24b/q39b) — 50 slots;
-# r6 takes the remaining TPC-DS bodies.  Keep any r4 entry that FAILED.
+# text_dedup_paragraph, events_cdc_apply, mm_image_resize,
+# text_train_val_split, events_retention_cohorts, events_transition_matrix,
+# scale_file_compaction — each vanilla-EXACT at sf0.001/0.01/0.1 when
+# added), tpch q15-q22, and the first TPC-DS tranche (q02-q06, q08-q27
+# incl. q14b/q23b/q24b, q29-q30, q39 — 32 bodies) — 50 slots; r6 takes
+# the remaining TPC-DS bodies.  Keep any r4 entry that FAILED.
 # Every one of these was driver_sim-EXACT at sf0.01 (full-registry sweep)
 # and the scale-sensitive surface EXACT at sf0.1; see COVERAGE.md §Rotation.
 
