@@ -179,6 +179,16 @@ class SqlServer:
         self._httpd.server_close()
 
     # -- query execution ---------------------------------------------------
+    # Sessions beyond this count evict least-recently-used — the
+    # reference's idle-session expiry (Session timeout in QueryManager
+    # config) bounded by count instead of wall-clock, so a long-lived
+    # server with many one-shot clients cannot accumulate forked
+    # SparkSessions without bound. Durable state (grants, warehouse
+    # tables) lives outside the session and survives eviction; only
+    # session-scoped state (PREPARE names, SET SESSION, temp views) drops,
+    # exactly what expiring an idle reference session drops.
+    MAX_CLIENT_SESSIONS = 64
+
     def _session_for(self, client: str) -> "object":
         with self._sessions_lock:
             if client not in self._sessions:
@@ -194,7 +204,12 @@ class SqlServer:
                 # coordinator-bound procedure (KillQueryProcedure.java)
                 sess.procedures["system.runtime.kill_query"] = self._kill_query
                 self._sessions[client] = sess
-            return self._sessions[client]
+            # LRU order: move-to-end on every touch, evict from the front
+            sess = self._sessions.pop(client)
+            self._sessions[client] = sess
+            while len(self._sessions) > self.MAX_CLIENT_SESSIONS:
+                self._sessions.pop(next(iter(self._sessions)))
+            return sess
 
     def _kill_query(self, query_id: str) -> None:
         q = self.queries.get(query_id)

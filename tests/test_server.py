@@ -326,3 +326,30 @@ def test_call_kill_query_over_http(spark, oracle_dir):
         assert err is not None and "not found" in err["message"].lower()
     finally:
         s.stop()
+
+
+def test_idle_sessions_evict_lru(spark, oracle_dir):
+    """The per-client session map is bounded: beyond MAX_CLIENT_SESSIONS
+    the least-recently-used client's session drops (idle-session expiry
+    analog) — its session state resets, while durable state survives."""
+    s = srv.SqlServer(spark, oracle_dir).start()
+    try:
+        s.MAX_CLIENT_SESSIONS = 3
+        err, _ = _run_query_as(s, "PREPARE pe FROM SELECT 1 AS one", "u0")
+        assert err is None
+        for i in range(1, 4):  # three newer clients push u0 out
+            err, _ = _run_query_as(s, "SELECT 1", f"u{i}")
+            assert err is None
+        assert len(s._sessions) == 3 and "u0" not in s._sessions
+        # u0's session state reset: the prepared name is gone
+        err, _ = _run_query_as(s, "EXECUTE pe", "u0")
+        assert err is not None and "not found" in err["message"]
+        # frequent use keeps a client resident (LRU, not FIFO)
+        err, _ = _run_query_as(s, "PREPARE pk FROM SELECT 2 AS two", "hot")
+        assert err is None
+        for i in range(4, 6):
+            _run_query_as(s, "SELECT 1", f"u{i}")
+            err, rows = _run_query_as(s, "EXECUTE pk", "hot")  # touch
+            assert err is None and rows == [[2]]
+    finally:
+        s.stop()
