@@ -27,93 +27,77 @@ from pyspark.sql import DataFrame, SparkSession
 
 from sensql_presto_spark.queries import all_specs
 
-# ROUND-4 ROTATION (r3 window was 50/50 green — everything rotated out).
-# 149 registry entries have never received a driver row: 49 non-TPC
-# leftovers, tpch q14-q20+q22, and 92 TPC-DS bodies.  This window takes
-# ALL 49 non-TPC leftovers (maximizing operator-family diversity — every
-# remaining statement/source/streaming/mm/scale/sensql/text/dedup family
-# gets its driver row this round) plus tpch_q14.  r5 takes tpch q15-q22 +
-# the first TPC-DS tranche (q02-q30 + q39-q51); r6 takes the remaining
-# TPC-DS bodies — every entry driver-checked by r6.
-# Rotation ledger: COVERAGE.md §Rotation.
+# ROUND-5 ROTATION (r4 window was 50/50 green — everything rotated out;
+# rotation ledger: COVERAGE.md §Rotation).  109 registry entries still
+# lack a driver-green CORRECTNESS row after r4: the 10 operators added in
+# r4, tpch q15-q20+q22, and 92 TPC-DS bodies.  This window takes the 10
+# r4 additions + all 7 remaining TPC-H bodies + the first 33 TPC-DS
+# bodies (q02..q40 in registry order, skipping already-green q01/q07/q28)
+# = 50 slots.  r6 takes the next 50 TPC-DS bodies (q41-q92 minus the
+# already-green ones); r7 takes the final 9 (q93-q99 tail) — every entry
+# driver-checked by r7.  Every name below was re-verified EXACT under
+# tools/driver_sim.py --vanilla at sf0.01 AND sf0.1 on this round's
+# closing code state (see COVERAGE.md §Rotation r5 row).
 PRIORITY: tuple[str, ...] = (
-    # statement layer / DDL leftovers (§3.4)
-    "ddl_alter_table",
-    "ddl_create_function",
-    "ddl_create_type",
-    "ddl_logical_view",
-    # relational leftovers (§2.2/2.4/2.6/2.7/2.9)
-    "values_inline",
-    "quantified_any",
-    "rollup_lineitem",
-    "setop_union_distinct",
-    "setop_intersect",
-    "setop_except",
-    "recursive_cte_hierarchy",
-    # source/sink connectors (§2.1)
-    "source_text_roundtrip",
-    "source_binaryfile_stats",
-    "source_jdbc_roundtrip",
-    "sink_partitioned_shards",
-    # scalar-function tails (§2.8)
-    "fn_color",
-    "fn_hash_presto_ports",
-    "fn_hash_spark_native",
-    "fn_presto_compat2",
-    "fn_presto_compat3",
-    # ML/sketch aggregate tails (§2.4)
-    "agg_classification_curve",
-    # events / streaming (§2.11)
-    "events_funnel",
-    "events_streaming_dedup",
-    "events_streaming_interval_join",
-    "events_streaming_upsert",
-    # dedup family tails
-    "dedup_incremental",
-    "dedup_url",
-    "dedup_semantic",
-    # clustering / graph
-    "cluster_kmeans",
-    "cluster_balanced_sample",
-    "graph_pagerank",
-    # similarity tails
-    "sim_decontaminate",
-    "sim_mmr_rerank",
-    # text-pipeline tails
-    "text_chunk_overlap",
-    "text_decontaminate",
-    "text_fingerprint",
-    "text_sequence_pack",
-    "text_source_mix",
-    "text_substring_removal",
-    "text_token_stats",
-    "text_trigram_logprob",
-    # multimodal (§ pipeline)
-    "mm_audio_windows",
-    "mm_image_decode",
-    "mm_video_frames",
-    # scale patterns
-    "scale_distributed_sort",
-    "scale_dpp_join",
-    "scale_zorder_layout",
-    # federation + composed pipeline
-    "sensql_knn_federated",
-    "pipeline_end_to_end",
-    # TPC-H third tranche starts
-    "tpch_q14",
+    # operators added in r4 (each vanilla-EXACT at 3 scales when added)
+    "ddl_access_control",
+    "mutation_sql_dml",
+    "dedup_bloom_prefilter",
+    "text_dedup_paragraph",
+    "events_cdc_apply",
+    "mm_image_resize",
+    "text_train_val_split",
+    "events_retention_cohorts",
+    "events_transition_matrix",
+    "scale_file_compaction",
+    # TPC-H final tranche (q21 already driver-green r3)
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q22",
+    # TPC-DS first tranche (33 bodies, registry order)
+    "tpcds_q02",
+    "tpcds_q03",
+    "tpcds_q04",
+    "tpcds_q05",
+    "tpcds_q06",
+    "tpcds_q08",
+    "tpcds_q09",
+    "tpcds_q10",
+    "tpcds_q11",
+    "tpcds_q12",
+    "tpcds_q13",
+    "tpcds_q14",
+    "tpcds_q14b",
+    "tpcds_q15",
+    "tpcds_q16",
+    "tpcds_q17",
+    "tpcds_q18",
+    "tpcds_q19",
+    "tpcds_q20",
+    "tpcds_q21",
+    "tpcds_q22",
+    "tpcds_q23",
+    "tpcds_q23b",
+    "tpcds_q24",
+    "tpcds_q24b",
+    "tpcds_q25",
+    "tpcds_q26",
+    "tpcds_q27",
+    "tpcds_q29",
+    "tpcds_q30",
+    "tpcds_q39",
+    "tpcds_q39b",
+    "tpcds_q40",
 )
 
-# Round-5 rotation plan: if r4 comes back green, swap in the TEN r4-added
-# entries (ddl_access_control, mutation_sql_dml, dedup_bloom_prefilter,
-# text_dedup_paragraph, events_cdc_apply, mm_image_resize,
-# text_train_val_split, events_retention_cohorts, events_transition_matrix,
-# scale_file_compaction — each vanilla-EXACT at sf0.001/0.01/0.1 when
-# added), tpch q15-q22, and the first TPC-DS tranche (q02-q06, q08-q27
-# incl. q14b/q23b/q24b, q29-q30, q39 — 32 bodies) — 50 slots; r6 takes
-# the remaining TPC-DS bodies.  Keep any r4 entry that FAILED.
-# Every one of these was driver_sim-EXACT at sf0.01 (full-registry sweep)
-# and the scale-sensitive surface EXACT at sf0.1; see COVERAGE.md §Rotation.
-
+# Round-6 rotation plan: if r5 comes back green, swap in the next 50
+# TPC-DS bodies in registry order (q41-q99 minus the already-driver-green
+# q35/q37/q82 and the r5 window's q39b/q40 — i.e. q41..q92 tranche); r7
+# takes the remaining ~9.  Keep any r5 entry that FAILED.
 
 def _alias(i: int, name: str) -> str:
     return f"a{i:02d}_{name}"

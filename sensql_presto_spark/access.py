@@ -78,6 +78,12 @@ class AccessControl:
         self._roles.discard(role)
         for members in self._memberships.values():
             members.discard(role)
+        # drop the role's own memberships and table grants too — otherwise
+        # CREATE ROLE of the same name later silently resurrects the old
+        # role's privileges (the reference drops grants with the role)
+        self._memberships.pop(_Grantee("ROLE", role), None)
+        for key in [k for k in self._grants if k[0] == _Grantee("ROLE", role)]:
+            del self._grants[key]
 
     def roles(self) -> list[str]:
         return sorted(self._roles)

@@ -162,6 +162,9 @@ class SqlServer:
         self._access = AccessControl()
         self._enforce_access = enforce_access
         self._sessions: dict[str, StatementSession] = {}
+        # clients whose session state was LRU-evicted; their next session
+        # raises the session-expired contract on dropped PREPARE references
+        self._evicted: set[str] = set()
         self._sessions_lock = threading.Lock()
         self._slots = threading.Semaphore(max_concurrent) if max_concurrent > 0 else None
         self.queries: dict[str, QueryExecution] = {}
@@ -191,24 +194,47 @@ class SqlServer:
 
     def _session_for(self, client: str) -> "object":
         with self._sessions_lock:
+            sess = self._sessions.get(client)
+        if sess is None:
+            # Build + prepare the forked session OUTSIDE the lock: parquet
+            # footer reads and function registration take hundreds of ms and
+            # must not stall every concurrent query on another client's
+            # first request.  Double-checked insert below resolves races
+            # (the first insert wins; a losing fork is just garbage).
+            forked = self.spark.newSession()
+            self._prepare(forked, self.sf_dir)
+            fresh = self._stmts_cls(
+                forked,
+                self.sf_dir,
+                user=client,
+                access=self._access,
+                enforce_access=self._enforce_access,
+            )
+            # coordinator-bound procedure (KillQueryProcedure.java)
+            fresh.procedures["system.runtime.kill_query"] = self._kill_query
+        with self._sessions_lock:
             if client not in self._sessions:
-                forked = self.spark.newSession()
-                self._prepare(forked, self.sf_dir)
-                sess = self._stmts_cls(
-                    forked,
-                    self.sf_dir,
-                    user=client,
-                    access=self._access,
-                    enforce_access=self._enforce_access,
-                )
-                # coordinator-bound procedure (KillQueryProcedure.java)
-                sess.procedures["system.runtime.kill_query"] = self._kill_query
-                self._sessions[client] = sess
-            # LRU order: move-to-end on every touch, evict from the front
+                # a returning client whose session was LRU-evicted gets the
+                # loud session-expired contract on any reference to dropped
+                # PREPARE state, instead of a silently-fresh session
+                fresh.session_expired = client in self._evicted
+                self._evicted.discard(client)
+                self._sessions[client] = fresh
+            # LRU order: move-to-end on every touch, evict from the front —
+            # but never a session with an open transaction (evicting one
+            # would silently discard the txn and orphan its backup tables);
+            # in-txn sessions are skipped until they COMMIT/ROLLBACK.
             sess = self._sessions.pop(client)
             self._sessions[client] = sess
-            while len(self._sessions) > self.MAX_CLIENT_SESSIONS:
-                self._sessions.pop(next(iter(self._sessions)))
+            over = len(self._sessions) - self.MAX_CLIENT_SESSIONS
+            if over > 0:
+                for victim in [
+                    c
+                    for c in self._sessions
+                    if c != client and not getattr(self._sessions[c], "_in_txn", False)
+                ][:over]:
+                    self._sessions.pop(victim)
+                    self._evicted.add(victim)
             return sess
 
     def _kill_query(self, query_id: str) -> None:
@@ -218,6 +244,13 @@ class SqlServer:
         with q.lock:
             if q.state in ("QUEUED", "RUNNING"):
                 q.state = "CANCELED"
+        # actually cancel the Spark jobs driving the query (KillQueryProcedure
+        # cancels execution, not just protocol state): _run_admitted tags its
+        # thread's jobs with the query_id job group on the shared SparkContext.
+        try:
+            self.spark.sparkContext.cancelJobGroup(query_id)
+        except Exception:  # noqa: BLE001 — cancellation is best-effort
+            pass
 
     def submit(self, sql: str, client: str = "anonymous") -> QueryExecution:
         q = QueryExecution(query_id=f"q_{uuid.uuid4().hex[:12]}", sql=sql, client=client)
@@ -245,8 +278,17 @@ class SqlServer:
                 return
             q.state = "RUNNING"
         try:
-            df = self._session_for(q.client).execute(q.sql)
-            rows = [[_json_cell(v) for v in row] for row in df.collect()]
+            sess = self._session_for(q.client)
+            # tag this thread's Spark jobs with the query id so KILL / the
+            # protocol DELETE can cancel the running jobs, not just flip the
+            # protocol state (setJobGroup is thread-local on the shared
+            # SparkContext; interruptOnCancel interrupts executor threads)
+            sess.spark.sparkContext.setJobGroup(q.query_id, q.sql[:100], interruptOnCancel=True)
+            try:
+                df = sess.execute(q.sql)
+                rows = [[_json_cell(v) for v in row] for row in df.collect()]
+            finally:
+                sess.spark.sparkContext.setJobGroup("", "")
             cols = [
                 {"name": f.name, "type": _presto_type(f.dataType)} for f in df.schema.fields
             ]
@@ -255,6 +297,10 @@ class SqlServer:
                     q.columns, q.rows, q.state = cols, rows, "FINISHED"
         except Exception as exc:  # noqa: BLE001 — surfaced to the client as QueryError
             with q.lock:
+                if q.state == "CANCELED":
+                    # cancelJobGroup interrupted the collect — that is the
+                    # expected kill path, not a query failure
+                    return
                 q.error = {
                     "message": str(exc).split("\n")[0][:500],
                     "errorCode": 1,
@@ -367,9 +413,10 @@ class SqlServer:
                 if len(parts) == 5 and parts[:3] == ["v1", "statement", "executing"]:
                     q = server.queries.get(parts[3])
                     if q is not None:
-                        with q.lock:
-                            if q.state in ("QUEUED", "RUNNING"):
-                                q.state = "CANCELED"
+                        try:
+                            server._kill_query(q.query_id)
+                        except ValueError:
+                            pass
                         self.send_response(204)
                         self.end_headers()
                         return

@@ -492,6 +492,11 @@ class StatementSession:
         self._in_txn = False
         self._txn_backups: dict[str, str] = {}
         self._txn_unrollbackable: str | None = None
+        # Set by the server when this session replaces one it LRU-evicted:
+        # references to dropped PREPARE state then raise the session-expired
+        # contract (reference: idle-session expiry / Session timeout) instead
+        # of a misleading plain not-found on a silently-fresh session.
+        self.session_expired = False
         self.schema = "default"  # USE target; single-catalog engine
         # Session identity + access control (AccessControlManager analog).
         # ``access`` is shared engine state (the server passes one store to
@@ -530,6 +535,18 @@ class StatementSession:
             if t in lowered:
                 self.access.check(self.user, self._active_roles(), "SELECT", t)
 
+    def _missing_prepared(self, name: str) -> None:
+        if self.session_expired:
+            # protocol contract: the server expired (LRU-evicted) this
+            # client's previous session, dropping its PREPARE/SET SESSION
+            # state — say so instead of a misleading plain not-found
+            raise ValueError(
+                f"Session expired: prepared statement '{name}' was dropped "
+                "when the server expired this client's idle session state; "
+                "re-PREPARE and retry"
+            )
+        raise ValueError(f"Prepared statement not found: {name}")
+
     def execute(self, text: str) -> DataFrame:
         text = text.strip().rstrip(";")
         if self._in_txn:
@@ -561,18 +578,22 @@ class StatementSession:
         if m:
             name = m.group(1).lower()
             if name not in self.prepared:
-                raise ValueError(f"Prepared statement not found: {name}")
+                self._missing_prepared(name)
             del self.prepared[name]
             return self.spark.createDataFrame([("DEALLOCATE",)], "result string")
         m = _EXECUTE_RE.match(text)
         if m:
             name = m.group(1).lower()
             if name not in self.prepared:
-                raise ValueError(f"Prepared statement not found: {name}")
+                self._missing_prepared(name)
             params = split_top_level(m.group(2)) if m.group(2) else []
-            return catalog.sql(
-                self.spark, self.sf_dir, substitute_parameters(self.prepared[name], params)
-            )
+            bound = substitute_parameters(self.prepared[name], params)
+            # enforce on the substituted text — the reference's Analyzer
+            # checks EVERY analyzed query, including EXECUTE expansion
+            # (StatementAnalyzer.java), so 'PREPARE p FROM SELECT ...;
+            # EXECUTE p' must not bypass the table-grant check.
+            self._check_table_access(bound)
+            return catalog.sql(self.spark, self.sf_dir, bound)
         # must run before the generic DESCRIBE <table> (SHOW COLUMNS) match
         m = _DESCRIBE_INPUT_RE.match(text)
         if m:
@@ -587,16 +608,22 @@ class StatementSession:
         if m:
             from sensql_presto_spark.explain import explain_io
 
+            # the reference analyzes (and access-checks) the inner query for
+            # every EXPLAIN type — schema/stats of an ungranted table must
+            # not leak through an EXPLAIN side channel
+            self._check_table_access(m.group(1))
             return explain_io(self.spark, catalog.sql(self.spark, self.sf_dir, m.group(1)))
         m = _EXPLAIN_DISTRIBUTED_RE.match(text)
         if m:
             from sensql_presto_spark.explain import explain_distributed
 
+            self._check_table_access(m.group(1))
             return explain_distributed(
                 self.spark, catalog.sql(self.spark, self.sf_dir, m.group(1))
             )
         m = _EXPLAIN_LOGICAL_RE.match(text)
         if m:
+            self._check_table_access(m.group(1))
             # EXPLAIN (TYPE LOGICAL): Presto's default explain — the
             # optimizer's output before fragmentation (PlanPrinter.
             # textLogicalPlan). Catalyst analog: the optimized logical
@@ -609,6 +636,7 @@ class StatementSession:
             # Analyze without executing (the VALIDATE explain type): building
             # the DataFrame runs Catalyst's parser + analyzer; any resolution
             # error surfaces here, and no job is submitted.
+            self._check_table_access(m.group(1))
             catalog.sql(self.spark, self.sf_dir, m.group(1)).schema
             return self.spark.createDataFrame([(True,)], "valid boolean")
         m = _SET_SESSION_RE.match(text)
@@ -622,6 +650,11 @@ class StatementSession:
             return self._show_session()
         m = _CREATE_MV_RE.match(text)
         if m:
+            # DEFINER-rights check at definition time (Presto views/matviews
+            # run with the owner's permissions — SqlSecurity DEFINER): the
+            # creator needs SELECT on every base table the body reads, and
+            # may not use a matview to read tables they were never granted.
+            self._check_table_access(m.group(3))
             self.matviews.create(m.group(2), m.group(3).strip(), replace=bool(m.group(1)))
             return self.spark.createDataFrame([("CREATE MATERIALIZED VIEW",)], "result string")
         m = _REFRESH_MV_RE.match(text)
@@ -639,6 +672,8 @@ class StatementSession:
                 raise ValueError(f"View name conflicts with an existing table: {name}")
             if not m.group(1) and name in self.views:
                 raise ValueError(f"View already exists: {name}")
+            # DEFINER-rights check at definition time (see CREATE MV above)
+            self._check_table_access(body)
             catalog.register_views(self.spark, self.sf_dir)
             self.spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {body}")
             self.views[name] = body
@@ -959,7 +994,7 @@ class StatementSession:
         always-valid answer per describe-input.rst — Catalyst has no
         type-inference hook for unbound parameters)."""
         if name not in self.prepared:
-            raise ValueError(f"Prepared statement not found: {name}")
+            self._missing_prepared(name)
         n = count_parameters(self.prepared[name])
         return self.spark.createDataFrame(
             [(i, "unknown") for i in range(n)] or self.spark.sparkContext.emptyRDD(),
@@ -977,7 +1012,7 @@ class StatementSession:
         from sensql_presto_spark.server import _presto_type
 
         if name not in self.prepared:
-            raise ValueError(f"Prepared statement not found: {name}")
+            self._missing_prepared(name)
         sql = self.prepared[name]
         bound = substitute_parameters(sql, ["NULL"] * count_parameters(sql))
         schema = catalog.sql(self.spark, self.sf_dir, bound).schema
@@ -1282,20 +1317,25 @@ class StatementSession:
             raise ValueError("No transaction in progress")
         self._in_txn = False
         try:
+            # Restore every snapshotted table FIRST — a mixed transaction
+            # (e.g. DELETE then CTAS) must not lose the DELETE's pre-image
+            # just because a later statement is unrollbackable.
+            for table, backup in self._txn_backups.items():
+                pre = self.spark.table(backup).localCheckpoint(eager=True)
+                pre.write.mode("overwrite").saveAsTable(table)
             if self._txn_unrollbackable:
                 # Loud contract instead of a silent wrong answer: a write
                 # outside the transactional DML surface already committed
                 # durably (snapshot time travel in mutation.py is the
-                # recovery path for those).
+                # recovery path for those).  Raised AFTER the restore loop so
+                # the transactional-DML part of the txn really is undone.
                 raise ValueError(
-                    "ROLLBACK cannot undo this transaction: statement "
+                    "ROLLBACK cannot fully undo this transaction: statement "
                     f"'{self._txn_unrollbackable}' committed outside the "
-                    "transactional DML surface (managed-table DELETE/UPDATE/"
-                    "MERGE/INSERT are rolled back; other writes autocommit)"
+                    "transactional DML surface and was NOT undone "
+                    "(managed-table DELETE/UPDATE/MERGE/INSERT were rolled "
+                    "back; other writes autocommit)"
                 )
-            for table, backup in self._txn_backups.items():
-                pre = self.spark.table(backup).localCheckpoint(eager=True)
-                pre.write.mode("overwrite").saveAsTable(table)
         finally:
             for backup in self._txn_backups.values():
                 self.spark.sql(f"DROP TABLE IF EXISTS {backup}")

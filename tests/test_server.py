@@ -341,9 +341,15 @@ def test_idle_sessions_evict_lru(spark, oracle_dir):
             err, _ = _run_query_as(s, "SELECT 1", f"u{i}")
             assert err is None
         assert len(s._sessions) == 3 and "u0" not in s._sessions
-        # u0's session state reset: the prepared name is gone
+        # u0's session state reset: referencing the dropped PREPARE raises
+        # the loud session-expired contract, not a plain not-found
         err, _ = _run_query_as(s, "EXECUTE pe", "u0")
-        assert err is not None and "not found" in err["message"]
+        assert err is not None and "Session expired" in err["message"]
+        # a name that never existed in the fresh session is a plain
+        # not-found again once the expiry was surfaced... (the expired flag
+        # is per-session-instance, set only on the post-eviction rebuild)
+        err, _ = _run_query_as(s, "PREPARE pe2 FROM SELECT 3 AS x", "u0")
+        assert err is None
         # frequent use keeps a client resident (LRU, not FIFO)
         err, _ = _run_query_as(s, "PREPARE pk FROM SELECT 2 AS two", "hot")
         assert err is None
@@ -351,5 +357,56 @@ def test_idle_sessions_evict_lru(spark, oracle_dir):
             _run_query_as(s, "SELECT 1", f"u{i}")
             err, rows = _run_query_as(s, "EXECUTE pk", "hot")  # touch
             assert err is None and rows == [[2]]
+    finally:
+        s.stop()
+
+
+def test_eviction_skips_in_transaction_sessions(spark, oracle_dir):
+    """A session with an open transaction is never LRU-evicted (evicting it
+    would silently discard the txn and orphan its backup tables); it expires
+    only after COMMIT/ROLLBACK."""
+    s = srv.SqlServer(spark, oracle_dir).start()
+    try:
+        s.MAX_CLIENT_SESSIONS = 2
+        err, _ = _run_query_as(s, "START TRANSACTION", "txer")
+        assert err is None
+        for i in range(4):  # would evict txer under plain LRU
+            err, _ = _run_query_as(s, "SELECT 1", f"w{i}")
+            assert err is None
+        assert "txer" in s._sessions, "in-txn session must survive eviction pressure"
+        err, _ = _run_query_as(s, "COMMIT", "txer")
+        assert err is None
+        for i in range(4, 8):
+            _run_query_as(s, "SELECT 1", f"w{i}")
+        assert "txer" not in s._sessions, "post-commit the session expires normally"
+    finally:
+        s.stop()
+
+
+def test_kill_query_cancels_spark_jobs(spark, oracle_dir):
+    """KILL actually cancels the Spark jobs (job-group cancel), so a
+    long-running collect stops well before it would finish on its own —
+    KillQueryProcedure cancels execution, not just protocol state."""
+    s = srv.SqlServer(spark, oracle_dir).start()
+    try:
+        q = s.submit(
+            "SELECT count(*) FROM lineitem l1 CROSS JOIN lineitem l2 CROSS JOIN lineitem l3"
+        )
+        # wait for it to be RUNNING (job group set in its thread)
+        t0 = time.time()
+        while True:
+            with q.lock:
+                if q.state == "RUNNING":
+                    break
+            assert time.time() - t0 < 30
+            time.sleep(0.05)
+        time.sleep(0.3)
+        s._kill_query(q.query_id)
+        with q.lock:
+            assert q.state == "CANCELED"
+        # the canceled query must never flip to FAILED/FINISHED afterwards
+        time.sleep(1.0)
+        with q.lock:
+            assert q.state == "CANCELED"
     finally:
         s.stop()

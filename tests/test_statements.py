@@ -476,6 +476,72 @@ def test_grant_option_regrant_contract(spark):
         bob.execute("GRANT SELECT ON region TO USER dave")
 
 
+def test_access_enforced_on_execute_views_and_explain(spark):
+    """No side doors around table-grant enforcement: EXECUTE of a prepared
+    statement, CREATE (MATERIALIZED) VIEW definitions, and every EXPLAIN
+    variant all analyze the underlying query and must enforce — the
+    reference checks in Analyzer.java on every analyzed query."""
+    from sensql_presto_spark.access import AccessControl, AccessDeniedError
+
+    store = AccessControl()
+    eve = StatementSession(spark, SF, user="eve", access=store, enforce_access=True)
+    # PREPARE itself is metadata-only, but EXECUTE must enforce
+    eve.execute("PREPARE p_leak FROM SELECT * FROM nation")
+    with pytest.raises(AccessDeniedError):
+        eve.execute("EXECUTE p_leak")
+    # view / matview definitions enforce at definition time (DEFINER rights)
+    with pytest.raises(AccessDeniedError):
+        eve.execute("CREATE VIEW v_leak AS SELECT * FROM nation")
+    with pytest.raises(AccessDeniedError):
+        eve.execute("CREATE MATERIALIZED VIEW mv_leak AS SELECT * FROM nation")
+    # EXPLAIN variants must not leak schema/stats of ungranted tables
+    for stmt in (
+        "EXPLAIN (TYPE IO) SELECT * FROM nation",
+        "EXPLAIN (TYPE DISTRIBUTED) SELECT * FROM nation",
+        "EXPLAIN (TYPE LOGICAL) SELECT * FROM nation",
+        "EXPLAIN (TYPE VALIDATE) SELECT * FROM nation",
+    ):
+        with pytest.raises(AccessDeniedError):
+            eve.execute(stmt)
+    # after a grant, the same paths all work
+    admin = StatementSession(spark, SF, user="admin", access=store)
+    admin.execute("GRANT SELECT ON nation TO USER eve")
+    assert len(eve.execute("EXECUTE p_leak").collect()) == 25
+    eve.execute("CREATE VIEW v_leak AS SELECT n_name FROM nation")
+    assert len(eve.execute("SELECT * FROM v_leak").collect()) == 25
+    eve.execute("DROP VIEW v_leak")
+    admin.execute("REVOKE SELECT ON nation FROM USER eve")
+
+
+def test_drop_role_purges_grants_and_memberships(spark):
+    """DROP ROLE removes the role's table grants and its role-to-role
+    memberships — re-CREATE of the same name must NOT resurrect old
+    privileges (privilege-escalation hazard the reference avoids)."""
+    from sensql_presto_spark.access import AccessControl, AccessDeniedError
+
+    store = AccessControl()
+    admin = StatementSession(spark, SF, user="admin", access=store)
+    mallory = StatementSession(
+        spark, SF, user="mallory", access=store, enforce_access=True
+    )
+    admin.execute("CREATE ROLE temp_role")
+    admin.execute("GRANT SELECT ON nation TO ROLE temp_role")
+    admin.execute("CREATE ROLE inner_role")
+    admin.execute("GRANT SELECT ON region TO ROLE inner_role")
+    admin.execute("GRANT inner_role TO ROLE temp_role")
+    admin.execute("DROP ROLE temp_role")
+    # same-name re-create: no grants, no inherited membership
+    admin.execute("CREATE ROLE temp_role")
+    admin.execute("GRANT temp_role TO USER mallory")
+    with pytest.raises(AccessDeniedError):
+        mallory.execute("SELECT count(*) FROM nation")
+    with pytest.raises(AccessDeniedError):
+        mallory.execute("SELECT count(*) FROM region")
+    assert store.roles_of("mallory") == {"public", "temp_role"}
+    admin.execute("DROP ROLE temp_role")
+    admin.execute("DROP ROLE inner_role")
+
+
 def test_call_unknown_procedure_raises(spark):
     with pytest.raises(ValueError, match="Procedure not registered"):
         _sess(spark).execute("CALL system.no_such_proc('x')")
@@ -840,9 +906,37 @@ def test_transaction_rollback_loud_on_autocommitted_write(spark):
     shutil.rmtree(f"{wh}/t_txn_ctas", ignore_errors=True)
     sess.execute("START TRANSACTION")
     sess.execute("CREATE TABLE t_txn_ctas AS SELECT 1 AS x")
-    with pytest.raises(ValueError, match="cannot undo"):
+    with pytest.raises(ValueError, match="cannot fully undo"):
         sess.execute("ROLLBACK")
     spark.sql("DROP TABLE IF EXISTS t_txn_ctas")
+
+
+def test_transaction_mixed_rollback_restores_dml_before_raising(spark):
+    """Mixed transaction (DELETE then CTAS): ROLLBACK must restore the
+    DELETE's pre-image from its backup FIRST, then raise the loud
+    cannot-fully-rollback error for the autocommitted CTAS — never leave
+    the DELETE committed with its backup destroyed."""
+    import shutil
+    from urllib.parse import urlparse
+
+    sess = _sess(spark)
+    t = _fresh_dml_table(spark, sess, "t_txn_mixed")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    spark.sql("DROP TABLE IF EXISTS t_txn_mixed_ctas")
+    shutil.rmtree(f"{wh}/t_txn_mixed_ctas", ignore_errors=True)
+    sess.execute("START TRANSACTION")
+    sess.execute(f"DELETE FROM {t} WHERE n_nationkey >= 5")
+    assert sess.execute(f"SELECT count(*) AS n FROM {t}").collect()[0].n == 5
+    sess.execute("CREATE TABLE t_txn_mixed_ctas AS SELECT 1 AS x")
+    with pytest.raises(ValueError, match="cannot fully undo"):
+        sess.execute("ROLLBACK")
+    # the DELETE was undone despite the raise ...
+    assert sess.execute(f"SELECT count(*) AS n FROM {t}").collect()[0].n == 25
+    # ... the CTAS stayed (autocommitted), and backups were cleaned up
+    assert spark.catalog.tableExists("t_txn_mixed_ctas")
+    assert not [x for x in spark.catalog.listTables() if x.name.startswith("__txn_backup")]
+    spark.sql(f"DROP TABLE {t}")
+    spark.sql("DROP TABLE IF EXISTS t_txn_mixed_ctas")
 
 
 def test_show_role_grants_and_grammar_tail_contracts(spark):
