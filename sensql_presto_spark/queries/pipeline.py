@@ -588,7 +588,11 @@ _sql_query(
 # picks its nearest cell (O(n*sqrt(k)) work against a sqrt(k)-sized
 # broadcast side), and then probes ONLY that cell's centroids via an
 # equi-join on cell (O(n*k/m) average) — never the O(n*k) = O(n^2/64)
-# full cross join.  Every cell that receives a vector contains at least
+# full cross join.  m is CAPPED at 4096 (least(m, 4096)) so the per-vector
+# cell scan stays constant-bounded at any corpus size; since k ∝ n/64 the
+# capped coarse pass stays sublinear-per-row up to k ~ 16M centroids
+# (~1B vectors), beyond which a third quantization level (cells-of-cells,
+# the same trick applied once more) would be the 100 TB-scale move.  Every cell that receives a vector contains at least
 # its own seed centroid (a seed's distance to itself is 0, exact-tie
 # duplicates collapse to the same lower cell id on both sides), so the
 # inner probe join cannot drop vectors.  The all-pairs comparison is
@@ -612,7 +616,8 @@ _SEM_ASSIGN_SQL = """
     ),
     params AS (
         SELECT k, greatest(cast(4 AS bigint),
-                           cast(floor(sqrt(cast(k AS double))) AS bigint)) AS m
+                           least(cast(4096 AS bigint),
+                                 cast(floor(sqrt(cast(k AS double))) AS bigint))) AS m
         FROM (SELECT greatest(cast(8 AS bigint), count(1) DIV 64) AS k FROM q)
     ),
     c0 AS (SELECT vec_id AS cid, v AS cv FROM q
@@ -700,7 +705,7 @@ _SEM_PAIRS_SQL = """
         FROM embeddings
     ),
     params AS (
-        SELECT k, greatest(4, CAST(floor(sqrt(CAST(k AS DOUBLE))) AS BIGINT)) AS m
+        SELECT k, greatest(4, least(4096, CAST(floor(sqrt(CAST(k AS DOUBLE))) AS BIGINT))) AS m
         FROM (SELECT greatest(8, count(*) // 64) AS k FROM q)
     ),
     c0 AS (SELECT vec_id AS cid, v AS cv FROM q
