@@ -117,15 +117,52 @@ _SQL_FUNCTIONS: tuple[str, ...] = (
     """CREATE OR REPLACE TEMPORARY FUNCTION codepoint(s STRING)
        RETURNS INT RETURN ascii(s)""",
     # -- json (JsonFunctions.java) --
-    # scalar leaves only: Presto returns NULL for an object/array match
-    # (JsonFunctions.java jsonExtractScalar), where get_json_object would
-    # return its JSON text
+    # Path-dialect bridge (TestJsonExtract.tokenizePath): Presto's JsonPath
+    # accepts unquoted bracket names ($[fuu], $[30day]) and digit-led dot
+    # segments ($.42 = array index, $.30day = field), which Spark's variant
+    # path rejects.  Normalize: pure-digit dot segments -> [N] (array
+    # index), digit-led names -> ['name'], unquoted bracket names ->
+    # ['name'].  Known residual divergence (documented): Presto resolves
+    # $[1] against BOTH array index 1 and object field "1"; Spark's variant
+    # path treats [1] strictly as an array index.
+    """CREATE OR REPLACE TEMPORARY FUNCTION presto_json_path(p STRING)
+       RETURNS STRING RETURN
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(p, '\\\\.([0-9]+)(?=\\\\.|\\\\[|$)', '[$1]'),
+             '\\\\.([0-9][A-Za-z0-9_:$]*)', '[''$1'']'),
+           '\\\\[([A-Za-z_][A-Za-z0-9_:$]*)\\\\]', '[''$1'']'),
+         '\\\\[([0-9]+[A-Za-z_:$][A-Za-z0-9_:$]*)\\\\]', '[''$1'']')""",
+    # JsonFunctions.java json_extract / json_size.  json_extract returns the
+    # JSON-ENCODED text of the matched element — a string leaf keeps its
+    # quotes ('"x"', not 'x'), unlike json_extract_scalar / Spark's
+    # get_json_object which unquote — so the shim routes through Spark 4's
+    # VARIANT type: variant_get(.., 'variant') + to_json re-encodes the
+    # element exactly (strings quoted, objects/arrays/true/false/null as
+    # JSON text, NULL on malformed input or missing path).
+    """CREATE OR REPLACE TEMPORARY FUNCTION json_extract(j STRING, p STRING)
+       RETURNS STRING RETURN
+       to_json(try_variant_get(try_parse_json(j), presto_json_path(p), 'variant'))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION json_size(j STRING, p STRING)
+       RETURNS INT RETURN CASE
+           WHEN json_extract(j, p) IS NULL THEN cast(NULL AS INT)
+           WHEN startswith(json_extract(j, p), '[')
+                THEN cast(json_array_length(json_extract(j, p)) AS INT)
+           WHEN startswith(json_extract(j, p), '{')
+                THEN size(json_object_keys(json_extract(j, p)))
+           ELSE 0 END""",
+    # scalar leaves only: Presto returns NULL for an object/array match AND
+    # for a JSON null leaf (JsonFunctions.java jsonExtractScalar), where
+    # get_json_object would return their JSON text; the string leaf is
+    # decoded (unquoted, escapes resolved) via the variant string cast
     """CREATE OR REPLACE TEMPORARY FUNCTION json_extract_scalar(j STRING, p STRING)
        RETURNS STRING RETURN CASE
-           WHEN startswith(to_json(try_variant_get(try_parse_json(j), p, 'variant')), '{')
-                OR startswith(to_json(try_variant_get(try_parse_json(j), p, 'variant')), '[')
+           WHEN json_extract(j, p) IS NULL
+                OR startswith(json_extract(j, p), '{')
+                OR startswith(json_extract(j, p), '[')
            THEN cast(NULL AS STRING)
-           ELSE get_json_object(j, p) END""",
+           ELSE try_variant_get(try_parse_json(j), presto_json_path(p), 'string') END""",
     """CREATE OR REPLACE TEMPORARY FUNCTION json_array_contains_str(j STRING, v STRING)
        RETURNS BOOLEAN RETURN array_contains(from_json(j, 'array<string>'), v)""",
     # -- datetime (DateTimeFunctions.java) --
@@ -464,24 +501,6 @@ _SQL_FUNCTIONS: tuple[str, ...] = (
                   x -> size(filter(a, y -> y = x)) > 1))""",
     """CREATE OR REPLACE TEMPORARY FUNCTION array_dupes(a ARRAY<STRING>)
        RETURNS ARRAY<STRING> RETURN array_duplicates(a)""",
-    # JsonFunctions.java json_extract / json_size.  json_extract returns the
-    # JSON-ENCODED text of the matched element — a string leaf keeps its
-    # quotes ('"x"', not 'x'), unlike json_extract_scalar / Spark's
-    # get_json_object which unquote — so the shim routes through Spark 4's
-    # VARIANT type: variant_get(.., 'variant') + to_json re-encodes the
-    # element exactly (strings quoted, objects/arrays/true/false/null as
-    # JSON text, NULL on malformed input or missing path).
-    """CREATE OR REPLACE TEMPORARY FUNCTION json_extract(j STRING, p STRING)
-       RETURNS STRING RETURN
-       to_json(try_variant_get(try_parse_json(j), p, 'variant'))""",
-    """CREATE OR REPLACE TEMPORARY FUNCTION json_size(j STRING, p STRING)
-       RETURNS INT RETURN CASE
-           WHEN json_extract(j, p) IS NULL THEN cast(NULL AS INT)
-           WHEN startswith(json_extract(j, p), '[')
-                THEN cast(json_array_length(json_extract(j, p)) AS INT)
-           WHEN startswith(json_extract(j, p), '{')
-                THEN size(json_object_keys(json_extract(j, p)))
-           ELSE 0 END""",
     # StringFunctions.java split_to_map — literal delimiters (Spark's
     # str_to_map is regex-based, so quote via \\Q..\\E); duplicate keys
     # error out of map_from_entries exactly like Presto's "Duplicate keys";
