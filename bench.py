@@ -16,11 +16,11 @@ import time
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    # runs=5 (was 3): the benchto protocol (tpch.yaml) uses runs=6; round-2
+    # runs=6: matches the benchto protocol (tpch.yaml runs=6); round-2
     # showed sub-second queries moving ~2x between rounds on n<=3 samples —
-    # medians over 5 pin per-query deltas to real plan changes, not timer
+    # medians over 6 pin per-query deltas to real plan changes, not timer
     # noise.
-    runs = int(os.environ.get("BENCH_RUNS", "5"))
+    runs = int(os.environ.get("BENCH_RUNS", "6"))
     # 2 untimed runs (the benchto protocol's prewarm): the first execution
     # of a query pays JIT + whole-stage-codegen compilation, which belongs
     # to neither engine's steady-state throughput.

@@ -939,6 +939,26 @@ def test_transaction_mixed_rollback_restores_dml_before_raising(spark):
     spark.sql("DROP TABLE IF EXISTS t_txn_mixed_ctas")
 
 
+def test_transaction_read_isolation_contract(spark):
+    """Pin the documented single-session-atomicity contract: a SECOND
+    session reading a table that another session mutated inside a
+    still-open transaction sees the MUTATED data (READ UNCOMMITTED — the
+    reference's TransactionManager likewise delegates isolation to
+    connectors, most of which expose uncommitted writes to other
+    coordinators' reads).  ROLLBACK in the writer restores the pre-image
+    for everyone."""
+    writer = _sess(spark)
+    reader = _sess(spark)
+    t = _fresh_dml_table(spark, writer, "t_txn_iso")
+    writer.execute("START TRANSACTION")
+    writer.execute(f"DELETE FROM {t} WHERE n_nationkey >= 5")
+    # the open-transaction write IS visible to the other session
+    assert reader.execute(f"SELECT count(*) AS n FROM {t}").collect()[0].n == 5
+    writer.execute("ROLLBACK")
+    assert reader.execute(f"SELECT count(*) AS n FROM {t}").collect()[0].n == 25
+    spark.sql(f"DROP TABLE {t}")
+
+
 def test_show_role_grants_and_grammar_tail_contracts(spark):
     """SHOW ROLE GRANTS lists the session user's (transitive) roles;
     ALTER FUNCTION / ALTER SCHEMA RENAME get loud contracts — closes the
