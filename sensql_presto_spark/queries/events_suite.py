@@ -596,3 +596,57 @@ _sql_query(
     "lead() window (single sort-shuffle on user_id), rolled up over the "
     "event-type-bounded key space.",
 )
+
+
+# Rolling z-score anomaly detection — the monitoring staple: flag events
+# whose value deviates > 3 sigma from the trailing window of the same
+# event type. The test |x - mu| > 3*sigma is evaluated ENTIRELY in exact
+# integer arithmetic on cent-quantized values — with trailing sums
+# S1 = sum(c), S2 = sum(c^2) over n rows, it rewrites to
+# (c*n - S1)^2 > 9*(n*S2 - S1^2) — so no float summation order can flip
+# a flag and the DuckDB oracle matches bit-for-bit (the dedup_semantic
+# trick applied to streaming statistics). Scale shape: ONE sort-shuffle
+# on event_type for the trailing window (bounded ROWS frame => O(1)
+# state per row, the Structured-Streaming-friendly shape), then a
+# map-side-combining rollup on the 5-value type space.
+_sql_query(
+    "events_anomaly_zscore",
+    """
+    WITH c AS (
+        SELECT event_type, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    w AS (
+        SELECT event_type, event_id, cents,
+               count(*)     OVER tw AS n,
+               sum(cents)   OVER tw AS s1,
+               sum(cents * cents) OVER tw AS s2
+        FROM c
+        WINDOW tw AS (PARTITION BY event_type ORDER BY event_id
+                      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    ),
+    flagged AS (
+        SELECT event_type, event_id,
+               CASE WHEN n >= 10
+                         AND (cents * n - s1) * (cents * n - s1)
+                             > 9 * (n * s2 - s1 * s1)
+                    THEN 1 ELSE 0 END AS is_anomaly,
+               CASE WHEN n >= 10 THEN 1 ELSE 0 END AS evaluated
+        FROM w
+    )
+    SELECT event_type,
+           CAST(sum(evaluated) AS BIGINT) AS n_evaluated,
+           CAST(sum(is_anomaly) AS BIGINT) AS n_anomalies,
+           CAST(sum(CASE WHEN is_anomaly = 1 THEN event_id END) AS BIGINT) AS anomaly_id_checksum,
+           min(CASE WHEN is_anomaly = 1 THEN event_id END) AS first_anomaly_id
+    FROM flagged
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("events", "anomaly", "zscore"),
+    doc="Rolling 3-sigma anomaly flags over a 20-event trailing window per "
+    "event type; the z-test runs in exact integer cents ((c*n - S1)^2 vs "
+    "9*(n*S2 - S1^2)) so both engines agree bit-for-bit.",
+    bench=True,
+)

@@ -3346,3 +3346,153 @@ _sql_query(
     "assignment (90/5/5), zero shuffle before the composition rollup; "
     "stable across engines and corpus growth.",
 )
+
+
+# Cosine-radius similarity search (range query, not top-k): every corpus
+# vector within cos >= 4/5 of each probe. The threshold test runs in
+# exact integer arithmetic on milliunit-quantized vectors — cos >= 4/5 is
+# dot > 0 AND 25*dot^2 >= 16*|a|^2*|b|^2 — the dedup_semantic trick, so
+# no float summation order can flip a match and the oracle agrees
+# bit-for-bit. Scale shape: the probe set is a broadcast side (bounded,
+# user-supplied); the corpus is scanned ONCE with no shuffle at all —
+# the radius search a retrieval pipeline runs after IVF routing, and the
+# exact-verify stage of any ANN bucket scheme.
+_sql_query(
+    "sim_range_search",
+    """
+    WITH q AS (
+        SELECT vec_id,
+               transform(embedding, x -> cast(round(cast(x AS double) * 1000) AS bigint)) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v,
+               aggregate(v, cast(0 AS bigint), (acc, x) -> acc + x * x) AS nrm2
+        FROM q
+    ),
+    probes AS (SELECT vec_id AS probe_id, v AS pv, nrm2 AS pn2 FROM n WHERE vec_id < 8),
+    matches AS (
+        SELECT /*+ BROADCAST(p) */ p.probe_id, c.vec_id AS match_id,
+               aggregate(zip_with(p.pv, c.v, (x, y) -> x * y),
+                         cast(0 AS bigint), (acc, x) -> acc + x) AS dot,
+               p.pn2, c.nrm2
+        FROM n c CROSS JOIN probes p
+        WHERE p.probe_id <> c.vec_id
+    )
+    SELECT probe_id, match_id, dot AS dot_milli2
+    FROM matches
+    WHERE dot > 0 AND 25 * dot * dot >= 16 * pn2 * nrm2
+    ORDER BY probe_id, match_id
+    """,
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding] AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v, CAST(list_sum([x * x FOR x IN v]) AS BIGINT) AS nrm2
+        FROM q
+    ),
+    probes AS (SELECT vec_id AS probe_id, v AS pv, nrm2 AS pn2 FROM n WHERE vec_id < 8),
+    matches AS (
+        SELECT p.probe_id, c.vec_id AS match_id,
+               CAST(list_sum([p.pv[i] * c.v[i] FOR i IN generate_series(1, len(p.pv))]) AS BIGINT) AS dot,
+               p.pn2, c.nrm2
+        FROM probes p CROSS JOIN n c
+        WHERE p.probe_id <> c.vec_id
+    )
+    SELECT probe_id, match_id, dot AS dot_milli2
+    FROM matches
+    WHERE dot > 0 AND 25 * dot * dot >= 16 * pn2 * nrm2
+    ORDER BY probe_id, match_id
+    """,
+    tags=("pipeline", "similarity", "range"),
+    doc="Cosine-radius search: all corpus vectors within cos >= 0.8 of "
+    "each probe; broadcast probe side, single corpus scan, exact-integer "
+    "threshold test (25*dot^2 vs 16*|a|^2*|b|^2 on milliunit vectors).",
+    bench=True,
+)
+
+
+# Containment-based near-dup (the asymmetric cousin of Jaccard): flag doc
+# A as contained in doc B when |shingles(A) ∩ shingles(B)| >= 0.9*|A| —
+# catches quote-expansion and boilerplate-wrapper duplicates that Jaccard
+# misses when |B| >> |A|. Candidate generation uses the asymmetric
+# prefix-filter theorem: if C(A,B) >= t then A's floor((1-t)*|A|)+1
+# globally-rarest shingles MUST hit B's full inverted list — so the join
+# is prefix(A) x inv(B) (rare shingles only on the A side), complete by
+# construction, and the size guard 9*|A| <= 10*|B| prunes pairs that
+# cannot reach the threshold (|A ∩ B| <= |B|). Verification is the exact
+# set intersection, which alone defines the output.
+# Like dedup_minhash_lsh, the shingle set is MATERIALIZED once
+# (localCheckpoint; a staging table at cluster scale) — Spark inlines
+# CTEs, so the all-SQL form recomputed tokenization five times (sizes,
+# inv, prefix, both verify sides): measured 6.2s -> materialized shape is
+# the one the bench records.
+
+_CONTAIN_VERIFY_SQL = """
+    WITH sizes AS (SELECT doc_id, size(shingles) AS n FROM __ctn_sh),
+    inv AS (SELECT doc_id, explode(shingles) AS s FROM __ctn_sh),
+    df AS (SELECT s, count(*) AS df FROM inv GROUP BY s),
+    ranked AS (
+        SELECT i.doc_id, i.s, z.n,
+               row_number() OVER (PARTITION BY i.doc_id ORDER BY d.df, i.s) AS rk
+        FROM inv i JOIN df d ON i.s = d.s JOIN sizes z ON i.doc_id = z.doc_id
+    ),
+    prefix AS (SELECT doc_id, s FROM ranked WHERE rk <= cast(floor(0.1 * n) AS INT) + 1),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM prefix a JOIN inv b ON a.s = b.s AND a.doc_id <> b.doc_id
+    )
+    SELECT c.id_a AS contained_id, c.id_b AS container_id,
+           round(size(array_intersect(sa.shingles, sb.shingles)) / cast(sa.n2 AS DOUBLE), 6) AS containment
+    FROM cand c
+    JOIN (SELECT doc_id, shingles, size(shingles) AS n2 FROM __ctn_sh) sa ON c.id_a = sa.doc_id
+    JOIN (SELECT doc_id, shingles, size(shingles) AS n2 FROM __ctn_sh) sb ON c.id_b = sb.doc_id
+    WHERE 9 * sa.n2 <= 10 * sb.n2
+      AND 10 * size(array_intersect(sa.shingles, sb.shingles)) >= 9 * sa.n2
+    ORDER BY contained_id, container_id
+    """
+
+
+@register(
+    "text_containment_dedup",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    df AS (SELECT s, count(*) AS df FROM inv GROUP BY s),
+    ranked AS (
+        SELECT i.doc_id, i.s, z.n,
+               row_number() OVER (PARTITION BY i.doc_id ORDER BY d.df, i.s) AS rk
+        FROM inv i JOIN df d ON i.s = d.s JOIN sizes z ON i.doc_id = z.doc_id
+    ),
+    prefix AS (SELECT doc_id, s FROM ranked
+               WHERE rk <= CAST(floor(0.1 * n) AS INT) + 1),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM prefix a JOIN inv b ON a.s = b.s AND a.doc_id <> b.doc_id
+    )
+    SELECT c.id_a AS contained_id, c.id_b AS container_id,
+           round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+                 / len(sa.shingles), 6) AS containment
+    FROM cand c
+    JOIN sh sa ON c.id_a = sa.doc_id
+    JOIN sh sb ON c.id_b = sb.doc_id
+    WHERE 9 * len(sa.shingles) <= 10 * len(sb.shingles)
+      AND 10 * len(list_intersect(sa.shingles, sb.shingles)) >= 9 * len(sa.shingles)
+    ORDER BY contained_id, container_id
+    """,
+    tags=("pipeline", "dedup", "containment"),
+    doc="Asymmetric containment near-dup (|A∩B| >= 0.9|A|): rare-shingle "
+    "prefix on the contained side joined against the full inverted list, "
+    "integer threshold verification; catches boilerplate-wrapper dups "
+    "Jaccard misses.",
+)
+def text_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = catalog.sql(
+        spark, sf_dir, f"WITH {_SPARK_SHINGLES} SELECT doc_id, shingles FROM sh"
+    ).localCheckpoint(eager=True)
+    sh.createOrReplaceTempView("__ctn_sh")
+    return spark.sql(_CONTAIN_VERIFY_SQL)

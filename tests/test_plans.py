@@ -341,3 +341,35 @@ def test_train_val_split_zero_shuffle_before_rollup(spark):
     plan = _plan(spark, "text_train_val_split", mode="simple")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan and "Python" not in plan
+
+
+def test_range_search_broadcasts_probes_streams_corpus(spark):
+    """sim_range_search: the bounded probe set is the broadcast build side;
+    the corpus is scanned once with no shuffle before the join (the 100 TB
+    posture — never broadcast the corpus)."""
+    plan = _plan(spark, "sim_range_search")
+    assert "BroadcastNestedLoopJoin Cross BuildRight" in plan
+    assert "CartesianProduct" not in plan
+    # the corpus side reaches the join straight from its scan: the only
+    # hash/range shuffle in the plan is the final ORDER BY, never a
+    # corpus repartition before the join
+    assert "hashpartitioning" not in plan
+
+
+def test_anomaly_zscore_single_sort_shuffle(spark):
+    """events_anomaly_zscore: one hash shuffle on event_type feeds the
+    bounded-frame trailing window; no join, no cartesian, all codegen."""
+    plan = _plan(spark, "events_anomaly_zscore")
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert "hashpartitioning(event_type" in plan
+    assert "PythonUDF" not in plan
+
+
+def test_containment_dedup_prefix_joins_not_cartesian(spark):
+    """text_containment_dedup: candidate generation is the rare-shingle
+    prefix equi-join against the inverted list — never a cross product of
+    the corpus."""
+    plan = _plan(spark, "text_containment_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
