@@ -3496,3 +3496,96 @@ def text_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     sh.createOrReplaceTempView("__ctn_sh")
     return spark.sql(_CONTAIN_VERIFY_SQL)
+
+
+# --- Perceptual-hash image dedup (aHash): the multimodal twin of
+#     dedup_exact. Each payload is rendered as a real 32xH greyscale PNG
+#     (same ingest twin as mm_image_decode), decoded back with the stdlib
+#     codec, block-averaged onto an 8x8 grid (floor boundaries
+#     floor(r*h/8), integer means), and hashed as the 64 bits
+#     "block >= grid mean" — all integer arithmetic, so the DuckDB oracle
+#     predicts the hash from the same byte grid and matches bit-for-bit.
+#     Dedup is then ONE hash shuffle on the 64-bit signature (groups > 1)
+#     — at corpus scale: decode+hash riding the ingest scan (mapInPandas,
+#     payloads never driver-side), then an exact groupBy, never a pixel
+#     self-join. Near-dup banding (simhash-style pigeonhole on hash
+#     segments) composes on top exactly as in dedup_simhash.
+
+
+@register(
+    "mm_image_phash_dedup",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             [ascii(c)::BIGINT FOR c IN string_split(substring(text, 1, 32 * (length(text)//32)), '')] AS p,
+             CAST(length(text)//32 AS BIGINT) AS h
+      FROM documents WHERE doc_id < 200 AND length(text) >= 256
+    ),
+    bm AS (
+      SELECT doc_id, h,
+             [ CAST(list_sum([ list_sum(p[(row*32 + (b%8)*4 + 1):(row*32 + (b%8)*4 + 4)])
+                               FOR row IN generate_series(((b//8)*h)//8, (((b//8)+1)*h)//8 - 1) ])
+                    // ((((((b//8)+1)*h)//8) - (((b//8)*h)//8)) * 4) AS BIGINT)
+               FOR b IN generate_series(0, 63) ] AS bmeans
+      FROM px
+    ),
+    hashed AS (
+      SELECT doc_id,
+             list_aggregate([CASE WHEN x >= list_sum(bmeans)//64 THEN '1' ELSE '0' END FOR x IN bmeans],
+                            'string_agg', '') AS ahash
+      FROM bm
+    )
+    SELECT ahash, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+           min(doc_id) AS first_member
+    FROM hashed GROUP BY ahash HAVING count(*) > 1
+    ORDER BY first_member
+    """,
+    tags=("pipeline", "multimodal", "image", "dedup"),
+    doc="Perceptual aHash image dedup: real PNG roundtrip -> 8x8 integer "
+    "block-average -> 64-bit above-mean signature -> one hash-shuffle "
+    "groupBy; the multimodal member of the dedup family.",
+)
+def mm_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from sensql_presto_spark.multimodal import decode_png, encode_png
+
+    def ahash(batches):
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                h = len(payload) // 32
+                if h < 8:
+                    continue
+                png = encode_png(32, h, payload[: 32 * h], "L",
+                                 filter_for_row=lambda y: y % 5)
+                w, hh, _mode, pixels = decode_png(png)
+                bmeans = []
+                for b in range(64):
+                    r, c = b // 8, b % 8
+                    r0, r1 = (r * hh) // 8, ((r + 1) * hh) // 8
+                    c0 = c * 4
+                    s = sum(
+                        pixels[row * 32 + c0 + k]
+                        for row in range(r0, r1)
+                        for k in range(4)
+                    )
+                    bmeans.append(s // ((r1 - r0) * 4))
+                mean = sum(bmeans) // 64
+                ids.append(doc_id)
+                hashes.append("".join("1" if x >= mean else "0" for x in bmeans))
+            yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
+
+    df = _binary_docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    hashed = df.mapInPandas(ahash, "doc_id bigint, ahash string")
+    return (
+        hashed.groupBy("ahash")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+            F.min("doc_id").alias("first_member"),
+        )
+        .where(F.col("n_members") > 1)
+        .orderBy("first_member")
+    )
