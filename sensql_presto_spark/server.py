@@ -203,7 +203,7 @@ class SqlServer:
             # (the first insert wins; a losing fork is just garbage).
             forked = self.spark.newSession()
             self._prepare(forked, self.sf_dir)
-            fresh = self._stmts_cls(
+            sess = self._stmts_cls(
                 forked,
                 self.sf_dir,
                 user=client,
@@ -211,15 +211,18 @@ class SqlServer:
                 enforce_access=self._enforce_access,
             )
             # coordinator-bound procedure (KillQueryProcedure.java)
-            fresh.procedures["system.runtime.kill_query"] = self._kill_query
+            sess.procedures["system.runtime.kill_query"] = self._kill_query
         with self._sessions_lock:
             if client not in self._sessions:
-                # a returning client whose session was LRU-evicted gets the
+                # re-insert: either the fresh session built above, or a
+                # previously-fetched one that a concurrent request evicted
+                # between the two lock sections (still fully usable).  A
+                # returning client whose state was LRU-evicted gets the
                 # loud session-expired contract on any reference to dropped
-                # PREPARE state, instead of a silently-fresh session
-                fresh.session_expired = client in self._evicted
+                # PREPARE state, instead of a silently-fresh session.
+                sess.session_expired = client in self._evicted
                 self._evicted.discard(client)
-                self._sessions[client] = fresh
+                self._sessions[client] = sess
             # LRU order: move-to-end on every touch, evict from the front —
             # but never a session with an open transaction (evicting one
             # would silently discard the txn and orphan its backup tables);
