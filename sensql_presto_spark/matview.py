@@ -116,12 +116,37 @@ class MaterializedViewStore:
                 shutil.rmtree(os.path.join(d, e), ignore_errors=True)
         self._register(name)
 
-    def refresh(self, name: str) -> None:
-        """Recompute the defining query into the next snapshot version."""
+    def refresh(self, name: str, where: str | None = None) -> None:
+        """Recompute the defining query into the next snapshot version.
+
+        With ``where`` (REFRESH MATERIALIZED VIEW … WHERE <pred> —
+        SqlBase.g4:71, RefreshMaterializedViewPredicateAnalyzer.java),
+        only the slice selected by the predicate is refreshed: rows of
+        the current snapshot NOT matching the predicate carry over
+        unchanged, and the defining query re-runs restricted to the
+        predicate — the reference's partition-scoped incremental refresh,
+        generalized from partition columns to any deterministic predicate
+        over the MV's output columns (a predicate naming other columns
+        fails loudly at analysis).  Rows where the predicate is NULL are
+        treated as unselected (kept), mirroring WHERE semantics on the
+        recompute side, so the kept/refreshed split is exactly disjoint.
+        """
         if not self.exists(name):
             raise ValueError(f"Materialized view not found: {name}")
         v = self._next_version(name)
-        df = catalog.sql(self.spark, self.sf_dir, self.definition(name))
+        if where is None:
+            df = catalog.sql(self.spark, self.sf_dir, self.definition(name))
+        else:
+            self.read(name).createOrReplaceTempView("__mv_refresh_cur")
+            fresh = catalog.sql(
+                self.spark,
+                self.sf_dir,
+                f"SELECT * FROM ({self.definition(name)}) WHERE {where}",
+            )
+            keep = self.spark.sql(
+                f"SELECT * FROM __mv_refresh_cur WHERE NOT coalesce(({where}), false)"
+            )
+            df = keep.unionByName(fresh)
         df.write.parquet(os.path.join(self._dir(name), f"v={v}"))
         self._register(name)
 

@@ -650,3 +650,32 @@ _sql_query(
     "9*(n*S2 - S1^2)) so both engines agree bit-for-bit.",
     bench=True,
 )
+
+
+# Slowly-changing-dimension type-2 history build — the warehouse-side
+# twin of events_cdc_apply (which keeps only the last writer): every
+# change event becomes a dimension VERSION with a validity interval
+# [valid_from, valid_to) derived from the next change's timestamp, and
+# the open version is flagged current. Scale shape: ONE sort-shuffle on
+# the dimension key for the lead() window — identical to sessionize —
+# then pure column arithmetic; no self-join, no global sort (the final
+# ORDER BY is the presentation contract, not part of the build).
+_sql_query(
+    "events_scd2_history",
+    """
+    SELECT user_id,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           CAST(round(value * 100) AS BIGINT) AS attr_cents,
+           CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM events
+    WHERE event_type = 'purchase' AND user_id < 300
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, version
+    """,
+    tags=("events", "scd2", "dimension"),
+    doc="SCD type-2 dimension history: each change event becomes a "
+    "version row with [valid_from, valid_to) from one lead() window per "
+    "dimension key — single sort-shuffle, no self-join.",
+)

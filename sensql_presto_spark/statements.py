@@ -62,7 +62,10 @@ _CREATE_MV_RE = re.compile(
     r"^\s*CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+(\w+)\s+AS\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
-_REFRESH_MV_RE = re.compile(r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*$", re.IGNORECASE)
+_REFRESH_MV_RE = re.compile(
+    r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)(?:\s+WHERE\s+(.+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _DROP_MV_RE = re.compile(r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(\w+)\s*$", re.IGNORECASE)
 # Logical views (create-view.rst / CreateViewTask.java). The engine's
 # catalog is session-scoped temp views, so CREATE VIEW lands as a session
@@ -659,7 +662,9 @@ class StatementSession:
             return self.spark.createDataFrame([("CREATE MATERIALIZED VIEW",)], "result string")
         m = _REFRESH_MV_RE.match(text)
         if m:
-            self.matviews.refresh(m.group(1))
+            # optional WHERE = the reference's partition-scoped refresh
+            # (SqlBase.g4 refreshMaterializedView production)
+            self.matviews.refresh(m.group(1), m.group(2))
             return self.spark.createDataFrame([("REFRESH MATERIALIZED VIEW",)], "result string")
         m = _DROP_MV_RE.match(text)
         if m:

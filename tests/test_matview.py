@@ -138,3 +138,47 @@ def test_kill_mid_replace_leaves_old_mv_readable(spark):
     assert len(left) == 1 and int(left[0][2:]) > v + 1
     sess.execute("DROP MATERIALIZED VIEW mv_kill")
     shutil.rmtree(mv_dir, ignore_errors=True)
+
+
+def test_scoped_refresh_where_predicate(spark):
+    """REFRESH MATERIALIZED VIEW ... WHERE <pred> (SqlBase.g4:71) only
+    recomputes the predicate slice: rows outside the predicate keep their
+    pre-refresh contents even when the base data changed everywhere."""
+    sess = _sess(spark)
+    spark.sql("DROP TABLE IF EXISTS t_mv_base")
+    spark.sql(
+        "CREATE TABLE t_mv_base AS "
+        "SELECT n_nationkey AS k, n_regionkey AS r, n_name AS v FROM nation"
+    )
+    sess.execute(
+        "CREATE OR REPLACE MATERIALIZED VIEW mv_scoped AS "
+        "SELECT k, r, v FROM t_mv_base"
+    )
+    # base changes EVERYWHERE...
+    spark.sql("DROP TABLE t_mv_base")
+    spark.sql(
+        "CREATE TABLE t_mv_base AS "
+        "SELECT n_nationkey AS k, n_regionkey AS r, concat(n_name, '_NEW') AS v FROM nation"
+    )
+    # ...but only region 1 is refreshed
+    sess.execute("REFRESH MATERIALIZED VIEW mv_scoped WHERE r = 1")
+    rows = {row.k: row.v for row in sess.execute("SELECT k, r, v FROM mv_scoped").collect()}
+    fresh = {row.n_nationkey: row.n_name for row in spark.sql(
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey = 1").collect()}
+    stale = {row.n_nationkey: row.n_name for row in spark.sql(
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey <> 1").collect()}
+    assert len(rows) == 25
+    for k, v in fresh.items():
+        assert rows[k] == v + "_NEW", "predicate slice must be recomputed"
+    for k, v in stale.items():
+        assert rows[k] == v, "rows outside the predicate must carry over unchanged"
+    # full refresh catches everything up
+    sess.execute("REFRESH MATERIALIZED VIEW mv_scoped")
+    rows = {row.k: row.v for row in sess.execute("SELECT k, v FROM mv_scoped").collect()}
+    assert all(v.endswith("_NEW") for v in rows.values())
+    # a predicate over unknown columns fails loudly, MV intact
+    with pytest.raises(Exception):
+        sess.execute("REFRESH MATERIALIZED VIEW mv_scoped WHERE no_such_col = 1")
+    assert len(sess.execute("SELECT * FROM mv_scoped").collect()) == 25
+    sess.execute("DROP MATERIALIZED VIEW mv_scoped")
+    spark.sql("DROP TABLE t_mv_base")
