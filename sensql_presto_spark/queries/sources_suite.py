@@ -620,3 +620,76 @@ _sql_q(
     "OPTIMIZE bin-packing): running-total bucket assignment over the file "
     "inventory — the window rides metadata rows, never data.",
 )
+
+
+# --- AQE runtime skew-join handling: the modern alternative to manual
+#     salting (scale_salted_join). The SAME skewed join (events.user_id %
+#     100 hits 100 hot customer keys) runs with NO salt columns at all —
+#     spark.sql.adaptive.skewJoin (on in session.py) detects oversized
+#     shuffle partitions at runtime and splits them into parallel subtasks,
+#     which is exactly what the manual salt emulates statically. The
+#     builder pins the skew-split thresholds LOW so the runtime path
+#     genuinely triggers at test scale (at 100 TB the defaults trigger on
+#     their own); the result is defined by the plain join, so the oracle
+#     is identical to scale_salted_join's. tests/test_plans.py asserts the
+#     executed plan carries AQE's skew annotation.
+
+
+@register(
+    "scale_aqe_skew_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n,CAST(sum(cast(floor(e.value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_val_e4
+    FROM events e JOIN customer c
+      ON (CASE WHEN e.user_id % 2 = 0 THEN 0 ELSE e.user_id % 100 END) = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    tags=("sources", "scale", "skew", "aqe"),
+    doc="Runtime skew-join: a genuinely hot key (half the fact rows) with "
+    "zero manual salting — AQE splits the oversized shuffle partition at "
+    "runtime (thresholds pinned low so the path triggers at test scale).",
+)
+def scale_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The skew thresholds are pinned low so the runtime path triggers at
+    # test scale (defaults are 256MB-scale), and auto-broadcast is off so
+    # the dim side comes through a shuffle (the skew reader only applies
+    # to shuffle joins).  Both are set on a FORKED session (own SQLConf,
+    # shared executors) so nothing leaks into the caller's session — the
+    # returned DataFrame executes under the fork's conf.
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+    # default minPartitionSize (1MB) silently clamps the split target and
+    # undoes the skew split at test scale
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1KB")
+    # without force, AQE vetoes the split because the downstream partial
+    # aggregation's exchange counts as an extra shuffle; at 100 TB the
+    # cost model passes on its own and force is unnecessary
+    s2.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # HALF the fact rows land on key 0 (a genuinely hot key — user_id %
+    # 100 alone is uniform and would never skew); the rest spread 1..99.
+    # The repartition gives the join shuffle real mappers: the sf0.01
+    # parquet is a single row group = one map task, and a skewed reduce
+    # partition can only split at mapper-chunk granularity (at 100 TB
+    # there are thousands of mappers and this repartition is not needed).
+    e = catalog.table(s2, sf_dir, "events").repartition(8).withColumn(
+        "join_key",
+        F.when(F.col("user_id") % 2 == 0, F.lit(0)).otherwise(F.col("user_id") % 100),
+    )
+    c = catalog.table(s2, sf_dir, "customer")
+    joined = e.join(c, e.join_key == c.c_custkey)
+    out = (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")).alias(
+                "sum_val_e4"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+    return out

@@ -373,3 +373,14 @@ def test_containment_dedup_prefix_joins_not_cartesian(spark):
     plan = _plan(spark, "text_containment_dedup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_aqe_skew_join_triggers_runtime_split(spark):
+    """scale_aqe_skew_join: after execution the final adaptive plan must
+    carry SortMergeJoin(skew=true) + a skewed AQEShuffleRead — proving
+    the runtime path (not manual salting) actually split the hot key."""
+    df = registry.get("scale_aqe_skew_join").build(spark, SF)
+    df.collect()  # AQE finalizes the plan during execution
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in executed
+    assert "skewed" in executed
