@@ -95,9 +95,12 @@ PRIORITY: tuple[str, ...] = (
 )
 
 # Round-6 rotation plan: if r5 comes back green, swap in the next 50
-# TPC-DS bodies in registry order (q41-q99 minus the already-driver-green
-# q35/q37/q82 and the r5 window's q39b/q40 — i.e. q41..q92 tranche); r7
-# takes the remaining ~9.  Keep any r5 entry that FAILED.
+# TPC-DS bodies in registry order (q41-q92, skipping the already-green
+# q82); r7 takes the remaining 9 TPC-DS (q93-q99 tail) plus the six
+# operators ADDED in r5 (events_anomaly_zscore, events_scd2_history,
+# sim_range_search, text_containment_dedup, mm_image_phash_dedup,
+# scale_aqe_skew_join — each vanilla-EXACT at sf0.001/0.01/0.1 when
+# added).  Keep any r5 entry that FAILED.
 
 def _alias(i: int, name: str) -> str:
     return f"a{i:02d}_{name}"

@@ -745,8 +745,13 @@ class StatementSession:
             self.schema = schema
             return self.spark.createDataFrame([("USE",)], "result string")
         if _SHOW_SCHEMAS_RE.match(text):
+            # default + information_schema plus any CREATE SCHEMA results
+            # (CREATE/DROP SCHEMA pass through to Spark's catalog)
+            names = {"default", "information_schema"} | {
+                db.name for db in self.spark.catalog.listDatabases()
+            }
             return self.spark.createDataFrame(
-                [("default",), ("information_schema",)], "Schema string"
+                [(n,) for n in names], "Schema string"
             ).orderBy("Schema")
         m = _SHOW_TABLES_RE.match(text)
         if m:

@@ -1001,3 +1001,15 @@ def test_dml_enforces_per_statement_privileges(spark):
     with pytest.raises(AccessDeniedError):
         bob.execute(f"UPDATE {t} SET n_name = 'x' WHERE n_nationkey = 1")
     spark.sql(f"DROP TABLE {t}")
+
+
+def test_create_drop_schema_roundtrip(spark):
+    """CREATE SCHEMA / DROP SCHEMA (SqlBase.g4 createSchema/dropSchema)
+    pass through to Spark's catalog and surface in SHOW SCHEMAS."""
+    sess = _sess(spark)
+    sess.execute("CREATE SCHEMA IF NOT EXISTS analytics_test")
+    names = [r.Schema for r in sess.execute("SHOW SCHEMAS").collect()]
+    assert "analytics_test" in names and "default" in names
+    sess.execute("DROP SCHEMA IF EXISTS analytics_test")
+    names = [r.Schema for r in sess.execute("SHOW SCHEMAS").collect()]
+    assert "analytics_test" not in names
