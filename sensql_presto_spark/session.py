@@ -48,6 +48,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Runtime bloom filters ~= the reference's DynamicFilterSourceOperator.
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # CBO + stats-based join reordering (SURVEY §7.6): replaces the
+        # reference's ReorderJoins/CostCalculator when ANALYZE'd stats
+        # exist (managed tables); temp-view parquet scans fall back to
+        # size-based estimates + AQE runtime re-planning.
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.cbo.joinReorder.enabled", "true")
         # Nested-column pruning (reference: PushdownSubfields.java).
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
