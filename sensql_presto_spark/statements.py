@@ -74,7 +74,9 @@ _DROP_MV_RE = re.compile(r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(\w+)\s*$", re.IGNOR
 # SHOW CREATE VIEW, and names must not shadow base tables or matviews
 # (the round-2 advisor's matview-shadowing rule, applied here too).
 _CREATE_VIEW_RE = re.compile(
-    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.+)$", re.IGNORECASE | re.DOTALL
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(\w+)"
+    r"(?:\s+SECURITY\s+(DEFINER|INVOKER))?\s+AS\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
 )
 _DROP_VIEW_RE = re.compile(
     r"^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?(\w+)\s*$", re.IGNORECASE
@@ -489,6 +491,7 @@ class StatementSession:
         self.sf_dir = sf_dir
         self.prepared: dict[str, str] = {}
         self.views: dict[str, str] = {}  # logical views: name -> defining SQL
+        self.view_security: dict[str, str] = {}  # name -> DEFINER | INVOKER
         self.types: dict[str, list[str]] = {}
         self.functions: dict[str, str] = {}  # bare name -> original CREATE text
         self._conf_defaults: dict[str, str | None] = {}
@@ -533,10 +536,20 @@ class StatementSession:
         a string literal over-checks at worst (fails closed)."""
         if not self.enforce_access:
             return
-        lowered = re.findall(r"[a-z_][a-z0-9_]*", text.lower())
-        for t in catalog.TABLES:
-            if t in lowered:
-                self.access.check(self.user, self._active_roles(), "SELECT", t)
+        seen: set[str] = set()
+        frontier = [text]
+        while frontier:
+            lowered = re.findall(r"[a-z_][a-z0-9_]*", frontier.pop().lower())
+            for t in catalog.TABLES:
+                if t in lowered:
+                    self.access.check(self.user, self._active_roles(), "SELECT", t)
+            # SECURITY INVOKER views run with the READER's rights: expand
+            # their bodies and check the underlying tables too (DEFINER
+            # views were checked against their creator at CREATE time)
+            for v, mode in self.view_security.items():
+                if mode == "INVOKER" and v.lower() in lowered and v not in seen:
+                    seen.add(v)
+                    frontier.append(self.views.get(v, ""))
 
     def _missing_prepared(self, name: str) -> None:
         if self.session_expired:
@@ -672,16 +685,23 @@ class StatementSession:
             return self.spark.createDataFrame([("DROP MATERIALIZED VIEW",)], "result string")
         m = _CREATE_VIEW_RE.match(text)
         if m:
-            name, body = m.group(2), m.group(3).strip()
+            name, body = m.group(2), m.group(4).strip()
+            security = (m.group(3) or "DEFINER").upper()
             if name.lower() in catalog.TABLES or self.matviews.exists(name):
                 raise ValueError(f"View name conflicts with an existing table: {name}")
             if not m.group(1) and name in self.views:
                 raise ValueError(f"View already exists: {name}")
-            # DEFINER-rights check at definition time (see CREATE MV above)
-            self._check_table_access(body)
+            # SECURITY DEFINER (the reference default, SqlBase.g4 createView):
+            # the creator's rights are checked at definition time and cover
+            # all later readers.  SECURITY INVOKER defers to query time —
+            # _check_table_access expands invoker-view names found in the
+            # query text and checks their bodies against the READER.
+            if security == "DEFINER":
+                self._check_table_access(body)
             catalog.register_views(self.spark, self.sf_dir)
             self.spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {body}")
             self.views[name] = body
+            self.view_security[name] = security
             return self.spark.createDataFrame([("CREATE VIEW",)], "result string")
         m = _DROP_VIEW_RE.match(text)
         if m:
@@ -1024,6 +1044,9 @@ class StatementSession:
         if name not in self.prepared:
             self._missing_prepared(name)
         sql = self.prepared[name]
+        # analysis reveals the output schema — enforce like every other
+        # analyzed-query path (no schema leak through DESCRIBE OUTPUT)
+        self._check_table_access(sql)
         bound = substitute_parameters(sql, ["NULL"] * count_parameters(sql))
         schema = catalog.sql(self.spark, self.sf_dir, bound).schema
         rows = [

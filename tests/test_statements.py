@@ -503,6 +503,9 @@ def test_access_enforced_on_execute_views_and_explain(spark):
     ):
         with pytest.raises(AccessDeniedError):
             eve.execute(stmt)
+    # DESCRIBE OUTPUT analyzes the prepared query - same enforcement
+    with pytest.raises(AccessDeniedError):
+        eve.execute("DESCRIBE OUTPUT p_leak")
     # after a grant, the same paths all work
     admin = StatementSession(spark, SF, user="admin", access=store)
     admin.execute("GRANT SELECT ON nation TO USER eve")
@@ -1013,3 +1016,28 @@ def test_create_drop_schema_roundtrip(spark):
     sess.execute("DROP SCHEMA IF EXISTS analytics_test")
     names = [r.Schema for r in sess.execute("SHOW SCHEMAS").collect()]
     assert "analytics_test" not in names
+
+
+def test_view_security_definer_vs_invoker(spark):
+    """SECURITY DEFINER (default): creator's rights checked at CREATE,
+    readers need nothing on the base tables. SECURITY INVOKER: creation
+    is free, but every reader's own rights are checked against the
+    expanded body (SqlBase.g4 createView SECURITY clause)."""
+    from sensql_presto_spark.access import AccessControl, AccessDeniedError
+
+    store = AccessControl()
+    admin = StatementSession(spark, SF, user="admin", access=store)
+    eve = StatementSession(spark, SF, user="eve", access=store, enforce_access=True)
+    # DEFINER view by admin: eve can read it without a grant on region
+    admin.execute("CREATE VIEW v_def SECURITY DEFINER AS SELECT r_name FROM region")
+    eve.views, eve.view_security = admin.views, admin.view_security  # shared catalog
+    assert len(eve.execute("SELECT * FROM v_def").collect()) == 5
+    # INVOKER view: eve's own rights are checked -> denied, then granted
+    admin.execute("CREATE VIEW v_inv SECURITY INVOKER AS SELECT r_name FROM region")
+    with pytest.raises(AccessDeniedError):
+        eve.execute("SELECT * FROM v_inv")
+    admin.execute("GRANT SELECT ON region TO USER eve")
+    assert len(eve.execute("SELECT * FROM v_inv").collect()) == 5
+    admin.execute("REVOKE SELECT ON region FROM USER eve")
+    admin.execute("DROP VIEW v_def")
+    admin.execute("DROP VIEW v_inv")
