@@ -679,3 +679,48 @@ _sql_query(
     "version row with [valid_from, valid_to) from one lead() window per "
     "dimension key — single sort-shuffle, no self-join.",
 )
+
+
+# Last-touch marketing attribution: each purchase is credited to the most
+# recent click/view by the same user within a 3-day lookback (the
+# standard last-touch model; purchases with no touch in the window credit
+# 'direct').  Deterministic tiebreak on (ts DESC, event_id DESC).  Scale
+# shape: the as-of-join pattern — ONE shuffle on user_id with the 3-day
+# band as a join residual, then a per-purchase top-1 (WindowGroupLimit
+# prunes to the latest touch map-side) and a channel-bounded rollup; the
+# touch table is never self-joined.
+_sql_query(
+    "events_attribution",
+    """
+    WITH purchases AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT event_id, user_id, ts, event_type FROM events
+        WHERE event_type IN ('click', 'view')
+    ),
+    pairs AS (
+        SELECT p.event_id AS purchase_id, p.value,
+               t.event_type AS channel,
+               row_number() OVER (PARTITION BY p.event_id
+                                  ORDER BY t.ts DESC, t.event_id DESC) AS rn
+        FROM purchases p
+        LEFT JOIN touches t
+          ON p.user_id = t.user_id
+         AND t.ts <= p.ts
+         AND t.ts >= p.ts - INTERVAL 3 DAY
+    )
+    SELECT coalesce(channel, 'direct') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(value), 4) AS attributed_value
+    FROM pairs WHERE rn = 1
+    GROUP BY coalesce(channel, 'direct')
+    ORDER BY channel
+    """,
+    tags=("events", "attribution", "asof"),
+    doc="Last-touch attribution: purchases credited to the latest "
+    "click/view within a 3-day lookback (else 'direct'); as-of-join "
+    "shape — one user_id shuffle, map-side-pruned per-purchase top-1, "
+    "channel-bounded rollup.",
+)

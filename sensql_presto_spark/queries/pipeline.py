@@ -3589,3 +3589,239 @@ def mm_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_members") > 1)
         .orderBy("first_member")
     )
+
+
+# --- Label propagation (community detection — the domain/host-clustering
+#     graph primitive for crawl corpora; the most-frequent-label sibling
+#     of graph_pagerank's weighted walk and of
+#     dedup_connected_components' min-label contraction).  Reference
+#     scope: the fork exposes graph rollups through its pipeline layer
+#     the same way PageRank is exposed; semantics follow
+#     Raghavan et al. 2007 (synchronous LPA) with the deterministic
+#     tiebreak (highest neighbour-count, then smallest label) so both
+#     engines agree exactly.  Each round is the canonical distributed
+#     shape: ONE join of the symmetrized edge list against the current
+#     label table + ONE (dst, label) count aggregate + a per-node top-1
+#     (TopNRowNumber — WindowGroupLimit prunes map-side); state is one
+#     label per node, never per edge.  Three rounds unroll declaratively;
+#     a production run loops with localCheckpoint per round, the
+#     connected-components discipline.  The graph is a deterministic
+#     60-node web of four 15-node blocks joined by single-edge bridges.
+#
+#     Spark inlines CTEs, so the all-SQL form (kept verbatim as the
+#     DuckDB oracle) would recompute the corpus-sized DISTINCT edge
+#     derivation once per reference (~9 rescans of orders); the builder
+#     therefore MATERIALIZES the symmetrized edge list via
+#     localCheckpoint(eager=True) — the minhash discipline — and the
+#     three rounds read the bounded in-memory edge relation.
+_LABELPROP_GRAPH_SQL = """
+    WITH base AS (
+        -- four 15-node blocks with dense random intra-block edges ...
+        SELECT DISTINCT o_custkey % 60 AS src,
+               (o_custkey % 60) - ((o_custkey % 60) % 15) + (o_orderkey % 15) AS dst
+        FROM orders
+        WHERE (o_custkey % 60) % 15 <> o_orderkey % 15
+        UNION
+        -- ... an intra-block ring so every block is connected ...
+        SELECT DISTINCT o_custkey % 60 AS src,
+               (o_custkey % 60) - ((o_custkey % 60) % 15)
+               + ((o_custkey % 60) % 15 + 1) % 15 AS dst
+        FROM orders
+        UNION
+        -- ... and four single-edge bridges the majority vote resists
+        SELECT 14 AS src, 15 AS dst UNION SELECT 29, 30
+        UNION SELECT 44, 45 UNION SELECT 59, 0
+    ),
+    sym AS (
+        SELECT src, dst FROM base
+        UNION
+        SELECT dst AS src, src AS dst FROM base
+    )
+    SELECT src, dst FROM sym
+    """
+
+_LABELPROP_ROUNDS_SQL = """
+    WITH nodes AS (SELECT DISTINCT src AS id FROM {E}),
+    l0 AS (SELECT id, id AS lbl FROM nodes),
+    c1 AS (SELECT e.dst AS id, l.lbl, count(*) AS c
+           FROM {E} e JOIN l0 l ON l.id = e.src
+           GROUP BY e.dst, l.lbl),
+    w1 AS (SELECT id, lbl FROM (
+               SELECT id, lbl,
+                      row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+               FROM c1) t1 WHERE rn = 1),
+    l1 AS (SELECT n.id, coalesce(w.lbl, p.lbl) AS lbl
+           FROM nodes n LEFT JOIN w1 w ON n.id = w.id
+           LEFT JOIN l0 p ON p.id = n.id),
+    c2 AS (SELECT e.dst AS id, l.lbl, count(*) AS c
+           FROM {E} e JOIN l1 l ON l.id = e.src
+           GROUP BY e.dst, l.lbl),
+    w2 AS (SELECT id, lbl FROM (
+               SELECT id, lbl,
+                      row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+               FROM c2) t2 WHERE rn = 1),
+    l2 AS (SELECT n.id, coalesce(w.lbl, p.lbl) AS lbl
+           FROM nodes n LEFT JOIN w2 w ON n.id = w.id
+           LEFT JOIN l1 p ON p.id = n.id),
+    c3 AS (SELECT e.dst AS id, l.lbl, count(*) AS c
+           FROM {E} e JOIN l2 l ON l.id = e.src
+           GROUP BY e.dst, l.lbl),
+    w3 AS (SELECT id, lbl FROM (
+               SELECT id, lbl,
+                      row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+               FROM c3) t3 WHERE rn = 1),
+    l3 AS (SELECT n.id, coalesce(w.lbl, p.lbl) AS lbl
+           FROM nodes n LEFT JOIN w3 w ON n.id = w.id
+           LEFT JOIN l2 p ON p.id = n.id)
+    SELECT CAST(l3.id AS BIGINT) AS node_id,
+           CAST(l3.lbl AS BIGINT) AS community,
+           CAST(count(*) OVER (PARTITION BY l3.lbl) AS BIGINT) AS community_size
+    FROM l3
+    ORDER BY node_id
+    """
+
+# The oracle is the verbatim all-SQL composition (DuckDB computes CTEs
+# once, so the inlining concern is Spark-only).
+_LABELPROP_ORACLE = (
+    _LABELPROP_GRAPH_SQL.rstrip().removesuffix("SELECT src, dst FROM sym")
+    + ",\n    "
+    + _LABELPROP_ROUNDS_SQL.format(E="sym").lstrip().removeprefix("WITH ")
+)
+assert _LABELPROP_ORACLE.count("WITH ") == 1
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_LABELPROP_ORACLE,
+    tags=("pipeline", "graph", "community"),
+    doc="Synchronous label propagation (Raghavan et al. 2007), 3 unrolled "
+    "rounds on the deterministic 60-node web: per round one edge join + "
+    "one (dst,label) count + per-node top-1 with (count DESC, label) "
+    "tiebreak; per-node state only, map-side-pruned TopNRowNumber; the "
+    "symmetrized edge list is materialized once (localCheckpoint).",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sym = catalog.sql(spark, sf_dir, _LABELPROP_GRAPH_SQL).localCheckpoint(eager=True)
+    sym.createOrReplaceTempView("__lp_sym")
+    return spark.sql(_LABELPROP_ROUNDS_SQL.format(E="__lp_sym"))
+
+
+# Per-source boilerplate-line removal (the CCNet/C4 curation pass that
+# complements text_dedup_paragraph): documents are segmented into fixed
+# 8-word lines, and any line that appears in >= 2 DISTINCT documents of
+# the SAME source is treated as boilerplate (nav menus, headers, legal
+# footers repeat across a host's pages) and removed from EVERY document —
+# remove-all, unlike paragraph dedup's corpus-global keep-first. Scale
+# shape: one shuffle keyed on (source, line) for the doc-frequency
+# aggregate (the exact-dedup bound — never pairwise), one shuffle back on
+# doc_id for reassembly; the boilerplate decision is carried on the
+# aggregate row, no window over the corpus.
+_sql_query(
+    "text_boilerplate_lines",
+    """
+    WITH tok AS (
+        SELECT doc_id, source, split(text, ' ') AS t FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, source, p,
+               array_join(slice(t, p * 8 + 1, 8), ' ') AS line
+        FROM tok
+        LATERAL VIEW explode(sequence(0, cast(ceil(size(t) / 8.0) AS INT) - 1)) s AS p
+    ),
+    boiler AS (
+        SELECT source, line
+        FROM lines GROUP BY source, line
+        HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT l.doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN b.line IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(length(concat_ws(' ',
+               sort_array(collect_list(CASE WHEN b.line IS NULL
+                   THEN concat(lpad(cast(l.p AS STRING), 6, '0'), ':', l.line)
+               END)))) AS BIGINT) AS kept_len
+    FROM lines l
+    LEFT JOIN boiler b ON l.source = b.source AND l.line = b.line
+    GROUP BY l.doc_id
+    ORDER BY l.doc_id
+    """,
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, source, p.i - 1 AS p,
+               array_to_string(t[(p.i - 1) * 8 + 1 : (p.i - 1) * 8 + 8], ' ') AS line
+        FROM tok, LATERAL (
+            SELECT unnest(range(1, CAST(ceil(len(t) / 8.0) AS INT) + 1)) AS i
+        ) p
+    ),
+    boiler AS (
+        SELECT source, line
+        FROM lines GROUP BY source, line
+        HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT l.doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN b.line IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(COALESCE(length(string_agg(CASE WHEN b.line IS NULL
+               THEN lpad(CAST(l.p AS VARCHAR), 6, '0') || ':' || l.line END, ' '
+               ORDER BY lpad(CAST(l.p AS VARCHAR), 6, '0') || ':' || l.line)), 0)
+               AS BIGINT) AS kept_len
+    FROM lines l
+    LEFT JOIN boiler b ON l.source = b.source AND l.line = b.line
+    GROUP BY l.doc_id
+    ORDER BY l.doc_id
+    """,
+    tags=("pipeline", "text", "dedup"),
+    doc="Per-source boilerplate-line removal (CCNet-style): 8-word line "
+    "segmentation, per-(source,line) doc-frequency >= 2 -> remove ALL "
+    "occurrences; one (source,line) shuffle + one doc_id reassembly shuffle.",
+)
+
+
+# Incremental near-dup dedup (the ingestion-time variant of
+# dedup_minhash_lsh, and the near-dup sibling of dedup_incremental's
+# exact anti-join): documents with doc_id % 5 < 2 are the EXISTING corpus
+# whose minhash signatures live in the signature store (recomputed here;
+# in production they are read back from the store exactly as
+# dedup_bloom_prefilter reads its snapshot), the rest are the incoming
+# batch.  Only pairs touching the batch are generated — batch-vs-corpus
+# and batch-vs-batch — so the historical corpus is never self-joined
+# again: the candidate volume is proportional to the BATCH, not the
+# corpus, which is what makes nightly ingestion dedup tractable at 100 TB.
+# The banded-LSH candidate generator stays complete for the restricted
+# pair set (it is a subset of the full generator, which is complete at
+# J >= 0.9 with 16 bands of 4), so the output equals the exact-Jaccard
+# oracle restricted to the same pairs.
+_INCR_PAIR_PRED = "AND NOT (a.doc_id % 5 < 2 AND b.doc_id % 5 < 2)"
+
+_MINHASH_VERIFY_INCR_SQL = _MINHASH_VERIFY_SQL.replace(
+    "ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id",
+    "ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id\n          "
+    + _INCR_PAIR_PRED,
+    1,
+)
+assert _MINHASH_VERIFY_INCR_SQL != _MINHASH_VERIFY_SQL
+
+_DUCK_JACCARD_PAIRS_INCR = _DUCK_JACCARD_PAIRS.replace(
+    "ON a.s = b.s AND a.doc_id < b.doc_id",
+    "ON a.s = b.s AND a.doc_id < b.doc_id " + _INCR_PAIR_PRED,
+    1,
+)
+assert _DUCK_JACCARD_PAIRS_INCR != _DUCK_JACCARD_PAIRS
+
+
+@register(
+    "dedup_minhash_incremental",
+    oracle=_DUCK_JACCARD_PAIRS_INCR,
+    tags=("pipeline", "dedup"),
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = catalog.sql(
+        spark, sf_dir, f"WITH {_SPARK_SHINGLES} SELECT * FROM sh"
+    ).localCheckpoint(eager=True)
+    sh.createOrReplaceTempView("__mh_sh")
+    bands = spark.sql(_MINHASH_BANDS_SQL).localCheckpoint(eager=True)
+    bands.createOrReplaceTempView("__mh_bands")
+    return spark.sql(_MINHASH_VERIFY_INCR_SQL)
