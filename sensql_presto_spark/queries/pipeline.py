@@ -3713,9 +3713,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # footers repeat across a host's pages) and removed from EVERY document —
 # remove-all, unlike paragraph dedup's corpus-global keep-first. Scale
 # shape: one shuffle keyed on (source, line) for the doc-frequency
-# aggregate (the exact-dedup bound — never pairwise), one shuffle back on
-# doc_id for reassembly; the boilerplate decision is carried on the
-# aggregate row, no window over the corpus.
+# aggregate (the exact-dedup bound — never pairwise; the probe side of
+# the boilerplate join pays a second (source,line) exchange while the
+# aggregate side reuses its partitioning), one shuffle back on doc_id for
+# reassembly; the boilerplate decision is carried on the aggregate row,
+# no window over the corpus.
 _sql_query(
     "text_boilerplate_lines",
     """
@@ -3776,7 +3778,7 @@ _sql_query(
     tags=("pipeline", "text", "dedup"),
     doc="Per-source boilerplate-line removal (CCNet-style): 8-word line "
     "segmentation, per-(source,line) doc-frequency >= 2 -> remove ALL "
-    "occurrences; one (source,line) shuffle + one doc_id reassembly shuffle.",
+    "occurrences; (source,line)-keyed exchanges + one doc_id reassembly shuffle.",
 )
 
 

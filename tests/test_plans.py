@@ -384,3 +384,46 @@ def test_aqe_skew_join_triggers_runtime_split(spark):
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "skew=true" in executed
     assert "skewed" in executed
+
+
+def test_label_propagation_rounds_never_rescan_source(spark):
+    """graph_label_propagation: the symmetrized edge list is materialized
+    once (localCheckpoint), so the three unrolled rounds read the bounded
+    in-memory edge relation — ZERO parquet rescans of orders — and the
+    per-node top-1 prunes map-side via WindowGroupLimit."""
+    plan = _plan(spark, "graph_label_propagation", mode="simple")
+    assert "parquet" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan and "Python" not in plan
+
+
+def test_boilerplate_lines_bounded_exchanges_no_window(spark):
+    """text_boilerplate_lines: exactly the designed exchanges — the
+    (source,line) doc-frequency aggregate, the probe side of the
+    boilerplate join, and the doc_id reassembly — with no window over the
+    corpus and no cartesian."""
+    plan = _plan(spark, "text_boilerplate_lines", mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 3
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan and "Python" not in plan
+
+
+def test_minhash_incremental_stays_banded(spark):
+    """dedup_minhash_incremental: the batch-restricted candidate join
+    stays an equi-join on the band bucket over the checkpointed band
+    table (no parquet rescans), never a cartesian or Python fallback."""
+    plan = _plan(spark, "dedup_minhash_incremental", mode="simple")
+    assert "parquet" not in plan
+    assert "CartesianProduct" not in plan and "Python" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_attribution_group_limit_and_single_join_shuffle(spark):
+    """events_attribution: the as-of shape — the user_id band join plus
+    the channel rollup are the only hash exchanges, and the per-purchase
+    latest-touch reduction pushes into WindowGroupLimit (map-side prune,
+    the full per-purchase touch list is never sorted to completion)."""
+    plan = _plan(spark, "events_attribution", mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan and "Python" not in plan
