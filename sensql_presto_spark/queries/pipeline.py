@@ -3827,3 +3827,62 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = spark.sql(_MINHASH_BANDS_SQL).localCheckpoint(eager=True)
     bands.createOrReplaceTempView("__mh_bands")
     return spark.sql(_MINHASH_VERIFY_INCR_SQL)
+
+
+# Triangle counting + local clustering coefficient (the third graph
+# primitive after PageRank and label propagation — spam/link-farm
+# detection ranks hosts by how clique-like their neighborhoods are).
+# Standard distributed shape (the compact-forward algorithm): canonicalize
+# to src < dst edges, enumerate wedges with ONE self-equi-join on the
+# shared middle vertex, close them with a second equi-join against the
+# canonical edge list — never a cross product; per-node counts are a
+# UNION ALL rollup, and the coefficient 2T/(d(d-1)) is floor-quantized to
+# integer micro-units so both engines agree exactly.  Reads the same
+# checkpointed symmetrized edge relation as label propagation.
+_TRIANGLE_SQL = """
+    WITH canon AS (SELECT src, dst FROM {E} WHERE src < dst),
+    tris AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM canon e1
+        JOIN canon e2 ON e2.src = e1.dst
+        JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    pernode AS (
+        SELECT node_id, count(*) AS n_tri FROM (
+            SELECT a AS node_id FROM tris
+            UNION ALL SELECT b AS node_id FROM tris
+            UNION ALL SELECT c AS node_id FROM tris
+        ) t GROUP BY node_id
+    ),
+    deg AS (SELECT src AS node_id, count(*) AS d FROM {E} GROUP BY src)
+    SELECT CAST(deg.node_id AS BIGINT) AS node_id,
+           CAST(coalesce(p.n_tri, 0) AS BIGINT) AS n_triangles,
+           CAST(deg.d AS BIGINT) AS degree,
+           CAST(CASE WHEN deg.d >= 2 THEN floor(
+                2000000.0 * coalesce(p.n_tri, 0) / (deg.d * (deg.d - 1)))
+                ELSE 0 END AS BIGINT) AS clustering_micro
+    FROM deg LEFT JOIN pernode p ON deg.node_id = p.node_id
+    ORDER BY node_id
+    """
+
+_TRIANGLE_ORACLE = (
+    _LABELPROP_GRAPH_SQL.rstrip().removesuffix("SELECT src, dst FROM sym")
+    + ",\n    "
+    + _TRIANGLE_SQL.format(E="sym").lstrip().removeprefix("WITH ")
+)
+assert _TRIANGLE_ORACLE.count("WITH ") == 1
+
+
+@register(
+    "graph_triangle_count",
+    oracle=_TRIANGLE_ORACLE,
+    tags=("pipeline", "graph", "triangles"),
+    doc="Triangle count + local clustering coefficient via compact-forward "
+    "wedge enumeration: two equi-joins on the canonicalized (src<dst) edge "
+    "list, UNION ALL per-node rollup, floor-quantized 2T/(d(d-1)) in "
+    "micro-units; reads the once-checkpointed symmetrized edge relation.",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sym = catalog.sql(spark, sf_dir, _LABELPROP_GRAPH_SQL).localCheckpoint(eager=True)
+    sym.createOrReplaceTempView("__tc_sym")
+    return spark.sql(_TRIANGLE_SQL.format(E="__tc_sym"))

@@ -427,3 +427,13 @@ def test_attribution_group_limit_and_single_join_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 2
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan and "Python" not in plan
+
+
+def test_triangle_count_equi_joins_only(spark):
+    """graph_triangle_count: wedge enumeration and closure are equi-joins
+    on the checkpointed canonical edge list (zero parquet rescans), never
+    a cartesian or nested-loop fallback."""
+    plan = _plan(spark, "graph_triangle_count", mode="simple")
+    assert "parquet" not in plan
+    assert "CartesianProduct" not in plan and "Python" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
