@@ -3886,3 +3886,71 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = catalog.sql(spark, sf_dir, _LABELPROP_GRAPH_SQL).localCheckpoint(eager=True)
     sym.createOrReplaceTempView("__tc_sym")
     return spark.sql(_TRIANGLE_SQL.format(E="__tc_sym"))
+
+
+# Model-based quality filtering (the fastText-classifier pipeline stage:
+# score every document with a linear bag-of-words model, keep the
+# positive class — the FineWeb/CCNet quality-filter shape).  The model
+# here is a deterministic stand-in — hashed 64-bucket features with
+# multiplicative-hash weights in exact milli-units — wired exactly the
+# way a trained model is served at scale: the interpreted char-hash runs
+# only over the DISTINCT token vocabulary (the simhash discipline), the
+# vocabulary->weight map broadcasts back onto the token stream, and the
+# per-doc score is ONE map-side-combining sum shuffle on doc_id.  In
+# production the weights table is the trained model's serialized
+# embedding matrix; everything else is identical.
+_sql_query(
+    "text_classifier_filter",
+    """
+    WITH tok AS (
+        SELECT doc_id, explode(split(text, ' ')) AS tk FROM documents
+    ),
+    vocab AS (SELECT DISTINCT tk FROM tok),
+    vw AS (
+        SELECT tk,
+               aggregate(split(tk, ''), 131L,
+                         (acc, c) -> (acc * 31 + ascii(c)) % 1000000007) % 64 AS bucket
+        FROM vocab
+    ),
+    weights AS (
+        SELECT tk, CAST((bucket * 2654435761) % 2001 - 1000 AS BIGINT) AS w_milli
+        FROM vw
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(w.w_milli) AS BIGINT) AS score_milli,
+           CAST(CASE WHEN sum(w.w_milli) > 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM tok t JOIN weights w ON t.tk = w.tk
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents
+    ),
+    vocab AS (SELECT DISTINCT tk FROM tok),
+    vw AS (
+        SELECT tk,
+               list_reduce(list_prepend(131::BIGINT,
+                               [ascii(c)::BIGINT for c in string_split(tk, '')]),
+                           (a, b) -> (a * 31 + b) % 1000000007) % 64 AS bucket
+        FROM vocab
+    ),
+    weights AS (
+        SELECT tk, CAST((bucket * 2654435761) % 2001 - 1000 AS BIGINT) AS w_milli
+        FROM vw
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(w.w_milli) AS BIGINT) AS score_milli,
+           CAST(CASE WHEN sum(w.w_milli) > 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM tok t JOIN weights w ON t.tk = w.tk
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+    tags=("pipeline", "text", "quality"),
+    doc="Linear bag-of-words quality filter (fastText-stage shape): "
+    "char-hash only the DISTINCT vocabulary, broadcast the "
+    "vocab->weight map onto the token stream, one map-side-combining "
+    "doc_id sum; exact milli-unit integer scores.",
+)

@@ -437,3 +437,13 @@ def test_triangle_count_equi_joins_only(spark):
     assert "parquet" not in plan
     assert "CartesianProduct" not in plan and "Python" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_classifier_filter_broadcasts_weights(spark):
+    """text_classifier_filter: the vocab->weight map BROADCASTS onto the
+    token stream (never a shuffle of the corpus for the model join) and
+    the per-doc score is a map-side-combining hash aggregate."""
+    plan = _plan(spark, "text_classifier_filter", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
