@@ -3818,6 +3818,7 @@ assert _DUCK_JACCARD_PAIRS_INCR != _DUCK_JACCARD_PAIRS
     "dedup_minhash_incremental",
     oracle=_DUCK_JACCARD_PAIRS_INCR,
     tags=("pipeline", "dedup"),
+    bench=True,
 )
 def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = catalog.sql(
@@ -3949,6 +3950,7 @@ _sql_query(
     ORDER BY t.doc_id
     """,
     tags=("pipeline", "text", "quality"),
+    bench=True,
     doc="Linear bag-of-words quality filter (fastText-stage shape): "
     "char-hash only the DISTINCT vocabulary, broadcast the "
     "vocab->weight map onto the token stream, one map-side-combining "
