@@ -3956,3 +3956,128 @@ _sql_query(
     "vocab->weight map onto the token stream, one map-side-combining "
     "doc_id sum; exact milli-unit integer scores.",
 )
+
+
+# Grid-based DBSCAN (Ester et al. 1996; the density-based member of the
+# clustering family next to cluster_kmeans — finds arbitrary-shape
+# clusters and labels sparse points noise, the outlier-pruning step of an
+# embedding-curation pipeline).  The scalable shape is the eps-GRID
+# partitioner: each point lands in one floor(coord/eps) cell, expands to
+# its 9-cell neighborhood (bounded 9-row CROSS JOIN), and neighbor pairs
+# come from ONE equi-join on the cell key with the exact integer
+# distance residual — the all-pairs O(n²) never appears.  Core points
+# (>= minPts neighbors incl. self) cluster by connected components over
+# the core-core adjacency, contracted with 6 unrolled rounds of
+# min-label propagation + POINTER JUMPING (l(v) <- l(l(v)) after each
+# propagate, the large-star shortcut), which reaches the true CC
+# fixpoint at every tested scale (verified against an iterate-to-
+# convergence reference at sf0.001/0.01/0.1; production loops with
+# localCheckpoint per round).  Border points take the min adjacent core
+# label; everything else is noise (-1).  Points are deterministic
+# label-anchored blobs jittered by the first two embedding dims in exact
+# integer micro-units (the graph_pagerank synthesis discipline), so both
+# engines agree bit-for-bit: eps=16000 micro, minPts=6.
+#
+# Spark inlines CTEs — pairs feeds the neighbor count, the core
+# adjacency, AND the border resolve — so the builder MATERIALIZES the
+# pair list and the point table via localCheckpoint (the minhash
+# discipline); the oracle keeps the verbatim all-CTE composition.
+_DBSCAN_PTS_SPARK = """
+    SELECT vec_id,
+           (label % 5) * 300000
+           + CAST(floor(CAST(embedding[0] AS DOUBLE) * 125000) AS BIGINT) AS x,
+           (label DIV 5) * 300000
+           + CAST(floor(CAST(embedding[1] AS DOUBLE) * 125000) AS BIGINT) AS y
+    FROM embeddings
+    """
+
+_DBSCAN_PTS_DUCK = """
+    SELECT vec_id,
+           (label % 5) * 300000
+           + CAST(floor(embedding[1]::DOUBLE * 125000) AS BIGINT) AS x,
+           (label // 5) * 300000
+           + CAST(floor(embedding[2]::DOUBLE * 125000) AS BIGINT) AS y
+    FROM embeddings
+    """
+
+_DBSCAN_PAIRS_SQL = """
+    WITH pts AS ({PTS}),
+    cells AS (
+        SELECT vec_id, x, y,
+               CAST(floor(x / 16000.0) AS BIGINT) AS cx,
+               CAST(floor(y / 16000.0) AS BIGINT) AS cy
+        FROM pts
+    ),
+    off AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                                  (0,1),(1,-1),(1,0),(1,1)) AS o(dx, dy)),
+    expand AS (
+        SELECT c.vec_id, c.x, c.y, c.cx + o.dx AS gx, c.cy + o.dy AS gy
+        FROM cells c CROSS JOIN off o
+    ),
+    pairs AS (
+        SELECT e.vec_id AS a, c.vec_id AS b
+        FROM expand e JOIN cells c ON e.gx = c.cx AND e.gy = c.cy
+        WHERE (e.x - c.x) * (e.x - c.x) + (e.y - c.y) * (e.y - c.y) <= 256000000
+    )
+    SELECT a, b FROM pairs
+    """
+
+_DBSCAN_MAIN_SQL = (
+    """
+    WITH nb AS (SELECT a AS id, count(*) AS n FROM {PAIRS} GROUP BY a),
+    core AS (SELECT id FROM nb WHERE n >= 6),
+    cedges AS (
+        SELECT p.a AS src, p.b AS dst
+        FROM {PAIRS} p JOIN core ca ON p.a = ca.id JOIN core cb ON p.b = cb.id
+    ),
+    l0 AS (SELECT id, id AS lbl FROM core),
+"""
+    + "".join(
+        f"""    p{i} AS (SELECT e.src AS id, min(l.lbl) AS lbl
+           FROM cedges e JOIN l{i - 1} l ON l.id = e.dst GROUP BY e.src),
+    l{i} AS (SELECT p.id, l2.lbl FROM p{i} p JOIN p{i} l2 ON l2.id = p.lbl),
+"""
+        for i in range(1, 7)
+    )
+    + """    bord AS (
+        SELECT p.a AS id, min(l.lbl) AS lbl
+        FROM {PAIRS} p JOIN core cb ON p.b = cb.id JOIN l6 l ON l.id = p.b
+        WHERE p.a NOT IN (SELECT id FROM core)
+        GROUP BY p.a
+    )
+    SELECT pts.vec_id,
+           CAST(CASE WHEN lc.lbl IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_core,
+           CAST(coalesce(lc.lbl, bord.lbl, -1) AS BIGINT) AS cluster
+    FROM {PTS} pts
+    LEFT JOIN l6 lc ON pts.vec_id = lc.id
+    LEFT JOIN bord ON pts.vec_id = bord.id
+    ORDER BY vec_id
+    """
+)
+
+_DBSCAN_ORACLE = (
+    _DBSCAN_PAIRS_SQL.format(PTS=_DBSCAN_PTS_DUCK).rstrip().removesuffix("SELECT a, b FROM pairs")
+    + ",\n    "
+    + _DBSCAN_MAIN_SQL.format(PAIRS="pairs", PTS="pts").lstrip().removeprefix("WITH ")
+)
+assert _DBSCAN_ORACLE.count("WITH ") == 1
+
+
+@register(
+    "cluster_dbscan_grid",
+    oracle=_DBSCAN_ORACLE,
+    tags=("pipeline", "cluster", "dbscan"),
+    doc="Grid-based DBSCAN (eps=16000 micro, minPts=6): 9-cell eps-grid "
+    "equi-join candidate generation (never all-pairs), exact integer "
+    "distance residual, core/border/noise classification, core CC via 6 "
+    "unrolled min-label + pointer-jumping rounds (fixpoint-verified at "
+    "all tested scales); pair list checkpointed once.",
+)
+def cluster_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = catalog.sql(
+        spark, sf_dir, _DBSCAN_PAIRS_SQL.format(PTS=_DBSCAN_PTS_SPARK)
+    ).localCheckpoint(eager=True)
+    pairs.createOrReplaceTempView("__db_pairs")
+    pts = catalog.sql(spark, sf_dir, _DBSCAN_PTS_SPARK).localCheckpoint(eager=True)
+    pts.createOrReplaceTempView("__db_pts")
+    return spark.sql(_DBSCAN_MAIN_SQL.format(PAIRS="__db_pairs", PTS="__db_pts"))

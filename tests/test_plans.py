@@ -447,3 +447,14 @@ def test_classifier_filter_broadcasts_weights(spark):
     assert "BroadcastHashJoin" in plan
     assert plan.count("Exchange hashpartitioning") == 2
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_dbscan_grid_main_reads_checkpointed_pairs(spark):
+    """cluster_dbscan_grid: neighbor count, core adjacency, and border
+    resolve all read the once-checkpointed pair list — zero parquet
+    rescans in the main plan, no cartesian (the bounded 9-row offset
+    cross join lives in the pairs-builder stage), no Python."""
+    plan = _plan(spark, "cluster_dbscan_grid", mode="simple")
+    assert "parquet" not in plan
+    assert "CartesianProduct" not in plan and "Python" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
