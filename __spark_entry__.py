@@ -97,11 +97,12 @@ PRIORITY: tuple[str, ...] = (
 # Round-6 rotation plan: if r5 comes back green, swap in the next 50
 # TPC-DS bodies in registry order (q41-q92, skipping the already-green
 # q82); r7 takes the remaining 9 TPC-DS (q93-q99 tail) plus the
-# thirteen operators ADDED in r5 (events_anomaly_zscore,
+# fourteen operators ADDED in r5 (events_anomaly_zscore,
 # events_scd2_history, sim_range_search, text_containment_dedup,
 # mm_image_phash_dedup, scale_aqe_skew_join, graph_label_propagation,
 # text_boilerplate_lines, dedup_minhash_incremental, events_attribution,
-# graph_triangle_count, text_classifier_filter, cluster_dbscan_grid —
+# graph_triangle_count, text_classifier_filter, cluster_dbscan_grid,
+# text_bm25_topk —
 # each vanilla-EXACT at sf0.001/0.01/0.1 when added).  Keep any r5
 # entry that FAILED.
 

@@ -4081,3 +4081,127 @@ def cluster_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = catalog.sql(spark, sf_dir, _DBSCAN_PTS_SPARK).localCheckpoint(eager=True)
     pts.createOrReplaceTempView("__db_pts")
     return spark.sql(_DBSCAN_MAIN_SQL.format(PAIRS="__db_pairs", PTS="__db_pts"))
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (Okapi BM25, Lucene idf variant)
+# ---------------------------------------------------------------------------
+# The retrieval companion to text_tfidf_top_terms: rank documents against a
+# query workload with BM25 (k1=1.2, b=0.75).  The query set is derived
+# deterministically from the corpus itself (the 6 highest-df terms, paired
+# into 3 two-term queries) so the operator is data-independent and both
+# engines see identical queries.
+#
+# Numeric contract: with k1=6/5 and b=3/4 the tf-normalization is an exact
+# integer rational — tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) scaled by
+# 10*S (S = total corpus tokens, avgdl = S/N) becomes
+# 22*tf*S / (10*S*tf + 3*S + 9*N*dl), all BIGINT.  Only the idf is
+# irrational; it quantizes to integer micro-units BEFORE the rational
+# multiply (the trigram-LM pattern), so per-term contributions and their
+# sums are exact integers on both engines.  Lucene's idf variant
+# ln(1 + (N-df+0.5)/(df+0.5)) = ln((2N+2)/(2df+1)) keeps idf > 0 for
+# stop-word-frequency terms.
+#
+# Scale shape (100 TB posture): the corpus is exploded ONCE — the
+# (doc_id, term, tf) posting list is localCheckpoint-materialized (Spark
+# inlines CTEs; the naive single-statement form rescans and re-aggregates
+# the corpus 4x) and doclen once more on top of it, so df / total-token /
+# score stages are aggregations over the materialized postings, never
+# fresh parquet scans.  The 6-row query-term set broadcasts back onto the
+# posting list (BroadcastHashJoin); the scalar (N, S) row is an
+# IdentityBroadcast cross; the per-query top-5 rank()<=5 executes as
+# WindowGroupLimit partial/final — map-side top-k, no full sort of the
+# scored corpus.
+_BM25_POSTING_SQL = """
+    SELECT doc_id, term, count(*) AS tf
+    FROM (SELECT doc_id, explode(split(text, ' ')) AS term FROM documents)
+    GROUP BY doc_id, term
+"""
+
+_BM25_MAIN_SQL = """
+    WITH tot AS (SELECT count(*) AS n, sum(dl) AS s FROM __bm25_doclen),
+    df AS (SELECT term, count(*) AS df FROM __bm25_posting GROUP BY term),
+    qterms AS (
+        SELECT cast(ceil(rk / 2.0) AS INT) AS query_id, term, df
+        FROM (SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS rk FROM df)
+        WHERE rk <= 6
+    ),
+    contrib AS (
+        SELECT q.query_id, p.doc_id,
+               (cast(floor(ln((2 * t.n + 2) / (2.0 * q.df + 1)) * 1000000 + 0.5) AS BIGINT)
+                 * (22 * p.tf * t.s))
+               DIV (10 * t.s * p.tf + 3 * t.s + 9 * t.n * d.dl) AS c_micro
+        FROM __bm25_posting p
+        JOIN qterms q ON p.term = q.term
+        JOIN __bm25_doclen d ON p.doc_id = d.doc_id
+        CROSS JOIN tot t
+    ),
+    scored AS (
+        SELECT query_id, doc_id, sum(c_micro) AS bm25_micro
+        FROM contrib GROUP BY query_id, doc_id
+    ),
+    ranked AS (
+        SELECT query_id, doc_id, bm25_micro,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY bm25_micro DESC, doc_id) AS rk
+        FROM scored
+    )
+    SELECT query_id, rk, doc_id, bm25_micro
+    FROM ranked WHERE rk <= 5
+    ORDER BY query_id, rk
+"""
+
+
+@register(
+    "text_bm25_topk",
+    oracle="""
+    WITH posting AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY doc_id, term
+    ),
+    doclen AS (SELECT doc_id, cast(sum(tf) AS BIGINT) AS dl FROM posting GROUP BY doc_id),
+    tot AS (SELECT count(*) AS n, cast(sum(dl) AS BIGINT) AS s FROM doclen),
+    df AS (SELECT term, count(*) AS df FROM posting GROUP BY term),
+    qterms AS (
+        SELECT cast(ceil(rk / 2.0) AS INT) AS query_id, term, df
+        FROM (SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS rk FROM df)
+        WHERE rk <= 6
+    ),
+    contrib AS (
+        SELECT q.query_id, p.doc_id,
+               (cast(floor(ln((2 * t.n + 2) / (2.0 * q.df + 1)) * 1000000 + 0.5) AS BIGINT)
+                 * (22 * p.tf * t.s))
+               // (10 * t.s * p.tf + 3 * t.s + 9 * t.n * d.dl) AS c_micro
+        FROM posting p
+        JOIN qterms q ON p.term = q.term
+        JOIN doclen d ON p.doc_id = d.doc_id
+        CROSS JOIN tot t
+    ),
+    scored AS (
+        SELECT query_id, doc_id, cast(sum(c_micro) AS BIGINT) AS bm25_micro
+        FROM contrib GROUP BY query_id, doc_id
+    ),
+    ranked AS (
+        SELECT query_id, doc_id, bm25_micro,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY bm25_micro DESC, doc_id) AS rk
+        FROM scored
+    )
+    SELECT query_id, rk, doc_id, bm25_micro
+    FROM ranked WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+    tags=("pipeline", "text", "bm25", "retrieval"),
+    doc="Okapi BM25 (k1=1.2, b=0.75, Lucene idf) top-5 docs for 3 "
+    "corpus-derived two-term queries; posting list materialized once, "
+    "exact-integer rational scoring, WindowGroupLimit top-k.",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    posting = catalog.sql(spark, sf_dir, _BM25_POSTING_SQL).localCheckpoint(eager=True)
+    posting.createOrReplaceTempView("__bm25_posting")
+    doclen = spark.sql(
+        "SELECT doc_id, sum(tf) AS dl FROM __bm25_posting GROUP BY doc_id"
+    ).localCheckpoint(eager=True)
+    doclen.createOrReplaceTempView("__bm25_doclen")
+    return spark.sql(_BM25_MAIN_SQL)

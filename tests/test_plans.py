@@ -458,3 +458,18 @@ def test_dbscan_grid_main_reads_checkpointed_pairs(spark):
     assert "parquet" not in plan
     assert "CartesianProduct" not in plan and "Python" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_topk_materialized_postings_and_group_limit(spark):
+    """text_bm25_topk: the main plan reads only the checkpointed posting/
+    doclen RDDs (zero parquet rescans — the naive CTE form re-explodes the
+    corpus 4x), broadcasts the 6-row query-term set, and the per-query
+    top-5 executes as WindowGroupLimit (map-side partial top-k); the only
+    nested-loop join is the 1-row (N, S) scalar broadcast."""
+    plan = _plan(spark, "text_bm25_topk", mode="simple")
+    assert "FileScan parquet" not in plan
+    assert plan.count("Scan ExistingRDD") == 4
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan and "Python" not in plan
