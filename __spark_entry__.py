@@ -27,84 +27,28 @@ from pyspark.sql import DataFrame, SparkSession
 
 from sensql_presto_spark.queries import all_specs
 
-# ROUND-5 ROTATION (r4 window was 50/50 green — everything rotated out;
-# rotation ledger: COVERAGE.md §Rotation).  109 registry entries still
-# lack a driver-green CORRECTNESS row after r4: the 10 operators added in
-# r4, tpch q15-q20+q22, and 92 TPC-DS bodies.  This window takes the 10
-# r4 additions + all 7 remaining TPC-H bodies + the first 33 TPC-DS
-# bodies (q02..q40 in registry order, skipping already-green q01/q07/q28)
-# = 50 slots.  r6 takes the next 50 TPC-DS bodies (q41-q92 minus the
-# already-green ones); r7 takes the final 9 (q93-q99 tail) — every entry
-# driver-checked by r7.  Every name below was re-verified EXACT under
-# tools/driver_sim.py --vanilla at sf0.01 AND sf0.1 on this round's
-# closing code state (see COVERAGE.md §Rotation r5 row).
-PRIORITY: tuple[str, ...] = (
-    # operators added in r4 (each vanilla-EXACT at 3 scales when added)
-    "ddl_access_control",
-    "mutation_sql_dml",
-    "dedup_bloom_prefilter",
-    "text_dedup_paragraph",
-    "events_cdc_apply",
-    "mm_image_resize",
-    "text_train_val_split",
-    "events_retention_cohorts",
-    "events_transition_matrix",
-    "scale_file_compaction",
-    # TPC-H final tranche (q21 already driver-green r3)
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q22",
-    # TPC-DS first tranche (33 bodies, registry order)
-    "tpcds_q02",
-    "tpcds_q03",
-    "tpcds_q04",
-    "tpcds_q05",
-    "tpcds_q06",
-    "tpcds_q08",
-    "tpcds_q09",
-    "tpcds_q10",
-    "tpcds_q11",
-    "tpcds_q12",
-    "tpcds_q13",
-    "tpcds_q14",
-    "tpcds_q14b",
-    "tpcds_q15",
-    "tpcds_q16",
-    "tpcds_q17",
-    "tpcds_q18",
-    "tpcds_q19",
-    "tpcds_q20",
-    "tpcds_q21",
-    "tpcds_q22",
-    "tpcds_q23",
-    "tpcds_q23b",
-    "tpcds_q24",
-    "tpcds_q24b",
-    "tpcds_q25",
-    "tpcds_q26",
-    "tpcds_q27",
-    "tpcds_q29",
-    "tpcds_q30",
-    "tpcds_q39",
-    "tpcds_q39b",
-    "tpcds_q40",
-)
+# ROUND-6 ROTATION (r5 window was 50/50 green — everything rotated out;
+# rotation ledger: COVERAGE.md §Rotation).  73 registry entries still
+# lack a driver-green CORRECTNESS row after r5: the 59-body TPC-DS tail
+# (q41-q99) and the 14 operators added in r5.  This window takes the
+# next 50 TPC-DS bodies in registry order — q41..q90 exactly fills the
+# 50 slots.  r7 takes the final 9 TPC-DS bodies (q91-q99) plus the 14
+# r5-added operators (23 slots) — every entry driver-checked by r7.
+# Every name below was re-verified EXACT under tools/driver_sim.py
+# --vanilla at sf0.01 AND sf0.1 on this round's closing code state
+# (see COVERAGE.md §Rotation r6 row).
+PRIORITY: tuple[str, ...] = tuple(f"tpcds_q{n}" for n in range(41, 91))
 
-# Round-6 rotation plan: if r5 comes back green, swap in the next 50
-# TPC-DS bodies in registry order (q41-q92, skipping the already-green
-# q82); r7 takes the remaining 9 TPC-DS (q93-q99 tail) plus the
-# fourteen operators ADDED in r5 (events_anomaly_zscore,
-# events_scd2_history, sim_range_search, text_containment_dedup,
-# mm_image_phash_dedup, scale_aqe_skew_join, graph_label_propagation,
-# text_boilerplate_lines, dedup_minhash_incremental, events_attribution,
-# graph_triangle_count, text_classifier_filter, cluster_dbscan_grid,
-# text_bm25_topk —
-# each vanilla-EXACT at sf0.001/0.01/0.1 when added).  Keep any r5
-# entry that FAILED.
+# Round-7 rotation plan: if r6 comes back green, swap in the remaining
+# 9 TPC-DS bodies (q91-q99) plus the fourteen operators ADDED in r5
+# (events_anomaly_zscore, events_scd2_history, sim_range_search,
+# text_containment_dedup, mm_image_phash_dedup, scale_aqe_skew_join,
+# graph_label_propagation, text_boilerplate_lines,
+# dedup_minhash_incremental, events_attribution, graph_triangle_count,
+# text_classifier_filter, cluster_dbscan_grid, text_bm25_topk — each
+# vanilla-EXACT at sf0.001/0.01/0.1 when added, and the whole 23-slot
+# r7 window pre-verified at sf0.1 during r6, see COVERAGE.md), plus any
+# operators added in r6.  Keep any r6 entry that FAILED.
 
 def _alias(i: int, name: str) -> str:
     return f"a{i:02d}_{name}"

@@ -713,7 +713,8 @@ _sql_query(
     )
     SELECT coalesce(channel, 'direct') AS channel,
            CAST(count(*) AS BIGINT) AS n_purchases,
-           round(sum(value), 4) AS attributed_value
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS attributed_cents
     FROM pairs WHERE rn = 1
     GROUP BY coalesce(channel, 'direct')
     ORDER BY channel
@@ -722,5 +723,7 @@ _sql_query(
     doc="Last-touch attribution: purchases credited to the latest "
     "click/view within a 3-day lookback (else 'direct'); as-of-join "
     "shape — one user_id shuffle, map-side-pruned per-purchase top-1, "
-    "channel-bounded rollup.",
+    "channel-bounded rollup. Attributed value is summed in exact integer "
+    "cents (per-row quantization before the sum) so no float summation "
+    "order can move the driver's exact hash.",
 )

@@ -3069,17 +3069,29 @@ _sql_query(
 #     connected-components discipline); ranks are re-quantized to integer
 #     micro-units after every round, so both engines agree bit-for-bit.
 #     The graph derives deterministically from orders (custkey%50 ->
-#     orderkey%50, deduped), giving a dense 50-node web at every SF.
+#     orderkey%(1+custkey%12), deduped), with the node count scaling
+#     with the corpus (60 nodes at sf0.001, 6000 at sf0.1).
 
 _PAGERANK_SQL = """
-    WITH edges AS (
+    WITH params AS (
+        -- node count scales with the corpus (same derivation as the
+        -- label-propagation fixture: ~375 orders per 15 nodes, floor
+        -- before the cast, >= 60 nodes) so sf0.1 ranks a 6000-node web
+        SELECT 15 * greatest(4, CAST(floor(count(*) / 375.0) AS BIGINT)) AS n
+        FROM orders
+    ),
+    edges AS (
         -- skewed web: hub links (dst skews toward low ids, the power-law
         -- shape) plus a ring so every node has an in-link
-        SELECT DISTINCT o_custkey % 60 AS src,
+        SELECT DISTINCT o_custkey % (SELECT n FROM params) AS src,
                o_orderkey % (1 + o_custkey % 12) AS dst
-        FROM orders WHERE o_custkey % 60 <> o_orderkey % (1 + o_custkey % 12)
+        FROM orders
+        WHERE o_custkey % (SELECT n FROM params)
+              <> o_orderkey % (1 + o_custkey % 12)
         UNION
-        SELECT DISTINCT o_custkey % 60 AS src, (o_custkey % 60 + 1) % 60 AS dst
+        SELECT DISTINCT o_custkey % (SELECT n FROM params) AS src,
+               (o_custkey % (SELECT n FROM params) + 1)
+               % (SELECT n FROM params) AS dst
         FROM orders
     ),
     outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
@@ -3606,7 +3618,9 @@ def mm_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     label per node, never per edge.  Three rounds unroll declaratively;
 #     a production run loops with localCheckpoint per round, the
 #     connected-components discipline.  The graph is a deterministic
-#     60-node web of four 15-node blocks joined by single-edge bridges.
+#     web of 15-node blocks joined by single-edge bridges whose block
+#     count scales with the corpus (60 nodes at sf0.001, 600 at sf0.01,
+#     6000 at sf0.1) so the shuffle volumes are real at scale.
 #
 #     Spark inlines CTEs, so the all-SQL form (kept verbatim as the
 #     DuckDB oracle) would recompute the corpus-sized DISTINCT edge
@@ -3615,22 +3629,39 @@ def mm_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     localCheckpoint(eager=True) — the minhash discipline — and the
 #     three rounds read the bounded in-memory edge relation.
 _LABELPROP_GRAPH_SQL = """
-    WITH base AS (
-        -- four 15-node blocks with dense random intra-block edges ...
-        SELECT DISTINCT o_custkey % 60 AS src,
-               (o_custkey % 60) - ((o_custkey % 60) % 15) + (o_orderkey % 15) AS dst
+    WITH params AS (
+        -- the graph size TRACKS the corpus: 15-node blocks, one block
+        -- per ~375 orders (floor before the BIGINT cast — DuckDB rounds
+        -- double->BIGINT while Spark truncates), never fewer than 4.
+        -- sf0.001/0.01/0.1 thus exercise 60/600/6000-node graphs with
+        -- proportional edge volumes instead of a fixed toy web.
+        SELECT greatest(4, CAST(floor(count(*) / 375.0) AS BIGINT)) AS nb,
+               15 * greatest(4, CAST(floor(count(*) / 375.0) AS BIGINT)) AS n
         FROM orders
-        WHERE (o_custkey % 60) % 15 <> o_orderkey % 15
+    ),
+    base AS (
+        -- nb 15-node blocks with dense random intra-block edges ...
+        SELECT DISTINCT o_custkey % (SELECT n FROM params) AS src,
+               (o_custkey % (SELECT n FROM params))
+               - ((o_custkey % (SELECT n FROM params)) % 15)
+               + (o_orderkey % 15) AS dst
+        FROM orders
+        WHERE (o_custkey % (SELECT n FROM params)) % 15 <> o_orderkey % 15
         UNION
         -- ... an intra-block ring so every block is connected ...
-        SELECT DISTINCT o_custkey % 60 AS src,
-               (o_custkey % 60) - ((o_custkey % 60) % 15)
-               + ((o_custkey % 60) % 15 + 1) % 15 AS dst
+        SELECT DISTINCT o_custkey % (SELECT n FROM params) AS src,
+               (o_custkey % (SELECT n FROM params))
+               - ((o_custkey % (SELECT n FROM params)) % 15)
+               + ((o_custkey % (SELECT n FROM params)) % 15 + 1) % 15 AS dst
         FROM orders
         UNION
-        -- ... and four single-edge bridges the majority vote resists
-        SELECT 14 AS src, 15 AS dst UNION SELECT 29, 30
-        UNION SELECT 44, 45 UNION SELECT 59, 0
+        -- ... and one bridge per consecutive block pair (node 14 of
+        -- block b -> node 0 of block b+1, wrapping) the majority vote
+        -- resists; derived from orders so the bridge set scales with nb
+        SELECT DISTINCT (o_custkey % (SELECT nb FROM params)) * 15 + 14 AS src,
+               (((o_custkey % (SELECT nb FROM params)) + 1)
+                % (SELECT nb FROM params)) * 15 AS dst
+        FROM orders
     ),
     sym AS (
         SELECT src, dst FROM base
@@ -3695,7 +3726,8 @@ assert _LABELPROP_ORACLE.count("WITH ") == 1
     oracle=_LABELPROP_ORACLE,
     tags=("pipeline", "graph", "community"),
     doc="Synchronous label propagation (Raghavan et al. 2007), 3 unrolled "
-    "rounds on the deterministic 60-node web: per round one edge join + "
+    "rounds on the corpus-scaled block web (60..6000 nodes by sf): per "
+    "round one edge join + "
     "one (dst,label) count + per-node top-1 with (count DESC, label) "
     "tiebreak; per-node state only, map-side-pruned TopNRowNumber; the "
     "symmetrized edge list is materialized once (localCheckpoint).",
