@@ -93,6 +93,19 @@ def _json_cell(v):
     return v
 
 
+class TooManySessionsError(RuntimeError):
+    """Every reclaimable session slot is held by an open transaction.
+
+    The LRU bound (``MAX_CLIENT_SESSIONS``) never evicts an in-transaction
+    session, so open-txn holders are the one source of unbounded map
+    growth; past ``HARD_MAX_SESSIONS`` new clients are rejected with this
+    loud error (surfaced to the HTTP client as a failed query with
+    errorName ``TooManySessionsError``) rather than admitted silently —
+    the coordinator-resource-exhausted posture of the reference's
+    queue-full errors (``presto-main/.../execution/QueryQueueManager``).
+    """
+
+
 @dataclass
 class QueryExecution:
     query_id: str
@@ -191,10 +204,43 @@ class SqlServer:
     # session-scoped state (PREPARE names, SET SESSION, temp views) drops,
     # exactly what expiring an idle reference session drops.
     MAX_CLIENT_SESSIONS = 64
+    # LRU eviction skips sessions holding an open transaction (evicting
+    # one would orphan its backup tables), so in-txn holders are the only
+    # way the map can grow past MAX_CLIENT_SESSIONS.  Beyond this hard
+    # cap a NEW client is rejected with the loud TOO_MANY_SESSIONS error
+    # instead of letting driver state grow without bound — the
+    # query-queue-full / TOO_MANY_REQUESTS_FAILED posture of the
+    # reference's coordinator resource limits.
+    HARD_MAX_SESSIONS = 64
+
+    def _reject_if_txn_saturated(self, client: str) -> None:
+        """Admission check for a NEW client (callers hold _sessions_lock).
+
+        Non-transactional sessions are always reclaimable by LRU, so the
+        only unreclaimable pressure is open-transaction holders: when
+        those alone reach HARD_MAX_SESSIONS, admitting another client
+        would grow the map without bound.  Reject loudly; existing
+        clients (including every in-txn holder) keep working, and one
+        COMMIT/ROLLBACK frees a slot.
+        """
+        n_txn = sum(
+            1
+            for c, s in self._sessions.items()
+            if c != client and getattr(s, "_in_txn", False)
+        )
+        if n_txn >= self.HARD_MAX_SESSIONS:
+            raise TooManySessionsError(
+                f"TOO_MANY_SESSIONS: {n_txn} sessions hold open transactions "
+                f"(hard cap {self.HARD_MAX_SESSIONS}); COMMIT or ROLLBACK an "
+                "existing transaction before opening new client sessions"
+            )
 
     def _session_for(self, client: str) -> "object":
         with self._sessions_lock:
             sess = self._sessions.get(client)
+            if sess is None:
+                # reject BEFORE the (expensive) fork+prepare below
+                self._reject_if_txn_saturated(client)
         if sess is None:
             # Build + prepare the forked session OUTSIDE the lock: parquet
             # footer reads and function registration take hundreds of ms and
@@ -214,6 +260,9 @@ class SqlServer:
             sess.procedures["system.runtime.kill_query"] = self._kill_query
         with self._sessions_lock:
             if client not in self._sessions:
+                # re-check admission: other clients may have opened
+                # transactions while the fork+prepare ran unlocked
+                self._reject_if_txn_saturated(client)
                 # re-insert: either the fresh session built above, or a
                 # previously-fetched one that a concurrent request evicted
                 # between the two lock sections (still fully usable).  A

@@ -383,6 +383,48 @@ def test_eviction_skips_in_transaction_sessions(spark, oracle_dir):
         s.stop()
 
 
+def test_txn_saturation_rejects_new_clients_loudly(spark, oracle_dir):
+    """70-open-transaction churn: in-txn sessions are exempt from LRU
+    eviction, so without a hard cap the session map would grow without
+    bound.  Once open-txn holders alone reach HARD_MAX_SESSIONS, a NEW
+    client is rejected with the loud TOO_MANY_SESSIONS error (never
+    admitted silently, never force-evicting a transaction); one COMMIT
+    frees a slot and admission resumes."""
+    s = srv.SqlServer(spark, oracle_dir).start()
+    try:
+        # shrink the caps so the 70-client churn stays fast; the policy
+        # under test is identical at the production 64/64 values
+        s.MAX_CLIENT_SESSIONS = 8
+        s.HARD_MAX_SESSIONS = 16
+        admitted, rejected = [], []
+        for i in range(70):
+            err, _ = _run_query_as(s, "START TRANSACTION", f"t{i}")
+            if err is None:
+                admitted.append(f"t{i}")
+            else:
+                assert "TOO_MANY_SESSIONS" in err["message"], err
+                assert err["errorName"] == "TooManySessionsError"
+                rejected.append(f"t{i}")
+        # exactly the hard cap was admitted; everyone else got the loud
+        # error and the map stayed bounded
+        assert len(admitted) == 16 and len(rejected) == 54
+        assert len(s._sessions) <= s.HARD_MAX_SESSIONS
+        # every admitted transaction is still alive (none force-evicted)
+        assert all(c in s._sessions for c in admitted)
+        # an in-txn holder keeps working while the server is saturated
+        err, rows = _run_query_as(s, "SELECT 7 AS x", admitted[0])
+        assert err is None and rows == [[7]]
+        # COMMIT one -> a previously-rejected client is admitted again
+        err, _ = _run_query_as(s, "COMMIT", admitted[0])
+        assert err is None
+        err, _ = _run_query_as(s, "START TRANSACTION", "late")
+        assert err is None
+        err, _ = _run_query_as(s, "ROLLBACK", "late")
+        assert err is None
+    finally:
+        s.stop()
+
+
 def test_kill_query_cancels_spark_jobs(spark, oracle_dir):
     """KILL actually cancels the Spark jobs (job-group cancel), so a
     long-running collect stops well before it would finish on its own —
