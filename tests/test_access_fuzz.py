@@ -191,6 +191,184 @@ def _observe(store: AccessControl, model: NaiveModel):
     return obs_real, obs_model
 
 
+# --- DEFINER/INVOKER view-chain fuzz -----------------------------------
+#
+# r5 made view security first-class (statements.py: SECURITY DEFINER
+# checks the CREATOR's rights at definition time and never again;
+# SECURITY INVOKER defers to query time, where _check_table_access
+# expands invoker-view bodies TRANSITIVELY against the READER — a
+# definer view inside the chain stops the expansion).  This fuzz drives
+# random grant / create-view / drop-view / read sequences through the
+# REAL StatementSession statement surface (three sessions sharing one
+# AccessControl store and one view catalog, the server's sharing shape)
+# and compares every outcome against an independent naive model of the
+# expansion semantics.
+
+VIEW_NAMES = ["fv1", "fv2", "fv3", "fv4"]
+VIEW_USERS = ["admin", "alice", "bob"]
+
+
+class _DanglingView(Exception):
+    """Model analog of Spark's TABLE_OR_VIEW_NOT_FOUND on view re-resolution."""
+
+
+class NaiveViewModel:
+    """Independent bookkeeping: view -> (mode, direct targets); SELECT
+    grants as a flat (user, table) set; reachability recomputed from
+    scratch per check, expanding only INVOKER views (seen-set guarded).
+    Spark temp views re-resolve their bodies on every access, so a read
+    (or a create over) a chain with a dropped inner view fails analysis —
+    modeled by _resolve, which recurses through ALL view modes."""
+
+    def __init__(self):
+        self.views: dict[str, tuple[str, list[str]]] = {}
+        self.sel: set[tuple[str, str]] = set()
+
+    def _reachable_tables(self, targets):
+        out, seen, frontier = set(), set(), list(targets)
+        while frontier:
+            x = frontier.pop()
+            if x in TABLES:
+                out.add(x)
+            elif x in self.views and x not in seen:
+                seen.add(x)
+                mode, tg = self.views[x]
+                if mode == "INVOKER":
+                    frontier.extend(tg)
+        return out
+
+    def _resolve(self, targets, creating=None):
+        # `creating`: Spark additionally rejects RECURSIVE_VIEW at CREATE
+        # time (direct or indirect cycles back to the name being defined)
+        seen, frontier = set(), list(targets)
+        while frontier:
+            x = frontier.pop()
+            if x == creating:
+                raise _DanglingView(f"recursive {x}")
+            if x in TABLES or x in seen:
+                continue
+            if x not in self.views:
+                raise _DanglingView(x)
+            seen.add(x)
+            frontier.extend(self.views[x][1])
+
+    def _check(self, user, table):
+        if user != "admin" and (user, table) not in self.sel:
+            raise AccessDeniedError("denied")
+
+    def create(self, name, mode, targets, creator, or_replace):
+        if not or_replace and name in self.views:
+            raise ValueError("exists")
+        if mode == "DEFINER":
+            for t in sorted(self._reachable_tables(targets)):
+                self._check(creator, t)
+        self._resolve(targets, creating=name)  # spark.sql CREATE analyzes the body
+        self.views[name] = (mode, list(targets))
+
+    def drop(self, name):
+        if name not in self.views:
+            raise ValueError("missing")
+        del self.views[name]
+
+    def read(self, name, reader):
+        # enforcement runs BEFORE spark.sql in execute(), so access
+        # denial takes precedence over a dangling chain
+        for t in sorted(self._reachable_tables([name])):
+            self._check(reader, t)
+        self._resolve([name])
+
+
+def _view_outcome(fn, *args):
+    from pyspark.errors import AnalysisException
+
+    try:
+        fn(*args)
+        return "ok"
+    except AccessDeniedError:
+        return "denied"
+    except ValueError:
+        return "value"
+    except (AnalysisException, _DanglingView):
+        return "analysis"
+
+
+@pytest.fixture(scope="module")
+def view_sessions(spark):
+    from sensql_presto_spark.statements import StatementSession
+
+    sessions = {
+        u: StatementSession(
+            spark, "/root/testdata/sf0.001", user=u,
+            access=AccessControl(), enforce_access=True,
+        )
+        for u in VIEW_USERS
+    }
+    # one shared view catalog across all three (the server's shape: the
+    # test_statements definer/invoker test shares the same way)
+    shared_views, shared_sec = {}, {}
+    for s in sessions.values():
+        s.views, s.view_security = shared_views, shared_sec
+    return sessions
+
+
+@pytest.mark.parametrize("seed", range(120))
+def test_view_security_fuzz_model_differential(seed, view_sessions):
+    rng = random.Random(seed * 6271 + 31)
+    model = NaiveViewModel()
+    sessions = view_sessions
+    store = AccessControl()
+    for s in sessions.values():
+        s.access = store
+        s.views.clear()
+        s.view_security.clear()
+    for step in range(10):
+        kind = rng.choice(["grant", "revoke", "create", "create", "read", "read", "drop"])
+        if kind == "grant":
+            u, t = rng.choice(VIEW_USERS[1:]), rng.choice(TABLES)
+            real = _view_outcome(
+                sessions["admin"].execute, f"GRANT SELECT ON {t} TO USER {u}"
+            )
+            model.sel.add((u, t))
+            naive = "ok"
+        elif kind == "revoke":
+            u, t = rng.choice(VIEW_USERS[1:]), rng.choice(TABLES)
+            real = _view_outcome(
+                sessions["admin"].execute, f"REVOKE SELECT ON {t} FROM USER {u}"
+            )
+            model.sel.discard((u, t))
+            naive = "ok"
+        elif kind == "create":
+            name = rng.choice(VIEW_NAMES)
+            mode = rng.choice(["DEFINER", "INVOKER"])
+            creator = rng.choice(VIEW_USERS)
+            orr = rng.random() < 0.5
+            pool = TABLES + sorted(model.views)
+            targets = rng.sample(pool, k=min(len(pool), rng.choice([1, 1, 2])))
+            body = " CROSS JOIN ".join(targets)
+            sql = (
+                f"CREATE {'OR REPLACE ' if orr else ''}VIEW {name} "
+                f"SECURITY {mode} AS SELECT count(*) AS c FROM {body}"
+            )
+            real = _view_outcome(sessions[creator].execute, sql)
+            naive = _view_outcome(model.create, name, mode, targets, creator, orr)
+        elif kind == "drop":
+            name = rng.choice(VIEW_NAMES)
+            real = _view_outcome(sessions["admin"].execute, f"DROP VIEW {name}")
+            naive = _view_outcome(model.drop, name)
+        else:  # read
+            if not model.views:
+                continue
+            name = rng.choice(sorted(model.views))
+            reader = rng.choice(VIEW_USERS)
+            real = _view_outcome(
+                sessions[reader].execute, f"SELECT * FROM {name}"
+            )
+            naive = _view_outcome(model.read, name, reader)
+        assert real == naive, (
+            f"seed {seed} step {step}: {kind} diverged: real={real} naive={naive}"
+        )
+
+
 @pytest.mark.parametrize("seed", range(300))
 def test_access_fuzz_model_differential(seed):
     rng = random.Random(seed * 7919 + 17)
