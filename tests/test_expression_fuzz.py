@@ -50,3 +50,24 @@ def test_datetime_seeds_agree(spark):
     INTERVAL->TIMESTAMP widening is normalized in the grammar)."""
     assert expr_fuzz.run_datetime_batch(spark, SF, list(range(500, 525))) == []
     assert expr_fuzz.run_datetime_batch(spark, SF, list(range(525, 550))) == []
+
+
+def test_subquery_seeds_agree(spark):
+    """TPC-DS-shaped fuzz, correlated half: per-order lineitem aggregates
+    correlated on the fact key plus EXISTS probes — the decorrelation path
+    (Catalyst rewrite to aggregated outer joins) differentially checked."""
+    assert expr_fuzz.run_subquery_batch(spark, SF, list(range(600, 625))) == []
+    assert expr_fuzz.run_subquery_batch(spark, SF, list(range(625, 650))) == []
+    assert expr_fuzz.run_subquery_batch(spark, SF, list(range(650, 675))) == []
+    assert expr_fuzz.run_subquery_batch(spark, SF, list(range(675, 700))) == []
+
+
+def test_rollup_seeds_agree(spark):
+    """TPC-DS-shaped fuzz, grouping-sets half: ROLLUP over generated keys
+    whose aggregate inputs include a correlated-subquery column; rows
+    ordered by grouping() markers with explicit NULLS FIRST so both
+    engines agree on presentation order."""
+    assert expr_fuzz.run_rollup_batch(spark, SF, list(range(700, 725))) == []
+    assert expr_fuzz.run_rollup_batch(spark, SF, list(range(725, 750))) == []
+    assert expr_fuzz.run_rollup_batch(spark, SF, list(range(750, 775))) == []
+    assert expr_fuzz.run_rollup_batch(spark, SF, list(range(775, 800))) == []

@@ -365,3 +365,104 @@ def build_datetime_query(seeds: list[int]) -> str:
 def run_datetime_batch(spark, sf_dir: str, seeds: list[int]) -> list[str]:
     return _run_and_compare(spark, sf_dir, build_datetime_query(seeds), seeds,
                             "datetime", text_cols=True)
+
+
+# --- tpcds mode: correlated subqueries + ROLLUP compositions --------------
+#
+# The TPC-DS tail (q41-q99) leans on two shapes the other modes never
+# generate: correlated scalar subqueries (decorrelated by Catalyst into
+# aggregated outer joins) and ROLLUP grouping sets.  This mode fuzzes
+# random compositions of both over the star schema: per-order lineitem
+# aggregates correlated on the fact key, EXISTS probes, and rollups whose
+# aggregate inputs can be the correlated column itself.  All-integer
+# outputs (sums bounded far below int64); rollup rows are made
+# order-deterministic by sorting on the grouping() markers first, with
+# explicit NULLS FIRST (Spark's ASC default; DuckDB defaults NULLS LAST).
+
+_LI_AGGS = ("count(*)", "min(l.l_linenumber)", "max(l.l_suppkey)", "sum(l.l_linenumber)")
+_LI_PRED_COLS = ("l.l_linenumber", "l.l_suppkey", "l.l_partkey")
+
+
+def _li_subquery(r) -> str:
+    """One correlated scalar subquery over lineitem: equality correlation
+    on the fact key (the decorrelatable shape), random local predicate,
+    integer aggregate, coalesce for empty groups."""
+    agg = r.choice(_LI_AGGS)
+    c = r.choice(_LI_PRED_COLS)
+    k, j = r.randint(2, 7), r.randint(0, 1)
+    pred = f"{c} % {k} {r.choice(('=', '<>', '<'))} {j}"
+    return (
+        f"CAST(coalesce((SELECT {agg} FROM lineitem l "
+        f"WHERE l.l_orderkey = t.o_orderkey AND {pred}), -1) AS BIGINT)"
+    )
+
+
+def build_subquery_query(seeds: list[int]) -> str:
+    cols = []
+    for s in seeds:
+        g = _Gen(s)
+        if g.rng.random() < 0.25:
+            c = g.rng.choice(_LI_PRED_COLS)
+            k = g.rng.randint(2, 9)
+            cols.append(
+                f"CAST(CASE WHEN EXISTS (SELECT 1 FROM lineitem l WHERE "
+                f"l.l_orderkey = t.o_orderkey AND {c} % {k} = 0) "
+                f"THEN 1 ELSE 0 END AS BIGINT) AS e{s}"
+            )
+        else:
+            cols.append(f"{_li_subquery(g.rng)} AS e{s}")
+    return (
+        "SELECT o_orderkey, "
+        + ", ".join(cols)
+        + " FROM ("
+        + _BASE
+        + ") t ORDER BY o_orderkey"
+    )
+
+
+def run_subquery_batch(spark, sf_dir: str, seeds: list[int]) -> list[str]:
+    return _run_and_compare(
+        spark, sf_dir, build_subquery_query(seeds), seeds, "subquery"
+    )
+
+
+def build_rollup_query(seeds: list[int]) -> str:
+    g0 = _Gen(seeds[0] ^ 0xD5)
+    ga = g0.str_expr(1)[0]
+    gb = g0.str_expr(1)[0]
+    while gb == ga:
+        gb = g0.str_expr(1)[0]
+    sub = _li_subquery(g0.rng)
+    cols = []
+    for s in seeds:
+        g = _Gen(s)
+        term = "lc" if g.rng.random() < 0.4 else g.int_expr(2)[0]
+        fn = g.rng.choice(("sum", "count", "min", "max"))
+        cols.append(f"CAST({fn}({term}) AS BIGINT) AS e{s}")
+    return (
+        "SELECT "
+        + ga
+        + " AS ga, "
+        + gb
+        + " AS gb, CAST(grouping("
+        + ga
+        + ") AS BIGINT) AS gm1, CAST(grouping("
+        + gb
+        + ") AS BIGINT) AS gm2, "
+        + ", ".join(cols)
+        + " FROM (SELECT t.*, "
+        + sub
+        + " AS lc FROM ("
+        + _BASE
+        + ") t) tt GROUP BY ROLLUP("
+        + ga
+        + ", "
+        + gb
+        + ") ORDER BY gm1, gm2, ga NULLS FIRST, gb NULLS FIRST"
+    )
+
+
+def run_rollup_batch(spark, sf_dir: str, seeds: list[int]) -> list[str]:
+    return _run_and_compare(
+        spark, sf_dir, build_rollup_query(seeds), seeds, "rollup"
+    )
