@@ -62,19 +62,62 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "tpch_like_median_total",
-                "value": total,
-                "unit": "sec",
-                "calibration_sec": calib,
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "tpch_like_median_total",
+        "value": total,
+        "unit": "sec",
+        "calibration_sec": calib,
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Round-over-round adjudication, mechanical: against the most recent
+    # BENCH_r*.json, compare only the SHARED query set and divide each
+    # side by its own calibration -- host-speed swings (2.6x observed with
+    # identical plans) cancel, so shared_ratio_normalized ~ 1.0 means "no
+    # real regression" regardless of co-tenant load.  > ~1.3 sustained
+    # across rounds is a real plan/code slowdown worth a plan diff.
+    prev = _latest_prior_bench()
+    if prev is not None:
+        fname, pdata = prev
+        shared = sorted(set(timings) & set(pdata.get("queries", {})))
+        prev_calib = pdata.get("calibration_sec")
+        # only comparable at the same scale factor (the driver always
+        # runs sf0.1; ad-hoc smoke runs at other SFs skip the ratio)
+        if shared and prev_calib and pdata.get("sf") == out["sf"]:
+            now_s = sum(timings[q] for q in shared)
+            prev_s = sum(pdata["queries"][q] for q in shared)
+            out["shared_vs"] = fname
+            out["shared_query_count"] = len(shared)
+            out["shared_ratio_raw"] = round(now_s / prev_s, 4)
+            out["shared_ratio_normalized"] = round(
+                (now_s / calib) / (prev_s / prev_calib), 4
+            )
+    print(json.dumps(out))
     spark.stop()
+
+
+def _latest_prior_bench() -> "tuple[str, dict] | None":
+    """The most recent BENCH_r{N}.json next to this script, if any."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, str] | None = None
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), p)
+    if best is None:
+        return None
+    try:
+        with open(best[1]) as f:
+            data = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    # the round driver wraps this script's JSON line under "parsed"
+    if "queries" not in data and isinstance(data.get("parsed"), dict):
+        data = data["parsed"]
+    return os.path.basename(best[1]), data
 
 
 if __name__ == "__main__":
