@@ -4237,3 +4237,204 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     doclen.createOrReplaceTempView("__bm25_doclen")
     return spark.sql(_BM25_MAIN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 + dense cosine fused by Reciprocal Rank Fusion
+# ---------------------------------------------------------------------------
+# The modern RAG-retrieval staple (Cormack et al. 2009 RRF; the
+# Elasticsearch/Vespa "hybrid search" default): a lexical ranking (Okapi
+# BM25, exactly text_bm25_topk's integer-rational scoring) and a dense
+# ranking (cosine over the embeddings table, probe = the embedding whose
+# vec_id equals the query_id) are fused per (query, doc) with
+# RRF(d) = sum_systems 1/(k + rank_s(d)), k=60 — quantized to integer
+# nano-units (1e9 DIV (60+rank)) so the fusion is exact in both engines.
+#
+# Numeric contract: the dense ranking never compares floats — embeddings
+# quantize to integer milli-units, the sort key is the exact integer
+# (dot^2 * 1000) DIV |c|^2 signed by the dot (monotone in cosine for the
+# per-query-constant |q|; worst case 64 * 600^2 = 2.3e7 dot, 5.3e17 after
+# the multiply — inside int64), ties broken by doc_id.  BM25 side is the
+# established exact-integer rational.
+#
+# Scale shape (100 TB posture): postings materialized ONCE
+# (localCheckpoint, the BM25 discipline) — df/doclen/score stages reuse
+# them with zero parquet rescans; the 3-probe set broadcasts onto ONE
+# scan of the embedding corpus (never a corpus self-join); both rankings
+# cut to top-20 via WindowGroupLimit (map-side top-k, no full sort of the
+# scored corpus); the fusion join then touches <= 40 rows per query.
+_RRF_POSTING_SQL = """
+    SELECT doc_id, term, count(*) AS tf
+    FROM (SELECT doc_id, explode(split(text, ' ')) AS term FROM documents)
+    GROUP BY doc_id, term
+"""
+
+_RRF_MAIN_SQL = """
+    WITH tot AS (SELECT count(*) AS n, sum(dl) AS s FROM __rrf_doclen),
+    df AS (SELECT term, count(*) AS df FROM __rrf_posting GROUP BY term),
+    qterms AS (
+        SELECT CAST(ceil(rk / 2.0) AS BIGINT) AS query_id, term, df
+        FROM (SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS rk FROM df)
+        WHERE rk <= 6
+    ),
+    contrib AS (
+        SELECT q.query_id, p.doc_id,
+               (cast(floor(ln((2 * t.n + 2) / (2.0 * q.df + 1)) * 1000000 + 0.5) AS BIGINT)
+                 * (22 * p.tf * t.s))
+               DIV (10 * t.s * p.tf + 3 * t.s + 9 * t.n * d.dl) AS c_micro
+        FROM __rrf_posting p
+        JOIN qterms q ON p.term = q.term
+        JOIN __rrf_doclen d ON p.doc_id = d.doc_id
+        CROSS JOIN tot t
+    ),
+    lex_scored AS (
+        SELECT query_id, CAST(doc_id AS BIGINT) AS doc_id, sum(c_micro) AS bm25_micro
+        FROM contrib GROUP BY query_id, doc_id
+    ),
+    lex AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY bm25_micro DESC, doc_id) AS rk
+        FROM lex_scored
+    ),
+    en AS (
+        SELECT CAST(vec_id AS BIGINT) AS vec_id, v,
+               greatest(aggregate(v, 0L, (a, x) -> a + x * x), 1L) AS nrm2
+        FROM (SELECT vec_id,
+                     transform(embedding,
+                               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+              FROM embeddings)
+    ),
+    probes AS (SELECT vec_id AS query_id, v AS qv FROM en WHERE vec_id BETWEEN 1 AND 3),
+    dots AS (
+        SELECT p.query_id, c.vec_id AS doc_id,
+               aggregate(zip_with(p.qv, c.v, (x, y) -> x * y), 0L, (a, x) -> a + x) AS dot,
+               c.nrm2
+        FROM probes p JOIN en c ON c.vec_id <> p.query_id
+    ),
+    dense AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY
+                   (CASE WHEN dot >= 0 THEN (dot * dot * 1000) DIV nrm2
+                         ELSE -((dot * dot * 1000) DIV nrm2) END) DESC,
+                   doc_id) AS rk
+        FROM dots
+    ),
+    fused AS (
+        SELECT coalesce(l.query_id, d.query_id) AS query_id,
+               coalesce(l.doc_id, d.doc_id) AS doc_id,
+               coalesce(1000000000 DIV (60 + l.rk), 0)
+                 + coalesce(1000000000 DIV (60 + d.rk), 0) AS rrf_nano,
+               l.rk AS lex_rk, d.rk AS dense_rk
+        FROM (SELECT * FROM lex WHERE rk <= 20) l
+        FULL OUTER JOIN (SELECT * FROM dense WHERE rk <= 20) d
+          ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+    )
+    SELECT query_id, CAST(rk AS BIGINT) AS rk, doc_id,
+           CAST(rrf_nano AS BIGINT) AS rrf_nano,
+           CAST(coalesce(lex_rk, -1) AS BIGINT) AS lex_rank,
+           CAST(coalesce(dense_rk, -1) AS BIGINT) AS dense_rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rrf_nano DESC, doc_id) AS rk
+        FROM fused
+    ) WHERE rk <= 10
+    ORDER BY query_id, rk
+"""
+
+
+@register(
+    "sim_hybrid_rrf",
+    oracle="""
+    WITH posting AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY doc_id, term
+    ),
+    doclen AS (SELECT doc_id, cast(sum(tf) AS BIGINT) AS dl FROM posting GROUP BY doc_id),
+    tot AS (SELECT count(*) AS n, cast(sum(dl) AS BIGINT) AS s FROM doclen),
+    df AS (SELECT term, count(*) AS df FROM posting GROUP BY term),
+    qterms AS (
+        SELECT CAST(ceil(rk / 2.0) AS BIGINT) AS query_id, term, df
+        FROM (SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS rk FROM df)
+        WHERE rk <= 6
+    ),
+    contrib AS (
+        SELECT q.query_id, p.doc_id,
+               (cast(floor(ln((2 * t.n + 2) / (2.0 * q.df + 1)) * 1000000 + 0.5) AS BIGINT)
+                 * (22 * p.tf * t.s))
+               // (10 * t.s * p.tf + 3 * t.s + 9 * t.n * d.dl) AS c_micro
+        FROM posting p
+        JOIN qterms q ON p.term = q.term
+        JOIN doclen d ON p.doc_id = d.doc_id
+        CROSS JOIN tot t
+    ),
+    lex_scored AS (
+        SELECT query_id, CAST(doc_id AS BIGINT) AS doc_id,
+               cast(sum(c_micro) AS BIGINT) AS bm25_micro
+        FROM contrib GROUP BY query_id, doc_id
+    ),
+    lex AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY bm25_micro DESC, doc_id) AS rk
+        FROM lex_scored
+    ),
+    en AS (
+        SELECT CAST(vec_id AS BIGINT) AS vec_id, v,
+               greatest(cast(list_sum([x * x FOR x IN v]) AS BIGINT), 1) AS nrm2
+        FROM (SELECT vec_id,
+                     [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding] AS v
+              FROM embeddings)
+    ),
+    probes AS (SELECT vec_id AS query_id, v AS qv FROM en WHERE vec_id BETWEEN 1 AND 3),
+    dots AS (
+        SELECT p.query_id, c.vec_id AS doc_id,
+               cast(list_sum([p.qv[i] * c.v[i] FOR i IN generate_series(1, 64)]) AS BIGINT) AS dot,
+               c.nrm2
+        FROM probes p JOIN en c ON c.vec_id <> p.query_id
+    ),
+    dense AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY
+                   (CASE WHEN dot >= 0 THEN (dot * dot * 1000) // nrm2
+                         ELSE -((dot * dot * 1000) // nrm2) END) DESC,
+                   doc_id) AS rk
+        FROM dots
+    ),
+    fused AS (
+        SELECT coalesce(l.query_id, d.query_id) AS query_id,
+               coalesce(l.doc_id, d.doc_id) AS doc_id,
+               coalesce(1000000000 // (60 + l.rk), 0)
+                 + coalesce(1000000000 // (60 + d.rk), 0) AS rrf_nano,
+               l.rk AS lex_rk, d.rk AS dense_rk
+        FROM (SELECT * FROM lex WHERE rk <= 20) l
+        FULL OUTER JOIN (SELECT * FROM dense WHERE rk <= 20) d
+          ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+    )
+    SELECT query_id, CAST(rk AS BIGINT) AS rk, doc_id,
+           CAST(rrf_nano AS BIGINT) AS rrf_nano,
+           CAST(coalesce(lex_rk, -1) AS BIGINT) AS lex_rank,
+           CAST(coalesce(dense_rk, -1) AS BIGINT) AS dense_rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rrf_nano DESC, doc_id) AS rk
+        FROM fused
+    ) t WHERE rk <= 10
+    ORDER BY query_id, rk
+    """,
+    tags=("pipeline", "retrieval", "hybrid", "rrf"),
+    bench=True,
+    doc="Hybrid retrieval (Cormack et al. 2009 RRF, k=60): BM25 lexical "
+    "top-20 fused with dense cosine top-20 (integer-exact sort keys on "
+    "milli-quantized embeddings, probe broadcast onto one corpus scan), "
+    "rrf_nano = sum of 1e9 DIV (60+rank); postings materialized once.",
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    posting = catalog.sql(spark, sf_dir, _RRF_POSTING_SQL).localCheckpoint(eager=True)
+    posting.createOrReplaceTempView("__rrf_posting")
+    doclen = spark.sql(
+        "SELECT doc_id, sum(tf) AS dl FROM __rrf_posting GROUP BY doc_id"
+    ).localCheckpoint(eager=True)
+    doclen.createOrReplaceTempView("__rrf_doclen")
+    return catalog.sql(spark, sf_dir, _RRF_MAIN_SQL)

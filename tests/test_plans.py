@@ -473,3 +473,20 @@ def test_bm25_topk_materialized_postings_and_group_limit(spark):
     assert "BroadcastHashJoin" in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "CartesianProduct" not in plan and "Python" not in plan
+
+
+def test_hybrid_rrf_one_corpus_scan_and_group_limits(spark):
+    """sim_hybrid_rrf: the lexical side reads only the checkpointed
+    posting/doclen RDDs (zero document-parquet rescans — 4 ExistingRDD
+    reads); the dense side touches the embeddings parquet exactly twice
+    (the vec_id<=3 probe scan, pushdown-pruned, plus ONE corpus scan
+    against the broadcast 3-probe set); both rankings cut map-side via
+    WindowGroupLimit.  The only nested-loop joins are bounded broadcast
+    sides: the 1-row (N, S) scalar and the 3-row probe set."""
+    plan = _plan(spark, "sim_hybrid_rrf", mode="simple")
+    assert plan.count("FileScan parquet") == 2  # probe scan + corpus scan
+    assert plan.count("Scan ExistingRDD") == 4  # posting x3 stages + doclen
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2
+    assert "CartesianProduct" not in plan and "Python" not in plan
