@@ -325,3 +325,42 @@ def test_resize_nearest_contract():
         resize_nearest(6, 6, pix, 0, 3)
     with pytest.raises(ValueError, match="buffer"):
         resize_nearest(6, 6, pix[:-1], 3, 3)
+
+
+def test_kcore_fixpoint_and_independent_peeling(spark):
+    """graph_kcore's 5 unrolled rounds truly reach the peeling fixpoint
+    (no node falls in the margin round 5), and the in-core membership
+    equals an independent Python peel-to-fixpoint over the same edges."""
+    import duckdb
+
+    from sensql_presto_spark.queries.pipeline import _KCORE_GRAPH_SQL
+
+    out = registry.get("graph_kcore").build(spark, SF_DIR).toPandas()
+    assert (out["peeled_round"] != 5).all(), "margin round peeled a node"
+    assert out["in_core"].sum() > 0 and (out["in_core"] == 0).sum() > 0
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR}/orders.parquet'"
+    )
+    edges = con.sql(_KCORE_GRAPH_SQL).fetchall()
+    con.close()
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        adj.setdefault(int(s), set()).add(int(d))
+    alive = set(adj)
+    while True:
+        dead = {u for u in alive if sum(v in alive for v in adj[u]) < 6}
+        if not dead:
+            break
+        alive -= dead
+    got_core = set(out.loc[out["in_core"] == 1, "node_id"].astype(int))
+    assert got_core == alive
+    # core_degree is the degree restricted to the core
+    deg = {
+        int(r.node_id): int(r.core_degree)
+        for r in out.itertuples()
+        if r.in_core == 1
+    }
+    for u in alive:
+        assert deg[u] == sum(v in alive for v in adj[u])

@@ -490,3 +490,14 @@ def test_hybrid_rrf_one_corpus_scan_and_group_limits(spark):
     assert "BroadcastHashJoin" in plan
     assert plan.count("BroadcastNestedLoopJoin") == 2
     assert "CartesianProduct" not in plan and "Python" not in plan
+
+
+def test_kcore_rounds_never_rescan_source(spark):
+    """graph_kcore: the symmetrized edge list is materialized once
+    (localCheckpoint), so the five unrolled peel rounds read the bounded
+    in-memory edge relation — zero parquet rescans — through plain
+    equi-joins and hash aggregates; no cartesian, no Python."""
+    plan = _plan(spark, "graph_kcore", mode="simple")
+    assert "parquet" not in plan
+    assert "CartesianProduct" not in plan and "Python" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
