@@ -4540,3 +4540,118 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = catalog.sql(spark, sf_dir, _KCORE_GRAPH_SQL).localCheckpoint(eager=True)
     sym.createOrReplaceTempView("__kc_sym")
     return spark.sql(_KCORE_ROUNDS_SQL.format(E="__kc_sym"))
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search (exact phrase match over a positional index)
+# ---------------------------------------------------------------------------
+# The third retrieval primitive after BM25 and hybrid-RRF: exact phrase
+# queries need POSITIONAL postings — (doc_id, pos, term) — assembled into
+# n-gram occurrences, the inverted-index shape every search engine's
+# phrase/proximity operator builds on (Lucene's PhraseQuery over term
+# positions).  The phrase workload derives deterministically from the
+# corpus (the 3 most frequent trigram phrases, count-then-text tiebreak),
+# mirroring BM25's query derivation.
+#
+# Scale shape (100 TB posture): tokenization + position assignment ride
+# ONE corpus scan; trigram assembly is a lead() window — ONE sort-shuffle
+# on doc_id, never a positional self-join (the naive pos/pos+1/pos+2
+# 3-way join shuffles the posting list three times); the assembled
+# trigram relation is localCheckpoint-materialized once, so the
+# frequency ranking and the match scan read it without recomputing the
+# window; the 3-phrase workload broadcasts onto the match scan
+# (BroadcastHashJoin), and per-phrase stats are one bounded rollup.
+_PHRASE_TRIGRAM_SQL = """
+    WITH tok AS (
+        SELECT doc_id, pos, term
+        FROM documents
+        LATERAL VIEW posexplode(split(text, ' ')) x AS pos, term
+    )
+    SELECT doc_id, pos, t1 || ' ' || t2 || ' ' || t3 AS phrase
+    FROM (
+        SELECT doc_id, pos, term AS t1,
+               lead(term, 1) OVER w AS t2,
+               lead(term, 2) OVER w AS t3
+        FROM tok
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    )
+    WHERE t3 IS NOT NULL
+"""
+
+_PHRASE_MAIN_SQL = """
+    WITH top_phrases AS (
+        SELECT phrase,
+               row_number() OVER (ORDER BY count(*) DESC, phrase) AS phrase_rank
+        FROM {TRI} GROUP BY phrase
+    ),
+    matches AS (
+        SELECT tp.phrase_rank, tp.phrase, t.doc_id, t.pos
+        FROM {TRI} t
+        JOIN (SELECT * FROM top_phrases WHERE phrase_rank <= 3) tp
+          ON t.phrase = tp.phrase
+    )
+    SELECT CAST(phrase_rank AS BIGINT) AS phrase_rank, phrase,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(sum(doc_id * 100000 + pos) AS BIGINT) AS pos_checksum
+    FROM matches
+    GROUP BY phrase_rank, phrase
+    ORDER BY phrase_rank
+"""
+
+
+@register(
+    "text_phrase_search",
+    oracle="""
+    WITH tokarr AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, p.i - 1 AS pos, t[p.i] AS term
+        FROM tokarr, LATERAL (
+            SELECT unnest(range(1, len(t) + 1)) AS i
+        ) p
+    ),
+    tri AS (
+        SELECT doc_id, pos, t1 || ' ' || t2 || ' ' || t3 AS phrase
+        FROM (
+            SELECT doc_id, pos, term AS t1,
+                   lead(term, 1) OVER w AS t2,
+                   lead(term, 2) OVER w AS t3
+            FROM tok
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        )
+        WHERE t3 IS NOT NULL
+    ),
+    top_phrases AS (
+        SELECT phrase,
+               row_number() OVER (ORDER BY count(*) DESC, phrase) AS phrase_rank
+        FROM tri GROUP BY phrase
+    ),
+    matches AS (
+        SELECT tp.phrase_rank, tp.phrase, t.doc_id, t.pos
+        FROM tri t
+        JOIN (SELECT * FROM top_phrases WHERE phrase_rank <= 3) tp
+          ON t.phrase = tp.phrase
+    )
+    SELECT CAST(phrase_rank AS BIGINT) AS phrase_rank, phrase,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(sum(doc_id * 100000 + pos) AS BIGINT) AS pos_checksum
+    FROM matches
+    GROUP BY phrase_rank, phrase
+    ORDER BY phrase_rank
+    """,
+    tags=("pipeline", "text", "retrieval", "phrase"),
+    doc="Exact phrase search over positional postings (Lucene PhraseQuery "
+    "shape): trigram occurrences assembled by ONE lead() window per doc "
+    "(never a positional self-join), checkpointed once; the 3-phrase "
+    "corpus-derived workload broadcasts onto the match scan; per-phrase "
+    "doc/hit counts + integer position checksum.",
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tri = catalog.sql(spark, sf_dir, _PHRASE_TRIGRAM_SQL).localCheckpoint(eager=True)
+    tri.createOrReplaceTempView("__ph_tri")
+    return spark.sql(_PHRASE_MAIN_SQL.format(TRI="__ph_tri"))

@@ -501,3 +501,16 @@ def test_kcore_rounds_never_rescan_source(spark):
     assert "parquet" not in plan
     assert "CartesianProduct" not in plan and "Python" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_phrase_search_window_assembly_no_positional_self_join(spark):
+    """text_phrase_search: trigram assembly is the lead() window over the
+    checkpointed relation — the main plan reads only ExistingRDD (zero
+    parquet rescans), the 3-phrase workload broadcasts onto the match
+    scan, and there is no positional self-join fallback (cartesian /
+    nested-loop free)."""
+    plan = _plan(spark, "text_phrase_search", mode="simple")
+    assert "parquet" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "Python" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
