@@ -251,3 +251,123 @@ _KHLL_SQL = """
 def agg_khll_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog.register_views(spark, sf_dir)
     return spark.sql(_KHLL_SQL)
+
+
+# --- Count-min sketch (Cormode & Muthukrishnan 2005) ----------------------
+#
+# The frequency-estimation sketch missing from the HLL/qdigest/setdigest
+# family: d=4 hash rows x w=8 buckets, each cell the sum of counts of
+# terms hashing there; a point query reads one cell per row and takes the
+# MIN — an overestimate by construction, never an under-estimate.  The
+# output checks exactly that contract: for the 5 most frequent corpus
+# terms, cms_estimate >= true_count with the overcount published.
+#
+# Scale shape (100 TB posture): the sketch is the POINT — state is O(d*w)
+# = 32 cells at the test vocabulary (w sized so collisions actually occur over the 31-term corpus vocabulary; production w is ~2/eps), built with one token-count
+# shuffle + one bounded cell aggregate (both map-side combining); the
+# interpreted char hash runs only over the DISTINCT vocabulary (the
+# classifier-filter discipline) and the 5x4 probe set broadcasts onto the
+# bounded cell table.  Cells are mergeable by addition, the streaming/
+# cross-shard contract.  All arithmetic exact BIGINT: polynomial char
+# hash mod 1e9+7, per-row affine rehash ((h*A_r + B_r) mod 1e9+7) mod 64
+# with A_r,B_r pinned constants — identical in both dialects.
+_CMS_SPARK_SQL = """
+    WITH tf AS (
+        SELECT term, count(*) AS c
+        FROM (SELECT explode(split(text, ' ')) AS term FROM documents)
+        GROUP BY term
+    ),
+    hashed AS (
+        SELECT term, c,
+               aggregate(split(term, ''), 7L,
+                         (acc, ch) -> (acc * 31 + ascii(ch)) % 1000000007) AS h0
+        FROM tf
+    ),
+    rows_ AS (SELECT explode(sequence(0, 3)) AS r),
+    cells AS (
+        SELECT r,
+               ((h0 * (CASE r WHEN 0 THEN 31 WHEN 1 THEN 131
+                              WHEN 2 THEN 1031 ELSE 8191 END)
+                 + r * 97 + 1) % 1000000007) % 8 AS b,
+               sum(c) AS cell
+        FROM hashed CROSS JOIN rows_
+        GROUP BY 1, 2
+    ),
+    top5 AS (
+        SELECT term, c, h0,
+               row_number() OVER (ORDER BY c DESC, term) AS rk
+        FROM hashed
+    ),
+    probes AS (
+        SELECT t.rk, t.term, t.c, r.r,
+               ((t.h0 * (CASE r.r WHEN 0 THEN 31 WHEN 1 THEN 131
+                                  WHEN 2 THEN 1031 ELSE 8191 END)
+                 + r.r * 97 + 1) % 1000000007) % 8 AS b
+        FROM (SELECT * FROM top5 WHERE rk <= 5) t CROSS JOIN rows_ r
+    )
+    SELECT CAST(p.rk AS BIGINT) AS rk, p.term,
+           CAST(p.c AS BIGINT) AS true_count,
+           CAST(min(cl.cell) AS BIGINT) AS cms_estimate,
+           CAST(min(cl.cell) - p.c AS BIGINT) AS overcount
+    FROM probes p JOIN cells cl ON p.r = cl.r AND p.b = cl.b
+    GROUP BY p.rk, p.term, p.c
+    ORDER BY rk
+"""
+
+_CMS_DUCK_SQL = """
+    WITH tf AS (
+        SELECT term, count(*) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY term
+    ),
+    hashed AS (
+        SELECT term, c,
+               list_reduce(list_prepend(7::BIGINT,
+                               [ascii(ch)::BIGINT FOR ch IN string_split(term, '')]),
+                           (a, b) -> (a * 31 + b) % 1000000007) AS h0
+        FROM tf
+    ),
+    rows_ AS (SELECT unnest(range(0, 4)) AS r),
+    cells AS (
+        SELECT r,
+               ((h0 * (CASE r WHEN 0 THEN 31 WHEN 1 THEN 131
+                              WHEN 2 THEN 1031 ELSE 8191 END)
+                 + r * 97 + 1) % 1000000007) % 8 AS b,
+               sum(c) AS cell
+        FROM hashed CROSS JOIN rows_
+        GROUP BY 1, 2
+    ),
+    top5 AS (
+        SELECT term, c, h0,
+               row_number() OVER (ORDER BY c DESC, term) AS rk
+        FROM hashed
+    ),
+    probes AS (
+        SELECT t.rk, t.term, t.c, r.r,
+               ((t.h0 * (CASE r.r WHEN 0 THEN 31 WHEN 1 THEN 131
+                                  WHEN 2 THEN 1031 ELSE 8191 END)
+                 + r.r * 97 + 1) % 1000000007) % 8 AS b
+        FROM (SELECT * FROM top5 WHERE rk <= 5) t CROSS JOIN rows_ r
+    )
+    SELECT CAST(p.rk AS BIGINT) AS rk, p.term,
+           CAST(p.c AS BIGINT) AS true_count,
+           CAST(min(cl.cell) AS BIGINT) AS cms_estimate,
+           CAST(min(cl.cell) - p.c AS BIGINT) AS overcount
+    FROM probes p JOIN cells cl ON p.r = cl.r AND p.b = cl.b
+    GROUP BY p.rk, p.term, p.c
+    ORDER BY rk
+"""
+
+
+@register(
+    "agg_countmin_freq",
+    oracle=_CMS_DUCK_SQL,
+    tags=("sketch", "countmin", "frequency"),
+    doc="Count-min sketch (Cormode & Muthukrishnan 2005), d=4 x w=8: "
+    "cells are sums over the hashed vocabulary (one token shuffle + one "
+    "bounded cell aggregate, O(d*w) state at any corpus size, mergeable "
+    "by addition); point queries for the top-5 terms take the min over "
+    "rows — exact-integer affine rehash, overcount >= 0 by construction.",
+)
+def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog.sql(spark, sf_dir, _CMS_SPARK_SQL)
