@@ -473,6 +473,25 @@ SESSION_PROPERTIES: dict[str, _SessionProperty] = {
 }
 
 
+# Cross-session cache coherence for managed-table writes: Spark caches a
+# data-source table's file listing PER SESSION (tableRelationCache), so a
+# forked session overwriting table files (COMMIT publish, DML overwrite)
+# leaves every other session holding a dead listing — their next read dies
+# with FAILED_READ_FILE instead of seeing the new data.  All client
+# sessions live in this one Python process (server.py forks SparkSessions,
+# not processes), so a module-level generation counter is enough: every
+# write path bumps the written table, and each session refreshes any table
+# whose generation moved past what it last saw before dispatching a
+# statement.  This is the engine-side analog of the metastore version
+# check a multi-coordinator deployment would do.
+_TABLE_GENERATIONS: dict[str, int] = {}
+
+
+def _bump_table_generation(table: str) -> None:
+    key = table.split(".")[-1].lower()
+    _TABLE_GENERATIONS[key] = _TABLE_GENERATIONS.get(key, 0) + 1
+
+
 class StatementSession:
     """Stateful statement dispatcher shared by the CLI and the HTTP server."""
 
@@ -496,7 +515,9 @@ class StatementSession:
         self.functions: dict[str, str] = {}  # bare name -> original CREATE text
         self._conf_defaults: dict[str, str | None] = {}
         self._in_txn = False
-        self._txn_backups: dict[str, str] = {}
+        self._txn_stages: dict[str, str] = {}  # table -> private staging copy
+        # last _TABLE_GENERATIONS values this session has refreshed up to
+        self._seen_generations: dict[str, int] = dict(_TABLE_GENERATIONS)
         self._txn_unrollbackable: str | None = None
         # Set by the server when this session replaces one it LRU-evicted:
         # references to dropped PREPARE state then raise the session-expired
@@ -565,6 +586,7 @@ class StatementSession:
 
     def execute(self, text: str) -> DataFrame:
         text = text.strip().rstrip(";")
+        self._refresh_stale_tables()
         if self._in_txn:
             # writes OUTSIDE the transactional DML surface autocommit; note
             # the first one so a later ROLLBACK fails loudly instead of
@@ -585,7 +607,19 @@ class StatementSession:
                     name.split(".")[-1].lower() not in catalog.TABLES
                     and self.spark.catalog.tableExists(name)
                 ):
-                    self._txn_backup(name)
+                    # redirect the INSERT to the private staging copy (the
+                    # temp-view shadow covers reads but cannot accept an
+                    # INSERT, so the statement text targets staging
+                    # directly); published on COMMIT like every other DML
+                    stage = self._txn_stage(name)
+                    if stage != name:
+                        text = re.sub(
+                            r"^(\s*INSERT\s+INTO\s+)[\w.]+",
+                            lambda mm: mm.group(1) + stage,
+                            text,
+                            count=1,
+                            flags=re.IGNORECASE,
+                        )
         m = _PREPARE_RE.match(text)
         if m:
             self.prepared[m.group(1).lower()] = m.group(2).strip()
@@ -938,6 +972,13 @@ class StatementSession:
         if m:
             return self._call_procedure(m.group(1), m.group(2))
         self._check_table_access(text)
+        m = re.match(r"^\s*INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?([\w.]+)", text, re.IGNORECASE)
+        if m and m.group(1).split(".")[-1].lower() not in catalog.TABLES:
+            # autocommit INSERT into a managed table: announce the write so
+            # other sessions refresh their file listings
+            out = catalog.sql(self.spark, self.sf_dir, text)
+            self._note_table_write(m.group(1))
+            return out
         return catalog.sql(self.spark, self.sf_dir, text)
 
     # -- CALL procedures (SqlBase.g4 call rule; metadata/ProcedureRegistry
@@ -1181,21 +1222,32 @@ class StatementSession:
     def _replace_table(self, name: str, df: DataFrame) -> None:
         out = df.localCheckpoint(eager=True)
         out.write.mode("overwrite").saveAsTable(name)
+        self._note_table_write(name)
+
+    def _note_table_write(self, name: str) -> None:
+        """Record an overwrite of ``name`` so OTHER sessions refresh their
+        stale file listings (no-op for this session, which just wrote).
+        Staging tables are session-private — never announced."""
+        if name.startswith("__txn_stage_"):
+            return
+        _bump_table_generation(name)
+        self._seen_generations[name.split(".")[-1].lower()] = _TABLE_GENERATIONS[
+            name.split(".")[-1].lower()
+        ]
 
     def _sql_delete(self, table: str, cond: str | None) -> DataFrame:
-        t = self._writable_table(table, "DELETE")
-        self._txn_backup(t)
+        t = self._txn_stage(self._writable_table(table, "DELETE"))
         df = self.spark.table(t)
         total = df.count()
         keep = df.filter(f"NOT ({cond})") if cond else df.limit(0)
         keep = keep.localCheckpoint(eager=True)
         deleted = total - keep.count()
         keep.write.mode("overwrite").saveAsTable(t)
+        self._note_table_write(t)
         return self.spark.createDataFrame([(deleted,)], "rows bigint")
 
     def _sql_update(self, table: str, assignments: str, cond: str | None) -> DataFrame:
-        t = self._writable_table(table, "UPDATE")
-        self._txn_backup(t)
+        t = self._txn_stage(self._writable_table(table, "UPDATE"))
         df = self.spark.table(t)
         sets: dict[str, str] = {}
         for part in split_top_level(assignments):
@@ -1233,7 +1285,7 @@ class StatementSession:
             self.access.check(
                 self.user, self._active_roles(), "INSERT", t.split(".")[-1].lower()
             )
-        self._txn_backup(t)
+        t = self._txn_stage(t)
         ta = talias or "t"
         sa = salias or "s"
         tdf = self.spark.table(t).withColumn("__tid", F.monotonically_increasing_id())
@@ -1307,31 +1359,70 @@ class StatementSession:
         return self.spark.createDataFrame([(n_touched,)], "rows bigint")
 
     # -- transactions (TransactionManager.java). Statement-layer DML on
-    #    managed tables is TRANSACTIONAL: the first mutation of a table
-    #    inside START TRANSACTION snapshots its pre-image to a backup
-    #    table; ROLLBACK restores every touched table from its backup and
-    #    COMMIT drops the backups — single-session atomicity, the scope a
-    #    single-coordinator deployment needs (cross-session isolation is
-    #    connector-delegated in the reference too). Writes the engine
-    #    cannot undo (CTAS, matview DDL, WritableTable API calls) keep the
-    #    loud cannot-rollback contract via _txn_unrollbackable. -------------
+    #    managed tables is TRANSACTIONAL with staging-based isolation: the
+    #    first mutation of a table inside START TRANSACTION copies its
+    #    pre-image to a PRIVATE staging table; every in-txn read and write
+    #    targets the staging copy (DML handlers explicitly, plain SELECTs
+    #    through a session-local temp-view shadow of the bare name), so
+    #    OTHER sessions keep reading the untouched base table until COMMIT
+    #    publishes the staging copy over it (READ COMMITTED for
+    #    cross-session readers — eliminating the pre-r6 dirty-read
+    #    contract — with read-your-writes inside the transaction; forked
+    #    sessions have separate temp-view catalogs, so the shadow is
+    #    invisible to every other client).  ROLLBACK just drops the
+    #    staging copy — the base was never touched.  Publish is
+    #    per-table last-writer-wins, the snapshot-overwrite model of
+    #    mutation.py; qualified (schema.table) references in raw SELECT
+    #    text bypass the bare-name shadow — documented limit.  Writes the
+    #    engine cannot stage (CTAS, matview DDL, WritableTable API calls)
+    #    keep the loud cannot-rollback contract via _txn_unrollbackable. ---
 
-    def _txn_backup(self, table: str) -> None:
-        """Snapshot ``table``'s pre-image before its first in-txn mutation."""
-        if not self._in_txn or table in self._txn_backups:
-            return
-        backup = f"__txn_backup_{len(self._txn_backups)}_{abs(hash(table)) % 10**6}"
-        self.spark.sql(f"DROP TABLE IF EXISTS {backup}")
+    def _refresh_stale_tables(self) -> None:
+        """Drop this session's cached file listings for tables other
+        sessions have overwritten since we last looked (see
+        _TABLE_GENERATIONS) — without this, a forked reader crashes with
+        FAILED_READ_FILE on the overwritten files instead of reading the
+        published data."""
+        for key, gen in list(_TABLE_GENERATIONS.items()):
+            if self._seen_generations.get(key, 0) < gen:
+                self._seen_generations[key] = gen
+                if key in {t.split(".")[-1].lower() for t in self._txn_stages}:
+                    continue  # our own staging shadow covers reads of it
+                try:
+                    self.spark.catalog.refreshTable(key)
+                except Exception:  # noqa: BLE001 — dropped since; nothing to refresh
+                    pass
+
+    def _txn_stage(self, table: str) -> str:
+        """Return the physical DML target for ``table``: the private
+        staging copy while a transaction is open (created on first touch,
+        with a temp-view shadow so this session's plain SELECTs read it),
+        the table itself otherwise."""
+        if not self._in_txn:
+            return table
+        if table in self._txn_stages:
+            return self._txn_stages[table]
+        stage = f"__txn_stage_{len(self._txn_stages)}_{abs(hash(table)) % 10**6}"
+        self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
         df = self.spark.table(table).localCheckpoint(eager=True)
-        df.write.saveAsTable(backup)
-        self._txn_backups[table] = backup
+        df.write.saveAsTable(stage)
+        bare = table.split(".")[-1]
+        self.spark.sql(
+            f"CREATE OR REPLACE TEMPORARY VIEW {bare} AS SELECT * FROM {stage}"
+        )
+        self._txn_stages[table] = stage
+        return stage
+
+    def _txn_unshadow(self) -> None:
+        for table in self._txn_stages:
+            self.spark.catalog.dropTempView(table.split(".")[-1])
 
     def _start_transaction(self) -> DataFrame:
         if self._in_txn:
             # NestedTransactionsNotSupportedException in the reference
             raise ValueError("Nested transactions not supported")
         self._in_txn = True
-        self._txn_backups = {}
+        self._txn_stages = {}
         self._txn_unrollbackable = None
         return self.spark.createDataFrame([("START TRANSACTION",)], "result string")
 
@@ -1340,9 +1431,22 @@ class StatementSession:
             # reference: NOT_IN_TRANSACTION error outside a transaction
             raise ValueError("No transaction in progress")
         self._in_txn = False
-        for backup in self._txn_backups.values():
-            self.spark.sql(f"DROP TABLE IF EXISTS {backup}")
-        self._txn_backups = {}
+        try:
+            # publish: staging becomes the table, atomically per table from
+            # this engine's perspective (snapshot overwrite); only now do
+            # other sessions see the transaction's writes
+            for table, stage in self._txn_stages.items():
+                out = self.spark.table(stage).localCheckpoint(eager=True)
+                self.spark.catalog.dropTempView(table.split(".")[-1])
+                out.write.mode("overwrite").saveAsTable(table)
+                # our own listing refreshes now; other sessions refresh on
+                # their next statement via the generation counter
+                self.spark.sql(f"REFRESH TABLE {table}")
+                self._note_table_write(table)
+        finally:
+            for stage in self._txn_stages.values():
+                self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
+            self._txn_stages = {}
         return self.spark.createDataFrame([("COMMIT",)], "result string")
 
     def _rollback(self) -> DataFrame:
@@ -1350,18 +1454,15 @@ class StatementSession:
             raise ValueError("No transaction in progress")
         self._in_txn = False
         try:
-            # Restore every snapshotted table FIRST — a mixed transaction
-            # (e.g. DELETE then CTAS) must not lose the DELETE's pre-image
-            # just because a later statement is unrollbackable.
-            for table, backup in self._txn_backups.items():
-                pre = self.spark.table(backup).localCheckpoint(eager=True)
-                pre.write.mode("overwrite").saveAsTable(table)
+            # the base tables were never touched — dropping the staging
+            # copies and their shadows IS the rollback
+            self._txn_unshadow()
             if self._txn_unrollbackable:
                 # Loud contract instead of a silent wrong answer: a write
                 # outside the transactional DML surface already committed
                 # durably (snapshot time travel in mutation.py is the
-                # recovery path for those).  Raised AFTER the restore loop so
-                # the transactional-DML part of the txn really is undone.
+                # recovery path for those).  Raised AFTER the un-shadowing
+                # so the transactional-DML part of the txn really is undone.
                 raise ValueError(
                     "ROLLBACK cannot fully undo this transaction: statement "
                     f"'{self._txn_unrollbackable}' committed outside the "
@@ -1370,9 +1471,9 @@ class StatementSession:
                     "back; other writes autocommit)"
                 )
         finally:
-            for backup in self._txn_backups.values():
-                self.spark.sql(f"DROP TABLE IF EXISTS {backup}")
-            self._txn_backups = {}
+            for stage in self._txn_stages.values():
+                self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
+            self._txn_stages = {}
             self._txn_unrollbackable = None
         return self.spark.createDataFrame([("ROLLBACK",)], "result string")
 

@@ -383,6 +383,37 @@ def test_eviction_skips_in_transaction_sessions(spark, oracle_dir):
         s.stop()
 
 
+def test_cross_client_transaction_isolation_over_http(spark, oracle_dir):
+    """READ COMMITTED between HTTP clients (r6 staging-based txns): an
+    open transaction's DELETE is visible to the writer (read-your-writes
+    via its session's staging shadow) but INVISIBLE to a concurrent
+    client until COMMIT publishes; a brand-new client after COMMIT also
+    sees the published data (generation-counter cache refresh)."""
+    s = srv.SqlServer(spark, oracle_dir).start()
+    try:
+        err, _ = _run_query_as(
+            s, "CREATE TABLE t_http_iso AS SELECT n_nationkey FROM nation", "w"
+        )
+        assert err is None
+        err, _ = _run_query_as(s, "START TRANSACTION", "w")
+        assert err is None
+        err, _ = _run_query_as(s, "DELETE FROM t_http_iso WHERE n_nationkey >= 5", "w")
+        assert err is None
+        err, rows = _run_query_as(s, "SELECT count(*) AS n FROM t_http_iso", "w")
+        assert err is None and rows == [[5]]
+        err, rows = _run_query_as(s, "SELECT count(*) AS n FROM t_http_iso", "r")
+        assert err is None and rows == [[25]], "dirty read leaked to another client"
+        err, _ = _run_query_as(s, "COMMIT", "w")
+        assert err is None
+        err, rows = _run_query_as(s, "SELECT count(*) AS n FROM t_http_iso", "r")
+        assert err is None and rows == [[5]]
+        err, rows = _run_query_as(s, "SELECT count(*) AS n FROM t_http_iso", "fresh")
+        assert err is None and rows == [[5]]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_http_iso")
+        s.stop()
+
+
 def test_txn_saturation_rejects_new_clients_loudly(spark, oracle_dir):
     """70-open-transaction churn: in-txn sessions are exempt from LRU
     eviction, so without a hard cap the session map would grow without

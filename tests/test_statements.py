@@ -881,8 +881,8 @@ def test_transaction_rollback_restores_dml(spark):
         sess.execute(f"SELECT n_name FROM {t} WHERE n_nationkey = 0").collect()[0].n_name
         == "NATION_0"
     )
-    # backup tables are cleaned up
-    assert not [x for x in spark.catalog.listTables() if x.name.startswith("__txn_backup")]
+    # staging tables are cleaned up
+    assert not [x for x in spark.catalog.listTables() if x.name.startswith("__txn_stage")]
     spark.sql(f"DROP TABLE {t}")
 
 
@@ -893,7 +893,7 @@ def test_transaction_commit_keeps_dml(spark):
     sess.execute(f"DELETE FROM {t} WHERE n_nationkey >= 5")
     sess.execute("COMMIT")
     assert sess.execute(f"SELECT count(*) AS n FROM {t}").collect()[0].n == 5
-    assert not [x for x in spark.catalog.listTables() if x.name.startswith("__txn_backup")]
+    assert not [x for x in spark.catalog.listTables() if x.name.startswith("__txn_stage")]
     spark.sql(f"DROP TABLE {t}")
 
 
@@ -935,30 +935,44 @@ def test_transaction_mixed_rollback_restores_dml_before_raising(spark):
         sess.execute("ROLLBACK")
     # the DELETE was undone despite the raise ...
     assert sess.execute(f"SELECT count(*) AS n FROM {t}").collect()[0].n == 25
-    # ... the CTAS stayed (autocommitted), and backups were cleaned up
+    # ... the CTAS stayed (autocommitted), and staging was cleaned up
     assert spark.catalog.tableExists("t_txn_mixed_ctas")
-    assert not [x for x in spark.catalog.listTables() if x.name.startswith("__txn_backup")]
+    assert not [x for x in spark.catalog.listTables() if x.name.startswith("__txn_stage")]
     spark.sql(f"DROP TABLE {t}")
     spark.sql("DROP TABLE IF EXISTS t_txn_mixed_ctas")
 
 
 def test_transaction_read_isolation_contract(spark):
-    """Pin the documented single-session-atomicity contract: a SECOND
-    session reading a table that another session mutated inside a
-    still-open transaction sees the MUTATED data (READ UNCOMMITTED — the
-    reference's TransactionManager likewise delegates isolation to
-    connectors, most of which expose uncommitted writes to other
-    coordinators' reads).  ROLLBACK in the writer restores the pre-image
-    for everyone."""
+    """Pin the staging-based isolation contract (r6): a SECOND session —
+    forked, as the HTTP server forks every client — reading a table that
+    another session mutated inside a still-open transaction sees the
+    PRE-IMAGE (READ COMMITTED: in-txn writes land in a private staging
+    copy and publish only on COMMIT), while the writer itself reads its
+    own writes.  ROLLBACK drops the staging copy; the base table was
+    never touched."""
+    from sensql_presto_spark.cli import prepare_session
+
     writer = _sess(spark)
-    reader = _sess(spark)
+    forked = spark.newSession()
+    prepare_session(forked, SF)
+    reader = StatementSession(forked, SF)
     t = _fresh_dml_table(spark, writer, "t_txn_iso")
     writer.execute("START TRANSACTION")
     writer.execute(f"DELETE FROM {t} WHERE n_nationkey >= 5")
-    # the open-transaction write IS visible to the other session
-    assert reader.execute(f"SELECT count(*) AS n FROM {t}").collect()[0].n == 5
-    writer.execute("ROLLBACK")
+    # read-your-writes inside the transaction ...
+    assert writer.execute(f"SELECT count(*) AS n FROM {t}").collect()[0].n == 5
+    # ... but the open-transaction write is INVISIBLE to the other session
     assert reader.execute(f"SELECT count(*) AS n FROM {t}").collect()[0].n == 25
+    writer.execute("ROLLBACK")
+    assert writer.execute(f"SELECT count(*) AS n FROM {t}").collect()[0].n == 25
+    assert reader.execute(f"SELECT count(*) AS n FROM {t}").collect()[0].n == 25
+    # a committed transaction IS visible to the other session
+    writer.execute("START TRANSACTION")
+    writer.execute(f"DELETE FROM {t} WHERE n_nationkey >= 20")
+    assert reader.execute(f"SELECT count(*) AS n FROM {t}").collect()[0].n == 25
+    writer.execute("COMMIT")
+    assert reader.execute(f"SELECT count(*) AS n FROM {t}").collect()[0].n == 20
+    assert writer.execute(f"SELECT count(*) AS n FROM {t}").collect()[0].n == 20
     spark.sql(f"DROP TABLE {t}")
 
 
