@@ -972,10 +972,18 @@ class StatementSession:
         if m:
             return self._call_procedure(m.group(1), m.group(2))
         self._check_table_access(text)
-        m = re.match(r"^\s*INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?([\w.]+)", text, re.IGNORECASE)
+        m = re.match(
+            r"^\s*(?:INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?"
+            r"|CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+            r"|DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?)([\w.]+)",
+            text,
+            re.IGNORECASE,
+        )
         if m and m.group(1).split(".")[-1].lower() not in catalog.TABLES:
-            # autocommit INSERT into a managed table: announce the write so
-            # other sessions refresh their file listings
+            # autocommit write to / recreate / drop of a managed table:
+            # announce it so other sessions invalidate their cached file
+            # listings (a reader holding a dropped-and-recreated table's
+            # old listing would otherwise crash or read stale rows)
             out = catalog.sql(self.spark, self.sf_dir, text)
             self._note_table_write(m.group(1))
             return out
