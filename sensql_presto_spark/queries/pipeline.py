@@ -4655,3 +4655,178 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = catalog.sql(spark, sf_dir, _PHRASE_TRIGRAM_SQL).localCheckpoint(eager=True)
     tri.createOrReplaceTempView("__ph_tri")
     return spark.sql(_PHRASE_MAIN_SQL.format(TRI="__ph_tri"))
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint dedup (the audio sibling of mm_image_phash_dedup)
+# ---------------------------------------------------------------------------
+# Shazam-lite content fingerprinting: each payload is serialized into a
+# REAL RIFF/WAVE file and decoded back with the stdlib wave/struct codec
+# (the mm_audio_windows machinery riding the ingest scan), then reduced to
+# a compact fingerprint — the energy-transition bit string (does window
+# w+1 carry more energy than window w, first 32 transitions) plus the
+# window count.  Dedup is then ONE (fingerprint, n_windows) groupBy —
+# never a sample-level self-join — exactly the phash discipline: at
+# 100 TB the decode rides the scan in Arrow batches, the groupBy moves
+# ~40 bytes per clip, and injected duplicate payloads prove the operator
+# removes something.  The oracle predicts the transition bits from the
+# same byte arithmetic (samples are (byte-96)*256, so energy comparisons
+# are scale-invariant).
+
+
+@register(
+    "mm_audio_fingerprint_dedup",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 150
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        WHERE doc_id < 150 AND doc_id % 25 = 0
+    ),
+    en AS (
+        SELECT doc_id,
+               [list_sum([(ascii(c) - 96) * (ascii(c) - 96)
+                          FOR c IN string_split(substring(text, off + 1, 100), '')])
+                FOR off IN range(0, length(text), 100)] AS es
+        FROM corpus
+    ),
+    fp AS (
+        SELECT doc_id,
+               coalesce(list_aggregate(
+                   [CASE WHEN es[i + 1] > es[i] THEN '1' ELSE '0' END
+                    FOR i IN generate_series(1, least(32, len(es) - 1))],
+                   'string_agg', ''), '') AS fingerprint,
+               CAST(len(es) AS BIGINT) AS n_windows
+        FROM en
+    )
+    SELECT fingerprint, n_windows,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM fp
+    GROUP BY fingerprint, n_windows
+    HAVING count(*) > 1
+    ORDER BY keep_id
+    """,
+    tags=("pipeline", "multimodal", "audio", "dedup"),
+    doc="Audio content dedup via energy-transition fingerprints over real "
+    "RIFF/WAVE payloads (stdlib codec in mapInPandas): 32-transition bit "
+    "string + window count per clip, dedup = ONE fingerprint groupBy — "
+    "never a sample self-join; injected duplicates prove removal.",
+)
+def mm_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from sensql_presto_spark.multimodal import decode_wav, encode_wav_pcm16
+
+    corpus = catalog.sql(
+        spark,
+        sf_dir,
+        """
+        SELECT doc_id, text FROM documents WHERE doc_id < 150
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        WHERE doc_id < 150 AND doc_id % 25 = 0
+        """,
+    ).select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    def fingerprint(batches):
+        for pdf in batches:
+            ids, fps, nws = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                wav = encode_wav_pcm16(
+                    [(b - 96) * 256 for b in payload], sample_rate=8000
+                )
+                _rate, _nch, samples = decode_wav(wav)
+                es = [
+                    sum(s * s for s in samples[off : off + 100])
+                    for off in range(0, len(samples), 100)
+                ]
+                bits = "".join(
+                    "1" if es[i + 1] > es[i] else "0"
+                    for i in range(min(32, len(es) - 1))
+                )
+                ids.append(doc_id)
+                fps.append(bits)
+                nws.append(len(es))
+            yield pd.DataFrame(
+                {"doc_id": ids, "fingerprint": fps, "n_windows": nws}
+            )
+
+    fp = corpus.mapInPandas(
+        fingerprint, "doc_id bigint, fingerprint string, n_windows bigint"
+    )
+    return (
+        fp.groupBy("fingerprint", "n_windows")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keep_id"),
+            F.count("*").cast("bigint").alias("n_copies"),
+        )
+        .where(F.col("n_copies") > 1)
+        .orderBy("keep_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-hop BFS distance labeling (multi-source frontier relaxation)
+# ---------------------------------------------------------------------------
+# The fifth graph primitive: bounded-hop distance from a seed set — the
+# "within k clicks of a trusted page" crawl-frontier / trust-propagation
+# primitive (and the building block of multi-source shortest paths).
+# Seeds are the block roots (id % 15 = 0), so the seed set SCALES with
+# the corpus-scaled graph.  Each of the 4 unrolled rounds is the
+# canonical relaxation shape: one edge-vs-distance equi-join + one
+# min() aggregate over (previous distances UNION ALL relaxed edges) —
+# per-node state only, never per-path.  Nodes beyond 4 hops report
+# dist = -1 / reached = 0 (the bounded-k contract, not a fixpoint
+# claim); reads the once-checkpointed symmetrized block-web edges.
+_KHOP_ROUNDS_SQL = """
+    WITH nodes AS (SELECT DISTINCT src AS id FROM {E}),
+    d0 AS (SELECT id AS v, 0 AS d FROM nodes WHERE id % 15 = 0),
+    d1 AS (SELECT v, min(d) AS d FROM (
+               SELECT v, d FROM d0
+               UNION ALL
+               SELECT e.dst AS v, d0.d + 1 AS d FROM {E} e JOIN d0 ON e.src = d0.v
+           ) u GROUP BY v),
+    d2 AS (SELECT v, min(d) AS d FROM (
+               SELECT v, d FROM d1
+               UNION ALL
+               SELECT e.dst AS v, d1.d + 1 AS d FROM {E} e JOIN d1 ON e.src = d1.v
+           ) u GROUP BY v),
+    d3 AS (SELECT v, min(d) AS d FROM (
+               SELECT v, d FROM d2
+               UNION ALL
+               SELECT e.dst AS v, d2.d + 1 AS d FROM {E} e JOIN d2 ON e.src = d2.v
+           ) u GROUP BY v),
+    d4 AS (SELECT v, min(d) AS d FROM (
+               SELECT v, d FROM d3
+               UNION ALL
+               SELECT e.dst AS v, d3.d + 1 AS d FROM {E} e JOIN d3 ON e.src = d3.v
+           ) u GROUP BY v)
+    SELECT CAST(n.id AS BIGINT) AS node_id,
+           CAST(coalesce(d4.d, -1) AS BIGINT) AS dist,
+           CAST(CASE WHEN d4.d IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS reached
+    FROM nodes n LEFT JOIN d4 ON n.id = d4.v
+    ORDER BY node_id
+    """
+
+_KHOP_ORACLE = (
+    _LABELPROP_GRAPH_SQL.rstrip().removesuffix("SELECT src, dst FROM sym")
+    + ",\n    "
+    + _KHOP_ROUNDS_SQL.format(E="sym").lstrip().removeprefix("WITH ")
+)
+assert _KHOP_ORACLE.count("WITH ") == 1
+
+
+@register(
+    "graph_khop_distances",
+    oracle=_KHOP_ORACLE,
+    tags=("pipeline", "graph", "bfs"),
+    doc="Multi-source k-hop BFS distances (k=4) from the corpus-scaled "
+    "seed set (block roots): per round one edge-vs-distance equi-join + "
+    "one min() aggregate — per-node state, never per-path; unreached "
+    "nodes report -1; edges checkpointed once.",
+)
+def graph_khop_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sym = catalog.sql(spark, sf_dir, _LABELPROP_GRAPH_SQL).localCheckpoint(eager=True)
+    sym.createOrReplaceTempView("__kh_sym")
+    return spark.sql(_KHOP_ROUNDS_SQL.format(E="__kh_sym"))

@@ -514,3 +514,25 @@ def test_phrase_search_window_assembly_no_positional_self_join(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "Python" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_audio_fingerprint_dedup_one_groupby_no_self_join(spark):
+    """mm_audio_fingerprint_dedup: the decode+fingerprint runs as ONE
+    Arrow mapInPandas pass over the corpus scan (no row-at-a-time
+    Python), and dedup is a single hash aggregate on the fingerprint —
+    never a sample-level self-join."""
+    plan = _plan(spark, "mm_audio_fingerprint_dedup", mode="simple")
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # dedup is a groupBy, not any join
+
+
+def test_khop_distances_rounds_never_rescan_source(spark):
+    """graph_khop_distances: the four relaxation rounds read only the
+    checkpointed edge relation (zero parquet rescans) through equi-joins
+    and min() hash aggregates; no cartesian, no Python."""
+    plan = _plan(spark, "graph_khop_distances", mode="simple")
+    assert "parquet" not in plan
+    assert "CartesianProduct" not in plan and "Python" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
