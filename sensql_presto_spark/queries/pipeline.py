@@ -4830,3 +4830,109 @@ def graph_khop_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = catalog.sql(spark, sf_dir, _LABELPROP_GRAPH_SQL).localCheckpoint(eager=True)
     sym.createOrReplaceTempView("__kh_sym")
     return spark.sql(_KHOP_ROUNDS_SQL.format(E="__kh_sym"))
+
+
+# ---------------------------------------------------------------------------
+# Video scene-cut detection (frame-delta segmentation over the AVI codec)
+# ---------------------------------------------------------------------------
+# Completes the modality triple's analysis surface (image: phash dedup;
+# audio: fingerprint dedup; video: THIS): consecutive decoded frames are
+# compared by L1 pixel delta and a cut is declared when the delta exceeds
+# the threshold — the shot-boundary primitive every video-curation
+# pipeline runs before frame sampling (sample per scene, not per stride).
+# The frames travel through the REAL spec-complete AVI/RIFF roundtrip
+# (encode DIB -> decode, the mm_video_frames machinery), so a channel/
+# row-order/padding bug in either codec direction breaks the exact
+# checksum.  Scale shape: ONE Arrow mapInPandas pass over the corpus scan
+# with per-doc state only (a frame pair at a time — O(frame) memory
+# however long the clip), per-doc aggregates emitted executor-side, no
+# shuffle before the presentation sort; payloads never reach the driver.
+
+
+@register(
+    "mm_video_scene_cut",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, text, length(text) AS L, 1 + length(text) % 5 AS nf
+        FROM documents
+        WHERE doc_id < 120 AND length(text) > 0 AND length(text) % 5 != 0
+    ),
+    d AS (
+        SELECT doc_id, nf, fi,
+               list_sum([abs(ascii(substring(text, ((fi * 7 + i) % L) + 1, 1)) % 256
+                             - ascii(substring(text, (((fi + 1) * 7 + i) % L) + 1, 1)) % 256)
+                         FOR i IN generate_series(0, 35)]) AS delta
+        FROM (SELECT doc_id, text, L, nf, unnest(range(0, nf - 1)) AS fi FROM f)
+    )
+    SELECT doc_id,
+           CAST(max(nf) AS BIGINT) AS n_frames,
+           CAST(sum(CASE WHEN delta > 1050 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+           CAST(coalesce(min(CASE WHEN delta > 1050 THEN fi + 1 END), -1) AS BIGINT)
+               AS first_cut_frame,
+           CAST(sum(delta * (fi + 1)) AS BIGINT) AS delta_checksum
+    FROM d GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("pipeline", "multimodal", "video"),
+    doc="Shot-boundary detection through the real AVI/RIFF roundtrip: L1 "
+    "pixel delta between consecutive decoded frames, cut when delta > "
+    "1050; per-doc cut count / first cut / exact integer delta checksum; "
+    "one mapInPandas pass, per-doc state only, no shuffle.",
+)
+def mm_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from sensql_presto_spark.multimodal import decode_avi, encode_avi_rgb24
+
+    frame_len = _VID_W * _VID_H * 3
+
+    def cuts(batches):
+        for pdf in batches:
+            ids, nfs, ncs, firsts, sums_ = [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = [ord(c) % 256 for c in text]
+                n = len(codes)
+                n_frames = 1 + n % 5
+                frames = [
+                    bytes(codes[(fi * 7 + i) % n] for i in range(frame_len))
+                    for fi in range(n_frames)
+                ]
+                payload = encode_avi_rgb24(frames, _VID_W, _VID_H)
+                w, h, nf, decoded = decode_avi(payload)
+                assert (w, h, nf) == (_VID_W, _VID_H, n_frames)
+                n_cuts, first_cut, checksum = 0, -1, 0
+                for fi in range(nf - 1):
+                    delta = sum(
+                        abs(a - b) for a, b in zip(decoded[fi], decoded[fi + 1])
+                    )
+                    checksum += delta * (fi + 1)
+                    if delta > 1050:
+                        n_cuts += 1
+                        if first_cut < 0:
+                            first_cut = fi + 1
+                ids.append(doc_id)
+                nfs.append(nf)
+                ncs.append(n_cuts)
+                firsts.append(first_cut)
+                sums_.append(checksum)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_frames": nfs,
+                    "n_cuts": ncs,
+                    "first_cut_frame": firsts,
+                    "delta_checksum": sums_,
+                }
+            )
+
+    docs = catalog.table(spark, sf_dir, "documents").where(
+        "doc_id < 120 AND length(text) > 0 AND length(text) % 5 != 0"
+    )
+    out_schema = (
+        "doc_id bigint, n_frames bigint, n_cuts bigint, "
+        "first_cut_frame bigint, delta_checksum bigint"
+    )
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(cuts, out_schema)
+        .orderBy("doc_id")
+    )

@@ -536,3 +536,14 @@ def test_khop_distances_rounds_never_rescan_source(spark):
     assert "parquet" not in plan
     assert "CartesianProduct" not in plan and "Python" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_video_scene_cut_single_pass_no_shuffle(spark):
+    """mm_video_scene_cut: one Arrow mapInPandas pass over the pruned
+    corpus scan with per-doc aggregates emitted executor-side — no hash
+    exchange before the presentation sort, no row-at-a-time Python."""
+    plan = _plan(spark, "mm_video_scene_cut", mode="simple")
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
