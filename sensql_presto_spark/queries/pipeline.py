@@ -4936,3 +4936,318 @@ def mm_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(cuts, out_schema)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN join (corpus-vs-corpus neighbor-graph construction)
+# ---------------------------------------------------------------------------
+# The probe-based sim_* operators answer "nearest corpus vectors to THIS
+# query"; a curation pipeline equally needs the SELF-join form — a k-NN
+# edge per corpus vector — as the substrate for SemDeDup clustering,
+# embedding-graph community detection, and density-based filtering.  The
+# scale shape is bucketed blocking, never the O(n^2) all-pairs join:
+# every vector gets a 4-bit sign-LSH bucket (deterministic INTEGER
+# hyperplanes: weight(j,d) = ((j*2654435761 + d*40503 + 12345) % 1009)*2
+# - 1009, an exact-integer rescaling of sim_lsh_hyperplane's float
+# planes), the bucketed corpus is materialized ONCE (localCheckpoint; a
+# staging table at cluster scale), and candidates come from ONE
+# bucket-equi self-join — per-bucket pair volume, shuffle on the bucket
+# key.  Ranking is the exact-integer cosine sort key of sim_hybrid_rrf
+# ((dot^2 * 1000) DIV |b|^2 signed by the dot; |a|^2 is constant inside
+# a src partition so it drops out of the per-src ordering), ties broken
+# by neighbor id, top-3 pruned by WindowGroupLimit.  Like every
+# bucketed ANN here, recall-vs-bruteforce is a property of the LSH
+# family; the ORACLE checks the mechanism bit-for-bit.
+
+_KNN_CORPUS_SQL = """
+    WITH e AS (
+        SELECT vec_id,
+               transform(embedding, x -> cast(round(cast(x AS double) * 1000) AS bigint)) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v,
+               aggregate(v, cast(0 AS bigint), (acc, x) -> acc + x * x) AS nrm2
+        FROM e
+    ),
+    rows_ AS (SELECT vec_id, posexplode(v) AS (d, x) FROM e),
+    proj AS (
+        SELECT vec_id,
+               sum(x * (cast((0L * 2654435761 + d * 40503 + 12345) % 1009 AS bigint) * 2 - 1009)) AS p0,
+               sum(x * (cast((1L * 2654435761 + d * 40503 + 12345) % 1009 AS bigint) * 2 - 1009)) AS p1,
+               sum(x * (cast((2L * 2654435761 + d * 40503 + 12345) % 1009 AS bigint) * 2 - 1009)) AS p2,
+               sum(x * (cast((3L * 2654435761 + d * 40503 + 12345) % 1009 AS bigint) * 2 - 1009)) AS p3
+        FROM rows_ GROUP BY vec_id
+    ),
+    sig AS (
+        SELECT vec_id,
+               (CASE WHEN p0 >= 0 THEN 1L ELSE 0L END)
+             + (CASE WHEN p1 >= 0 THEN 2L ELSE 0L END)
+             + (CASE WHEN p2 >= 0 THEN 4L ELSE 0L END)
+             + (CASE WHEN p3 >= 0 THEN 8L ELSE 0L END) AS bucket
+        FROM proj
+    )
+    SELECT n.vec_id, n.v, n.nrm2, s.bucket
+    FROM n JOIN sig s ON n.vec_id = s.vec_id
+    WHERE n.nrm2 > 0
+    """
+
+_KNN_JOIN_SQL = """
+    WITH pairs AS (
+        SELECT a.vec_id AS src, b.vec_id AS nbr,
+               aggregate(zip_with(a.v, b.v, (x, y) -> x * y),
+                         cast(0 AS bigint), (acc, x) -> acc + x) AS dot,
+               b.nrm2
+        FROM {E} a JOIN {E} b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    keyed AS (
+        SELECT src, nbr,
+               CASE WHEN dot >= 0 THEN (dot * dot * 1000) DIV nrm2
+                    ELSE -((dot * dot * 1000) DIV nrm2) END AS sim_key
+        FROM pairs
+    ),
+    ranked AS (
+        SELECT src, nbr, sim_key,
+               row_number() OVER (PARTITION BY src ORDER BY sim_key DESC, nbr) AS rk
+        FROM keyed
+    )
+    SELECT src AS vec_id, rk, nbr AS neighbor_id, sim_key
+    FROM ranked WHERE rk <= 3
+    ORDER BY vec_id, rk
+    """
+
+
+@register(
+    "sim_knn_join",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id,
+               [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding] AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v, CAST(list_sum([x * x FOR x IN v]) AS BIGINT) AS nrm2
+        FROM e
+    ),
+    proj AS (
+        SELECT vec_id,
+               CAST(list_sum([v[d] * (((0::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) * 2 - 1009) FOR d IN generate_series(1, 64)]) AS BIGINT) AS p0,
+               CAST(list_sum([v[d] * (((1::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) * 2 - 1009) FOR d IN generate_series(1, 64)]) AS BIGINT) AS p1,
+               CAST(list_sum([v[d] * (((2::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) * 2 - 1009) FOR d IN generate_series(1, 64)]) AS BIGINT) AS p2,
+               CAST(list_sum([v[d] * (((3::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) * 2 - 1009) FOR d IN generate_series(1, 64)]) AS BIGINT) AS p3
+        FROM e
+    ),
+    sig AS (
+        SELECT vec_id,
+               (CASE WHEN p0 >= 0 THEN 1::BIGINT ELSE 0 END)
+             + (CASE WHEN p1 >= 0 THEN 2::BIGINT ELSE 0 END)
+             + (CASE WHEN p2 >= 0 THEN 4::BIGINT ELSE 0 END)
+             + (CASE WHEN p3 >= 0 THEN 8::BIGINT ELSE 0 END) AS bucket
+        FROM proj
+    ),
+    corpus AS (
+        SELECT n.vec_id, n.v, n.nrm2, s.bucket
+        FROM n JOIN sig s ON n.vec_id = s.vec_id
+        WHERE n.nrm2 > 0
+    ),
+    pairs AS (
+        SELECT a.vec_id AS src, b.vec_id AS nbr,
+               CAST(list_sum([a.v[i] * b.v[i] FOR i IN generate_series(1, 64)]) AS BIGINT) AS dot,
+               b.nrm2
+        FROM corpus a JOIN corpus b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    keyed AS (
+        SELECT src, nbr,
+               CAST(CASE WHEN dot >= 0 THEN (dot * dot * 1000) // nrm2
+                         ELSE -((dot * dot * 1000) // nrm2) END AS BIGINT) AS sim_key
+        FROM pairs
+    ),
+    ranked AS (
+        SELECT src, nbr, sim_key,
+               row_number() OVER (PARTITION BY src ORDER BY sim_key DESC, nbr) AS rk
+        FROM keyed
+    )
+    SELECT src AS vec_id, rk, nbr AS neighbor_id, sim_key
+    FROM ranked WHERE rk <= 3
+    ORDER BY vec_id, rk
+    """,
+    tags=("pipeline", "similarity", "knn"),
+    doc="Bucketed k-NN self-join (neighbor-graph construction): 4-bit "
+    "integer sign-LSH blocking, bucketed corpus materialized once, ONE "
+    "bucket-equi self-join (never all-pairs), exact-integer cosine sort "
+    "key, top-3 per vector via WindowGroupLimit.",
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = catalog.sql(spark, sf_dir, _KNN_CORPUS_SQL).localCheckpoint(eager=True)
+    corpus.createOrReplaceTempView("__knn_corpus")
+    return spark.sql(_KNN_JOIN_SQL.format(E="__knn_corpus"))
+
+
+# ---------------------------------------------------------------------------
+# LM-score corpus bucketing (CCNet-style head / middle / tail split)
+# ---------------------------------------------------------------------------
+# CCNet (Wenzek et al. 2020) buckets each snapshot into head/middle/tail
+# terciles by language-model perplexity and trains preferentially on the
+# head.  The LM score here is an exact-integer familiarity proxy — the
+# token-occurrence-weighted mean corpus frequency of the document's words,
+# in milli-units ((1000 * sum(tf * corpus_freq)) DIV sum(tf)) — monotone
+# in the unigram-LM log-likelihood's dominant term but free of the float
+# log/quantile drift that would break the driver's exact-hash gate (the
+# true trigram-LM score lives in text_trigram_logprob).  The tercile
+# thresholds are computed the way exact quantiles are computed at 100 TB:
+# aggregate the corpus to a SCORE HISTOGRAM (distinct milli scores —
+# bounded by value range, not corpus size), one cumulative window over
+# that histogram, pick the two rank cutoffs, broadcast two scalars back
+# over the corpus.  No global row sort, no single-partition window over
+# data-sized input.  The posting table (doc_id, word, tf) is materialized
+# once and feeds both the corpus-frequency aggregate and the per-doc
+# score (Spark inlines CTEs — without the checkpoint the tokenizer would
+# run twice).
+
+_PPL_POSTING_SQL = """
+    SELECT doc_id, w, count(*) AS c
+    FROM (SELECT doc_id, explode(split(text, ' ')) AS w FROM documents)
+    GROUP BY doc_id, w
+    """
+
+_PPL_BUCKET_SQL = """
+    WITH wf AS (SELECT w, cast(sum(c) AS bigint) AS freq FROM {P} GROUP BY w),
+    score AS (
+        SELECT p.doc_id,
+               (1000 * sum(p.c * f.freq)) DIV sum(p.c) AS familiarity_milli
+        FROM {P} p JOIN wf f ON p.w = f.w
+        GROUP BY p.doc_id
+    ),
+    hist AS (SELECT familiarity_milli AS s, count(*) AS cnt FROM score GROUP BY familiarity_milli),
+    cum AS (SELECT s, sum(cnt) OVER (ORDER BY s DESC) AS cum FROM hist),
+    tot AS (SELECT count(*) AS n FROM score),
+    thresholds AS (
+        SELECT (SELECT max(s) FROM cum CROSS JOIN tot WHERE cum >= (n + 2) DIV 3) AS t1,
+               (SELECT max(s) FROM cum CROSS JOIN tot WHERE cum >= (2 * n + 2) DIV 3) AS t2
+    )
+    SELECT sc.doc_id, sc.familiarity_milli,
+           CASE WHEN sc.familiarity_milli >= th.t1 THEN 'head'
+                WHEN sc.familiarity_milli >= th.t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM score sc CROSS JOIN thresholds th
+    ORDER BY sc.doc_id
+    """
+
+_PPL_ORACLE = """
+    WITH posting AS (
+        SELECT doc_id, w, count(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY doc_id, w
+    ),
+    wf AS (SELECT w, cast(sum(c) AS BIGINT) AS freq FROM posting GROUP BY w),
+    score AS (
+        SELECT p.doc_id,
+               CAST((1000 * sum(p.c * f.freq)) // sum(p.c) AS BIGINT) AS familiarity_milli
+        FROM posting p JOIN wf f ON p.w = f.w
+        GROUP BY p.doc_id
+    ),
+    hist AS (SELECT familiarity_milli AS s, count(*) AS cnt FROM score GROUP BY familiarity_milli),
+    cum AS (SELECT s, sum(cnt) OVER (ORDER BY s DESC) AS cum FROM hist),
+    tot AS (SELECT count(*) AS n FROM score),
+    thresholds AS (
+        SELECT (SELECT max(s) FROM cum CROSS JOIN tot WHERE cum >= (n + 2) // 3) AS t1,
+               (SELECT max(s) FROM cum CROSS JOIN tot WHERE cum >= (2 * n + 2) // 3) AS t2
+    )
+    SELECT sc.doc_id, sc.familiarity_milli,
+           CASE WHEN sc.familiarity_milli >= th.t1 THEN 'head'
+                WHEN sc.familiarity_milli >= th.t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM score sc CROSS JOIN thresholds th
+    ORDER BY sc.doc_id
+    """
+
+
+@register(
+    "text_perplexity_bucket",
+    oracle=_PPL_ORACLE,
+    tags=("pipeline", "text", "quality", "ccnet"),
+    doc="CCNet-style head/middle/tail tercile bucketing by an "
+    "exact-integer LM-familiarity score; thresholds via the "
+    "score-histogram cumulative-window exact-quantile shape, two "
+    "scalars broadcast back over the corpus.",
+)
+def text_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    posting = catalog.sql(spark, sf_dir, _PPL_POSTING_SQL).localCheckpoint(eager=True)
+    posting.createOrReplaceTempView("__ppl_posting")
+    return spark.sql(_PPL_BUCKET_SQL.format(P="__ppl_posting"))
+
+
+# ---------------------------------------------------------------------------
+# Link prediction (common-neighbors / Jaccard over the block web)
+# ---------------------------------------------------------------------------
+# The sixth graph primitive: score non-adjacent node pairs by
+# neighborhood overlap (Liben-Nowell & Kleinberg 2003) — the "related
+# documents / related entities" candidate generator.  The scale shape is
+# wedge enumeration, exactly like graph_triangle_count: ONE edge-vs-edge
+# equi-join on the shared wedge center (shuffle on the center id, never
+# an all-pairs node join), aggregated to common-neighbor counts, with
+# existing edges removed by NOT EXISTS (an anti-join).  Two scale levers
+# the 100 TB posture needs are both exercised at test scale: (a) HUB
+# SUPPRESSION — nodes of degree > 13 are excluded as wedge centers (the
+# standard skew bound: a degree-d hub alone emits d^2 wedges; the cap
+# trades recall on hub-mediated pairs for a hard per-center bound, and
+# at 11..15-degree test graphs it genuinely prunes about half the
+# centers, so both branches run); (b) the final global top-50 is ORDER
+# BY + LIMIT — Spark's TakeOrderedAndProject (distributed per-partition
+# top-k + driver merge), NOT a single-partition row_number window.
+# jaccard_milli = (1000 * cn) DIV (deg_u + deg_w - cn) is exact-integer.
+# Edges are the corpus-scaled symmetric block web, checkpointed once.
+
+_LINKPRED_SQL = """
+    WITH deg AS (SELECT src AS id, count(*) AS deg FROM {E} GROUP BY src),
+    centers AS (SELECT id FROM deg WHERE deg <= 13),
+    cand AS (
+        SELECT a.src AS u, b.dst AS w, count(*) AS cn
+        FROM {E} a
+        JOIN centers c ON a.dst = c.id
+        JOIN {E} b ON a.dst = b.src AND a.src < b.dst
+        GROUP BY a.src, b.dst
+    ),
+    fresh AS (
+        SELECT c.u, c.w, c.cn FROM cand c
+        WHERE NOT EXISTS (SELECT 1 FROM {E} e WHERE e.src = c.u AND e.dst = c.w)
+    ),
+    scored AS (
+        SELECT f.u, f.w, f.cn,
+               (1000 * f.cn) DIV (du.deg + dw.deg - f.cn) AS jaccard_milli
+        FROM fresh f
+        JOIN deg du ON f.u = du.id
+        JOIN deg dw ON f.w = dw.id
+    )
+    SELECT cast(u AS bigint) AS node_u, cast(w AS bigint) AS node_w,
+           cast(cn AS bigint) AS common_neighbors,
+           cast(jaccard_milli AS bigint) AS jaccard_milli
+    FROM scored
+    ORDER BY jaccard_milli DESC, common_neighbors DESC, node_u, node_w
+    LIMIT 50
+    """
+
+_LINKPRED_ORACLE = (
+    _LABELPROP_GRAPH_SQL.rstrip().removesuffix("SELECT src, dst FROM sym")
+    + ",\n    "
+    + _LINKPRED_SQL.format(E="sym").replace(" DIV ", " // ").lstrip().removeprefix("WITH ")
+)
+assert _LINKPRED_ORACLE.count("WITH ") == 1
+
+
+@register(
+    "graph_link_prediction",
+    oracle=_LINKPRED_ORACLE,
+    tags=("pipeline", "graph", "linkpred"),
+    doc="Common-neighbor / Jaccard link prediction (Liben-Nowell & "
+    "Kleinberg 2003): wedge equi-join on the shared center with "
+    "degree<=13 hub suppression, NOT-EXISTS edge removal, exact-integer "
+    "jaccard_milli, global top-50 via TakeOrderedAndProject; edges "
+    "checkpointed once.",
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sym = catalog.sql(spark, sf_dir, _LABELPROP_GRAPH_SQL).localCheckpoint(eager=True)
+    sym.createOrReplaceTempView("__lprd_sym")
+    return spark.sql(_LINKPRED_SQL.format(E="__lprd_sym"))

@@ -547,3 +547,41 @@ def test_video_scene_cut_single_pass_no_shuffle(spark):
     assert "BatchEvalPython" not in plan
     assert "Exchange hashpartitioning" not in plan
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_knn_join_bucketed_not_all_pairs(spark):
+    """sim_knn_join: the self-join is an equi-join on the LSH bucket over
+    the checkpointed corpus (zero parquet rescans) — never a cartesian —
+    and the per-vector top-3 prunes map-side via WindowGroupLimit."""
+    plan = _plan(spark, "sim_knn_join", mode="simple")
+    assert "parquet" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan and "Python" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_perplexity_bucket_histogram_quantile_shape(spark):
+    """text_perplexity_bucket: the posting table is checkpointed (zero
+    parquet rescans); the only single-partition window runs over the
+    SCORE HISTOGRAM (bounded by the milli-score value range, not corpus
+    size), and the thresholds reach the corpus as a broadcast 1-row
+    relation — no global row sort of the corpus before the presentation
+    ORDER BY."""
+    plan = _plan(spark, "text_perplexity_bucket", mode="simple")
+    assert "parquet" not in plan
+    # the threshold pair travels as a broadcast, never a shuffle
+    assert "IdentityBroadcastMode" in plan
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_link_prediction_wedge_join_and_distributed_topk(spark):
+    """graph_link_prediction: wedge enumeration is an equi-join on the
+    (degree-capped) wedge center over checkpointed edges; existing edges
+    leave via an anti-join; the global top-50 is TakeOrderedAndProject
+    (distributed top-k), not a single-partition window."""
+    plan = _plan(spark, "graph_link_prediction", mode="simple")
+    assert "parquet" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "LeftAnti" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan and "Python" not in plan
