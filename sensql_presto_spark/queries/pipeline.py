@@ -5251,3 +5251,256 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = catalog.sql(spark, sf_dir, _LABELPROP_GRAPH_SQL).localCheckpoint(eager=True)
     sym.createOrReplaceTempView("__lprd_sym")
     return spark.sql(_LINKPRED_SQL.format(E="__lprd_sym"))
+
+
+# ---------------------------------------------------------------------------
+# NN-Descent refinement round (k-NN graph improvement)
+# ---------------------------------------------------------------------------
+# The standard second stage after blocked k-NN construction: NN-Descent
+# (Dong et al. 2011) exploits "a neighbor of my neighbor is likely my
+# neighbor" — candidates for each vector are the current graph's 1-hop
+# edges, their REVERSES, and the 2-hop expansion, re-ranked exactly.
+# For the expansion to ever ESCAPE the initial blocking, the initial
+# graph must not be an equivalence partition (inside one LSH bucket a
+# neighbor's neighbors are the same bucket again — a single-bucket init
+# makes the round a provable no-op).  So the init here is the union of
+# TWO independent 4-bit sign-LSH blockings (hyperplanes j=0..3 and
+# j=4..7): u's neighbor v shares u's A-bucket but brings v's OWN
+# B-bucket neighbors, which u's blocking never saw — exactly the
+# cross-bucket recall the round recovers (test-asserted to actually
+# change edges at every scale).  Scale shape: the k-NN edge table is
+# ~2k·n rows, materialized once alongside the bucketed vector table;
+# the 2-hop expansion is ONE self-join of that edge table on the shared
+# middle vertex (<= (2k)^2 candidates per vector), then ONE re-rank
+# join back to the vector table and a WindowGroupLimit top-3.  No
+# all-pairs anywhere; every join is an equi-join on vector ids or
+# bucket keys.
+
+_NND_CORPUS_SQL = """
+    WITH e AS (
+        SELECT vec_id,
+               transform(embedding, x -> cast(round(cast(x AS double) * 1000) AS bigint)) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v,
+               aggregate(v, cast(0 AS bigint), (acc, x) -> acc + x * x) AS nrm2
+        FROM e
+    ),
+    rows_ AS (SELECT vec_id, posexplode(v) AS (d, x) FROM e),
+    proj AS (
+        SELECT vec_id,
+               sum(x * (cast((0L * 2654435761 + d * 40503 + 12345) % 1009 AS bigint) * 2 - 1009)) AS p0,
+               sum(x * (cast((1L * 2654435761 + d * 40503 + 12345) % 1009 AS bigint) * 2 - 1009)) AS p1,
+               sum(x * (cast((2L * 2654435761 + d * 40503 + 12345) % 1009 AS bigint) * 2 - 1009)) AS p2,
+               sum(x * (cast((3L * 2654435761 + d * 40503 + 12345) % 1009 AS bigint) * 2 - 1009)) AS p3,
+               sum(x * (cast((4L * 2654435761 + d * 40503 + 12345) % 1009 AS bigint) * 2 - 1009)) AS p4,
+               sum(x * (cast((5L * 2654435761 + d * 40503 + 12345) % 1009 AS bigint) * 2 - 1009)) AS p5,
+               sum(x * (cast((6L * 2654435761 + d * 40503 + 12345) % 1009 AS bigint) * 2 - 1009)) AS p6,
+               sum(x * (cast((7L * 2654435761 + d * 40503 + 12345) % 1009 AS bigint) * 2 - 1009)) AS p7
+        FROM rows_ GROUP BY vec_id
+    ),
+    sig AS (
+        SELECT vec_id,
+               (CASE WHEN p0 >= 0 THEN 1L ELSE 0L END)
+             + (CASE WHEN p1 >= 0 THEN 2L ELSE 0L END)
+             + (CASE WHEN p2 >= 0 THEN 4L ELSE 0L END)
+             + (CASE WHEN p3 >= 0 THEN 8L ELSE 0L END) AS bucket_a,
+               (CASE WHEN p4 >= 0 THEN 1L ELSE 0L END)
+             + (CASE WHEN p5 >= 0 THEN 2L ELSE 0L END)
+             + (CASE WHEN p6 >= 0 THEN 4L ELSE 0L END)
+             + (CASE WHEN p7 >= 0 THEN 8L ELSE 0L END) AS bucket_b
+        FROM proj
+    )
+    SELECT n.vec_id, n.v, n.nrm2, s.bucket_a, s.bucket_b
+    FROM n JOIN sig s ON n.vec_id = s.vec_id
+    WHERE n.nrm2 > 0
+    """
+
+_NND_EDGES_SQL = """
+    WITH bands AS (
+        SELECT vec_id, b, if(b = 0, bucket_a, bucket_b) AS bv
+        FROM {E} LATERAL VIEW explode(sequence(0, 1)) t AS b
+    ),
+    cpairs AS (
+        SELECT DISTINCT a.vec_id AS src, b.vec_id AS nbr
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.bv = b.bv AND a.vec_id <> b.vec_id
+    ),
+    scored AS (
+        SELECT c.src, c.nbr,
+               aggregate(zip_with(va.v, vb.v, (x, y) -> x * y),
+                         cast(0 AS bigint), (acc, x) -> acc + x) AS dot,
+               vb.nrm2
+        FROM cpairs c
+        JOIN {E} va ON c.src = va.vec_id
+        JOIN {E} vb ON c.nbr = vb.vec_id
+    ),
+    ranked AS (
+        SELECT src, nbr,
+               row_number() OVER (PARTITION BY src ORDER BY
+                   (CASE WHEN dot >= 0 THEN (dot * dot * 1000) DIV nrm2
+                         ELSE -((dot * dot * 1000) DIV nrm2) END) DESC, nbr) AS rk
+        FROM scored
+    )
+    SELECT src, nbr FROM ranked WHERE rk <= 3
+    """
+
+# The three candidate branches reorder the SAME edge attributes (src,nbr
+# / nbr,src), which trips Spark's Union constraint rewriting
+# (rewriteConstraints AttributeMap lookup) when joins sit above the
+# union — so the candidate set is built as its own step (and
+# materialized with the other staging tables) instead of a CTE.
+_NND_CAND_SQL = """
+    SELECT DISTINCT s AS src, n AS nbr FROM (
+        SELECT src AS s, nbr AS n FROM {K}
+        UNION ALL
+        SELECT nbr AS s, src AS n FROM {K}
+        UNION ALL
+        SELECT e1.src AS s, e2.nbr AS n
+        FROM {K} e1 JOIN {K} e2 ON e1.nbr = e2.src AND e1.src <> e2.nbr
+    )
+    """
+
+_NND_ROUND_SQL = """
+    WITH rescored AS (
+        SELECT c.src, c.nbr,
+               aggregate(zip_with(va.v, vb.v, (x, y) -> x * y),
+                         cast(0 AS bigint), (acc, x) -> acc + x) AS dot,
+               vb.nrm2
+        FROM {C} c
+        JOIN {E} va ON c.src = va.vec_id
+        JOIN {E} vb ON c.nbr = vb.vec_id
+    ),
+    keyed AS (
+        SELECT src, nbr,
+               CASE WHEN dot >= 0 THEN (dot * dot * 1000) DIV nrm2
+                    ELSE -((dot * dot * 1000) DIV nrm2) END AS sim_key
+        FROM rescored
+    ),
+    ranked AS (
+        SELECT src, nbr, sim_key,
+               row_number() OVER (PARTITION BY src ORDER BY sim_key DESC, nbr) AS rk
+        FROM keyed
+    )
+    SELECT src AS vec_id, rk, nbr AS neighbor_id, sim_key
+    FROM ranked WHERE rk <= 3
+    ORDER BY vec_id, rk
+    """
+
+_NND_ORACLE = """
+    WITH e AS (
+        SELECT vec_id,
+               [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding] AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v, CAST(list_sum([x * x FOR x IN v]) AS BIGINT) AS nrm2
+        FROM e
+    ),
+    proj AS (
+        SELECT vec_id,
+               CAST(list_sum([v[d] * (((0::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) * 2 - 1009) FOR d IN generate_series(1, 64)]) AS BIGINT) AS p0,
+               CAST(list_sum([v[d] * (((1::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) * 2 - 1009) FOR d IN generate_series(1, 64)]) AS BIGINT) AS p1,
+               CAST(list_sum([v[d] * (((2::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) * 2 - 1009) FOR d IN generate_series(1, 64)]) AS BIGINT) AS p2,
+               CAST(list_sum([v[d] * (((3::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) * 2 - 1009) FOR d IN generate_series(1, 64)]) AS BIGINT) AS p3,
+               CAST(list_sum([v[d] * (((4::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) * 2 - 1009) FOR d IN generate_series(1, 64)]) AS BIGINT) AS p4,
+               CAST(list_sum([v[d] * (((5::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) * 2 - 1009) FOR d IN generate_series(1, 64)]) AS BIGINT) AS p5,
+               CAST(list_sum([v[d] * (((6::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) * 2 - 1009) FOR d IN generate_series(1, 64)]) AS BIGINT) AS p6,
+               CAST(list_sum([v[d] * (((7::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) * 2 - 1009) FOR d IN generate_series(1, 64)]) AS BIGINT) AS p7
+        FROM e
+    ),
+    sig AS (
+        SELECT vec_id,
+               (CASE WHEN p0 >= 0 THEN 1::BIGINT ELSE 0 END)
+             + (CASE WHEN p1 >= 0 THEN 2::BIGINT ELSE 0 END)
+             + (CASE WHEN p2 >= 0 THEN 4::BIGINT ELSE 0 END)
+             + (CASE WHEN p3 >= 0 THEN 8::BIGINT ELSE 0 END) AS bucket_a,
+               (CASE WHEN p4 >= 0 THEN 1::BIGINT ELSE 0 END)
+             + (CASE WHEN p5 >= 0 THEN 2::BIGINT ELSE 0 END)
+             + (CASE WHEN p6 >= 0 THEN 4::BIGINT ELSE 0 END)
+             + (CASE WHEN p7 >= 0 THEN 8::BIGINT ELSE 0 END) AS bucket_b
+        FROM proj
+    ),
+    corpus AS (
+        SELECT n.vec_id, n.v, n.nrm2, s.bucket_a, s.bucket_b
+        FROM n JOIN sig s ON n.vec_id = s.vec_id
+        WHERE n.nrm2 > 0
+    ),
+    bands AS (
+        SELECT vec_id, b, CASE WHEN b = 0 THEN bucket_a ELSE bucket_b END AS bv
+        FROM corpus, unnest([0, 1]) t(b)
+    ),
+    cpairs AS (
+        SELECT DISTINCT a.vec_id AS src, b.vec_id AS nbr
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.bv = b.bv AND a.vec_id <> b.vec_id
+    ),
+    scored0 AS (
+        SELECT c.src, c.nbr,
+               CAST(list_sum([va.v[i] * vb.v[i] FOR i IN generate_series(1, 64)]) AS BIGINT) AS dot,
+               vb.nrm2
+        FROM cpairs c
+        JOIN corpus va ON c.src = va.vec_id
+        JOIN corpus vb ON c.nbr = vb.vec_id
+    ),
+    knn0 AS (
+        SELECT src, nbr,
+               row_number() OVER (PARTITION BY src ORDER BY
+                   (CASE WHEN dot >= 0 THEN (dot * dot * 1000) // nrm2
+                         ELSE -((dot * dot * 1000) // nrm2) END) DESC, nbr) AS rk
+        FROM scored0
+    ),
+    edges AS (SELECT src, nbr FROM knn0 WHERE rk <= 3),
+    cand AS (
+        SELECT src, nbr FROM edges
+        UNION
+        SELECT nbr AS src, src AS nbr FROM edges
+        UNION
+        SELECT e1.src, e2.nbr
+        FROM edges e1 JOIN edges e2 ON e1.nbr = e2.src AND e1.src <> e2.nbr
+    ),
+    rescored AS (
+        SELECT c.src, c.nbr,
+               CAST(list_sum([va.v[i] * vb.v[i] FOR i IN generate_series(1, 64)]) AS BIGINT) AS dot,
+               vb.nrm2
+        FROM cand c
+        JOIN corpus va ON c.src = va.vec_id
+        JOIN corpus vb ON c.nbr = vb.vec_id
+    ),
+    keyed AS (
+        SELECT src, nbr,
+               CAST(CASE WHEN dot >= 0 THEN (dot * dot * 1000) // nrm2
+                         ELSE -((dot * dot * 1000) // nrm2) END AS BIGINT) AS sim_key
+        FROM rescored
+    ),
+    ranked AS (
+        SELECT src, nbr, sim_key,
+               row_number() OVER (PARTITION BY src ORDER BY sim_key DESC, nbr) AS rk
+        FROM keyed
+    )
+    SELECT src AS vec_id, rk, nbr AS neighbor_id, sim_key
+    FROM ranked WHERE rk <= 3
+    ORDER BY vec_id, rk
+    """
+
+
+@register(
+    "sim_nn_descent_round",
+    oracle=_NND_ORACLE,
+    tags=("pipeline", "similarity", "knn", "nn-descent"),
+    doc="One NN-Descent refinement round (Dong et al. 2011) over a k-NN "
+    "graph initialized from TWO independent 4-bit sign-LSH blockings "
+    "(a single blocking makes the round a provable no-op): candidates "
+    "= 1-hop edges + reverses + 2-hop expansion (edge-table self-join), "
+    "exact-integer re-rank, top-3 via WindowGroupLimit; vector and edge "
+    "tables materialized once.",
+)
+def sim_nn_descent_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = catalog.sql(spark, sf_dir, _NND_CORPUS_SQL).localCheckpoint(eager=True)
+    corpus.createOrReplaceTempView("__nnd_corpus")
+    edges = spark.sql(_NND_EDGES_SQL.format(E="__nnd_corpus")).localCheckpoint(eager=True)
+    edges.createOrReplaceTempView("__nnd_edges")
+    cand = spark.sql(_NND_CAND_SQL.format(K="__nnd_edges")).localCheckpoint(eager=True)
+    cand.createOrReplaceTempView("__nnd_cand")
+    return spark.sql(_NND_ROUND_SQL.format(E="__nnd_corpus", C="__nnd_cand"))

@@ -364,3 +364,49 @@ def test_kcore_fixpoint_and_independent_peeling(spark):
     }
     for u in alive:
         assert deg[u] == sum(v in alive for v in adj[u])
+
+
+def test_nn_descent_round_improves_blocked_knn(spark):
+    """One NN-Descent round must (a) genuinely escape the initial
+    blocking — some refined edges are NOT in the two-blocking init graph
+    — and (b) never regress: each vector's rank-1 sim_key is >= the
+    init graph's rank-1 key, because the candidate set is a superset of
+    the vector's init edges."""
+    from sensql_presto_spark import catalog
+    from sensql_presto_spark.queries.pipeline import (
+        _NND_CORPUS_SQL,
+        _NND_EDGES_SQL,
+    )
+
+    corpus = catalog.sql(spark, SF_DIR, _NND_CORPUS_SQL).localCheckpoint(eager=True)
+    corpus.createOrReplaceTempView("__nnd_test_corpus")
+    init = spark.sql(
+        """
+        WITH scored AS (
+            SELECT e.src, e.nbr,
+                   aggregate(zip_with(va.v, vb.v, (x, y) -> x * y),
+                             cast(0 AS bigint), (acc, x) -> acc + x) AS dot,
+                   vb.nrm2
+            FROM ({E}) e
+            JOIN __nnd_test_corpus va ON e.src = va.vec_id
+            JOIN __nnd_test_corpus vb ON e.nbr = vb.vec_id
+        )
+        SELECT src, nbr,
+               CASE WHEN dot >= 0 THEN (dot * dot * 1000) DIV nrm2
+                    ELSE -((dot * dot * 1000) DIV nrm2) END AS sim_key
+        FROM scored
+        """.format(E=_NND_EDGES_SQL.format(E="__nnd_test_corpus"))
+    ).toPandas()
+    refined = registry.get("sim_nn_descent_round").build(spark, SF_DIR).toPandas()
+
+    init_edges = set(map(tuple, init[["src", "nbr"]].values))
+    ref_edges = set(map(tuple, refined[["vec_id", "neighbor_id"]].values))
+    escaped = ref_edges - init_edges
+    assert len(escaped) > 0, "refinement found nothing outside the blocking"
+
+    init_top1 = init.sort_values(["src", "sim_key", "nbr"], ascending=[True, False, True])
+    init_top1 = init_top1.groupby("src").first().sim_key
+    ref_top1 = refined[refined.rk == 1].set_index("vec_id").sim_key
+    common = init_top1.index.intersection(ref_top1.index)
+    assert (ref_top1[common] >= init_top1[common]).all()
+    assert (ref_top1[common] > init_top1[common]).any()

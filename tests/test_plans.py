@@ -585,3 +585,14 @@ def test_link_prediction_wedge_join_and_distributed_topk(spark):
     assert "LeftAnti" in plan
     assert "Window" not in plan
     assert "CartesianProduct" not in plan and "Python" not in plan
+
+
+def test_nn_descent_round_reads_only_staged_relations(spark):
+    """sim_nn_descent_round: the re-rank joins read the checkpointed
+    vector and candidate tables (zero parquet rescans), stay equi-joins,
+    and the top-3 prunes map-side via WindowGroupLimit."""
+    plan = _plan(spark, "sim_nn_descent_round", mode="simple")
+    assert "parquet" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan and "Python" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
