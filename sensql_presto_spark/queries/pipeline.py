@@ -3711,13 +3711,16 @@ _LABELPROP_ROUNDS_SQL = """
     ORDER BY node_id
     """
 
-# The oracle is the verbatim all-SQL composition (DuckDB computes CTEs
-# once, so the inlining concern is Spark-only).
+# The oracle is the verbatim all-SQL composition with the graph fixture
+# pinned MATERIALIZED: DuckDB inlines CTEs referenced from inside other
+# CTEs, so without the pin each unrolled round re-derives the fixture
+# from orders (measured 1.2-2.2s per graph oracle at sf0.01, ~10x that
+# at sf0.1).  Semantics are unchanged.
 _LABELPROP_ORACLE = (
     _LABELPROP_GRAPH_SQL.rstrip().removesuffix("SELECT src, dst FROM sym")
     + ",\n    "
     + _LABELPROP_ROUNDS_SQL.format(E="sym").lstrip().removeprefix("WITH ")
-)
+).replace("sym AS (", "sym AS MATERIALIZED (")
 assert _LABELPROP_ORACLE.count("WITH ") == 1
 
 
@@ -4093,6 +4096,15 @@ _DBSCAN_ORACLE = (
     + _DBSCAN_MAIN_SQL.format(PAIRS="pairs", PTS="pts").lstrip().removeprefix("WITH ")
 )
 assert _DBSCAN_ORACLE.count("WITH ") == 1
+# DuckDB inlines CTEs referenced from inside other CTEs, so the unrolled
+# min-label rounds re-evaluate their whole upstream ~3x per level (3^6
+# overall — measured 33s at sf0.01).  MATERIALIZED pins each round to one
+# evaluation (Spark doesn't need this: the pair/point inputs are
+# localCheckpoint-staged views).  Semantics are unchanged.
+for _n in ["pairs", "cedges", "l0"] + [f"p{_i}" for _i in range(1, 7)] + [
+    f"l{_i}" for _i in range(1, 7)
+]:
+    _DBSCAN_ORACLE = _DBSCAN_ORACLE.replace(f" {_n} AS (", f" {_n} AS MATERIALIZED (")
 
 
 @register(
@@ -4522,7 +4534,7 @@ _KCORE_ORACLE = (
     _KCORE_GRAPH_SQL.rstrip().removesuffix("SELECT src, dst FROM sym")
     + ",\n    "
     + _KCORE_ROUNDS_SQL.format(E="sym").lstrip().removeprefix("WITH ")
-)
+).replace("sym AS (", "sym AS MATERIALIZED (")
 assert _KCORE_ORACLE.count("WITH ") == 1
 
 
@@ -4813,7 +4825,7 @@ _KHOP_ORACLE = (
     _LABELPROP_GRAPH_SQL.rstrip().removesuffix("SELECT src, dst FROM sym")
     + ",\n    "
     + _KHOP_ROUNDS_SQL.format(E="sym").lstrip().removeprefix("WITH ")
-)
+).replace("sym AS (", "sym AS MATERIALIZED (")
 assert _KHOP_ORACLE.count("WITH ") == 1
 
 
@@ -5233,7 +5245,7 @@ _LINKPRED_ORACLE = (
     _LABELPROP_GRAPH_SQL.rstrip().removesuffix("SELECT src, dst FROM sym")
     + ",\n    "
     + _LINKPRED_SQL.format(E="sym").replace(" DIV ", " // ").lstrip().removeprefix("WITH ")
-)
+).replace("sym AS (", "sym AS MATERIALIZED (")
 assert _LINKPRED_ORACLE.count("WITH ") == 1
 
 
@@ -5504,3 +5516,192 @@ def sim_nn_descent_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = spark.sql(_NND_CAND_SQL.format(K="__nnd_edges")).localCheckpoint(eager=True)
     cand.createOrReplaceTempView("__nnd_cand")
     return spark.sql(_NND_ROUND_SQL.format(E="__nnd_corpus", C="__nnd_cand"))
+
+
+# ---------------------------------------------------------------------------
+# Shared-nearest-neighbor clustering (Jarvis-Patrick over the k-NN graph)
+# ---------------------------------------------------------------------------
+# The clustering counterpart of sim_knn_join: Jarvis-Patrick (1973; the
+# SNN density framing is Ertoz/Steinbach/Kumar 2003) links two vectors
+# iff they are MUTUAL k-nearest neighbors AND their neighbor lists share
+# >= t entries, then clusters = connected components of those strong
+# links — robust where plain distance thresholds fail (varying local
+# density), and the natural consumer of an already-materialized k-NN
+# edge table.  Scale shape: everything derives from the k·n edge table
+# (k=5 here), never the corpus: mutuality is ONE self-join on the
+# reversed pair, shared-neighbor counts are ONE self-join on the shared
+# neighbor id grouped by pair (the standard SNN sparsification; at 100
+# TB a reverse-degree cap on the join key bounds hub fan-out exactly as
+# in graph_link_prediction), and components run the same 6-round
+# min-label + pointer-jumping unroll as cluster_dbscan_grid over the
+# strong-edge table (which is symmetric by construction and carries
+# self-loops so the min-label walk is reflexive).  Every stage is
+# materialized once; every join is an equi-join.
+
+_SNN_EDGES_SQL = """
+    WITH pairs AS (
+        SELECT a.vec_id AS src, b.vec_id AS nbr,
+               aggregate(zip_with(a.v, b.v, (x, y) -> x * y),
+                         cast(0 AS bigint), (acc, x) -> acc + x) AS dot,
+               b.nrm2
+        FROM {E} a JOIN {E} b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT src, nbr,
+               row_number() OVER (PARTITION BY src ORDER BY
+                   (CASE WHEN dot >= 0 THEN (dot * dot * 1000) DIV nrm2
+                         ELSE -((dot * dot * 1000) DIV nrm2) END) DESC, nbr) AS rk
+        FROM pairs
+    )
+    SELECT src, nbr FROM ranked WHERE rk <= 5
+    """
+
+_SNN_STRONG_SQL = """
+    WITH mutual AS (
+        SELECT e1.src AS u, e1.nbr AS w
+        FROM {K} e1 JOIN {K} e2 ON e1.src = e2.nbr AND e1.nbr = e2.src
+    ),
+    shared AS (
+        SELECT m.u, m.w, count(*) AS sh
+        FROM mutual m
+        JOIN {K} a ON a.src = m.u
+        JOIN {K} b ON b.src = m.w AND b.nbr = a.nbr
+        GROUP BY m.u, m.w
+    ),
+    strong AS (SELECT u, w FROM shared WHERE sh >= 2)
+    SELECT u, w FROM strong
+    UNION ALL
+    SELECT DISTINCT u, u FROM strong
+    """
+
+_SNN_MAIN_SQL = (
+    """
+    WITH l0 AS (SELECT DISTINCT u AS id, u AS lbl FROM {S}),
+"""
+    + "".join(
+        f"""    p{i} AS (SELECT e.u AS id, min(l.lbl) AS lbl
+           FROM {{S}} e JOIN l{i - 1} l ON l.id = e.w GROUP BY e.u),
+    l{i} AS (SELECT p.id, l2.lbl FROM p{i} p JOIN p{i} l2 ON l2.id = p.lbl),
+"""
+        for i in range(1, 7)
+    )
+    + """    sized AS (
+        SELECT lbl, count(*) AS sz FROM l6 GROUP BY lbl
+    )
+    SELECT c.vec_id,
+           CAST(coalesce(l.lbl, c.vec_id) AS BIGINT) AS cluster,
+           CAST(coalesce(s.sz, 1) AS BIGINT) AS cluster_size
+    FROM {E} c
+    LEFT JOIN l6 l ON c.vec_id = l.id
+    LEFT JOIN sized s ON l.lbl = s.lbl
+    ORDER BY vec_id
+    """
+)
+
+_SNN_ORACLE = (
+    """
+    WITH e0 AS (
+        SELECT vec_id,
+               [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding] AS v
+        FROM embeddings
+    ),
+    n0 AS (
+        SELECT vec_id, v, CAST(list_sum([x * x FOR x IN v]) AS BIGINT) AS nrm2
+        FROM e0
+    ),
+    proj AS (
+        SELECT vec_id,
+               CAST(list_sum([v[d] * (((0::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) * 2 - 1009) FOR d IN generate_series(1, 64)]) AS BIGINT) AS p0,
+               CAST(list_sum([v[d] * (((1::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) * 2 - 1009) FOR d IN generate_series(1, 64)]) AS BIGINT) AS p1,
+               CAST(list_sum([v[d] * (((2::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) * 2 - 1009) FOR d IN generate_series(1, 64)]) AS BIGINT) AS p2,
+               CAST(list_sum([v[d] * (((3::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) * 2 - 1009) FOR d IN generate_series(1, 64)]) AS BIGINT) AS p3
+        FROM e0
+    ),
+    sig AS (
+        SELECT vec_id,
+               (CASE WHEN p0 >= 0 THEN 1::BIGINT ELSE 0 END)
+             + (CASE WHEN p1 >= 0 THEN 2::BIGINT ELSE 0 END)
+             + (CASE WHEN p2 >= 0 THEN 4::BIGINT ELSE 0 END)
+             + (CASE WHEN p3 >= 0 THEN 8::BIGINT ELSE 0 END) AS bucket
+        FROM proj
+    ),
+    corpus AS (
+        SELECT n0.vec_id, n0.v, n0.nrm2, s.bucket
+        FROM n0 JOIN sig s ON n0.vec_id = s.vec_id
+        WHERE n0.nrm2 > 0
+    ),
+    kpairs AS (
+        SELECT a.vec_id AS src, b.vec_id AS nbr,
+               CAST(list_sum([a.v[i] * b.v[i] FOR i IN generate_series(1, 64)]) AS BIGINT) AS dot,
+               b.nrm2
+        FROM corpus a JOIN corpus b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    kranked AS (
+        SELECT src, nbr,
+               row_number() OVER (PARTITION BY src ORDER BY
+                   (CASE WHEN dot >= 0 THEN (dot * dot * 1000) // nrm2
+                         ELSE -((dot * dot * 1000) // nrm2) END) DESC, nbr) AS rk
+        FROM kpairs
+    ),
+    edges AS (SELECT src, nbr FROM kranked WHERE rk <= 5),
+    mutual AS (
+        SELECT e1.src AS u, e1.nbr AS w
+        FROM edges e1 JOIN edges e2 ON e1.src = e2.nbr AND e1.nbr = e2.src
+    ),
+    shared AS (
+        SELECT m.u, m.w, count(*) AS sh
+        FROM mutual m
+        JOIN edges a ON a.src = m.u
+        JOIN edges b ON b.src = m.w AND b.nbr = a.nbr
+        GROUP BY m.u, m.w
+    ),
+    strong0 AS (SELECT u, w FROM shared WHERE sh >= 2),
+    strong AS MATERIALIZED (
+        SELECT u, w FROM strong0
+        UNION ALL
+        SELECT DISTINCT u, u FROM strong0
+    ),
+    l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS lbl FROM strong),
+"""
+    + "".join(
+        f"""    p{i} AS MATERIALIZED (SELECT e.u AS id, min(l.lbl) AS lbl
+           FROM strong e JOIN l{i - 1} l ON l.id = e.w GROUP BY e.u),
+    l{i} AS MATERIALIZED (SELECT p.id, l2.lbl FROM p{i} p JOIN p{i} l2 ON l2.id = p.lbl),
+"""
+        for i in range(1, 7)
+    )
+    + """    sized AS (
+        SELECT lbl, count(*) AS sz FROM l6 GROUP BY lbl
+    )
+    SELECT c.vec_id,
+           CAST(coalesce(l.lbl, c.vec_id) AS BIGINT) AS cluster,
+           CAST(coalesce(s.sz, 1) AS BIGINT) AS cluster_size
+    FROM corpus c
+    LEFT JOIN l6 l ON c.vec_id = l.id
+    LEFT JOIN sized s ON l.lbl = s.lbl
+    ORDER BY vec_id
+    """
+)
+assert _SNN_ORACLE.count("WITH ") == 1
+
+
+@register(
+    "cluster_snn_knn",
+    oracle=_SNN_ORACLE,
+    tags=("pipeline", "cluster", "snn", "knn"),
+    doc="Jarvis-Patrick shared-nearest-neighbor clustering over the "
+    "bucketed k-NN graph (k=5, shared>=2, mutual-kNN links): mutuality "
+    "and shared counts are edge-table self-joins (never the corpus), "
+    "components via the 6-round min-label + pointer-jumping unroll; "
+    "every stage materialized once.",
+)
+def cluster_snn_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = catalog.sql(spark, sf_dir, _KNN_CORPUS_SQL).localCheckpoint(eager=True)
+    corpus.createOrReplaceTempView("__snn_corpus")
+    edges = spark.sql(_SNN_EDGES_SQL.format(E="__snn_corpus")).localCheckpoint(eager=True)
+    edges.createOrReplaceTempView("__snn_edges")
+    strong = spark.sql(_SNN_STRONG_SQL.format(K="__snn_edges")).localCheckpoint(eager=True)
+    strong.createOrReplaceTempView("__snn_strong")
+    return spark.sql(_SNN_MAIN_SQL.format(S="__snn_strong", E="__snn_corpus"))

@@ -596,3 +596,14 @@ def test_nn_descent_round_reads_only_staged_relations(spark):
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan and "Python" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_snn_clustering_runs_on_staged_edge_tables(spark):
+    """cluster_snn_knn: the component rounds and the final labeling read
+    only the checkpointed corpus/strong-edge tables (zero parquet
+    rescans), with equi-joins throughout — never a cartesian and no
+    Python in the plan."""
+    plan = _plan(spark, "cluster_snn_knn", mode="simple")
+    assert "parquet" not in plan
+    assert "CartesianProduct" not in plan and "Python" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
