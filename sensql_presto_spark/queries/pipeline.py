@@ -5705,3 +5705,144 @@ def cluster_snn_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     strong = spark.sql(_SNN_STRONG_SQL.format(K="__snn_edges")).localCheckpoint(eager=True)
     strong.createOrReplaceTempView("__snn_strong")
     return spark.sql(_SNN_MAIN_SQL.format(S="__snn_strong", E="__snn_corpus"))
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (data selection via importance resampling)
+# ---------------------------------------------------------------------------
+# DSIR (Xie et al. 2023) selects pretraining data by importance weight
+# p_target(x)/p_raw(x) under hashed n-gram bag-of-words models — the
+# standard "make the crawl look like the curated corpus" selection
+# stage.  Features are hashed word unigrams AND bigrams in a FIXED
+# 2x256-bucket space, so the model is corpus-size-independent: the
+# per-feature log-ratio table is 512 rows, broadcast; scoring is one
+# map-side-combining sum per document.  The word-level polynomial hash
+# runs only over the DISTINCT vocabulary (the dedup_simhash idiom);
+# bigram hashes are assembled arithmetically from the two word hashes
+# via one lead() window per document.  Laplace-smoothed log-ratios
+# lnλ_f = ln(((tgt_f+1)·(R+512)) / ((raw_f+1)·(T+512))) are quantized
+# to integer micro-units with the BM25-proven floor(x·1e6 + 0.5)
+# pattern (the argument is a ratio of exact integers, so both engines
+# evaluate the same double), making the per-document score an exact
+# bigint sum.  Target distribution: the lang='en' slice (the "curated"
+# reference); selected = importance weight > 1 (score > 0).  The
+# feature posting table (doc_id, f, c) is materialized once and feeds
+# the target counts, the raw counts, and the scoring pass.
+
+_DSIR_POSTING_SQL = """
+    WITH tok AS (SELECT doc_id, split(text, ' ') AS t FROM documents),
+    trows AS (SELECT doc_id, posexplode(t) AS (pos, tk) FROM tok),
+    vocab AS (SELECT DISTINCT tk FROM trows),
+    vhash AS (
+        SELECT tk, aggregate(split(tk, ''), 131L,
+                             (acc, c) -> (acc * 31 + ascii(c)) % 1000000007) AS h
+        FROM vocab
+    ),
+    hrows AS (SELECT r.doc_id, r.pos, v.h FROM trows r JOIN vhash v ON r.tk = v.tk),
+    feats AS (
+        SELECT doc_id, h % 256 AS f
+        FROM hrows
+        UNION ALL
+        SELECT doc_id, ((h * 131 + h2) % 1000000007) % 256 + 256 AS f
+        FROM (SELECT doc_id, h, lead(h, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS h2
+              FROM hrows)
+        WHERE h2 IS NOT NULL
+    )
+    SELECT doc_id, f, count(*) AS c FROM feats GROUP BY doc_id, f
+    """
+
+_DSIR_MAIN_SQL = """
+    WITH tgt AS (
+        SELECT p.f, cast(sum(p.c) AS bigint) AS tc
+        FROM {P} p JOIN documents d ON p.doc_id = d.doc_id
+        WHERE d.lang = 'en'
+        GROUP BY p.f
+    ),
+    raw AS (SELECT f, cast(sum(c) AS bigint) AS rc FROM {P} GROUP BY f),
+    j AS (
+        SELECT r.f, r.rc, coalesce(g.tc, cast(0 AS bigint)) AS tc
+        FROM raw r LEFT JOIN tgt g ON r.f = g.f
+    ),
+    lam AS (
+        SELECT f,
+               cast(floor(ln((cast(tc + 1 AS double) * (sum(rc) OVER () + 512))
+                             / (cast(rc + 1 AS double) * (sum(tc) OVER () + 512))) * 1000000 + 0.5)
+                    AS bigint) AS lmicro
+        FROM j
+    ),
+    score AS (
+        SELECT p.doc_id, cast(sum(p.c * l.lmicro) AS bigint) AS dsir_micro
+        FROM {P} p JOIN lam l ON p.f = l.f
+        GROUP BY p.doc_id
+    )
+    SELECT doc_id, dsir_micro,
+           CASE WHEN dsir_micro > 0 THEN 1L ELSE 0L END AS selected
+    FROM score
+    ORDER BY doc_id
+    """
+
+_DSIR_ORACLE = """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    th AS (
+        SELECT doc_id,
+               [list_reduce(list_prepend(131::BIGINT,
+                                         [ascii(c)::BIGINT for c in string_split(x, '')]),
+                            (a, b) -> (a * 31 + b) % 1000000007) for x in t] AS hs
+        FROM tok
+    ),
+    feats AS (
+        SELECT doc_id, unnest([h % 256 FOR h IN hs]) AS f FROM th
+        UNION ALL
+        SELECT doc_id,
+               unnest([((hs[i] * 131 + hs[i+1]) % 1000000007) % 256 + 256
+                       FOR i IN range(1, len(hs))]) AS f
+        FROM th
+    ),
+    posting AS MATERIALIZED (
+        SELECT doc_id, f, count(*) AS c FROM feats GROUP BY doc_id, f
+    ),
+    tgt AS (
+        SELECT p.f, cast(sum(p.c) AS BIGINT) AS tc
+        FROM posting p JOIN documents d ON p.doc_id = d.doc_id
+        WHERE d.lang = 'en'
+        GROUP BY p.f
+    ),
+    raw AS (SELECT f, cast(sum(c) AS BIGINT) AS rc FROM posting GROUP BY f),
+    j AS (
+        SELECT r.f, r.rc, coalesce(g.tc, 0::BIGINT) AS tc
+        FROM raw r LEFT JOIN tgt g ON r.f = g.f
+    ),
+    lam AS (
+        SELECT f,
+               cast(floor(ln((cast(tc + 1 AS DOUBLE) * (sum(rc) OVER () + 512))
+                             / (cast(rc + 1 AS DOUBLE) * (sum(tc) OVER () + 512))) * 1000000 + 0.5)
+                    AS BIGINT) AS lmicro
+        FROM j
+    ),
+    score AS (
+        SELECT p.doc_id, cast(sum(p.c * l.lmicro) AS BIGINT) AS dsir_micro
+        FROM posting p JOIN lam l ON p.f = l.f
+        GROUP BY p.doc_id
+    )
+    SELECT doc_id, dsir_micro,
+           CAST(CASE WHEN dsir_micro > 0 THEN 1 ELSE 0 END AS BIGINT) AS selected
+    FROM score
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "text_dsir_weights",
+    oracle=_DSIR_ORACLE,
+    tags=("pipeline", "text", "selection", "dsir"),
+    doc="DSIR importance weights (Xie et al. 2023): hashed unigram+bigram "
+    "features in a fixed 512-bucket space, Laplace-smoothed target/raw "
+    "log-ratios micro-quantized (integer-ratio ln, BM25's floor pattern; "
+    "totals via windows over the 512-row feature table — ONE parquet "
+    "scan total), weight table broadcast, one map-side-combining doc sum; "
+    "posting table materialized once.",
+)
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    posting = catalog.sql(spark, sf_dir, _DSIR_POSTING_SQL).localCheckpoint(eager=True)
+    posting.createOrReplaceTempView("__dsir_posting")
+    return catalog.sql(spark, sf_dir, _DSIR_MAIN_SQL.format(P="__dsir_posting"))

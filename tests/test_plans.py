@@ -607,3 +607,17 @@ def test_snn_clustering_runs_on_staged_edge_tables(spark):
     assert "parquet" not in plan
     assert "CartesianProduct" not in plan and "Python" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_weights_pushdown_and_broadcast_model(spark):
+    """text_dsir_weights: the only parquet scan is the target-slice join
+    (documents pruned to doc_id+lang with the lang filter PUSHED DOWN);
+    the 512-row log-ratio table travels as a broadcast; scoring is a
+    map-side-combining sum — no cartesian, no Python."""
+    plan = _plan(spark, "text_dsir_weights", mode="formatted")
+    # formatted mode prints each node in the tree AND in the detail
+    # section — count scans by their one-per-scan Location detail line
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "EqualTo(lang,en)" in plan
+    assert "struct<doc_id:bigint,lang:string>" in plan.replace('"', "")
+    assert "CartesianProduct" not in plan and "Python" not in plan
