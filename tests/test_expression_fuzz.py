@@ -71,3 +71,12 @@ def test_rollup_seeds_agree(spark):
     assert expr_fuzz.run_rollup_batch(spark, SF, list(range(725, 750))) == []
     assert expr_fuzz.run_rollup_batch(spark, SF, list(range(750, 775))) == []
     assert expr_fuzz.run_rollup_batch(spark, SF, list(range(775, 800))) == []
+
+
+def test_join_seeds_agree(spark):
+    """JOIN-shape mode: random outer-flavor join trees with ON-clause
+    extra predicates, EXISTS/NOT EXISTS probes, and null-sensitive
+    checksums (see tools/expr_fuzz.py build_join_query)."""
+    assert expr_fuzz.run_join_batch(spark, SF, list(range(800, 825))) == []
+    assert expr_fuzz.run_join_batch(spark, SF, list(range(825, 850))) == []
+    assert expr_fuzz.run_join_batch(spark, SF, list(range(850, 875))) == []

@@ -466,3 +466,83 @@ def run_rollup_batch(spark, sf_dir: str, seeds: list[int]) -> list[str]:
     return _run_and_compare(
         spark, sf_dir, build_rollup_query(seeds), seeds, "rollup"
     )
+
+
+# --- join mode: random multi-way join trees -------------------------------
+#
+# The other modes share one fixed two-table base; this mode fuzzes the
+# JOIN SURFACE itself: per seed a fresh join tree over orders/customer/
+# nation with a random outer flavor (INNER/LEFT/RIGHT/FULL), random
+# EXTRA predicates in the ON clause (where outer-join bugs live — an
+# ON-condition filters the null-extended side differently from WHERE),
+# optional lineitem EXISTS/NOT EXISTS probes, and optional null-sensitive
+# WHERE predicates over the nullable side.  Each seed reduces to one
+# (seed, cnt, ck) row — count plus a null-sensitive integer checksum —
+# and the whole batch runs as ONE UNION ALL query on both engines.  The
+# orderkey bound sits INSIDE the left input, not the outer WHERE, so
+# RIGHT/FULL null-extended rows survive to the checksum.
+
+
+def build_join_query(seeds: list[int]) -> str:
+    parts = []
+    for s in seeds:
+        r = _Gen(s).rng
+        jt1 = r.choice(("JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"))
+        jt2 = r.choice(("JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"))
+        on1 = "o.o_custkey = c.c_custkey"
+        if r.random() < 0.5:
+            on1 += f" AND c.c_nationkey % {r.randint(2, 6)} = {r.randint(0, 1)}"
+        on2 = "c.c_nationkey = n.n_nationkey"
+        if r.random() < 0.5:
+            on2 += f" AND n.n_regionkey % {r.randint(2, 4)} = {r.randint(0, 1)}"
+        where = []
+        if r.random() < 0.4:
+            where.append(
+                f"coalesce(n.n_nationkey, -1) % {r.randint(2, 5)} = {r.randint(0, 1)}"
+            )
+        if r.random() < 0.3:
+            neg = "NOT " if r.random() < 0.5 else ""
+            where.append(
+                f"{neg}EXISTS (SELECT 1 FROM lineitem l WHERE "
+                f"l.l_orderkey = o.o_orderkey AND l.l_linenumber % {r.randint(2, 4)} = 0)"
+            )
+        tree = (
+            "(SELECT * FROM orders WHERE o_orderkey < 600) o "
+            f"{jt1} customer c ON {on1} "
+            f"{jt2} nation n ON {on2}"
+        )
+        q = (
+            f"SELECT {s} AS seed, CAST(count(*) AS BIGINT) AS cnt, "
+            "CAST(coalesce(sum(coalesce(o.o_orderkey, -3) * 3 "
+            "+ coalesce(c.c_nationkey, -7) * 11 "
+            "+ coalesce(n.n_nationkey, -13) * 101), 0) AS BIGINT) AS ck "
+            f"FROM {tree}"
+        )
+        if where:
+            q += " WHERE " + " AND ".join(where)
+        parts.append(q)
+    return " UNION ALL ".join(parts) + " ORDER BY seed"
+
+
+def run_join_batch(spark, sf_dir: str, seeds: list[int]) -> list[str]:
+    from sensql_presto_spark import catalog
+    from sensql_presto_spark.testing import duckdb_connection
+
+    q = build_join_query(seeds)
+    actual = catalog.sql(spark, sf_dir, q).toPandas()
+    con = duckdb_connection(sf_dir)
+    expected = con.sql(q).df()
+    con.close()
+    problems = []
+    if len(actual) != len(expected):
+        return [f"join: row count differs: spark={len(actual)} duckdb={len(expected)}"]
+    for col in ("cnt", "ck"):
+        av, ev = actual[col], expected[col]
+        eq = (av == ev) | (av.isna() & ev.isna())
+        if not eq.all():
+            i = int((~eq).idxmax())
+            problems.append(
+                f"join seed {int(actual['seed'][i])} ({col}): "
+                f"spark={av[i]!r} duckdb={ev[i]!r}"
+            )
+    return problems
