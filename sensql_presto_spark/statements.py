@@ -19,6 +19,7 @@ per-column scalars, never data rows.
 from __future__ import annotations
 
 import re
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -486,6 +487,11 @@ SESSION_PROPERTIES: dict[str, _SessionProperty] = {
 # check a multi-coordinator deployment would do.
 _TABLE_GENERATIONS: dict[str, int] = {}
 
+# COMMIT's conflict-check-then-publish must be atomic across the
+# process's client sessions (server.py serves them from threads) — the
+# lock makes first-committer-wins deterministic under concurrent COMMITs.
+_PUBLISH_LOCK = threading.Lock()
+
 
 def _bump_table_generation(table: str) -> None:
     key = table.split(".")[-1].lower()
@@ -516,6 +522,10 @@ class StatementSession:
         self._conf_defaults: dict[str, str | None] = {}
         self._in_txn = False
         self._txn_stages: dict[str, str] = {}  # table -> private staging copy
+        # table -> _TABLE_GENERATIONS value when its staging copy was cut;
+        # COMMIT compares against the current value for write-write
+        # conflict detection (first committer wins)
+        self._txn_stage_gens: dict[str, int] = {}
         # last _TABLE_GENERATIONS values this session has refreshed up to
         self._seen_generations: dict[str, int] = dict(_TABLE_GENERATIONS)
         self._txn_unrollbackable: str | None = None
@@ -1393,9 +1403,15 @@ class StatementSession:
         published data."""
         for key, gen in list(_TABLE_GENERATIONS.items()):
             if self._seen_generations.get(key, 0) < gen:
-                self._seen_generations[key] = gen
                 if key in {t.split(".")[-1].lower() for t in self._txn_stages}:
-                    continue  # our own staging shadow covers reads of it
+                    # our own staging shadow covers reads of it for now —
+                    # but do NOT mark the generation seen, so the refresh
+                    # happens on the first statement AFTER the shadow drops
+                    # (COMMIT-conflict abort / ROLLBACK while another
+                    # session published; without this the session reads a
+                    # dead file listing and dies with FAILED_READ_FILE)
+                    continue
+                self._seen_generations[key] = gen
                 try:
                     self.spark.catalog.refreshTable(key)
                 except Exception:  # noqa: BLE001 — dropped since; nothing to refresh
@@ -1410,7 +1426,18 @@ class StatementSession:
             return table
         if table in self._txn_stages:
             return self._txn_stages[table]
-        stage = f"__txn_stage_{len(self._txn_stages)}_{abs(hash(table)) % 10**6}"
+        # the stage name must be unique PER SESSION: forked client
+        # sessions share one metastore, so a name derived only from the
+        # table would let a second session's staging CREATE clobber the
+        # first session's in-flight staging copy (found by
+        # test_write_write_conflict_first_committer_wins)
+        stage = (
+            f"__txn_stage_{id(self) % 10**8}_{len(self._txn_stages)}"
+            f"_{abs(hash(table)) % 10**6}"
+        )
+        self._txn_stage_gens[table] = _TABLE_GENERATIONS.get(
+            table.split(".")[-1].lower(), 0
+        )
         self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
         df = self.spark.table(table).localCheckpoint(eager=True)
         df.write.saveAsTable(stage)
@@ -1431,6 +1458,7 @@ class StatementSession:
             raise ValueError("Nested transactions not supported")
         self._in_txn = True
         self._txn_stages = {}
+        self._txn_stage_gens = {}
         self._txn_unrollbackable = None
         return self.spark.createDataFrame([("START TRANSACTION",)], "result string")
 
@@ -1440,21 +1468,44 @@ class StatementSession:
             raise ValueError("No transaction in progress")
         self._in_txn = False
         try:
-            # publish: staging becomes the table, atomically per table from
-            # this engine's perspective (snapshot overwrite); only now do
-            # other sessions see the transaction's writes
-            for table, stage in self._txn_stages.items():
-                out = self.spark.table(stage).localCheckpoint(eager=True)
-                self.spark.catalog.dropTempView(table.split(".")[-1])
-                out.write.mode("overwrite").saveAsTable(table)
-                # our own listing refreshes now; other sessions refresh on
-                # their next statement via the generation counter
-                self.spark.sql(f"REFRESH TABLE {table}")
-                self._note_table_write(table)
+            with _PUBLISH_LOCK:
+                # write-write conflict detection (first committer wins):
+                # if another session published a write to any staged table
+                # AFTER this transaction cut its snapshot, publishing would
+                # silently clobber that committed write — abort loudly
+                # instead, snapshot-isolation style.  Checked under the
+                # publish lock, BEFORE any table publishes (all-or-nothing).
+                conflicts = sorted(
+                    table
+                    for table, g0 in self._txn_stage_gens.items()
+                    if _TABLE_GENERATIONS.get(table.split(".")[-1].lower(), 0) > g0
+                )
+                if conflicts:
+                    self._txn_unshadow()
+                    raise ValueError(
+                        "TRANSACTION_CONFLICT: table(s) "
+                        + ", ".join(conflicts)
+                        + " were modified and committed by another session "
+                        "after this transaction snapshotted them; this "
+                        "transaction has been rolled back (first committer "
+                        "wins — retry the transaction on the new state)"
+                    )
+                # publish: staging becomes the table, atomically per table
+                # from this engine's perspective (snapshot overwrite); only
+                # now do other sessions see the transaction's writes
+                for table, stage in self._txn_stages.items():
+                    out = self.spark.table(stage).localCheckpoint(eager=True)
+                    self.spark.catalog.dropTempView(table.split(".")[-1])
+                    out.write.mode("overwrite").saveAsTable(table)
+                    # our own listing refreshes now; other sessions refresh
+                    # on their next statement via the generation counter
+                    self.spark.sql(f"REFRESH TABLE {table}")
+                    self._note_table_write(table)
         finally:
             for stage in self._txn_stages.values():
                 self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
             self._txn_stages = {}
+            self._txn_stage_gens = {}
         return self.spark.createDataFrame([("COMMIT",)], "result string")
 
     def _rollback(self) -> DataFrame:
@@ -1482,6 +1533,7 @@ class StatementSession:
             for stage in self._txn_stages.values():
                 self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
             self._txn_stages = {}
+            self._txn_stage_gens = {}
             self._txn_unrollbackable = None
         return self.spark.createDataFrame([("ROLLBACK",)], "result string")
 

@@ -1055,3 +1055,111 @@ def test_view_security_definer_vs_invoker(spark):
     admin.execute("REVOKE SELECT ON region FROM USER eve")
     admin.execute("DROP VIEW v_def")
     admin.execute("DROP VIEW v_inv")
+
+
+def test_write_write_conflict_first_committer_wins(spark):
+    """Two sessions stage transactions over the SAME table: the first
+    COMMIT publishes; the second COMMIT detects that the table moved past
+    its snapshot and aborts LOUDLY (first-committer-wins write-write
+    conflict detection) instead of silently clobbering the first
+    committer's rows — closing the documented last-writer-wins delta.
+    The loser's transaction is fully rolled back and its session is
+    usable again."""
+    from sensql_presto_spark.cli import prepare_session
+
+    a = _sess(spark)
+    forked = spark.newSession()
+    prepare_session(forked, SF)
+    b = StatementSession(forked, SF)
+    t = _fresh_dml_table(spark, a, "t_txn_ww")
+
+    a.execute("START TRANSACTION")
+    a.execute(f"DELETE FROM {t} WHERE n_nationkey >= 20")  # a keeps 20 rows
+    b.execute("START TRANSACTION")
+    b.execute(f"DELETE FROM {t} WHERE n_nationkey >= 10")  # b keeps 10 rows
+    a.execute("COMMIT")  # first committer wins
+    with pytest.raises(ValueError, match="TRANSACTION_CONFLICT"):
+        b.execute("COMMIT")
+    # the winner's state survives everywhere; the loser's txn left no trace
+    assert a.execute(f"SELECT count(*) AS n FROM {t}").collect()[0].n == 20
+    assert b.execute(f"SELECT count(*) AS n FROM {t}").collect()[0].n == 20
+    # the loser can retry on the new state
+    b.execute("START TRANSACTION")
+    b.execute(f"DELETE FROM {t} WHERE n_nationkey >= 10")
+    b.execute("COMMIT")
+    assert a.execute(f"SELECT count(*) AS n FROM {t}").collect()[0].n == 10
+    spark.sql(f"DROP TABLE {t}")
+
+
+def test_autocommit_write_also_conflicts_open_transaction(spark):
+    """A plain autocommit DML from another session counts as a committed
+    write: an open transaction that staged the same table before it must
+    conflict at COMMIT (its snapshot is stale), not overwrite it."""
+    from sensql_presto_spark.cli import prepare_session
+
+    a = _sess(spark)
+    forked = spark.newSession()
+    prepare_session(forked, SF)
+    b = StatementSession(forked, SF)
+    t = _fresh_dml_table(spark, a, "t_txn_ww_auto")
+
+    a.execute("START TRANSACTION")
+    a.execute(f"UPDATE {t} SET n_regionkey = 99 WHERE n_nationkey < 3")
+    b.execute(f"DELETE FROM {t} WHERE n_nationkey = 24")  # autocommit
+    with pytest.raises(ValueError, match="TRANSACTION_CONFLICT"):
+        a.execute("COMMIT")
+    assert a.execute(f"SELECT count(*) AS n FROM {t}").collect()[0].n == 24
+    assert (
+        a.execute(f"SELECT count(*) AS n FROM {t} WHERE n_regionkey = 99")
+        .collect()[0]
+        .n
+        == 0
+    )
+    spark.sql(f"DROP TABLE {t}")
+
+
+def test_disjoint_tables_do_not_conflict(spark):
+    """Transactions over DIFFERENT tables commit independently — the
+    conflict check is per staged table, not global."""
+    from sensql_presto_spark.cli import prepare_session
+
+    a = _sess(spark)
+    forked = spark.newSession()
+    prepare_session(forked, SF)
+    b = StatementSession(forked, SF)
+    t1 = _fresh_dml_table(spark, a, "t_txn_dj1")
+    t2 = _fresh_dml_table(spark, b, "t_txn_dj2")
+
+    a.execute("START TRANSACTION")
+    a.execute(f"DELETE FROM {t1} WHERE n_nationkey >= 5")
+    b.execute("START TRANSACTION")
+    b.execute(f"DELETE FROM {t2} WHERE n_nationkey >= 7")
+    a.execute("COMMIT")
+    b.execute("COMMIT")
+    assert a.execute(f"SELECT count(*) AS n FROM {t1}").collect()[0].n == 5
+    assert a.execute(f"SELECT count(*) AS n FROM {t2}").collect()[0].n == 7
+    spark.sql(f"DROP TABLE {t1}")
+    spark.sql(f"DROP TABLE {t2}")
+
+
+def test_rollback_after_concurrent_commit_sees_fresh_state(spark):
+    """A session that ROLLs BACK a transaction over a table another
+    session overwrote mid-transaction must read the OTHER session's
+    committed state afterwards — the staged-table skip in
+    _refresh_stale_tables must not swallow the pending refresh (it used
+    to mark the generation seen while the shadow covered reads, leaving
+    a dead file listing behind: FAILED_READ_FILE)."""
+    from sensql_presto_spark.cli import prepare_session
+
+    a = _sess(spark)
+    forked = spark.newSession()
+    prepare_session(forked, SF)
+    b = StatementSession(forked, SF)
+    t = _fresh_dml_table(spark, a, "t_txn_rb_fresh")
+
+    a.execute("START TRANSACTION")
+    a.execute(f"DELETE FROM {t} WHERE n_nationkey >= 20")
+    b.execute(f"DELETE FROM {t} WHERE n_nationkey >= 15")  # autocommit publish
+    a.execute("ROLLBACK")
+    assert a.execute(f"SELECT count(*) AS n FROM {t}").collect()[0].n == 15
+    spark.sql(f"DROP TABLE {t}")
