@@ -483,3 +483,33 @@ def test_kill_query_cancels_spark_jobs(spark, oracle_dir):
             assert q.state == "CANCELED"
     finally:
         s.stop()
+
+
+def test_write_write_conflict_over_http(spark, oracle_dir):
+    """Protocol-level pin for first-committer-wins (late r6): two HTTP
+    clients transact over the same table; the first COMMIT publishes,
+    the second COMMIT surfaces TRANSACTION_CONFLICT through the Presto
+    error envelope, and both clients then read the winner's state."""
+    s = srv.SqlServer(spark, oracle_dir).start()
+    try:
+        err, _ = _run_query_as(
+            s, "CREATE TABLE t_http_ww AS SELECT n_nationkey FROM nation", "w1"
+        )
+        assert err is None
+        for who in ("w1", "w2"):
+            err, _ = _run_query_as(s, "START TRANSACTION", who)
+            assert err is None
+        err, _ = _run_query_as(s, "DELETE FROM t_http_ww WHERE n_nationkey >= 20", "w1")
+        assert err is None
+        err, _ = _run_query_as(s, "DELETE FROM t_http_ww WHERE n_nationkey >= 10", "w2")
+        assert err is None
+        err, _ = _run_query_as(s, "COMMIT", "w1")
+        assert err is None
+        err, _ = _run_query_as(s, "COMMIT", "w2")
+        assert err is not None and "TRANSACTION_CONFLICT" in str(err)
+        for who in ("w1", "w2"):
+            err, rows = _run_query_as(s, "SELECT count(*) AS n FROM t_http_ww", who)
+            assert err is None and rows == [[20]], who
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_http_ww")
+        s.stop()
