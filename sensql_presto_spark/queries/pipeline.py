@@ -5846,3 +5846,123 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting = catalog.sql(spark, sf_dir, _DSIR_POSTING_SQL).localCheckpoint(eager=True)
     posting.createOrReplaceTempView("__dsir_posting")
     return catalog.sql(spark, sf_dir, _DSIR_MAIN_SQL.format(P="__dsir_posting"))
+
+
+# ---------------------------------------------------------------------------
+# Per-scene keyframe sampling (the consumer of scene-cut detection)
+# ---------------------------------------------------------------------------
+# mm_video_scene_cut's purpose in a curation pipeline is to drive
+# SAMPLING — one representative frame per shot instead of per fixed
+# stride (stride sampling oversamples static scenes and misses short
+# ones).  This operator completes that loop: the same frame deltas
+# segment each clip into scenes (a cut at delta > 1050 starts a new
+# scene at frame fi+1), and each scene emits its MIDDLE frame
+# (start + (len-1)/2) with an exact integer pixel checksum computed
+# from the REAL decoded AVI frame.  Scale shape identical to scene-cut:
+# ONE Arrow mapInPandas pass riding the corpus scan, per-doc state only
+# (one frame pair at a time), scene rows emitted executor-side, no
+# shuffle before the presentation sort.  The oracle reproduces the
+# segmentation declaratively: cut flags -> running-sum scene ids ->
+# per-scene min/count -> keyframe arithmetic on the synthesis bytes.
+
+
+@register(
+    "mm_video_keyframe_sample",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, text, length(text) AS L, 1 + length(text) % 5 AS nf
+        FROM documents
+        WHERE doc_id < 120 AND length(text) > 0 AND length(text) % 5 != 0
+    ),
+    d AS (
+        SELECT doc_id, text, L, nf, fi,
+               list_sum([abs(ascii(substring(text, ((fi * 7 + i) % L) + 1, 1)) % 256
+                             - ascii(substring(text, (((fi + 1) * 7 + i) % L) + 1, 1)) % 256)
+                         FOR i IN generate_series(0, 35)]) AS delta
+        FROM (SELECT doc_id, text, L, nf, unnest(range(0, nf - 1)) AS fi FROM f)
+    ),
+    frames AS (
+        SELECT doc_id, text, L, nf, 0 AS frame, 0 AS cut FROM f
+        UNION ALL
+        SELECT doc_id, text, L, nf, fi + 1 AS frame,
+               CASE WHEN delta > 1050 THEN 1 ELSE 0 END AS cut
+        FROM d
+    ),
+    numbered AS (
+        SELECT doc_id, text, L, frame,
+               sum(cut) OVER (PARTITION BY doc_id ORDER BY frame) AS scene
+        FROM frames
+    ),
+    scenes AS (
+        SELECT doc_id, any_value(text) AS text, any_value(L) AS L,
+               scene, min(frame) AS start_frame, count(*) AS n_frames
+        FROM numbered GROUP BY doc_id, scene
+    )
+    SELECT doc_id,
+           CAST(scene AS BIGINT) AS scene_idx,
+           CAST(start_frame AS BIGINT) AS start_frame,
+           CAST(n_frames AS BIGINT) AS scene_frames,
+           CAST(start_frame + (n_frames - 1) // 2 AS BIGINT) AS keyframe,
+           CAST(list_sum([ascii(substring(text,
+                    (((start_frame + (n_frames - 1) // 2) * 7 + i) % L) + 1, 1)) % 256
+                FOR i IN generate_series(0, 35)]) AS BIGINT) AS keyframe_checksum
+    FROM scenes
+    ORDER BY doc_id, scene_idx
+    """,
+    tags=("pipeline", "multimodal", "video", "sampling"),
+    doc="Per-scene keyframe sampling over the real AVI roundtrip: scenes "
+    "from the scene-cut deltas (cut at delta > 1050), keyframe = each "
+    "scene's middle frame with an exact decoded-pixel checksum; one "
+    "mapInPandas pass, per-doc state only, no shuffle.",
+)
+def mm_video_keyframe_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from sensql_presto_spark.multimodal import decode_avi, encode_avi_rgb24
+
+    frame_len = _VID_W * _VID_H * 3
+
+    def keyframes(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "scene_idx", "start_frame",
+                                   "scene_frames", "keyframe", "keyframe_checksum")}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = [ord(c) % 256 for c in text]
+                n = len(codes)
+                n_frames = 1 + n % 5
+                frames = [
+                    bytes(codes[(fi * 7 + i) % n] for i in range(frame_len))
+                    for fi in range(n_frames)
+                ]
+                payload = encode_avi_rgb24(frames, _VID_W, _VID_H)
+                w, h, nf, decoded = decode_avi(payload)
+                assert (w, h, nf) == (_VID_W, _VID_H, n_frames)
+                starts = [0]
+                for fi in range(nf - 1):
+                    delta = sum(abs(a - b) for a, b in zip(decoded[fi], decoded[fi + 1]))
+                    if delta > 1050:
+                        starts.append(fi + 1)
+                starts.append(nf)  # sentinel end
+                for s_idx in range(len(starts) - 1):
+                    begin, end = starts[s_idx], starts[s_idx + 1]
+                    kf = begin + (end - begin - 1) // 2
+                    out["doc_id"].append(doc_id)
+                    out["scene_idx"].append(s_idx)
+                    out["start_frame"].append(begin)
+                    out["scene_frames"].append(end - begin)
+                    out["keyframe"].append(kf)
+                    out["keyframe_checksum"].append(int(sum(decoded[kf])))
+            yield pd.DataFrame(out)
+
+    docs = catalog.table(spark, sf_dir, "documents").where(
+        "doc_id < 120 AND length(text) > 0 AND length(text) % 5 != 0"
+    )
+    out_schema = (
+        "doc_id bigint, scene_idx bigint, start_frame bigint, "
+        "scene_frames bigint, keyframe bigint, keyframe_checksum bigint"
+    )
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(keyframes, out_schema)
+        .orderBy("doc_id", "scene_idx")
+    )

@@ -621,3 +621,14 @@ def test_dsir_weights_pushdown_and_broadcast_model(spark):
     assert "EqualTo(lang,en)" in plan
     assert "struct<doc_id:bigint,lang:string>" in plan.replace('"', "")
     assert "CartesianProduct" not in plan and "Python" not in plan
+
+
+def test_video_keyframe_sample_single_pass_no_shuffle(spark):
+    """mm_video_keyframe_sample: like scene-cut, one Arrow mapInPandas
+    pass emitting scene rows executor-side — no hash exchange before the
+    presentation sort, no joins, no row-at-a-time Python."""
+    plan = _plan(spark, "mm_video_keyframe_sample", mode="simple")
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
