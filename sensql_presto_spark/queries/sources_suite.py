@@ -188,7 +188,16 @@ def scale_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     Exercised against the Derby embedded engine that ships with Spark's
 #     Hive dependency — a real JDBC driver, zero extra installs.
 
-_DERBY_URL = f"jdbc:derby:{_DIR}/source_jdbc_demo;create=true"
+# Embedded Derby allows ONE JVM per database directory: a fixed path made
+# this entry flake whenever a pytest run and a driver_sim sweep ran
+# concurrently (observed in the r6 mid-round and closing sf0.1 sweeps).
+# A per-process directory under the system tmpdir removes the collision;
+# repeated runs within one process reuse it via mode("overwrite").
+import os as _os
+import tempfile as _tempfile
+
+_DERBY_DB = f"{_tempfile.gettempdir()}/spark_graft_jdbc_{_os.getpid()}/source_jdbc_demo"
+_DERBY_URL = f"jdbc:derby:{_DERBY_DB};create=true"
 _DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 
 
