@@ -632,3 +632,27 @@ def test_video_keyframe_sample_single_pass_no_shuffle(spark):
     assert "BatchEvalPython" not in plan
     assert "Exchange hashpartitioning" not in plan
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_no_registry_query_plans_cartesian_or_row_python(spark):
+    """The blanket 100 TB guard, extended from the bench set to EVERY
+    registry entry: no query in the engine's declared surface may plan a
+    cartesian product or row-at-a-time Python.  (Bounded-broadcast
+    nested loops — scalar thresholds, 9-cell offset tables, probe sets —
+    remain legitimate and are constrained per-query by the targeted plan
+    tests above.)  Building all plans also smoke-executes every staging
+    builder, so a builder-time regression in any entry fails here before
+    a sweep ever runs."""
+    from sensql_presto_spark.queries import all_specs
+
+    offenders = {}
+    for name, spec in sorted(all_specs().items()):
+        try:
+            plan = _plan(spark, name, mode="simple")
+        except Exception as exc:  # noqa: BLE001 — a build error IS a finding
+            offenders[name] = f"BUILD-ERROR {type(exc).__name__}"
+            continue
+        bad = [m for m in ("CartesianProduct", "BatchEvalPython") if m in plan]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"scale-hostile plans: {offenders}"
