@@ -4958,7 +4958,7 @@ def mm_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 # edge per corpus vector — as the substrate for SemDeDup clustering,
 # embedding-graph community detection, and density-based filtering.  The
 # scale shape is bucketed blocking, never the O(n^2) all-pairs join:
-# every vector gets a 4-bit sign-LSH bucket (deterministic INTEGER
+# every vector gets a 5-bit sign-LSH bucket (deterministic INTEGER
 # hyperplanes: weight(j,d) = ((j*2654435761 + d*40503 + 12345) % 1009)*2
 # - 1009, an exact-integer rescaling of sim_lsh_hyperplane's float
 # planes), the bucketed corpus is materialized ONCE (localCheckpoint; a
@@ -4988,7 +4988,8 @@ _KNN_CORPUS_SQL = """
                sum(x * (cast((0L * 2654435761 + d * 40503 + 12345) % 1009 AS bigint) * 2 - 1009)) AS p0,
                sum(x * (cast((1L * 2654435761 + d * 40503 + 12345) % 1009 AS bigint) * 2 - 1009)) AS p1,
                sum(x * (cast((2L * 2654435761 + d * 40503 + 12345) % 1009 AS bigint) * 2 - 1009)) AS p2,
-               sum(x * (cast((3L * 2654435761 + d * 40503 + 12345) % 1009 AS bigint) * 2 - 1009)) AS p3
+               sum(x * (cast((3L * 2654435761 + d * 40503 + 12345) % 1009 AS bigint) * 2 - 1009)) AS p3,
+               sum(x * (cast((4L * 2654435761 + d * 40503 + 12345) % 1009 AS bigint) * 2 - 1009)) AS p4
         FROM rows_ GROUP BY vec_id
     ),
     sig AS (
@@ -4996,7 +4997,8 @@ _KNN_CORPUS_SQL = """
                (CASE WHEN p0 >= 0 THEN 1L ELSE 0L END)
              + (CASE WHEN p1 >= 0 THEN 2L ELSE 0L END)
              + (CASE WHEN p2 >= 0 THEN 4L ELSE 0L END)
-             + (CASE WHEN p3 >= 0 THEN 8L ELSE 0L END) AS bucket
+             + (CASE WHEN p3 >= 0 THEN 8L ELSE 0L END)
+             + (CASE WHEN p4 >= 0 THEN 16L ELSE 0L END) AS bucket
         FROM proj
     )
     SELECT n.vec_id, n.v, n.nrm2, s.bucket
@@ -5047,7 +5049,8 @@ _KNN_JOIN_SQL = """
                CAST(list_sum([v[d] * (((0::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) * 2 - 1009) FOR d IN generate_series(1, 64)]) AS BIGINT) AS p0,
                CAST(list_sum([v[d] * (((1::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) * 2 - 1009) FOR d IN generate_series(1, 64)]) AS BIGINT) AS p1,
                CAST(list_sum([v[d] * (((2::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) * 2 - 1009) FOR d IN generate_series(1, 64)]) AS BIGINT) AS p2,
-               CAST(list_sum([v[d] * (((3::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) * 2 - 1009) FOR d IN generate_series(1, 64)]) AS BIGINT) AS p3
+               CAST(list_sum([v[d] * (((3::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) * 2 - 1009) FOR d IN generate_series(1, 64)]) AS BIGINT) AS p3,
+               CAST(list_sum([v[d] * (((4::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) * 2 - 1009) FOR d IN generate_series(1, 64)]) AS BIGINT) AS p4
         FROM e
     ),
     sig AS (
@@ -5055,7 +5058,8 @@ _KNN_JOIN_SQL = """
                (CASE WHEN p0 >= 0 THEN 1::BIGINT ELSE 0 END)
              + (CASE WHEN p1 >= 0 THEN 2::BIGINT ELSE 0 END)
              + (CASE WHEN p2 >= 0 THEN 4::BIGINT ELSE 0 END)
-             + (CASE WHEN p3 >= 0 THEN 8::BIGINT ELSE 0 END) AS bucket
+             + (CASE WHEN p3 >= 0 THEN 8::BIGINT ELSE 0 END)
+             + (CASE WHEN p4 >= 0 THEN 16::BIGINT ELSE 0 END) AS bucket
         FROM proj
     ),
     corpus AS (
@@ -5086,7 +5090,8 @@ _KNN_JOIN_SQL = """
     ORDER BY vec_id, rk
     """,
     tags=("pipeline", "similarity", "knn"),
-    doc="Bucketed k-NN self-join (neighbor-graph construction): 4-bit "
+    bench=True,
+    doc="Bucketed k-NN self-join (neighbor-graph construction): 5-bit "
     "integer sign-LSH blocking, bucketed corpus materialized once, ONE "
     "bucket-equi self-join (never all-pairs), exact-integer cosine sort "
     "key, top-3 per vector via WindowGroupLimit.",
@@ -5615,7 +5620,8 @@ _SNN_ORACLE = (
                CAST(list_sum([v[d] * (((0::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) * 2 - 1009) FOR d IN generate_series(1, 64)]) AS BIGINT) AS p0,
                CAST(list_sum([v[d] * (((1::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) * 2 - 1009) FOR d IN generate_series(1, 64)]) AS BIGINT) AS p1,
                CAST(list_sum([v[d] * (((2::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) * 2 - 1009) FOR d IN generate_series(1, 64)]) AS BIGINT) AS p2,
-               CAST(list_sum([v[d] * (((3::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) * 2 - 1009) FOR d IN generate_series(1, 64)]) AS BIGINT) AS p3
+               CAST(list_sum([v[d] * (((3::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) * 2 - 1009) FOR d IN generate_series(1, 64)]) AS BIGINT) AS p3,
+               CAST(list_sum([v[d] * (((4::BIGINT * 2654435761 + (d-1) * 40503 + 12345) % 1009) * 2 - 1009) FOR d IN generate_series(1, 64)]) AS BIGINT) AS p4
         FROM e0
     ),
     sig AS (
@@ -5623,7 +5629,8 @@ _SNN_ORACLE = (
                (CASE WHEN p0 >= 0 THEN 1::BIGINT ELSE 0 END)
              + (CASE WHEN p1 >= 0 THEN 2::BIGINT ELSE 0 END)
              + (CASE WHEN p2 >= 0 THEN 4::BIGINT ELSE 0 END)
-             + (CASE WHEN p3 >= 0 THEN 8::BIGINT ELSE 0 END) AS bucket
+             + (CASE WHEN p3 >= 0 THEN 8::BIGINT ELSE 0 END)
+             + (CASE WHEN p4 >= 0 THEN 16::BIGINT ELSE 0 END) AS bucket
         FROM proj
     ),
     corpus AS (
@@ -5692,7 +5699,7 @@ assert _SNN_ORACLE.count("WITH ") == 1
     oracle=_SNN_ORACLE,
     tags=("pipeline", "cluster", "snn", "knn"),
     doc="Jarvis-Patrick shared-nearest-neighbor clustering over the "
-    "bucketed k-NN graph (k=5, shared>=2, mutual-kNN links): mutuality "
+    "5-bit-bucketed k-NN graph (k=5, shared>=2, mutual-kNN links): mutuality "
     "and shared counts are edge-table self-joins (never the corpus), "
     "components via the 6-round min-label + pointer-jumping unroll; "
     "every stage materialized once.",
@@ -5835,6 +5842,7 @@ _DSIR_ORACLE = """
     "text_dsir_weights",
     oracle=_DSIR_ORACLE,
     tags=("pipeline", "text", "selection", "dsir"),
+    bench=True,
     doc="DSIR importance weights (Xie et al. 2023): hashed unigram+bigram "
     "features in a fixed 512-bucket space, Laplace-smoothed target/raw "
     "log-ratios micro-quantized (integer-ratio ln, BM25's floor pattern; "
