@@ -193,10 +193,14 @@ def scale_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # concurrently (observed in the r6 mid-round and closing sf0.1 sweeps).
 # A per-process directory under the system tmpdir removes the collision;
 # repeated runs within one process reuse it via mode("overwrite").
+import atexit as _atexit
 import os as _os
+import shutil as _shutil
 import tempfile as _tempfile
 
-_DERBY_DB = f"{_tempfile.gettempdir()}/spark_graft_jdbc_{_os.getpid()}/source_jdbc_demo"
+_DERBY_DIR = f"{_tempfile.gettempdir()}/spark_graft_jdbc_{_os.getpid()}"
+_DERBY_DB = f"{_DERBY_DIR}/source_jdbc_demo"
+_atexit.register(_shutil.rmtree, _DERBY_DIR, ignore_errors=True)
 _DERBY_URL = f"jdbc:derby:{_DERBY_DB};create=true"
 _DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 

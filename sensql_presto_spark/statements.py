@@ -18,6 +18,7 @@ per-column scalars, never data rows.
 
 from __future__ import annotations
 
+import itertools
 import re
 import threading
 
@@ -487,10 +488,22 @@ SESSION_PROPERTIES: dict[str, _SessionProperty] = {
 # check a multi-coordinator deployment would do.
 _TABLE_GENERATIONS: dict[str, int] = {}
 
-# COMMIT's conflict-check-then-publish must be atomic across the
-# process's client sessions (server.py serves them from threads) — the
-# lock makes first-committer-wins deterministic under concurrent COMMITs.
+# Every PUBLISH of a managed base table — COMMIT's conflict-check-then-
+# publish AND autocommit DML overwrites — happens under this process-wide
+# lock (server.py serves client sessions from threads).  Without covering
+# the autocommit path, a plain DML landing inside another session's
+# check->publish window would be silently clobbered with no conflict
+# raised on either side.  The lock serializes publishes of DISJOINT
+# tables too — a deliberate simplicity/correctness trade documented here:
+# per-table locks would restore that concurrency if the server ever
+# fronts real parallel write load.
 _PUBLISH_LOCK = threading.Lock()
+
+# Staging-table names must be unique across ALL live sessions in the
+# process (forked sessions share one metastore); a monotonic counter is
+# collision-proof where id(self)-derived names are merely unlikely to
+# collide.
+_STAGE_COUNTER = itertools.count()
 
 
 def _bump_table_generation(table: str) -> None:
@@ -1239,8 +1252,15 @@ class StatementSession:
 
     def _replace_table(self, name: str, df: DataFrame) -> None:
         out = df.localCheckpoint(eager=True)
-        out.write.mode("overwrite").saveAsTable(name)
-        self._note_table_write(name)
+        if name.startswith("__txn_stage_"):
+            # session-private staging copy: no publish, no lock
+            out.write.mode("overwrite").saveAsTable(name)
+            return
+        # base-table publish: atomic with respect to every COMMIT's
+        # conflict-check->publish window (see _PUBLISH_LOCK)
+        with _PUBLISH_LOCK:
+            out.write.mode("overwrite").saveAsTable(name)
+            self._note_table_write(name)
 
     def _note_table_write(self, name: str) -> None:
         """Record an overwrite of ``name`` so OTHER sessions refresh their
@@ -1260,8 +1280,7 @@ class StatementSession:
         keep = df.filter(f"NOT ({cond})") if cond else df.limit(0)
         keep = keep.localCheckpoint(eager=True)
         deleted = total - keep.count()
-        keep.write.mode("overwrite").saveAsTable(t)
-        self._note_table_write(t)
+        self._replace_table(t, keep)
         return self.spark.createDataFrame([(deleted,)], "rows bigint")
 
     def _sql_update(self, table: str, assignments: str, cond: str | None) -> DataFrame:
@@ -1426,15 +1445,13 @@ class StatementSession:
             return table
         if table in self._txn_stages:
             return self._txn_stages[table]
-        # the stage name must be unique PER SESSION: forked client
-        # sessions share one metastore, so a name derived only from the
-        # table would let a second session's staging CREATE clobber the
-        # first session's in-flight staging copy (found by
-        # test_write_write_conflict_first_committer_wins)
-        stage = (
-            f"__txn_stage_{id(self) % 10**8}_{len(self._txn_stages)}"
-            f"_{abs(hash(table)) % 10**6}"
-        )
+        # the stage name must be unique across ALL live sessions: forked
+        # client sessions share one metastore, so a name derived only
+        # from the table would let a second session's staging CREATE
+        # clobber the first session's in-flight staging copy (found by
+        # test_write_write_conflict_first_committer_wins); the global
+        # counter is collision-proof
+        stage = f"__txn_stage_{next(_STAGE_COUNTER)}_{abs(hash(table)) % 10**6}"
         self._txn_stage_gens[table] = _TABLE_GENERATIONS.get(
             table.split(".")[-1].lower(), 0
         )
@@ -1482,14 +1499,25 @@ class StatementSession:
                 )
                 if conflicts:
                     self._txn_unshadow()
-                    raise ValueError(
+                    msg = (
                         "TRANSACTION_CONFLICT: table(s) "
                         + ", ".join(conflicts)
-                        + " were modified and committed by another session "
-                        "after this transaction snapshotted them; this "
-                        "transaction has been rolled back (first committer "
+                        + " were modified and committed — by another session "
+                        "or by a non-transactional statement of this session "
+                        "— after this transaction snapshotted them; the "
+                        "staged DML has been rolled back (first committer "
                         "wins — retry the transaction on the new state)"
                     )
+                    if self._txn_unrollbackable:
+                        # same loud contract as _rollback: a write outside
+                        # the transactional DML surface already committed
+                        # durably and is NOT undone by this abort
+                        msg += (
+                            f"; WARNING: statement '{self._txn_unrollbackable}'"
+                            " committed outside the transactional DML surface"
+                            " and was NOT undone"
+                        )
+                    raise ValueError(msg)
                 # publish: staging becomes the table, atomically per table
                 # from this engine's perspective (snapshot overwrite); only
                 # now do other sessions see the transaction's writes

@@ -1163,3 +1163,39 @@ def test_rollback_after_concurrent_commit_sees_fresh_state(spark):
     a.execute("ROLLBACK")
     assert a.execute(f"SELECT count(*) AS n FROM {t}").collect()[0].n == 15
     spark.sql(f"DROP TABLE {t}")
+
+
+def test_conflict_abort_reports_unrollbackable_statement(spark):
+    """When a conflicted COMMIT aborts a transaction that ALSO ran a
+    statement outside the transactional DML surface (CTAS autocommits
+    durably), the TRANSACTION_CONFLICT error must carry the same loud
+    not-undone warning ROLLBACK gives — otherwise 'retry the
+    transaction' re-runs the CTAS against a table that already exists."""
+    from sensql_presto_spark.cli import prepare_session
+
+    a = _sess(spark)
+    forked = spark.newSession()
+    prepare_session(forked, SF)
+    b = StatementSession(forked, SF)
+    t = _fresh_dml_table(spark, a, "t_txn_cf_warn")
+    spark.sql("DROP TABLE IF EXISTS t_cf_side")
+
+    a.execute("START TRANSACTION")
+    a.execute(f"UPDATE {t} SET n_regionkey = 9 WHERE n_nationkey < 2")
+    a.execute("CREATE TABLE t_cf_side AS SELECT 1 AS x")  # autocommits
+    b.execute(f"DELETE FROM {t} WHERE n_nationkey = 24")
+    with pytest.raises(ValueError) as exc:
+        a.execute("COMMIT")
+    msg = str(exc.value)
+    assert "TRANSACTION_CONFLICT" in msg
+    assert "NOT undone" in msg and "t_cf_side" in msg
+    # the durable side-table survives; the staged UPDATE does not
+    assert a.execute("SELECT count(*) AS n FROM t_cf_side").collect()[0].n == 1
+    assert (
+        a.execute(f"SELECT count(*) AS n FROM {t} WHERE n_regionkey = 9")
+        .collect()[0]
+        .n
+        == 0
+    )
+    spark.sql(f"DROP TABLE {t}")
+    spark.sql("DROP TABLE IF EXISTS t_cf_side")
