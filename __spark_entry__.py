@@ -48,13 +48,13 @@ PRIORITY: tuple[str, ...] = tuple(f"tpcds_q{n}" for n in range(41, 91))
 # text_classifier_filter, cluster_dbscan_grid, text_bm25_topk — each
 # vanilla-EXACT at sf0.001/0.01/0.1 when added, and the whole 23-slot
 # r7 window pre-verified at sf0.1 during r6, see COVERAGE.md), plus the
-# fourteen operators ADDED in r6 (sim_hybrid_rrf, graph_kcore,
+# fifteen operators ADDED in r6 (sim_hybrid_rrf, graph_kcore,
 # text_phrase_search, agg_countmin_freq, mm_audio_fingerprint_dedup,
 # graph_khop_distances, mm_video_scene_cut, sim_knn_join,
 # text_perplexity_bucket, graph_link_prediction, sim_nn_descent_round,
-# cluster_snn_knn, text_dsir_weights, mm_video_keyframe_sample — each
-# vanilla-EXACT at all three scales when added) = 37 slots.  Keep any
-# r6 entry that FAILED.
+# cluster_snn_knn, text_dsir_weights, mm_video_keyframe_sample,
+# events_interval_union — each vanilla-EXACT at all three scales when
+# added) = 38 slots.  Keep any r6 entry that FAILED.
 
 def _alias(i: int, name: str) -> str:
     return f"a{i:02d}_{name}"

@@ -727,3 +727,98 @@ _sql_query(
     "cents (per-row quantization before the sum) so no float summation "
     "order can move the driver's exact hash.",
 )
+
+# --- interval union (islands & gaps): merge overlapping per-user activity
+#     intervals and report covered time — the classic "total watch time /
+#     total active time" rollup that sessionization does NOT answer
+#     (sessionize groups point events by gap; this merges explicit
+#     [start, end) intervals that genuinely overlap).  Each event spawns a
+#     deterministic interval [s, s + 60 + event_id % 240) so overlaps,
+#     touching endpoints, and gaps all occur.  The island construction is
+#     the standard one shuffle-sort shape: per user, an interval starts a
+#     new island iff its start exceeds the running max of all previous
+#     ends (ROWS UNBOUNDED PRECEDING TO 1 PRECEDING); within an island the
+#     chaining invariant makes the union exactly [min(s), max(e)], so
+#     coverage is a plain per-island aggregate.  All arithmetic in exact
+#     integer epoch seconds.
+
+_sql_query(
+    "events_interval_union",
+    """
+    WITH iv AS (
+        SELECT user_id, event_id,
+               unix_micros(ts) div 1000000 AS s,
+               unix_micros(ts) div 1000000 + 60 + event_id % 240 AS e
+        FROM events WHERE user_id < 30
+    ),
+    flagged AS (
+        SELECT user_id, event_id, s, e,
+               CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         IS NULL
+                         OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ),
+    islands AS (
+        SELECT user_id, s, e,
+               CAST(sum(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id)
+                    AS BIGINT) AS island_id
+        FROM flagged
+    ),
+    merged AS (
+        SELECT user_id, island_id,
+               count(*) AS n_intervals,
+               min(s) AS island_start, max(e) AS island_end
+        FROM islands GROUP BY user_id, island_id
+    )
+    SELECT user_id,
+           CAST(sum(n_intervals) AS BIGINT) AS n_intervals,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(island_end - island_start) AS BIGINT) AS covered_s,
+           CAST(max(island_end) - min(island_start) AS BIGINT) AS span_s
+    FROM merged
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) // 1000000 AS s,
+               epoch_us(ts) // 1000000 + 60 + event_id % 240 AS e
+        FROM events WHERE user_id < 30
+    ),
+    flagged AS (
+        SELECT user_id, event_id, s, e,
+               CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         IS NULL
+                         OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ),
+    islands AS (
+        SELECT user_id, s, e,
+               CAST(sum(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id)
+                    AS BIGINT) AS island_id
+        FROM flagged
+    ),
+    merged AS (
+        SELECT user_id, island_id,
+               count(*) AS n_intervals,
+               min(s) AS island_start, max(e) AS island_end
+        FROM islands GROUP BY user_id, island_id
+    )
+    SELECT user_id,
+           CAST(sum(n_intervals) AS BIGINT) AS n_intervals,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(island_end - island_start) AS BIGINT) AS covered_s,
+           CAST(max(island_end) - min(island_start) AS BIGINT) AS span_s
+    FROM merged
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("events", "intervals"),
+)

@@ -656,3 +656,13 @@ def test_no_registry_query_plans_cartesian_or_row_python(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, f"scale-hostile plans: {offenders}"
+
+
+def test_interval_union_single_sort_shuffle(spark):
+    """events_interval_union: the whole islands-and-gaps merge rides ONE
+    user_id hash exchange (both windows and both aggregates share the
+    partitioning) — no joins, no cartesian, no Python."""
+    plan = _plan(spark, "events_interval_union", mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "Python" not in plan
