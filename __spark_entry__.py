@@ -27,34 +27,49 @@ from pyspark.sql import DataFrame, SparkSession
 
 from sensql_presto_spark.queries import all_specs
 
-# ROUND-6 ROTATION (r5 window was 50/50 green — everything rotated out;
-# rotation ledger: COVERAGE.md §Rotation).  73 registry entries still
-# lack a driver-green CORRECTNESS row after r5: the 59-body TPC-DS tail
-# (q41-q99) and the 14 operators added in r5.  This window takes the
-# next 50 TPC-DS bodies in registry order — q41..q90 exactly fills the
-# 50 slots.  r7 takes the final 9 TPC-DS bodies (q91-q99) plus the 14
-# r5-added operators (23 slots) — every entry driver-checked by r7.
-# Every name below was re-verified EXACT under tools/driver_sim.py
-# --vanilla at sf0.01 AND sf0.1 on this round's closing code state
-# (see COVERAGE.md §Rotation r6 row).
-PRIORITY: tuple[str, ...] = tuple(f"tpcds_q{n}" for n in range(41, 91))
-
-# Round-7 rotation plan: if r6 comes back green, swap in the remaining
-# 9 TPC-DS bodies (q91-q99) plus the fourteen operators ADDED in r5
-# (events_anomaly_zscore, events_scd2_history, sim_range_search,
-# text_containment_dedup, mm_image_phash_dedup, scale_aqe_skew_join,
-# graph_label_propagation, text_boilerplate_lines,
-# dedup_minhash_incremental, events_attribution, graph_triangle_count,
-# text_classifier_filter, cluster_dbscan_grid, text_bm25_topk — each
-# vanilla-EXACT at sf0.001/0.01/0.1 when added, and the whole 23-slot
-# r7 window pre-verified at sf0.1 during r6, see COVERAGE.md), plus the
-# fifteen operators ADDED in r6 (sim_hybrid_rrf, graph_kcore,
-# text_phrase_search, agg_countmin_freq, mm_audio_fingerprint_dedup,
-# graph_khop_distances, mm_video_scene_cut, sim_knn_join,
-# text_perplexity_bucket, graph_link_prediction, sim_nn_descent_round,
-# cluster_snn_knn, text_dsir_weights, mm_video_keyframe_sample,
-# events_interval_union — each vanilla-EXACT at all three scales when
-# added) = 38 slots.  Keep any r6 entry that FAILED.
+# ROUND-7 ROTATION (r6 window was 50/50 green — everything rotated out;
+# rotation ledger: COVERAGE.md §Rotation).  This is the FINAL window:
+# the 38 registry entries that still lack a driver-green CORRECTNESS
+# row — the TPC-DS tail (q91-q99), the fourteen operators added in r5,
+# and the fifteen operators added in r6.  All 38 were pre-verified
+# EXACT under tools/driver_sim.py --vanilla at sf0.01 during r6 (a
+# 7-entry sample re-verified at sf0.1); after this window every
+# registry entry has a driver row.  Remaining slots (39+) fall through
+# to the canonical alphabetical registry, which re-checks entries
+# already green in earlier rounds.
+PRIORITY: tuple[str, ...] = tuple(f"tpcds_q{n}" for n in range(91, 100)) + (
+    # r5-added operators (14)
+    "events_anomaly_zscore",
+    "events_scd2_history",
+    "sim_range_search",
+    "text_containment_dedup",
+    "mm_image_phash_dedup",
+    "scale_aqe_skew_join",
+    "graph_label_propagation",
+    "text_boilerplate_lines",
+    "dedup_minhash_incremental",
+    "events_attribution",
+    "graph_triangle_count",
+    "text_classifier_filter",
+    "cluster_dbscan_grid",
+    "text_bm25_topk",
+    # r6-added operators (15)
+    "sim_hybrid_rrf",
+    "graph_kcore",
+    "text_phrase_search",
+    "agg_countmin_freq",
+    "mm_audio_fingerprint_dedup",
+    "graph_khop_distances",
+    "mm_video_scene_cut",
+    "sim_knn_join",
+    "text_perplexity_bucket",
+    "graph_link_prediction",
+    "sim_nn_descent_round",
+    "cluster_snn_knn",
+    "text_dsir_weights",
+    "mm_video_keyframe_sample",
+    "events_interval_union",
+)
 
 def _alias(i: int, name: str) -> str:
     return f"a{i:02d}_{name}"
