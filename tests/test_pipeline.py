@@ -410,3 +410,115 @@ def test_nn_descent_round_improves_blocked_knn(spark):
     common = init_top1.index.intersection(ref_top1.index)
     assert (ref_top1[common] >= init_top1[common]).all()
     assert (ref_top1[common] > init_top1[common]).any()
+
+
+SF01_DIR = "/root/testdata/sf0.1"
+
+
+def test_knn_lsh_blocking_scales_with_corpus(spark):
+    """The k-NN family's sign-LSH bit count must grow with the corpus so
+    per-bucket occupancy stays pinned (~32 rows) instead of the fixed
+    32-bucket blocking whose pair volume was Theta(n^2/32): (a) the
+    integer bit-width formula satisfies the occupancy bound for any n,
+    (b) the actual bucketed corpus uses 5 bits at the 500-vector fixture
+    and >5 bits at sf0.1's 2000 vectors (both engines agree — the oracle
+    harness covers value parity; this pins the adaptivity itself)."""
+    from sensql_presto_spark import catalog
+    from sensql_presto_spark.queries.pipeline import (
+        _KNN_CORPUS_SQL,
+        _NND_CORPUS_SQL,
+    )
+
+    # (a) occupancy bound: 2^b >= ceil(n/32), and b is minimal above the
+    # clamp — so expected rows/bucket <= 32 at ANY corpus size.
+    rows = spark.sql(
+        """
+        SELECT n,
+               greatest(5, length(bin(greatest((n + 31) DIV 32 - 1, 1)))) AS b,
+               cast(ceil(n / 32.0) AS bigint) AS m
+        FROM VALUES (500L), (2000L), (100000L), (1000000000L), (100000000000L) AS t(n)
+        """
+    ).collect()
+    for r in rows:
+        assert 2**r.b >= r.m, f"occupancy bound violated at n={r.n}"
+        if r.b > 5:
+            assert 2 ** (r.b - 1) < r.m, f"b not minimal at n={r.n}"
+
+    # (b) the blocking actually widens between fixture scales.
+    small = catalog.sql(spark, SF_DIR, _KNN_CORPUS_SQL).toPandas()
+    large = catalog.sql(spark, SF01_DIR, _KNN_CORPUS_SQL).toPandas()
+    assert small.bucket.max() <= 31, "500-vector fixture must clamp to 5 bits"
+    assert large.bucket.max() >= 32, "2000-vector corpus must use > 5 bits"
+    assert large.bucket.max() <= 63
+    # dual-blocking init shares the adaptive width (min clamp 4)
+    nnd_small = catalog.sql(spark, SF_DIR, _NND_CORPUS_SQL).toPandas()
+    nnd_large = catalog.sql(spark, SF01_DIR, _NND_CORPUS_SQL).toPandas()
+    assert nnd_small.bucket_a.max() <= 15 and nnd_small.bucket_b.max() <= 15
+    assert nnd_large.bucket_a.max() >= 16 or nnd_large.bucket_b.max() >= 16
+
+
+def test_labelprop_fixpoint_margin_at_scale(spark):
+    """graph_label_propagation's 3 unrolled rounds must already be the
+    fixpoint on the sf0.1 fixture (6000-node block web): a 4th majority
+    round changes no label, so a fixture scale-up can't silently
+    under-iterate (the graph_kcore margin-guard pattern)."""
+    from sensql_presto_spark import catalog
+    from sensql_presto_spark.queries.pipeline import _LABELPROP_GRAPH_SQL
+
+    sym = catalog.sql(spark, SF01_DIR, _LABELPROP_GRAPH_SQL).localCheckpoint(
+        eager=True
+    )
+    sym.createOrReplaceTempView("__lp_margin_sym")
+    l3 = registry.get("graph_label_propagation").build(spark, SF01_DIR)
+    l3.select("node_id", "community").createOrReplaceTempView("__lp_margin_l3")
+    l4 = spark.sql(
+        """
+        WITH c4 AS (SELECT e.dst AS id, l.community AS lbl, count(*) AS c
+                    FROM __lp_margin_sym e
+                    JOIN __lp_margin_l3 l ON l.node_id = e.src
+                    GROUP BY e.dst, l.community),
+        w4 AS (SELECT id, lbl FROM (
+                   SELECT id, lbl,
+                          row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+                   FROM c4) t WHERE rn = 1)
+        SELECT p.node_id, coalesce(w.lbl, p.community) AS community
+        FROM __lp_margin_l3 p LEFT JOIN w4 w ON p.node_id = w.id
+        """
+    ).toPandas()
+    prev = l3.select("node_id", "community").toPandas()
+    merged = prev.merge(l4, on="node_id", suffixes=("_3", "_4"))
+    changed = (merged.community_3 != merged.community_4).sum()
+    assert changed == 0, f"margin round moved {changed} labels"
+
+
+def test_khop_fixpoint_margin_at_scale(spark):
+    """graph_khop_distances' 4 unrolled rounds must already cover the
+    sf0.1 block web: a 5th relaxation round changes no distance and the
+    seed set reaches every node, so a fixture scale-up (longer bridges)
+    can't silently truncate the BFS."""
+    from sensql_presto_spark import catalog
+    from sensql_presto_spark.queries.pipeline import _LABELPROP_GRAPH_SQL
+
+    sym = catalog.sql(spark, SF01_DIR, _LABELPROP_GRAPH_SQL).localCheckpoint(
+        eager=True
+    )
+    sym.createOrReplaceTempView("__kh_margin_sym")
+    d4 = registry.get("graph_khop_distances").build(spark, SF01_DIR)
+    d4.createOrReplaceTempView("__kh_margin_d4")
+    d5 = spark.sql(
+        """
+        SELECT v AS node_id, min(d) AS dist FROM (
+            SELECT node_id AS v, dist AS d FROM __kh_margin_d4 WHERE reached = 1
+            UNION ALL
+            SELECT e.dst AS v, p.dist + 1 AS d
+            FROM __kh_margin_sym e
+            JOIN __kh_margin_d4 p ON e.src = p.node_id AND p.reached = 1
+        ) u GROUP BY v
+        """
+    ).toPandas()
+    prev = d4.toPandas()
+    assert (prev.reached == 1).all(), "sf0.1 block web left nodes unreached"
+    merged = prev.merge(d5, on="node_id", suffixes=("_4", "_5"))
+    assert len(merged) == len(prev)
+    changed = (merged.dist_4 != merged.dist_5).sum()
+    assert changed == 0, f"5th relaxation round improved {changed} distances"
