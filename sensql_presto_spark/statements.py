@@ -534,11 +534,21 @@ class StatementSession:
         self.functions: dict[str, str] = {}  # bare name -> original CREATE text
         self._conf_defaults: dict[str, str | None] = {}
         self._in_txn = False
-        self._txn_stages: dict[str, str] = {}  # table -> private staging copy
-        # table -> _TABLE_GENERATIONS value when its staging copy was cut;
-        # COMMIT compares against the current value for write-write
+        # Staging state is keyed on the NORMALIZED table name (bare,
+        # lowered — the same normalization as _TABLE_GENERATIONS): Spark
+        # resolution is case-insensitive and schema-optional, so 'DELETE
+        # FROM T' and 'INSERT INTO default.t' touch one physical table
+        # and must share one staging copy (two verbatim-keyed stages
+        # would each cut from the base pre-image and the later publish
+        # would silently discard the earlier statement's changes).
+        self._txn_stages: dict[str, str] = {}  # normkey -> staging copy
+        self._txn_stage_names: dict[str, str] = {}  # normkey -> first spelling
+        self._txn_stage_rev: dict[str, str] = {}  # staging copy -> normkey
+        # normkey -> _TABLE_GENERATIONS value when its staging copy was
+        # cut; COMMIT compares against the current value for write-write
         # conflict detection (first committer wins)
         self._txn_stage_gens: dict[str, int] = {}
+        self._exec_depth = 0  # EXECUTE re-dispatch recursion guard
         # last _TABLE_GENERATIONS values this session has refreshed up to
         self._seen_generations: dict[str, int] = dict(_TABLE_GENERATIONS)
         self._txn_unrollbackable: str | None = None
@@ -643,6 +653,20 @@ class StatementSession:
                             count=1,
                             flags=re.IGNORECASE,
                         )
+            # Qualified references (default.t / spark_catalog.default.t)
+            # resolve PAST the bare-name temp-view shadow straight to the
+            # base table — a silent wrong-isolation read of pre-snapshot
+            # data.  Rewrite them to the staging copy for the
+            # transactional surface; statements the engine cannot stage
+            # (CTAS/DROP/INSERT OVERWRITE/... — the unrollbackable
+            # autocommit class matched above) keep their documented
+            # autocommit-on-base behavior under every spelling.
+            if self._txn_stages and not re.match(
+                r"^\s*(CREATE|REFRESH|DROP|INSERT\s+OVERWRITE|ALTER|CALL)\b",
+                text,
+                re.IGNORECASE,
+            ):
+                text = self._txn_rewrite_qualified(text)
         m = _PREPARE_RE.match(text)
         if m:
             self.prepared[m.group(1).lower()] = m.group(2).strip()
@@ -666,7 +690,23 @@ class StatementSession:
             # (StatementAnalyzer.java), so 'PREPARE p FROM SELECT ...;
             # EXECUTE p' must not bypass the table-grant check.
             self._check_table_access(bound)
-            return catalog.sql(self.spark, self.sf_dir, bound)
+            # Route the bound text back through the FULL dispatcher: an
+            # EXECUTE'd INSERT/DELETE/CREATE must get the same in-txn
+            # staging redirect and write-announce (generation bump) as
+            # typing the statement directly — dispatching to catalog.sql
+            # here dirty-wrote the base table inside transactions and
+            # left other sessions' cached listings stale.  The depth
+            # guard keeps a prepared 'EXECUTE p' from recursing forever.
+            if self._exec_depth >= 8:
+                raise ValueError(
+                    "EXECUTE expansion exceeded depth 8 — prepared "
+                    "statements that EXECUTE each other form a cycle"
+                )
+            self._exec_depth += 1
+            try:
+                return self.execute(bound)
+            finally:
+                self._exec_depth -= 1
         # must run before the generic DESCRIBE <table> (SHOW COLUMNS) match
         m = _DESCRIBE_INPUT_RE.match(text)
         if m:
@@ -1003,12 +1043,22 @@ class StatementSession:
             re.IGNORECASE,
         )
         if m and m.group(1).split(".")[-1].lower() not in catalog.TABLES:
+            if m.group(1).startswith("__txn_stage_"):
+                # session-private staging target (in-txn INSERT redirect):
+                # no publish, no announce, no lock
+                return catalog.sql(self.spark, self.sf_dir, text)
             # autocommit write to / recreate / drop of a managed table:
             # announce it so other sessions invalidate their cached file
             # listings (a reader holding a dropped-and-recreated table's
-            # old listing would otherwise crash or read stale rows)
-            out = catalog.sql(self.spark, self.sf_dir, text)
-            self._note_table_write(m.group(1))
+            # old listing would otherwise crash or read stale rows).
+            # Under _PUBLISH_LOCK — the lock's contract covers EVERY
+            # base-table publish, and an autocommit INSERT landing inside
+            # another session's COMMIT conflict-check->publish window
+            # would otherwise be silently clobbered by the overwrite with
+            # no conflict raised on either side.
+            with _PUBLISH_LOCK:
+                out = catalog.sql(self.spark, self.sf_dir, text)
+                self._note_table_write(m.group(1))
             return out
         return catalog.sql(self.spark, self.sf_dir, text)
 
@@ -1235,6 +1285,14 @@ class StatementSession:
     #    reference's update-count protocol field. -----------------------------
 
     def _writable_table(self, name: str, priv: str = "SELECT") -> str:
+        if name.startswith("__txn_stage_"):
+            # a qualified reference already rewritten to this txn's
+            # staging copy: enforce the privilege against the LOGICAL
+            # table it stages, not the private stage name
+            if self.enforce_access:
+                logical = self._txn_stage_rev.get(name, name)
+                self.access.check(self.user, self._active_roles(), priv, logical)
+            return name
         bare = name.split(".")[-1].lower()
         if bare in catalog.TABLES:
             raise ValueError(
@@ -1409,10 +1467,12 @@ class StatementSession:
     #    invisible to every other client).  ROLLBACK just drops the
     #    staging copy — the base was never touched.  Publish is
     #    per-table last-writer-wins, the snapshot-overwrite model of
-    #    mutation.py; qualified (schema.table) references in raw SELECT
-    #    text bypass the bare-name shadow — documented limit.  Writes the
-    #    engine cannot stage (CTAS, matview DDL, WritableTable API calls)
-    #    keep the loud cannot-rollback contract via _txn_unrollbackable. ---
+    #    mutation.py; qualified (schema.table) references in raw statement
+    #    text are rewritten to the staging copy at dispatch
+    #    (_txn_rewrite_qualified), so every spelling of a staged table
+    #    reads the same snapshot.  Writes the engine cannot stage (CTAS,
+    #    matview DDL, WritableTable API calls) keep the loud
+    #    cannot-rollback contract via _txn_unrollbackable. ---
 
     def _refresh_stale_tables(self) -> None:
         """Drop this session's cached file listings for tables other
@@ -1422,7 +1482,7 @@ class StatementSession:
         published data."""
         for key, gen in list(_TABLE_GENERATIONS.items()):
             if self._seen_generations.get(key, 0) < gen:
-                if key in {t.split(".")[-1].lower() for t in self._txn_stages}:
+                if key in self._txn_stages:  # keys are already normalized
                     # our own staging shadow covers reads of it for now —
                     # but do NOT mark the generation seen, so the refresh
                     # happens on the first statement AFTER the shadow drops
@@ -1440,34 +1500,56 @@ class StatementSession:
         """Return the physical DML target for ``table``: the private
         staging copy while a transaction is open (created on first touch,
         with a temp-view shadow so this session's plain SELECTs read it),
-        the table itself otherwise."""
+        the table itself otherwise.  Keyed on the normalized name so every
+        spelling of one physical table shares one staging copy."""
         if not self._in_txn:
             return table
-        if table in self._txn_stages:
-            return self._txn_stages[table]
+        if table.startswith("__txn_stage_"):
+            return table  # already a staging target (rewritten reference)
+        key = table.split(".")[-1].lower()
+        if key in self._txn_stages:
+            return self._txn_stages[key]
         # the stage name must be unique across ALL live sessions: forked
         # client sessions share one metastore, so a name derived only
         # from the table would let a second session's staging CREATE
         # clobber the first session's in-flight staging copy (found by
         # test_write_write_conflict_first_committer_wins); the global
         # counter is collision-proof
-        stage = f"__txn_stage_{next(_STAGE_COUNTER)}_{abs(hash(table)) % 10**6}"
-        self._txn_stage_gens[table] = _TABLE_GENERATIONS.get(
-            table.split(".")[-1].lower(), 0
-        )
+        stage = f"__txn_stage_{next(_STAGE_COUNTER)}_{abs(hash(key)) % 10**6}"
+        self._txn_stage_gens[key] = _TABLE_GENERATIONS.get(key, 0)
         self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
         df = self.spark.table(table).localCheckpoint(eager=True)
         df.write.saveAsTable(stage)
-        bare = table.split(".")[-1]
         self.spark.sql(
-            f"CREATE OR REPLACE TEMPORARY VIEW {bare} AS SELECT * FROM {stage}"
+            f"CREATE OR REPLACE TEMPORARY VIEW {key} AS SELECT * FROM {stage}"
         )
-        self._txn_stages[table] = stage
+        self._txn_stages[key] = stage
+        self._txn_stage_names[key] = table
+        self._txn_stage_rev[stage] = key
         return stage
 
+    def _txn_rewrite_qualified(self, text: str) -> str:
+        """Rewrite qualified spellings of staged tables (``default.t``,
+        ``spark_catalog.default.t``) to the staging copy — they resolve
+        past the bare-name temp-view shadow straight to the base table,
+        a silent wrong-isolation read.  String literals are skipped (the
+        same lexical contract as the bare-name shadow; only the fixed
+        ``default`` schema is rewritten, so arbitrary ``alias.column``
+        references can never match)."""
+        parts = text.split("'")
+        for i in range(0, len(parts), 2):  # even indexes sit outside literals
+            for key, stage in self._txn_stages.items():
+                parts[i] = re.sub(
+                    rf"\b(?:spark_catalog\s*\.\s*)?default\s*\.\s*{re.escape(key)}\b",
+                    stage,
+                    parts[i],
+                    flags=re.IGNORECASE,
+                )
+        return "'".join(parts)
+
     def _txn_unshadow(self) -> None:
-        for table in self._txn_stages:
-            self.spark.catalog.dropTempView(table.split(".")[-1])
+        for key in self._txn_stages:
+            self.spark.catalog.dropTempView(key)
 
     def _start_transaction(self) -> DataFrame:
         if self._in_txn:
@@ -1475,6 +1557,8 @@ class StatementSession:
             raise ValueError("Nested transactions not supported")
         self._in_txn = True
         self._txn_stages = {}
+        self._txn_stage_names = {}
+        self._txn_stage_rev = {}
         self._txn_stage_gens = {}
         self._txn_unrollbackable = None
         return self.spark.createDataFrame([("START TRANSACTION",)], "result string")
@@ -1493,9 +1577,9 @@ class StatementSession:
                 # instead, snapshot-isolation style.  Checked under the
                 # publish lock, BEFORE any table publishes (all-or-nothing).
                 conflicts = sorted(
-                    table
-                    for table, g0 in self._txn_stage_gens.items()
-                    if _TABLE_GENERATIONS.get(table.split(".")[-1].lower(), 0) > g0
+                    self._txn_stage_names.get(key, key)
+                    for key, g0 in self._txn_stage_gens.items()
+                    if _TABLE_GENERATIONS.get(key, 0) > g0
                 )
                 if conflicts:
                     self._txn_unshadow()
@@ -1521,18 +1605,50 @@ class StatementSession:
                 # publish: staging becomes the table, atomically per table
                 # from this engine's perspective (snapshot overwrite); only
                 # now do other sessions see the transaction's writes
-                for table, stage in self._txn_stages.items():
-                    out = self.spark.table(stage).localCheckpoint(eager=True)
-                    self.spark.catalog.dropTempView(table.split(".")[-1])
-                    out.write.mode("overwrite").saveAsTable(table)
-                    # our own listing refreshes now; other sessions refresh
-                    # on their next statement via the generation counter
-                    self.spark.sql(f"REFRESH TABLE {table}")
-                    self._note_table_write(table)
+                published: list[str] = []
+                for key, stage in self._txn_stages.items():
+                    table = self._txn_stage_names.get(key, key)
+                    try:
+                        out = self.spark.table(stage).localCheckpoint(eager=True)
+                        self.spark.catalog.dropTempView(key)
+                        out.write.mode("overwrite").saveAsTable(table)
+                        # our own listing refreshes now; other sessions
+                        # refresh on their next statement via the
+                        # generation counter
+                        self.spark.sql(f"REFRESH TABLE {table}")
+                        self._note_table_write(table)
+                        published.append(table)
+                    except Exception as exc:
+                        # a mid-loop publish failure (disk/executor error)
+                        # cannot be made all-or-nothing under snapshot
+                        # overwrite — earlier tables are already visible —
+                        # so name exactly what published and what was
+                        # discarded instead of returning a silent partial
+                        # COMMIT (the _txn_unrollbackable loud contract)
+                        discarded = sorted(
+                            self._txn_stage_names.get(k, k)
+                            for k in self._txn_stages
+                            if self._txn_stage_names.get(k, k) not in published
+                        )
+                        self._txn_unshadow()  # published views already
+                        # dropped; this clears the dangling shadows of the
+                        # unpublished tables (their stages drop below)
+                        raise ValueError(
+                            "COMMIT failed mid-publish on table "
+                            f"{table}: table(s) "
+                            + (", ".join(published) or "<none>")
+                            + " were already published and remain visible; "
+                            "staged changes to table(s) "
+                            + ", ".join(discarded)
+                            + " were DISCARDED — re-apply them on the "
+                            "current state"
+                        ) from exc
         finally:
             for stage in self._txn_stages.values():
                 self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
             self._txn_stages = {}
+            self._txn_stage_names = {}
+            self._txn_stage_rev = {}
             self._txn_stage_gens = {}
         return self.spark.createDataFrame([("COMMIT",)], "result string")
 
@@ -1561,6 +1677,8 @@ class StatementSession:
             for stage in self._txn_stages.values():
                 self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
             self._txn_stages = {}
+            self._txn_stage_names = {}
+            self._txn_stage_rev = {}
             self._txn_stage_gens = {}
             self._txn_unrollbackable = None
         return self.spark.createDataFrame([("ROLLBACK",)], "result string")

@@ -1199,3 +1199,171 @@ def test_conflict_abort_reports_unrollbackable_statement(spark):
     )
     spark.sql(f"DROP TABLE {t}")
     spark.sql("DROP TABLE IF EXISTS t_cf_side")
+
+
+# -- r7 transaction-surface fixes (ADVICE r6 + verdict task #3) -------------
+
+
+def _fresh_managed(spark, sess, name):
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
+    sess.execute(
+        f"CREATE TABLE {name} AS SELECT n_nationkey, n_regionkey "
+        "FROM nation WHERE n_nationkey < 6"
+    )
+
+
+def test_txn_qualified_select_sees_staged_write(spark):
+    """A qualified reference resolves past the bare-name temp-view shadow;
+    the in-txn dispatch must rewrite it to the staging copy so every
+    spelling of a staged table reads the transaction's snapshot."""
+    sess = _sess(spark)
+    _fresh_managed(spark, sess, "t_txn_qual")
+    sess.execute("START TRANSACTION")
+    try:
+        sess.execute("DELETE FROM t_txn_qual WHERE n_nationkey >= 3")
+        for spelling in (
+            "default.t_txn_qual",
+            "spark_catalog.default.t_txn_qual",
+            "DEFAULT.T_TXN_QUAL",
+        ):
+            n = sess.execute(f"SELECT count(*) AS n FROM {spelling}").collect()[0].n
+            assert n == 3, f"{spelling} bypassed the staging shadow"
+        # string literals must NOT be rewritten
+        lit = sess.execute("SELECT 'default.t_txn_qual' AS s").collect()[0].s
+        assert lit == "default.t_txn_qual"
+    finally:
+        sess.execute("ROLLBACK")
+    assert (
+        sess.execute("SELECT count(*) AS n FROM default.t_txn_qual").collect()[0].n
+        == 6
+    )
+    spark.sql("DROP TABLE t_txn_qual")
+
+
+def test_txn_two_spellings_share_one_staging_copy(spark):
+    """'DELETE FROM T' then 'INSERT INTO default.t' touch one physical
+    table: both must land in ONE staging copy (verbatim keying cut two
+    stages, each from the base pre-image, and COMMIT kept only the later
+    one — the r6 ADVICE medium finding)."""
+    sess = _sess(spark)
+    _fresh_managed(spark, sess, "t_txn_spell")
+    sess.execute("START TRANSACTION")
+    sess.execute("DELETE FROM T_TXN_SPELL WHERE n_nationkey = 0")
+    sess.execute("INSERT INTO default.t_txn_spell VALUES (77, 7)")
+    assert len(sess._txn_stages) == 1, "two spellings cut two staging copies"
+    sess.execute("COMMIT")
+    keys = sorted(
+        r.n_nationkey
+        for r in sess.execute("SELECT n_nationkey FROM t_txn_spell").collect()
+    )
+    assert keys == [1, 2, 3, 4, 5, 77], "one spelling's changes were discarded"
+    spark.sql("DROP TABLE t_txn_spell")
+
+
+def test_execute_prepared_insert_respects_transaction(spark):
+    """EXECUTE routes the bound statement through the full dispatcher: a
+    prepared INSERT inside a transaction stages (ROLLBACK undoes it)
+    instead of dirty-writing the base table."""
+    sess = _sess(spark)
+    _fresh_managed(spark, sess, "t_txn_exec")
+    sess.execute("PREPARE ins FROM INSERT INTO t_txn_exec VALUES (?, ?)")
+    sess.execute("START TRANSACTION")
+    sess.execute("EXECUTE ins USING 88, 8")
+    n_in = sess.execute("SELECT count(*) AS n FROM t_txn_exec").collect()[0].n
+    assert n_in == 7, "EXECUTE'd INSERT not visible to the transaction"
+    sess.execute("ROLLBACK")
+    n_after = sess.execute("SELECT count(*) AS n FROM t_txn_exec").collect()[0].n
+    assert n_after == 6, "EXECUTE'd INSERT dirty-wrote the base table"
+    spark.sql("DROP TABLE t_txn_exec")
+
+
+def test_execute_autocommit_insert_bumps_generation(spark):
+    """Outside a transaction an EXECUTE'd INSERT must announce the write
+    (generation bump) so other sessions refresh their file listings."""
+    from sensql_presto_spark import statements as st
+
+    sess = _sess(spark)
+    _fresh_managed(spark, sess, "t_exec_gen")
+    g0 = st._TABLE_GENERATIONS.get("t_exec_gen", 0)
+    sess.execute("PREPARE ins2 FROM INSERT INTO t_exec_gen VALUES (99, 9)")
+    sess.execute("EXECUTE ins2")
+    assert st._TABLE_GENERATIONS.get("t_exec_gen", 0) == g0 + 1
+    spark.sql("DROP TABLE t_exec_gen")
+
+
+def test_execute_recursion_guard(spark):
+    sess = _sess(spark)
+    sess.execute("PREPARE loop_p FROM EXECUTE loop_p")
+    with pytest.raises(ValueError, match="depth"):
+        sess.execute("EXECUTE loop_p")
+
+
+def test_autocommit_insert_waits_for_publish_lock(spark):
+    """The autocommit INSERT path must serialize with COMMIT's
+    conflict-check->publish critical section: while _PUBLISH_LOCK is
+    held, the INSERT blocks instead of landing inside the window (where
+    the publishing overwrite would silently clobber it)."""
+    import threading
+    import time
+
+    from sensql_presto_spark import statements as st
+
+    sess = _sess(spark)
+    _fresh_managed(spark, sess, "t_lock_probe")
+    done = threading.Event()
+
+    def insert():
+        sess.execute("INSERT INTO t_lock_probe VALUES (55, 5)")
+        done.set()
+
+    with st._PUBLISH_LOCK:
+        worker = threading.Thread(target=insert, daemon=True)
+        worker.start()
+        time.sleep(3.0)
+        assert not done.is_set(), "autocommit INSERT ran outside _PUBLISH_LOCK"
+    worker.join(timeout=120)
+    assert done.is_set(), "INSERT never completed after lock release"
+    n = sess.execute("SELECT count(*) AS n FROM t_lock_probe").collect()[0].n
+    assert n == 7
+    spark.sql("DROP TABLE t_lock_probe")
+
+
+def test_commit_partial_publish_failure_is_loud(spark, monkeypatch):
+    """A mid-loop publish failure must raise an error naming exactly which
+    tables published and which staged changes were discarded — never a
+    silent partial COMMIT."""
+    sess = _sess(spark)
+    _fresh_managed(spark, sess, "t_pub_a")
+    _fresh_managed(spark, sess, "t_pub_b")
+    sess.execute("START TRANSACTION")
+    sess.execute("DELETE FROM t_pub_a WHERE n_nationkey = 0")
+    sess.execute("DELETE FROM t_pub_b WHERE n_nationkey = 0")
+
+    # fail the SECOND table's publish at its first step (reading the
+    # staging copy), simulating a disk/executor error mid-loop
+    calls = {"n": 0}
+    orig_table = sess.spark.table
+
+    def failing_table(name):
+        if name.startswith("__txn_stage_"):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("simulated disk failure")
+        return orig_table(name)
+
+    monkeypatch.setattr(sess.spark, "table", failing_table)
+    with pytest.raises(ValueError, match="COMMIT failed mid-publish") as ei:
+        sess.execute("COMMIT")
+    msg = str(ei.value)
+    assert "t_pub_a" in msg and "t_pub_b" in msg and "DISCARDED" in msg
+    monkeypatch.setattr(sess.spark, "table", orig_table)
+    # the session is usable afterwards and the first table really published
+    assert sess.execute("SELECT count(*) AS n FROM t_pub_a").collect()[0].n == 5
+    assert sess.execute("SELECT count(*) AS n FROM t_pub_b").collect()[0].n == 6
+    spark.sql("DROP TABLE t_pub_a")
+    spark.sql("DROP TABLE t_pub_b")

@@ -44,6 +44,17 @@ def _observe(sess: StatementSession, table: str):
     return sorted((int(r.n_nationkey), int(r.n_regionkey)) for r in rows)
 
 
+def _spell(rng: random.Random, table: str) -> str:
+    """Random spelling of one physical table — Spark resolution is
+    case-insensitive and schema-optional, so every spelling must hit the
+    same staging copy (r7: the qualified forms used to bypass the
+    bare-name temp-view shadow, and two spellings used to cut two
+    independent stages)."""
+    return rng.choice(
+        [table, table.upper(), f"default.{table}", f"spark_catalog.default.{table}"]
+    )
+
+
 @pytest.mark.parametrize("seed", range(N_SEEDS))
 def test_txn_isolation_fuzz_model_differential(spark, txn_pair, seed):
     writer, reader = txn_pair
@@ -98,7 +109,7 @@ def test_txn_isolation_fuzz_model_differential(spark, txn_pair, seed):
             m = rng.randint(2, 5)
             r = rng.randint(0, m - 1)
             out = writer.execute(
-                f"DELETE FROM {t} WHERE n_nationkey % {m} = {r}"
+                f"DELETE FROM {_spell(rng, t)} WHERE n_nationkey % {m} = {r}"
             ).collect()[0]
             expected = [k for k in current() if k % m == r]
             assert out.rows == len(expected), f"seed {seed} step {step} delete count"
@@ -109,7 +120,7 @@ def test_txn_isolation_fuzz_model_differential(spark, txn_pair, seed):
             r = rng.randint(0, m - 1)
             delta = rng.randint(1, 9)
             writer.execute(
-                f"UPDATE {t} SET n_regionkey = n_regionkey + {delta} "
+                f"UPDATE {_spell(rng, t)} SET n_regionkey = n_regionkey + {delta} "
                 f"WHERE n_nationkey % {m} = {r}"
             )
             for k in current():
@@ -117,16 +128,16 @@ def test_txn_isolation_fuzz_model_differential(spark, txn_pair, seed):
                     current()[k] += delta
         elif op == "insert":
             writer.execute(
-                f"INSERT INTO {t} VALUES ({next_key}, {next_key % 7})"
+                f"INSERT INTO {_spell(rng, t)} VALUES ({next_key}, {next_key % 7})"
             )
             current()[next_key] = next_key % 7
             next_key += 1
         elif op == "read_w":
-            got = _observe(writer, t)
+            got = _observe(writer, _spell(rng, t))
             want = sorted(current().items())
             assert got == want, f"seed {seed} step {step}: writer view diverged"
         else:  # read_r — the OTHER session must see only committed state
-            got = _observe(reader, t)
+            got = _observe(reader, _spell(rng, t))
             want = sorted(base.items())
             assert got == want, f"seed {seed} step {step}: reader saw uncommitted state"
     # close any open transaction and verify final convergence both sides
