@@ -4542,6 +4542,7 @@ assert _KCORE_ORACLE.count("WITH ") == 1
     "graph_kcore",
     oracle=_KCORE_ORACLE,
     tags=("pipeline", "graph", "kcore"),
+    bench=True,  # r7: round-over-round perf tracking for the graph family
     doc="6-core decomposition by unrolled peeling (Seidman 1983): per "
     "round one edge-vs-alive join + degree aggregate + HAVING filter on "
     "the corpus-scaled skewed hub web; fixpoint within 4 rounds at all "
@@ -4688,6 +4689,7 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_audio_fingerprint_dedup",
+    bench=True,  # r7: round-over-round perf tracking for the mm family
     oracle="""
     WITH corpus AS (
         SELECT doc_id, text FROM documents WHERE doc_id < 150

@@ -92,6 +92,97 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_avro_roundtrip",
+    oracle=_ORACLE,
+    tags=("sources", "avro"),
+    doc="Avro object-container sink+source (presto-record-decoder avro "
+    "parity) through the spec-derived pure-Python OCF codec in "
+    "avro_ocf.py: the sink writes one container file per Spark "
+    "partition (each task encodes its own rows), the source decodes "
+    "whole files inside an Arrow mapInPandas pass over a binaryFile "
+    "scan — per-file parallelism, payloads never on the driver.",
+)
+def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import shutil
+
+    path = os.path.join(_DIR, "source_avro_demo")
+    fields = [
+        ("c_custkey", "long"),
+        ("c_name", "string"),
+        ("c_nationkey", "int"),
+        ("c_acctbal", "double"),
+    ]
+    abspath = os.path.abspath(path)
+    shutil.rmtree(abspath, ignore_errors=True)
+    os.makedirs(abspath, exist_ok=True)
+
+    def write_part(batches):
+        import os as _os
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        from sensql_presto_spark import avro_ocf
+
+        rows = []
+        for pdf in batches:
+            rows.extend(
+                zip(
+                    pdf.c_custkey.astype("int64"),
+                    pdf.c_name.astype(str),
+                    pdf.c_nationkey.astype("int64"),
+                    pdf.c_acctbal.astype("float64"),
+                )
+            )
+        if rows:
+            pid = TaskContext.get().partitionId()
+            blob = avro_ocf.write_container(fields, rows, name="customer_slice")
+            with open(_os.path.join(abspath, f"part-{pid:05d}.avro"), "wb") as f:
+                f.write(blob)
+        yield pd.DataFrame({"n_rows": [len(rows)]})
+
+    # sink: one OCF file per partition (4 files at this slice size); the
+    # tiny per-partition row counts are the only thing collected
+    written = (
+        _slice(spark, sf_dir)
+        .repartition(4, "c_custkey")
+        .mapInPandas(write_part, "n_rows long")
+        .collect()
+    )
+    assert sum(r.n_rows for r in written) > 0
+    assert glob.glob(os.path.join(abspath, "*.avro"))
+
+    def decode_files(batches):
+        import pandas as pd
+
+        from sensql_presto_spark import avro_ocf
+
+        for pdf in batches:
+            for blob in pdf.content:
+                fs, rows = avro_ocf.read_container(bytes(blob))
+                assert [n for n, _ in fs] == [n for n, _ in fields]
+                yield pd.DataFrame(rows, columns=[n for n, _ in fs])
+
+    out = (
+        spark.read.format("binaryFile")
+        .load(abspath)
+        .select("content")
+        .mapInPandas(
+            decode_files,
+            "c_custkey long, c_name string, c_nationkey long, c_acctbal double",
+        )
+        .select(
+            F.col("c_custkey").cast("long"),
+            F.col("c_name").cast("string"),
+            F.col("c_nationkey").cast("int"),
+            F.col("c_acctbal").cast("double"),
+        )
+    )
+    return out.orderBy("c_custkey")
+
+
+@register(
     "scale_bucketed_join",
     oracle="""
     SELECT o.o_orderpriority, count(*) AS n_lines,CAST(sum(cast(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c
