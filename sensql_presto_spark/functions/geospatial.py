@@ -590,19 +590,33 @@ def st_convex_hull(wkt: pd.Series) -> pd.Series:
 
 
 def _st_buffer(wkt: str, dist: float) -> str:
-    """Point buffer as a 32-gon approximation (GeoFunctions.java ST_Buffer
-    — full polygon buffering needs a geometry kernel; the point case covers
-    the SenSQL radius-query pattern)."""
-    kind, coords = G.parse_wkt(wkt)
-    if kind != "POINT":
-        raise NotImplementedError("st_buffer: only POINT geometries without shapely")
+    """Buffer as the Minkowski sum with a 32-gon disc (GeoFunctions.java
+    ST_Buffer).  POINT keeps the original exact 32-gon; MULTIPOINT /
+    LINESTRING / POLYGON (r7 — closes the point-only gap) buffer the
+    CONVEX HULL of the vertices: the hull of every vertex offset by the
+    disc's vertices IS the Minkowski sum hull(input) ⊕ 32-gon, exact for
+    convex inputs under the same circle approximation (the module's
+    documented convex-model seam; concave rings buffer their hull)."""
     dist = float(dist)  # DECIMAL literals arrive as decimal.Decimal
-    x, y = coords[0]
-    pts = ", ".join(
-        f"{x + dist * math.cos(2 * math.pi * i / 32)} {y + dist * math.sin(2 * math.pi * i / 32)}"
-        for i in range(33)
-    )
-    return f"POLYGON (({pts}))"
+    kind, coords = _parse(wkt)
+    if kind == "POINT":
+        x, y = coords[0]
+        pts = ", ".join(
+            f"{x + dist * math.cos(2 * math.pi * i / 32)} {y + dist * math.sin(2 * math.pi * i / 32)}"
+            for i in range(33)
+        )
+        return f"POLYGON (({pts}))"
+    if dist <= 0 or not coords:
+        return wkt
+    disc = [
+        (
+            dist * math.cos(2 * math.pi * i / 32),
+            dist * math.sin(2 * math.pi * i / 32),
+        )
+        for i in range(32)
+    ]
+    cloud = sorted({(x + dx, y + dy) for x, y in coords for dx, dy in disc})
+    return _convex_hull(_mk("MULTIPOINT", cloud))
 
 
 @F.pandas_udf(T.StringType())
@@ -1200,6 +1214,62 @@ def geometry_union_kernel(a: pd.Series, b: pd.Series) -> pd.Series:
     return _series(_st_union, a, b)
 
 
+# --- r7 tail: the last GeoFunctions.java entries (expand_envelope,
+#     flatten_geometry_collections; general ST_Buffer lands above) ----------
+
+
+def _expand_envelope(wkt: str, d: float) -> str:
+    """Envelope expanded by ``d`` on every side (GeoFunctions.java
+    expand_envelope): the bounding rectangle grown outward — the standard
+    pre-filter for distance-within queries."""
+    _, coords = _parse(wkt)
+    d = float(d)
+    if not coords:
+        return "POLYGON EMPTY"
+    xs = [p[0] for p in coords]
+    ys = [p[1] for p in coords]
+    x1, x2 = min(xs) - d, max(xs) + d
+    y1, y2 = min(ys) - d, max(ys) + d
+    return _mk("POLYGON", [(x1, y1), (x2, y1), (x2, y2), (x1, y2)])
+
+
+def _flatten_collections(wkt: str) -> list[str]:
+    """Recursively flatten GEOMETRYCOLLECTIONs to their leaf geometries
+    (GeoFunctions.java flatten_geometry_collections); non-collections
+    pass through as a one-element list."""
+    s = wkt.strip()
+    if not s.upper().startswith("GEOMETRYCOLLECTION"):
+        return [s]
+    if "(" not in s:  # GEOMETRYCOLLECTION EMPTY
+        return []
+    inner = s[s.index("(") + 1 : s.rindex(")")]
+    out: list[str] = []
+    depth, cur = 0, []
+    for ch in inner:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.extend(_flatten_collections("".join(cur)))
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        out.extend(_flatten_collections("".join(cur)))
+    return out
+
+
+@F.pandas_udf(T.StringType())
+def expand_envelope(wkt: pd.Series, d: pd.Series) -> pd.Series:
+    return _series(_expand_envelope, wkt, d)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def flatten_geometry_collections(wkt: pd.Series) -> pd.Series:
+    return _series(_flatten_collections, wkt)
+
+
 def register_geospatial(spark: SparkSession) -> None:
     """Install the full ST_*/bing surface (idempotent)."""
     for ddl in _GEO_SQL_FUNCTIONS:
@@ -1234,6 +1304,8 @@ def register_geospatial(spark: SparkSession) -> None:
     spark.udf.register("simplify_geometry", simplify_geometry)
     spark.udf.register("st_geography_area", st_geography_area)
     spark.udf.register("geometry_union", geometry_union_kernel)
+    spark.udf.register("expand_envelope", expand_envelope)
+    spark.udf.register("flatten_geometry_collections", flatten_geometry_collections)
     # st_disjoint composes on the SQL side AFTER the UDF registration so it
     # can reference st_intersects.
     spark.sql(

@@ -852,3 +852,88 @@ def sensql_knn_federated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sensor")
     )
+
+
+@register(
+    "geo_st_tail",
+    oracle="""
+    WITH g AS (
+        SELECT c_custkey,
+               (c_custkey % 20)::DOUBLE AS x0, (c_nationkey % 10)::DOUBLE AS y0,
+               (3 + c_custkey % 5)::DOUBLE AS w
+        FROM customer WHERE c_custkey < 60
+    )
+    SELECT c_custkey,
+           'POLYGON ((' || CAST(x0 - 2 AS BIGINT) || ' ' || CAST(y0 - 2 AS BIGINT)
+               || ', ' || CAST(x0 + w + 2 AS BIGINT) || ' ' || CAST(y0 - 2 AS BIGINT)
+               || ', ' || CAST(x0 + w + 2 AS BIGINT) || ' ' || CAST(y0 + 3 AS BIGINT)
+               || ', ' || CAST(x0 - 2 AS BIGINT) || ' ' || CAST(y0 + 3 AS BIGINT)
+               || '))' AS env_expanded,
+           3 AS n_flat,
+           'POLYGON ((' || CAST(x0 AS BIGINT) || ' ' || CAST(y0 AS BIGINT) || ', '
+               || CAST(x0 + w AS BIGINT) || ' ' || CAST(y0 AS BIGINT) || ', '
+               || CAST(x0 AS BIGINT) || ' ' || CAST(y0 + 1 AS BIGINT) || '))' AS flat_first,
+           'POINT (1 2)' AS flat_last,
+           0 AS n_flat_empty,
+           TRUE AS buffer_poly_area_ok,
+           TRUE AS buffer_line_covers_ends,
+           TRUE AS buffer_mp_is_polygon
+    FROM g ORDER BY c_custkey
+    """,
+    tags=("sensql", "geospatial"),
+    doc="r7 GeoFunctions.java tail: expand_envelope (closed-form expanded "
+    "rectangle), flatten_geometry_collections (recursive, nested "
+    "collection + EMPTY), and the generalized ST_Buffer (Minkowski sum "
+    "with a 32-gon over the convex model: polygon buffer area matches "
+    "A + P*d + pi*d^2 within the 32-gon approximation; line buffers "
+    "cover both endpoints' discs; multipoint buffers are polygons).",
+)
+def geo_st_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensql_presto_spark.functions.geospatial import register_geospatial
+
+    register_geospatial(spark)
+    catalog.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH g AS (
+            SELECT c_custkey,
+                   cast(c_custkey % 20 AS DOUBLE) AS x0,
+                   cast(c_nationkey % 10 AS DOUBLE) AS y0,
+                   cast(3 + c_custkey % 5 AS DOUBLE) AS w
+            FROM customer WHERE c_custkey < 60
+        ),
+        p AS (
+            SELECT c_custkey, x0, y0, w,
+                   concat('LINESTRING (', x0, ' ', y0, ', ', x0 + w, ' ', y0, ', ',
+                          x0 + w, ' ', y0 + 1.0, ')') AS line,
+                   concat('POLYGON ((', cast(x0 AS BIGINT), ' ', cast(y0 AS BIGINT), ', ',
+                          cast(x0 + w AS BIGINT), ' ', cast(y0 AS BIGINT), ', ',
+                          cast(x0 AS BIGINT), ' ', cast(y0 + 1 AS BIGINT), '))') AS tri
+            FROM g
+        )
+        SELECT c_custkey,
+               expand_envelope(line, 2.0) AS env_expanded,
+               size(flatten_geometry_collections(
+                   concat('GEOMETRYCOLLECTION (', tri, ', GEOMETRYCOLLECTION (',
+                          tri, ', POINT (1 2)))'))) AS n_flat,
+               element_at(flatten_geometry_collections(
+                   concat('GEOMETRYCOLLECTION (', tri, ', GEOMETRYCOLLECTION (',
+                          tri, ', POINT (1 2)))')), 1) AS flat_first,
+               element_at(flatten_geometry_collections(
+                   concat('GEOMETRYCOLLECTION (', tri, ', GEOMETRYCOLLECTION (',
+                          tri, ', POINT (1 2)))')), 3) AS flat_last,
+               size(flatten_geometry_collections('GEOMETRYCOLLECTION EMPTY'))
+                   AS n_flat_empty,
+               abs(st_area(st_buffer(tri, 2.0))
+                   - (st_area(tri) + st_perimeter(tri) * 2.0 + pi() * 4.0))
+                   / (pi() * 4.0) < 0.03 AS buffer_poly_area_ok,
+               st_contains(st_buffer(line, 2.0), st_point(x0, y0))
+                   AND st_contains(st_buffer(line, 2.0), st_point(x0 + w, y0 + 1.0))
+                   AS buffer_line_covers_ends,
+               st_buffer(concat('MULTIPOINT (', x0, ' ', y0, ', ',
+                                x0 + w, ' ', y0, ')'), 1.0) LIKE 'POLYGON%'
+                   AS buffer_mp_is_polygon
+        FROM p
+        ORDER BY c_custkey
+        """
+    )
