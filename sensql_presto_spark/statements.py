@@ -657,12 +657,16 @@ class StatementSession:
             # resolve PAST the bare-name temp-view shadow straight to the
             # base table — a silent wrong-isolation read of pre-snapshot
             # data.  Rewrite them to the staging copy for the
-            # transactional surface; statements the engine cannot stage
-            # (CTAS/DROP/INSERT OVERWRITE/... — the unrollbackable
-            # autocommit class matched above) keep their documented
-            # autocommit-on-base behavior under every spelling.
+            # transactional surface.  Skipped: the unrollbackable
+            # autocommit class (CTAS/DROP/INSERT OVERWRITE/... — matched
+            # above) keeps its documented autocommit-on-base behavior
+            # under every spelling, and PREPARE/EXECUTE/DEALLOCATE —
+            # a prepared body must be saved VERBATIM (the stage name
+            # would dangle after COMMIT); EXECUTE's bound text is
+            # rewritten at re-dispatch time instead, when it runs.
             if self._txn_stages and not re.match(
-                r"^\s*(CREATE|REFRESH|DROP|INSERT\s+OVERWRITE|ALTER|CALL)\b",
+                r"^\s*(CREATE|REFRESH|DROP|INSERT\s+OVERWRITE|ALTER|CALL|"
+                r"PREPARE|EXECUTE|DEALLOCATE)\b",
                 text,
                 re.IGNORECASE,
             ):

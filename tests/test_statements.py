@@ -1367,3 +1367,23 @@ def test_commit_partial_publish_failure_is_loud(spark, monkeypatch):
     assert sess.execute("SELECT count(*) AS n FROM t_pub_b").collect()[0].n == 6
     spark.sql("DROP TABLE t_pub_a")
     spark.sql("DROP TABLE t_pub_b")
+
+
+def test_prepare_body_saved_verbatim_inside_txn(spark):
+    """A PREPARE inside a transaction must save the body VERBATIM — eager
+    qualified-name rewriting would bake the ephemeral stage name into the
+    prepared statement, dangling after COMMIT.  The rewrite happens when
+    EXECUTE re-dispatches instead: in-txn EXECUTE sees staged data, and
+    the same prepared statement still works after COMMIT."""
+    sess = _sess(spark)
+    _fresh_managed(spark, sess, "t_prep_verbatim")
+    sess.execute("START TRANSACTION")
+    sess.execute("DELETE FROM t_prep_verbatim WHERE n_nationkey >= 3")
+    sess.execute(
+        "PREPARE q_cnt FROM SELECT count(*) AS n FROM default.t_prep_verbatim"
+    )
+    assert "__txn_stage_" not in sess.prepared["q_cnt"], "body not verbatim"
+    assert sess.execute("EXECUTE q_cnt").collect()[0].n == 3  # staged view
+    sess.execute("COMMIT")
+    assert sess.execute("EXECUTE q_cnt").collect()[0].n == 3  # base, post-publish
+    spark.sql("DROP TABLE t_prep_verbatim")
