@@ -598,6 +598,14 @@ def _st_buffer(wkt: str, dist: float) -> str:
     convex inputs under the same circle approximation (the module's
     documented convex-model seam; concave rings buffer their hull)."""
     dist = float(dist)  # DECIMAL literals arrive as decimal.Decimal
+    # reference contract (GeoFunctions.java:285-294): NaN and negative
+    # distances are errors, zero returns the input unchanged
+    if math.isnan(dist):
+        raise ValueError("st_buffer: distance is NaN")
+    if dist < 0:
+        raise ValueError("st_buffer: distance is negative")
+    if dist == 0:
+        return wkt
     kind, coords = _parse(wkt)
     if kind == "POINT":
         x, y = coords[0]
@@ -606,7 +614,7 @@ def _st_buffer(wkt: str, dist: float) -> str:
             for i in range(33)
         )
         return f"POLYGON (({pts}))"
-    if dist <= 0 or not coords:
+    if not coords:
         return wkt
     disc = [
         (

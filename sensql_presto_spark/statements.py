@@ -1381,8 +1381,12 @@ class StatementSession:
     ) -> DataFrame:
         t = self._writable_table(target, "UPDATE")
         if ins_cols and self.enforce_access:
+            # the extra INSERT check must name the LOGICAL table even when
+            # the in-txn qualified rewrite already turned the target into
+            # its staging copy (grants never exist on stage names)
+            logical = self._txn_stage_rev.get(t, t)
             self.access.check(
-                self.user, self._active_roles(), "INSERT", t.split(".")[-1].lower()
+                self.user, self._active_roles(), "INSERT", logical.split(".")[-1].lower()
             )
         t = self._txn_stage(t)
         ta = talias or "t"
@@ -1534,22 +1538,25 @@ class StatementSession:
 
     def _txn_rewrite_qualified(self, text: str) -> str:
         """Rewrite qualified spellings of staged tables (``default.t``,
-        ``spark_catalog.default.t``) to the staging copy — they resolve
-        past the bare-name temp-view shadow straight to the base table,
-        a silent wrong-isolation read.  String literals are skipped (the
-        same lexical contract as the bare-name shadow; only the fixed
-        ``default`` schema is rewritten, so arbitrary ``alias.column``
-        references can never match)."""
-        parts = text.split("'")
+        ``spark_catalog.default.t``, backtick-quoted variants) to the
+        staging copy — they resolve past the bare-name temp-view shadow
+        straight to the base table, a silent wrong-isolation read.
+        String literals are skipped — BOTH quote kinds, since Spark
+        treats double-quoted tokens as strings too (the same lexical
+        contract as the bare-name shadow; only the fixed ``default``
+        schema is rewritten, so arbitrary ``alias.column`` references
+        can never match)."""
+        # split keeps the quoted segments at odd indexes ('' = escaped quote)
+        parts = re.split(r"('(?:''|[^'])*'|\"[^\"]*\")", text)
         for i in range(0, len(parts), 2):  # even indexes sit outside literals
             for key, stage in self._txn_stages.items():
                 parts[i] = re.sub(
-                    rf"\b(?:spark_catalog\s*\.\s*)?default\s*\.\s*{re.escape(key)}\b",
+                    rf"(?<![\w.`])(?:`?spark_catalog`?\s*\.\s*)?`?default`?\s*\.\s*`?{re.escape(key)}`?(?!\w)",
                     stage,
                     parts[i],
                     flags=re.IGNORECASE,
                 )
-        return "'".join(parts)
+        return "".join(parts)
 
     def _txn_unshadow(self) -> None:
         for key in self._txn_stages:
@@ -1616,12 +1623,19 @@ class StatementSession:
                         out = self.spark.table(stage).localCheckpoint(eager=True)
                         self.spark.catalog.dropTempView(key)
                         out.write.mode("overwrite").saveAsTable(table)
-                        # our own listing refreshes now; other sessions
-                        # refresh on their next statement via the
-                        # generation counter
-                        self.spark.sql(f"REFRESH TABLE {table}")
-                        self._note_table_write(table)
+                        # the overwrite IS the publish: count it as such
+                        # immediately, and bump the generation even if the
+                        # local REFRESH throws — a post-overwrite failure
+                        # must not mis-report this table as discarded nor
+                        # leave other sessions on the dead file listing
                         published.append(table)
+                        try:
+                            # our own listing refreshes now; other sessions
+                            # refresh on their next statement via the
+                            # generation counter
+                            self.spark.sql(f"REFRESH TABLE {table}")
+                        finally:
+                            self._note_table_write(table)
                     except Exception as exc:
                         # a mid-loop publish failure (disk/executor error)
                         # cannot be made all-or-nothing under snapshot

@@ -1387,3 +1387,96 @@ def test_prepare_body_saved_verbatim_inside_txn(spark):
     sess.execute("COMMIT")
     assert sess.execute("EXECUTE q_cnt").collect()[0].n == 3  # base, post-publish
     spark.sql("DROP TABLE t_prep_verbatim")
+
+
+# -- r7 self-review fixes (post-certification adversarial pass) -------------
+
+
+def test_txn_quoted_qualified_spellings(spark):
+    """Backtick-quoted qualified spellings must hit the staging copy;
+    double-quoted tokens are string literals in Spark and must NOT be
+    rewritten; a different catalog's `x.default.t` must not match."""
+    sess = _sess(spark)
+    _fresh_managed(spark, sess, "t_txn_bt")
+    sess.execute("START TRANSACTION")
+    try:
+        sess.execute("DELETE FROM t_txn_bt WHERE n_nationkey >= 3")
+        for spelling in (
+            "`default`.`t_txn_bt`",
+            "default.`t_txn_bt`",
+            "`default`.t_txn_bt",
+            "`spark_catalog`.`default`.`t_txn_bt`",
+        ):
+            n = sess.execute(f"SELECT count(*) AS n FROM {spelling}").collect()[0].n
+            assert n == 3, f"{spelling} bypassed the staging shadow"
+        # double-quoted token = string literal: untouched
+        lit = sess.execute('SELECT "default.t_txn_bt" AS s').collect()[0].s
+        assert lit == "default.t_txn_bt"
+        # foreign-catalog spelling must not be rewritten (helper-level check:
+        # the name survives verbatim)
+        out = sess._txn_rewrite_qualified("SELECT * FROM my_cat.default.t_txn_bt")
+        assert "my_cat.default.t_txn_bt" in out
+        out2 = sess._txn_rewrite_qualified("SELECT * FROM xdefault.t_txn_bt")
+        assert "xdefault.t_txn_bt" in out2
+    finally:
+        sess.execute("ROLLBACK")
+    spark.sql("DROP TABLE t_txn_bt")
+
+
+def test_merge_insert_check_uses_logical_table_inside_txn(spark):
+    """MERGE's extra INSERT-privilege check must name the logical table
+    when the in-txn qualified rewrite already turned the target into its
+    staging copy — grants never exist on stage names."""
+    from sensql_presto_spark.access import AccessControl
+
+    store = AccessControl()
+    admin = StatementSession(spark, SF, user="admin", access=store, enforce_access=True)
+    _fresh_managed(spark, admin, "t_merge_acl")
+    store.grant(["SELECT", "UPDATE", "INSERT", "DELETE"], "t_merge_acl",
+                "USER", "bob", "admin", True)
+    bob = StatementSession(spark, SF, user="bob", access=store, enforce_access=True)
+    bob.execute("START TRANSACTION")
+    bob.execute("DELETE FROM t_merge_acl WHERE n_nationkey = 0")  # stages it
+    bob.execute(
+        "MERGE INTO default.t_merge_acl t USING "
+        "(SELECT 42 AS k, 4 AS r) s ON t.n_nationkey = s.k "
+        "WHEN MATCHED THEN UPDATE SET n_regionkey = s.r "
+        "WHEN NOT MATCHED THEN INSERT (n_nationkey, n_regionkey) VALUES (s.k, s.r)"
+    )
+    bob.execute("COMMIT")
+    keys = sorted(
+        r.n_nationkey
+        for r in bob.execute("SELECT n_nationkey FROM t_merge_acl").collect()
+    )
+    assert keys == [1, 2, 3, 4, 5, 42]
+    spark.sql("DROP TABLE t_merge_acl")
+
+
+def test_commit_publish_counts_overwrite_as_published(spark, monkeypatch):
+    """A failure AFTER a table's overwrite (e.g. REFRESH throwing) must
+    not mis-report that table as discarded, and its generation bump must
+    still happen so other sessions drop the dead file listing."""
+    from sensql_presto_spark import statements as st
+
+    sess = _sess(spark)
+    _fresh_managed(spark, sess, "t_pub_c")
+    sess.execute("START TRANSACTION")
+    sess.execute("DELETE FROM t_pub_c WHERE n_nationkey = 0")
+    g0 = st._TABLE_GENERATIONS.get("t_pub_c", 0)
+
+    orig_sql = sess.spark.sql
+
+    def failing_sql(q, **kw):
+        if q.strip().upper().startswith("REFRESH TABLE T_PUB_C"):
+            raise RuntimeError("simulated refresh failure")
+        return orig_sql(q, **kw)
+
+    monkeypatch.setattr(sess.spark, "sql", failing_sql)
+    with pytest.raises(ValueError, match="COMMIT failed mid-publish") as ei:
+        sess.execute("COMMIT")
+    monkeypatch.setattr(sess.spark, "sql", orig_sql)
+    msg = str(ei.value)
+    assert "t_pub_c were already published" in msg.replace("table(s) ", ""), msg
+    assert st._TABLE_GENERATIONS.get("t_pub_c", 0) == g0 + 1, "generation not bumped"
+    assert sess.execute("SELECT count(*) AS n FROM t_pub_c").collect()[0].n == 5
+    spark.sql("DROP TABLE t_pub_c")
