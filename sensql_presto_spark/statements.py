@@ -1059,7 +1059,13 @@ class StatementSession:
             # base-table publish, and an autocommit INSERT landing inside
             # another session's COMMIT conflict-check->publish window
             # would otherwise be silently clobbered by the overwrite with
-            # no conflict raised on either side.
+            # no conflict raised on either side.  The lock is held for
+            # the whole statement (job-length for INSERT..SELECT/CTAS),
+            # an extension of the documented serialize-all-publishes
+            # simplicity/correctness trade at _PUBLISH_LOCK's definition;
+            # shrinking it to write-length would require splitting the
+            # raw SQL into compute and write phases — revisit if the
+            # server ever fronts real parallel write load.
             with _PUBLISH_LOCK:
                 out = catalog.sql(self.spark, self.sf_dir, text)
                 self._note_table_write(m.group(1))
