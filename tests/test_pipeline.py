@@ -522,3 +522,32 @@ def test_khop_fixpoint_margin_at_scale(spark):
     assert len(merged) == len(prev)
     changed = (merged.dist_4 != merged.dist_5).sum()
     assert changed == 0, f"5th relaxation round improved {changed} distances"
+
+
+def test_pca_power_iteration_converges_on_anisotropic_spectrum(spark):
+    """sim_pca_project's 5 exact-integer power iterations must agree with
+    numpy's top eigenvector projection (>0.999 |corr|) whenever the
+    spectrum has a real gap — embedding corpora are strongly anisotropic
+    in practice; the near-gapless synthetic fixture exercises only the
+    oracle-pinned mechanism."""
+    import numpy as np
+
+    from sensql_presto_spark.queries.pipeline import _PCA_SQL
+
+    rng = np.random.RandomState(7)
+    n, dim = 400, 64
+    direction = rng.randn(dim)
+    direction /= np.linalg.norm(direction)
+    # dominant direction + isotropic noise -> clear eigengap
+    coords = rng.randn(n, 1) * 3.0 @ direction[None, :] + rng.randn(n, dim) * 0.3
+    rows = [(i, [float(x) for x in coords[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    df.createOrReplaceTempView("embeddings")
+    got = spark.sql(_PCA_SQL).toPandas()
+
+    X = np.round(coords * 1000)
+    C = X.T @ X
+    _, V = np.linalg.eigh(C)
+    ref = X @ V[:, -1]
+    corr = abs(np.corrcoef(ref, got.pc_milli.values.astype(float))[0, 1])
+    assert corr > 0.999, f"power iteration diverged from numpy PC1: |corr|={corr}"
