@@ -6034,3 +6034,104 @@ assert _PCA_ORACLE.count("WITH ") == 1
 def sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog.register_views(spark, sf_dir)
     return spark.sql(_PCA_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Two-stage prefix rerank (coarse-to-fine retrieval funnel)
+# ---------------------------------------------------------------------------
+# The adaptive-retrieval pattern behind Matryoshka embeddings (Kusupati et
+# al. 2022) and every production two-stage ANN stack: a CHEAP coarse pass
+# scores the whole corpus on a low-dimensional PREFIX of the embedding
+# (16 of 64 dims here — 1/4 of the bytes, and with columnar storage the
+# suffix never leaves the scan), keeps a per-query shortlist, and only the
+# shortlist is re-scored exactly on the full vector.  Scale shape
+# (100 TB posture): the corpus-wide work is ONE scan scoring 16-dim
+# prefixes against a BROADCAST 8-row query set (the same bounded-broadcast
+# shape as sim_topk_bruteforce, never corpus x corpus); the full-dim
+# vectors are fetched for only <= 20 candidates per query via an equi
+# hash-join on cand_id, so the expensive payload is touched for
+# O(queries * shortlist) rows no matter how large the corpus grows.
+# Reranking a 20-row shortlist is driver-trivial yet stays distributed.
+# The oracle replicates both stages exactly; tests additionally assert
+# the funnel's recall against single-stage full-dim brute force.
+_sql_query(
+    "sim_two_stage_prefix_rerank",
+    """
+    WITH e AS (SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS v FROM embeddings),
+    n AS (
+        SELECT vec_id, v,
+               slice(v, 1, 16) AS pv,
+               sqrt(aggregate(v, cast(0 AS double), (a, x) -> a + x * x)) AS nrm,
+               sqrt(aggregate(slice(v, 1, 16), cast(0 AS double), (a, x) -> a + x * x)) AS pnrm
+        FROM e
+    ),
+    q AS (SELECT * FROM n WHERE vec_id < 8),
+    coarse AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               aggregate(zip_with(q.pv, c.pv, (x, y) -> x * y), cast(0 AS double),
+                         (acc, x) -> acc + x) / (q.pnrm * c.pnrm) AS pcos
+        FROM q JOIN n c ON q.vec_id <> c.vec_id
+    ),
+    short AS (
+        SELECT query_id, cand_id, crk FROM (
+            SELECT query_id, cand_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY pcos DESC, cand_id) AS crk
+            FROM coarse
+        ) WHERE crk <= 20
+    ),
+    rerank AS (
+        SELECT s.query_id, s.cand_id, s.crk,
+               aggregate(zip_with(qv.v, cv.v, (x, y) -> x * y), cast(0 AS double),
+                         (acc, x) -> acc + x) / (qv.nrm * cv.nrm) AS cos
+        FROM short s
+        JOIN n qv ON qv.vec_id = s.query_id
+        JOIN n cv ON cv.vec_id = s.cand_id
+    )
+    SELECT query_id, neighbor_id, rk, coarse_rank, cos_sim FROM (
+        SELECT query_id, cand_id AS neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk,
+               crk AS coarse_rank,
+               round(cos, 4) AS cos_sim
+        FROM rerank
+    ) WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, v[1:16] AS pv FROM e),
+    q AS (SELECT * FROM n WHERE vec_id < 8),
+    coarse AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               list_cosine_similarity(q.pv, c.pv) AS pcos
+        FROM q JOIN n c ON q.vec_id <> c.vec_id
+    ),
+    short AS (
+        SELECT query_id, cand_id, crk FROM (
+            SELECT query_id, cand_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY pcos DESC, cand_id) AS crk
+            FROM coarse
+        ) WHERE crk <= 20
+    ),
+    rerank AS (
+        SELECT s.query_id, s.cand_id, s.crk,
+               list_cosine_similarity(qv.v, cv.v) AS cos
+        FROM short s
+        JOIN n qv ON qv.vec_id = s.query_id
+        JOIN n cv ON cv.vec_id = s.cand_id
+    )
+    SELECT query_id, neighbor_id, rk, coarse_rank, cos_sim FROM (
+        SELECT query_id, cand_id AS neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rk,
+               crk AS coarse_rank,
+               round(cos, 4) AS cos_sim
+        FROM rerank
+    ) t WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+    tags=("pipeline", "similarity"),
+    doc="Two-stage retrieval funnel (Matryoshka-style adaptive retrieval): "
+    "coarse corpus pass on a 16-dim embedding PREFIX vs a broadcast query "
+    "set, per-query top-20 shortlist, exact full-dim rerank of the "
+    "shortlist only; full vectors are fetched via equi hash-join for "
+    "O(queries x 20) rows regardless of corpus size.",
+)

@@ -551,3 +551,23 @@ def test_pca_power_iteration_converges_on_anisotropic_spectrum(spark):
     ref = X @ V[:, -1]
     corr = abs(np.corrcoef(ref, got.pc_milli.values.astype(float))[0, 1])
     assert corr > 0.999, f"power iteration diverged from numpy PC1: |corr|={corr}"
+
+
+def test_two_stage_rerank_recall_and_score_parity(spark):
+    """The coarse-to-fine funnel's reranked scores must equal brute force's
+    for every neighbor both return (full-dim exact rerank), and prefix
+    recall@5 vs full-dim top-5 must clear a floor on this fixture."""
+    two = registry.get("sim_two_stage_prefix_rerank").build(spark, SF_DIR).collect()
+    brute = registry.get("sim_topk_bruteforce").build(spark, SF_DIR).collect()
+    two_scores = {(r.query_id, r.neighbor_id): r.cos_sim for r in two}
+    brute_scores = {(r.query_id, r.neighbor_id): r.cos_sim for r in brute if r.query_id < 8}
+    shared = set(two_scores) & set(brute_scores)
+    assert shared, "funnel and brute force share no neighbors at all"
+    for key in shared:
+        assert two_scores[key] == brute_scores[key], f"rerank score drift at {key}"
+    # recall@5: fraction of brute-force top-5 recovered by the funnel
+    hits = len(shared)
+    assert hits / len(brute_scores) >= 0.3, (
+        "prefix recall collapsed: near-isotropic synthetic embeddings give "
+        f"imperfect but non-trivial prefix agreement; got {hits}/{len(brute_scores)}"
+    )
