@@ -6135,3 +6135,105 @@ _sql_query(
     "shortlist only; full vectors are fetched via equi hash-join for "
     "O(queries x 20) rows regardless of corpus size.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+# algorithm) + shared-fingerprint near-dup pairing
+# ---------------------------------------------------------------------------
+# text_fingerprint keeps the bottom-4 gram hashes per doc (a cheap sketch);
+# THIS is the real winnowing selection: hash every 8-char gram, slide a
+# w=8 window over the hash sequence and select each window's MINIMUM —
+# the guarantee that makes MOSS work is positional (any shared substring
+# of length >= w+7 forces at least one shared selected fingerprint), so
+# unlike bottom-k the fingerprint density is uniform across the document.
+# Pairing is the inverted-index shape: group by fingerprint, emit doc
+# pairs, score containment.  Scale posture (100 TB): gram hashing +
+# window-min are doc-local (ONE scan, one doc-keyed sort-shuffle for the
+# window); the pair generator joins POSTING LISTS CAPPED at df <= 12 docs
+# (the hot-fingerprint cap every winnowing index applies — with a 31-word
+# vocabulary most grams are corpus-wide stopword noise, exactly what the
+# cap exists to drop), so candidate volume is bounded by sum(df^2) <=
+# 12 * n_fingerprints, never corpus x corpus; containment is computed
+# over the rare-fingerprint universe with exact integer basis points.
+# doc_id % 7 < 2 keeps a scale-proportional sample (cost control for the
+# per-character gram hashing, same concession as text_fingerprint's).
+_sql_query(
+    "text_winnowing_dedup",
+    """
+    WITH g AS (
+        SELECT doc_id,
+               transform(sequence(1, length(text) - 7),
+                   i -> aggregate(split(substring(text, i, 8), ''), 131L,
+                                  (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)) AS ghs
+        FROM documents WHERE doc_id % 7 < 2 AND length(text) >= 15
+    ),
+    pos AS (
+        SELECT doc_id, p, h FROM g LATERAL VIEW posexplode(ghs) x AS p, h
+    ),
+    win AS (
+        SELECT doc_id, p,
+               min(h) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS sel
+        FROM pos
+    ),
+    fp AS (SELECT DISTINCT doc_id, sel AS fph FROM win WHERE p >= 7),
+    rare AS (SELECT fph FROM fp GROUP BY fph HAVING count(*) <= 12),
+    fpr AS (SELECT f.doc_id, f.fph FROM fp f JOIN rare r ON f.fph = r.fph),
+    sz AS (SELECT doc_id, count(*) AS n FROM fpr GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+        FROM fpr a JOIN fpr b ON a.fph = b.fph AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.a_id, p.b_id,
+           CAST(p.n_shared AS BIGINT) AS n_shared,
+           CAST((p.n_shared * 10000) DIV least(sa.n, sb.n) AS BIGINT) AS cont_bp
+    FROM pairs p
+    JOIN sz sa ON sa.doc_id = p.a_id
+    JOIN sz sb ON sb.doc_id = p.b_id
+    WHERE (p.n_shared * 10000) DIV least(sa.n, sb.n) >= 6000
+    ORDER BY p.a_id, p.b_id
+    """,
+    oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               [list_reduce(list_prepend(131::BIGINT,
+                   [ascii(c)::BIGINT for c in string_split(substring(text, i, 8), '')]),
+                   (a, b) -> (a * 31 + b) % 1000000007)
+                for i in range(1, length(text) - 6)] AS ghs
+        FROM documents WHERE doc_id % 7 < 2 AND length(text) >= 15
+    ),
+    pos AS (SELECT doc_id, i - 1 AS p, ghs[i] AS h
+            FROM g, LATERAL (SELECT unnest(range(1, len(ghs) + 1)) AS i) t),
+    win AS (
+        SELECT doc_id, p,
+               min(h) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS sel
+        FROM pos
+    ),
+    fp AS (SELECT DISTINCT doc_id, sel AS fph FROM win WHERE p >= 7),
+    rare AS (SELECT fph FROM fp GROUP BY fph HAVING count(*) <= 12),
+    fpr AS (SELECT f.doc_id, f.fph FROM fp f JOIN rare r ON f.fph = r.fph),
+    sz AS (SELECT doc_id, count(*) AS n FROM fpr GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+        FROM fpr a JOIN fpr b ON a.fph = b.fph AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.a_id, p.b_id,
+           CAST(p.n_shared AS BIGINT) AS n_shared,
+           CAST((p.n_shared * 10000) // least(sa.n, sb.n) AS BIGINT) AS cont_bp
+    FROM pairs p
+    JOIN sz sa ON sa.doc_id = p.a_id
+    JOIN sz sb ON sb.doc_id = p.b_id
+    WHERE (p.n_shared * 10000) // least(sa.n, sb.n) >= 6000
+    ORDER BY p.a_id, p.b_id
+    """,
+    tags=("pipeline", "text", "dedup"),
+    doc="Winnowing (MOSS) fingerprint dedup: 8-char gram polynomial hashes, "
+    "w=8 window-min selection (positional guarantee: any shared substring "
+    ">= 15 chars forces a shared fingerprint), inverted-index pairing with "
+    "a df<=12 hot-fingerprint cap bounding posting lists, exact integer "
+    "basis-point containment >= 60% over the rare-fingerprint universe.",
+)

@@ -571,3 +571,21 @@ def test_two_stage_rerank_recall_and_score_parity(spark):
         "prefix recall collapsed: near-isotropic synthetic embeddings give "
         f"imperfect but non-trivial prefix agreement; got {hits}/{len(brute_scores)}"
     )
+
+
+def test_winnowing_agrees_with_ngram_jaccard_on_sample(spark):
+    """Winnowing containment pairs must equal the J>=0.9 ngram-Jaccard
+    pairs restricted to the doc_id % 7 < 2 sample universe (fixture-pinned:
+    planted near-dups share long substrings, so the MOSS positional
+    guarantee forces shared fingerprints and >=60% containment)."""
+    winn = registry.get("text_winnowing_dedup").build(spark, SF_DIR).collect()
+    ngram = registry.get("dedup_ngram_jaccard").build(spark, SF_DIR).collect()
+    winn_pairs = {(r.a_id, r.b_id) for r in winn}
+    ngram_sampled = {
+        (r.id_a, r.id_b)
+        for r in ngram
+        if r.id_a % 7 < 2 and r.id_b % 7 < 2
+    }
+    assert winn_pairs == ngram_sampled
+    assert winn_pairs, "planted near-dups must surface in the sample"
+    assert all(r.cont_bp >= 6000 for r in winn)
