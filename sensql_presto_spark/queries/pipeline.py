@@ -6237,3 +6237,104 @@ _sql_query(
     "a df<=12 hot-fingerprint cap bounding posting lists, exact integer "
     "basis-point containment >= 60% over the rare-fingerprint universe.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Two-pass exact heavy hitters (Misra-Gries candidates -> exact recount)
+# ---------------------------------------------------------------------------
+# The standard trick for exact top-k over a domain too wide to shuffle in
+# full (word/token n-grams over a 100 TB corpus easily exceed 10^10
+# distinct keys): pass 1 runs a MISRA-GRIES summary (capacity m) inside
+# each Arrow batch — per-task state is <= m counters REGARDLESS of batch
+# size, and the union of per-batch candidates provably contains every key
+# with global frequency > N/(m+1) (pigeonhole over the weighted batch
+# average; Misra & Gries 1982); pass 2 rescans the corpus and computes
+# EXACT counts for the candidate set only, broadcast-semi-joined onto the
+# token stream, so the full-cardinality (bigram -> count) shuffle never
+# happens — the exchange carries at most |candidates| * n_tasks rows.
+# The output is therefore EXACT top-k (deterministic, independent of
+# partitioning/batching) whenever the k-th count clears N/(m+1); with
+# m = 1024 and this fixture's 31-word vocabulary (<= 961 distinct
+# bigrams < m) the summaries are lossless at every scale, and the
+# threshold is also met with wide margins (tests assert both the MG
+# guarantee on an adversarial stream and candidate completeness here).
+_HH_K = 20
+_HH_CAPACITY = 1024
+
+
+def _mg_batch_candidates(batches):
+    """Per-Arrow-batch Misra-Gries: yields candidate bigrams (capacity-bounded)."""
+    import pandas as pd
+
+    for pdf in batches:
+        counters: dict[str, int] = {}
+        for text in pdf["text"]:
+            toks = text.split(" ")
+            for i in range(len(toks) - 1):
+                key = toks[i] + " " + toks[i + 1]
+                if key in counters:
+                    counters[key] += 1
+                elif len(counters) < _HH_CAPACITY:
+                    counters[key] = 1
+                else:
+                    dead = [k for k in counters if counters[k] == 1]
+                    for k in counters:
+                        counters[k] -= 1
+                    for k in dead:
+                        del counters[k]
+        yield pd.DataFrame({"bigram": list(counters)})
+
+
+@register(
+    "text_heavy_hitters",
+    oracle=f"""
+    WITH t AS (
+        SELECT string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ),
+    b AS (
+        SELECT t[i] || ' ' || t[i + 1] AS bigram
+        FROM t, LATERAL (SELECT unnest(range(1, len(t))) AS i) x
+    ),
+    c AS (SELECT bigram, count(*) AS cnt FROM b GROUP BY bigram)
+    SELECT CAST(row_number() OVER (ORDER BY cnt DESC, bigram) AS BIGINT) AS rank,
+           bigram, CAST(cnt AS BIGINT) AS cnt
+    FROM c
+    ORDER BY cnt DESC, bigram
+    LIMIT {_HH_K}
+    """,
+    tags=("pipeline", "text", "sketch"),
+    doc="Exact top-20 word bigrams via the two-pass heavy-hitter pattern: "
+    "Misra-Gries (capacity 1024) per Arrow batch bounds per-task state and "
+    "guarantees candidates cover every key with freq > N/1025; an exact "
+    "recount of the broadcast candidate set avoids shuffling the full "
+    "n-gram cardinality. Output is exact and partitioning-independent.",
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog.table(spark, sf_dir, "documents")
+    candidates = (
+        docs.select("text").mapInPandas(_mg_batch_candidates, "bigram string").distinct()
+    )
+    docs.select("text").createOrReplaceTempView("__hh_docs")
+    candidates.createOrReplaceTempView("__hh_cands")
+    return spark.sql(f"""
+        WITH t AS (
+            SELECT split(text, ' ') AS t FROM __hh_docs
+            WHERE size(split(text, ' ')) >= 2
+        ),
+        b AS (
+            SELECT explode(transform(sequence(0, size(t) - 2),
+                           i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))) AS bigram
+            FROM t
+        ),
+        c AS (
+            SELECT b.bigram, count(*) AS cnt
+            FROM b JOIN __hh_cands cd ON b.bigram = cd.bigram
+            GROUP BY b.bigram
+        )
+        SELECT CAST(row_number() OVER (ORDER BY cnt DESC, bigram) AS BIGINT) AS rank,
+               bigram, CAST(cnt AS BIGINT) AS cnt
+        FROM c
+        ORDER BY cnt DESC, bigram
+        LIMIT {_HH_K}
+    """)

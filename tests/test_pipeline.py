@@ -589,3 +589,42 @@ def test_winnowing_agrees_with_ngram_jaccard_on_sample(spark):
     assert winn_pairs == ngram_sampled
     assert winn_pairs, "planted near-dups must surface in the sample"
     assert all(r.cont_bp >= 6000 for r in winn)
+
+
+def test_misra_gries_guarantee_adversarial_stream():
+    """Direct unit check of the MG summary: on a stream engineered to force
+    evictions with capacity 4, every key with freq > N/5 must survive."""
+    import pandas as pd
+
+    from sensql_presto_spark.queries import pipeline as pl
+
+    # 40x 'a b', 30x 'b c', plus 60 singleton bigrams -> N = 130 bigram
+    # occurrences, threshold N/5 = 26: 'a b' (40) and 'b c' (30) must survive.
+    words = (["a", "b"] * 40 + ["b", "c"] * 30 + [f"w{i}" for i in range(61)])
+    # build one text per 2-word window so bigrams are exactly as planned
+    texts = [" ".join(words[i : i + 2]) for i in range(0, len(words) - 1, 2)]
+    cap = pl._HH_CAPACITY
+    try:
+        pl._HH_CAPACITY = 4
+        out = list(pl._mg_batch_candidates(iter([pd.DataFrame({"text": texts})])))
+    finally:
+        pl._HH_CAPACITY = cap
+    cands = set(out[0]["bigram"])
+    assert len(cands) <= 4, "capacity bound violated"
+    assert {"a b", "b c"} <= cands, f"heavy keys evicted: {cands}"
+
+
+def test_heavy_hitters_candidates_partitioning_independent(spark):
+    """The exact top-20 output must not change under adversarial
+    repartitioning of the candidate pass (the two-pass guarantee)."""
+    from sensql_presto_spark import catalog
+    from sensql_presto_spark.queries import pipeline as pl
+
+    base = registry.get("text_heavy_hitters").build(spark, SF_DIR).collect()
+    docs = catalog.table(spark, SF_DIR, "documents").repartition(7, "source")
+    cands = {
+        r.bigram
+        for r in docs.select("text").mapInPandas(pl._mg_batch_candidates, "bigram string").distinct().collect()
+    }
+    assert {r.bigram for r in base} <= cands, "candidates missed a true top-20 bigram"
+    assert base[0].rank == 1 and len(base) == 20
