@@ -6338,3 +6338,123 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY cnt DESC, bigram
         LIMIT {_HH_K}
     """)
+
+
+# ---------------------------------------------------------------------------
+# k-means|| initialization (Bahmani et al., "Scalable k-means++", VLDB 2012)
+# ---------------------------------------------------------------------------
+# k-means++ is inherently sequential (one center per pass); k-means|| is
+# THE distributed replacement: each round oversamples ~l new centers with
+# probability proportional to a point's current cost d^2(x, C), so a
+# constant number of corpus passes yields an O(log n)-competitive seed
+# set.  Scale shape (100 TB posture): every round scores the corpus
+# against only the ~l NEW candidates of that round (broadcast join on the
+# 64 exploded dims; per-row work O(64 * l)) and folds the result into the
+# running cost with least() — the candidate set never exceeds seed +
+# rounds * E[l], so per-round state is bounded and there are exactly
+# ROUNDS + 1 corpus passes (the last one weights candidates for the final
+# recluster, which at k-means|| scale happens on a single machine — here
+# the top-k-by-weight rule keeps it deterministic and in-engine).  All
+# arithmetic is exact-integer: embeddings are milli-quantized, d^2 and
+# costs are BIGINT sums, and the cost-proportional coin flip
+#   prand(x, r) * total_cost < l * 100000 * cost(x)
+# uses the same arithmetic hash family as the LSH blockings
+# ((vec_id * 2654435761 + r * 40503 + 12345) % 100000), so Spark and the
+# oracle agree bit-for-bit (total_cost fits int64 up to ~10^13 vectors at
+# this quantization; production would rescale the coin to a wider prime).
+_KMPP_ROUNDS = 3
+_KMPP_L = 4
+_KMPP_K = 5
+
+
+def _kmpp_rounds_sql(dialect: str) -> str:
+    """Unrolled k-means|| rounds over a pre-registered ``rows_`` relation
+    (vec_id, d, x of the milli-quantized embeddings)."""
+    mat = " MATERIALIZED" if dialect == "duckdb" else ""
+    sql = f"""
+    WITH sel0 AS (SELECT CAST(0 AS BIGINT) AS c_id),
+    cand0 AS (SELECT s.c_id, r.d, r.x FROM sel0 s JOIN rows_ r ON r.vec_id = s.c_id),
+    dist0 AS (SELECT rw.vec_id, c.c_id, sum((rw.x - c.x) * (rw.x - c.x)) AS d2
+              FROM rows_ rw JOIN cand0 c ON rw.d = c.d GROUP BY rw.vec_id, c.c_id),
+    cost0 AS{mat} (SELECT vec_id, min(d2) AS cost FROM dist0 GROUP BY vec_id),
+"""
+    prev = "cost0"
+    sels = ["sel0"]
+    for r in range(1, _KMPP_ROUNDS + 1):
+        sql += f"""    sel{r} AS{mat} (
+        SELECT c.vec_id AS c_id FROM {prev} c, (SELECT sum(cost) AS tot FROM {prev}) t
+        WHERE ((c.vec_id * 2654435761 + {r} * 40503 + 12345) % 100000) * t.tot
+              < {_KMPP_L} * 100000 * c.cost),
+    cand{r} AS (SELECT s.c_id, r.d, r.x FROM sel{r} s JOIN rows_ r ON r.vec_id = s.c_id),
+    dist{r} AS (SELECT rw.vec_id, c.c_id, sum((rw.x - c.x) * (rw.x - c.x)) AS d2
+                FROM rows_ rw JOIN cand{r} c ON rw.d = c.d GROUP BY rw.vec_id, c.c_id),
+    cost{r} AS{mat} (
+        SELECT p.vec_id, least(p.cost, coalesce(m.mn, p.cost)) AS cost
+        FROM {prev} p LEFT JOIN (SELECT vec_id, min(d2) AS mn FROM dist{r} GROUP BY vec_id) m
+          ON m.vec_id = p.vec_id),
+"""
+        prev = f"cost{r}"
+        sels.append(f"sel{r}")
+    union = " UNION ALL ".join(f"SELECT c_id, {i} AS sel_round FROM {s}" for i, s in enumerate(sels))
+    sql += f"""    candidates AS{mat} ({union}),
+    candrows AS (SELECT c.c_id, r.d, r.x
+                 FROM candidates c JOIN rows_ r ON r.vec_id = c.c_id),
+    alldist AS (SELECT rw.vec_id, c.c_id, sum((rw.x - c.x) * (rw.x - c.x)) AS d2
+                FROM rows_ rw JOIN candrows c ON rw.d = c.d GROUP BY rw.vec_id, c.c_id),
+    assign AS (SELECT vec_id, c_id FROM (
+                   SELECT vec_id, c_id,
+                          row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rn
+                   FROM alldist) rnk WHERE rn = 1),
+    weights AS (SELECT a.c_id, count(*) AS weight FROM assign a GROUP BY a.c_id)
+    SELECT CAST(row_number() OVER (ORDER BY w.weight DESC, w.c_id) AS BIGINT) AS rank,
+           w.c_id AS centroid_id, CAST(w.weight AS BIGINT) AS weight,
+           CAST(c.sel_round AS BIGINT) AS sel_round
+    FROM weights w JOIN candidates c ON c.c_id = w.c_id
+    ORDER BY w.weight DESC, w.c_id
+    LIMIT {_KMPP_K}
+    """
+    return sql
+
+
+_KMPP_ORACLE = (
+    """
+    WITH e AS (
+        SELECT vec_id, [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding] AS v
+        FROM embeddings
+    ),
+    rows_ AS MATERIALIZED (
+        SELECT vec_id, d - 1 AS d, v[d] AS x
+        FROM e, unnest(generate_series(1, 64)) AS t(d)
+    ),
+"""
+    + _kmpp_rounds_sql("duckdb").lstrip().removeprefix("WITH ")
+)
+assert _KMPP_ORACLE.count("WITH ") == 1
+
+
+@register(
+    "cluster_kmeans_parallel_init",
+    oracle=_KMPP_ORACLE,
+    tags=("pipeline", "clustering"),
+    doc="k-means|| oversampling initialization (Bahmani et al. 2012): 3 "
+    "unrolled rounds, each scoring the corpus against only that round's "
+    "~l=4 new broadcast candidates and folding into the running cost via "
+    "least(); cost-proportional selection uses the exact-integer "
+    "arithmetic-hash coin, candidate weighting is one final broadcast "
+    "pass + top-k by weight. ROUNDS+1 corpus passes total, per-round "
+    "state bounded by the candidate set.",
+)
+def cluster_kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    catalog.register_views(spark, sf_dir)
+    rows_ = spark.sql(
+        """
+        SELECT vec_id, d, x FROM (
+            SELECT vec_id,
+                   posexplode(transform(embedding,
+                       e -> cast(round(cast(e AS double) * 1000) AS bigint))) AS (d, x)
+            FROM embeddings
+        )
+        """
+    ).localCheckpoint(eager=True)
+    rows_.createOrReplaceTempView("rows_")
+    return spark.sql(_kmpp_rounds_sql("spark"))

@@ -628,3 +628,26 @@ def test_heavy_hitters_candidates_partitioning_independent(spark):
     }
     assert {r.bigram for r in base} <= cands, "candidates missed a true top-20 bigram"
     assert base[0].rank == 1 and len(base) == 20
+
+
+def test_kmeans_parallel_init_beats_naive_seeding(spark):
+    """The cost-proportional oversampling must produce a seed set with
+    lower k-means potential (sum of min squared distances) than naive
+    first-k seeding — the statistical claim of Bahmani et al. 2012."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    out = registry.get("cluster_kmeans_parallel_init").build(spark, SF_DIR).collect()
+    assert len(out) == 5 and out[0].rank == 1
+    tbl = pq.read_table(SF_DIR + "/embeddings.parquet")
+    vecs = np.array([np.asarray(v, dtype=np.float64) for v in tbl["embedding"].to_pylist()])
+    ids = np.asarray(tbl["vec_id"].to_pylist())
+
+    def phi(center_ids):
+        centers = vecs[np.isin(ids, center_ids)]
+        d2 = ((vecs[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        return d2.min(axis=1).sum()
+
+    kmpp = phi([r.centroid_id for r in out])
+    naive = phi(ids[:5])
+    assert kmpp < naive, f"k-means|| seeds ({kmpp:.1f}) no better than first-5 ({naive:.1f})"
