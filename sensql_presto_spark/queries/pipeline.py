@@ -6458,3 +6458,145 @@ def cluster_kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     rows_.createOrReplaceTempView("rows_")
     return spark.sql(_kmpp_rounds_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking dedup (CDC — the rsync/LBFS/FastCDC family)
+# ---------------------------------------------------------------------------
+# Fixed-size chunking breaks on INSERTION (one added word shifts every
+# later chunk boundary); content-defined chunking places boundaries where
+# a rolling hash of the local content hits a target pattern, so an edit
+# only perturbs the chunk it lands in — the property that makes
+# storage-level dedup (rsync, LBFS, FastCDC) and incremental training-
+# data snapshotting work.  Word-level here: boundary after word i when
+# the 4-word rolling polynomial hash % 8 == 0 (expected chunk ~8 words).
+# Scale shape (100 TB posture): tokenization, word hashing, the rolling
+# hash (3 lag()s), boundary cumsum, and chunk assembly are ALL doc-local
+# — one scan + ONE doc-keyed sort-shuffle; chunk-hash frequency is one
+# exact-dedup groupBy on (chash, n_words) (the same bound as dedup_exact,
+# never pairwise); the per-source rollup is a bounded aggregate.  All
+# arithmetic exact-integer (position-weighted chunk hash: order-
+# sensitive, both engines agree bit-for-bit).
+_sql_query(
+    "dedup_cdc_chunks",
+    """
+    WITH tok AS (
+        SELECT doc_id, source, p, w
+        FROM documents LATERAL VIEW posexplode(split(text, ' ')) t AS p, w
+    ),
+    wh AS (
+        SELECT doc_id, source, p,
+               aggregate(split(w, ''), 7L, (a, c) -> (a * 31 + ascii(c)) % 1000000007) AS h
+        FROM tok
+    ),
+    roll AS (
+        SELECT doc_id, source, p, h,
+               CASE WHEN p >= 3 THEN
+                   (lag(h, 3) OVER w * 29791 + lag(h, 2) OVER w * 961
+                    + lag(h, 1) OVER w * 31 + h) % 1000000007
+               END AS rh
+        FROM wh
+        WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+    ),
+    marked AS (
+        SELECT doc_id, source, p, h,
+               CASE WHEN rh IS NOT NULL AND rh % 8 = 0 THEN 1 ELSE 0 END AS boundary
+        FROM roll
+    ),
+    chunked AS (
+        SELECT doc_id, source, p, h,
+               coalesce(sum(boundary) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+        FROM marked
+    ),
+    anchored AS (
+        SELECT doc_id, source, p, h, chunk_idx,
+               min(p) OVER (PARTITION BY doc_id, chunk_idx) AS cs
+        FROM chunked
+    ),
+    chunks AS (
+        SELECT doc_id, source, chunk_idx,
+               count(*) AS n_words,
+               sum((p - cs + 1) * h) % 1000000007 AS chash
+        FROM anchored
+        GROUP BY doc_id, source, chunk_idx
+    ),
+    freq AS (
+        SELECT chash, n_words, count(*) AS inst FROM chunks GROUP BY chash, n_words
+    )
+    SELECT c.source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT c.chash) AS BIGINT) AS n_unique,
+           CAST(sum(CASE WHEN f.inst > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_instances,
+           CAST(sum(CASE WHEN f.inst > 1 THEN c.n_words ELSE 0 END) AS BIGINT) AS dup_words,
+           CAST((sum(c.n_words) * 100) DIV count(*) AS BIGINT) AS avg_words_c
+    FROM chunks c JOIN freq f ON f.chash = c.chash AND f.n_words = c.n_words
+    GROUP BY c.source
+    ORDER BY c.source
+    """,
+    oracle="""
+    WITH tok AS (
+        SELECT d.doc_id, d.source, t.p - 1 AS p, t.w
+        FROM (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents) d,
+             LATERAL (SELECT unnest(ws) AS w, generate_subscripts(ws, 1) AS p) t
+    ),
+    wh AS (
+        SELECT doc_id, source, p,
+               list_reduce(list_prepend(7::BIGINT,
+                   [ascii(c)::BIGINT for c in string_split(w, '')]),
+                   (a, b) -> (a * 31 + b) % 1000000007) AS h
+        FROM tok
+    ),
+    roll AS (
+        SELECT doc_id, source, p, h,
+               CASE WHEN p >= 3 THEN
+                   (lag(h, 3) OVER w * 29791 + lag(h, 2) OVER w * 961
+                    + lag(h, 1) OVER w * 31 + h) % 1000000007
+               END AS rh
+        FROM wh
+        WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+    ),
+    marked AS (
+        SELECT doc_id, source, p, h,
+               CASE WHEN rh IS NOT NULL AND rh % 8 = 0 THEN 1 ELSE 0 END AS boundary
+        FROM roll
+    ),
+    chunked AS (
+        SELECT doc_id, source, p, h,
+               coalesce(sum(boundary) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+        FROM marked
+    ),
+    anchored AS (
+        SELECT doc_id, source, p, h, chunk_idx,
+               min(p) OVER (PARTITION BY doc_id, chunk_idx) AS cs
+        FROM chunked
+    ),
+    chunks AS MATERIALIZED (
+        SELECT doc_id, source, chunk_idx,
+               count(*) AS n_words,
+               sum((p - cs + 1) * h) % 1000000007 AS chash
+        FROM anchored
+        GROUP BY doc_id, source, chunk_idx
+    ),
+    freq AS (
+        SELECT chash, n_words, count(*) AS inst FROM chunks GROUP BY chash, n_words
+    )
+    SELECT c.source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT c.chash) AS BIGINT) AS n_unique,
+           CAST(sum(CASE WHEN f.inst > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_instances,
+           CAST(sum(CASE WHEN f.inst > 1 THEN c.n_words ELSE 0 END) AS BIGINT) AS dup_words,
+           CAST((sum(c.n_words) * 100) // count(*) AS BIGINT) AS avg_words_c
+    FROM chunks c JOIN freq f ON f.chash = c.chash AND f.n_words = c.n_words
+    GROUP BY c.source
+    ORDER BY c.source
+    """,
+    tags=("pipeline", "dedup"),
+    doc="Content-defined chunking (rsync/FastCDC family) at word level: "
+    "4-word rolling polynomial hash, boundary at rh % 8 == 0 (insertion-"
+    "stable, unlike fixed-size chunking), position-weighted exact-integer "
+    "chunk hashes, cross-corpus chunk dedup via ONE (chash, n_words) "
+    "groupBy, per-source dup-volume rollup. Everything before the dedup "
+    "groupBy is doc-local: one scan + one doc-keyed sort-shuffle.",
+)

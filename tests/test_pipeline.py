@@ -651,3 +651,45 @@ def test_kmeans_parallel_init_beats_naive_seeding(spark):
     kmpp = phi([r.centroid_id for r in out])
     naive = phi(ids[:5])
     assert kmpp < naive, f"k-means|| seeds ({kmpp:.1f}) no better than first-5 ({naive:.1f})"
+
+
+def test_cdc_chunking_is_insertion_stable():
+    """The content-defined boundary rule must localize edits: inserting one
+    word near the start of a document perturbs only the chunk it lands in,
+    while fixed-size chunking shifts every later boundary."""
+    P = 1000000007
+
+    def wh(w):
+        a = 7
+        for c in w:
+            a = (a * 31 + ord(c)) % P
+        return a
+
+    def cdc_chunks(words):
+        hs = [wh(w) for w in words]
+        chunks, cur = [], []
+        for i, h in enumerate(hs):
+            cur.append(h)
+            if i >= 3 and (hs[i - 3] * 29791 + hs[i - 2] * 961 + hs[i - 1] * 31 + h) % P % 8 == 0:
+                chunks.append(tuple(cur))
+                cur = []
+        if cur:
+            chunks.append(tuple(cur))
+        return chunks
+
+    def fixed_chunks(words, k=8):
+        hs = [wh(w) for w in words]
+        return [tuple(hs[i : i + k]) for i in range(0, len(hs), k)]
+
+    import pyarrow.parquet as pq
+
+    texts = pq.read_table(SF_DIR + "/documents.parquet", columns=["text"])["text"].to_pylist()
+    base = max(texts, key=len).split(" ")
+    edited = base[:3] + ["INSERTED"] + base[3:]
+
+    cdc_a, cdc_b = set(cdc_chunks(base)), set(cdc_chunks(edited))
+    fix_a, fix_b = set(fixed_chunks(base)), set(fixed_chunks(edited))
+    cdc_keep = len(cdc_a & cdc_b) / len(cdc_a)
+    fix_keep = len(fix_a & fix_b) / len(fix_a)
+    assert cdc_keep >= 0.8, f"CDC kept only {cdc_keep:.0%} of chunks after a 1-word insert"
+    assert cdc_keep > fix_keep, f"CDC ({cdc_keep:.0%}) must beat fixed-size ({fix_keep:.0%})"
