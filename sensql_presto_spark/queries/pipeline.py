@@ -6600,3 +6600,71 @@ _sql_query(
     "groupBy, per-source dup-volume rollup. Everything before the dedup "
     "groupBy is doc-local: one scan + one doc-keyed sort-shuffle.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Modularity scoring of detected communities (Newman & Girvan 2004)
+# ---------------------------------------------------------------------------
+# Community detection without a quality score is unfalsifiable at scale —
+# modularity Q = sum_c [ m_c/m - (d_c/2m)^2 ] is THE standard check that a
+# partition beats the random-graph null model.  Computed per community
+# over the label-propagation output, entirely with exact integers to
+# dodge the float-division parity trap: with S = |sym| = 2m,
+# intra_c = sym rows inside c (= 2 m_c) and d_c = degree mass of c,
+#   Q_c = intra_c/S - (d_c/S)^2  ==>  q_num = intra_c * S - d_c^2 over
+#   q_den = S^2   (no division performed — Spark DIV truncates while
+# DuckDB // floors, and q_num CAN be negative for boundary-heavy
+# communities, exactly where trunc != floor).  Scale shape: the label
+# table is joined onto the checkpointed edge list twice (src, dst) — one
+# keyed shuffle each; degrees and community rollups are map-side-combined
+# aggregates; the 1-row total is a broadcast.  Tests assert the planted
+# block partition scores high positive Q and beats a degenerate
+# one-community partition.
+_MODQ_TAIL = """lbl AS (SELECT l3.id AS node_id, l3.lbl AS community FROM l3),
+    deg AS (SELECT src AS node_id, count(*) AS d FROM {E} GROUP BY src),
+    s AS (SELECT count(*) AS s2 FROM {E}),
+    intra AS (SELECT la.community, count(*) AS ic
+              FROM {E} e JOIN lbl la ON la.node_id = e.src
+                         JOIN lbl lb ON lb.node_id = e.dst
+              WHERE la.community = lb.community GROUP BY la.community),
+    dsum AS (SELECT l.community, sum(d.d) AS dc, count(*) AS n_nodes
+             FROM lbl l JOIN deg d ON d.node_id = l.node_id GROUP BY l.community)
+    SELECT CAST(ds.community AS BIGINT) AS community,
+           CAST(ds.n_nodes AS BIGINT) AS n_nodes,
+           CAST(coalesce(i.ic, 0) AS BIGINT) AS intra_deg,
+           CAST(ds.dc AS BIGINT) AS total_deg,
+           CAST(coalesce(i.ic, 0) * s.s2 - ds.dc * ds.dc AS BIGINT) AS q_num,
+           CAST(s.s2 * s.s2 AS BIGINT) AS q_den
+    FROM dsum ds CROSS JOIN s LEFT JOIN intra i ON i.community = ds.community
+    ORDER BY community
+"""
+
+_MODQ_ORACLE = (
+    _LABELPROP_ORACLE.split("SELECT CAST(l3.id AS BIGINT)")[0].rstrip().rstrip(",")
+    + ",\n    "
+    + _MODQ_TAIL.format(E="sym")
+)
+assert _MODQ_ORACLE.count("WITH ") == 1
+
+
+@register(
+    "graph_modularity",
+    oracle=_MODQ_ORACLE,
+    tags=("pipeline", "graph", "community"),
+    doc="Per-community Newman modularity of the label-propagation "
+    "partition, as exact-integer rationals (q_num = intra_c*S - d_c^2, "
+    "q_den = S^2; no division — q_num can be negative, where Spark trunc "
+    "!= DuckDB floor): two label-onto-edges keyed joins + map-side-"
+    "combined degree/community rollups + one broadcast total.",
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sym = catalog.sql(spark, sf_dir, _LABELPROP_GRAPH_SQL).localCheckpoint(eager=True)
+    sym.createOrReplaceTempView("__mq_sym")
+    return spark.sql(
+        "WITH "
+        + _LABELPROP_ROUNDS_SQL.format(E="__mq_sym").lstrip().removeprefix("WITH ").split(
+            "SELECT CAST(l3.id AS BIGINT)"
+        )[0].rstrip().rstrip(",")
+        + ",\n    "
+        + _MODQ_TAIL.format(E="__mq_sym")
+    )

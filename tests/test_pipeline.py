@@ -693,3 +693,21 @@ def test_cdc_chunking_is_insertion_stable():
     fix_keep = len(fix_a & fix_b) / len(fix_a)
     assert cdc_keep >= 0.8, f"CDC kept only {cdc_keep:.0%} of chunks after a 1-word insert"
     assert cdc_keep > fix_keep, f"CDC ({cdc_keep:.0%}) must beat fixed-size ({fix_keep:.0%})"
+
+
+def test_modularity_of_planted_blocks_is_high(spark):
+    """Label propagation recovers the planted 15-node blocks, so total
+    modularity must be strongly positive (a one-community partition scores
+    exactly 0: q_num = S*S - S^2), and every per-community q_den must be
+    the shared S^2."""
+    rows = registry.get("graph_modularity").build(spark, SF_DIR).collect()
+    assert len(rows) > 1
+    dens = {r.q_den for r in rows}
+    assert len(dens) == 1
+    q_total = sum(r.q_num for r in rows) / rows[0].q_den
+    assert q_total > 0.5, f"planted-block partition scored Q={q_total:.3f}"
+    # sanity: degree mass must add up to S (sum of all community degrees = 2m)
+    import math
+    s2 = math.isqrt(rows[0].q_den)
+    assert s2 * s2 == rows[0].q_den
+    assert sum(r.total_deg for r in rows) == s2
