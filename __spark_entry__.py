@@ -29,14 +29,17 @@ from sensql_presto_spark.queries import all_specs
 
 # ROUND-7 ROTATION (r6 window was 50/50 green — everything rotated out;
 # rotation ledger: COVERAGE.md §Rotation).  This is the FINAL window:
-# the 38 registry entries that still lack a driver-green CORRECTNESS
+# the 47 registry entries that still lack a driver-green CORRECTNESS
 # row — the TPC-DS tail (q91-q99), the fourteen operators added in r5,
-# and the fifteen operators added in r6.  All 38 were pre-verified
-# EXACT under tools/driver_sim.py --vanilla at sf0.01 during r6 (a
-# 7-entry sample re-verified at sf0.1); after this window every
-# registry entry has a driver row.  Remaining slots (39+) fall through
-# to the canonical alphabetical registry, which re-checks entries
-# already green in earlier rounds.
+# the fifteen added in r6, and the nine added in r7 itself (Avro
+# roundtrip, geo tail, PCA projection, two-stage rerank, winnowing,
+# heavy hitters, k-means||, CDC chunking, modularity).  All were
+# pre-verified EXACT under tools/driver_sim.py at sf0.01 AND sf0.1
+# (the r6 tail under --vanilla during r6; every r7 addition under
+# --vanilla at commit time); after this window every registry entry
+# has a driver row.  Remaining slots (48+) fall through to the
+# canonical alphabetical registry, which re-checks entries already
+# green in earlier rounds.
 PRIORITY: tuple[str, ...] = tuple(f"tpcds_q{n}" for n in range(91, 100)) + (
     # r5-added operators (14)
     "events_anomaly_zscore",
@@ -69,6 +72,16 @@ PRIORITY: tuple[str, ...] = tuple(f"tpcds_q{n}" for n in range(91, 100)) + (
     "text_dsir_weights",
     "mm_video_keyframe_sample",
     "events_interval_union",
+    # r7-added operators (9)
+    "source_avro_roundtrip",
+    "geo_st_tail",
+    "sim_pca_project",
+    "sim_two_stage_prefix_rerank",
+    "text_winnowing_dedup",
+    "text_heavy_hitters",
+    "cluster_kmeans_parallel_init",
+    "dedup_cdc_chunks",
+    "graph_modularity",
 )
 
 def _alias(i: int, name: str) -> str:

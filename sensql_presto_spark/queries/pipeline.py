@@ -6668,3 +6668,150 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ",\n    "
         + _MODQ_TAIL.format(E="__mq_sym")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer-training merge rounds (Sennrich et al. 2016, the GPT-2
+# tokenizer recipe)
+# ---------------------------------------------------------------------------
+# Tokenizer training IS a corpus-scale aggregation problem: each BPE round
+# counts adjacent symbol pairs over the whole corpus, picks the most
+# frequent pair, and greedily merges it everywhere.  Per round the scale
+# shape is: ONE map-side-combined (pair -> count) groupBy (the domain is
+# symbol-pair cardinality, tiny), a top-1 TakeOrdered, and a per-row
+# string rewrite with the winning pair BROADCAST onto the corpus (CROSS
+# JOIN of a 1-row relation) — no corpus-sized state anywhere, and the
+# working column is localCheckpoint-materialized between rounds so round
+# r+1 reads round r's output once instead of recursively re-deriving the
+# whole merge chain.  Greedy left-to-right merge semantics are encoded in
+# the separator scheme: symbols are joined with DOUBLE interpuncts and
+# each replace pattern consumes one boundary dot per side, so consecutive
+# non-overlapping occurrences all merge in one pass ("a a a" merges the
+# first pair only — exactly BPE's scan order) and substring collisions
+# are impossible.  Ties break (count DESC, pair text) in both engines.
+_BPE_ROUNDS = 3
+
+_BPE_CORP0_SQL = """
+    SELECT doc_id, concat('·', concat_ws('··', split(w, '')), '·') AS s
+    FROM (
+        SELECT doc_id, w
+        FROM documents LATERAL VIEW explode(split(text, ' ')) t AS w
+        WHERE length(w) >= 2
+    )
+"""
+
+# one merge round over the previous working view {P}: top pair + rewrite
+_BPE_ROUND_SQL = """
+    WITH pairs AS (
+        SELECT pair, count(*) AS cnt FROM (
+            SELECT explode(transform(sequence(0, size(t) - 2),
+                       i -> concat(t[i], ' ', t[i + 1]))) AS pair
+            FROM (SELECT split(substring(s, 2, length(s) - 2), '··') AS t FROM {P})
+        ) GROUP BY pair
+    ),
+    top AS (SELECT pair, cnt FROM pairs ORDER BY cnt DESC, pair LIMIT 1)
+    SELECT c.doc_id,
+           replace(c.s,
+                   concat('·', split(t.pair, ' ')[0], '··', split(t.pair, ' ')[1], '·'),
+                   concat('·', replace(t.pair, ' ', ''), '·')) AS s
+    FROM {P} c CROSS JOIN top t
+"""
+
+_BPE_SUMMARY_SQL = """
+    WITH pairs AS (
+        SELECT pair, count(*) AS cnt FROM (
+            SELECT explode(transform(sequence(0, size(t) - 2),
+                       i -> concat(t[i], ' ', t[i + 1]))) AS pair
+            FROM (SELECT split(substring(s, 2, length(s) - 2), '··') AS t FROM {P})
+        ) GROUP BY pair
+    ),
+    top AS (SELECT pair, cnt FROM pairs ORDER BY cnt DESC, pair LIMIT 1)
+    SELECT CAST({R} AS BIGINT) AS round,
+           t.pair AS merged_pair,
+           CAST(t.cnt AS BIGINT) AS pair_count,
+           (SELECT CAST(sum(size(split(substring(s, 2, length(s) - 2), '··'))) AS BIGINT)
+            FROM {N}) AS corpus_tokens_after
+    FROM top t
+"""
+
+
+def _bpe_oracle() -> str:
+    sql = """
+    WITH words AS (
+        SELECT doc_id, w FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d,
+             LATERAL (SELECT unnest(ws) AS w) t
+        WHERE length(w) >= 2
+    ),
+    corp0 AS MATERIALIZED (
+        SELECT doc_id, '·' || array_to_string([c for c in string_split(w, '')], '··') || '·' AS s
+        FROM words
+    ),"""
+    prev = "corp0"
+    for r in range(1, _BPE_ROUNDS + 1):
+        sql += f"""
+    pairs{r} AS (
+        SELECT t[i] || ' ' || t[i + 1] AS pair, count(*) AS cnt
+        FROM (SELECT string_split(substring(s, 2, length(s) - 2), '··') AS t FROM {prev}) x,
+             LATERAL (SELECT unnest(range(1, len(t))) AS i) ix
+        GROUP BY t[i] || ' ' || t[i + 1]
+    ),
+    top{r} AS MATERIALIZED (
+        SELECT pair, cnt FROM pairs{r} ORDER BY cnt DESC, pair LIMIT 1
+    ),
+    corp{r} AS MATERIALIZED (
+        SELECT c.doc_id,
+               replace(c.s,
+                       '·' || string_split(t.pair, ' ')[1] || '··' || string_split(t.pair, ' ')[2] || '·',
+                       '·' || replace(t.pair, ' ', '') || '·') AS s
+        FROM {prev} c CROSS JOIN top{r} t
+    ),"""
+        prev = f"corp{r}"
+    unions = "\n        UNION ALL".join(
+        f"""
+        SELECT {r} AS round, (SELECT pair FROM top{r}) AS merged_pair,
+               (SELECT cnt FROM top{r}) AS pair_count,
+               (SELECT sum(len(string_split(substring(s, 2, length(s) - 2), '··'))) FROM corp{r})
+                   AS corpus_tokens_after"""
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    sql += f"""
+    summary AS ({unions}
+    )
+    SELECT CAST(round AS BIGINT) AS round, merged_pair,
+           CAST(pair_count AS BIGINT) AS pair_count,
+           CAST(corpus_tokens_after AS BIGINT) AS corpus_tokens_after
+    FROM summary ORDER BY round
+    """
+    return sql
+
+
+_BPE_ORACLE = _bpe_oracle()
+assert _BPE_ORACLE.count("WITH ") == 1
+
+
+@register(
+    "text_bpe_train_rounds",
+    oracle=_BPE_ORACLE,
+    tags=("pipeline", "text", "tokenizer"),
+    doc="3 unrolled BPE tokenizer-training rounds (Sennrich et al. 2016): "
+    "per round ONE map-side-combined pair-count groupBy + top-1 "
+    "TakeOrdered + a broadcast 1-row merge rewrite; the working corpus "
+    "column is checkpointed between rounds (linear, never re-derives the "
+    "merge chain); double-interpunct separators encode greedy left-to-"
+    "right merge order identically in both engines.",
+)
+def text_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    catalog.register_views(spark, sf_dir)
+    corp = spark.sql(_BPE_CORP0_SQL).localCheckpoint(eager=True)
+    corp.createOrReplaceTempView("__bpe_corp0")
+    summaries = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        nxt = spark.sql(_BPE_ROUND_SQL.format(P=f"__bpe_corp{r - 1}")).localCheckpoint(eager=True)
+        nxt.createOrReplaceTempView(f"__bpe_corp{r}")
+        summaries.append(
+            spark.sql(_BPE_SUMMARY_SQL.format(P=f"__bpe_corp{r - 1}", N=f"__bpe_corp{r}", R=r))
+        )
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("round")

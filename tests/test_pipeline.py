@@ -711,3 +711,19 @@ def test_modularity_of_planted_blocks_is_high(spark):
     s2 = math.isqrt(rows[0].q_den)
     assert s2 * s2 == rows[0].q_den
     assert sum(r.total_deg for r in rows) == s2
+
+
+def test_bpe_rounds_invariants(spark):
+    """BPE invariants: merge frequencies are non-increasing across rounds
+    (a new pair's count is bounded by the merges that created it), the
+    corpus token count strictly decreases, and each round removes at most
+    pair_count tokens (overlapping occurrences merge only once)."""
+    rows = registry.get("text_bpe_train_rounds").build(spark, SF_DIR).collect()
+    assert [r.round for r in rows] == [1, 2, 3]
+    counts = [r.pair_count for r in rows]
+    assert counts == sorted(counts, reverse=True), f"top-pair counts increased: {counts}"
+    toks = [r.corpus_tokens_after for r in rows]
+    assert toks[0] > toks[1] > toks[2], f"token count must strictly decrease: {toks}"
+    for i in (1, 2):
+        assert toks[i - 1] - toks[i] <= rows[i].pair_count
+    assert all(" " in r.merged_pair for r in rows)
