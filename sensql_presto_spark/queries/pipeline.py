@@ -6815,3 +6815,78 @@ def text_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in summaries[1:]:
         out = out.unionAll(s)
     return out.orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# ANN index-quality evaluation (recall@k vs exact ground truth)
+# ---------------------------------------------------------------------------
+# Production retrieval stacks continuously MONITOR index quality: recall
+# of the approximate index against exact brute force on a probe set is
+# the metric every ANN paper and every serving dashboard reports.  This
+# op computes it entirely in-engine by composing two registered
+# operators — sim_ivf_topk (the index under test, nprobe=1) against
+# sim_topk_bruteforce (ground truth) — joined on (query_id, neighbor_id)
+# and rolled up per query with exact integer basis points.  Scale shape:
+# both inputs are the bounded-broadcast probe shapes already plan-
+# asserted for the underlying ops; the eval join touches O(queries x k)
+# rows.  The measured recall is legitimately low on this near-isotropic
+# synthetic fixture (labels are not tight clusters; see
+# test_ivf_is_bounded_by_bruteforce) — the op's job is to MEASURE that
+# honestly, which is exactly what an index-quality monitor is for.
+_ANN_EVAL_K = 3
+
+
+def _ann_eval_oracle() -> str:
+    from sensql_presto_spark.queries.registry import get
+
+    return f"""
+    WITH brute AS ({get("sim_topk_bruteforce").oracle}),
+    ivf AS ({get("sim_ivf_topk").oracle}),
+    hits AS (
+        SELECT b.query_id, count(i.neighbor_id) AS n_hits
+        FROM (SELECT * FROM brute WHERE rk <= {_ANN_EVAL_K}) b
+        LEFT JOIN ivf i ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+        GROUP BY b.query_id
+    )
+    SELECT query_id, CAST(n_hits AS BIGINT) AS n_hits,
+           CAST((n_hits * 10000) // {_ANN_EVAL_K} AS BIGINT) AS recall_bp
+    FROM hits ORDER BY query_id
+    """
+
+
+@register(
+    "sim_ann_recall_eval",
+    oracle=_ann_eval_oracle(),
+    tags=("pipeline", "similarity", "eval"),
+    doc="In-engine ANN index-quality monitor: recall@3 of sim_ivf_topk "
+    "(nprobe=1) against sim_topk_bruteforce ground truth per probe query, "
+    "exact integer basis points; the eval join touches O(queries x k) "
+    "rows on top of the two already-plan-asserted probe shapes.",
+)
+def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from sensql_presto_spark.queries.registry import get
+
+    brute = (
+        get("sim_topk_bruteforce")
+        .build(spark, sf_dir)
+        .where(F.col("rk") <= _ANN_EVAL_K)
+        .select("query_id", "neighbor_id")
+    )
+    ivf = (
+        get("sim_ivf_topk")
+        .build(spark, sf_dir)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    return (
+        brute.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").alias("n_hits"))
+        .select(
+            "query_id",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.expr(f"(n_hits * 10000) DIV {_ANN_EVAL_K}").cast("long").alias("recall_bp"),
+        )
+        .orderBy("query_id")
+    )
