@@ -29,18 +29,16 @@ from sensql_presto_spark.queries import all_specs
 
 # ROUND-7 ROTATION (r6 window was 50/50 green — everything rotated out;
 # rotation ledger: COVERAGE.md §Rotation).  This is the FINAL window:
-# the 49 registry entries that still lack a driver-green CORRECTNESS
+# the 50 registry entries that still lack a driver-green CORRECTNESS
 # row — the TPC-DS tail (q91-q99), the fourteen operators added in r5,
-# the fifteen added in r6, and the eleven added in r7 itself (Avro
+# the fifteen added in r6, and the twelve added in r7 itself (Avro
 # roundtrip, geo tail, PCA projection, two-stage rerank, winnowing,
 # heavy hitters, k-means||, CDC chunking, modularity, BPE rounds,
-# ANN recall eval).  All were
+# ANN recall eval, pattern match).  All were
 # pre-verified EXACT under tools/driver_sim.py at sf0.01 AND sf0.1
 # (the r6 tail under --vanilla during r6; every r7 addition under
 # --vanilla at commit time); after this window every registry entry
-# has a driver row.  Remaining slots (50+) fall through to the
-# canonical alphabetical registry, which re-checks entries already
-# green in earlier rounds.
+# has a driver row.  The window is now exactly full (50 slots).
 PRIORITY: tuple[str, ...] = tuple(f"tpcds_q{n}" for n in range(91, 100)) + (
     # r5-added operators (14)
     "events_anomaly_zscore",
@@ -73,7 +71,7 @@ PRIORITY: tuple[str, ...] = tuple(f"tpcds_q{n}" for n in range(91, 100)) + (
     "text_dsir_weights",
     "mm_video_keyframe_sample",
     "events_interval_union",
-    # r7-added operators (11)
+    # r7-added operators (12)
     "source_avro_roundtrip",
     "geo_st_tail",
     "sim_pca_project",
@@ -85,6 +83,7 @@ PRIORITY: tuple[str, ...] = tuple(f"tpcds_q{n}" for n in range(91, 100)) + (
     "graph_modularity",
     "text_bpe_train_rounds",
     "sim_ann_recall_eval",
+    "events_pattern_match",
 )
 
 def _alias(i: int, name: str) -> str:

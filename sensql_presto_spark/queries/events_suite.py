@@ -822,3 +822,103 @@ _sql_query(
     """,
     tags=("events", "intervals"),
 )
+
+
+# --- Sequence-pattern detection (the MATCH_RECOGNIZE role) -----------------
+# Funnels count step depth; transition matrices count adjacent hops; THIS
+# finds full pattern instances: view -> click -> purchase where the click
+# is the LATEST click before the purchase, the view is the LATEST view
+# before that click, the whole chain completes within 48 hours, and NO
+# error event intervenes between the view and the purchase (the negative
+# condition funnel counting cannot express — row-pattern semantics a la
+# Trino's MATCH_RECOGNIZE 'V C P' with a [^E]* guard, compiled to joins).
+# Scale shape (100 TB posture): every join and the NOT EXISTS guard are
+# keyed on user_id — ONE co-partitioned exchange family, candidate volume
+# bounded by per-user activity (the events_asof_join/range_join bound,
+# never cross-user); latest-before selection is max()/max_by() with the
+# map-side-combine shape, not a window over the corpus.  The total order
+# is the exact-integer ord = unix_micros(ts)*1000 + event_id%1000 (ties
+# on ts broken by event id, same arithmetic both engines).
+_sql_query(
+    "events_pattern_match",
+    """
+    WITH ev AS (
+        SELECT user_id, event_id, event_type, ts,
+               unix_micros(ts) * 1000 + event_id % 1000 AS ord
+        FROM events
+    ),
+    p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+    c AS (SELECT * FROM ev WHERE event_type = 'click'),
+    v AS (SELECT * FROM ev WHERE event_type = 'view'),
+    err AS (SELECT * FROM ev WHERE event_type = 'error'),
+    pc AS (
+        SELECT p.user_id, p.event_id AS purchase_id, p.ord AS pord, p.ts AS pts,
+               max(c.ord) AS cord
+        FROM p JOIN c ON c.user_id = p.user_id AND c.ord < p.ord
+        GROUP BY p.user_id, p.event_id, p.ord, p.ts
+    ),
+    pcv AS (
+        SELECT pc.user_id, pc.purchase_id, pc.pord, pc.pts, pc.cord,
+               max(v.ord) AS vord, max_by(v.ts, v.ord) AS vts
+        FROM pc JOIN v ON v.user_id = pc.user_id AND v.ord < pc.cord
+        GROUP BY pc.user_id, pc.purchase_id, pc.pord, pc.pts, pc.cord
+    ),
+    windowed AS (
+        SELECT * FROM pcv
+        WHERE unix_micros(pts) - unix_micros(vts) <= 172800000000
+    ),
+    matched AS (
+        SELECT w.* FROM windowed w
+        WHERE NOT EXISTS (
+            SELECT 1 FROM err e
+            WHERE e.user_id = w.user_id AND e.ord > w.vord AND e.ord < w.pord
+        )
+    )
+    SELECT user_id, CAST(purchase_id AS BIGINT) AS purchase_id,
+           (unix_micros(pts) - unix_micros(vts)) DIV 1000000 AS view_to_purchase_secs
+    FROM matched ORDER BY user_id, purchase_id
+    """,
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id, event_type, ts,
+               epoch_us(ts) * 1000 + event_id % 1000 AS ord
+        FROM events
+    ),
+    p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+    c AS (SELECT * FROM ev WHERE event_type = 'click'),
+    v AS (SELECT * FROM ev WHERE event_type = 'view'),
+    err AS (SELECT * FROM ev WHERE event_type = 'error'),
+    pc AS (
+        SELECT p.user_id, p.event_id AS purchase_id, p.ord AS pord, p.ts AS pts,
+               max(c.ord) AS cord
+        FROM p JOIN c ON c.user_id = p.user_id AND c.ord < p.ord
+        GROUP BY p.user_id, p.event_id, p.ord, p.ts
+    ),
+    pcv AS (
+        SELECT pc.user_id, pc.purchase_id, pc.pord, pc.pts, pc.cord,
+               max(v.ord) AS vord, max_by(v.ts, v.ord) AS vts
+        FROM pc JOIN v ON v.user_id = pc.user_id AND v.ord < pc.cord
+        GROUP BY pc.user_id, pc.purchase_id, pc.pord, pc.pts, pc.cord
+    ),
+    windowed AS (
+        SELECT * FROM pcv
+        WHERE epoch_us(pts) - epoch_us(vts) <= 172800000000
+    ),
+    matched AS (
+        SELECT w.* FROM windowed w
+        WHERE NOT EXISTS (
+            SELECT 1 FROM err e
+            WHERE e.user_id = w.user_id AND e.ord > w.vord AND e.ord < w.pord
+        )
+    )
+    SELECT user_id, CAST(purchase_id AS BIGINT) AS purchase_id,
+           (epoch_us(pts) - epoch_us(vts)) // 1000000 AS view_to_purchase_secs
+    FROM matched ORDER BY user_id, purchase_id
+    """,
+    tags=("events", "pattern"),
+    doc="Row-pattern detection (MATCH_RECOGNIZE role): latest-click-"
+    "before-purchase, latest-view-before-that-click, 48h completion "
+    "window, NOT EXISTS error guard between view and purchase; all joins "
+    "and the guard keyed on user_id (one co-partitioned exchange family, "
+    "per-user-bounded candidates), exact-integer total order.",
+)

@@ -727,3 +727,38 @@ def test_bpe_rounds_invariants(spark):
     for i in (1, 2):
         assert toks[i - 1] - toks[i] <= rows[i].pair_count
     assert all(" " in r.merged_pair for r in rows)
+
+
+def test_pattern_match_agrees_with_python_replay(spark):
+    """Independent check: replay the pattern automaton per user in plain
+    Python over the raw events and compare the matched purchase set."""
+    import pyarrow.parquet as pq
+
+    out = registry.get("events_pattern_match").build(spark, SF_DIR).collect()
+    got = {(r.user_id, r.purchase_id) for r in out}
+
+    tbl = pq.read_table(SF_DIR + "/events.parquet").to_pylist()
+    by_user = {}
+    for e in tbl:
+        by_user.setdefault(e["user_id"], []).append(e)
+    expect = set()
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda e: (e["ts"], e["event_id"] % 1000))
+        for i, p in enumerate(evs):
+            if p["event_type"] != "purchase":
+                continue
+            clicks = [j for j in range(i) if evs[j]["event_type"] == "click"]
+            if not clicks:
+                continue
+            ci = clicks[-1]
+            views = [j for j in range(ci) if evs[j]["event_type"] == "view"]
+            if not views:
+                continue
+            vi = views[-1]
+            if (p["ts"] - evs[vi]["ts"]).total_seconds() > 172800:
+                continue
+            if any(evs[j]["event_type"] == "error" for j in range(vi + 1, i)):
+                continue
+            expect.add((uid, p["event_id"]))
+    assert got == expect
+    assert got, "fixture must contain pattern matches"
