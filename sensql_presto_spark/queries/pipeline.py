@@ -6890,3 +6890,84 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew diagnostics (the decision input for salting / AQE tuning)
+# ---------------------------------------------------------------------------
+# Every skew mitigation in the scale_* family (salting, AQE skew-join,
+# bucketing) starts from the same question: HOW skewed is this key?  This
+# op computes the answer as an ANALYZE-style report: per candidate join
+# key, the key cardinality, top-key share, and an exact-integer Gini
+# coefficient in basis points (G = (2*sum(rank*cnt) - (n+1)*N) / (n*N)
+# over the ascending-sorted key-frequency table — all BIGINT, single //).
+# Scale shape: ONE map-side-combined groupBy per key column reduces the
+# corpus to its key-frequency table; the ranking window and the rollup
+# run over THAT table, whose size is the key cardinality, not the corpus
+# — the same reduction ANALYZE ... COMPUTE STATISTICS rides.  Top-key
+# tiebreak is deterministic (max count, then smallest key).
+_sql_query(
+    "scale_skew_report",
+    """
+    WITH ko AS (SELECT o_custkey AS k FROM orders),
+    ke AS (SELECT user_id AS k FROM events),
+    co AS (SELECT 'orders.o_custkey' AS col, k, count(*) AS cnt FROM ko GROUP BY k),
+    ce AS (SELECT 'events.user_id' AS col, k, count(*) AS cnt FROM ke GROUP BY k),
+    c AS (SELECT * FROM co UNION ALL SELECT * FROM ce),
+    ranked AS (
+        SELECT col, k, cnt,
+               row_number() OVER (PARTITION BY col ORDER BY cnt, k) AS rk
+        FROM c
+    ),
+    agg AS (
+        SELECT col,
+               count(*) AS n_keys,
+               sum(cnt) AS n_rows,
+               max(cnt) AS max_cnt,
+               max_by(k, cnt * 10000000 - k) AS top_key,
+               sum(rk * cnt) AS weighted
+        FROM ranked GROUP BY col
+    )
+    SELECT col,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST((max_cnt * 10000) DIV n_rows AS BIGINT) AS max_share_bp,
+           CAST(top_key AS BIGINT) AS top_key,
+           CAST((10000 * (2 * weighted - (n_keys + 1) * n_rows)) DIV (n_keys * n_rows) AS BIGINT) AS gini_bp
+    FROM agg ORDER BY col
+    """,
+    oracle="""
+    WITH ko AS (SELECT o_custkey AS k FROM orders),
+    ke AS (SELECT user_id AS k FROM events),
+    co AS (SELECT 'orders.o_custkey' AS col, k, count(*) AS cnt FROM ko GROUP BY k),
+    ce AS (SELECT 'events.user_id' AS col, k, count(*) AS cnt FROM ke GROUP BY k),
+    c AS (SELECT * FROM co UNION ALL SELECT * FROM ce),
+    ranked AS (
+        SELECT col, k, cnt,
+               row_number() OVER (PARTITION BY col ORDER BY cnt, k) AS rk
+        FROM c
+    ),
+    agg AS (
+        SELECT col,
+               count(*) AS n_keys,
+               sum(cnt) AS n_rows,
+               max(cnt) AS max_cnt,
+               max_by(k, cnt * 10000000 - k) AS top_key,
+               sum(rk * cnt) AS weighted
+        FROM ranked GROUP BY col
+    )
+    SELECT col,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST((max_cnt * 10000) // n_rows AS BIGINT) AS max_share_bp,
+           CAST(top_key AS BIGINT) AS top_key,
+           CAST((10000 * (2 * weighted - (n_keys + 1) * n_rows)) // (n_keys * n_rows) AS BIGINT) AS gini_bp
+    FROM agg ORDER BY col
+    """,
+    tags=("pipeline", "scale"),
+    doc="ANALYZE-style join-key skew report: per key column one map-side-"
+    "combined groupBy reduces the corpus to its key-frequency table, then "
+    "cardinality / top-key share / exact-integer Gini (basis points) are "
+    "computed over that cardinality-bounded table — the decision input "
+    "for salting, AQE skew-join thresholds, and bucket counts.",
+)

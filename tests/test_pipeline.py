@@ -762,3 +762,20 @@ def test_pattern_match_agrees_with_python_replay(spark):
             expect.add((uid, p["event_id"]))
     assert got == expect
     assert got, "fixture must contain pattern matches"
+
+
+def test_skew_report_gini_bounds_and_reconciliation(spark):
+    """Gini must sit in [0, 10000) bp and shares must reconcile with the
+    raw tables."""
+    rows = {r.col: r for r in registry.get("scale_skew_report").build(spark, SF_DIR).collect()}
+    assert set(rows) == {"orders.o_custkey", "events.user_id"}
+    for r in rows.values():
+        assert 0 <= r.gini_bp < 10000
+        assert 0 < r.max_share_bp <= 10000
+        assert r.n_keys <= r.n_rows
+    import duckdb
+
+    con = duckdb.connect()
+    n = con.sql(f"SELECT count(*) FROM '{SF_DIR}/orders.parquet'").fetchone()[0]
+    assert rows["orders.o_custkey"].n_rows == n
+    con.close()
