@@ -6971,3 +6971,79 @@ _sql_query(
     "computed over that cardinality-bounded table — the decision input "
     "for salting, AQE skew-join thresholds, and bucket counts.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-distribution drift monitor (per-cluster centroid drift)
+# ---------------------------------------------------------------------------
+# Embedding pipelines silently rot: a model update, a tokenizer change,
+# or an upstream corpus shift moves the distribution, and every index /
+# dedup threshold calibrated on the old geometry degrades.  The standard
+# guard is a per-cluster CENTROID DRIFT report between two snapshots —
+# here the deterministic vec_id-parity split stands in for
+# yesterday/today.  All arithmetic exact-integer: embeddings are milli-
+# quantized THEN SHIFTED +2000 so every value, sum, and mean is strictly
+# positive — integer mean (1000*sum) DIV n is then identical in Spark
+# (truncates toward zero) and DuckDB (floors), the parity trap that
+# decides whether negative coordinates hash-match; the shift cancels in
+# the |meanA - meanB| drift.  Scale shape: ONE map-side-combined
+# (label, half, dim) aggregation reduces the corpus to a
+# clusters x 2 x 64 cell table; the pairing join and rollup run on that
+# bounded table.
+_sql_query(
+    "sim_centroid_drift_monitor",
+    """
+    WITH e AS (
+        SELECT vec_id, label, vec_id % 2 AS half,
+               transform(embedding,
+                   x -> cast(round(cast(x AS double) * 1000) AS bigint) + 2000) AS v
+        FROM embeddings
+    ),
+    rows_ AS (SELECT label, half, posexplode(v) AS (d, x) FROM e),
+    means AS (
+        SELECT label, half, d, (1000 * sum(x)) DIV count(*) AS m_micro, count(*) AS n
+        FROM rows_ GROUP BY label, half, d
+    ),
+    paired AS (
+        SELECT a.label, a.d, a.m_micro AS ma, b.m_micro AS mb, a.n AS na, b.n AS nb
+        FROM (SELECT * FROM means WHERE half = 0) a
+        JOIN (SELECT * FROM means WHERE half = 1) b ON a.label = b.label AND a.d = b.d
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(min(na) AS BIGINT) AS n_ref, CAST(min(nb) AS BIGINT) AS n_cand,
+           CAST(sum(abs(ma - mb)) AS BIGINT) AS l1_drift_micro,
+           CAST(max(abs(ma - mb)) AS BIGINT) AS max_dim_drift_micro
+    FROM paired GROUP BY label ORDER BY label
+    """,
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, vec_id % 2 AS half,
+               [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 2000 FOR x IN embedding] AS v
+        FROM embeddings
+    ),
+    rows_ AS (
+        SELECT label, half, d - 1 AS d, v[d] AS x
+        FROM e, unnest(generate_series(1, 64)) AS t(d)
+    ),
+    means AS (
+        SELECT label, half, d, (1000 * sum(x)) // count(*) AS m_micro, count(*) AS n
+        FROM rows_ GROUP BY label, half, d
+    ),
+    paired AS (
+        SELECT a.label, a.d, a.m_micro AS ma, b.m_micro AS mb, a.n AS na, b.n AS nb
+        FROM (SELECT * FROM means WHERE half = 0) a
+        JOIN (SELECT * FROM means WHERE half = 1) b ON a.label = b.label AND a.d = b.d
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(min(na) AS BIGINT) AS n_ref, CAST(min(nb) AS BIGINT) AS n_cand,
+           CAST(sum(abs(ma - mb)) AS BIGINT) AS l1_drift_micro,
+           CAST(max(abs(ma - mb)) AS BIGINT) AS max_dim_drift_micro
+    FROM paired GROUP BY label ORDER BY label
+    """,
+    tags=("pipeline", "similarity", "eval"),
+    doc="Per-cluster centroid drift between two corpus snapshots (vec_id-"
+    "parity split): ONE map-side-combined (label, half, dim) aggregation "
+    "reduces the corpus to a bounded cell table; exact-integer micro-unit "
+    "means via the +2000 positivity shift (making Spark's truncating DIV "
+    "and DuckDB's flooring // agree), L1 and max-dim drift per cluster.",
+)

@@ -779,3 +779,25 @@ def test_skew_report_gini_bounds_and_reconciliation(spark):
     n = con.sql(f"SELECT count(*) FROM '{SF_DIR}/orders.parquet'").fetchone()[0]
     assert rows["orders.o_custkey"].n_rows == n
     con.close()
+
+
+def test_centroid_drift_positivity_shift_and_parity_split(spark):
+    """The +2000 shift must cancel in the drift (re-derive one label's L1
+    drift from raw numpy means), and the parity split must cover every
+    vector exactly once."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    rows = registry.get("sim_centroid_drift_monitor").build(spark, SF_DIR).collect()
+    tbl = pq.read_table(SF_DIR + "/embeddings.parquet").to_pylist()
+    assert sum(r.n_ref + r.n_cand for r in rows) == len(tbl)
+    lab = rows[0].label
+    ref = np.array([t["embedding"] for t in tbl if t["label"] == lab and t["vec_id"] % 2 == 0], dtype=np.float64)
+    cand = np.array([t["embedding"] for t in tbl if t["label"] == lab and t["vec_id"] % 2 == 1], dtype=np.float64)
+
+    def micro_means(m):
+        q = np.round(m * 1000).astype(np.int64) + 2000
+        return (1000 * q.sum(axis=0)) // q.shape[0]
+
+    l1 = int(np.abs(micro_means(ref) - micro_means(cand)).sum())
+    assert rows[0].l1_drift_micro == l1
