@@ -797,3 +797,41 @@ def scale_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("c_mktsegment")
     )
     return out
+
+
+@register(
+    "source_parquet_schema_evolution",
+    oracle="""
+    SELECT c_custkey, c_name, NULL::DOUBLE AS c_acctbal
+    FROM customer WHERE c_custkey < 100
+    UNION ALL BY NAME
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer WHERE c_custkey >= 100 AND c_custkey < 200
+    ORDER BY c_custkey
+    """,
+    tags=("sources", "parquet", "schema-evolution"),
+    doc="Parquet schema evolution (the presto-hive evolved-table read "
+    "path): snapshot v1 written without c_acctbal, snapshot v2 written "
+    "with it, read back as ONE table via mergeSchema=true — Spark "
+    "reconciles the footers at planning time and fills the missing "
+    "column with NULLs file-locally (no rewrite of the old snapshot, "
+    "the property that makes additive evolution free at 100 TB); "
+    "column pruning and pushdown still apply per file.",
+)
+def source_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(_DIR, "source_schema_evo_demo")
+    base = catalog.table(spark, sf_dir, "customer")
+    v1 = base.select("c_custkey", "c_name").filter(F.col("c_custkey") < 100)
+    v2 = base.select("c_custkey", "c_name", "c_acctbal").filter(
+        (F.col("c_custkey") >= 100) & (F.col("c_custkey") < 200)
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(path, "v=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(path, "v=2"))
+    out = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "v=1"), os.path.join(path, "v=2")
+    )
+    return out.select(
+        F.col("c_custkey").cast("long"),
+        F.col("c_name").cast("string"),
+        F.col("c_acctbal").cast("double"),
+    ).orderBy("c_custkey")

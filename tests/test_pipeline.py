@@ -801,3 +801,16 @@ def test_centroid_drift_positivity_shift_and_parity_split(spark):
 
     l1 = int(np.abs(micro_means(ref) - micro_means(cand)).sum())
     assert rows[0].l1_drift_micro == l1
+
+
+def test_schema_evolution_never_rewrites_old_snapshot(spark):
+    """Additive evolution must be free: after the merged read, snapshot v1
+    on disk still carries only the original two columns (the merge is a
+    planning-time footer reconciliation, not a data rewrite)."""
+    out = registry.get("source_parquet_schema_evolution").build(spark, SF_DIR)
+    rows = out.collect()
+    assert len(rows) == 200
+    assert all(r.c_acctbal is None for r in rows if r.c_custkey < 100)
+    assert all(r.c_acctbal is not None for r in rows if r.c_custkey >= 100)
+    v1 = spark.read.parquet("spark-warehouse/source_schema_evo_demo/v=1")
+    assert set(v1.columns) == {"c_custkey", "c_name"}
