@@ -7047,3 +7047,77 @@ _sql_query(
     "means via the +2000 positivity shift (making Spark's truncating DIV "
     "and DuckDB's flooring // agree), L1 and max-dim drift per cluster.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed quantiles (the bounded-domain histogram reduction)
+# ---------------------------------------------------------------------------
+# approx_percentile/qdigest trade accuracy for mergeability; but when the
+# value domain is BOUNDED (integer quantities, cent-quantized money,
+# milli-unit scores) exact quantiles are cheap at any corpus size: ONE
+# map-side-combined (measure, value) groupBy reduces the corpus to its
+# value histogram — whose size is the DISTINCT-VALUE cardinality (for
+# TPC-H prices at cent granularity that is bounded by the ~5.5e6
+# representable cent values, independent of row count) — then a
+# cumulative window over the histogram and a 3-row broadcast quantile
+# probe pick the type-1 (lower) quantile: smallest v with
+# cum(v)*1000 >= q*N, all-integer, no interpolation, deterministic.
+# This is the same reduction text_perplexity_bucket uses for its tercile
+# cuts, promoted to a first-class aggregate with multiple measures.
+_sql_query(
+    "agg_exact_quantiles",
+    """
+    WITH m1 AS (SELECT 'orders.o_totalprice_cents' AS measure,
+                       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS val FROM orders),
+    m2 AS (SELECT 'lineitem.l_quantity' AS measure, CAST(l_quantity AS BIGINT) AS val FROM lineitem),
+    m AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2),
+    hist AS (SELECT measure, val, count(*) AS cnt FROM m GROUP BY measure, val),
+    cum AS (
+        SELECT measure, val, cnt,
+               sum(cnt) OVER (PARTITION BY measure ORDER BY val) AS cum_cnt,
+               sum(cnt) OVER (PARTITION BY measure) AS n
+        FROM hist
+    ),
+    qs AS (SELECT explode(array(500, 900, 990)) AS q_milli),
+    pick AS (
+        SELECT c.measure, q.q_milli, c.n,
+               min(c.val) AS quantile_value
+        FROM cum c JOIN qs q
+          ON c.cum_cnt * 1000 >= q.q_milli * c.n
+        GROUP BY c.measure, q.q_milli, c.n
+    )
+    SELECT measure, CAST(q_milli AS BIGINT) AS q_milli, CAST(n AS BIGINT) AS n,
+           CAST(quantile_value AS BIGINT) AS quantile_value
+    FROM pick ORDER BY measure, q_milli
+    """,
+    oracle="""
+    WITH m1 AS (SELECT 'orders.o_totalprice_cents' AS measure,
+                       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS val FROM orders),
+    m2 AS (SELECT 'lineitem.l_quantity' AS measure, CAST(l_quantity AS BIGINT) AS val FROM lineitem),
+    m AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2),
+    hist AS (SELECT measure, val, count(*) AS cnt FROM m GROUP BY measure, val),
+    cum AS (
+        SELECT measure, val, cnt,
+               sum(cnt) OVER (PARTITION BY measure ORDER BY val) AS cum_cnt,
+               sum(cnt) OVER (PARTITION BY measure) AS n
+        FROM hist
+    ),
+    qs AS (SELECT unnest([500, 900, 990]) AS q_milli),
+    pick AS (
+        SELECT c.measure, q.q_milli, c.n,
+               min(c.val) AS quantile_value
+        FROM cum c JOIN qs q
+          ON c.cum_cnt * 1000 >= q.q_milli * c.n
+        GROUP BY c.measure, q.q_milli, c.n
+    )
+    SELECT measure, CAST(q_milli AS BIGINT) AS q_milli, CAST(n AS BIGINT) AS n,
+           CAST(quantile_value AS BIGINT) AS quantile_value
+    FROM pick ORDER BY measure, q_milli
+    """,
+    tags=("pipeline", "aggregates", "quantiles"),
+    doc="Exact p50/p90/p99 over bounded-domain measures: ONE map-side-"
+    "combined (measure, value) groupBy reduces the corpus to its value "
+    "histogram (distinct-value-cardinality-sized, corpus-size-"
+    "independent for quantized domains), cumulative window + 3-row "
+    "broadcast probe picks the type-1 lower quantile all-integer.",
+)

@@ -814,3 +814,19 @@ def test_schema_evolution_never_rewrites_old_snapshot(spark):
     assert all(r.c_acctbal is not None for r in rows if r.c_custkey >= 100)
     v1 = spark.read.parquet("spark-warehouse/source_schema_evo_demo/v=1")
     assert set(v1.columns) == {"c_custkey", "c_name"}
+
+
+def test_exact_quantiles_match_numpy_type1(spark):
+    """The histogram-reduction quantiles must equal numpy's lower
+    (type-1 / inverted_cdf) quantile on the raw column."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    rows = registry.get("agg_exact_quantiles").build(spark, SF_DIR).collect()
+    got = {(r.measure, r.q_milli): r.quantile_value for r in rows}
+    qty = sorted(pq.read_table(SF_DIR + "/lineitem.parquet", columns=["l_quantity"])["l_quantity"].to_pylist())
+    n = len(qty)
+    for qm in (500, 900, 990):
+        expect = qty[math.ceil(qm * n / 1000) - 1]
+        assert got[("lineitem.l_quantity", qm)] == expect
