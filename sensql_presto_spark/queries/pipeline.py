@@ -7121,3 +7121,85 @@ _sql_query(
     "independent for quantized domains), cumulative window + 3-row "
     "broadcast probe picks the type-1 lower quantile all-integer.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Binary-signature Hamming retrieval (sign binarization, ITQ/sketch family)
+# ---------------------------------------------------------------------------
+# The most compact retrieval path there is: binarize each embedding to its
+# 64 sign bits and rank by Hamming distance — 8 bytes per vector instead
+# of 256, distances via XOR + popcount (whole-stage-codegen integer ops,
+# no float math at all), and sign-bit Hamming is a monotone estimator of
+# angular distance (Charikar 2002, the same guarantee the sign-LSH
+# blockings build on).  At 100 TB this is the difference between shipping
+# 100 TB of floats and ~3 TB of signatures through the probe scan: the
+# signature column is ONE codegen'd projection riding the corpus scan,
+# the 8-row probe set broadcasts, and the top-k is WindowGroupLimit-
+# pruned.  Signatures are stored as TWO 32-bit words — bit 63 of a packed
+# 64-bit word overflows DuckDB's checked left-shift while Spark wraps
+# silently, exactly the cross-engine trap the split avoids.
+_sql_query(
+    "sim_binary_hamming_topk",
+    """
+    WITH e AS (
+        SELECT vec_id,
+               transform(embedding, x -> cast(round(cast(x AS double) * 1000) AS bigint)) AS v
+        FROM embeddings
+    ),
+    sig AS (
+        SELECT vec_id,
+               aggregate(sequence(1, 32), cast(0 AS bigint),
+                   (acc, d) -> acc + IF(element_at(v, d) >= 0, shiftleft(cast(1 AS bigint), d - 1), 0)) AS s_lo,
+               aggregate(sequence(33, 64), cast(0 AS bigint),
+                   (acc, d) -> acc + IF(element_at(v, d) >= 0, shiftleft(cast(1 AS bigint), d - 33), 0)) AS s_hi
+        FROM e
+    ),
+    q AS (SELECT * FROM sig WHERE vec_id < 8),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               bit_count(q.s_lo ^ c.s_lo) + bit_count(q.s_hi ^ c.s_hi) AS hamming
+        FROM q JOIN sig c ON q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, hamming,
+               row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rk
+        FROM scored
+    )
+    SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, CAST(hamming AS BIGINT) AS hamming
+    FROM ranked WHERE rk <= 5 ORDER BY query_id, rk
+    """,
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding] AS v
+        FROM embeddings
+    ),
+    sig AS (
+        SELECT vec_id,
+               CAST(list_sum([CASE WHEN v[d] >= 0 THEN (1::BIGINT << (d - 1)) ELSE 0 END
+                              FOR d IN generate_series(1, 32)]) AS BIGINT) AS s_lo,
+               CAST(list_sum([CASE WHEN v[d] >= 0 THEN (1::BIGINT << (d - 33)) ELSE 0 END
+                              FOR d IN generate_series(33, 64)]) AS BIGINT) AS s_hi
+        FROM e
+    ),
+    q AS (SELECT * FROM sig WHERE vec_id < 8),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               bit_count(xor(q.s_lo, c.s_lo)) + bit_count(xor(q.s_hi, c.s_hi)) AS hamming
+        FROM q JOIN sig c ON q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, hamming,
+               row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rk
+        FROM scored
+    )
+    SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id, CAST(hamming AS BIGINT) AS hamming
+    FROM ranked WHERE rk <= 5 ORDER BY query_id, rk
+    """,
+    tags=("pipeline", "similarity"),
+    doc="Sign-binarized Hamming top-k (Charikar 2002 angular-distance "
+    "estimator): 64 sign bits per vector packed into two 32-bit words "
+    "(bit 63 of one word overflows DuckDB's checked shift — the split "
+    "keeps both engines exact), distance = XOR + popcount in pure "
+    "codegen'd integer ops, 8-byte signatures instead of 256-byte "
+    "floats through the broadcast probe scan, WindowGroupLimit top-5.",
+)

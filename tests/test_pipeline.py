@@ -830,3 +830,34 @@ def test_exact_quantiles_match_numpy_type1(spark):
     for qm in (500, 900, 990):
         expect = qty[math.ceil(qm * n / 1000) - 1]
         assert got[("lineitem.l_quantity", qm)] == expect
+
+
+def test_hamming_estimates_angular_distance(spark):
+    """Charikar's guarantee, empirically: across probe-neighbor pairs the
+    Hamming distance must correlate positively with angular distance
+    (1 - cosine), i.e. the top-Hamming neighbors have higher mean cosine
+    than the corpus average for that probe."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    out = registry.get("sim_binary_hamming_topk").build(spark, SF_DIR).collect()
+    tbl = pq.read_table(SF_DIR + "/embeddings.parquet")
+    vecs = {i: np.asarray(v, dtype=np.float64) for i, v in zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist())}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    mean_all = {}
+    better = 0
+    probes = {r.query_id for r in out}
+    for qid in probes:
+        q = vecs[qid]
+        allcos = [cos(q, v) for i, v in vecs.items() if i != qid]
+        mean_all[qid] = sum(allcos) / len(allcos)
+    for qid in probes:
+        sel = [cos(vecs[qid], vecs[r.neighbor_id]) for r in out if r.query_id == qid]
+        if sum(sel) / len(sel) > mean_all[qid]:
+            better += 1
+    assert better >= len(probes) - 1, (
+        f"Hamming top-5 beat the corpus-mean cosine for only {better}/{len(probes)} probes"
+    )
