@@ -922,3 +922,68 @@ _sql_query(
     "and the guard keyed on user_id (one co-partitioned exchange family, "
     "per-user-bounded candidates), exact-integer total order.",
 )
+
+
+# --- Sliding-window rate-limit audit ----------------------------------------
+# The abuse/quota question every event platform asks: which users exceeded
+# K events inside ANY trailing 24h window?  Expressed as a RANGE frame
+# over integer epoch seconds — at most one count per event, O(1) state
+# per row in the sort order (the Structured-Streaming-friendly shape,
+# unlike a self-join on the time band which is O(events-in-window) per
+# row).  ONE user_id sort-shuffle powers the window; the violation
+# rollup is a bounded per-user aggregate.  Seconds are derived by
+# INTEGER floor division of microseconds (unix_micros DIV 1e6 /
+# epoch_us // 1e6) — DuckDB's epoch(ts)::BIGINT ROUNDS the fractional
+# part while Spark's cast truncates, a cross-engine trap for any
+# timestamp with sub-second precision.
+_sql_query(
+    "events_rate_limit_audit",
+    """
+    WITH ev AS (
+        SELECT user_id, event_id, unix_micros(ts) DIV 1000000 AS sec
+        FROM events
+    ),
+    counted AS (
+        SELECT user_id, event_id, sec,
+               count(*) OVER (PARTITION BY user_id ORDER BY sec
+                              RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS cnt_24h
+        FROM ev
+    ),
+    flagged AS (
+        SELECT user_id, event_id, sec, cnt_24h
+        FROM counted WHERE cnt_24h >= 8
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_violations,
+           CAST(min(sec) AS BIGINT) AS first_violation_sec,
+           CAST(max(cnt_24h) AS BIGINT) AS peak_rate
+    FROM flagged GROUP BY user_id ORDER BY user_id
+    """,
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec
+        FROM events
+    ),
+    counted AS (
+        SELECT user_id, event_id, sec,
+               count(*) OVER (PARTITION BY user_id ORDER BY sec
+                              RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS cnt_24h
+        FROM ev
+    ),
+    flagged AS (
+        SELECT user_id, event_id, sec, cnt_24h
+        FROM counted WHERE cnt_24h >= 8
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_violations,
+           CAST(min(sec) AS BIGINT) AS first_violation_sec,
+           CAST(max(cnt_24h) AS BIGINT) AS peak_rate
+    FROM flagged GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("events", "rate"),
+    doc="Trailing-24h rate-limit audit: RANGE frame over integer epoch "
+    "seconds (O(1) state per row in sort order — never a time-band "
+    "self-join), one user_id sort-shuffle, bounded per-user violation "
+    "rollup; seconds by integer floor of micros (DuckDB epoch()::BIGINT "
+    "rounds, Spark cast truncates — the floor sidesteps both).",
+)

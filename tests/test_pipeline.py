@@ -861,3 +861,24 @@ def test_hamming_estimates_angular_distance(spark):
     assert better >= len(probes) - 1, (
         f"Hamming top-5 beat the corpus-mean cosine for only {better}/{len(probes)} probes"
     )
+
+
+def test_rate_limit_audit_window_semantics(spark):
+    """Independent replay: for one flagged user, re-derive the trailing
+    24h counts in Python and match n_violations and peak_rate."""
+    import pyarrow.parquet as pq
+
+    rows = registry.get("events_rate_limit_audit").build(spark, SF_DIR).collect()
+    assert rows, "fixture must contain rate violations"
+    uid = rows[0].user_id
+    evs = [e for e in pq.read_table(SF_DIR + "/events.parquet").to_pylist() if e["user_id"] == uid]
+    secs = sorted(int(e["ts"].timestamp()) for e in evs)
+    viol, peak = 0, 0
+    for s in secs:
+        # RANGE frame includes peers: count all events with sec in [s-86400, s]
+        cnt = sum(1 for t in secs if s - 86400 <= t <= s)
+        if cnt >= 8:
+            viol += 1
+            peak = max(peak, cnt)
+    assert rows[0].n_violations == viol
+    assert rows[0].peak_rate == peak
