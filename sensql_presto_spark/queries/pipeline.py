@@ -7115,6 +7115,7 @@ _sql_query(
     FROM pick ORDER BY measure, q_milli
     """,
     tags=("pipeline", "aggregates", "quantiles"),
+    bench=True,  # r7: the exact-quantile histogram reduction profile
     doc="Exact p50/p90/p99 over bounded-domain measures: ONE map-side-"
     "combined (measure, value) groupBy reduces the corpus to its value "
     "histogram (distinct-value-cardinality-sized, corpus-size-"
@@ -7196,6 +7197,7 @@ _sql_query(
     FROM ranked WHERE rk <= 5 ORDER BY query_id, rk
     """,
     tags=("pipeline", "similarity"),
+    bench=True,  # r7: 8-byte-signature retrieval, the compact-scan profile
     doc="Sign-binarized Hamming top-k (Charikar 2002 angular-distance "
     "estimator): 64 sign bits per vector packed into two 32-bit words "
     "(bit 63 of one word overflows DuckDB's checked shift — the split "
