@@ -6054,23 +6054,22 @@ def sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Reranking a 20-row shortlist is driver-trivial yet stays distributed.
 # The oracle replicates both stages exactly; tests additionally assert
 # the funnel's recall against single-stage full-dim brute force.
-_sql_query(
-    "sim_two_stage_prefix_rerank",
-    """
-    WITH e AS (SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS v FROM embeddings),
-    n AS (
-        SELECT vec_id, v,
-               slice(v, 1, 16) AS pv,
-               sqrt(aggregate(v, cast(0 AS double), (a, x) -> a + x * x)) AS nrm,
-               sqrt(aggregate(slice(v, 1, 16), cast(0 AS double), (a, x) -> a + x * x)) AS pnrm
-        FROM e
-    ),
-    q AS (SELECT * FROM n WHERE vec_id < 8),
+_TWOSTAGE_CORPUS_SQL = """
+    WITH e AS (SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS v FROM embeddings)
+    SELECT vec_id, v,
+           slice(v, 1, 16) AS pv,
+           sqrt(aggregate(v, cast(0 AS double), (a, x) -> a + x * x)) AS nrm,
+           sqrt(aggregate(slice(v, 1, 16), cast(0 AS double), (a, x) -> a + x * x)) AS pnrm
+    FROM e
+"""
+
+_TWOSTAGE_MAIN_SQL = """
+    WITH q AS (SELECT * FROM {N} WHERE vec_id < 8),
     coarse AS (
         SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
                aggregate(zip_with(q.pv, c.pv, (x, y) -> x * y), cast(0 AS double),
                          (acc, x) -> acc + x) / (q.pnrm * c.pnrm) AS pcos
-        FROM q JOIN n c ON q.vec_id <> c.vec_id
+        FROM q JOIN {N} c ON q.vec_id <> c.vec_id
     ),
     short AS (
         SELECT query_id, cand_id, crk FROM (
@@ -6084,8 +6083,8 @@ _sql_query(
                aggregate(zip_with(qv.v, cv.v, (x, y) -> x * y), cast(0 AS double),
                          (acc, x) -> acc + x) / (qv.nrm * cv.nrm) AS cos
         FROM short s
-        JOIN n qv ON qv.vec_id = s.query_id
-        JOIN n cv ON cv.vec_id = s.cand_id
+        JOIN {N} qv ON qv.vec_id = s.query_id
+        JOIN {N} cv ON cv.vec_id = s.cand_id
     )
     SELECT query_id, neighbor_id, rk, coarse_rank, cos_sim FROM (
         SELECT query_id, cand_id AS neighbor_id,
@@ -6095,10 +6094,14 @@ _sql_query(
         FROM rerank
     ) WHERE rk <= 5
     ORDER BY query_id, rk
-    """,
+"""
+
+
+@register(
+    "sim_two_stage_prefix_rerank",
     oracle="""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    n AS (SELECT vec_id, v, v[1:16] AS pv FROM e),
+    n AS MATERIALIZED (SELECT vec_id, v, v[1:16] AS pv FROM e),
     q AS (SELECT * FROM n WHERE vec_id < 8),
     coarse AS (
         SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
@@ -6133,8 +6136,15 @@ _sql_query(
     "coarse corpus pass on a 16-dim embedding PREFIX vs a broadcast query "
     "set, per-query top-20 shortlist, exact full-dim rerank of the "
     "shortlist only; full vectors are fetched via equi hash-join for "
-    "O(queries x 20) rows regardless of corpus size.",
+    "O(queries x 20) rows regardless of corpus size; the normalized "
+    "corpus is localCheckpoint-staged ONCE (the naive CTE form rescans "
+    "the parquet and recomputes both norms 4x — plan-asserted zero "
+    "parquet scans in the funnel plan).",
 )
+def sim_two_stage_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = catalog.sql(spark, sf_dir, _TWOSTAGE_CORPUS_SQL).localCheckpoint(eager=True)
+    n.createOrReplaceTempView("__ts_n")
+    return spark.sql(_TWOSTAGE_MAIN_SQL.format(N="__ts_n"))
 
 
 # ---------------------------------------------------------------------------
@@ -6158,9 +6168,7 @@ _sql_query(
 # over the rare-fingerprint universe with exact integer basis points.
 # doc_id % 7 < 2 keeps a scale-proportional sample (cost control for the
 # per-character gram hashing, same concession as text_fingerprint's).
-_sql_query(
-    "text_winnowing_dedup",
-    """
+_WINNOW_FP_SQL = """
     WITH g AS (
         SELECT doc_id,
                transform(sequence(1, length(text) - 7),
@@ -6176,10 +6184,13 @@ _sql_query(
                min(h) OVER (PARTITION BY doc_id ORDER BY p
                             ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS sel
         FROM pos
-    ),
-    fp AS (SELECT DISTINCT doc_id, sel AS fph FROM win WHERE p >= 7),
-    rare AS (SELECT fph FROM fp GROUP BY fph HAVING count(*) <= 12),
-    fpr AS (SELECT f.doc_id, f.fph FROM fp f JOIN rare r ON f.fph = r.fph),
+    )
+    SELECT DISTINCT doc_id, sel AS fph FROM win WHERE p >= 7
+"""
+
+_WINNOW_PAIRS_SQL = """
+    WITH rare AS (SELECT fph FROM {FP} GROUP BY fph HAVING count(*) <= 12),
+    fpr AS (SELECT f.doc_id, f.fph FROM {FP} f JOIN rare r ON f.fph = r.fph),
     sz AS (SELECT doc_id, count(*) AS n FROM fpr GROUP BY doc_id),
     pairs AS (
         SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
@@ -6194,7 +6205,11 @@ _sql_query(
     JOIN sz sb ON sb.doc_id = p.b_id
     WHERE (p.n_shared * 10000) DIV least(sa.n, sb.n) >= 6000
     ORDER BY p.a_id, p.b_id
-    """,
+"""
+
+
+@register(
+    "text_winnowing_dedup",
     oracle="""
     WITH g AS (
         SELECT doc_id,
@@ -6212,9 +6227,9 @@ _sql_query(
                             ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS sel
         FROM pos
     ),
-    fp AS (SELECT DISTINCT doc_id, sel AS fph FROM win WHERE p >= 7),
+    fp AS MATERIALIZED (SELECT DISTINCT doc_id, sel AS fph FROM win WHERE p >= 7),
     rare AS (SELECT fph FROM fp GROUP BY fph HAVING count(*) <= 12),
-    fpr AS (SELECT f.doc_id, f.fph FROM fp f JOIN rare r ON f.fph = r.fph),
+    fpr AS MATERIALIZED (SELECT f.doc_id, f.fph FROM fp f JOIN rare r ON f.fph = r.fph),
     sz AS (SELECT doc_id, count(*) AS n FROM fpr GROUP BY doc_id),
     pairs AS (
         SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
@@ -6235,8 +6250,15 @@ _sql_query(
     "w=8 window-min selection (positional guarantee: any shared substring "
     ">= 15 chars forces a shared fingerprint), inverted-index pairing with "
     "a df<=12 hot-fingerprint cap bounding posting lists, exact integer "
-    "basis-point containment >= 60% over the rare-fingerprint universe.",
+    "basis-point containment >= 60% over the rare-fingerprint universe; "
+    "the fingerprint table is localCheckpoint-materialized ONCE (the "
+    "naive CTE form re-derives the per-character gram hashing 8x — "
+    "plan-asserted zero parquet scans in the pairing plan).",
 )
+def text_winnowing_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = catalog.sql(spark, sf_dir, _WINNOW_FP_SQL).localCheckpoint(eager=True)
+    fp.createOrReplaceTempView("__wn_fp")
+    return spark.sql(_WINNOW_PAIRS_SQL.format(FP="__wn_fp"))
 
 
 # ---------------------------------------------------------------------------

@@ -666,3 +666,56 @@ def test_interval_union_single_sort_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert "Python" not in plan
+
+
+def test_late_r7_operator_plan_shapes(spark):
+    """Pin the claimed scale shapes of the late-r7 operators:
+    - two-stage rerank: funnel plan reads the STAGED corpus (zero parquet
+      scans), coarse pass is the bounded broadcast BNLJ, fetch-backs are
+      equi BroadcastHashJoins, shortlist/top-k are WindowGroupLimit-pruned;
+    - winnowing: pairing plan reads the checkpointed fingerprint table
+      (zero parquet scans — the naive CTE form re-derived the per-char
+      gram hashing 8x), pure equi joins;
+    - heavy hitters: exactly ONE MapInPandas (the MG candidate pass) and
+      a broadcast candidate join, two corpus scans total (candidates +
+      recount);
+    - BPE rounds: the summary plan reads only checkpointed round states
+      (zero parquet scans);
+    - pattern match: pure equi-join family on user_id (no BNLJ, no
+      cartesian);
+    - rate-limit audit: JOIN-FREE — one scan, one window;
+    - Hamming top-k: bounded broadcast probe BNLJ + WindowGroupLimit."""
+    from sensql_presto_spark.queries import registry as reg
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan_of(name):
+        df = reg.get(name).build(spark, sf)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p = plan_of("sim_two_stage_prefix_rerank")
+    assert p.count("Scan parquet") == 0
+    assert p.count("BroadcastHashJoin") >= 2 and "BroadcastNestedLoopJoin" in p
+    assert "WindowGroupLimit" in p and "CartesianProduct" not in p
+
+    p = plan_of("text_winnowing_dedup")
+    assert p.count("Scan parquet") == 0
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+    p = plan_of("text_heavy_hitters")
+    assert p.count("MapInPandas") == 1
+    assert p.count("Scan parquet") == 2
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
+
+    p = plan_of("text_bpe_train_rounds")
+    assert p.count("Scan parquet") == 0
+
+    p = plan_of("events_pattern_match")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+    p = plan_of("events_rate_limit_audit")
+    assert "Join" not in p, "rate audit must be join-free"
+    assert p.count("Scan parquet") == 1
+
+    p = plan_of("sim_binary_hamming_topk")
+    assert "WindowGroupLimit" in p and "CartesianProduct" not in p
