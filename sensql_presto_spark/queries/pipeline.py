@@ -7227,3 +7227,93 @@ _sql_query(
     "codegen'd integer ops, 8-byte signatures instead of 256-byte "
     "floats through the broadcast probe scan, WindowGroupLimit top-5.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the hashing trick — Weinberger et al., ICML 2009)
+# ---------------------------------------------------------------------------
+# The cheapest corpus-scale document featurizer there is, and the front
+# end of every "train a linear classifier over 100 TB of text" pipeline
+# (including text_classifier_filter's serving side): hash each token
+# into a FIXED 64-bucket feature space with a second hash bit choosing
+# the sign (the debiasing trick that makes the hashed inner product an
+# unbiased estimator of the original).  No vocabulary is ever built —
+# the model dimension is corpus-size-independent by construction, the
+# property that separates this from TF-IDF's distinct-term space.
+# Scale shape: ONE tokenize scan -> one map-side-combined (doc, feature)
+# groupBy in a 64-wide domain -> one doc-keyed rollup; everything
+# exact-integer (signed counts; the checksum's % keeps the dividend's
+# sign in BOTH engines — Java and C semantics agree — so negative
+# position-weighted sums hash identically).
+_sql_query(
+    "text_feature_hashing",
+    """
+    WITH tok AS (
+        SELECT doc_id, w
+        FROM documents LATERAL VIEW explode(split(text, ' ')) t AS w
+    ),
+    wh AS (
+        SELECT doc_id,
+               aggregate(split(w, ''), 7L, (a, c) -> (a * 31 + ascii(c)) % 1000000007) AS h
+        FROM tok
+    ),
+    feat AS (
+        SELECT doc_id, h % 64 AS f,
+               CASE WHEN (h DIV 64) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        FROM wh
+    ),
+    vec AS (
+        SELECT doc_id, f, sum(sgn) AS v
+        FROM feat GROUP BY doc_id, f
+    ),
+    docvec AS (
+        SELECT doc_id,
+               count(CASE WHEN v <> 0 THEN 1 END) AS nnz,
+               sum(v * v) AS norm2,
+               sum((f + 1) * v) % 1000000007 AS checksum
+        FROM vec GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(nnz AS BIGINT) AS nnz, CAST(norm2 AS BIGINT) AS norm2,
+           CAST(checksum AS BIGINT) AS checksum
+    FROM docvec ORDER BY doc_id
+    """,
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, w
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d,
+             LATERAL (SELECT unnest(ws) AS w) t
+    ),
+    wh AS (
+        SELECT doc_id,
+               list_reduce(list_prepend(7::BIGINT,
+                   [ascii(c)::BIGINT for c in string_split(w, '')]),
+                   (a, b) -> (a * 31 + b) % 1000000007) AS h
+        FROM tok
+    ),
+    feat AS (
+        SELECT doc_id, h % 64 AS f,
+               CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        FROM wh
+    ),
+    vec AS (
+        SELECT doc_id, f, sum(sgn) AS v
+        FROM feat GROUP BY doc_id, f
+    ),
+    docvec AS (
+        SELECT doc_id,
+               count(CASE WHEN v <> 0 THEN 1 END) AS nnz,
+               sum(v * v) AS norm2,
+               sum((f + 1) * v) % 1000000007 AS checksum
+        FROM vec GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(nnz AS BIGINT) AS nnz, CAST(norm2 AS BIGINT) AS norm2,
+           CAST(checksum AS BIGINT) AS checksum
+    FROM docvec ORDER BY doc_id
+    """,
+    tags=("pipeline", "text", "featurize"),
+    doc="Signed feature hashing (Weinberger et al. 2009): tokens hashed "
+    "into a fixed 64-bucket space with a second-hash sign bit (unbiased "
+    "hashed inner products, no vocabulary ever built — model dimension "
+    "corpus-size-independent); one tokenize scan, one map-side-combined "
+    "(doc, feature) groupBy, one doc-keyed rollup, all exact-integer.",
+)

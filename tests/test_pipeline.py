@@ -882,3 +882,37 @@ def test_rate_limit_audit_window_semantics(spark):
             peak = max(peak, cnt)
     assert rows[0].n_violations == viol
     assert rows[0].peak_rate == peak
+
+
+def test_feature_hashing_matches_python_replication(spark):
+    """Independent replication: re-derive several documents' hashed
+    vectors in plain Python (same word hash, bucket, sign-bit rules) and
+    match (nnz, norm2, checksum) exactly; nnz can never exceed
+    min(64, distinct tokens)."""
+    import pyarrow.parquet as pq
+
+    P = 1000000007
+    rows = {r.doc_id: r for r in registry.get("text_feature_hashing").build(spark, SF_DIR).collect()}
+    docs = pq.read_table(SF_DIR + "/documents.parquet").to_pylist()
+
+    def wh(w):
+        a = 7
+        for c in w:
+            a = (a * 31 + ord(c)) % P
+        return a
+
+    for d in docs[:25]:
+        vec = {}
+        for w in d["text"].split(" "):
+            h = wh(w)
+            f = h % 64
+            vec[f] = vec.get(f, 0) + (1 if (h // 64) % 2 == 0 else -1)
+        nnz = sum(1 for v in vec.values() if v != 0)
+        norm2 = sum(v * v for v in vec.values())
+        # Spark/DuckDB % keeps the dividend sign (C semantics), as does
+        # math.fmod — Python's % floors, so emulate C-style remainder.
+        raw = sum((f + 1) * v for f, v in vec.items())
+        checksum = raw - int(raw / P) * P
+        r = rows[d["doc_id"]]
+        assert (r.nnz, r.norm2, r.checksum) == (nnz, norm2, checksum), d["doc_id"]
+        assert r.nnz <= min(64, len(set(d["text"].split(" "))))
