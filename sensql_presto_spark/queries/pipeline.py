@@ -6722,13 +6722,19 @@ _BPE_CORP0_SQL = """
     )
 """
 
-# one merge round over the previous working view {P}: top pair + rewrite
+# one merge round over the previous working view {P}: top pair + rewrite.
+# The `size(t) >= 2` guard matters once a merge completes a whole word
+# (size(t) = 1): without it sequence(0, -1) yields [0, -1] and the
+# transform emits NULL pairs (out-of-range t[i] is NULL) that the DuckDB
+# oracle's range(1, len(t)) never produces — a NULL-count winner would
+# then null the entire working corpus via replace(s, NULL, ...).
 _BPE_ROUND_SQL = """
     WITH pairs AS (
         SELECT pair, count(*) AS cnt FROM (
             SELECT explode(transform(sequence(0, size(t) - 2),
                        i -> concat(t[i], ' ', t[i + 1]))) AS pair
             FROM (SELECT split(substring(s, 2, length(s) - 2), '··') AS t FROM {P})
+            WHERE size(t) >= 2
         ) GROUP BY pair
     ),
     top AS (SELECT pair, cnt FROM pairs ORDER BY cnt DESC, pair LIMIT 1)
@@ -6745,6 +6751,7 @@ _BPE_SUMMARY_SQL = """
             SELECT explode(transform(sequence(0, size(t) - 2),
                        i -> concat(t[i], ' ', t[i + 1]))) AS pair
             FROM (SELECT split(substring(s, 2, length(s) - 2), '··') AS t FROM {P})
+            WHERE size(t) >= 2
         ) GROUP BY pair
     ),
     top AS (SELECT pair, cnt FROM pairs ORDER BY cnt DESC, pair LIMIT 1)
@@ -6927,7 +6934,10 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus to its key-frequency table; the ranking window and the rollup
 # run over THAT table, whose size is the key cardinality, not the corpus
 # — the same reduction ANALYZE ... COMPUTE STATISTICS rides.  Top-key
-# tiebreak is deterministic (max count, then smallest key).
+# tiebreak is deterministic (max count, then smallest key) via a
+# rank-1 window pick — NOT a max_by score, which would silently
+# misreport once keys exceed the score's count multiplier (custkey
+# passes 1e7 at TPC-H SF >= 100).
 _sql_query(
     "scale_skew_report",
     """
@@ -6938,7 +6948,8 @@ _sql_query(
     c AS (SELECT * FROM co UNION ALL SELECT * FROM ce),
     ranked AS (
         SELECT col, k, cnt,
-               row_number() OVER (PARTITION BY col ORDER BY cnt, k) AS rk
+               row_number() OVER (PARTITION BY col ORDER BY cnt, k) AS rk,
+               row_number() OVER (PARTITION BY col ORDER BY cnt DESC, k) AS rk_desc
         FROM c
     ),
     agg AS (
@@ -6946,7 +6957,7 @@ _sql_query(
                count(*) AS n_keys,
                sum(cnt) AS n_rows,
                max(cnt) AS max_cnt,
-               max_by(k, cnt * 10000000 - k) AS top_key,
+               min(CASE WHEN rk_desc = 1 THEN k END) AS top_key,
                sum(rk * cnt) AS weighted
         FROM ranked GROUP BY col
     )
@@ -6966,7 +6977,8 @@ _sql_query(
     c AS (SELECT * FROM co UNION ALL SELECT * FROM ce),
     ranked AS (
         SELECT col, k, cnt,
-               row_number() OVER (PARTITION BY col ORDER BY cnt, k) AS rk
+               row_number() OVER (PARTITION BY col ORDER BY cnt, k) AS rk,
+               row_number() OVER (PARTITION BY col ORDER BY cnt DESC, k) AS rk_desc
         FROM c
     ),
     agg AS (
@@ -6974,7 +6986,7 @@ _sql_query(
                count(*) AS n_keys,
                sum(cnt) AS n_rows,
                max(cnt) AS max_cnt,
-               max_by(k, cnt * 10000000 - k) AS top_key,
+               min(CASE WHEN rk_desc = 1 THEN k END) AS top_key,
                sum(rk * cnt) AS weighted
         FROM ranked GROUP BY col
     )

@@ -292,6 +292,13 @@ import tempfile as _tempfile
 _DERBY_DIR = f"{_tempfile.gettempdir()}/spark_graft_jdbc_{_os.getpid()}"
 _DERBY_DB = f"{_DERBY_DIR}/source_jdbc_demo"
 _atexit.register(_shutil.rmtree, _DERBY_DIR, ignore_errors=True)
+
+# Per-process scratch for the schema-evolution demo: keyed on pid (not a
+# CWD-relative spark-warehouse path) so concurrent builds never race on
+# the same directory and the behavior is independent of the process CWD;
+# tests read this constant back instead of hardcoding the location.
+SCHEMA_EVO_PATH = f"{_tempfile.gettempdir()}/spark_graft_schema_evo_{_os.getpid()}"
+_atexit.register(_shutil.rmtree, SCHEMA_EVO_PATH, ignore_errors=True)
 _DERBY_URL = f"jdbc:derby:{_DERBY_DB};create=true"
 _DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 
@@ -819,7 +826,7 @@ def scale_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "column pruning and pushdown still apply per file.",
 )
 def source_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = os.path.join(_DIR, "source_schema_evo_demo")
+    path = SCHEMA_EVO_PATH
     base = catalog.table(spark, sf_dir, "customer")
     v1 = base.select("c_custkey", "c_name").filter(F.col("c_custkey") < 100)
     v2 = base.select("c_custkey", "c_name", "c_acctbal").filter(

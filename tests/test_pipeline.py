@@ -729,6 +729,37 @@ def test_bpe_rounds_invariants(spark):
     assert all(" " in r.merged_pair for r in rows)
 
 
+def test_bpe_round_survives_fully_merged_words(spark):
+    """Once a round merges a 2-char word into a single token, the next
+    round sees size(t)=1 rows; without the size guard Spark's
+    sequence(0,-1) emits NULL pairs (which sort first under cnt DESC and
+    would null the whole corpus via replace(s, NULL, ...)).  Build a
+    corpus where round 1's winner completes every 2-char word, then run a
+    second round and assert no NULL pair wins and untouched rows pass
+    through intact."""
+    from sensql_presto_spark.queries.pipeline import _BPE_ROUND_SQL, _BPE_SUMMARY_SQL
+
+    # 'ab' x3 -> pair 'a b' wins round 1 and fully merges all three words;
+    # 'xyz' stays multi-symbol so round 2 still has work.
+    corp = spark.createDataFrame(
+        [(1, "·a··b·"), (2, "·a··b·"), (3, "·a··b·"), (4, "·x··y··z·")],
+        "doc_id long, s string",
+    )
+    corp.createOrReplaceTempView("__bpetest_r0")
+    r1 = spark.sql(_BPE_ROUND_SQL.format(P="__bpetest_r0"))
+    r1.createOrReplaceTempView("__bpetest_r1")
+    rows1 = {r.doc_id: r.s for r in r1.collect()}
+    assert rows1[1] == "·ab·" and rows1[4] == "·x··y··z·"
+    summ = spark.sql(
+        _BPE_SUMMARY_SQL.format(P="__bpetest_r1", N="__bpetest_r1", R=2)
+    ).collect()
+    assert len(summ) == 1
+    assert summ[0].merged_pair in ("x y", "y z"), summ[0].merged_pair
+    r2 = {r.doc_id: r.s for r in spark.sql(_BPE_ROUND_SQL.format(P="__bpetest_r1")).collect()}
+    assert r2[1] == "·ab·", "fully-merged word must pass through round 2 unchanged"
+    assert r2[4] in ("·xy··z·", "·x··yz·")
+
+
 def test_pattern_match_agrees_with_python_replay(spark):
     """Independent check: replay the pattern automaton per user in plain
     Python over the raw events and compare the matched purchase set."""
@@ -812,7 +843,9 @@ def test_schema_evolution_never_rewrites_old_snapshot(spark):
     assert len(rows) == 200
     assert all(r.c_acctbal is None for r in rows if r.c_custkey < 100)
     assert all(r.c_acctbal is not None for r in rows if r.c_custkey >= 100)
-    v1 = spark.read.parquet("spark-warehouse/source_schema_evo_demo/v=1")
+    from sensql_presto_spark.queries.sources_suite import SCHEMA_EVO_PATH
+
+    v1 = spark.read.parquet(SCHEMA_EVO_PATH + "/v=1")
     assert set(v1.columns) == {"c_custkey", "c_name"}
 
 
