@@ -27,63 +27,72 @@ from pyspark.sql import DataFrame, SparkSession
 
 from sensql_presto_spark.queries import all_specs
 
-# ROUND-7 ROTATION (r6 window was 50/50 green — everything rotated out;
-# rotation ledger: COVERAGE.md §Rotation).  This is the FINAL window:
-# the 50 registry entries that still lack a driver-green CORRECTNESS
-# row — the TPC-DS tail (q91-q99), the fourteen operators added in r5,
-# the fifteen added in r6, and the twelve added in r7 itself (Avro
-# roundtrip, geo tail, PCA projection, two-stage rerank, winnowing,
-# heavy hitters, k-means||, CDC chunking, modularity, BPE rounds,
-# ANN recall eval, pattern match).  All were
-# pre-verified EXACT under tools/driver_sim.py at sf0.01 AND sf0.1
-# (the r6 tail under --vanilla during r6; every r7 addition under
-# --vanilla at commit time); after this window every registry entry
-# has a driver row.  The window is now exactly full (50 slots).
-PRIORITY: tuple[str, ...] = tuple(f"tpcds_q{n}" for n in range(91, 100)) + (
-    # r5-added operators (14)
-    "events_anomaly_zscore",
-    "events_scd2_history",
-    "sim_range_search",
-    "text_containment_dedup",
-    "mm_image_phash_dedup",
-    "scale_aqe_skew_join",
-    "graph_label_propagation",
-    "text_boilerplate_lines",
-    "dedup_minhash_incremental",
-    "events_attribution",
-    "graph_triangle_count",
-    "text_classifier_filter",
-    "cluster_dbscan_grid",
-    "text_bm25_topk",
-    # r6-added operators (15)
-    "sim_hybrid_rrf",
-    "graph_kcore",
-    "text_phrase_search",
-    "agg_countmin_freq",
-    "mm_audio_fingerprint_dedup",
-    "graph_khop_distances",
-    "mm_video_scene_cut",
-    "sim_knn_join",
-    "text_perplexity_bucket",
-    "graph_link_prediction",
-    "sim_nn_descent_round",
-    "cluster_snn_knn",
-    "text_dsir_weights",
-    "mm_video_keyframe_sample",
-    "events_interval_union",
-    # r7-added operators (12)
-    "source_avro_roundtrip",
-    "geo_st_tail",
-    "sim_pca_project",
-    "sim_two_stage_prefix_rerank",
-    "text_winnowing_dedup",
-    "text_heavy_hitters",
-    "cluster_kmeans_parallel_init",
-    "dedup_cdc_chunks",
-    "graph_modularity",
-    "text_bpe_train_rounds",
-    "sim_ann_recall_eval",
-    "events_pattern_match",
+# ROUND-8 ROTATION (r7 window was 50/50 green — everything rotated out;
+# rotation ledger: COVERAGE.md §Rotation).  Two blocks:
+#  (1) the 7 late-r7 operators that landed after the r7 window filled —
+#      the only registry entries without a driver-green CORRECTNESS row;
+#      once green, cumulative coverage is 348/348 and every entry ever
+#      registered has an external driver row.
+#  (2) staleness refresh: the 41 entries whose only driver row dates to
+#      round 1 plus two r2-era entries most sensitive to shared code
+#      (fn_presto_compat, fn_math) — catalog/session/presto_compat have
+#      evolved for 6 rounds since those rows were recorded.
+# Entries added during r8 replace tail items of block (2) as they land,
+# so new operators always reach the driver gate in-round.
+PRIORITY: tuple[str, ...] = (
+    # (1) never-driver-checked (7)
+    "agg_exact_quantiles",
+    "events_rate_limit_audit",
+    "scale_skew_report",
+    "sim_binary_hamming_topk",
+    "sim_centroid_drift_monitor",
+    "source_parquet_schema_evolution",
+    "text_feature_hashing",
+    # (2) stalest driver rows: r1-era (41)
+    "agg_any_value",
+    "agg_basic",
+    "agg_bool_bitwise",
+    "agg_collect",
+    "agg_corr_regr",
+    "agg_geomean_entropy",
+    "agg_map_histogram",
+    "agg_minmax_by",
+    "agg_most_frequent",
+    "agg_numeric_histogram",
+    "agg_percentile_exact",
+    "agg_reduce",
+    "agg_reservoir_sample",
+    "agg_top_n_values",
+    "cube_orders",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "distinct_limit",
+    "events_asof_join",
+    "events_hopping_window",
+    "events_json_props",
+    "events_streaming_sessions",
+    "events_streaming_stateful",
+    "events_tumbling_window",
+    "fn_array",
+    "fn_bitwise",
+    "fn_conditional",
+    "fn_datetime",
+    "fn_datetime_presto_formats",
+    "fn_hash",
+    "fn_higher_order",
+    "fn_json",
+    "fn_map",
+    "fn_regex",
+    "fn_string_basic",
+    "fn_string_distance",
+    "fn_try_semantics",
+    "fn_url",
+    # (2) r2-era shared-code-sensitive (2)
+    "fn_presto_compat",
+    "fn_math",
 )
 
 def _alias(i: int, name: str) -> str:

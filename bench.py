@@ -35,17 +35,30 @@ def main() -> None:
     # host's effective speed shifts between runs (measured 2.6x within an
     # hour on 2026-08-14 with identical plans — co-tenant contention), so
     # absolute seconds are only comparable after dividing by this number.
+    # A SINGLE probe per invocation proved too weak to normalize a regime
+    # that shifts mid-run (r7: calibration moved 1.11x while the workload
+    # moved 1.34x), so the probe is INTERLEAVED between query segments —
+    # one sample before each quarter of the set plus one at the end — and
+    # each query is normalized by the mean of its bracketing samples.
     def calibrate() -> float:
         spark.range(50_000_000).selectExpr("sum(id * 3 + 1)").collect()  # warm
         t0 = time.perf_counter()
         spark.range(50_000_000).selectExpr("sum(id * 3 + 1)").collect()
         return round(time.perf_counter() - t0, 4)
 
-    calib = calibrate()
-
     specs = {n: s for n, s in all_specs().items() if s.bench}
+    names = sorted(specs)
+    seg_len = max(1, -(-len(names) // 4))  # 4 segments -> 5 samples
+    calib_samples: list[float] = []
+    query_seg: dict[str, int] = {}
+
     timings: dict[str, float] = {}
-    for name, spec in sorted(specs.items()):
+    for idx, name in enumerate(names):
+        if idx % seg_len == 0:
+            calib_samples.append(calibrate())
+            print(f"  [calibration #{len(calib_samples)}: {calib_samples[-1]:.3f}s]", file=sys.stderr)
+        query_seg[name] = idx // seg_len
+        spec = specs[name]
         for _ in range(prewarm):
             spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
         samples = []
@@ -59,6 +72,15 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 4)
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+    calib_samples.append(calibrate())
+    print(f"  [calibration #{len(calib_samples)}: {calib_samples[-1]:.3f}s]", file=sys.stderr)
+
+    calib = round(statistics.median(calib_samples), 4)
+    # per-query calibration: mean of the two probes bracketing its segment
+    calib_by_query = {
+        q: round((calib_samples[s] + calib_samples[min(s + 1, len(calib_samples) - 1)]) / 2, 4)
+        for q, s in query_seg.items()
+    }
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -67,6 +89,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "calibration_sec": calib,
+        "calibration_samples": calib_samples,
+        "calibration_by_query": calib_by_query,
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
@@ -91,6 +115,25 @@ def main() -> None:
             out["shared_ratio_raw"] = round(now_s / prev_s, 4)
             out["shared_ratio_normalized"] = round(
                 (now_s / calib) / (prev_s / prev_calib), 4
+            )
+            # per-query PAIRED ratios, each side divided by the
+            # calibration probe nearest that query's run (prior rounds
+            # without per-query samples fall back to their scalar) —
+            # this is what distinguishes "host slowed mid-run" (paired
+            # ratios cluster near 1.0) from "one query regressed" (a
+            # localized outlier).
+            prev_cbq = pdata.get("calibration_by_query", {})
+            paired = {
+                q: round(
+                    (timings[q] / calib_by_query[q])
+                    / (pdata["queries"][q] / prev_cbq.get(q, prev_calib)),
+                    4,
+                )
+                for q in shared
+            }
+            out["shared_paired_ratios"] = paired
+            out["shared_paired_median"] = round(
+                statistics.median(paired.values()), 4
             )
     print(json.dumps(out))
     spark.stop()

@@ -916,6 +916,7 @@ _sql_query(
     FROM matched ORDER BY user_id, purchase_id
     """,
     tags=("events", "pattern"),
+    bench=True,
     doc="Row-pattern detection (MATCH_RECOGNIZE role): latest-click-"
     "before-purchase, latest-view-before-that-click, 48h completion "
     "window, NOT EXISTS error guard between view and purchase; all joins "

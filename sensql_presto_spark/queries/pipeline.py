@@ -4887,6 +4887,7 @@ def graph_khop_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM d GROUP BY doc_id ORDER BY doc_id
     """,
     tags=("pipeline", "multimodal", "video"),
+    bench=True,
     doc="Shot-boundary detection through the real AVI/RIFF roundtrip: L1 "
     "pixel delta between consecutive decoded frames, cut when delta > "
     "1050; per-doc cut count / first cut / exact integer delta checksum; "
