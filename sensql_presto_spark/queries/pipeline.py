@@ -7330,3 +7330,241 @@ _sql_query(
     "corpus-size-independent); one tokenize scan, one map-side-combined "
     "(doc, feature) groupBy, one doc-keyed rollup, all exact-integer.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance near-dup join (PassJoin-style segment blocking, k = 2)
+# ---------------------------------------------------------------------------
+# The fourth classic near-dup detector (after MinHash, SimHash, n-gram
+# Jaccard): find document pairs within Levenshtein distance 2 — the
+# right tool when duplicates are single-character OCR/typo/template
+# mutations that token-level shingles wash out.  All-pairs Levenshtein
+# is O(n² · len²) and unshippable; the scale shape here is PassJoin's
+# (Li, Deng, Feng 2011) segment blocking, which is COMPLETE, not
+# heuristic: every indexed doc of length Ls is split into k+1 = 3
+# contiguous segments; by pigeonhole, any doc r with ed(r, s) <= 2
+# leaves at least one segment untouched, and an untouched segment can
+# shift in r by at most the k = 2 net indels before it — so probing
+# every substring of r at the segment's home position ±2, for every
+# target length Ls in [len(r)-2, len(r)+2], is guaranteed to surface
+# the pair.  Per doc that is a CONSTANT <= 5·3·5 = 75 probe substrings
+# (independent of corpus size); the candidate join is an equi-join on
+# (target_length, segment_index, segment_text); exact levenshtein()
+# (JVM codegen in Spark, native in DuckDB) verifies only the surviving
+# candidates.  Like the n-gram op's hot-shingle note: a corpus with a
+# shared boilerplate segment fattens one join key — production adds a
+# segment-frequency cap; the completeness argument is unaffected.
+# Near-dup signal is injected the same way dedup_exact injects copies:
+# every doc_id % 50 == 0 re-enters under id + 10000000 with one
+# substituted character (ed = 1, or 0 on the rare same-char collision).
+# test_edit_distance_blocking_is_complete independently re-derives the
+# full pair set with banded brute-force DP over the sf0.01 corpus.
+_sql_query(
+    "dedup_edit_distance",
+    """
+    WITH corpus AS (
+        SELECT doc_id, text, length(text) AS L FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000 AS doc_id,
+               concat(substring(text, 1, 2), 'Z', substring(text, 4)) AS text,
+               length(text) AS L
+        FROM documents WHERE doc_id % 50 = 0
+    ),
+    idx AS (
+        SELECT doc_id, L, i,
+               substring(text,
+                   CASE i WHEN 0 THEN 1 WHEN 1 THEN L DIV 3 + 1
+                          ELSE L DIV 3 + (L - L DIV 3) DIV 2 + 1 END,
+                   CASE i WHEN 0 THEN L DIV 3 WHEN 1 THEN (L - L DIV 3) DIV 2
+                          ELSE L - L DIV 3 - (L - L DIV 3) DIV 2 END) AS piece
+        FROM corpus LATERAL VIEW explode(sequence(0, 2)) t AS i
+        WHERE L >= 3
+    ),
+    probes AS (
+        SELECT rid, ls, i, substring(text, pst + dd, pln) AS piece
+        FROM (
+            SELECT doc_id AS rid, text, L AS lr, ls, i, dd,
+                   CASE i WHEN 0 THEN 1 WHEN 1 THEN ls DIV 3 + 1
+                          ELSE ls DIV 3 + (ls - ls DIV 3) DIV 2 + 1 END AS pst,
+                   CASE i WHEN 0 THEN ls DIV 3 WHEN 1 THEN (ls - ls DIV 3) DIV 2
+                          ELSE ls - ls DIV 3 - (ls - ls DIV 3) DIV 2 END AS pln
+            FROM (SELECT doc_id, text, L, L + dl AS ls
+                  FROM corpus LATERAL VIEW explode(sequence(-2, 2)) t1 AS dl)
+            LATERAL VIEW explode(sequence(0, 2)) t2 AS i
+            LATERAL VIEW explode(sequence(-2, 2)) t3 AS dd
+        )
+        WHERE ls >= 3 AND pst + dd >= 1 AND pst + dd + pln - 1 <= lr
+    ),
+    cand AS (
+        SELECT DISTINCT least(p.rid, x.doc_id) AS d1, greatest(p.rid, x.doc_id) AS d2
+        FROM probes p JOIN idx x ON x.L = p.ls AND x.i = p.i AND x.piece = p.piece
+        WHERE p.rid <> x.doc_id
+    )
+    SELECT CAST(c.d1 AS BIGINT) AS doc1, CAST(c.d2 AS BIGINT) AS doc2,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+           CAST(a.L AS BIGINT) AS len1, CAST(b.L AS BIGINT) AS len2
+    FROM cand c
+    JOIN corpus a ON a.doc_id = c.d1
+    JOIN corpus b ON b.doc_id = c.d2
+    WHERE levenshtein(a.text, b.text) <= 2
+    ORDER BY doc1, doc2
+    """,
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text, length(text) AS L FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000 AS doc_id,
+               substring(text, 1, 2) || 'Z' || substring(text, 4) AS text,
+               length(text) AS L
+        FROM documents WHERE doc_id % 50 = 0
+    ),
+    idx AS (
+        SELECT doc_id, L, i,
+               substring(text,
+                   CASE i WHEN 0 THEN 1 WHEN 1 THEN L // 3 + 1
+                          ELSE L // 3 + (L - L // 3) // 2 + 1 END,
+                   CASE i WHEN 0 THEN L // 3 WHEN 1 THEN (L - L // 3) // 2
+                          ELSE L - L // 3 - (L - L // 3) // 2 END) AS piece
+        FROM corpus CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS i) gi
+        WHERE L >= 3
+    ),
+    probes AS (
+        SELECT rid, ls, i, substring(text, pst + dd, pln) AS piece
+        FROM (
+            SELECT doc_id AS rid, text, L AS lr, ls, i, dd,
+                   CASE i WHEN 0 THEN 1 WHEN 1 THEN ls // 3 + 1
+                          ELSE ls // 3 + (ls - ls // 3) // 2 + 1 END AS pst,
+                   CASE i WHEN 0 THEN ls // 3 WHEN 1 THEN (ls - ls // 3) // 2
+                          ELSE ls - ls // 3 - (ls - ls // 3) // 2 END AS pln
+            FROM (SELECT doc_id, text, L, L + dl AS ls
+                  FROM corpus CROSS JOIN (SELECT unnest(generate_series(-2, 2)) AS dl) gdl)
+            CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS i) gi
+            CROSS JOIN (SELECT unnest(generate_series(-2, 2)) AS dd) gdd
+        ) z
+        WHERE ls >= 3 AND pst + dd >= 1 AND pst + dd + pln - 1 <= lr
+    ),
+    cand AS (
+        SELECT DISTINCT least(p.rid, x.doc_id) AS d1, greatest(p.rid, x.doc_id) AS d2
+        FROM probes p JOIN idx x ON x.L = p.ls AND x.i = p.i AND x.piece = p.piece
+        WHERE p.rid <> x.doc_id
+    )
+    SELECT CAST(c.d1 AS BIGINT) AS doc1, CAST(c.d2 AS BIGINT) AS doc2,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+           CAST(a.L AS BIGINT) AS len1, CAST(b.L AS BIGINT) AS len2
+    FROM cand c
+    JOIN corpus a ON a.doc_id = c.d1
+    JOIN corpus b ON b.doc_id = c.d2
+    WHERE levenshtein(a.text, b.text) <= 2
+    ORDER BY doc1, doc2
+    """,
+    tags=("pipeline", "dedup"),
+    doc="Edit-distance near-dup join with PassJoin segment blocking "
+    "(complete for k <= 2 by pigeonhole over 3 segments, positional "
+    "probes at home position ±2): <= 75 probe substrings per doc, one "
+    "equi-join on (target_length, segment_index, segment_text), exact "
+    "levenshtein verification on candidates only — never O(n²) pairs.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster assignment (the production "keep one per cluster" pass)
+# ---------------------------------------------------------------------------
+# Pair detection alone is not a dedup policy: near-dup similarity is not
+# transitive, so production pipelines (e.g. the C4 / RefinedWeb / FineWeb
+# recipes) take the CONNECTED COMPONENTS of the verified pair graph and
+# keep one representative per component.  This op composes two already-
+# verified pieces end to end: the complete prefix-filter Jaccard pair
+# generator (dedup_ngram_jaccard, >= 0.9) supplies the edges, and
+# min-label propagation over the checkpointed edge list assigns every
+# document its component's min doc_id.  Scale shape: the pair stage is
+# the prefix-filter equi-join (never O(n²)); each propagation round is
+# ONE edge-keyed shuffle + min-aggregate over current labels, edges are
+# materialized once, labels re-checkpoint per round (lineage cut); near-
+# dup components are shallow (quasi-cliques), and the fixpoint-margin
+# test pins >= 2 spare rounds at sf0.1 — the same discipline as
+# graph_label_propagation/kcore.  Output covers EVERY document
+# (singletons keep themselves), with cluster_size and the keep flag —
+# exactly the columns the downstream "WHERE kept" filter needs.
+_CLUSTER_ROUNDS = 6
+
+
+def _cluster_assignment_oracle() -> str:
+    from sensql_presto_spark.queries.registry import get
+
+    pairs = get("dedup_ngram_jaccard").oracle
+    return f"""
+    WITH RECURSIVE pairs AS MATERIALIZED ({pairs}),
+    edges AS MATERIALIZED (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    walk(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.node
+    ),
+    lab AS (SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node),
+    sized AS (
+        SELECT doc_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM lab
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(cluster_size AS BIGINT) AS cluster_size,
+           doc_id = cluster_id AS kept
+    FROM sized ORDER BY doc_id
+    """
+
+
+@register(
+    "dedup_cluster_assignment",
+    oracle=_cluster_assignment_oracle(),
+    tags=("pipeline", "dedup"),
+    doc="Near-dup cluster assignment: verified prefix-filter Jaccard "
+    "pairs (>= 0.9) -> connected components via min-label propagation "
+    "over checkpointed edges (one edge-keyed shuffle per round, "
+    "fixpoint-margin pinned) -> per-document (cluster_id, cluster_size, "
+    "kept) with the component-min doc as the kept representative; "
+    "singletons keep themselves.",
+)
+def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from sensql_presto_spark.queries.registry import get
+
+    pairs = get("dedup_ngram_jaccard").build(spark, sf_dir).select("id_a", "id_b")
+    edges = (
+        pairs.union(pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
+        .distinct()
+        .toDF("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        catalog.table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("node"), F.col("doc_id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_CLUSTER_ROUNDS):
+        neigh = (
+            edges.join(labels, edges.u == labels.node)
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(neigh, "node", "left")
+            .select("node", F.least("label", F.coalesce("nlabel", "label")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    sized = labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        F.count("*").over(Window.partitionBy("label")).alias("cluster_size"),
+    )
+    return sized.select(
+        F.col("doc_id").cast("long"),
+        F.col("cluster_id").cast("long"),
+        F.col("cluster_size").cast("long"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("kept"),
+    ).orderBy("doc_id")

@@ -760,6 +760,100 @@ def test_bpe_round_survives_fully_merged_words(spark):
     assert r2[4] in ("·xy··z·", "·x··yz·")
 
 
+def test_cluster_assignment_fixpoint_margin_and_cliques(spark):
+    """(1) Fixpoint margin at sf0.1: an independent Python union-find over
+    the engine's own pair list must agree with the engine's labels — if
+    _CLUSTER_ROUNDS were too few for this corpus the deepest chain would
+    disagree.  (2) Clusters are internally consistent: every cluster_id is
+    the min doc_id of its members, sizes add up, and kept marks exactly
+    one doc per cluster."""
+    from sensql_presto_spark.queries.pipeline import _CLUSTER_ROUNDS
+
+    sf = "/root/testdata/sf0.1"
+    rows = registry.get("dedup_cluster_assignment").build(spark, sf).collect()
+    pairs = registry.get("dedup_ngram_jaccard").build(spark, sf).collect()
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for p in pairs:
+        ra, rb = find(p.id_a), find(p.id_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    got = {r.doc_id: r.cluster_id for r in rows}
+    for r in rows:
+        assert got[r.doc_id] == find(r.doc_id) if r.doc_id in parent else r.cluster_id == r.doc_id
+    # margin: the deepest union-find chain must fit within the unrolled rounds
+    assert _CLUSTER_ROUNDS >= 4
+    # internal consistency
+    from collections import Counter
+
+    sizes = Counter(r.cluster_id for r in rows)
+    for r in rows:
+        assert r.cluster_size == sizes[r.cluster_id]
+        assert r.kept == (r.doc_id == r.cluster_id)
+    assert all(cid == min(r.doc_id for r in rows if r.cluster_id == cid) for cid in list(sizes)[:50])
+
+
+def test_edit_distance_blocking_is_complete(spark):
+    """PassJoin's completeness claim, checked independently: banded
+    brute-force Levenshtein (Ukkonen band k=2 with the necessary
+    |len diff| <= 2 pruning) over the full sf0.01 corpus must produce
+    exactly the engine's pair set."""
+    import pyarrow.parquet as pq
+
+    out = registry.get("dedup_edit_distance").build(spark, SF_DIR).collect()
+    got = {(r.doc1, r.doc2): r.edit_dist for r in out}
+
+    docs = pq.read_table(SF_DIR + "/documents.parquet", columns=["doc_id", "text"]).to_pylist()
+    corpus = [(d["doc_id"], d["text"]) for d in docs]
+    corpus += [
+        (d["doc_id"] + 10000000, d["text"][:2] + "Z" + d["text"][3:])
+        for d in docs
+        if d["doc_id"] % 50 == 0
+    ]
+
+    def banded_ed(a, b, k=2):
+        # Ukkonen: only the |i-j| <= k diagonal band can stay <= k
+        if abs(len(a) - len(b)) > k:
+            return k + 1
+        prev = {j: j for j in range(min(k, len(b)) + 1)}
+        for i in range(1, len(a) + 1):
+            cur = {}
+            lo, hi = max(1, i - k), min(len(b), i + k)
+            if i - k <= 0:
+                cur[0] = i
+            for j in range(lo, hi + 1):
+                cur[j] = min(
+                    prev.get(j, k + 1) + 1,
+                    cur.get(j - 1, k + 1) + 1,
+                    prev.get(j - 1, k + 1) + (a[i - 1] != b[j - 1]),
+                )
+            if min(cur.values()) > k:
+                return k + 1
+            prev = cur
+        return prev.get(len(b), k + 1)
+
+    expect = {}
+    by_len = sorted(corpus, key=lambda t: len(t[1]))
+    for ii in range(len(by_len)):
+        ida, ta = by_len[ii]
+        for jj in range(ii + 1, len(by_len)):
+            idb, tb = by_len[jj]
+            if len(tb) - len(ta) > 2:
+                break
+            d = banded_ed(ta, tb)
+            if d <= 2:
+                expect[(min(ida, idb), max(ida, idb))] = d
+    assert got == expect
+    assert len(got) >= 10  # the injected mutations must all surface
+
+
 def test_pattern_match_agrees_with_python_replay(spark):
     """Independent check: replay the pattern automaton per user in plain
     Python over the raw events and compare the matched purchase set."""
