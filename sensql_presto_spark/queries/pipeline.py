@@ -7568,3 +7568,407 @@ def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_size").cast("long"),
         (F.col("doc_id") == F.col("cluster_id")).alias("kept"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# IVF multiprobe (nprobe = 2) — the standard ANN recall/latency knob
+# ---------------------------------------------------------------------------
+# sim_ivf_topk searches only each query's single nearest cell (nprobe=1);
+# every production IVF index (Faiss IVFFlat, ScaNN, Milvus) exposes
+# nprobe as THE recall dial because the true neighbors of a query near a
+# cell boundary live in the second-closest cell.  This op is the same
+# verified machinery with the probe side widened: corpus vectors stay
+# single-assigned (the index is unchanged), queries rank centroids and
+# search the UNION of their top-2 cells.  Scale shape is identical to
+# sim_ivf_topk — centroids are a bounded broadcast relation, the search
+# join touches only the probed cells' rows (2x nprobe=1's work, still
+# cell-pruned, never the whole corpus), ONE corpus scan.  Candidate sets
+# grow monotonically with nprobe, so per-query recall@k can only
+# improve; test_multiprobe_recall_dominates_single_probe pins that
+# against sim_topk_bruteforce ground truth.
+_sql_query(
+    "sim_ivf_multiprobe",
+    """
+    WITH e AS (SELECT vec_id, label, transform(embedding, x -> cast(x AS double)) AS v FROM embeddings),
+    cpos AS (
+        SELECT label, pos, avg(val) AS m
+        FROM (SELECT label, posexplode(v) AS (pos, val) FROM e)
+        GROUP BY label, pos
+    ),
+    cent AS (
+        SELECT label AS c_id,
+               transform(array_sort(collect_list(struct(pos, m))), s -> s.m) AS cv
+        FROM cpos GROUP BY label
+    ),
+    cnorm AS (SELECT c_id, cv, sqrt(aggregate(cv, cast(0 AS double), (a, x) -> a + x * x)) AS cnrm FROM cent),
+    n AS (SELECT vec_id, v, sqrt(aggregate(v, cast(0 AS double), (a, x) -> a + x * x)) AS nrm FROM e),
+    centdist AS (
+        SELECT n.vec_id, c.c_id,
+               aggregate(zip_with(n.v, c.cv, (x, y) -> x * y), cast(0 AS double),
+                         (acc, x) -> acc + x) / (n.nrm * c.cnrm) AS cos
+        FROM n CROSS JOIN cnorm c
+    ),
+    assign AS (
+        SELECT vec_id, max_by(c_id, cos) AS bucket FROM centdist GROUP BY vec_id
+    ),
+    corpus AS (SELECT n.vec_id, n.v, n.nrm, a.bucket FROM n JOIN assign a ON n.vec_id = a.vec_id),
+    probe_cells AS (
+        SELECT vec_id, c_id AS bucket FROM (
+            SELECT vec_id, c_id,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS crk
+            FROM centdist WHERE vec_id < 5
+        ) WHERE crk <= 2
+    ),
+    q AS (SELECT p.vec_id, p.bucket, n.v, n.nrm
+          FROM probe_cells p JOIN n ON n.vec_id = p.vec_id),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               aggregate(zip_with(q.v, c.v, (x, y) -> x * y), cast(0 AS double),
+                         (acc, x) -> acc + x) / (q.nrm * c.nrm) AS cos
+        FROM q JOIN corpus c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, rk, round(cos, 4) AS cos_sim
+    FROM ranked WHERE rk <= 3
+    ORDER BY query_id, rk
+    """,
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    cpos AS (
+        SELECT label, i AS pos, avg(v[i]) AS m
+        FROM e, range(1, 65) t(i)
+        GROUP BY label, i
+    ),
+    cent AS (SELECT label AS c_id, list(m ORDER BY pos) AS cv FROM cpos GROUP BY label),
+    centdist AS (
+        SELECT e.vec_id, c.c_id, list_cosine_similarity(e.v, c.cv) AS cos
+        FROM e CROSS JOIN cent c
+    ),
+    assign AS (
+        SELECT vec_id, arg_max(c_id, cos) AS bucket FROM centdist GROUP BY vec_id
+    ),
+    corpus AS (SELECT e.vec_id, e.v, a.bucket FROM e JOIN assign a ON e.vec_id = a.vec_id),
+    probe_cells AS (
+        SELECT vec_id, c_id AS bucket FROM (
+            SELECT vec_id, c_id,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS crk
+            FROM centdist WHERE vec_id < 5
+        ) z WHERE crk <= 2
+    ),
+    q AS (SELECT p.vec_id, p.bucket, e.v
+          FROM probe_cells p JOIN e ON e.vec_id = p.vec_id),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(q.v, c.v) AS cos
+        FROM q JOIN corpus c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, rk, round(cos, 4) AS cos_sim
+    FROM ranked WHERE rk <= 3
+    ORDER BY query_id, rk
+    """,
+    tags=("pipeline", "similarity"),
+    doc="IVF top-k with nprobe=2 (the Faiss/ScaNN recall dial): corpus "
+    "stays single-assigned, each query searches the union of its two "
+    "nearest cells — 2x the cell-pruned work of nprobe=1, ONE corpus "
+    "scan, candidate sets grow monotonically so recall@k only improves.",
+)
+
+
+# ---------------------------------------------------------------------------
+# BPE encode (tokenizer serving: apply the trained merges to the corpus)
+# ---------------------------------------------------------------------------
+# text_bpe_train_rounds is the training half of the tokenizer story;
+# this is the serving half every data pipeline actually runs at scale:
+# apply the learned merge table to the corpus and report per-document
+# token counts — the number that drives sequence packing, cost
+# estimation, and context-length filtering.  The encode pass reuses the
+# exact training machinery (same separator scheme, same greedy
+# left-to-right merge order, same per-round data-derived top pair), so
+# the merges applied ARE the merges trained; the output is one row per
+# document with exact-integer char/token counts before and after, and
+# compression in basis points.  Scale shape: the working corpus is
+# checkpointed between rounds (linear, zero re-derivation, the same
+# discipline as training) and the final rollup is ONE map-side-combined
+# doc_id groupBy.  Words under 2 chars are excluded by the same corpus
+# rule as training (each is trivially a single token).
+_BPE_ENCODE_ROLLUP_SQL = """
+    SELECT b.doc_id,
+           CAST(b.n_words AS BIGINT) AS n_words,
+           CAST(b.toks AS BIGINT) AS tokens_before,
+           CAST(a.toks AS BIGINT) AS tokens_after
+    FROM (SELECT doc_id, count(*) AS n_words,
+                 sum(size(split(substring(s, 2, length(s) - 2), '··'))) AS toks
+          FROM {B} GROUP BY doc_id) b
+    JOIN (SELECT doc_id,
+                 sum(size(split(substring(s, 2, length(s) - 2), '··'))) AS toks
+          FROM {A} GROUP BY doc_id) a
+      ON a.doc_id = b.doc_id
+"""
+
+
+def _bpe_encode_oracle() -> str:
+    # the corp0..corp3 construction is shared verbatim with _bpe_oracle's
+    # prefix; only the final per-document rollup differs
+    base = _bpe_oracle()
+    prefix = base[: base.index("    summary AS (")]
+    return (
+        prefix
+        + f"""
+    rollup_ AS (
+        SELECT b.doc_id, b.n_words, b.toks AS tokens_before, a.toks AS tokens_after
+        FROM (SELECT doc_id, count(*) AS n_words,
+                     sum(len(string_split(substring(s, 2, length(s) - 2), '··'))) AS toks
+              FROM corp0 GROUP BY doc_id) b
+        JOIN (SELECT doc_id,
+                     sum(len(string_split(substring(s, 2, length(s) - 2), '··'))) AS toks
+              FROM corp{_BPE_ROUNDS} GROUP BY doc_id) a
+          ON a.doc_id = b.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(tokens_before AS BIGINT) AS tokens_before,
+           CAST(tokens_after AS BIGINT) AS tokens_after,
+           CAST(((tokens_before - tokens_after) * 10000) // tokens_before AS BIGINT) AS saved_bp
+    FROM rollup_ ORDER BY doc_id
+    """
+    )
+
+
+@register(
+    "text_bpe_encode",
+    oracle=_bpe_encode_oracle(),
+    tags=("pipeline", "text", "tokenizer"),
+    doc="Tokenizer serving: apply the 3 trained BPE merges to the corpus "
+    "and emit per-document exact-integer token counts before/after plus "
+    "compression in basis points — one checkpointed rewrite chain (same "
+    "machinery as training), ONE doc-keyed rollup groupBy.",
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    catalog.register_views(spark, sf_dir)
+    corp = spark.sql(_BPE_CORP0_SQL).localCheckpoint(eager=True)
+    corp.createOrReplaceTempView("__bpee_corp0")
+    for r in range(1, _BPE_ROUNDS + 1):
+        nxt = spark.sql(_BPE_ROUND_SQL.format(P=f"__bpee_corp{r - 1}")).localCheckpoint(eager=True)
+        nxt.createOrReplaceTempView(f"__bpee_corp{r}")
+    rolled = spark.sql(
+        _BPE_ENCODE_ROLLUP_SQL.format(B="__bpee_corp0", A=f"__bpee_corp{_BPE_ROUNDS}")
+    )
+    return rolled.selectExpr(
+        "doc_id",
+        "n_words",
+        "tokens_before",
+        "tokens_after",
+        "CAST(((tokens_before - tokens_after) * 10000) DIV tokens_before AS BIGINT) AS saved_bp",
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Per-column data-profile report (the data-quality primitive)
+# ---------------------------------------------------------------------------
+# Every ingestion pipeline fronts its tables with a profiling pass —
+# null ratios, distinct cardinality, value ranges, width — both for
+# data-quality gates (a column going 30% NULL overnight is an incident)
+# and as optimizer input (the same statistics ANALYZE feeds the CBO).
+# This op emits the report as rows, one per profiled column, over ONE
+# scan of orders: all per-column aggregates (including the four exact
+# count-DISTINCTs, which Catalyst plans as a single Expand + two-phase
+# aggregate) reduce in one pass to a 1-row relation, and stack() pivots
+# it to the per-column report — no per-column rescans, which is the
+# difference between a profiling pass that costs one table read and one
+# that costs C of them at 100 TB.  Exact integers throughout: money is
+# profiled in cents, average widths in centi-chars via DIV.
+_sql_query(
+    "scale_data_profile",
+    """
+    WITH base AS (
+        SELECT o_custkey, o_orderdate, o_orderpriority,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+        FROM orders
+    ),
+    p AS (
+        SELECT count(*) AS n_rows,
+               count(o_custkey) AS nn1, count(DISTINCT o_custkey) AS nd1,
+               CAST(min(o_custkey) AS STRING) AS mn1, CAST(max(o_custkey) AS STRING) AS mx1,
+               sum(length(CAST(o_custkey AS STRING))) AS sl1,
+               count(price_c) AS nn2, count(DISTINCT price_c) AS nd2,
+               CAST(min(price_c) AS STRING) AS mn2, CAST(max(price_c) AS STRING) AS mx2,
+               sum(length(CAST(price_c AS STRING))) AS sl2,
+               count(o_orderdate) AS nn3, count(DISTINCT o_orderdate) AS nd3,
+               CAST(min(o_orderdate) AS STRING) AS mn3, CAST(max(o_orderdate) AS STRING) AS mx3,
+               sum(length(CAST(o_orderdate AS STRING))) AS sl3,
+               count(o_orderpriority) AS nn4, count(DISTINCT o_orderpriority) AS nd4,
+               min(o_orderpriority) AS mn4, max(o_orderpriority) AS mx4,
+               sum(length(o_orderpriority)) AS sl4
+        FROM base
+    )
+    SELECT col,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_nonnull AS BIGINT) AS n_nonnull,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           min_val, max_val,
+           CAST((sum_len * 100) DIV n_nonnull AS BIGINT) AS avg_len_e2
+    FROM (
+        SELECT n_rows, stack(4,
+            'o_custkey',       nn1, nd1, mn1, mx1, sl1,
+            'o_totalprice_c',  nn2, nd2, mn2, mx2, sl2,
+            'o_orderdate',     nn3, nd3, mn3, mx3, sl3,
+            'o_orderpriority', nn4, nd4, mn4, mx4, sl4
+        ) AS (col, n_nonnull, n_distinct, min_val, max_val, sum_len)
+        FROM p
+    )
+    ORDER BY col
+    """,
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey, o_orderdate, o_orderpriority,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+        FROM orders
+    ),
+    p AS (
+        SELECT count(*) AS n_rows,
+               count(o_custkey) AS nn1, count(DISTINCT o_custkey) AS nd1,
+               CAST(min(o_custkey) AS VARCHAR) AS mn1, CAST(max(o_custkey) AS VARCHAR) AS mx1,
+               sum(length(CAST(o_custkey AS VARCHAR))) AS sl1,
+               count(price_c) AS nn2, count(DISTINCT price_c) AS nd2,
+               CAST(min(price_c) AS VARCHAR) AS mn2, CAST(max(price_c) AS VARCHAR) AS mx2,
+               sum(length(CAST(price_c AS VARCHAR))) AS sl2,
+               count(o_orderdate) AS nn3, count(DISTINCT o_orderdate) AS nd3,
+               CAST(min(o_orderdate) AS VARCHAR) AS mn3, CAST(max(o_orderdate) AS VARCHAR) AS mx3,
+               sum(length(CAST(o_orderdate AS VARCHAR))) AS sl3,
+               count(o_orderpriority) AS nn4, count(DISTINCT o_orderpriority) AS nd4,
+               min(o_orderpriority) AS mn4, max(o_orderpriority) AS mx4,
+               sum(length(o_orderpriority)) AS sl4
+        FROM base
+    ),
+    rep AS (
+        SELECT 'o_custkey' AS col, n_rows, nn1 AS n_nonnull, nd1 AS n_distinct,
+               mn1 AS min_val, mx1 AS max_val, sl1 AS sum_len FROM p
+        UNION ALL
+        SELECT 'o_totalprice_c', n_rows, nn2, nd2, mn2, mx2, sl2 FROM p
+        UNION ALL
+        SELECT 'o_orderdate', n_rows, nn3, nd3, mn3, mx3, sl3 FROM p
+        UNION ALL
+        SELECT 'o_orderpriority', n_rows, nn4, nd4, mn4, mx4, sl4 FROM p
+    )
+    SELECT col,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_nonnull AS BIGINT) AS n_nonnull,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           min_val, max_val,
+           CAST((sum_len * 100) // n_nonnull AS BIGINT) AS avg_len_e2
+    FROM rep ORDER BY col
+    """,
+    tags=("pipeline", "scale", "quality"),
+    doc="Per-column profiling report (null/nonnull counts, exact distinct "
+    "cardinality, min/max, centi-char average width) over ONE scan of "
+    "orders — stack() pivots a single multi-distinct aggregate row into "
+    "the per-column report instead of rescanning per column; money "
+    "profiled in cents, all arithmetic exact-integer.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncated-dimension retrieval eval (adaptive retrieval)
+# ---------------------------------------------------------------------------
+# Matryoshka representation learning (Kusupati et al. 2022) trains
+# embeddings whose PREFIX dimensions are themselves usable vectors, and
+# adaptive-retrieval stacks exploit that: retrieve with the cheap head
+# (here 16 of 64 dims — 4x less compute and bandwidth per comparison),
+# keeping the full vector only for rerank.  Before shipping that, you
+# measure what the truncation costs — this op computes, per probe, the
+# top-3 agreement between head-dims retrieval and full-dims retrieval.
+# Scoring is exact-integer MIPS (milli-quantized BIGINT dot products, no
+# division, ties broken by neighbor id) so both engines rank identically
+# bit-for-bit.  Scale shape: 8 probes broadcast against ONE corpus scan
+# (the same bounded-broadcast shape as sim_topk_bruteforce); the head
+# score reuses the same row via slice(), not a second scan; the
+# agreement rollup touches O(probes x k) rows.
+_sql_query(
+    "sim_matryoshka_eval",
+    """
+    WITH e AS (
+        SELECT vec_id,
+               transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+    scored AS (
+        SELECT q.qid, e.vec_id AS nid,
+               aggregate(zip_with(q.qv, e.v, (x, y) -> x * y), 0L, (a, x) -> a + x) AS dot_full,
+               aggregate(zip_with(slice(q.qv, 1, 16), slice(e.v, 1, 16), (x, y) -> x * y),
+                         0L, (a, x) -> a + x) AS dot_head
+        FROM e CROSS JOIN q
+        WHERE q.qid <> e.vec_id
+    ),
+    rf AS (
+        SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid ORDER BY dot_full DESC, nid) AS rk
+        FROM scored
+    ),
+    rh AS (
+        SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid ORDER BY dot_head DESC, nid) AS rk
+        FROM scored
+    )
+    SELECT f.qid AS query_id,
+           CAST(min(CASE WHEN f.rk = 1 THEN f.nid END) AS BIGINT) AS top1_full,
+           CAST(min(CASE WHEN h2.rk = 1 THEN h2.nid END) AS BIGINT) AS top1_head,
+           CAST(count(h.nid) AS BIGINT) AS overlap3,
+           CAST((count(h.nid) * 10000) DIV 3 AS BIGINT) AS agreement_bp
+    FROM (SELECT * FROM rf WHERE rk <= 3) f
+    LEFT JOIN (SELECT * FROM rh WHERE rk <= 3) h ON h.qid = f.qid AND h.nid = f.nid
+    JOIN (SELECT * FROM rh WHERE rk <= 3) h2 ON h2.qid = f.qid AND h2.rk = f.rk
+    GROUP BY f.qid
+    ORDER BY query_id
+    """,
+    oracle="""
+    WITH e AS (
+        SELECT vec_id,
+               [CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT) for x in embedding] AS v
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+    scored AS (
+        SELECT q.qid, e.vec_id AS nid,
+               (SELECT sum(q.qv[i] * e.v[i]) FROM range(1, 65) t(i)) AS dot_full,
+               (SELECT sum(q.qv[i] * e.v[i]) FROM range(1, 17) t(i)) AS dot_head
+        FROM e CROSS JOIN q
+        WHERE q.qid <> e.vec_id
+    ),
+    rf AS (
+        SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid ORDER BY dot_full DESC, nid) AS rk
+        FROM scored
+    ),
+    rh AS (
+        SELECT qid, nid,
+               row_number() OVER (PARTITION BY qid ORDER BY dot_head DESC, nid) AS rk
+        FROM scored
+    )
+    SELECT f.qid AS query_id,
+           CAST(min(CASE WHEN f.rk = 1 THEN f.nid END) AS BIGINT) AS top1_full,
+           CAST(min(CASE WHEN h2.rk = 1 THEN h2.nid END) AS BIGINT) AS top1_head,
+           CAST(count(h.nid) AS BIGINT) AS overlap3,
+           CAST((count(h.nid) * 10000) // 3 AS BIGINT) AS agreement_bp
+    FROM (SELECT * FROM rf WHERE rk <= 3) f
+    LEFT JOIN (SELECT * FROM rh WHERE rk <= 3) h ON h.qid = f.qid AND h.nid = f.nid
+    JOIN (SELECT * FROM rh WHERE rk <= 3) h2 ON h2.qid = f.qid AND h2.rk = f.rk
+    GROUP BY f.qid
+    ORDER BY query_id
+    """,
+    tags=("pipeline", "similarity"),
+    doc="Matryoshka adaptive-retrieval eval: per probe, top-3 agreement "
+    "between 16-dim-head and full-64-dim retrieval under exact-integer "
+    "milli-quantized MIPS (no division, id tiebreaks — bit-identical "
+    "ranking in both engines); bounded probe broadcast, ONE corpus scan, "
+    "head scores via slice() on the same row.",
+)

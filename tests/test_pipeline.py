@@ -760,6 +760,32 @@ def test_bpe_round_survives_fully_merged_words(spark):
     assert r2[4] in ("·xy··z·", "·x··yz·")
 
 
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """nprobe=2's candidate set is a superset of nprobe=1's, and anything
+    that displaces a ground-truth neighbor from a top-3 must itself be
+    ground truth — so per-query recall@3 vs brute force can only improve.
+    Pin that dominance (and that multiprobe actually finds >= as many
+    ground-truth hits in total)."""
+    gt = {}
+    for r in registry.get("sim_topk_bruteforce").build(spark, SF_DIR).collect():
+        if r.rk <= 3:
+            gt.setdefault(r.query_id, set()).add(r.neighbor_id)
+    single = {}
+    for r in registry.get("sim_ivf_topk").build(spark, SF_DIR).collect():
+        single.setdefault(r.query_id, set()).add(r.neighbor_id)
+    multi = {}
+    for r in registry.get("sim_ivf_multiprobe").build(spark, SF_DIR).collect():
+        multi.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(multi) == set(single)
+    for qid in single:
+        h1 = len(single[qid] & gt.get(qid, set()))
+        h2 = len(multi[qid] & gt.get(qid, set()))
+        assert h2 >= h1, f"query {qid}: multiprobe hits {h2} < single-probe {h1}"
+    assert sum(len(multi[q] & gt.get(q, set())) for q in multi) >= sum(
+        len(single[q] & gt.get(q, set())) for q in single
+    )
+
+
 def test_cluster_assignment_fixpoint_margin_and_cliques(spark):
     """(1) Fixpoint margin at sf0.1: an independent Python union-find over
     the engine's own pair list must agree with the engine's labels — if
