@@ -28,17 +28,18 @@ from pyspark.sql import DataFrame, SparkSession
 from sensql_presto_spark.queries import all_specs
 
 # ROUND-8 ROTATION (r7 window was 50/50 green — everything rotated out;
-# rotation ledger: COVERAGE.md §Rotation).  Two blocks:
+# rotation ledger: COVERAGE.md §Rotation).  Three blocks:
 #  (1) the 7 late-r7 operators that landed after the r7 window filled —
-#      the only registry entries without a driver-green CORRECTNESS row;
-#      once green, cumulative coverage is 348/348 and every entry ever
-#      registered has an external driver row.
-#  (2) staleness refresh: the 41 entries whose only driver row dates to
-#      round 1 plus two r2-era entries most sensitive to shared code
-#      (fn_presto_compat, fn_math) — catalog/session/presto_compat have
-#      evolved for 6 rounds since those rows were recorded.
-# Entries added during r8 replace tail items of block (2) as they land,
-# so new operators always reach the driver gate in-round.
+#      the only pre-r8 registry entries without a driver-green
+#      CORRECTNESS row; once green, every entry registered before this
+#      round has an external driver row (cumulative 348/348).
+#  (1b) the operators ADDED this round, so new entries reach the driver
+#      gate in-round instead of becoming the next never-checked debt.
+#  (2) staleness refresh: entries whose only driver row dates to round 1
+#      — catalog/session/presto_compat have evolved for 6 rounds since
+#      those rows were recorded.  Block (1b) additions displace the
+#      lowest-marginal-value stale slots (named below); the displaced
+#      entries rotate in r9.
 PRIORITY: tuple[str, ...] = (
     # (1) never-driver-checked (7)
     "agg_exact_quantiles",
@@ -48,11 +49,20 @@ PRIORITY: tuple[str, ...] = (
     "sim_centroid_drift_monitor",
     "source_parquet_schema_evolution",
     "text_feature_hashing",
-    # (2) stalest driver rows: r1-era (41)
-    "agg_any_value",
+    # (1b) r8-added operators (6) — each pre-verified EXACT under
+    # driver_sim --vanilla at sf0.01 AND sf0.1 at commit time
+    "dedup_edit_distance",
+    "dedup_cluster_assignment",
+    "sim_ivf_multiprobe",
+    "text_bpe_encode",
+    "scale_data_profile",
+    "sim_matryoshka_eval",
+    # (2) stalest driver rows: r1-era (37 of 41; agg_any_value,
+    # agg_collect, events_hopping_window, fn_conditional and the two
+    # r2-era picks yielded their slots to block (1b) — their code paths
+    # are exercised by sibling window entries and they rotate in r9)
     "agg_basic",
     "agg_bool_bitwise",
-    "agg_collect",
     "agg_corr_regr",
     "agg_geomean_entropy",
     "agg_map_histogram",
@@ -71,14 +81,12 @@ PRIORITY: tuple[str, ...] = (
     "dedup_simhash",
     "distinct_limit",
     "events_asof_join",
-    "events_hopping_window",
     "events_json_props",
     "events_streaming_sessions",
     "events_streaming_stateful",
     "events_tumbling_window",
     "fn_array",
     "fn_bitwise",
-    "fn_conditional",
     "fn_datetime",
     "fn_datetime_presto_formats",
     "fn_hash",
@@ -90,9 +98,6 @@ PRIORITY: tuple[str, ...] = (
     "fn_string_distance",
     "fn_try_semantics",
     "fn_url",
-    # (2) r2-era shared-code-sensitive (2)
-    "fn_presto_compat",
-    "fn_math",
 )
 
 def _alias(i: int, name: str) -> str:
