@@ -142,8 +142,15 @@ def main() -> None:
     specs = all_specs()
     args = sys.argv[1:]
     vanilla = "--vanilla" in args
-    names = [a for a in args if a != "--vanilla"]
-    if not names:
+    sweep_all = "--all" in args
+    json_path = None
+    if "--json" in args:
+        json_path = args[args.index("--json") + 1]
+        args = [a for a in args if a != json_path]
+    names = [a for a in args if a not in ("--vanilla", "--all", "--json")]
+    if sweep_all:
+        names = sorted(specs)
+    elif not names:
         from __spark_entry__ import PRIORITY
 
         names = list(PRIORITY)
@@ -156,12 +163,14 @@ def main() -> None:
         spark = get_spark()
     con = duckdb_connection(SF_DIR)
     failures = 0
+    verdicts: dict[str, str] = {}
     for name in names:
         spec = specs[name]
         try:
             actual = spec.build(spark, SF_DIR).toPandas()
             if spec.oracle is None:
                 print(f"{name:35s} NO-ORACLE ({len(actual)} rows)")
+                verdicts[name] = f"NO-ORACLE ({len(actual)} rows)"
                 continue
             expected = con.sql(spec.oracle).df()
             verdict = compare(actual, expected)
@@ -169,8 +178,37 @@ def main() -> None:
             verdict = f"ERROR {type(exc).__name__}: {exc}"
         if verdict != "EXACT":
             failures += 1
+        verdicts[name] = verdict[:500]
         print(f"{name:35s} {verdict[:200]}")
     con.close()
+    if json_path:
+        # machine-checkable sweep artifact (SWEEP_r{N}.json): which code
+        # state was certified, at which scale, with per-entry verdicts —
+        # the JSON analog of the CORRECTNESS/BENCH driver artifacts
+        import json
+        import subprocess
+
+        commit = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ).stdout.strip()
+        n_exact = sum(1 for v in verdicts.values() if v == "EXACT")
+        with open(json_path, "w") as f:
+            json.dump(
+                {
+                    "commit": commit,
+                    "sf_dir": SF_DIR,
+                    "vanilla": vanilla,
+                    "n_entries": len(verdicts),
+                    "n_exact": n_exact,
+                    "n_failures": failures,
+                    "verdicts": verdicts,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {json_path}")
     print(f"\n{len(names) - failures}/{len(names)} EXACT")
     sys.exit(1 if failures else 0)
 
