@@ -7972,3 +7972,186 @@ _sql_query(
     "ranking in both engines); bounded probe broadcast, ONE corpus scan, "
     "head scores via slice() on the same row.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-quality evaluation (simplified silhouette, exact-integer)
+# ---------------------------------------------------------------------------
+# Clustering without a quality metric is a guess: silhouette — how much
+# closer each point sits to its own cluster than to the nearest other
+# cluster — is the standard label-free answer (Rousseeuw 1987).  Full
+# silhouette is O(n²) pairwise; the production variant (and this op) is
+# the SIMPLIFIED silhouette, which replaces mean-to-members with
+# distance-to-centroid: per point, a = squared distance to its own
+# centroid, b = min squared distance to any other centroid — O(n x k),
+# never all-pairs.  Everything is exact-integer (embeddings milli-
+# quantized and +2000-shifted so the centroid division is over positive
+# values, trunc == floor in both engines); because the per-point margin
+# b - a can be negative, the rollup emits numerator and denominator
+# separately (sum_margin / sum_scale) instead of dividing — the
+# documented cross-engine integer-division rule.  Scale shape: ONE
+# (label, dim) centroid groupBy over the posexploded rows, ONE bounded
+# join of rows against the k x 64 centroid relation, two map-side-
+# combined rollups.
+_sql_query(
+    "cluster_silhouette_eval",
+    """
+    WITH e AS (
+        SELECT vec_id, label,
+               transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT) + 2000L) AS q
+        FROM embeddings
+    ),
+    rows_ AS (SELECT vec_id, label, posexplode(q) AS (pos, x) FROM e),
+    cent AS (
+        SELECT label AS c_lab, pos, (1000 * sum(x)) DIV count(*) AS c
+        FROM rows_ GROUP BY label, pos
+    ),
+    dist AS (
+        SELECT r.vec_id, r.label, c.c_lab,
+               sum((r.x * 1000 - c.c) * (r.x * 1000 - c.c)) AS d2
+        FROM rows_ r JOIN cent c ON c.pos = r.pos
+        GROUP BY r.vec_id, r.label, c.c_lab
+    ),
+    ab AS (
+        SELECT vec_id, label,
+               min(CASE WHEN c_lab = label THEN d2 END) AS a2,
+               min(CASE WHEN c_lab <> label THEN d2 END) AS b2
+        FROM dist GROUP BY vec_id, label
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(b2 - a2) AS BIGINT) AS sum_margin,
+           CAST(sum(greatest(a2, b2)) AS BIGINT) AS sum_scale,
+           CAST(count(CASE WHEN b2 > a2 THEN 1 END) AS BIGINT) AS n_well_assigned
+    FROM ab GROUP BY label ORDER BY label
+    """,
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label,
+               [CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT) + 2000 for x in embedding] AS q
+        FROM embeddings
+    ),
+    rows_ AS (
+        SELECT vec_id, label, i - 1 AS pos, q[i] AS x
+        FROM e, range(1, 65) t(i)
+    ),
+    cent AS (
+        SELECT label AS c_lab, pos, (1000 * sum(x)) // count(*) AS c
+        FROM rows_ GROUP BY label, pos
+    ),
+    dist AS (
+        SELECT r.vec_id, r.label, c.c_lab,
+               sum((r.x * 1000 - c.c) * (r.x * 1000 - c.c)) AS d2
+        FROM rows_ r JOIN cent c ON c.pos = r.pos
+        GROUP BY r.vec_id, r.label, c.c_lab
+    ),
+    ab AS (
+        SELECT vec_id, label,
+               min(CASE WHEN c_lab = label THEN d2 END) AS a2,
+               min(CASE WHEN c_lab <> label THEN d2 END) AS b2
+        FROM dist GROUP BY vec_id, label
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(b2 - a2) AS BIGINT) AS sum_margin,
+           CAST(sum(greatest(a2, b2)) AS BIGINT) AS sum_scale,
+           CAST(count(CASE WHEN b2 > a2 THEN 1 END) AS BIGINT) AS n_well_assigned
+    FROM ab GROUP BY label ORDER BY label
+    """,
+    tags=("pipeline", "cluster", "eval"),
+    doc="Simplified-silhouette cluster-quality report (distance-to-"
+    "centroid variant, O(n x k) not O(n^2)): per cluster, exact-integer "
+    "sum of margins (b - a) and scales max(a, b) plus the well-assigned "
+    "count; milli-quantized +2000-shifted arithmetic keeps both engines "
+    "bit-identical, and the possibly-negative margin is never divided.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (seed-set teleport — the recommender variant)
+# ---------------------------------------------------------------------------
+# Global PageRank answers "what is important overall"; every production
+# recommendation / related-items / trust-propagation system instead runs
+# PERSONALIZED PageRank (Haveliwala 2002): the teleport mass returns to
+# a seed set, so rank measures proximity to the seeds.  Same graph, same
+# damping, same exact-integer quantization discipline as graph_pagerank
+# (floor() before every double->BIGINT cast — DuckDB rounds, Spark
+# truncates), only the teleport vector differs: seeds (node id % 150 ==
+# 0, so the seed set scales with the corpus-sized web) split the full
+# teleport mass; non-seeds get zero and hold rank only through in-links.
+# Scale shape per round: ONE edge-join + dst-groupBy, identical to
+# pagerank; the seed relation is a bounded broadcast.
+
+
+def _ppr_sql(div: str) -> str:
+    sql = """
+    WITH params AS (
+        SELECT 15 * greatest(4, CAST(floor(count(*) / 375.0) AS BIGINT)) AS n
+        FROM orders
+    ),
+    edges AS (
+        SELECT DISTINCT o_custkey % (SELECT n FROM params) AS src,
+               o_orderkey % (1 + o_custkey % 12) AS dst
+        FROM orders
+        WHERE o_custkey % (SELECT n FROM params)
+              <> o_orderkey % (1 + o_custkey % 12)
+        UNION
+        SELECT DISTINCT o_custkey % (SELECT n FROM params) AS src,
+               (o_custkey % (SELECT n FROM params) + 1)
+               % (SELECT n FROM params) AS dst
+        FROM orders
+    ),
+    outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    seeds AS (SELECT id FROM nodes WHERE id % 150 = 0),
+    ns AS (SELECT count(*) AS cnt FROM seeds),
+    r0 AS (
+        SELECT n.id,
+               CASE WHEN s.id IS NOT NULL
+                    THEN CAST(floor(1000000.0 / (SELECT cnt FROM ns)) AS BIGINT)
+                    ELSE 0L END AS r
+        FROM nodes n LEFT JOIN seeds s ON s.id = n.id
+    ),"""
+    for k in (1, 2, 3):
+        sql += f"""
+    r{k} AS (
+        SELECT nodes.id,
+               CASE WHEN s.id IS NOT NULL
+                    THEN CAST(round(150000.0 / (SELECT cnt FROM ns)) AS BIGINT)
+                    ELSE 0L END
+               + CAST(floor(coalesce(sum(
+                     CAST(floor(r{k - 1}.r * 1000.0 / outdeg.d) AS BIGINT)), 0)
+                     * 85 / 100000.0) AS BIGINT) AS r
+        FROM nodes
+        LEFT JOIN seeds s ON s.id = nodes.id
+        LEFT JOIN edges ON edges.dst = nodes.id
+        LEFT JOIN r{k - 1} ON r{k - 1}.id = edges.src
+        LEFT JOIN outdeg ON outdeg.src = edges.src
+        GROUP BY nodes.id, s.id, (SELECT cnt FROM ns)
+    ),"""
+    sql += """
+    ranked AS (
+        SELECT id AS node_id, r AS rank_micro,
+               row_number() OVER (ORDER BY r DESC, id) AS rk
+        FROM r3
+    )
+    SELECT node_id, rank_micro, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 100 OR node_id % 150 = 0
+    ORDER BY rk
+    """
+    if div == "duckdb":
+        sql = sql.replace("0L ", "0 ").replace("ELSE 0L END", "ELSE 0 END")
+    return sql
+
+
+_sql_query(
+    "graph_personalized_pagerank",
+    _ppr_sql("spark"),
+    oracle=_ppr_sql("duckdb"),
+    tags=("pipeline", "graph", "pagerank"),
+    doc="Personalized PageRank (damping 0.85, 3 unrolled rounds, seed-set "
+    "teleport at id % 150 == 0): rank measures proximity to the seeds — "
+    "the related-items/trust-propagation variant; one edge-join + "
+    "dst-groupBy per round, bounded seed broadcast, floor-quantized "
+    "exact-integer contributions identical in both engines.",
+)

@@ -760,6 +760,52 @@ def test_bpe_round_survives_fully_merged_words(spark):
     assert r2[4] in ("·xy··z·", "·x··yz·")
 
 
+def test_personalized_pagerank_concentrates_on_seeds(spark):
+    """PPR semantics: teleport mass returns to the seed set, so seeds
+    must outrank the non-seed average, and the global top-1 must be a
+    seed on this web (hubs only collect 0.85-damped flow)."""
+    rows = registry.get("graph_personalized_pagerank").build(spark, SF_DIR).collect()
+    seeds = [r for r in rows if r.node_id % 150 == 0]
+    non = [r for r in rows if r.node_id % 150 != 0]
+    assert seeds and non
+    # every seed holds at least its own teleport mass (floor of the split)
+    import math
+
+    base = math.floor(150000 / len(seeds)) if len(seeds) else 0
+    assert all(r.rank_micro >= base for r in seeds)
+    # seeds dominate on average (hubs may individually outrank a seed —
+    # they collect the 0.85-damped flow the seeds emit — but the teleport
+    # anchors the seed set far above the non-seed mean)
+    mean_seed = sum(r.rank_micro for r in seeds) / len(seeds)
+    mean_non = sum(r.rank_micro for r in non) / len(non)
+    assert mean_seed > 3 * mean_non
+
+
+def test_silhouette_matches_numpy_recomputation(spark):
+    """Recompute the simplified silhouette report with numpy int64 over
+    the raw embeddings and compare every emitted integer."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    rows = registry.get("cluster_silhouette_eval").build(spark, SF_DIR).collect()
+    tbl = pq.read_table(SF_DIR + "/embeddings.parquet").to_pylist()
+    q = {t["vec_id"]: np.floor(np.array(t["embedding"], dtype=np.float64) * 1000 + 0.5).astype(np.int64) + 2000 for t in tbl}
+    lab = {t["vec_id"]: t["label"] for t in tbl}
+    cents = {}
+    for lb in set(lab.values()):
+        mem = np.stack([q[v] for v in q if lab[v] == lb])
+        cents[lb] = (1000 * mem.sum(axis=0)) // len(mem)
+    rep = {}
+    for v in q:
+        d2 = {lb: int(((q[v] * 1000 - c) ** 2).sum()) for lb, c in cents.items()}
+        a = d2[lab[v]]
+        b = min(val for lb, val in d2.items() if lb != lab[v])
+        n, sm, ss, w = rep.get(lab[v], (0, 0, 0, 0))
+        rep[lab[v]] = (n + 1, sm + (b - a), ss + max(a, b), w + (1 if b > a else 0))
+    for r in rows:
+        assert rep[r.label] == (r.n_points, r.sum_margin, r.sum_scale, r.n_well_assigned)
+
+
 def test_multiprobe_recall_dominates_single_probe(spark):
     """nprobe=2's candidate set is a superset of nprobe=1's, and anything
     that displaces a ground-truth neighbor from a top-3 must itself be
