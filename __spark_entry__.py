@@ -49,7 +49,7 @@ PRIORITY: tuple[str, ...] = (
     "sim_centroid_drift_monitor",
     "source_parquet_schema_evolution",
     "text_feature_hashing",
-    # (1b) r8-added operators (6) — each pre-verified EXACT under
+    # (1b) r8-added operators (8) — each pre-verified EXACT under
     # driver_sim --vanilla at sf0.01 AND sf0.1 at commit time
     "dedup_edit_distance",
     "dedup_cluster_assignment",
@@ -57,10 +57,13 @@ PRIORITY: tuple[str, ...] = (
     "text_bpe_encode",
     "scale_data_profile",
     "sim_matryoshka_eval",
-    # (2) stalest driver rows: r1-era (37 of 41; agg_any_value,
-    # agg_collect, events_hopping_window, fn_conditional and the two
-    # r2-era picks yielded their slots to block (1b) — their code paths
-    # are exercised by sibling window entries and they rotate in r9)
+    "cluster_silhouette_eval",
+    "graph_personalized_pagerank",
+    # (2) stalest driver rows: r1-era (35 of 41; agg_any_value,
+    # agg_collect, events_hopping_window, fn_conditional, distinct_limit,
+    # fn_hash and the two r2-era picks yielded their slots to block (1b)
+    # — their code paths are exercised by sibling window entries or by
+    # golden-vector pytests (fn_hash), and they rotate in r9)
     "agg_basic",
     "agg_bool_bitwise",
     "agg_corr_regr",
@@ -79,7 +82,6 @@ PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
-    "distinct_limit",
     "events_asof_join",
     "events_json_props",
     "events_streaming_sessions",
@@ -89,7 +91,6 @@ PRIORITY: tuple[str, ...] = (
     "fn_bitwise",
     "fn_datetime",
     "fn_datetime_presto_formats",
-    "fn_hash",
     "fn_higher_order",
     "fn_json",
     "fn_map",
