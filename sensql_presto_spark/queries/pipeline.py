@@ -8155,3 +8155,133 @@ _sql_query(
     "dst-groupBy per round, bounded seed broadcast, floor-quantized "
     "exact-integer contributions identical in both engines.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-relevance feedback (Rocchio-style query expansion over BM25)
+# ---------------------------------------------------------------------------
+# The classic recall lever in lexical retrieval (Rocchio 1971; standard
+# in Lucene/Terrier as "RM3-lite"): run the query, assume the top
+# results are relevant, mine their highest-tf-idf terms, expand the
+# query, and re-rank.  Both BM25 passes reuse text_bm25_topk's
+# exact-integer rational scoring verbatim (same k1/b/Lucene-idf; the idf
+# numerator ln((2n+2)/(2df+1)) is provably positive since df <= n, so no
+# negative value ever meets integer division); expansion terms are
+# scored by sum(tf * idf_micro) over each query's top-3 round-1 docs —
+# positive integer sums, no division at all — and the top-2 non-query
+# terms expand the term set.  Scale shape: the posting list and doc
+# lengths are materialized ONCE and feed both passes (zero re-tokenize);
+# each pass is the same bounded qterms-join + map-side-combined
+# (query, doc) rollup + WindowGroupLimit top-k as text_bm25_topk; the
+# expansion mine touches only top-3 x queries posting rows.
+_PRF_MAIN_SQL = """
+    WITH tot AS (SELECT count(*) AS n, cast(sum(dl) AS BIGINT) AS s FROM {D}),
+    df AS (SELECT term, count(*) AS df FROM {P} GROUP BY term),
+    idf AS (
+        SELECT term, df,
+               cast(floor(ln((2 * (SELECT n FROM tot) + 2) / (2.0 * df + 1))
+                          * 1000000 + 0.5) AS BIGINT) AS idf_micro
+        FROM df
+    ),
+    qterms AS (
+        SELECT cast(ceil(rk / 2.0) AS INT) AS query_id, term, df
+        FROM (SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS rk FROM df)
+        WHERE rk <= 6
+    ),
+    contrib1 AS (
+        SELECT q.query_id, p.doc_id,
+               (cast(floor(ln((2 * t.n + 2) / (2.0 * q.df + 1)) * 1000000 + 0.5) AS BIGINT)
+                 * (22 * p.tf * t.s))
+               {DIV} (10 * t.s * p.tf + 3 * t.s + 9 * t.n * d.dl) AS c_micro
+        FROM {P} p
+        JOIN qterms q ON p.term = q.term
+        JOIN {D} d ON p.doc_id = d.doc_id
+        CROSS JOIN tot t
+    ),
+    r1 AS (
+        SELECT query_id, doc_id FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sum(c_micro) DESC, doc_id) AS rk
+            FROM contrib1 GROUP BY query_id, doc_id
+        ) z WHERE rk <= 3
+    ),
+    expcand AS (
+        SELECT r.query_id, p.term, sum(p.tf * i.idf_micro) AS escore
+        FROM r1 r
+        JOIN {P} p ON p.doc_id = r.doc_id
+        JOIN idf i ON i.term = p.term
+        LEFT JOIN qterms q ON q.query_id = r.query_id AND q.term = p.term
+        WHERE q.term IS NULL
+        GROUP BY r.query_id, p.term
+    ),
+    expn AS (
+        SELECT query_id, term,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY escore DESC, term) AS erk
+        FROM expcand
+    ),
+    qterms2 AS (
+        SELECT query_id, term, df FROM qterms
+        UNION ALL
+        SELECT e.query_id, e.term, d.df
+        FROM expn e JOIN df d ON d.term = e.term WHERE e.erk <= 2
+    ),
+    contrib2 AS (
+        SELECT q.query_id, p.doc_id,
+               (cast(floor(ln((2 * t.n + 2) / (2.0 * q.df + 1)) * 1000000 + 0.5) AS BIGINT)
+                 * (22 * p.tf * t.s))
+               {DIV} (10 * t.s * p.tf + 3 * t.s + 9 * t.n * d.dl) AS c_micro
+        FROM {P} p
+        JOIN qterms2 q ON p.term = q.term
+        JOIN {D} d ON p.doc_id = d.doc_id
+        CROSS JOIN tot t
+    ),
+    ranked2 AS (
+        SELECT query_id, doc_id, bm25_micro,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY bm25_micro DESC, doc_id) AS rk
+        FROM (SELECT query_id, doc_id, cast(sum(c_micro) AS BIGINT) AS bm25_micro
+              FROM contrib2 GROUP BY query_id, doc_id) z
+    )
+    SELECT r.query_id, CAST(r.rk AS BIGINT) AS rk, r.doc_id,
+           r.bm25_micro AS bm25_prf_micro,
+           e1.term AS exp_term1, e2.term AS exp_term2
+    FROM ranked2 r
+    JOIN expn e1 ON e1.query_id = r.query_id AND e1.erk = 1
+    JOIN expn e2 ON e2.query_id = r.query_id AND e2.erk = 2
+    WHERE r.rk <= 5
+    ORDER BY r.query_id, r.rk
+"""
+
+_PRF_DUCK_PREFIX = """
+    WITH posting AS MATERIALIZED (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY doc_id, term
+    ),
+    doclen AS MATERIALIZED (
+        SELECT doc_id, cast(sum(tf) AS BIGINT) AS dl FROM posting GROUP BY doc_id
+    ),
+"""
+
+
+@register(
+    "sim_query_expansion_prf",
+    oracle=_PRF_DUCK_PREFIX
+    + _PRF_MAIN_SQL.format(P="posting", D="doclen", DIV="//").lstrip().removeprefix("WITH"),
+    tags=("pipeline", "text", "retrieval"),
+    doc="Pseudo-relevance feedback: BM25 pass 1 -> top-3 docs assumed "
+    "relevant -> top-2 tf-idf expansion terms (positive integer sums, "
+    "no division) -> expanded BM25 pass 2 -> top-5; posting list and "
+    "doc lengths materialized once feed both passes, every score the "
+    "same exact-integer rational as text_bm25_topk.",
+)
+def sim_query_expansion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    posting = catalog.sql(spark, sf_dir, _BM25_POSTING_SQL).localCheckpoint(eager=True)
+    posting.createOrReplaceTempView("__prf_posting")
+    doclen = spark.sql(
+        "SELECT doc_id, sum(tf) AS dl FROM __prf_posting GROUP BY doc_id"
+    ).localCheckpoint(eager=True)
+    doclen.createOrReplaceTempView("__prf_doclen")
+    return spark.sql(_PRF_MAIN_SQL.format(P="__prf_posting", D="__prf_doclen", DIV="DIV"))

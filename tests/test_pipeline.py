@@ -760,6 +760,34 @@ def test_bpe_round_survives_fully_merged_words(spark):
     assert r2[4] in ("·xy··z·", "·x··yz·")
 
 
+def test_prf_expansion_terms_are_new_and_mined_from_top_docs(spark):
+    """The two expansion terms per query must not be original query terms
+    (the 6 highest-df corpus terms, paired 2-per-query), and each must
+    actually occur in at least one of that query's round-1 top-3 docs."""
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    rows = registry.get("sim_query_expansion_prf").build(spark, SF_DIR).collect()
+    assert {r.query_id for r in rows} == {1, 2, 3}
+    assert all(sum(1 for r in rows if r.query_id == q) == 5 for q in (1, 2, 3))
+
+    docs = pq.read_table(SF_DIR + "/documents.parquet", columns=["doc_id", "text"]).to_pylist()
+    df = Counter()
+    for d in docs:
+        df.update(set(d["text"].split(" ")))
+    top6 = [t for t, _ in sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:6]]
+    qterms = {1: set(top6[0:2]), 2: set(top6[2:4]), 3: set(top6[4:6])}
+    bm25 = {}
+    for r in registry.get("text_bm25_topk").build(spark, SF_DIR).collect():
+        if r.rk <= 3:
+            bm25.setdefault(r.query_id, set()).add(r.doc_id)
+    text_by_id = {d["doc_id"]: set(d["text"].split(" ")) for d in docs}
+    for r in rows:
+        for term in (r.exp_term1, r.exp_term2):
+            assert term not in qterms[r.query_id]
+            assert any(term in text_by_id[d] for d in bm25[r.query_id])
+
+
 def test_personalized_pagerank_concentrates_on_seeds(spark):
     """PPR semantics: teleport mass returns to the seed set, so seeds
     must outrank the non-seed average, and the global top-1 must be a
