@@ -49,7 +49,7 @@ PRIORITY: tuple[str, ...] = (
     "sim_centroid_drift_monitor",
     "source_parquet_schema_evolution",
     "text_feature_hashing",
-    # (1b) r8-added operators (8) — each pre-verified EXACT under
+    # (1b) r8-added operators (9) — each pre-verified EXACT under
     # driver_sim --vanilla at sf0.01 AND sf0.1 at commit time
     "dedup_edit_distance",
     "dedup_cluster_assignment",
@@ -59,11 +59,13 @@ PRIORITY: tuple[str, ...] = (
     "sim_matryoshka_eval",
     "cluster_silhouette_eval",
     "graph_personalized_pagerank",
-    # (2) stalest driver rows: r1-era (35 of 41; agg_any_value,
-    # agg_collect, events_hopping_window, fn_conditional, distinct_limit,
-    # fn_hash and the two r2-era picks yielded their slots to block (1b)
-    # — their code paths are exercised by sibling window entries or by
-    # golden-vector pytests (fn_hash), and they rotate in r9)
+    "sim_query_expansion_prf",
+    # (2) stalest driver rows: r1-era (34 of 41; agg_any_value,
+    # agg_collect, agg_top_n_values, events_hopping_window,
+    # fn_conditional, distinct_limit, fn_hash and the two r2-era picks
+    # yielded their slots to block (1b) — their code paths are exercised
+    # by sibling window entries or by golden-vector pytests (fn_hash),
+    # and they rotate in r9)
     "agg_basic",
     "agg_bool_bitwise",
     "agg_corr_regr",
@@ -75,7 +77,6 @@ PRIORITY: tuple[str, ...] = (
     "agg_percentile_exact",
     "agg_reduce",
     "agg_reservoir_sample",
-    "agg_top_n_values",
     "cube_orders",
     "dedup_embedding_cosine",
     "dedup_exact",
