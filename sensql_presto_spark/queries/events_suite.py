@@ -988,3 +988,66 @@ _sql_query(
     "rollup; seconds by integer floor of micros (DuckDB epoch()::BIGINT "
     "rounds, Spark cast truncates — the floor sidesteps both).",
 )
+
+
+# --- trending leaderboard: hourly top-3 event types with rank deltas -------
+#
+# The stream-analytics staple ("what's trending this hour, and is it
+# rising?"): per tumbling hour, rank event types by count, keep the top
+# 3, and attach each type's rank in the PREVIOUS hour plus the delta —
+# the row a dashboard's movers widget renders.  Scale shape: ONE
+# (window, type) map-side-combined count aggregate over the corpus, a
+# per-window rank over the type-cardinality-bounded counts, and a
+# self-join on (type, window - 1h), which is exchange-reusable with the
+# rank's own partitioning; prev_rank joins BEFORE the top-3 filter so a
+# type entering the leaderboard still reports where it came from.
+_sql_query(
+    "events_trending_topk",
+    """
+    WITH wc AS (
+        SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    rk AS (
+        SELECT win_start, event_type, n,
+               row_number() OVER (PARTITION BY win_start
+                                  ORDER BY n DESC, event_type) AS rk
+        FROM wc
+    )
+    SELECT c.win_start, c.event_type, CAST(c.n AS BIGINT) AS n,
+           CAST(c.rk AS BIGINT) AS rk,
+           CAST(p.rk AS BIGINT) AS prev_rk,
+           CAST(p.rk - c.rk AS BIGINT) AS delta
+    FROM rk c
+    LEFT JOIN rk p ON p.event_type = c.event_type
+                  AND p.win_start = c.win_start - INTERVAL 1 HOUR
+    WHERE c.rk <= 3
+    ORDER BY c.win_start, c.rk
+    """,
+    oracle="""
+    WITH wc AS (
+        SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    rk AS (
+        SELECT win_start, event_type, n,
+               row_number() OVER (PARTITION BY win_start
+                                  ORDER BY n DESC, event_type) AS rk
+        FROM wc
+    )
+    SELECT c.win_start, c.event_type, CAST(c.n AS BIGINT) AS n,
+           CAST(c.rk AS BIGINT) AS rk,
+           CAST(p.rk AS BIGINT) AS prev_rk,
+           CAST(p.rk - c.rk AS BIGINT) AS delta
+    FROM rk c
+    LEFT JOIN rk p ON p.event_type = c.event_type
+                  AND p.win_start = c.win_start - INTERVAL 1 HOUR
+    WHERE c.rk <= 3
+    ORDER BY c.win_start, c.rk
+    """,
+    tags=("events", "window", "trending"),
+    doc="Hourly trending leaderboard: per tumbling hour the top-3 event "
+    "types by count with previous-hour rank and delta; one map-side-"
+    "combined (window, type) count, a cardinality-bounded rank window, "
+    "and a (type, window-1h) self-join that reuses the rank exchange.",
+)

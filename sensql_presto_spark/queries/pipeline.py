@@ -8285,3 +8285,74 @@ def sim_query_expansion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     doclen.createOrReplaceTempView("__prf_doclen")
     return spark.sql(_PRF_MAIN_SQL.format(P="__prf_posting", D="__prf_doclen", DIV="DIV"))
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal k-NN pairs (mutual best-match filtering)
+# ---------------------------------------------------------------------------
+# A is near B's top-k does NOT mean B is near A's — hubness makes
+# popular vectors everyone's neighbor while their own lists hold only
+# other hubs.  Mutual (reciprocal) k-NN — keep the pair only when each
+# side appears in the other's top-k — is the standard high-precision
+# filter built on that asymmetry (bitext mining's margin criterion,
+# reciprocal-rank matching in entity alignment, mutual-kNN graph
+# clustering all use it).  This op composes the scale-adaptive
+# sim_knn_join (checkpointed corpus, LSH-blocked, WindowGroupLimit
+# top-3) with ONE equi-self-join on the (src, nbr) = (nbr, src) key
+# pair; output carries both directions' ranks and similarity keys (the
+# sim key is norm-asymmetric by construction).  Candidate volume is
+# O(n x k) rows into an equi-join — never re-scoring, never O(n²).
+def _reciprocal_oracle() -> str:
+    from sensql_presto_spark.queries.registry import get
+
+    return f"""
+    WITH knn AS MATERIALIZED ({get("sim_knn_join").oracle}),
+    m AS (
+        SELECT a.vec_id AS vec_a, a.neighbor_id AS vec_b,
+               a.rk AS rk_ab, b.rk AS rk_ba,
+               a.sim_key AS sim_ab, b.sim_key AS sim_ba
+        FROM knn a JOIN knn b
+          ON b.vec_id = a.neighbor_id AND b.neighbor_id = a.vec_id
+        WHERE a.vec_id < a.neighbor_id
+    )
+    SELECT CAST(vec_a AS BIGINT) AS vec_a, CAST(vec_b AS BIGINT) AS vec_b,
+           CAST(rk_ab AS BIGINT) AS rk_ab, CAST(rk_ba AS BIGINT) AS rk_ba,
+           CAST(sim_ab AS BIGINT) AS sim_ab, CAST(sim_ba AS BIGINT) AS sim_ba
+    FROM m ORDER BY vec_a, vec_b
+    """
+
+
+@register(
+    "sim_reciprocal_nn_pairs",
+    oracle=_reciprocal_oracle(),
+    tags=("pipeline", "similarity"),
+    doc="Mutual k-NN pairs: keep (a, b) only when each appears in the "
+    "other's top-3 (the hubness-robust high-precision match filter); "
+    "ONE equi-self-join over sim_knn_join's O(n x k) output with both "
+    "directions' ranks and norm-asymmetric sim keys emitted.",
+)
+def sim_reciprocal_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensql_presto_spark.queries.registry import get
+
+    # both join sides read the same top-k relation: materialize it once
+    # (without this, Spark's two plan branches would re-run the whole
+    # blocked self-join + rank twice — the CTE-reuse discipline)
+    knn = get("sim_knn_join").build(spark, sf_dir).localCheckpoint(eager=True)
+    a = knn.select(
+        F.col("vec_id").alias("vec_a"), F.col("neighbor_id").alias("vec_b"),
+        F.col("rk").alias("rk_ab"), F.col("sim_key").alias("sim_ab"),
+    )
+    b = knn.select(
+        F.col("neighbor_id").alias("vec_a"), F.col("vec_id").alias("vec_b"),
+        F.col("rk").alias("rk_ba"), F.col("sim_key").alias("sim_ba"),
+    )
+    return (
+        a.join(b, ["vec_a", "vec_b"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            F.col("vec_a").cast("long"), F.col("vec_b").cast("long"),
+            F.col("rk_ab").cast("long"), F.col("rk_ba").cast("long"),
+            F.col("sim_ab").cast("long"), F.col("sim_ba").cast("long"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from sensql_presto_spark import catalog
 from sensql_presto_spark.queries.registry import register
+from sensql_presto_spark.queries.relational import _sql_query
 
 _DIR = "spark-warehouse"
 
@@ -842,3 +843,76 @@ def source_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("c_name").cast("string"),
         F.col("c_acctbal").cast("double"),
     ).orderBy("c_custkey")
+
+
+# --- corrupt-record-tolerant JSON ingestion audit ---------------------------
+#
+# Real feeds are dirty; Spark's JSON source defaults to PERMISSIVE mode
+# (bad records land in _corrupt_record instead of failing the job), and
+# every ingestion pipeline fronts that with an audit: how many records
+# parsed, how many are corrupt, what did we recover.  This op models
+# that contract at the SQL layer so the audit itself is oracle-checkable
+# (a malformed FILE read cannot be replayed identically in DuckDB): a
+# deterministic JSON feed derived from customer, every 7th record
+# truncated mid-string, parsed with NULL-on-malformed semantics —
+# get_json_object in Spark, json_valid-guarded json_extract_string in
+# DuckDB (DuckDB's bare json_extract RAISES on malformed input; the
+# guard is the PERMISSIVE stand-in).  One scan, one map-side-combined
+# groupBy on the recovered segment with corrupt records bucketed under
+# a sentinel.
+_sql_query(
+    "source_json_corrupt_audit",
+    """
+    WITH raw AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN substring(j, 1, length(j) - 3)
+                    ELSE j END AS line
+        FROM (SELECT c_custkey,
+                     concat('{"k":', CAST(c_custkey AS STRING),
+                            ',"seg":"', c_mktsegment, '"}') AS j
+              FROM customer)
+    ),
+    parsed AS (
+        SELECT c_custkey,
+               get_json_object(line, '$.seg') AS seg,
+               get_json_object(line, '$.k') AS k
+        FROM raw
+    )
+    SELECT coalesce(seg, '__CORRUPT__') AS segment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(k) AS BIGINT) AS k_recovered,
+           CAST(min(c_custkey) AS BIGINT) AS min_key,
+           CAST(max(c_custkey) AS BIGINT) AS max_key
+    FROM parsed GROUP BY 1 ORDER BY segment
+    """,
+    oracle="""
+    WITH raw AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN substring(j, 1, length(j) - 3)
+                    ELSE j END AS line
+        FROM (SELECT c_custkey,
+                     '{"k":' || CAST(c_custkey AS VARCHAR)
+                     || ',"seg":"' || c_mktsegment || '"}' AS j
+              FROM customer)
+    ),
+    parsed AS (
+        SELECT c_custkey,
+               CASE WHEN json_valid(line)
+                    THEN json_extract_string(line, '$.seg') END AS seg,
+               CASE WHEN json_valid(line)
+                    THEN json_extract_string(line, '$.k') END AS k
+        FROM raw
+    )
+    SELECT coalesce(seg, '__CORRUPT__') AS segment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(k) AS BIGINT) AS k_recovered,
+           CAST(min(c_custkey) AS BIGINT) AS min_key,
+           CAST(max(c_custkey) AS BIGINT) AS max_key
+    FROM parsed GROUP BY 1 ORDER BY segment
+    """,
+    tags=("sources", "json", "quality"),
+    doc="PERMISSIVE-ingestion audit: deterministic JSON feed with every "
+    "7th record truncated mid-string, parsed with NULL-on-malformed "
+    "semantics and rolled up per recovered segment with a __CORRUPT__ "
+    "sentinel bucket — one scan, one map-side-combined groupBy.",
+)

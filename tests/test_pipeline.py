@@ -760,6 +760,39 @@ def test_bpe_round_survives_fully_merged_words(spark):
     assert r2[4] in ("·xy··z·", "·x··yz·")
 
 
+def test_reciprocal_pairs_are_mutual_and_strict_subset(spark):
+    """Every reciprocal pair must appear in BOTH directions of the k-NN
+    lists, and hubness must make the reciprocal set strictly smaller than
+    the unordered candidate-pair set."""
+    knn = {(r.vec_id, r.neighbor_id): r.rk for r in registry.get("sim_knn_join").build(spark, SF_DIR).collect()}
+    rec = registry.get("sim_reciprocal_nn_pairs").build(spark, SF_DIR).collect()
+    assert rec
+    for r in rec:
+        assert knn[(r.vec_a, r.vec_b)] == r.rk_ab
+        assert knn[(r.vec_b, r.vec_a)] == r.rk_ba
+    unordered = {(min(a, b), max(a, b)) for a, b in knn}
+    assert len(rec) < len(unordered), "mutual filter must actually filter"
+
+
+def test_trending_ranks_are_complete_per_window(spark):
+    """Each emitted hour carries ranks 1..3 exactly once, counts are
+    non-increasing with rank, and delta == prev_rk - rk where present."""
+    rows = registry.get("events_trending_topk").build(spark, SF_DIR).collect()
+    from collections import defaultdict
+
+    byw = defaultdict(list)
+    for r in rows:
+        byw[r.win_start].append(r)
+    assert len(byw) > 24
+    for w, rs in byw.items():
+        rs.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rs] == [1, 2, 3]
+        assert rs[0].n >= rs[1].n >= rs[2].n
+        for r in rs:
+            if r.prev_rk is not None:
+                assert r.delta == r.prev_rk - r.rk
+
+
 def test_prf_expansion_terms_are_new_and_mined_from_top_docs(spark):
     """The two expansion terms per query must not be original query terms
     (the 6 highest-df corpus terms, paired 2-per-query), and each must
