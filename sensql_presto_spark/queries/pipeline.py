@@ -7522,6 +7522,7 @@ def _cluster_assignment_oracle() -> str:
     "dedup_cluster_assignment",
     oracle=_cluster_assignment_oracle(),
     tags=("pipeline", "dedup"),
+    bench=True,
     doc="Near-dup cluster assignment: verified prefix-filter Jaccard "
     "pairs (>= 0.9) -> connected components via min-label propagation "
     "over checkpointed edges (one edge-keyed shuffle per round, "
@@ -8271,6 +8272,7 @@ _PRF_DUCK_PREFIX = """
     oracle=_PRF_DUCK_PREFIX
     + _PRF_MAIN_SQL.format(P="posting", D="doclen", DIV="//").lstrip().removeprefix("WITH"),
     tags=("pipeline", "text", "retrieval"),
+    bench=True,
     doc="Pseudo-relevance feedback: BM25 pass 1 -> top-3 docs assumed "
     "relevant -> top-2 tf-idf expansion terms (positive integer sums, "
     "no division) -> expanded BM25 pass 2 -> top-5; posting list and "
