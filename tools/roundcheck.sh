@@ -18,16 +18,10 @@ if [[ "${1:-}" != "--fast" ]]; then
 fi
 
 echo "== full-registry sweep (sf0.01 exact-hash) =="
-# capture the list first and fail loudly if it is empty — a silent import
-# failure must not degrade the "full sweep" to the 50-entry default window
-ALL_NAMES=$(python -c \
-    "from sensql_presto_spark.queries import all_specs; print(' '.join(sorted(all_specs())))" \
-    2>/dev/null | tail -1)
-if [[ -z "$ALL_NAMES" ]]; then
-    echo "FATAL: could not enumerate the registry (import failure?)" >&2
-    exit 1
-fi
-python tools/driver_sim.py $ALL_NAMES
+# --all enumerates the registry inside driver_sim (fails loudly on an
+# import error); set ROUNDCHECK_SWEEP_JSON to also emit the
+# machine-checkable SWEEP artifact (commit hash + per-entry verdicts)
+python tools/driver_sim.py --all ${ROUNDCHECK_SWEEP_JSON:+--json "$ROUNDCHECK_SWEEP_JSON"}
 
 echo "== vanilla priority window (driver simulation) =="
 python tools/driver_sim.py --vanilla
