@@ -80,3 +80,12 @@ def test_join_seeds_agree(spark):
     assert expr_fuzz.run_join_batch(spark, SF, list(range(800, 825))) == []
     assert expr_fuzz.run_join_batch(spark, SF, list(range(825, 850))) == []
     assert expr_fuzz.run_join_batch(spark, SF, list(range(850, 875))) == []
+
+
+def test_text_seeds_agree(spark):
+    """Text-mode fuzz (r8): regex extraction over whitelisted RE2∩Java
+    patterns, pad/truncate, repeat/translate/md5 and LIKE/position
+    branches — the string surface the text operators (winnowing, BPE,
+    pattern match) lean on, differentially checked as strings."""
+    assert expr_fuzz.run_text_batch(spark, SF, list(range(900, 925))) == []
+    assert expr_fuzz.run_text_batch(spark, SF, list(range(925, 950))) == []

@@ -546,3 +546,79 @@ def run_join_batch(spark, sf_dir: str, seeds: list[int]) -> list[str]:
                 f"spark={av[i]!r} duckdb={ev[i]!r}"
             )
     return problems
+
+
+# --- text mode: regex / padding / hashing string shapes --------------------
+#
+# The r7 verdict asked for string/regex-heavy fuzz weight toward the text
+# operators (winnowing grams, BPE merges, pattern-match alphabets).  This
+# mode generates string expressions over a VERIFIED dialect-shared
+# function set: regexp_extract with whitelisted RE2∩Java patterns (no
+# lookaround/backrefs — DuckDB is RE2, Spark is java.util.regex; both
+# return '' on no match for group 0), position(sub IN s), lpad/rpad
+# (pad-or-truncate in both), left/right (n >= 1), repeat, translate with
+# equal-length alphabets (unequal lengths delete in both, but stay
+# conservative), md5 (lowercase hex in both), and LIKE over a
+# metacharacter-free literal charset.  regexp_replace is EXCLUDED by
+# design: DuckDB replaces the first match by default where Spark replaces
+# all.  Outputs compare as strings.
+
+_SAFE_PATTERNS = (
+    "[0-9]+", "[a-z]+", "[A-Z][a-z]+", "Cu[a-z]*", "[aeiou]{2}",
+    "[A-Z]{2,4}", "(er|or|ng)", "[#0-9]+",
+)
+
+
+def _text_expr(g: "_Gen", depth: int) -> str:
+    r = g.rng
+    if depth <= 0:
+        if r.random() < 0.7:
+            return r.choice(_STR_COLS)
+        lit = "".join(r.choice("abcxyz. #") for _ in range(r.randint(1, 5)))
+        return f"'{lit}'"
+    pick = r.random()
+    a = _text_expr(g, depth - 1)
+    if pick < 0.14:
+        return f"regexp_extract({a}, '{r.choice(_SAFE_PATTERNS)}', 0)"
+    if pick < 0.26:
+        fn = r.choice(("lpad", "rpad"))
+        pad = r.choice("._xo")
+        return f"{fn}({a}, {r.randint(1, 15)}, '{pad}')"
+    if pick < 0.38:
+        fn = r.choice(("left", "right"))
+        return f"{fn}({a}, {r.randint(1, 8)})"
+    if pick < 0.46:
+        return f"repeat(substr({a}, 1, {r.randint(1, 3)}), {r.randint(1, 3)})"
+    if pick < 0.56:
+        src = "AEIOUcnr"
+        dst = "aeiouCNR"
+        k = r.randint(2, len(src))
+        return f"translate({a}, '{src[:k]}', '{dst[:k]}')"
+    if pick < 0.64:
+        b = _text_expr(g, depth - 1)
+        return f"({a} || {b})"
+    if pick < 0.72:
+        fn = r.choice(("upper", "lower", "trim", "reverse"))
+        return f"{fn}({a})"
+    if pick < 0.80:
+        needle = "".join(r.choice("abcdexyz#0123") for _ in range(r.randint(1, 3)))
+        return f"(CASE WHEN {a} LIKE '%{needle}%' THEN {_text_expr(g, 0)} ELSE {a} END)"
+    if pick < 0.88:
+        needle = r.choice("aeou#123")
+        b = _text_expr(g, depth - 1)
+        return f"(CASE WHEN position('{needle}' IN {a}) > {r.randint(0, 4)} THEN {a} ELSE {b} END)"
+    return f"md5({a})"
+
+
+def build_text_query(seeds: list[int]) -> str:
+    cols = []
+    for s in seeds:
+        g = _Gen(s)
+        cols.append(f"{_text_expr(g, 3)} AS e{s}")
+    return "SELECT o_orderkey, " + ",\n       ".join(cols) + " FROM (" + _BASE + ") ORDER BY o_orderkey"
+
+
+def run_text_batch(spark, sf_dir: str, seeds: list[int]) -> list[str]:
+    return _run_and_compare(
+        spark, sf_dir, build_text_query(seeds), seeds, "text", text_cols=True
+    )
