@@ -8358,3 +8358,89 @@ def sim_reciprocal_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted exact quantiles (the revenue-weighted percentile)
+# ---------------------------------------------------------------------------
+# Unweighted quantiles answer "what does the median ROW look like";
+# business metrics usually need "what does the median DOLLAR/TOKEN look
+# like" — each value weighted by its mass (revenue-weighted price
+# percentiles, token-weighted document-length percentiles for packing).
+# Same bounded-state reduction as agg_exact_quantiles, with count
+# replaced by an exact-integer weight sum: ONE map-side-combined
+# (measure, value) groupBy collapses the corpus to its value histogram
+# carrying sum(weight), a cumulative window over that cardinality-
+# bounded table, and the weighted type-1 pick min{v : cumW * 1000 >=
+# q * W} — all BIGINT, no division anywhere.
+_sql_query(
+    "agg_weighted_percentile",
+    """
+    WITH m1 AS (SELECT 'lineitem.price_c_by_qty' AS measure,
+                       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS val,
+                       CAST(l_quantity AS BIGINT) AS w
+                FROM lineitem),
+    m2 AS (SELECT 'orders.totalprice_c_by_lines' AS measure,
+                  CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS val,
+                  count(*) AS w
+           FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+           GROUP BY o.o_orderkey, o.o_totalprice),
+    m AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2),
+    hist AS (SELECT measure, val, sum(w) AS wsum FROM m GROUP BY measure, val),
+    cum AS (
+        SELECT measure, val,
+               sum(wsum) OVER (PARTITION BY measure ORDER BY val) AS cum_w,
+               sum(wsum) OVER (PARTITION BY measure) AS tot_w
+        FROM hist
+    ),
+    qs AS (SELECT explode(array(500, 900, 990)) AS q_milli),
+    pick AS (
+        SELECT c.measure, q.q_milli, c.tot_w,
+               min(c.val) AS quantile_value
+        FROM cum c JOIN qs q
+          ON c.cum_w * 1000 >= q.q_milli * c.tot_w
+        GROUP BY c.measure, q.q_milli, c.tot_w
+    )
+    SELECT measure, CAST(q_milli AS BIGINT) AS q_milli,
+           CAST(tot_w AS BIGINT) AS total_weight,
+           CAST(quantile_value AS BIGINT) AS quantile_value
+    FROM pick ORDER BY measure, q_milli
+    """,
+    oracle="""
+    WITH m1 AS (SELECT 'lineitem.price_c_by_qty' AS measure,
+                       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS val,
+                       CAST(l_quantity AS BIGINT) AS w
+                FROM lineitem),
+    m2 AS (SELECT 'orders.totalprice_c_by_lines' AS measure,
+                  CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS val,
+                  count(*) AS w
+           FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+           GROUP BY o.o_orderkey, o.o_totalprice),
+    m AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2),
+    hist AS (SELECT measure, val, sum(w) AS wsum FROM m GROUP BY measure, val),
+    cum AS (
+        SELECT measure, val,
+               sum(wsum) OVER (PARTITION BY measure ORDER BY val) AS cum_w,
+               sum(wsum) OVER (PARTITION BY measure) AS tot_w
+        FROM hist
+    ),
+    qs AS (SELECT unnest([500, 900, 990]) AS q_milli),
+    pick AS (
+        SELECT c.measure, q.q_milli, c.tot_w,
+               min(c.val) AS quantile_value
+        FROM cum c JOIN qs q
+          ON c.cum_w * 1000 >= q.q_milli * c.tot_w
+        GROUP BY c.measure, q.q_milli, c.tot_w
+    )
+    SELECT measure, CAST(q_milli AS BIGINT) AS q_milli,
+           CAST(tot_w AS BIGINT) AS total_weight,
+           CAST(quantile_value AS BIGINT) AS quantile_value
+    FROM pick ORDER BY measure, q_milli
+    """,
+    tags=("pipeline", "aggregates", "quantiles"),
+    doc="Weighted exact p50/p90/p99 (revenue-weighted percentile): the "
+    "agg_exact_quantiles histogram reduction with count replaced by an "
+    "exact-integer weight sum — one (measure, value) groupBy, a "
+    "cardinality-bounded cumulative window, weighted type-1 pick, no "
+    "division anywhere.",
+)

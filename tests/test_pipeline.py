@@ -760,6 +760,35 @@ def test_bpe_round_survives_fully_merged_words(spark):
     assert r2[4] in ("·xy··z·", "·x··yz·")
 
 
+def test_weighted_percentile_matches_numpy_expansion(spark):
+    """The weighted type-1 quantile must equal the unweighted type-1
+    quantile of the weight-expanded multiset (the defining property)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    rows = registry.get("agg_weighted_percentile").build(spark, SF_DIR).collect()
+    got = {(r.measure, r.q_milli): (r.total_weight, r.quantile_value) for r in rows}
+
+    li = pq.read_table(
+        SF_DIR + "/lineitem.parquet", columns=["l_extendedprice", "l_quantity"]
+    ).to_pylist()
+    pairs = sorted(
+        (int(math.floor(r["l_extendedprice"] * 100 + 0.5)), int(r["l_quantity"])) for r in li
+    )
+    W = sum(w for _, w in pairs)
+    for qm in (500, 900, 990):
+        thresh = qm * W  # pick min val with cum_w * 1000 >= qm * W
+        cum = 0
+        for v, w in pairs:
+            cum += w
+            if cum * 1000 >= thresh:
+                expect = v
+                break
+        tw, qv = got[("lineitem.price_c_by_qty", qm)]
+        assert tw == W and qv == expect, (qm, tw, qv, W, expect)
+
+
 def test_reciprocal_pairs_are_mutual_and_strict_subset(spark):
     """Every reciprocal pair must appear in BOTH directions of the k-NN
     lists, and hubness must make the reciprocal set strictly smaller than
