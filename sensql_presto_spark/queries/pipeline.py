@@ -8444,3 +8444,241 @@ _sql_query(
     "cardinality-bounded cumulative window, weighted type-1 pick, no "
     "division anywhere.",
 )
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-N overlap eval (summarization / paraphrase data-quality metric)
+# ---------------------------------------------------------------------------
+# Training-data pipelines for summarization/paraphrase tasks gate pairs
+# on n-gram overlap with the reference — ROUGE-N (Lin 2004), here the
+# distinct-n-gram ("set") variant both engines compute identically:
+# recall_bp = |distinct n-grams(cand) ∩ distinct n-grams(ref)| * 10000
+# DIV |distinct n-grams(ref)|, for N = 1 and 2.  Pairing is
+# deterministic (candidate doc d vs reference doc d+100, d < 100).
+# Scale shape: tokenize once per side, ONE equi-join per N on the
+# n-gram value keyed by pair, two map-side-combined rollups; positive
+# integers only ever meet DIV.
+_sql_query(
+    "text_rouge_overlap",
+    """
+    WITH cand AS (SELECT doc_id AS pid, split(text, ' ') AS t FROM documents WHERE doc_id < 100),
+    ref AS (SELECT doc_id - 100 AS pid, split(text, ' ') AS t FROM documents
+            WHERE doc_id >= 100 AND doc_id < 200),
+    c1 AS (SELECT DISTINCT pid, explode(t) AS g FROM cand),
+    r1 AS (SELECT DISTINCT pid, explode(t) AS g FROM ref),
+    c2 AS (SELECT DISTINCT pid, explode(transform(sequence(0, size(t) - 2),
+               i -> concat(t[i], ' ', t[i + 1]))) AS g FROM cand WHERE size(t) >= 2),
+    r2 AS (SELECT DISTINCT pid, explode(transform(sequence(0, size(t) - 2),
+               i -> concat(t[i], ' ', t[i + 1]))) AS g FROM ref WHERE size(t) >= 2),
+    o1 AS (SELECT c1.pid, count(*) AS ov FROM c1 JOIN r1 ON r1.pid = c1.pid AND r1.g = c1.g
+           GROUP BY c1.pid),
+    o2 AS (SELECT c2.pid, count(*) AS ov FROM c2 JOIN r2 ON r2.pid = c2.pid AND r2.g = c2.g
+           GROUP BY c2.pid),
+    s1 AS (SELECT pid, count(*) AS n FROM r1 GROUP BY pid),
+    s2 AS (SELECT pid, count(*) AS n FROM r2 GROUP BY pid)
+    SELECT s1.pid AS pair_id,
+           CAST(coalesce(o1.ov, 0) AS BIGINT) AS r1_overlap,
+           CAST(s1.n AS BIGINT) AS r1_ref_size,
+           CAST((coalesce(o1.ov, 0) * 10000) DIV s1.n AS BIGINT) AS rouge1_bp,
+           CAST(coalesce(o2.ov, 0) AS BIGINT) AS r2_overlap,
+           CAST(s2.n AS BIGINT) AS r2_ref_size,
+           CAST((coalesce(o2.ov, 0) * 10000) DIV s2.n AS BIGINT) AS rouge2_bp
+    FROM s1 JOIN s2 ON s2.pid = s1.pid
+    LEFT JOIN o1 ON o1.pid = s1.pid
+    LEFT JOIN o2 ON o2.pid = s1.pid
+    ORDER BY pair_id
+    """,
+    oracle="""
+    WITH cand AS (SELECT doc_id AS pid, string_split(text, ' ') AS t FROM documents WHERE doc_id < 100),
+    ref AS (SELECT doc_id - 100 AS pid, string_split(text, ' ') AS t FROM documents
+            WHERE doc_id >= 100 AND doc_id < 200),
+    c1 AS (SELECT DISTINCT pid, unnest(t) AS g FROM cand),
+    r1 AS (SELECT DISTINCT pid, unnest(t) AS g FROM ref),
+    c2 AS (SELECT DISTINCT pid, unnest([t[i] || ' ' || t[i + 1] for i in range(1, len(t))]) AS g
+           FROM cand WHERE len(t) >= 2),
+    r2 AS (SELECT DISTINCT pid, unnest([t[i] || ' ' || t[i + 1] for i in range(1, len(t))]) AS g
+           FROM ref WHERE len(t) >= 2),
+    o1 AS (SELECT c1.pid, count(*) AS ov FROM c1 JOIN r1 ON r1.pid = c1.pid AND r1.g = c1.g
+           GROUP BY c1.pid),
+    o2 AS (SELECT c2.pid, count(*) AS ov FROM c2 JOIN r2 ON r2.pid = c2.pid AND r2.g = c2.g
+           GROUP BY c2.pid),
+    s1 AS (SELECT pid, count(*) AS n FROM r1 GROUP BY pid),
+    s2 AS (SELECT pid, count(*) AS n FROM r2 GROUP BY pid)
+    SELECT s1.pid AS pair_id,
+           CAST(coalesce(o1.ov, 0) AS BIGINT) AS r1_overlap,
+           CAST(s1.n AS BIGINT) AS r1_ref_size,
+           CAST((coalesce(o1.ov, 0) * 10000) // s1.n AS BIGINT) AS rouge1_bp,
+           CAST(coalesce(o2.ov, 0) AS BIGINT) AS r2_overlap,
+           CAST(s2.n AS BIGINT) AS r2_ref_size,
+           CAST((coalesce(o2.ov, 0) * 10000) // s2.n AS BIGINT) AS rouge2_bp
+    FROM s1 JOIN s2 ON s2.pid = s1.pid
+    LEFT JOIN o1 ON o1.pid = s1.pid
+    LEFT JOIN o2 ON o2.pid = s1.pid
+    ORDER BY pair_id
+    """,
+    tags=("pipeline", "text", "eval"),
+    doc="ROUGE-1/ROUGE-2 (distinct-n-gram recall variant, basis points) "
+    "over deterministic candidate/reference doc pairs: tokenize once per "
+    "side, one n-gram equi-join per N keyed by pair, map-side rollups, "
+    "positive-integer DIV only.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Top event-type journeys (3-step path mining — funnel discovery)
+# ---------------------------------------------------------------------------
+# Funnel ANALYSIS (events_funnel, events_transition_matrix) assumes you
+# already know the path; funnel DISCOVERY asks the data what the common
+# journeys are — the sankey/top-paths view every product-analytics tool
+# (Amplitude/Mixpanel "Pathfinder") ships.  3-step paths per user via
+# two lead()s over ONE user-keyed sort window (state per user is
+# bounded), then a map-side-combined path count over the tiny
+# |types|^3-bounded domain and a top-10 rank.
+_sql_query(
+    "events_top_paths",
+    """
+    WITH seq AS (
+        SELECT event_type AS e1,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+        SELECT concat(e1, ' > ', e2, ' > ', e3) AS path, count(*) AS n
+        FROM seq WHERE e3 IS NOT NULL GROUP BY 1
+    )
+    SELECT CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) AS rk,
+           path, CAST(n AS BIGINT) AS n
+    FROM paths ORDER BY rk LIMIT 10
+    """,
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS e1,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+        SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path, count(*) AS n
+        FROM seq WHERE e3 IS NOT NULL GROUP BY 1
+    )
+    SELECT CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) AS rk,
+           path, CAST(n AS BIGINT) AS n
+    FROM paths ORDER BY rk LIMIT 10
+    """,
+    tags=("events", "pattern", "paths"),
+    doc="Funnel discovery: top-10 3-step event-type journeys via two "
+    "lead()s over one user-keyed sort window and a |types|^3-bounded "
+    "path count — the Pathfinder/sankey top-paths view.",
+)
+
+
+# ---------------------------------------------------------------------------
+# k-NN label classification + accuracy (the serving-side ML eval)
+# ---------------------------------------------------------------------------
+# The simplest embedding-quality probe any pipeline runs: predict each
+# probe's label by majority vote of its 3 nearest neighbors and score
+# accuracy — if k-NN accuracy drops after a model update, retrieval and
+# dedup thresholds calibrated on the old space are stale (the monitoring
+# sibling of sim_centroid_drift_monitor).  Scoring is the cosine-monotone
+# exact-integer key from sim_knn_join (sign-aware dot^2*1000 DIV
+# |neighbor|^2, id tiebreaks) — NOT raw MIPS, whose norm bias lets a few
+# large-norm vectors win every query's top-k on this fixture;
+# majority vote ties break toward the smaller label in both engines.
+# Scale shape: 16 probes broadcast against ONE corpus scan; vote and
+# accuracy rollups touch O(probes x k) rows.
+_sql_query(
+    "sim_knn_classify",
+    """
+    WITH e AS (
+        SELECT vec_id, label,
+               transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, label AS qlab, v AS qv FROM e WHERE vec_id < 16),
+    scored AS (
+        SELECT qid, qlab, nlab, nid,
+               CASE WHEN dot >= 0 THEN (dot * dot * 1000) DIV nrm2
+                    ELSE -((dot * dot * 1000) DIV nrm2) END AS sim_key
+        FROM (
+            SELECT q.qid, q.qlab, e.label AS nlab, e.vec_id AS nid,
+                   aggregate(zip_with(q.qv, e.v, (x, y) -> x * y), 0L, (a, x) -> a + x) AS dot,
+                   aggregate(e.v, 0L, (a, x) -> a + x * x) AS nrm2
+            FROM e CROSS JOIN q
+            WHERE q.qid <> e.vec_id
+        )
+    ),
+    top3 AS (
+        SELECT qid, qlab, nlab FROM (
+            SELECT qid, qlab, nlab,
+                   row_number() OVER (PARTITION BY qid ORDER BY sim_key DESC, nid) AS rk
+            FROM scored
+        ) WHERE rk <= 3
+    ),
+    vote AS (
+        SELECT qid, qlab, nlab AS pred, count(*) AS votes FROM top3 GROUP BY qid, qlab, nlab
+    ),
+    pick AS (
+        SELECT qid, qlab, pred FROM (
+            SELECT qid, qlab, pred,
+                   row_number() OVER (PARTITION BY qid ORDER BY votes DESC, pred) AS vr
+            FROM vote
+        ) WHERE vr = 1
+    )
+    SELECT CAST(qlab AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(count(CASE WHEN pred = qlab THEN 1 END) AS BIGINT) AS n_correct,
+           CAST((count(CASE WHEN pred = qlab THEN 1 END) * 10000) DIV count(*) AS BIGINT) AS accuracy_bp
+    FROM pick GROUP BY qlab ORDER BY label
+    """,
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label,
+               [CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT) for x in embedding] AS v
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, label AS qlab, v AS qv FROM e WHERE vec_id < 16),
+    scored AS (
+        SELECT qid, qlab, nlab, nid,
+               CASE WHEN dot >= 0 THEN (dot * dot * 1000) // nrm2
+                    ELSE -((dot * dot * 1000) // nrm2) END AS sim_key
+        FROM (
+            SELECT q.qid, q.qlab, e.label AS nlab, e.vec_id AS nid,
+                   (SELECT sum(q.qv[i] * e.v[i]) FROM range(1, 65) t(i)) AS dot,
+                   (SELECT sum(e.v[i] * e.v[i]) FROM range(1, 65) t(i)) AS nrm2
+            FROM e CROSS JOIN q
+            WHERE q.qid <> e.vec_id
+        ) y
+    ),
+    top3 AS (
+        SELECT qid, qlab, nlab FROM (
+            SELECT qid, qlab, nlab,
+                   row_number() OVER (PARTITION BY qid ORDER BY sim_key DESC, nid) AS rk
+            FROM scored
+        ) z WHERE rk <= 3
+    ),
+    vote AS (
+        SELECT qid, qlab, nlab AS pred, count(*) AS votes FROM top3 GROUP BY qid, qlab, nlab
+    ),
+    pick AS (
+        SELECT qid, qlab, pred FROM (
+            SELECT qid, qlab, pred,
+                   row_number() OVER (PARTITION BY qid ORDER BY votes DESC, pred) AS vr
+            FROM vote
+        ) z WHERE vr = 1
+    )
+    SELECT CAST(qlab AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(count(CASE WHEN pred = qlab THEN 1 END) AS BIGINT) AS n_correct,
+           CAST((count(CASE WHEN pred = qlab THEN 1 END) * 10000) // count(*) AS BIGINT) AS accuracy_bp
+    FROM pick GROUP BY qlab ORDER BY label
+    """,
+    tags=("pipeline", "similarity", "eval"),
+    doc="k-NN (k=3) majority-vote label classification with per-label "
+    "accuracy in basis points: cosine-monotone exact-integer sim key "
+    "(sign-aware dot^2*1000 DIV |neighbor|^2 — raw MIPS would let "
+    "large-norm vectors dominate every query), bounded probe broadcast, "
+    "ONE corpus scan, vote ties toward the smaller label.",
+)

@@ -760,6 +760,81 @@ def test_bpe_round_survives_fully_merged_words(spark):
     assert r2[4] in ("·xy··z·", "·x··yz·")
 
 
+def test_top_paths_match_python_replay(spark):
+    """Recompute the 3-step path counts in plain Python over the raw
+    events and compare the full top-10."""
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    rows = registry.get("events_top_paths").build(spark, SF_DIR).collect()
+    tbl = pq.read_table(SF_DIR + "/events.parquet").to_pylist()
+    by_user = {}
+    for e in tbl:
+        by_user.setdefault(e["user_id"], []).append(e)
+    cnt = Counter()
+    for evs in by_user.values():
+        evs.sort(key=lambda e: (e["ts"], e["event_id"]))
+        for i in range(len(evs) - 2):
+            cnt[" > ".join(evs[j]["event_type"] for j in (i, i + 1, i + 2))] += 1
+    expect = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r.path, r.n) for r in sorted(rows, key=lambda r: r.rk)] == expect
+
+
+def test_rouge_matches_python_recompute(spark):
+    """Recompute the distinct-n-gram ROUGE for the first 5 pairs."""
+    import pyarrow.parquet as pq
+
+    rows = {r.pair_id: r for r in registry.get("text_rouge_overlap").build(spark, SF_DIR).collect()}
+    docs = {d["doc_id"]: d["text"] for d in pq.read_table(SF_DIR + "/documents.parquet").to_pylist()}
+    for pid in range(5):
+        ct, rt = docs[pid].split(" "), docs[pid + 100].split(" ")
+        c1, r1 = set(ct), set(rt)
+        c2 = {" ".join(ct[i : i + 2]) for i in range(len(ct) - 1)}
+        r2 = {" ".join(rt[i : i + 2]) for i in range(len(rt) - 1)}
+        r = rows[pid]
+        assert (r.r1_overlap, r.r1_ref_size) == (len(c1 & r1), len(r1))
+        assert r.rouge1_bp == len(c1 & r1) * 10000 // len(r1)
+        assert (r.r2_overlap, r.r2_ref_size) == (len(c2 & r2), len(r2))
+
+
+def test_knn_classify_matches_numpy_replay(spark):
+    """Replay the integer-key k-NN vote in numpy and compare every
+    per-label count.  NOTE the fixture's labels are deliberately NOT
+    cosine-clustered (the r7 verdict's near-isotropic note) — even
+    ground-truth cosine k-NN scores ~0 here; the operator's job is to
+    MEASURE that honestly, so the test pins agreement, not accuracy."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    rows = registry.get("sim_knn_classify").build(spark, SF_DIR).collect()
+    assert sum(r.n_probes for r in rows) == 16
+    for r in rows:
+        assert r.accuracy_bp == r.n_correct * 10000 // r.n_probes
+
+    tbl = pq.read_table(SF_DIR + "/embeddings.parquet").to_pylist()
+    Q = {t["vec_id"]: np.floor(np.array(t["embedding"], dtype=np.float64) * 1000 + 0.5).astype(np.int64) for t in tbl}
+    L = {t["vec_id"]: t["label"] for t in tbl}
+    per_label = Counter()
+    correct = Counter()
+    for qid in range(16):
+        keyed = []
+        for nid, v in Q.items():
+            if nid == qid:
+                continue
+            dot = int(Q[qid] @ v)
+            nrm2 = int(v @ v)
+            key = (dot * dot * 1000) // nrm2
+            keyed.append((-(key if dot >= 0 else -key), nid))
+        keyed.sort()
+        top = [L[nid] for _, nid in keyed[:3]]
+        pred = sorted(Counter(top).items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        per_label[L[qid]] += 1
+        correct[L[qid]] += pred == L[qid]
+    for r in rows:
+        assert (r.n_probes, r.n_correct) == (per_label[r.label], correct[r.label])
+
+
 def test_weighted_percentile_matches_numpy_expansion(spark):
     """The weighted type-1 quantile must equal the unweighted type-1
     quantile of the weight-expanded multiset (the defining property)."""
