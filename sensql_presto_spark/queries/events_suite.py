@@ -1051,3 +1051,58 @@ _sql_query(
     "combined (window, type) count, a cardinality-bounded rank window, "
     "and a (type, window-1h) self-join that reuses the rank exchange.",
 )
+
+
+# --- recency-weighted engagement score (exponential decay, exact) ----------
+#
+# Ranking users/items by recency-weighted activity is the standard
+# engagement primitive (feed ranking, churn scoring, "hot items").  The
+# textbook form sum(v * exp(-age/tau)) is float-summation-order
+# sensitive; the exact-integer form used here keeps the decay
+# exponential but snaps it to power-of-2 half-lives: weight = 1/2^k
+# after k whole 7-day half-lives, so each event contributes
+# v_e4 DIV 2^k — BIGINT only, order-independent, identical in both
+# engines (shiftleft vs <<).  The anchor is the corpus max timestamp
+# (1-row broadcast), so the score is reproducible on a frozen snapshot.
+# Scale shape: one scan, the anchor broadcast, ONE user-keyed
+# map-side-combined rollup.
+_sql_query(
+    "events_decay_score",
+    """
+    WITH anchor AS (SELECT max(ts) AS mx FROM events),
+    w AS (
+        SELECT user_id,
+               cast(floor(value * 10000 + 0.5) AS BIGINT) AS v_e4,
+               least((unix_micros((SELECT mx FROM anchor)) - unix_micros(ts))
+                     DIV 604800000000, 40) AS hl
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(v_e4 DIV shiftleft(CAST(1 AS BIGINT), CAST(hl AS INT))) AS BIGINT) AS score_e4,
+           CAST(min(hl) AS BIGINT) AS freshest_halflives
+    FROM w WHERE user_id < 40
+    GROUP BY user_id ORDER BY user_id
+    """,
+    oracle="""
+    WITH anchor AS (SELECT max(ts) AS mx FROM events),
+    w AS (
+        SELECT user_id,
+               cast(floor(value * 10000 + 0.5) AS BIGINT) AS v_e4,
+               least((epoch_us((SELECT mx FROM anchor)) - epoch_us(ts))
+                     // 604800000000, 40) AS hl
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(v_e4 // (CAST(1 AS BIGINT) << CAST(hl AS INT))) AS BIGINT) AS score_e4,
+           CAST(min(hl) AS BIGINT) AS freshest_halflives
+    FROM w WHERE user_id < 40
+    GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("events", "score"),
+    doc="Recency-weighted engagement score with exact power-of-2 decay "
+    "(7-day half-life: each event contributes v_e4 DIV 2^halflives — "
+    "BIGINT, order-independent, no float exp): one scan, a 1-row anchor "
+    "broadcast, one user-keyed map-side rollup.",
+)

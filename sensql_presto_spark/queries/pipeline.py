@@ -8682,3 +8682,145 @@ _sql_query(
     "large-norm vectors dominate every query), bounded probe broadcast, "
     "ONE corpus scan, vote ties toward the smaller label.",
 )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg 1999 — pagerank's link-analysis sibling)
+# ---------------------------------------------------------------------------
+# PageRank collapses importance to one score; HITS separates "points at
+# good pages" (hub) from "is pointed at by good hubs" (authority) — the
+# shape used for seed-site discovery and bipartite endorsement graphs.
+# Two unrolled mutual-reinforcement rounds over the same corpus-scaled
+# skewed web as graph_pagerank; scores stay exact-integer by scaling
+# each iterate to a fixed 1e6 ceiling via its global max (a 1-row
+# broadcast; positive values only ever meet DIV, and max-scaling is the
+# standard power-iteration normalization — the fixpoint direction is
+# unchanged).  Per round: ONE edge-join + groupBy per direction.
+def _hits_sql(div: str) -> str:
+    d = div
+    sql = """
+    WITH params AS (
+        SELECT 15 * greatest(4, CAST(floor(count(*) / 375.0) AS BIGINT)) AS n
+        FROM orders
+    ),
+    edges AS (
+        SELECT DISTINCT o_custkey % (SELECT n FROM params) AS src,
+               o_orderkey % (1 + o_custkey % 12) AS dst
+        FROM orders
+        WHERE o_custkey % (SELECT n FROM params)
+              <> o_orderkey % (1 + o_custkey % 12)
+        UNION
+        SELECT DISTINCT o_custkey % (SELECT n FROM params) AS src,
+               (o_custkey % (SELECT n FROM params) + 1)
+               % (SELECT n FROM params) AS dst
+        FROM edges0
+    ),
+    nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS h FROM nodes),
+    a1r AS (SELECT e.dst AS id, sum(h0.h) AS a
+            FROM edges e JOIN h0 ON h0.id = e.src GROUP BY e.dst),
+    a1 AS (SELECT n.id,
+                  (coalesce(r.a, 0) * 1000000) {D} (SELECT max(a) FROM a1r) AS a
+           FROM nodes n LEFT JOIN a1r r ON r.id = n.id),
+    h1r AS (SELECT e.src AS id, sum(a1.a) AS h
+            FROM edges e JOIN a1 ON a1.id = e.dst GROUP BY e.src),
+    h1 AS (SELECT n.id,
+                  (coalesce(r.h, 0) * 1000000) {D} (SELECT max(h) FROM h1r) AS h
+           FROM nodes n LEFT JOIN h1r r ON r.id = n.id),
+    a2r AS (SELECT e.dst AS id, sum(h1.h) AS a
+            FROM edges e JOIN h1 ON h1.id = e.src GROUP BY e.dst),
+    a2 AS (SELECT n.id,
+                  (coalesce(r.a, 0) * 1000000) {D} (SELECT max(a) FROM a2r) AS a
+           FROM nodes n LEFT JOIN a2r r ON r.id = n.id),
+    h2r AS (SELECT e.src AS id, sum(a2.a) AS h
+            FROM edges e JOIN a2 ON a2.id = e.dst GROUP BY e.src),
+    h2 AS (SELECT n.id,
+                  (coalesce(r.h, 0) * 1000000) {D} (SELECT max(h) FROM h2r) AS h
+           FROM nodes n LEFT JOIN h2r r ON r.id = n.id),
+    ranked AS (
+        SELECT a2.id, a2.a AS authority_micro, h2.h AS hub_micro,
+               row_number() OVER (ORDER BY a2.a DESC, a2.id) AS ark
+        FROM a2 JOIN h2 ON h2.id = a2.id
+    )
+    SELECT CAST(id AS BIGINT) AS node_id,
+           CAST(authority_micro AS BIGINT) AS authority_micro,
+           CAST(hub_micro AS BIGINT) AS hub_micro,
+           CAST(ark AS BIGINT) AS ark
+    FROM ranked WHERE ark <= 100
+    ORDER BY ark
+    """.replace("{D}", "DIV" if d == "spark" else "//")
+    # the ring-edge CTE reads orders, not a nonexistent edges0 view
+    return sql.replace("FROM edges0", "FROM orders")
+
+
+_sql_query(
+    "graph_hits",
+    _hits_sql("spark"),
+    oracle=_hits_sql("duckdb"),
+    tags=("pipeline", "graph"),
+    doc="HITS hubs & authorities (2 unrolled mutual-reinforcement rounds "
+    "over the corpus-scaled skewed web): one edge-join + groupBy per "
+    "direction per round, iterates max-scaled to a 1e6 integer ceiling "
+    "via a 1-row broadcast (positive DIV only) — pagerank's "
+    "link-analysis sibling, top-100 authorities emitted.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary-growth curve (Heaps' law profile — tokenizer sizing input)
+# ---------------------------------------------------------------------------
+# Deciding a tokenizer's vocab size (or predicting OOV rates at corpus
+# scale) starts from the vocabulary-growth curve V(N) — distinct types
+# vs cumulative tokens (Heaps' law V ~ K·N^beta).  Computing it naively
+# (re-scan per checkpoint) is quadratic; the scale shape here derives
+# the WHOLE curve from two bounded relations: each term's FIRST document
+# (one min-groupBy over the tokenized corpus — vocabulary-sized) and
+# per-document token counts (doc-sized), both joined against 10
+# broadcast checkpoint thresholds.  ONE tokenize scan total; all
+# arithmetic exact-integer (Heaps ratio in ppm via DIV of positives).
+_sql_query(
+    "text_vocab_growth",
+    """
+    WITH tok AS (SELECT doc_id, explode(split(text, ' ')) AS term FROM documents),
+    nmax AS (SELECT max(doc_id) AS n FROM documents),
+    first_ AS (SELECT term, min(doc_id) AS fd FROM tok GROUP BY term),
+    dlen AS (SELECT doc_id, count(*) AS ntok FROM tok GROUP BY doc_id),
+    ckpt AS (SELECT explode(sequence(1, 10)) AS step),
+    thr AS (SELECT step, step * ((SELECT n FROM nmax) DIV 10) AS cutoff FROM ckpt),
+    vocab AS (SELECT t.step, count(*) AS v
+              FROM thr t JOIN first_ f ON f.fd <= t.cutoff GROUP BY t.step),
+    toks AS (SELECT t.step, sum(d.ntok) AS nt
+             FROM thr t JOIN dlen d ON d.doc_id <= t.cutoff GROUP BY t.step)
+    SELECT CAST(t.step AS BIGINT) AS step,
+           CAST(t.cutoff AS BIGINT) AS max_doc_id,
+           CAST(k.nt AS BIGINT) AS tokens_cum,
+           CAST(v.v AS BIGINT) AS vocab_cum,
+           CAST((v.v * 1000000) DIV k.nt AS BIGINT) AS type_token_ppm
+    FROM thr t JOIN vocab v ON v.step = t.step JOIN toks k ON k.step = t.step
+    ORDER BY step
+    """,
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    nmax AS (SELECT max(doc_id) AS n FROM documents),
+    first_ AS (SELECT term, min(doc_id) AS fd FROM tok GROUP BY term),
+    dlen AS (SELECT doc_id, count(*) AS ntok FROM tok GROUP BY doc_id),
+    ckpt AS (SELECT unnest(generate_series(1, 10)) AS step),
+    thr AS (SELECT step, step * ((SELECT n FROM nmax) // 10) AS cutoff FROM ckpt),
+    vocab AS (SELECT t.step, count(*) AS v
+              FROM thr t JOIN first_ f ON f.fd <= t.cutoff GROUP BY t.step),
+    toks AS (SELECT t.step, sum(d.ntok) AS nt
+             FROM thr t JOIN dlen d ON d.doc_id <= t.cutoff GROUP BY t.step)
+    SELECT CAST(t.step AS BIGINT) AS step,
+           CAST(t.cutoff AS BIGINT) AS max_doc_id,
+           CAST(k.nt AS BIGINT) AS tokens_cum,
+           CAST(v.v AS BIGINT) AS vocab_cum,
+           CAST((v.v * 1000000) // k.nt AS BIGINT) AS type_token_ppm
+    FROM thr t JOIN vocab v ON v.step = t.step JOIN toks k ON k.step = t.step
+    ORDER BY step
+    """,
+    tags=("pipeline", "text", "stats"),
+    doc="Heaps'-law vocabulary-growth curve at 10 corpus checkpoints "
+    "from ONE tokenize scan: term-first-document min-groupBy + per-doc "
+    "token counts joined against broadcast thresholds — never a rescan "
+    "per checkpoint; type/token ratio in ppm, all exact-integer.",
+)

@@ -760,6 +760,67 @@ def test_bpe_round_survives_fully_merged_words(spark):
     assert r2[4] in ("·xy··z·", "·x··yz·")
 
 
+def test_hits_separates_hubs_from_authorities(spark):
+    """On the skewed web (dst skews toward low ids), low-id nodes must be
+    the authorities; scores stay in the scaled [0, 1e6] range and the
+    top authority must score exactly the 1e6 ceiling (max-scaling)."""
+    rows = registry.get("graph_hits").build(spark, SF_DIR).collect()
+    assert rows and rows[0].ark == 1
+    assert rows[0].authority_micro == 1000000
+    assert all(0 <= r.authority_micro <= 1000000 for r in rows)
+    assert all(0 <= r.hub_micro <= 1000000 for r in rows)
+    top10 = [r.node_id for r in rows[:10]]
+    assert sum(1 for n in top10 if n < 15) >= 8, f"authorities should be low-id hubs: {top10}"
+
+
+def test_decay_score_matches_python_replay(spark):
+    """Replay the power-of-2 half-life scoring in Python."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    rows = {r.user_id: r for r in registry.get("events_decay_score").build(spark, SF_DIR).collect()}
+    tbl = pq.read_table(SF_DIR + "/events.parquet").to_pylist()
+    mx = max(e["ts"] for e in tbl)
+    agg = {}
+    for e in tbl:
+        if e["user_id"] >= 40:
+            continue
+        hl = min(int((mx - e["ts"]).total_seconds() * 1_000_000) // 604800000000, 40)
+        v = int(math.floor(e["value"] * 10000 + 0.5))
+        n, s, f = agg.get(e["user_id"], (0, 0, 99))
+        agg[e["user_id"]] = (n + 1, s + v // (1 << hl), min(f, hl))
+    assert set(agg) == set(rows)
+    for uid, (n, s, f) in agg.items():
+        r = rows[uid]
+        assert (r.n_events, r.score_e4, r.freshest_halflives) == (n, s, f)
+
+
+def test_vocab_growth_is_monotone_and_heaps_concave(spark):
+    """V(N) and N are strictly increasing across checkpoints, the
+    type/token ratio is non-increasing (Heaps concavity on a fixed
+    vocabulary generator), and the final vocab equals the corpus-wide
+    distinct token count."""
+    import pyarrow.parquet as pq
+
+    rows = sorted(registry.get("text_vocab_growth").build(spark, SF_DIR).collect(), key=lambda r: r.step)
+    assert [r.step for r in rows] == list(range(1, 11))
+    for a, b in zip(rows, rows[1:]):
+        assert b.tokens_cum > a.tokens_cum
+        assert b.vocab_cum >= a.vocab_cum
+        assert b.type_token_ppm <= a.type_token_ppm
+    docs = pq.read_table(SF_DIR + "/documents.parquet", columns=["doc_id", "text"]).to_pylist()
+    cutoff = rows[-1].max_doc_id
+    vocab = set()
+    ntok = 0
+    for d in docs:
+        if d["doc_id"] <= cutoff:
+            ws = d["text"].split(" ")
+            vocab.update(ws)
+            ntok += len(ws)
+    assert rows[-1].vocab_cum == len(vocab) and rows[-1].tokens_cum == ntok
+
+
 def test_top_paths_match_python_replay(spark):
     """Recompute the 3-step path counts in plain Python over the raw
     events and compare the full top-10."""
