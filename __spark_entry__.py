@@ -49,7 +49,7 @@ PRIORITY: tuple[str, ...] = (
     "sim_centroid_drift_monitor",
     "source_parquet_schema_evolution",
     "text_feature_hashing",
-    # (1b) r8-added operators (16) — each pre-verified EXACT under
+    # (1b) r8-added operators (19) — each pre-verified EXACT under
     # driver_sim --vanilla at sf0.01 AND sf0.1 at commit time
     "dedup_edit_distance",
     "dedup_cluster_assignment",
@@ -67,9 +67,13 @@ PRIORITY: tuple[str, ...] = (
     "text_rouge_overlap",
     "events_top_paths",
     "sim_knn_classify",
-    # (2) stalest driver rows: r1-era (27 of 41; agg_any_value,
-    # agg_bool_bitwise, agg_collect, agg_map_histogram,
-    # agg_most_frequent, agg_numeric_histogram, agg_percentile_exact,
+    "graph_hits",
+    "events_decay_score",
+    "text_vocab_growth",
+    # (2) stalest driver rows: r1-era (24 of 41; agg_any_value,
+    # agg_bool_bitwise, agg_collect, agg_geomean_entropy,
+    # agg_map_histogram, agg_minmax_by, agg_most_frequent,
+    # agg_numeric_histogram, agg_percentile_exact, agg_reduce,
     # agg_reservoir_sample, agg_top_n_values, cube_orders,
     # events_hopping_window, fn_conditional, distinct_limit, fn_hash
     # and the two r2-era picks
@@ -78,9 +82,6 @@ PRIORITY: tuple[str, ...] = (
     # and they rotate in r9)
     "agg_basic",
     "agg_corr_regr",
-    "agg_geomean_entropy",
-    "agg_minmax_by",
-    "agg_reduce",
     "dedup_embedding_cosine",
     "dedup_exact",
     "dedup_minhash_lsh",
