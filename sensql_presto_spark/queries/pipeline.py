@@ -8824,3 +8824,123 @@ _sql_query(
     "token counts joined against broadcast thresholds — never a rescan "
     "per checkpoint; type/token ratio in ppm, all exact-integer.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Voice-activity segmentation (energy-gate VAD over real WAV payloads)
+# ---------------------------------------------------------------------------
+# Audio pipelines cut long recordings into speech segments before ASR /
+# feature extraction; the classic first-stage detector is an energy
+# gate: per analysis window, mean-square sample energy vs a threshold,
+# consecutive active windows merged into segments.  This op rides the
+# SAME real RIFF/WAVE path as mm_audio_windows (encode the ingest twin,
+# stdlib-decode the container back to samples inside ONE Arrow
+# mapInPandas pass) and emits the per-document segment report: window/
+# active counts, segment count, longest segment, first active window.
+# Segment merging is per-document state inside the Arrow pass (bounded
+# by clip length, never a shuffle); the oracle re-derives the windows
+# from the same byte arithmetic and merges with a gaps-and-islands
+# window.  The 900 mean-square gate is a fixture constant chosen where
+# the corpus actually splits (~40% of windows active, docs with 2+
+# segments exist, so the merge logic is genuinely exercised; spaces
+# encode far from the 'a'-origin, making "activity" deterministic).
+_VAD_THRESHOLD = 900
+
+
+@register(
+    "mm_audio_vad_segments",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, off // 100 AS widx,
+               length(substring(text, off + 1, 100)) AS n,
+               list_sum([(ascii(c) - 96) * (ascii(c) - 96)
+                         FOR c IN string_split(substring(text, off + 1, 100), '')]) AS raw_e
+        FROM (SELECT doc_id, text, unnest(range(0, length(text), 100)) AS off
+              FROM documents WHERE doc_id < 100)
+    ),
+    f AS (SELECT doc_id, widx, (raw_e // n) >= {_VAD_THRESHOLD} AS active FROM w),
+    isl AS (
+        SELECT doc_id, widx, active,
+               widx - row_number() OVER (PARTITION BY doc_id, active ORDER BY widx) AS grp
+        FROM f
+    ),
+    seg AS (
+        SELECT doc_id, grp, count(*) AS seg_len
+        FROM isl WHERE active GROUP BY doc_id, grp
+    ),
+    per_doc AS (
+        SELECT f.doc_id,
+               count(*) AS n_windows,
+               count(CASE WHEN f.active THEN 1 END) AS n_active,
+               coalesce(min(CASE WHEN f.active THEN f.widx END), -1) AS first_active
+        FROM f GROUP BY f.doc_id
+    ),
+    segs AS (
+        SELECT doc_id, count(*) AS n_segments, max(seg_len) AS longest_seg
+        FROM seg GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           CAST(p.n_windows AS BIGINT) AS n_windows,
+           CAST(p.n_active AS BIGINT) AS n_active,
+           CAST(coalesce(s.n_segments, 0) AS BIGINT) AS n_segments,
+           CAST(coalesce(s.longest_seg, 0) AS BIGINT) AS longest_seg,
+           CAST(p.first_active AS BIGINT) AS first_active
+    FROM per_doc p LEFT JOIN segs s ON s.doc_id = p.doc_id
+    ORDER BY p.doc_id
+    """,
+    tags=("pipeline", "multimodal", "audio"),
+    doc="Energy-gate voice-activity segmentation over real RIFF/WAVE "
+    "payloads: stdlib wave decode inside ONE Arrow mapInPandas pass, "
+    "per-window mean-square energy vs a fixed gate, consecutive active "
+    "windows merged per document (bounded per-doc state, no shuffle); "
+    "per-doc window/active/segment counts, longest segment, first "
+    "active index.",
+)
+def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from sensql_presto_spark.multimodal import decode_wav, encode_wav_pcm16
+
+    def vad(batches):
+        for pdf in batches:
+            ids, nw, na, ns, lg, fa = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                wav = encode_wav_pcm16([(b - 96) * 256 for b in payload], sample_rate=8000)
+                _rate, _nch, samples = decode_wav(wav)
+                n_win = n_act = n_seg = longest = cur = 0
+                first = -1
+                for widx, off in enumerate(range(0, len(samples), 100)):
+                    chunk = samples[off : off + 100]
+                    # engine samples are byte*256; mean-square per sample
+                    # in byte units = (sum s^2) DIV (65536 * n), and the
+                    # 65536 factor cancels exactly under integer division
+                    ms = sum(s * s for s in chunk) // (65536 * len(chunk))
+                    active = ms >= _VAD_THRESHOLD
+                    n_win += 1
+                    if active:
+                        n_act += 1
+                        if first < 0:
+                            first = widx
+                        cur += 1
+                        if cur == 1:
+                            n_seg += 1
+                        longest = max(longest, cur)
+                    else:
+                        cur = 0
+                ids.append(doc_id)
+                nw.append(n_win)
+                na.append(n_act)
+                ns.append(n_seg)
+                lg.append(longest)
+                fa.append(first)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids, "n_windows": nw, "n_active": na,
+                    "n_segments": ns, "longest_seg": lg, "first_active": fa,
+                }
+            )
+
+    schema = ("doc_id bigint, n_windows bigint, n_active bigint, "
+              "n_segments bigint, longest_seg bigint, first_active bigint")
+    df = _binary_docs(spark, sf_dir).where(F.col("doc_id") < 100)
+    return df.mapInPandas(vad, schema).orderBy("doc_id")

@@ -760,6 +760,49 @@ def test_bpe_round_survives_fully_merged_words(spark):
     assert r2[4] in ("·xy··z·", "·x··yz·")
 
 
+def test_vad_segments_match_python_replay_and_are_nondegenerate(spark):
+    """Replay the energy gate + merge in Python from the raw text bytes,
+    and pin that the fixture actually exercises the interesting cases:
+    a mixed active/inactive split and documents with 2+ segments."""
+    import pyarrow.parquet as pq
+
+    from sensql_presto_spark.queries.pipeline import _VAD_THRESHOLD
+
+    rows = {r.doc_id: r for r in registry.get("mm_audio_vad_segments").build(spark, SF_DIR).collect()}
+    docs = pq.read_table(SF_DIR + "/documents.parquet", columns=["doc_id", "text"]).to_pylist()
+    multi = 0
+    tot_act = tot_win = 0
+    for d in docs:
+        if d["doc_id"] >= 100:
+            continue
+        t = d["text"]
+        n_win = n_act = n_seg = longest = cur = 0
+        first = -1
+        for widx, off in enumerate(range(0, len(t), 100)):
+            ch = t[off : off + 100]
+            ms = sum((ord(c) - 96) ** 2 for c in ch) // len(ch)
+            n_win += 1
+            if ms >= _VAD_THRESHOLD:
+                n_act += 1
+                if first < 0:
+                    first = widx
+                cur += 1
+                if cur == 1:
+                    n_seg += 1
+                longest = max(longest, cur)
+            else:
+                cur = 0
+        r = rows[d["doc_id"]]
+        assert (r.n_windows, r.n_active, r.n_segments, r.longest_seg, r.first_active) == (
+            n_win, n_act, n_seg, longest, first,
+        )
+        multi += n_seg >= 2
+        tot_act += n_act
+        tot_win += n_win
+    assert 0 < tot_act < tot_win, "gate must split the corpus, not saturate"
+    assert multi >= 5, "merge logic needs docs with 2+ segments"
+
+
 def test_hits_separates_hubs_from_authorities(spark):
     """On the skewed web (dst skews toward low ids), low-id nodes must be
     the authorities; scores stay in the scaled [0, 1e6] range and the
