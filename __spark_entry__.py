@@ -49,7 +49,7 @@ PRIORITY: tuple[str, ...] = (
     "sim_centroid_drift_monitor",
     "source_parquet_schema_evolution",
     "text_feature_hashing",
-    # (1b) r8-added operators (19) — each pre-verified EXACT under
+    # (1b) r8-added operators (20) — each pre-verified EXACT under
     # driver_sim --vanilla at sf0.01 AND sf0.1 at commit time
     "dedup_edit_distance",
     "dedup_cluster_assignment",
@@ -70,7 +70,8 @@ PRIORITY: tuple[str, ...] = (
     "graph_hits",
     "events_decay_score",
     "text_vocab_growth",
-    # (2) stalest driver rows: r1-era (24 of 41; agg_any_value,
+    "mm_audio_vad_segments",
+    # (2) stalest driver rows: r1-era (23 of 41; agg_any_value, fn_bitwise,
     # agg_bool_bitwise, agg_collect, agg_geomean_entropy,
     # agg_map_histogram, agg_minmax_by, agg_most_frequent,
     # agg_numeric_histogram, agg_percentile_exact, agg_reduce,
@@ -93,7 +94,6 @@ PRIORITY: tuple[str, ...] = (
     "events_streaming_stateful",
     "events_tumbling_window",
     "fn_array",
-    "fn_bitwise",
     "fn_datetime",
     "fn_datetime_presto_formats",
     "fn_higher_order",
