@@ -1106,3 +1106,63 @@ _sql_query(
     "BIGINT, order-independent, no float exp): one scan, a 1-row anchor "
     "broadcast, one user-keyed map-side rollup.",
 )
+
+
+# --- A/B experiment analysis (variant assignment, conversion, exact lift) ---
+#
+# The product-analytics bread-and-butter: users hash-split into
+# variants, per-variant conversion measured, lift reported.  Assignment
+# is the deterministic user_id % 2 split (the same mechanism a real
+# experiment framework derives from hash(user_id, salt) — the modulus IS
+# the hash here because user ids are already uniform); a user converts
+# if they have any purchase event.  Everything integer: conversion in
+# basis points of the variant's population, lift in bp of the control
+# rate emitted as numerator/denominator products so no negative value
+# meets division.  Scale shape: ONE user-level aggregate (map-side
+# combined) + a 2-row variant rollup; the lift join is 1x1.
+_sql_query(
+    "events_ab_test",
+    """
+    WITH u AS (
+        SELECT user_id, user_id % 2 AS variant,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ),
+    v AS (
+        SELECT variant, count(*) AS n_users, sum(converted) AS n_converted
+        FROM u GROUP BY variant
+    )
+    SELECT CAST(t.variant AS BIGINT) AS variant,
+           CAST(t.n_users AS BIGINT) AS n_users,
+           CAST(t.n_converted AS BIGINT) AS n_converted,
+           CAST((t.n_converted * 10000) DIV t.n_users AS BIGINT) AS conv_bp,
+           CAST(t.n_converted * c.n_users AS BIGINT) AS lift_num,
+           CAST(c.n_converted * t.n_users AS BIGINT) AS lift_den
+    FROM v t CROSS JOIN (SELECT * FROM v WHERE variant = 0) c
+    ORDER BY variant
+    """,
+    oracle="""
+    WITH u AS (
+        SELECT user_id, user_id % 2 AS variant,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ),
+    v AS (
+        SELECT variant, count(*) AS n_users, sum(converted) AS n_converted
+        FROM u GROUP BY variant
+    )
+    SELECT CAST(t.variant AS BIGINT) AS variant,
+           CAST(t.n_users AS BIGINT) AS n_users,
+           CAST(t.n_converted AS BIGINT) AS n_converted,
+           CAST((t.n_converted * 10000) // t.n_users AS BIGINT) AS conv_bp,
+           CAST(t.n_converted * c.n_users AS BIGINT) AS lift_num,
+           CAST(c.n_converted * t.n_users AS BIGINT) AS lift_den
+    FROM v t CROSS JOIN (SELECT * FROM v WHERE variant = 0) c
+    ORDER BY variant
+    """,
+    tags=("events", "experiment"),
+    doc="A/B experiment readout: deterministic user split, per-variant "
+    "conversion in basis points, lift vs control emitted as exact "
+    "integer num/den cross-products (never divided); one user-level "
+    "map-side aggregate + a 2-row rollup + a 1x1 control join.",
+)
