@@ -49,7 +49,7 @@ PRIORITY: tuple[str, ...] = (
     "sim_centroid_drift_monitor",
     "source_parquet_schema_evolution",
     "text_feature_hashing",
-    # (1b) r8-added operators (20) — each pre-verified EXACT under
+    # (1b) r8-added operators (21) — each pre-verified EXACT under
     # driver_sim --vanilla at sf0.01 AND sf0.1 at commit time
     "dedup_edit_distance",
     "dedup_cluster_assignment",
@@ -71,7 +71,9 @@ PRIORITY: tuple[str, ...] = (
     "events_decay_score",
     "text_vocab_growth",
     "mm_audio_vad_segments",
-    # (2) stalest driver rows: r1-era (23 of 41; agg_any_value, fn_bitwise,
+    "events_ab_test",
+    # (2) stalest driver rows: r1-era (22 of 41; agg_any_value, fn_bitwise,
+    # events_asof_join,
     # agg_bool_bitwise, agg_collect, agg_geomean_entropy,
     # agg_map_histogram, agg_minmax_by, agg_most_frequent,
     # agg_numeric_histogram, agg_percentile_exact, agg_reduce,
@@ -88,7 +90,6 @@ PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
-    "events_asof_join",
     "events_json_props",
     "events_streaming_sessions",
     "events_streaming_stateful",
