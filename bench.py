@@ -3,6 +3,17 @@
 Mirrors the reference's benchto protocol (BASELINE.md: runs=6, prewarm=2,
 CBO/AQE on) scaled down: per query, `prewarm` untimed runs then `runs` timed
 runs; the reported figure is the median. Prints ONE JSON line.
+
+Output contract (r9, after the r8 incident): the driver records only the
+LAST 2000 characters of stdout and parses the final JSON line out of that
+tail.  Round 8's expanded line (calibration samples + 50 paired ratios +
+54 query timings) overflowed it, so BENCH_r08.json committed `parsed: null`.
+The stdout line is therefore kept COMPACT (totals, calibration median,
+per-query medians at 3dp, shared-ratio scalars) with a hard ≤1900-char
+guarantee enforced by progressive trimming, and the full detail
+(calibration samples, per-query calibration, paired ratios) goes to a
+sidecar JSON file ($BENCH_DETAIL_PATH, default BENCH_DETAIL_latest.json)
+that the round commits as BENCH_DETAIL_r{N}.json.
 """
 
 from __future__ import annotations
@@ -89,10 +100,14 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "calibration_sec": calib,
+        "queries": {q: round(t, 3) for q, t in timings.items()},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # full-fidelity detail lives in the sidecar, never on stdout
+    detail = {
         "calibration_samples": calib_samples,
         "calibration_by_query": calib_by_query,
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "queries_4dp": timings,
     }
     # Round-over-round adjudication, mechanical: against the most recent
     # BENCH_r*.json, compare only the SHARED query set and divide each
@@ -131,36 +146,69 @@ def main() -> None:
                 )
                 for q in shared
             }
-            out["shared_paired_ratios"] = paired
+            detail["shared_paired_ratios"] = paired
             out["shared_paired_median"] = round(
                 statistics.median(paired.values()), 4
             )
-    print(json.dumps(out))
+
+    detail_path = os.environ.get("BENCH_DETAIL_PATH") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL_latest.json"
+    )
+    detail.update({k: v for k, v in out.items()})
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+        print(f"  [detail -> {detail_path}]", file=sys.stderr)
+    except OSError as exc:  # sidecar is best-effort; stdout line still lands
+        print(f"  [detail write failed: {exc}]", file=sys.stderr)
+
+    # Hard stdout budget: the driver tails 2000 chars. Trim progressively —
+    # 3dp -> 2dp -> drop per-query map (keeping totals) — so the final line
+    # ALWAYS parses. The sidecar always carries the full map regardless.
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:
+        out["queries"] = {q: round(t, 2) for q, t in timings.items()}
+        line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:
+        out.pop("queries", None)
+        out["queries_in_detail_only"] = True
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 
 def _latest_prior_bench() -> "tuple[str, dict] | None":
-    """The most recent BENCH_r{N}.json next to this script, if any."""
+    """The newest prior artifact that actually carries a per-query map.
+
+    Considers both driver artifacts (BENCH_r{N}.json) and this script's
+    committed sidecars (BENCH_DETAIL_r{N}.json), newest round first, and
+    SKIPS any whose parsed payload has no usable "queries" map — e.g.
+    BENCH_r08.json, whose stdout overflow left `parsed: null` — falling
+    back to the next older round so cross-round comparison degrades to
+    "vs r7" instead of silently disappearing.
+    """
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    best: tuple[int, str] | None = None
-    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", p)
-        if m and (best is None or int(m.group(1)) > best[0]):
-            best = (int(m.group(1)), p)
-    if best is None:
-        return None
-    try:
-        with open(best[1]) as f:
-            data = json.load(f)
-    except (OSError, json.JSONDecodeError):
-        return None
-    # the round driver wraps this script's JSON line under "parsed"
-    if "queries" not in data and isinstance(data.get("parsed"), dict):
-        data = data["parsed"]
-    return os.path.basename(best[1]), data
+    candidates: list[tuple[int, int, str]] = []  # (round, detail_pref, path)
+    for pat, pref in (("BENCH_DETAIL_r*.json", 1), ("BENCH_r*.json", 0)):
+        for p in glob.glob(os.path.join(here, pat)):
+            m = re.search(r"_r(\d+)\.json$", p)
+            if m:
+                candidates.append((int(m.group(1)), pref, p))
+    for _rnd, _pref, path in sorted(candidates, reverse=True):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        # the round driver wraps this script's JSON line under "parsed"
+        if "queries" not in data and isinstance(data.get("parsed"), dict):
+            data = data["parsed"]
+        if isinstance(data, dict) and isinstance(data.get("queries"), dict) and data["queries"]:
+            return os.path.basename(path), data
+    return None
 
 
 if __name__ == "__main__":

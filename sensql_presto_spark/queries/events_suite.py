@@ -1062,7 +1062,11 @@ _sql_query(
 # exponential but snaps it to power-of-2 half-lives: weight = 1/2^k
 # after k whole 7-day half-lives, so each event contributes
 # v_e4 DIV 2^k — BIGINT only, order-independent, identical in both
-# engines (shiftleft vs <<).  The anchor is the corpus max timestamp
+# engines (shiftleft vs <<).  Negative values take a sign-aware CASE
+# (|v| divided, sign reapplied) because Spark DIV truncates toward zero
+# while DuckDB // floors — on a non-negative numerator the two agree,
+# so the decayed contribution is trunc-toward-zero in BOTH engines for
+# any sign of value.  The anchor is the corpus max timestamp
 # (1-row broadcast), so the score is reproducible on a frozen snapshot.
 # Scale shape: one scan, the anchor broadcast, ONE user-keyed
 # map-side-combined rollup.
@@ -1079,7 +1083,10 @@ _sql_query(
     )
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(v_e4 DIV shiftleft(CAST(1 AS BIGINT), CAST(hl AS INT))) AS BIGINT) AS score_e4,
+           CAST(sum(CASE WHEN v_e4 >= 0
+                         THEN v_e4 DIV shiftleft(CAST(1 AS BIGINT), CAST(hl AS INT))
+                         ELSE -((-v_e4) DIV shiftleft(CAST(1 AS BIGINT), CAST(hl AS INT)))
+                    END) AS BIGINT) AS score_e4,
            CAST(min(hl) AS BIGINT) AS freshest_halflives
     FROM w WHERE user_id < 40
     GROUP BY user_id ORDER BY user_id
@@ -1095,7 +1102,10 @@ _sql_query(
     )
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(v_e4 // (CAST(1 AS BIGINT) << CAST(hl AS INT))) AS BIGINT) AS score_e4,
+           CAST(sum(CASE WHEN v_e4 >= 0
+                         THEN v_e4 // (CAST(1 AS BIGINT) << CAST(hl AS INT))
+                         ELSE -((-v_e4) // (CAST(1 AS BIGINT) << CAST(hl AS INT)))
+                    END) AS BIGINT) AS score_e4,
            CAST(min(hl) AS BIGINT) AS freshest_halflives
     FROM w WHERE user_id < 40
     GROUP BY user_id ORDER BY user_id

@@ -831,12 +831,81 @@ def test_decay_score_matches_python_replay(spark):
             continue
         hl = min(int((mx - e["ts"]).total_seconds() * 1_000_000) // 604800000000, 40)
         v = int(math.floor(e["value"] * 10000 + 0.5))
+        # trunc-toward-zero decay (sign-aware CASE in both engines)
+        contrib = v // (1 << hl) if v >= 0 else -((-v) // (1 << hl))
         n, s, f = agg.get(e["user_id"], (0, 0, 99))
-        agg[e["user_id"]] = (n + 1, s + v // (1 << hl), min(f, hl))
+        agg[e["user_id"]] = (n + 1, s + contrib, min(f, hl))
     assert set(agg) == set(rows)
     for uid, (n, s, f) in agg.items():
         r = rows[uid]
         assert (r.n_events, r.score_e4, r.freshest_halflives) == (n, s, f)
+
+
+def test_decay_score_negative_values_agree_with_oracle(spark, tmp_path):
+    """r8 VERDICT What's-wrong #2: `v_e4 DIV 2^hl` (Spark truncates) vs
+    `v_e4 // 2^hl` (DuckDB floors) diverged latently whenever value < 0.
+    Pin the sign-aware fix with a micro-fixture whose values are negative
+    and non-divisible (|v_e4| % 2^hl != 0, so trunc != floor), run BOTH
+    engines on it, and check the engine result against a Python replay."""
+    import datetime
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sensql_presto_spark.testing import check_query_against_oracle
+
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "documents", "embeddings"):
+        shutil.copy(f"{SF_DIR}/{t}.parquet", tmp_path / f"{t}.parquet")
+    anchor = datetime.datetime(2026, 3, 1)
+    week_us = 604800000000
+    rows_in = []
+    # user 0: fresh negative (hl=0); user 1: aged negatives where
+    # trunc/floor differ (e.g. -3.0001e4 / 2 -> trunc -15000, floor -15001);
+    # user 2: mixed signs cancelling partially.
+    cases = [
+        (0, 0, -1.2345), (0, 0, -0.0001),
+        (1, 1, -3.0001), (1, 2, -5.4321),
+        (2, 0, 7.5), (2, 1, -7.4999), (2, 3, -0.0625),
+    ]
+    for i, (uid, weeks, val) in enumerate(cases):
+        rows_in.append({
+            "event_id": i,
+            "ts": anchor - datetime.timedelta(microseconds=weeks * week_us),
+            "user_id": uid, "event_type": "view", "value": val, "props": "{}",
+        })
+    # one anchor row so max(ts) == anchor exactly
+    rows_in.append({"event_id": 99, "ts": anchor, "user_id": 3,
+                    "event_type": "view", "value": 0.0, "props": "{}"})
+    schema = pa.schema([
+        ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("value", pa.float64()), ("props", pa.string()),
+    ])
+    pq.write_table(pa.Table.from_pylist(rows_in, schema=schema),
+                   tmp_path / "events.parquet")
+
+    spec = registry.get("events_decay_score")
+    df = spec.build(spark, str(tmp_path))
+    check_query_against_oracle(df, spec.oracle, str(tmp_path))
+
+    got = {r.user_id: r.score_e4 for r in df.collect()}
+
+    def trunc_div(v: int, hl: int) -> int:
+        return v // (1 << hl) if v >= 0 else -((-v) // (1 << hl))
+
+    import math
+    expect: dict[int, int] = {}
+    for uid, weeks, val in cases + [(3, 0, 0.0)]:
+        v = int(math.floor(val * 10000 + 0.5))
+        expect[uid] = expect.get(uid, 0) + trunc_div(v, min(weeks, 40))
+    assert got == expect
+    # the fixture genuinely exercises the divergence: floor-division
+    # semantics would have produced a DIFFERENT score for user 1
+    floor_u1 = sum((int(math.floor(v * 10000 + 0.5))) // (1 << w)
+                   for u, w, v in cases if u == 1)
+    assert floor_u1 != expect[1]
 
 
 def test_vocab_growth_is_monotone_and_heaps_concave(spark):
