@@ -27,85 +27,78 @@ from pyspark.sql import DataFrame, SparkSession
 
 from sensql_presto_spark.queries import all_specs
 
-# ROUND-8 ROTATION (r7 window was 50/50 green — everything rotated out;
-# rotation ledger: COVERAGE.md §Rotation).  Three blocks:
-#  (1) the 7 late-r7 operators that landed after the r7 window filled —
-#      the only pre-r8 registry entries without a driver-green
-#      CORRECTNESS row; once green, every entry registered before this
-#      round has an external driver row (cumulative 348/348).
-#  (1b) the operators ADDED this round, so new entries reach the driver
-#      gate in-round instead of becoming the next never-checked debt.
-#  (2) staleness refresh: entries whose only driver row dates to round 1
-#      — catalog/session/presto_compat have evolved for 6 rounds since
-#      those rows were recorded.  Block (1b) additions displace the
-#      lowest-marginal-value stale slots (named below); the displaced
-#      entries rotate in r9.
+# ROUND-9 ROTATION (r8 window was 50/50 green — everything rotated out;
+# with it the cumulative union reached 369/369, so r9 is pure staleness
+# refresh per the r8 verdict's #1 ask).  Two blocks:
+#  (1) the 19 entries whose latest driver row is still ROUND 1 — the
+#      stalest rows in the ledger (tools/ledger.py now exits nonzero on
+#      exactly this set when it is not in the window).
+#  (2) 31 of the 50 r2-era entries.  The 19 r2-era entries deferred to
+#      r10 are the ones with the strongest per-round indirect coverage:
+#      tpch_q01/q02/q06/q13/q21 + tpcds_q01/q07/q28 (benched every round;
+#      tpcds_q01 judge-EXACT r8), window_aggregates/frames/ranking/
+#      topn_per_group/value (the 45k-seed fuzz program's window mode),
+#      sim_topk_bruteforce + sim_ivf_topk (ground truth in the recall
+#      pytests), text_quality + events_sessionize (benched),
+#      sensql_federated_agg (judge-EXACT r8), agg_count_if (fuzz agg
+#      mode).  Operators ADDED in r9 displace block-(2) slots as they
+#      land (each pre-verified dual-scale at commit time); displaced
+#      entries join the r10 rotation.
 PRIORITY: tuple[str, ...] = (
-    # (1) never-driver-checked (7)
-    "agg_exact_quantiles",
-    "events_rate_limit_audit",
-    "scale_skew_report",
-    "sim_binary_hamming_topk",
-    "sim_centroid_drift_monitor",
-    "source_parquet_schema_evolution",
-    "text_feature_hashing",
-    # (1b) r8-added operators (21) — each pre-verified EXACT under
-    # driver_sim --vanilla at sf0.01 AND sf0.1 at commit time
-    "dedup_edit_distance",
-    "dedup_cluster_assignment",
-    "sim_ivf_multiprobe",
-    "text_bpe_encode",
-    "scale_data_profile",
-    "sim_matryoshka_eval",
-    "cluster_silhouette_eval",
-    "graph_personalized_pagerank",
-    "sim_query_expansion_prf",
-    "events_trending_topk",
-    "sim_reciprocal_nn_pairs",
-    "source_json_corrupt_audit",
-    "agg_weighted_percentile",
-    "text_rouge_overlap",
-    "events_top_paths",
-    "sim_knn_classify",
-    "graph_hits",
-    "events_decay_score",
-    "text_vocab_growth",
-    "mm_audio_vad_segments",
-    "events_ab_test",
-    # (2) stalest driver rows: r1-era (22 of 41; agg_any_value, fn_bitwise,
-    # events_asof_join,
-    # agg_bool_bitwise, agg_collect, agg_geomean_entropy,
-    # agg_map_histogram, agg_minmax_by, agg_most_frequent,
-    # agg_numeric_histogram, agg_percentile_exact, agg_reduce,
-    # agg_reservoir_sample, agg_top_n_values, cube_orders,
-    # events_hopping_window, fn_conditional, distinct_limit, fn_hash
-    # and the two r2-era picks
-    # yielded their slots to block (1b) — their code paths are exercised
-    # by sibling window entries or by golden-vector pytests (fn_hash),
-    # and they rotate in r9)
-    "agg_basic",
-    "agg_corr_regr",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "events_json_props",
-    "events_streaming_sessions",
-    "events_streaming_stateful",
-    "events_tumbling_window",
-    "fn_array",
-    "fn_datetime",
-    "fn_datetime_presto_formats",
-    "fn_higher_order",
-    "fn_json",
-    "fn_map",
-    "fn_regex",
-    "fn_string_basic",
-    "fn_string_distance",
-    "fn_try_semantics",
-    "fn_url",
+    # (1) r1-era stale (19)
+    "agg_any_value",
+    "agg_bool_bitwise",
+    "agg_collect",
+    "agg_geomean_entropy",
+    "agg_map_histogram",
+    "agg_minmax_by",
+    "agg_most_frequent",
+    "agg_numeric_histogram",
+    "agg_percentile_exact",
+    "agg_reduce",
+    "agg_reservoir_sample",
+    "agg_top_n_values",
+    "cube_orders",
+    "distinct_limit",
+    "events_asof_join",
+    "events_hopping_window",
+    "fn_bitwise",
+    "fn_conditional",
+    "fn_hash",
+    # (2) r2-era stale (31)
+    "agg_approx_sketches",
+    "agg_checksum",
+    "agg_hll_sketch_rollup",
+    "agg_qdigest_rollup",
+    "agg_stats_moments",
+    "ddl_ctas_insert",
+    "events_streaming_tumbling",
+    "fn_math",
+    "fn_presto_compat",
+    "geo_st_functions",
+    "grouping_sets",
+    "lateral_topn",
+    "mm_features",
+    "mm_frame_sample",
+    "mutation_delete_merge",
+    "null_safe_semantics",
+    "offset_fetch",
+    "order_nulls_last",
+    "pivot_linestatus",
+    "quantified_all",
+    "sample_hash_mod",
+    "scalar_subquery_select",
+    "sensql_federated_single_node",
+    "sensql_spatial_filter",
+    "setop_except_all",
+    "setop_intersect_all",
+    "setop_union",
+    "sim_lsh_hyperplane",
+    "text_lang_id",
+    "unnest_multi_zip",
+    "unnest_with_ordinality",
 )
+
 
 def _alias(i: int, name: str) -> str:
     return f"a{i:02d}_{name}"

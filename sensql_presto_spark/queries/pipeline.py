@@ -8248,9 +8248,13 @@ _PRF_MAIN_SQL = """
     SELECT r.query_id, CAST(r.rk AS BIGINT) AS rk, r.doc_id,
            r.bm25_micro AS bm25_prf_micro,
            e1.term AS exp_term1, e2.term AS exp_term2
+    -- LEFT (not INNER) joins on the expansion terms: a sparse corpus can
+    -- yield <2 expansion candidates for a query (round-1 top-3 docs made
+    -- entirely of original query terms); the reranked top-5 must still
+    -- emit, with NULL exp_term columns (r8 ADVICE).
     FROM ranked2 r
-    JOIN expn e1 ON e1.query_id = r.query_id AND e1.erk = 1
-    JOIN expn e2 ON e2.query_id = r.query_id AND e2.erk = 2
+    LEFT JOIN expn e1 ON e1.query_id = r.query_id AND e1.erk = 1
+    LEFT JOIN expn e2 ON e2.query_id = r.query_id AND e2.erk = 2
     WHERE r.rk <= 5
     ORDER BY r.query_id, r.rk
 """
@@ -8713,7 +8717,7 @@ def _hits_sql(div: str) -> str:
         SELECT DISTINCT o_custkey % (SELECT n FROM params) AS src,
                (o_custkey % (SELECT n FROM params) + 1)
                % (SELECT n FROM params) AS dst
-        FROM edges0
+        FROM orders
     ),
     nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
     h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS h FROM nodes),
@@ -8749,8 +8753,7 @@ def _hits_sql(div: str) -> str:
     FROM ranked WHERE ark <= 100
     ORDER BY ark
     """.replace("{D}", "DIV" if d == "spark" else "//")
-    # the ring-edge CTE reads orders, not a nonexistent edges0 view
-    return sql.replace("FROM edges0", "FROM orders")
+    return sql
 
 
 _sql_query(

@@ -1198,8 +1198,35 @@ def test_cluster_assignment_fixpoint_margin_and_cliques(spark):
     got = {r.doc_id: r.cluster_id for r in rows}
     for r in rows:
         assert got[r.doc_id] == find(r.doc_id) if r.doc_id in parent else r.cluster_id == r.doc_id
-    # margin: the deepest union-find chain must fit within the unrolled rounds
-    assert _CLUSTER_ROUNDS >= 4
+    # margin: min-label propagation needs exactly max-BFS-depth-from-the-
+    # component-min rounds to converge; measure that depth on the engine's
+    # own pair list and require >= 2 spare rounds (r8 ADVICE: the previous
+    # `_CLUSTER_ROUNDS >= 4` was a constant tautology).
+    from collections import defaultdict, deque
+
+    adj: dict[int, set[int]] = defaultdict(set)
+    for p in pairs:
+        adj[p.id_a].add(p.id_b)
+        adj[p.id_b].add(p.id_a)
+    # union-find always parents max -> min, so each UF root IS its
+    # component's min doc_id — the label the propagation spreads
+    roots = {find(n) for n in adj}
+    max_depth = 0
+    for root in roots:
+        dist = {root: 0}
+        dq = deque([root])
+        while dq:
+            cur = dq.popleft()
+            for nxt in adj[cur]:
+                if nxt not in dist:
+                    dist[nxt] = dist[cur] + 1
+                    dq.append(nxt)
+        max_depth = max(max_depth, max(dist.values()))
+    assert max_depth >= 1, "fixture must contain at least one real component"
+    assert _CLUSTER_ROUNDS >= max_depth + 2, (
+        f"unrolled rounds ({_CLUSTER_ROUNDS}) leave <2 spare over the "
+        f"measured propagation depth ({max_depth}) at sf0.1"
+    )
     # internal consistency
     from collections import Counter
 

@@ -145,8 +145,14 @@ def main() -> None:
     sweep_all = "--all" in args
     json_path = None
     if "--json" in args:
-        json_path = args[args.index("--json") + 1]
-        args = [a for a in args if a != json_path]
+        # positional removal (r8 ADVICE): bounds-check the value token and
+        # strip it by index, so `--json` as the last arg errors cleanly and
+        # a query name equal to the path is never dropped from the run list.
+        i = args.index("--json")
+        if i + 1 >= len(args):
+            sys.exit("--json requires a file path argument")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2 :]
     names = [a for a in args if a not in ("--vanilla", "--all", "--json")]
     if sweep_all:
         names = sorted(specs)

@@ -6,7 +6,10 @@ aliases (a{NN}_name -> name), and reports, per current registry entry,
 the latest round with a fully-green row (rows+schema+hash matched, no
 error).  Exit is nonzero if any CURRENT registry entry has no green row
 and is not in the current priority window (i.e. debt the next window
-does not already cover).
+does not already cover), OR — the staleness gate, r8 VERDICT ask #7 —
+if any entry's latest green row is older than STALE_ROUNDS rounds
+behind the newest committed CORRECTNESS round and the entry is not in
+the current window (i.e. the rotation discipline has lapsed on it).
 
 Usage: python tools/ledger.py [--json PATH]
 """
@@ -22,6 +25,12 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# An entry whose latest green row trails the newest CORRECTNESS round by
+# more than this many rounds is stale debt unless the current window
+# already covers it.  6 = the spread the rotation program tolerated
+# historically (r1-era rows flagged in the r8 verdict were 7 behind).
+STALE_ROUNDS = 6
 
 
 def green_rounds() -> dict[str, int]:
@@ -56,6 +65,14 @@ def main() -> None:
 
     never = [n for n in registry if n not in latest]
     uncovered_debt = [n for n in never if n not in window]
+    newest_round = max(latest.values(), default=0)
+    stale_debt = [
+        n
+        for n in registry
+        if n in latest
+        and latest[n] < newest_round - STALE_ROUNDS
+        and n not in window
+    ]
     by_round: dict[int, int] = {}
     for n in registry:
         by_round[latest.get(n, 0)] = by_round.get(latest.get(n, 0), 0) + 1
@@ -72,6 +89,11 @@ def main() -> None:
             print(f"  of which in the current priority window: {len(covered)}")
     if uncovered_debt:
         print(f"UNCOVERED DEBT ({len(uncovered_debt)}): {' '.join(uncovered_debt)}")
+    if stale_debt:
+        print(
+            f"STALE DEBT (latest green < r{newest_round - STALE_ROUNDS}, "
+            f"not in window; {len(stale_debt)}): {' '.join(stale_debt)}"
+        )
 
     if "--json" in sys.argv:
         path = sys.argv[sys.argv.index("--json") + 1]
@@ -83,13 +105,14 @@ def main() -> None:
                     "latest_green_round": {n: latest.get(n, 0) for n in registry},
                     "never_green": never,
                     "uncovered_debt": uncovered_debt,
+                    "stale_debt": stale_debt,
                 },
                 f,
                 indent=1,
                 sort_keys=True,
             )
         print(f"wrote {path}")
-    sys.exit(1 if uncovered_debt else 0)
+    sys.exit(1 if (uncovered_debt or stale_debt) else 0)
 
 
 if __name__ == "__main__":
