@@ -87,6 +87,23 @@ _DUCK_SHINGLES = """
     )
 """
 
+# Hot-key frequency caps (r8 VERDICT What's-wrong #3).  The prefix filter
+# already routes each doc through its RAREST shingles, but on a
+# boilerplate-heavy corpus (many documents sharing their full text) even
+# the rarest shingle of a doc can carry document frequency ~n, fattening
+# one equi-join key into an O(hot²) skew straggler at 100x scale.  The cap
+# excludes shingles with df > _HOT_SHINGLE_CAP from CANDIDATE GENERATION
+# (verification is untouched), bounding every posting list — candidate
+# volume <= cap · prefix_rows instead of n².  CONTRACT: a true near-dup
+# pair is missed only if EVERY prefix shingle of both docs is hot, i.e.
+# the pair is itself boilerplate — exactly the mass-duplicate cluster that
+# dedup_exact's full-text hash already removes upstream (measured fixture
+# headroom: max prefix df = 11 at sf0.1, cap = 64 — the cap cannot fire
+# on the standard fixtures; the boilerplate fixture test pins both the
+# bound and the injected-near-dup recall).  Same constant, same semantics
+# in the Spark plan and the DuckDB oracle.
+_HOT_SHINGLE_CAP = 64
+
 # DuckDB oracle for near-dup pairs at jaccard >= 0.9.  Candidate
 # generation uses the same prefix-filter theorem as the Spark plan (any
 # pair at J >= 0.9 MUST share one of each doc's floor(0.1*|A|)+1 rarest
@@ -102,12 +119,13 @@ _DUCK_JACCARD_PAIRS = f"""
     inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
     df AS (SELECT s, count(*) AS df FROM inv GROUP BY s),
     ranked AS (
-        SELECT i.doc_id, i.s, z.n,
+        SELECT i.doc_id, i.s, z.n, d.df,
                row_number() OVER (PARTITION BY i.doc_id ORDER BY d.df, i.s) AS rk
         FROM inv i JOIN df d ON i.s = d.s JOIN sizes z ON i.doc_id = z.doc_id
     ),
     prefix AS (SELECT doc_id, s FROM ranked
-               WHERE rk <= CAST(floor(0.1 * n) AS INT) + 1),
+               WHERE rk <= CAST(floor(0.1 * n) AS INT) + 1
+                 AND df <= {_HOT_SHINGLE_CAP}),
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM prefix a JOIN prefix b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -140,11 +158,13 @@ _sql_query(
     inv AS (SELECT doc_id, explode(shingles) AS s FROM sh),
     df AS (SELECT s, count(*) AS df FROM inv GROUP BY s),
     ranked AS (
-        SELECT i.doc_id, i.s, z.n,
+        SELECT i.doc_id, i.s, z.n, d.df,
                row_number() OVER (PARTITION BY i.doc_id ORDER BY d.df, i.s) AS rk
         FROM inv i JOIN df d ON i.s = d.s JOIN sizes z ON i.doc_id = z.doc_id
     ),
-    prefix AS (SELECT doc_id, s FROM ranked WHERE rk <= cast(floor(0.1 * n) AS INT) + 1),
+    prefix AS (SELECT doc_id, s FROM ranked
+               WHERE rk <= cast(floor(0.1 * n) AS INT) + 1
+                 AND df <= {_HOT_SHINGLE_CAP}),
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM prefix a JOIN prefix b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -7351,17 +7371,27 @@ _sql_query(
 # (independent of corpus size); the candidate join is an equi-join on
 # (target_length, segment_index, segment_text); exact levenshtein()
 # (JVM codegen in Spark, native in DuckDB) verifies only the surviving
-# candidates.  Like the n-gram op's hot-shingle note: a corpus with a
-# shared boilerplate segment fattens one join key — production adds a
-# segment-frequency cap; the completeness argument is unaffected.
+# candidates.  Like the n-gram op's hot-shingle cap: a corpus with a
+# shared boilerplate segment fattens one join key, so segments whose
+# (length, index, text) key appears in more than _HOT_SEGMENT_CAP
+# documents are EXCLUDED from the index (one window count over the join
+# key — the same shuffle key, no extra scan), bounding candidates per
+# probe to the cap.  CONTRACT: a pair within ed <= 2 is missed only if
+# every one of its shared untouched segments is hot, i.e. the pair is
+# itself mass-boilerplate (dedup_exact's territory); measured fixture
+# headroom: max key frequency = 2 at sf0.1, cap = 64 — it cannot fire
+# on the standard fixtures, and the boilerplate fixture test pins both
+# the candidate bound and the injected-near-dup recall.
 # Near-dup signal is injected the same way dedup_exact injects copies:
 # every doc_id % 50 == 0 re-enters under id + 10000000 with one
 # substituted character (ed = 1, or 0 on the rare same-char collision).
 # test_edit_distance_blocking_is_complete independently re-derives the
 # full pair set with banded brute-force DP over the sf0.01 corpus.
+_HOT_SEGMENT_CAP = 64
+
 _sql_query(
     "dedup_edit_distance",
-    """
+    f"""
     WITH corpus AS (
         SELECT doc_id, text, length(text) AS L FROM documents
         UNION ALL
@@ -7370,7 +7400,7 @@ _sql_query(
                length(text) AS L
         FROM documents WHERE doc_id % 50 = 0
     ),
-    idx AS (
+    idx0 AS (
         SELECT doc_id, L, i,
                substring(text,
                    CASE i WHEN 0 THEN 1 WHEN 1 THEN L DIV 3 + 1
@@ -7379,6 +7409,13 @@ _sql_query(
                           ELSE L - L DIV 3 - (L - L DIV 3) DIV 2 END) AS piece
         FROM corpus LATERAL VIEW explode(sequence(0, 2)) t AS i
         WHERE L >= 3
+    ),
+    idx AS (
+        SELECT doc_id, L, i, piece FROM (
+            SELECT doc_id, L, i, piece,
+                   count(*) OVER (PARTITION BY L, i, piece) AS kf
+            FROM idx0) z
+        WHERE kf <= {_HOT_SEGMENT_CAP}
     ),
     probes AS (
         SELECT rid, ls, i, substring(text, pst + dd, pln) AS piece
@@ -7409,7 +7446,7 @@ _sql_query(
     WHERE levenshtein(a.text, b.text) <= 2
     ORDER BY doc1, doc2
     """,
-    oracle="""
+    oracle=f"""
     WITH corpus AS (
         SELECT doc_id, text, length(text) AS L FROM documents
         UNION ALL
@@ -7418,7 +7455,7 @@ _sql_query(
                length(text) AS L
         FROM documents WHERE doc_id % 50 = 0
     ),
-    idx AS (
+    idx0 AS (
         SELECT doc_id, L, i,
                substring(text,
                    CASE i WHEN 0 THEN 1 WHEN 1 THEN L // 3 + 1
@@ -7427,6 +7464,13 @@ _sql_query(
                           ELSE L - L // 3 - (L - L // 3) // 2 END) AS piece
         FROM corpus CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS i) gi
         WHERE L >= 3
+    ),
+    idx AS (
+        SELECT doc_id, L, i, piece FROM (
+            SELECT doc_id, L, i, piece,
+                   count(*) OVER (PARTITION BY L, i, piece) AS kf
+            FROM idx0) z
+        WHERE kf <= {_HOT_SEGMENT_CAP}
     ),
     probes AS (
         SELECT rid, ls, i, substring(text, pst + dd, pln) AS piece
