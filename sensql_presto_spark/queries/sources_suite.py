@@ -916,3 +916,221 @@ _sql_query(
     "semantics and rolled up per recovered segment with a __CORRUPT__ "
     "sentinel bucket — one scan, one map-side-combined groupBy.",
 )
+
+
+# --- Kafka topic decode (presto-kafka + presto-record-decoder parity) ------
+#
+# The reference exposes a Kafka topic as a table: per-partition splits
+# (KafkaSplitManager.java) whose message values decode into typed columns
+# through csv/json/raw row decoders (presto-record-decoder).  Live brokers
+# are untestable here, so — the r7 Avro OCF playbook — the topic is an
+# offline directory of per-partition log-segment files with Kafka's
+# length-prefixed record framing (sensql_presto_spark/kafka_decoder.py),
+# and THE SAME decode pipeline would run unchanged over Spark's live
+# kafka source because every decoder consumes the connector's canonical
+# (key binary, value binary, topic, partition, offset) shape.
+#
+# The fixture round-trips events (event_id < 200) through ALL THREE
+# decoders: JSON messages with a nested mapping path and every 13th
+# message truncated (JsonRowDecoder drops undecodable messages —
+# Optional.empty); CSV messages with a quoted field and every 11th
+# message truncated to two tokens (CsvColumnDecoder null-fills short
+# rows, the message itself survives); raw messages packing big-endian
+# LONG/SHORT/INT fields plus an open-ended VARCHAR tail, including a
+# SIGNED short (user_id - 50 goes negative) to pin two's-complement
+# sign extension.  Partition = event_id % 4, offset = position within
+# the segment — both re-derivable in pure SQL, so the oracle recomputes
+# the whole decoded union from the events table directly and the value
+# hash covers framing, partitioning, offsets, drops, null-fills, and
+# sign extension at once.  Scale shape: segments decode per-file inside
+# one Arrow mapInPandas pass (payloads never on the driver); every
+# per-message decode expression is JVM-native (from_csv /
+# get_json_object / substring+conv) — no Python in the hot path.
+import atexit as _atexit2
+import shutil as _shutil2
+import tempfile as _tempfile2
+
+KAFKA_TOPIC_PATH = f"{_tempfile2.gettempdir()}/spark_graft_kafka_{os.getpid()}"
+_atexit2.register(_shutil2.rmtree, KAFKA_TOPIC_PATH, ignore_errors=True)
+
+_KAFKA_ORACLE = """
+WITH base AS (
+    SELECT event_id, user_id, event_type,
+           CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_e4,
+           CAST(event_id % 4 AS BIGINT) AS part,
+           CAST(row_number() OVER (PARTITION BY event_id % 4 ORDER BY event_id) - 1 AS BIGINT) AS off
+    FROM events WHERE event_id < 200
+)
+SELECT fmt, event_id, user_id, event_type, value_e4, delta, part, off FROM (
+    SELECT 'json' AS fmt, event_id, user_id, event_type, v_e4 AS value_e4,
+           CAST(NULL AS BIGINT) AS delta, part, off
+    FROM base WHERE event_id % 13 <> 0
+    UNION ALL
+    SELECT 'csv', event_id, user_id,
+           CASE WHEN event_id % 11 = 0 THEN NULL ELSE event_type END,
+           CASE WHEN event_id % 11 = 0 THEN NULL ELSE v_e4 END,
+           CAST(NULL AS BIGINT), part, off
+    FROM base
+    UNION ALL
+    SELECT 'raw', event_id, user_id, event_type, v_e4,
+           CAST(user_id - 50 AS BIGINT), part, off
+    FROM base
+) z ORDER BY fmt, event_id
+"""
+
+# big-endian two's-complement byte slice of a BIGINT expression: the low
+# `nbytes` bytes of the 64-bit hex form (hex() trims leading zeros on
+# positives and emits all 16 nibbles on negatives; right-padding
+# normalizes both)
+def _be_bytes(expr: str, nbytes: int) -> str:
+    return f"unhex(right(concat(repeat('0', 16), hex({expr})), {2 * nbytes}))"
+
+
+@register(
+    "source_kafka_decoder",
+    oracle=_KAFKA_ORACLE,
+    tags=("sources", "kafka", "decoder"),
+    doc="Kafka topic-as-table decode parity (presto-kafka splits + "
+    "presto-record-decoder csv/json/raw): events serialized into "
+    "per-partition length-prefixed log segments, read back via ONE "
+    "binaryFile + mapInPandas pass into the canonical (key, value, "
+    "topic, partition, offset) shape, and decoded three ways with "
+    "JVM-native expressions — JSON nested '/'-path mapping with "
+    "undecodable messages dropped, CSV token-index mapping with "
+    "short rows null-filled, raw big-endian fixed-offset fields with "
+    "signed sign-extension and an open-ended varchar tail.",
+)
+def source_kafka_decoder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from sensql_presto_spark import kafka_decoder as kd
+
+    base = (
+        catalog.table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 200)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long").alias("v_e4"),
+            (F.col("event_id") % 4).cast("int").alias("part"),
+        )
+    )
+
+    cfull = F.concat(
+        F.col("event_id").cast("string"), F.lit(","),
+        F.col("user_id").cast("string"), F.lit(',"'),
+        F.col("event_type"), F.lit('",'),
+        F.col("v_e4").cast("string"),
+    )
+    ctrunc = F.concat(
+        F.col("event_id").cast("string"), F.lit(","), F.col("user_id").cast("string")
+    )
+
+    rval = F.expr(
+        "concat("
+        + _be_bytes("event_id", 8) + ", "
+        + _be_bytes("user_id - 50", 2) + ", "
+        + _be_bytes("user_id", 4) + ", "
+        + _be_bytes("v_e4", 8) + ", "
+        + "cast(event_type AS BINARY))"
+    )
+
+    key = F.expr(_be_bytes("event_id", 8))
+
+    # the three (part, event_id, key, value) message frames
+    json_msgs = (
+        base.withColumn("jv", F.concat(
+            F.lit('{"meta":{"id":'), F.col("event_id").cast("string"),
+            F.lit(',"user":'), F.col("user_id").cast("string"),
+            F.lit('},"etype":"'), F.col("event_type"),
+            F.lit('","v":'), F.col("v_e4").cast("string"), F.lit("}"),
+        ))
+        .withColumn(
+            "value",
+            F.when(
+                F.col("event_id") % 13 == 0,
+                F.expr("substring(jv, 1, length(jv) - 4)"),
+            )
+            .otherwise(F.col("jv"))
+            .cast("binary"),
+        )
+        .select("part", "event_id", key.alias("key"), "value")
+    )
+    csv_msgs = (
+        base.withColumn(
+            "value",
+            F.when(F.col("event_id") % 11 == 0, ctrunc).otherwise(cfull).cast("binary"),
+        )
+        .select("part", "event_id", key.alias("key"), "value")
+    )
+    raw_msgs = base.withColumn("value", rval).select(
+        "part", "event_id", key.alias("key"), "value"
+    )
+
+    root = KAFKA_TOPIC_PATH
+    for fmt, msgs in (("json", json_msgs), ("csv", csv_msgs), ("raw", raw_msgs)):
+        tdir = os.path.join(root, fmt)
+        _shutil2.rmtree(tdir, ignore_errors=True)
+        os.makedirs(tdir, exist_ok=True)
+
+        def make_writer(_tdir):
+            # single-arg function: applyInPandas passes (key, pdf) to
+            # two-parameter callables, so the closure binds the dir instead
+            def write_part(pdf: "pd.DataFrame") -> "pd.DataFrame":
+                pdf = pdf.sort_values("event_id")
+                part = int(pdf["part"].iloc[0])
+                blob = kd.encode_segment(
+                    [(bytes(k), bytes(v)) for k, v in zip(pdf["key"], pdf["value"])]
+                )
+                with open(os.path.join(_tdir, f"partition={part}.seg"), "wb") as f:
+                    f.write(blob)
+                return pd.DataFrame({"part": [part], "n": [len(pdf)]})
+
+            return write_part
+
+        write_part = make_writer(tdir)
+
+        written = (
+            msgs.groupBy("part")
+            .applyInPandas(write_part, "part int, n long")
+            .collect()
+        )
+        assert sum(r.n for r in written) > 0, f"empty kafka fixture topic {fmt}"
+
+    jcols = [
+        kd.KafkaColumn("event_id", "BIGINT", "meta/id"),
+        kd.KafkaColumn("user_id", "BIGINT", "meta/user"),
+        kd.KafkaColumn("event_type", "STRING", "etype"),
+        kd.KafkaColumn("value_e4", "BIGINT", "v"),
+    ]
+    ccols = [
+        kd.KafkaColumn("event_id", "BIGINT", "0"),
+        kd.KafkaColumn("user_id", "BIGINT", "1"),
+        kd.KafkaColumn("event_type", "STRING", "2"),
+        kd.KafkaColumn("value_e4", "BIGINT", "3"),
+    ]
+    rcols = [
+        kd.KafkaColumn("event_id", "BIGINT", "0", "LONG"),
+        kd.KafkaColumn("delta", "BIGINT", "8:10", "SHORT"),
+        kd.KafkaColumn("user_id", "BIGINT", "10", "INT"),
+        kd.KafkaColumn("value_e4", "BIGINT", "14", "LONG"),
+        kd.KafkaColumn("event_type", "STRING", "22"),
+    ]
+
+    def norm(df: DataFrame, fmt: str, with_delta: bool) -> DataFrame:
+        return df.select(
+            F.lit(fmt).alias("fmt"),
+            F.col("event_id").cast("long"),
+            F.col("user_id").cast("long"),
+            F.col("event_type").cast("string"),
+            F.col("value_e4").cast("long"),
+            (F.col("delta").cast("long") if with_delta else F.lit(None).cast("long")).alias("delta"),
+            F.col("partition").cast("long").alias("part"),
+            F.col("offset").cast("long").alias("off"),
+        )
+
+    jd = norm(kd.decode_json(kd.read_topic_dir(spark, os.path.join(root, "json")), jcols), "json", False)
+    cd = norm(kd.decode_csv(kd.read_topic_dir(spark, os.path.join(root, "csv")), ccols), "csv", False)
+    rd = norm(kd.decode_raw(kd.read_topic_dir(spark, os.path.join(root, "raw")), rcols), "raw", True)
+    return jd.unionAll(cd).unionAll(rd).orderBy("fmt", "event_id")
