@@ -89,3 +89,12 @@ def test_text_seeds_agree(spark):
     pattern match) lean on, differentially checked as strings."""
     assert expr_fuzz.run_text_batch(spark, SF, list(range(900, 925))) == []
     assert expr_fuzz.run_text_batch(spark, SF, list(range(925, 950))) == []
+
+
+def test_negdiv_seeds_agree(spark):
+    """negdiv-mode fuzz (r9): the trunc-vs-floor division class — the
+    sign-aware CASE, abs(), and positivity-shift idioms the exact-integer
+    operators rely on, rendered per-dialect (Spark DIV/shiftleft vs
+    DuckDB /// <<) plus the e = d*q + e%d identity as a sentinel."""
+    assert expr_fuzz.run_negdiv_batch(spark, SF, list(range(1000, 1025))) == []
+    assert expr_fuzz.run_negdiv_batch(spark, SF, list(range(1025, 1050))) == []

@@ -622,3 +622,102 @@ def run_text_batch(spark, sf_dir: str, seeds: list[int]) -> list[str]:
     return _run_and_compare(
         spark, sf_dir, build_text_query(seeds), seeds, "text", text_cols=True
     )
+
+
+# --- negdiv mode: trunc-vs-floor division across dialects -------------------
+#
+# The one arithmetic divergence the engine's exact-integer rules exist
+# for: Spark's integer DIV truncates toward zero while DuckDB's //
+# FLOORS, so any negative numerator meeting division silently diverges
+# (the r8 verdict caught a latent case in events_decay_score).  This
+# mode is the regression hunter for that class: unlike every other mode
+# it generates a dialect PAIR — the same expression tree rendered once
+# with Spark spellings (DIV, shiftleft) and once with DuckDB spellings
+# (//, <<) — and fuzzes exactly the sign-handling idioms the operators
+# rely on:
+#
+#   trunc:   CASE WHEN e >= 0 THEN e DIV d ELSE -((-e) DIV d) END
+#            (both engines divide a non-negative numerator, where trunc
+#            and floor agree; the sign is reapplied outside)
+#   nonneg:  abs(e) DIV d
+#   shift:   (e + M) DIV d with M > |e|'s magnitude bound — the
+#            "+2000 positivity shift" pattern from the embedding ops
+#   identity: e = d * trunc(e, d) + (e % d) — both engines' % is
+#            C-style (sign of the dividend), so the identity must hold
+#            cell-for-cell; a 0 anywhere means an engine broke the
+#            trunc-div/% contract this repo's arithmetic assumes
+#
+# Divisors are positive literals or powers of two via shiftleft/<<
+# (the decay-score shape).  Raw `e DIV d` with a possibly-negative e is
+# deliberately NOT generated — it WOULD mismatch; the grammar encodes
+# the rule, the fuzz proves the encodings.
+
+
+def _pow2(k: int, dialect: str) -> str:
+    if dialect == "spark":
+        return f"shiftleft(CAST(1 AS BIGINT), {k})"
+    return f"(CAST(1 AS BIGINT) << {k})"
+
+
+def _negdiv_col(g: "_Gen", dialect: str) -> str:
+    r = g.rng
+    div = "DIV" if dialect == "spark" else "//"
+    e, mag = g.int_expr(2)
+    if r.random() < 0.5:
+        d = str(r.randint(2, 97))
+    else:
+        d = _pow2(r.randint(1, 12), dialect)
+    pick = r.random()
+    if pick < 0.35:
+        trunc = f"(CASE WHEN {e} >= 0 THEN ({e}) {div} {d} ELSE -((-({e})) {div} {d}) END)"
+        return f"CAST({trunc} AS BIGINT)"
+    if pick < 0.55:
+        return f"CAST(abs({e}) {div} {d} AS BIGINT)"
+    if pick < 0.75:
+        shift = int(mag) + 1
+        if shift < 9e15:  # stay far from int64
+            return f"CAST((({e}) + {shift}) {div} {d} AS BIGINT)"
+        return f"CAST(abs({e}) {div} {d} AS BIGINT)"
+    # the trunc-div / modulo identity as a 0/1 sentinel column
+    trunc = f"(CASE WHEN {e} >= 0 THEN ({e}) {div} {d} ELSE -((-({e})) {div} {d}) END)"
+    return f"CAST(CASE WHEN ({e}) = {d} * {trunc} + (({e}) % {d}) THEN 1 ELSE 0 END AS BIGINT)"
+
+
+def build_negdiv_query(seeds: list[int], dialect: str) -> str:
+    cols = []
+    for s in seeds:
+        # one generator per (seed, column); dialect must NOT perturb the
+        # random stream, so each dialect rendering re-seeds identically
+        cols.append(f"{_negdiv_col(_Gen(s), dialect)} AS e{s}")
+    return (
+        "SELECT o_orderkey, "
+        + ", ".join(cols)
+        + " FROM ("
+        + _BASE
+        + ") t ORDER BY o_orderkey"
+    )
+
+
+def run_negdiv_batch(spark, sf_dir: str, seeds: list[int]) -> list[str]:
+    from sensql_presto_spark import catalog
+    from sensql_presto_spark.testing import duckdb_connection
+
+    actual = catalog.sql(spark, sf_dir, build_negdiv_query(seeds, "spark")).toPandas()
+    con = duckdb_connection(sf_dir)
+    expected = con.sql(build_negdiv_query(seeds, "duckdb")).df()
+    con.close()
+    problems = []
+    if len(actual) != len(expected):
+        return [
+            f"negdiv: row count differs: spark={len(actual)} duckdb={len(expected)}"
+        ]
+    for s in seeds:
+        col = f"e{s}"
+        av, ev = actual[col], expected[col]
+        eq = (av == ev) | (av.isna() & ev.isna())
+        if not eq.all():
+            i = int((~eq).idxmax())
+            problems.append(
+                f"negdiv seed {s}: row {i} spark={av[i]!r} duckdb={ev[i]!r}"
+            )
+    return problems
