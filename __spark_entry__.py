@@ -73,11 +73,7 @@ PRIORITY: tuple[str, ...] = (
     "agg_stats_moments",
     "ddl_ctas_insert",
     "events_streaming_tumbling",
-    "fn_math",
-    "fn_presto_compat",
     "geo_st_functions",
-    "grouping_sets",
-    "lateral_topn",
     "mm_features",
     "mm_frame_sample",
     "mutation_delete_merge",
@@ -86,8 +82,6 @@ PRIORITY: tuple[str, ...] = (
     "order_nulls_last",
     "pivot_linestatus",
     "quantified_all",
-    "sample_hash_mod",
-    "scalar_subquery_select",
     "sensql_federated_single_node",
     "sensql_spatial_filter",
     "setop_except_all",
@@ -98,8 +92,20 @@ PRIORITY: tuple[str, ...] = (
     "unnest_with_ordinality",
     # (3) r9-added operators (displacing block-(2) slots; each verified
     #     --vanilla EXACT at sf0.01 AND sf0.1 at commit time; displaced so
-    #     far: setop_union -> r10)
+    #     far, all -> r10: setop_union, then fn_math (judge-EXACT r8 both
+    #     scales — the strongest recent signal), fn_presto_compat (twin
+    #     suites compat2/3 greener + function goldens), grouping_sets
+    #     (fuzz rollup mode; cube_orders stays), lateral_topn
+    #     (window_topn_per_group + both unnest entries stay),
+    #     scalar_subquery_select (fuzz subquery mode), sample_hash_mod
+    #     (deterministic-sampling shape shared with text_train_val_split)
     "source_kafka_decoder",
+    "events_ohlc_bars",
+    "events_lateness_audit",
+    "text_ngram_novelty",
+    "text_term_drift",
+    "sim_embedding_norm_audit",
+    "dedup_eval_pr",
 )
 
 

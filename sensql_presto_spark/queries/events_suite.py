@@ -1176,3 +1176,125 @@ _sql_query(
     "integer num/den cross-products (never divided); one user-level "
     "map-side aggregate + a 2-row rollup + a 1x1 control join.",
 )
+
+
+# --- OHLC candlestick bars (open/high/low/close per time bucket) ------------
+#
+# The time-series rollup every metrics/market engine ships: per series
+# (event_type) and fixed bucket (6-hour bar), the value at the bucket's
+# first tick (open), the extremes (high/low), the value at the last tick
+# (close), plus tick count and volume.  Open/close are expressed as
+# rank-1 rows of two mirrored row_number() windows over the SAME
+# partition keys — both windows and the final aggregate share one
+# (type, day, slot) hash exchange, so the whole bar computation is a
+# single shuffle + per-key sort (Spark plans one Exchange; the second
+# window reuses the first's partitioning).  Ties at the bucket edge are
+# broken by event_id, so open/close are deterministic even with equal
+# timestamps.  Values are quantized to exact e4 integers BEFORE any
+# aggregation (the project's float-sum rule), making every output column
+# BIGINT and order-independent.  Scale shape: state per key is one sort
+# run; bars-per-series is calendar-bounded, so the output is tiny
+# regardless of corpus size.
+_sql_query(
+    "events_ohlc_bars",
+    """
+    WITH b AS (
+        SELECT event_type,
+               date_trunc('day', ts) AS bar_day,
+               CAST(floor(hour(ts) / 6.0) AS INT) AS bar_slot,
+               cast(floor(value * 10000 + 0.5) AS BIGINT) AS v_e4,
+               ts, event_id
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, bar_day, bar_slot, v_e4,
+               row_number() OVER (PARTITION BY event_type, bar_day, bar_slot
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY event_type, bar_day, bar_slot
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM b
+    )
+    SELECT event_type, bar_day, bar_slot,
+           CAST(max(CASE WHEN rn_a = 1 THEN v_e4 END) AS BIGINT) AS open_e4,
+           CAST(max(v_e4) AS BIGINT) AS high_e4,
+           CAST(min(v_e4) AS BIGINT) AS low_e4,
+           CAST(max(CASE WHEN rn_d = 1 THEN v_e4 END) AS BIGINT) AS close_e4,
+           CAST(count(*) AS BIGINT) AS n_ticks,
+           CAST(sum(v_e4) AS BIGINT) AS volume_e4
+    FROM r
+    GROUP BY event_type, bar_day, bar_slot
+    ORDER BY event_type, bar_day, bar_slot
+    """,
+    tags=("events", "window", "timeseries"),
+    doc="OHLC candlestick bars per (event_type, 6h bucket): open/close "
+    "via mirrored row_number windows sharing ONE hash exchange with the "
+    "final aggregate, high/low/volume as plain aggregates; all values "
+    "pre-quantized to exact e4 integers, ties broken by event_id.",
+)
+
+
+# --- Out-of-order arrival audit (watermark sizing) ---------------------------
+#
+# Before picking a Structured Streaming watermark you measure HOW
+# out-of-order the stream actually is.  The fixture's event_id order is
+# perfectly ts-sorted (zero disorder — verified), so arrival order is
+# modeled the way real ingestion actually disorders a stream: producers
+# (users) flush per-minute batches into hash-partitioned topic shards
+# (user_id % 8), so within a shard the arrival order is (minute-batch,
+# producer, sequence) and event TIME regresses whenever a later-flushing
+# producer's batch carries earlier-in-the-minute events.  Lateness of an
+# event = shard watermark (running max event time in arrival order) minus
+# its own event time; the audit reports, per shard, the disorder count,
+# the worst/total lateness, and how many events a 10s / 60s watermark
+# delay would actually drop — exactly the numbers that size
+# withWatermark().  Scale shape: the running max is windowed PER SHARD
+# (never a global sort), so it parallelizes by shard exactly like the
+# streaming engine's own per-partition watermark tracking; one hash
+# exchange + per-shard sort for the window, then a shard rollup whose
+# map-side partials leave <= 8 rows per task for the second exchange.
+# All outputs are exact BIGINT microsecond arithmetic.
+_sql_query(
+    "events_lateness_audit",
+    """
+    WITH a AS (
+        SELECT user_id % 8 AS shard, unix_micros(ts) AS tus,
+               max(unix_micros(ts)) OVER (
+                   PARTITION BY user_id % 8
+                   ORDER BY date_trunc('minute', ts), user_id, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wm
+        FROM events
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN wm > tus THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_order,
+           CAST(max(wm - tus) AS BIGINT) AS max_lateness_us,
+           CAST(sum(wm - tus) AS BIGINT) AS sum_lateness_us,
+           CAST(sum(CASE WHEN wm - tus > 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_wm_10s,
+           CAST(sum(CASE WHEN wm - tus > 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_wm_60s
+    FROM a GROUP BY shard ORDER BY shard
+    """,
+    oracle="""
+    WITH a AS (
+        SELECT user_id % 8 AS shard, epoch_us(ts) AS tus,
+               max(epoch_us(ts)) OVER (
+                   PARTITION BY user_id % 8
+                   ORDER BY date_trunc('minute', ts), user_id, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wm
+        FROM events
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN wm > tus THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_order,
+           CAST(max(wm - tus) AS BIGINT) AS max_lateness_us,
+           CAST(sum(wm - tus) AS BIGINT) AS sum_lateness_us,
+           CAST(sum(CASE WHEN wm - tus > 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_wm_10s,
+           CAST(sum(CASE WHEN wm - tus > 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_wm_60s
+    FROM a GROUP BY shard ORDER BY shard
+    """,
+    tags=("events", "streaming", "audit"),
+    doc="Out-of-order arrival audit per topic shard (producer per-minute "
+    "batch arrival model): disorder count, max/total lateness vs the "
+    "running per-shard watermark, and the would-be-dropped counts at "
+    "10s/60s watermark delays — the watermark-sizing numbers; per-shard "
+    "windows (never a global sort), rollup partials <= 8 rows per task.",
+)

@@ -1552,3 +1552,138 @@ def test_feature_hashing_matches_python_replication(spark):
         r = rows[d["doc_id"]]
         assert (r.nnz, r.norm2, r.checksum) == (nnz, norm2, checksum), d["doc_id"]
         assert r.nnz <= min(64, len(set(d["text"].split(" "))))
+
+
+# --- round-9 operator wave: property tests beyond the oracle ----------------
+
+
+def test_ohlc_bars_invariants_and_brute_force_open_close(spark):
+    """OHLC internal consistency on every bar, plus an independent pandas
+    recomputation of open/close for the busiest bar (the window-rank path
+    and a plain sort must agree)."""
+    import pandas as pd
+
+    bars = registry.get("events_ohlc_bars").build(spark, SF_DIR).toPandas()
+    assert len(bars) > 0
+    assert (bars.low_e4 <= bars.open_e4).all()
+    assert (bars.open_e4 <= bars.high_e4).all()
+    assert (bars.low_e4 <= bars.close_e4).all()
+    assert (bars.close_e4 <= bars.high_e4).all()
+    assert (bars.n_ticks >= 1).all()
+    busiest = bars.sort_values("n_ticks", ascending=False).iloc[0]
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["v_e4"] = (ev.value * 10000 + 0.5).apply(lambda x: int(x // 1))
+    sel = ev[
+        (ev.event_type == busiest.event_type)
+        & (ev.ts.dt.floor("D") == busiest.bar_day)
+        & (ev.ts.dt.hour // 6 == busiest.bar_slot)
+    ].sort_values(["ts", "event_id"])
+    assert len(sel) == busiest.n_ticks
+    assert sel.iloc[0].v_e4 == busiest.open_e4
+    assert sel.iloc[-1].v_e4 == busiest.close_e4
+    assert sel.v_e4.sum() == busiest.volume_e4
+
+
+def test_lateness_audit_non_degenerate_and_ordered(spark):
+    """The producer-batch arrival model must actually produce disorder
+    (otherwise the audit audits nothing), lateness is never negative, and
+    the watermark-drop counts are monotone in the delay."""
+    rows = registry.get("events_lateness_audit").build(spark, SF_DIR).collect()
+    assert len(rows) == 8  # one row per topic shard
+    assert sum(r.n_out_of_order for r in rows) > 0
+    for r in rows:
+        assert r.max_lateness_us >= 0 and r.sum_lateness_us >= 0
+        assert r.n_dropped_wm_60s <= r.n_dropped_wm_10s <= r.n_out_of_order
+        assert r.n_out_of_order <= r.n_events
+
+
+def test_ngram_novelty_conservation_and_decay(spark):
+    """Every distinct gram in the corpus is novel exactly once (in its
+    first-occurrence doc), so sum(n_novel) == corpus distinct-gram count;
+    and the curve must actually decay from the first decile to the last
+    (Heaps-law sanity on the planted fixture)."""
+    cur = registry.get("text_ngram_novelty").build(spark, SF_DIR).collect()
+    assert [r.ingest_decile for r in cur] == list(range(10))
+    total_novel = sum(r.n_novel for r in cur)
+    distinct_grams = spark.sql(
+        """
+        SELECT count(DISTINCT concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) AS n
+        FROM (SELECT split(text, ' ') AS toks
+              FROM parquet.`/root/testdata/sf0.01/documents.parquet`
+              WHERE size(split(text, ' ')) >= 3)
+        LATERAL VIEW explode(sequence(0, size(toks) - 3)) t AS i
+        """
+    ).collect()[0].n
+    assert total_novel == distinct_grams
+    assert cur[0].novelty_bp > cur[-1].novelty_bp
+
+
+def test_term_drift_brute_force_chi2(spark):
+    """Recompute the top-ranked term's chi-square independently in Python
+    from raw token counts; ranks are a 1..n permutation and chi2 >= 0."""
+    rows = registry.get("text_term_drift").build(spark, SF_DIR).collect()
+    assert sorted(r.drift_rank for r in rows) == list(range(1, len(rows) + 1))
+    assert all(r.chi2 >= 0 for r in rows)
+    top = next(r for r in rows if r.drift_rank == 1)
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    half = (docs.doc_id.max() + 1) // 2
+    a = b = ta = tb = 0
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        toks = text.split(" ")
+        n_hit = sum(1 for t in toks if t == top.term)
+        if doc_id < half:
+            a += n_hit
+            ta += len(toks)
+        else:
+            b += n_hit
+            tb += len(toks)
+    assert (a, b) == (top.n_first_half, top.n_second_half)
+    chi2 = (ta + tb) * (1.0 * a * (tb - b) - 1.0 * b * (ta - a)) ** 2 / (
+        (1.0 * a + b) * (ta - a + tb - b) * ta * tb
+    )
+    assert round(chi2, 4) == top.chi2
+
+
+def test_embedding_norm_audit_healthy_corpus(spark):
+    """The fixture embeddings are unit-normalized 64-dim vectors; the
+    audit must certify exactly that (the 'gate passes on healthy data'
+    direction — the unhealthy direction is covered by construction since
+    every column is a count of an explicit predicate)."""
+    rows = registry.get("sim_embedding_norm_audit").build(spark, SF_DIR).collect()
+    import pandas as pd
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    assert sum(r.n_vecs for r in rows) == len(emb)
+    for r in rows:
+        assert r.dims_min == r.dims_max == 64
+        assert r.n_zero_norm == 0 and r.n_nonfinite == 0
+        assert r.min_norm_e4 == r.max_norm_e4 == 10000  # unit norms
+        assert r.sum_norm_e4 == 10000 * r.n_vecs
+
+
+def test_dedup_eval_pr_confusion_identities(spark):
+    """The confusion counts must tie out against the two source detectors
+    run independently, and the bp metrics against their integer
+    definitions."""
+    import math
+
+    row = registry.get("dedup_eval_pr").build(spark, SF_DIR).collect()[0]
+    sim = {
+        (r.id_a, r.id_b)
+        for r in registry.get("dedup_simhash").build(spark, SF_DIR).collect()
+    }
+    jac = {
+        (r.id_a, r.id_b)
+        for r in registry.get("dedup_ngram_jaccard").build(spark, SF_DIR).collect()
+    }
+    assert row.n_predicted == len(sim) and row.n_truth == len(jac)
+    assert row.tp == len(sim & jac)
+    assert row.fp == len(sim - jac) and row.fn == len(jac - sim)
+    assert row.tp + row.fp > 0 and row.fp + row.fn > 0, "eval must discriminate"
+    assert row.precision_bp == math.floor(row.tp * 10000.0 / (row.tp + row.fp))
+    assert row.recall_bp == math.floor(row.tp * 10000.0 / (row.tp + row.fn))
+    assert row.f1_bp == math.floor(
+        2 * row.tp * 10000.0 / (2 * row.tp + row.fp + row.fn)
+    )

@@ -719,3 +719,38 @@ def test_late_r7_operator_plan_shapes(spark):
 
     p = plan_of("sim_binary_hamming_topk")
     assert "WindowGroupLimit" in p and "CartesianProduct" not in p
+
+
+def test_r9_operator_plan_shapes(spark):
+    """Pin the claimed scale shapes of the r9 operator wave:
+    - OHLC bars: both mirrored rank windows AND the final aggregate share
+      ONE (type, day, slot) hash exchange — the whole bar computation is
+      a single shuffle;
+    - norm audit: pure scan -> per-row array work -> label rollup; no
+      joins of any kind;
+    - lateness audit: windows are per-shard (a hash exchange, never the
+      global-sort single-partition window Spark warns about);
+    - term drift: the totals join is the bounded 1-row broadcast BNLJ,
+      never a cartesian."""
+
+    def plan_of(name):
+        return _plan(spark, name, mode="simple")
+
+    p = plan_of("events_ohlc_bars")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p and "CartesianProduct" not in p
+
+    p = plan_of("sim_embedding_norm_audit")
+    assert "Join" not in p and "Python" not in p
+    assert p.count("Scan parquet") == 1
+
+    p = plan_of("events_lateness_audit")
+    assert "Exchange hashpartitioning" in p
+    assert "Exchange SinglePartition" not in p.split("Window")[0], (
+        "the running-max window must partition by shard, not globally"
+    )
+    assert "Join" not in p
+
+    p = plan_of("text_term_drift")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row totals broadcast
