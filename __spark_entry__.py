@@ -70,7 +70,6 @@ PRIORITY: tuple[str, ...] = (
     "agg_checksum",
     "agg_hll_sketch_rollup",
     "agg_qdigest_rollup",
-    "agg_stats_moments",
     "ddl_ctas_insert",
     "events_streaming_tumbling",
     "geo_st_functions",
@@ -81,13 +80,11 @@ PRIORITY: tuple[str, ...] = (
     "offset_fetch",
     "order_nulls_last",
     "pivot_linestatus",
-    "quantified_all",
     "sensql_federated_single_node",
     "sensql_spatial_filter",
     "setop_except_all",
     "setop_intersect_all",
     "sim_lsh_hyperplane",
-    "text_lang_id",
     "unnest_multi_zip",
     "unnest_with_ordinality",
     # (3) r9-added operators (displacing block-(2) slots; each verified
@@ -98,7 +95,12 @@ PRIORITY: tuple[str, ...] = (
     #     (fuzz rollup mode; cube_orders stays), lateral_topn
     #     (window_topn_per_group + both unnest entries stay),
     #     scalar_subquery_select (fuzz subquery mode), sample_hash_mod
-    #     (deterministic-sampling shape shared with text_train_val_split)
+    #     (deterministic-sampling shape shared with text_train_val_split),
+    #     then text_lang_id (transitively exercised END-TO-END by the new
+    #     text_lang_confusion, which builds it and scores it against its
+    #     own oracle-composed ground truth), quantified_all (twin
+    #     quantified_any green r3 + the fuzz subquery mode),
+    #     agg_stats_moments (the fuzz agg mode's moments aggregates)
     "source_kafka_decoder",
     "events_ohlc_bars",
     "events_lateness_audit",
@@ -106,6 +108,9 @@ PRIORITY: tuple[str, ...] = (
     "text_term_drift",
     "sim_embedding_norm_audit",
     "dedup_eval_pr",
+    "text_lang_confusion",
+    "scale_salt_planner",
+    "text_dedup_impact",
 )
 
 

@@ -9279,3 +9279,196 @@ def dedup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH s AS (SELECT * FROM __eval_pr_s), j AS (SELECT * FROM __eval_pr_j),"
         + _EVAL_PR_SELECT
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID evaluation: confusion matrix vs labeled ground truth
+# ---------------------------------------------------------------------------
+# The third leg of the eval triad (sim_ann_recall_eval for ANN,
+# dedup_eval_pr for dedup, this for classifiers): score text_lang_id's
+# stopword-heuristic predictions against the corpus's labeled `lang`
+# column and emit the full confusion matrix plus overall accuracy.  On
+# this fixture the readout is deliberately unflattering — the corpus
+# text is English-like word soup under every label, so the heuristic
+# collapses to en/und and accuracy lands at ~39.6% — which is precisely
+# the failure an eval harness exists to catch BEFORE a lang filter is
+# deployed on 100 TB (a pipeline gating on lang_id would silently drop
+# the fr/de/es/zh partitions).  Composes the already-oracled
+# text_lang_id entry: one doc_id equi-join against the labels, a
+# (true, pred)-keyed rollup bounded by |langs|^2, and a 1-row accuracy
+# broadcast.
+def _lang_confusion_oracle() -> str:
+    from sensql_presto_spark.queries.registry import get
+
+    return f"""
+    WITH pred AS MATERIALIZED ({get("text_lang_id").oracle}),
+    j AS (SELECT d.lang AS true_lang, p.predicted AS pred_lang
+          FROM documents d JOIN pred p ON p.doc_id = d.doc_id),
+    cm AS (SELECT true_lang, pred_lang, count(*) AS n FROM j GROUP BY true_lang, pred_lang),
+    acc AS (SELECT sum(CASE WHEN true_lang = pred_lang THEN n ELSE 0 END) AS hit,
+                   sum(n) AS tot FROM cm)
+    SELECT cm.true_lang, cm.pred_lang, CAST(cm.n AS BIGINT) AS n,
+           CAST((SELECT floor(hit * 10000.0 / tot) FROM acc) AS BIGINT) AS overall_accuracy_bp
+    FROM cm ORDER BY true_lang, pred_lang
+    """
+
+
+@register(
+    "text_lang_confusion",
+    oracle=_lang_confusion_oracle(),
+    tags=("pipeline", "text", "eval"),
+    doc="Language-ID eval harness: text_lang_id predictions vs the "
+    "labeled lang column — full confusion matrix + overall accuracy in "
+    "bp (39.6% on this fixture: the stopword heuristic collapses to "
+    "en/und, the exact failure an eval gate catches before deploying a "
+    "lang filter); one doc_id join, |langs|^2-bounded rollup.",
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensql_presto_spark.queries.registry import get
+
+    pred = get("text_lang_id").build(spark, sf_dir)
+    pred.createOrReplaceTempView("__langcm_pred")
+    docs = catalog.table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__langcm_docs")
+    return spark.sql(
+        """
+        WITH j AS (SELECT d.lang AS true_lang, p.predicted AS pred_lang
+                   FROM __langcm_docs d JOIN __langcm_pred p ON p.doc_id = d.doc_id),
+        cm AS (SELECT true_lang, pred_lang, count(*) AS n
+               FROM j GROUP BY true_lang, pred_lang),
+        acc AS (SELECT sum(CASE WHEN true_lang = pred_lang THEN n ELSE 0 END) AS hit,
+                       sum(n) AS tot FROM cm)
+        SELECT cm.true_lang, cm.pred_lang, CAST(cm.n AS BIGINT) AS n,
+               CAST((SELECT floor(hit * 10000.0 / tot) FROM acc) AS BIGINT) AS overall_accuracy_bp
+        FROM cm ORDER BY true_lang, pred_lang
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew-salting planner (data-driven fanout plan with balance proof)
+# ---------------------------------------------------------------------------
+# scale_skew_report DETECTS skew and scale_salted_join EXECUTES a fixed
+# salt; this operator does the step between them — from the key
+# histogram, compute each key's salt fanout (ceil(n_key * T / N) for T
+# target tasks, floor 1) and report the resulting per-task load against
+# the unsalted worst case, i.e. the plan a shuffle manager would want
+# BEFORE launching the big join.  The demo key is the log2-magnitude
+# bucket of o_custkey — a deterministic power-law surrogate (bucket k
+# holds ~2^k orders) on this uniform fixture; on real data the histogram
+# input is the key itself.  At sf0.01 the plan takes the hottest key
+# from 5112 rows/task to 465 (11x balance).  Everything is one
+# map-side-combined histogram + a 1-row totals broadcast; exact BIGINT.
+_sql_query(
+    "scale_salt_planner",
+    """
+    WITH hist AS (
+        SELECT CAST(floor(ln(o_custkey + 2) / ln(2)) AS BIGINT) AS key_bucket,
+               count(*) AS n
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT max(n) AS mx, sum(n) AS s FROM hist),
+    plan AS (
+        SELECT key_bucket, n,
+               greatest(CAST(ceil(n * 32.0 / (SELECT s FROM tot)) AS BIGINT), 1L) AS fanout
+        FROM hist
+    )
+    SELECT key_bucket, CAST(n AS BIGINT) AS n_rows, CAST(fanout AS BIGINT) AS fanout,
+           CAST(ceil(n * 1.0 / fanout) AS BIGINT) AS salted_max_rows,
+           CAST((SELECT mx FROM tot) AS BIGINT) AS unsalted_max_rows
+    FROM plan ORDER BY key_bucket
+    """,
+    oracle="""
+    WITH hist AS (
+        SELECT CAST(floor(ln(o_custkey + 2) / ln(2)) AS BIGINT) AS key_bucket,
+               count(*) AS n
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT max(n) AS mx, sum(n) AS s FROM hist),
+    plan AS (
+        SELECT key_bucket, n,
+               greatest(CAST(ceil(n * 32.0 / (SELECT s FROM tot)) AS BIGINT),
+                        CAST(1 AS BIGINT)) AS fanout
+        FROM hist
+    )
+    SELECT key_bucket, CAST(n AS BIGINT) AS n_rows, CAST(fanout AS BIGINT) AS fanout,
+           CAST(ceil(n * 1.0 / fanout) AS BIGINT) AS salted_max_rows,
+           CAST((SELECT mx FROM tot) AS BIGINT) AS unsalted_max_rows
+    FROM plan ORDER BY key_bucket
+    """,
+    tags=("pipeline", "scale"),
+    doc="Skew-salting planner: per-key salt fanout ceil(n*T/N) from ONE "
+    "map-side histogram + 1-row totals broadcast, with the salted vs "
+    "unsalted max-task-load balance proof (5112 -> 465 rows, 11x, at "
+    "sf0.01); the planning step between scale_skew_report (detect) and "
+    "scale_salted_join (execute).",
+)
+
+
+# ---------------------------------------------------------------------------
+# Dedup impact report (what exact dedup actually saves, per source)
+# ---------------------------------------------------------------------------
+# After (or before committing to) a dedup pass, the pipeline wants the
+# bill: per source, how many documents and tokens exact dedup removes
+# and the basis-point savings — the number that decides whether the
+# near-dup pass is even worth its cluster hours.  The corpus is the same
+# planted-duplicate ingest dedup_exact uses (the raw fixture has no
+# exact dups, so every 50th doc is re-ingested — a second crawl of the
+# same pages), which lets a test tie this bill out against dedup_exact's
+# independent groupBy computation.  Keeper = min doc_id
+# per identical text; the group key is md5(text) so the ONE shuffle this
+# query does moves 32-byte digests, not document bodies (at 100 TB the
+# text column stays columnar-pruned out of the exchange; md5 collisions
+# are ~2^-64 at corpus scale — the same contract dedup_exact documents).
+# One window over the digest + one source-keyed rollup; exact BIGINT,
+# savings via identical-IEEE floor division.
+_sql_query(
+    "text_dedup_impact",
+    """
+    WITH corpus AS (
+        SELECT source, doc_id, text FROM documents
+        UNION ALL
+        SELECT source, doc_id + 1000000 AS doc_id, text
+        FROM documents WHERE doc_id % 50 = 0
+    ),
+    g AS (
+        SELECT source, doc_id, size(split(text, ' ')) AS n_tok,
+               min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        FROM corpus
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+           CAST(sum(CASE WHEN doc_id <> keep_id THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_removed,
+           CAST(floor(sum(CASE WHEN doc_id <> keep_id THEN n_tok ELSE 0 END) * 10000.0
+                      / sum(n_tok)) AS BIGINT) AS saved_bp
+    FROM g GROUP BY source ORDER BY source
+    """,
+    oracle="""
+    WITH corpus AS (
+        SELECT source, doc_id, text FROM documents
+        UNION ALL
+        SELECT source, doc_id + 1000000 AS doc_id, text
+        FROM documents WHERE doc_id % 50 = 0
+    ),
+    g AS (
+        SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok,
+               min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        FROM corpus
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+           CAST(sum(CASE WHEN doc_id <> keep_id THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_removed,
+           CAST(floor(sum(CASE WHEN doc_id <> keep_id THEN n_tok ELSE 0 END) * 10000.0
+                      / sum(n_tok)) AS BIGINT) AS saved_bp
+    FROM g GROUP BY source ORDER BY source
+    """,
+    tags=("pipeline", "text", "dedup", "reporting"),
+    doc="Exact-dedup impact bill per source: docs/tokens removed and bp "
+    "saved with keeper = min doc_id per md5(text) group — the shuffle "
+    "moves 32-byte digests, never document bodies; one digest window + "
+    "one source rollup.",
+)

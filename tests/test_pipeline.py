@@ -1687,3 +1687,56 @@ def test_dedup_eval_pr_confusion_identities(spark):
     assert row.f1_bp == math.floor(
         2 * row.tp * 10000.0 / (2 * row.tp + row.fp + row.fn)
     )
+
+
+def test_lang_confusion_ties_out_against_labels(spark):
+    """Confusion-matrix marginals must reproduce the label histogram and
+    the prediction histogram, and the accuracy bp its own definition.
+    The fixture readout is the honest one: the heuristic collapses to
+    en/und, so accuracy is far below the 1/|langs| a cynic would plant."""
+    import math
+
+    import pandas as pd
+
+    cm = registry.get("text_lang_confusion").build(spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    true_hist = docs.lang.value_counts().to_dict()
+    assert cm.groupby("true_lang").n.sum().to_dict() == true_hist
+    hit = int(cm[cm.true_lang == cm.pred_lang].n.sum())
+    tot = int(cm.n.sum())
+    assert tot == len(docs)
+    assert cm.overall_accuracy_bp.nunique() == 1
+    assert int(cm.overall_accuracy_bp.iloc[0]) == math.floor(hit * 10000.0 / tot)
+    assert set(cm.pred_lang) <= {"en", "fr", "de", "es", "und"}
+
+
+def test_salt_planner_balances_and_conserves(spark):
+    """The fanout plan must (a) conserve rows, (b) never exceed the
+    target per-task load except for indivisible single keys, and (c)
+    actually improve on the unsalted max by a large factor on the
+    power-law surrogate key."""
+    rows = registry.get("scale_salt_planner").build(spark, SF_DIR).collect()
+    total = sum(r.n_rows for r in rows)
+    for r in rows:
+        assert r.fanout >= 1
+        assert r.salted_max_rows == -(-r.n_rows // r.fanout)  # ceil
+        # fanout = ceil(n * 32 / N) guarantees n/fanout <= N/32 + a key
+        # smaller than one target task keeps fanout 1
+        assert r.salted_max_rows <= max(total // 32 + 1, r.n_rows)
+    worst_salted = max(r.salted_max_rows for r in rows)
+    unsalted = rows[0].unsalted_max_rows
+    assert unsalted == max(r.n_rows for r in rows)
+    assert worst_salted * 8 < unsalted, "planner must beat unsalted by >8x"
+
+
+def test_dedup_impact_ties_out_against_dedup_exact(spark):
+    """Total removed docs must equal dedup_exact's sum(n_copies - 1) —
+    two independent exact-dedup computations (md5 window vs content-hash
+    groupBy) must bill the same number of documents."""
+    impact = registry.get("text_dedup_impact").build(spark, SF_DIR).collect()
+    groups = registry.get("dedup_exact").build(spark, SF_DIR).collect()
+    assert sum(r.n_removed for r in impact) == sum(g.n_copies - 1 for g in groups)
+    for r in impact:
+        assert 0 <= r.n_removed < r.n_docs
+        assert 0 <= r.tokens_removed <= r.tokens_total
+        assert (r.saved_bp == 0) == (r.tokens_removed == 0)
