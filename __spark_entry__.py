@@ -82,7 +82,6 @@ PRIORITY: tuple[str, ...] = (
     "pivot_linestatus",
     "sensql_federated_single_node",
     "sensql_spatial_filter",
-    "setop_except_all",
     "setop_intersect_all",
     "sim_lsh_hyperplane",
     "unnest_multi_zip",
@@ -100,7 +99,9 @@ PRIORITY: tuple[str, ...] = (
     #     text_lang_confusion, which builds it and scores it against its
     #     own oracle-composed ground truth), quantified_all (twin
     #     quantified_any green r3 + the fuzz subquery mode),
-    #     agg_stats_moments (the fuzz agg mode's moments aggregates)
+    #     agg_stats_moments (the fuzz agg mode's moments aggregates),
+    #     setop_except_all (twin setop_except green r3; setop_intersect_all
+    #     stays in the window covering the ALL-multiplicity semantics)
     "source_kafka_decoder",
     "events_ohlc_bars",
     "events_lateness_audit",
@@ -111,6 +112,7 @@ PRIORITY: tuple[str, ...] = (
     "text_lang_confusion",
     "scale_salt_planner",
     "text_dedup_impact",
+    "agg_histogram_equi_depth",
 )
 
 

@@ -685,3 +685,56 @@ _sql_query(
     """,
     tags=("aggregates", "entropy"),
 )
+
+
+# --- equi-depth (quantile) histogram — the CBO selectivity input -------------
+#
+# agg_numeric_histogram is equi-WIDTH (fixed value ranges, varying
+# counts); the histogram a cost-based optimizer actually wants is
+# equi-DEPTH — bucket boundaries placed so each bucket holds ~N/B rows,
+# which is what makes range-predicate selectivity a bucket count.  The
+# naive construction (ntile over a global ORDER BY) moves every row to
+# one partition — scale-hostile.  This is the scale-honest shape: ONE
+# map-side-combined value-histogram groupBy collapses the corpus to its
+# distinct values (state bounded by NDV, not row count — the same
+# contract as agg_exact_quantiles), a cumulative window over that
+# bounded value list assigns each distinct value the bucket of its first
+# row position, and a bucket rollup emits (lo, hi, rows, ndv) per
+# bucket.  Repeated values never split across buckets (the "compressed
+# histogram" in the Poosala/Ioannidis taxonomy — also what makes the
+# result deterministic without a row tiebreak).  All arithmetic exact
+# cents; the bucket index floor((cum_lo*8)/n) is identical IEEE in both
+# engines (products < 2^53).
+_sql_query(
+    "agg_histogram_equi_depth",
+    """
+    WITH h AS (
+        SELECT cast(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v_cents, count(*) AS c
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT sum(c) AS n FROM h),
+    cum AS (
+        SELECT v_cents, c,
+               sum(c) OVER (ORDER BY v_cents
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS cum_lo
+        FROM h
+    ),
+    b AS (
+        SELECT v_cents, c,
+               CAST(floor(cum_lo * 8.0 / (SELECT n FROM tot)) AS BIGINT) AS bucket
+        FROM cum
+    )
+    SELECT bucket,
+           CAST(min(v_cents) AS BIGINT) AS lo_cents,
+           CAST(max(v_cents) AS BIGINT) AS hi_cents,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_distinct
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("aggregates", "histogram", "cbo"),
+    doc="Equi-depth 8-bucket histogram (the CBO selectivity input): "
+    "value-histogram groupBy bounds window state by NDV instead of row "
+    "count, cumulative first-row positions place whole distinct values "
+    "into buckets (compressed-histogram semantics, deterministic without "
+    "row tiebreaks); exact cents, ~N/8 rows per bucket.",
+)

@@ -1230,6 +1230,7 @@ _sql_query(
     "via mirrored row_number windows sharing ONE hash exchange with the "
     "final aggregate, high/low/volume as plain aggregates; all values "
     "pre-quantized to exact e4 integers, ties broken by event_id.",
+    bench=True,
 )
 
 

@@ -9067,6 +9067,7 @@ _sql_query(
     "audit): distinct grams per doc, corpus first-occurrence via ONE "
     "gram-keyed min, 10-bucket ingest-decile rollup with novelty in "
     "basis points; no pairwise work, broadcast decile boundary.",
+    bench=True,
 )
 
 
@@ -9265,6 +9266,7 @@ def _dedup_eval_oracle() -> str:
     "full-outer pair-key join, confusion counts, precision/recall/F1 in "
     "basis points (P=92.3% R=96.0% at sf0.01); composes two oracled "
     "registry entries, cost O(pairs) on top of their own banded bounds.",
+    bench=True,
 )
 def dedup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensql_presto_spark.queries.registry import get

@@ -1740,3 +1740,26 @@ def test_dedup_impact_ties_out_against_dedup_exact(spark):
         assert 0 <= r.n_removed < r.n_docs
         assert 0 <= r.tokens_removed <= r.tokens_total
         assert (r.saved_bp == 0) == (r.tokens_removed == 0)
+
+
+def test_equi_depth_histogram_depth_bound(spark):
+    """Buckets must cover the full value range in order, conserve rows,
+    and be near-equal depth: since whole distinct-value groups never
+    split, any bucket's depth exceeds N/8 by at most the heaviest
+    value's multiplicity."""
+    import pandas as pd
+
+    rows = registry.get("agg_histogram_equi_depth").build(spark, SF_DIR).collect()
+    assert [r.bucket for r in rows] == list(range(8))
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    n = len(orders)
+    assert sum(r.n_rows for r in rows) == n
+    heaviest = int(
+        (orders.o_totalprice * 100 + 0.5).astype("int64").value_counts().iloc[0]
+    )
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.hi_cents < cur.lo_cents  # ordered, non-overlapping
+    for r in rows:
+        assert r.lo_cents <= r.hi_cents
+        assert r.n_rows <= n // 8 + heaviest
+        assert r.n_distinct <= r.n_rows
