@@ -71,10 +71,8 @@ PRIORITY: tuple[str, ...] = (
     "agg_hll_sketch_rollup",
     "agg_qdigest_rollup",
     "ddl_ctas_insert",
-    "events_streaming_tumbling",
     "geo_st_functions",
     "mm_features",
-    "mm_frame_sample",
     "mutation_delete_merge",
     "null_safe_semantics",
     "offset_fetch",
@@ -101,7 +99,10 @@ PRIORITY: tuple[str, ...] = (
     #     quantified_any green r3 + the fuzz subquery mode),
     #     agg_stats_moments (the fuzz agg mode's moments aggregates),
     #     setop_except_all (twin setop_except green r3; setop_intersect_all
-    #     stays in the window covering the ALL-multiplicity semantics)
+    #     stays in the window covering the ALL-multiplicity semantics),
+    #     events_streaming_tumbling (batch twin events_tumbling_window green
+    #     r8 + the streaming pytest suite), mm_frame_sample (twins
+    #     mm_video_frames/mm_video_keyframe_sample green r7/r8 + plan pins)
     "source_kafka_decoder",
     "events_ohlc_bars",
     "events_lateness_audit",
@@ -113,6 +114,8 @@ PRIORITY: tuple[str, ...] = (
     "scale_salt_planner",
     "text_dedup_impact",
     "agg_histogram_equi_depth",
+    "pipeline_attrition_funnel",
+    "events_funnel_lag",
 )
 
 

@@ -9510,3 +9510,189 @@ _sql_query(
     "moves 32-byte digests, never document bodies; one digest window + "
     "one source rollup.",
 )
+
+
+# ---------------------------------------------------------------------------
+# Curation attrition funnel (the "where did my data go" report)
+# ---------------------------------------------------------------------------
+# pipeline_end_to_end runs the curation pipeline and reports the FINAL
+# corpus; operations teams need the complement — per-stage attrition:
+# how many documents and tokens each gate removed, with stage-over-stage
+# survival in basis points.  That one table is how a curation run is
+# reviewed ("the diversity gate ate 40% — is the threshold wrong?") and
+# how regressions between pipeline versions are caught.  Stages: raw
+# (the planted-duplicate ingest, so the dedup stage is non-degenerate) ->
+# length gate -> lexical-diversity gate -> exact dedup (keeper = min
+# doc_id per md5(text) among gate survivors) -> decontamination (drop
+# docs containing the benchmark 2-gram 'query query' — 31 hits at
+# sf0.01, 262 at sf0.1, so this stage is non-degenerate too).  Shape:
+# per-doc flags computed in ONE scan, the dedup keeper via one digest
+# window, then a 5-row conditional-sum rollup; survival via lag() over
+# the 5-row stage table.  Everything exact BIGINT.
+_sql_query(
+    "pipeline_attrition_funnel",
+    """
+    WITH corpus AS (
+        SELECT doc_id, text, n_chars FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text, n_chars
+        FROM documents WHERE doc_id % 50 = 0
+    ),
+    f AS (
+        SELECT doc_id, text,
+               size(split(text, ' ')) AS n_tok,
+               CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END AS ok_len,
+               CASE WHEN size(array_distinct(split(text, ' ')))
+                         / CAST(size(split(text, ' ')) AS DOUBLE) > 0.3
+                    THEN 1 ELSE 0 END AS ok_div,
+               CASE WHEN text NOT LIKE '%query query%' THEN 1 ELSE 0 END AS ok_cln
+        FROM corpus
+    ),
+    k AS (
+        SELECT doc_id, n_tok, ok_len, ok_div, ok_cln,
+               CASE WHEN ok_len = 1 AND ok_div = 1
+                    AND doc_id = min(CASE WHEN ok_len = 1 AND ok_div = 1 THEN doc_id END)
+                                 OVER (PARTITION BY md5(text))
+                    THEN 1 ELSE 0 END AS keeper
+        FROM f
+    ),
+    st AS (
+        SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS gate,
+               count(*) AS n_docs, sum(n_tok) AS n_tokens FROM k
+        UNION ALL
+        SELECT 1, 'length_gate', sum(ok_len), sum(ok_len * n_tok) FROM k
+        UNION ALL
+        SELECT 2, 'diversity_gate', sum(ok_len * ok_div), sum(ok_len * ok_div * n_tok) FROM k
+        UNION ALL
+        SELECT 3, 'exact_dedup', sum(keeper), sum(keeper * n_tok) FROM k
+        UNION ALL
+        SELECT 4, 'decontaminate', sum(keeper * ok_cln), sum(keeper * ok_cln * n_tok) FROM k
+    )
+    SELECT stage, gate, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor(n_docs * 10000.0 /
+                lag(n_docs, 1, n_docs) OVER (ORDER BY stage)) AS BIGINT) AS survival_bp
+    FROM st ORDER BY stage
+    """,
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text, n_chars FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text, n_chars
+        FROM documents WHERE doc_id % 50 = 0
+    ),
+    f AS (
+        SELECT doc_id, text,
+               len(string_split(text, ' ')) AS n_tok,
+               CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END AS ok_len,
+               CASE WHEN len(list_distinct(string_split(text, ' ')))
+                         / CAST(len(string_split(text, ' ')) AS DOUBLE) > 0.3
+                    THEN 1 ELSE 0 END AS ok_div,
+               CASE WHEN text NOT LIKE '%query query%' THEN 1 ELSE 0 END AS ok_cln
+        FROM corpus
+    ),
+    k AS (
+        SELECT doc_id, n_tok, ok_len, ok_div, ok_cln,
+               CASE WHEN ok_len = 1 AND ok_div = 1
+                    AND doc_id = min(CASE WHEN ok_len = 1 AND ok_div = 1 THEN doc_id END)
+                                 OVER (PARTITION BY md5(text))
+                    THEN 1 ELSE 0 END AS keeper
+        FROM f
+    ),
+    st AS (
+        SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS gate,
+               count(*) AS n_docs, sum(n_tok) AS n_tokens FROM k
+        UNION ALL
+        SELECT 1, 'length_gate', sum(ok_len), sum(ok_len * n_tok) FROM k
+        UNION ALL
+        SELECT 2, 'diversity_gate', sum(ok_len * ok_div), sum(ok_len * ok_div * n_tok) FROM k
+        UNION ALL
+        SELECT 3, 'exact_dedup', sum(keeper), sum(keeper * n_tok) FROM k
+        UNION ALL
+        SELECT 4, 'decontaminate', sum(keeper * ok_cln), sum(keeper * ok_cln * n_tok) FROM k
+    )
+    SELECT stage, gate, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor(n_docs * 10000.0 /
+                lag(n_docs, 1, n_docs) OVER (ORDER BY stage)) AS BIGINT) AS survival_bp
+    FROM st ORDER BY stage
+    """,
+    tags=("pipeline", "text", "reporting"),
+    doc="Curation attrition funnel: per-stage docs/tokens surviving "
+    "length -> diversity -> exact-dedup -> decontamination gates with "
+    "stage-over-stage survival bp — the report a curation run is "
+    "reviewed by; ONE scan of per-doc flags + one digest window + a "
+    "5-row rollup; every stage non-degenerate on the fixture.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion latency (how long each step takes)
+# ---------------------------------------------------------------------------
+# events_funnel counts WHO converts; product analytics equally needs HOW
+# LONG conversion takes (time-to-convert drives nudge timing and churn
+# prediction).  Same strictly-ordered step semantics as events_funnel
+# (first view, first click AFTER it, first purchase AFTER that), then
+# the per-user lags land in log2 minute buckets — the standard latency
+# histogram that stays O(log range) rows per step regardless of corpus
+# size (the exact-percentile variant would carry per-user state; the
+# log-bucket histogram is the scale-stable form, like events_lateness_
+# audit's fixed thresholds).  Buckets + extremes are exact BIGINT
+# microseconds; the bucket index floor(ln(x)/ln 2) is identical IEEE in
+# both engines.  Shape: three user-keyed conditional-min aggregations
+# over type-filtered scans (predicate pushdown on event_type), then a
+# bucket rollup.
+_sql_query(
+    "events_funnel_lag",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c1 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v ON v.user_id = e.user_id
+           WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c1 ON c1.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c1.t2 GROUP BY e.user_id),
+    lags AS (
+        SELECT 'view_to_click' AS step,
+               unix_micros(c1.t2) - unix_micros(v.t1) AS lag_us
+        FROM v JOIN c1 ON c1.user_id = v.user_id
+        UNION ALL
+        SELECT 'click_to_purchase',
+               unix_micros(p.t3) - unix_micros(c1.t2)
+        FROM c1 JOIN p ON p.user_id = c1.user_id
+    )
+    SELECT step,
+           CAST(floor(ln(lag_us / 60000000.0 + 1) / ln(2)) AS BIGINT) AS log2_minutes_bucket,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(min(lag_us) AS BIGINT) AS min_lag_us,
+           CAST(max(lag_us) AS BIGINT) AS max_lag_us
+    FROM lags GROUP BY step, 2 ORDER BY step, log2_minutes_bucket
+    """,
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c1 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v ON v.user_id = e.user_id
+           WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c1 ON c1.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c1.t2 GROUP BY e.user_id),
+    lags AS (
+        SELECT 'view_to_click' AS step,
+               epoch_us(c1.t2) - epoch_us(v.t1) AS lag_us
+        FROM v JOIN c1 ON c1.user_id = v.user_id
+        UNION ALL
+        SELECT 'click_to_purchase',
+               epoch_us(p.t3) - epoch_us(c1.t2)
+        FROM c1 JOIN p ON p.user_id = c1.user_id
+    )
+    SELECT step,
+           CAST(floor(ln(lag_us / 60000000.0 + 1) / ln(2)) AS BIGINT) AS log2_minutes_bucket,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(min(lag_us) AS BIGINT) AS min_lag_us,
+           CAST(max(lag_us) AS BIGINT) AS max_lag_us
+    FROM lags GROUP BY step, 2 ORDER BY step, log2_minutes_bucket
+    """,
+    tags=("events", "funnel", "timeseries"),
+    doc="Funnel conversion latency: per-user strictly-ordered step lags "
+    "in log2-minute buckets (O(log range) output rows per step — the "
+    "scale-stable latency histogram) with exact min/max microseconds; "
+    "three user-keyed conditional mins over type-pushdown scans.",
+)

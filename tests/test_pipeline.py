@@ -1763,3 +1763,59 @@ def test_equi_depth_histogram_depth_bound(spark):
         assert r.lo_cents <= r.hi_cents
         assert r.n_rows <= n // 8 + heaviest
         assert r.n_distinct <= r.n_rows
+
+
+def test_attrition_funnel_monotone_and_non_degenerate(spark):
+    """Stage counts must be monotone non-increasing, every gate must
+    actually remove something on the fixture (a funnel whose stages are
+    all 10000bp audits nothing), and the raw row must equal the planted
+    corpus size."""
+    import pandas as pd
+
+    rows = registry.get("pipeline_attrition_funnel").build(spark, SF_DIR).collect()
+    assert [r.stage for r in rows] == list(range(5))
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    planted = len(docs) + (docs.doc_id % 50 == 0).sum()
+    assert rows[0].n_docs == planted
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_docs <= prev.n_docs
+        assert cur.n_tokens <= prev.n_tokens
+        assert cur.survival_bp == (cur.n_docs * 10000) // prev.n_docs
+    assert all(r.survival_bp < 10000 for r in rows[1:]), (
+        "every gate must be non-degenerate on the fixture"
+    )
+
+
+def test_funnel_lag_consistent_with_events_funnel(spark):
+    """Total converting users per step-pair must tie out against an
+    independent pandas recomputation of the strictly-ordered funnel, and
+    every bucket's extremes must sit inside the bucket's lag range."""
+    import math
+
+    import pandas as pd
+
+    rows = registry.get("events_funnel_lag").build(spark, SF_DIR).collect()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    n_vc = n_cp = 0
+    for _, g in ev.groupby("user_id"):
+        views = g[g.event_type == "view"].ts
+        if views.empty:
+            continue
+        t1 = views.min()
+        clicks = g[(g.event_type == "click") & (g.ts > t1)].ts
+        if clicks.empty:
+            continue
+        n_vc += 1
+        t2 = clicks.min()
+        purchases = g[(g.event_type == "purchase") & (g.ts > t2)].ts
+        if not purchases.empty:
+            n_cp += 1
+    got_vc = sum(r.n_users for r in rows if r.step == "view_to_click")
+    got_cp = sum(r.n_users for r in rows if r.step == "click_to_purchase")
+    assert (got_vc, got_cp) == (n_vc, n_cp)
+    for r in rows:
+        assert 0 < r.min_lag_us <= r.max_lag_us
+        for lag in (r.min_lag_us, r.max_lag_us):
+            assert math.floor(
+                math.log2(lag / 60000000.0 + 1)
+            ) == r.log2_minutes_bucket
