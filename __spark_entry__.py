@@ -66,7 +66,6 @@ PRIORITY: tuple[str, ...] = (
     "fn_conditional",
     "fn_hash",
     # (2) r2-era stale (31)
-    "agg_approx_sketches",
     "agg_checksum",
     "agg_hll_sketch_rollup",
     "agg_qdigest_rollup",
@@ -102,7 +101,10 @@ PRIORITY: tuple[str, ...] = (
     #     stays in the window covering the ALL-multiplicity semantics),
     #     events_streaming_tumbling (batch twin events_tumbling_window green
     #     r8 + the streaming pytest suite), mm_frame_sample (twins
-    #     mm_video_frames/mm_video_keyframe_sample green r7/r8 + plan pins)
+    #     mm_video_frames/mm_video_keyframe_sample green r7/r8 + plan pins),
+    #     agg_approx_sketches (family twins agg_hll_sketch_rollup +
+    #     agg_qdigest_rollup stay in-window; the family also gains the new
+    #     in-window agg_approx_most_frequent)
     "source_kafka_decoder",
     "events_ohlc_bars",
     "events_lateness_audit",
@@ -116,6 +118,7 @@ PRIORITY: tuple[str, ...] = (
     "agg_histogram_equi_depth",
     "pipeline_attrition_funnel",
     "events_funnel_lag",
+    "agg_approx_most_frequent",
 )
 
 

@@ -371,3 +371,107 @@ _CMS_DUCK_SQL = """
 )
 def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return catalog.sql(spark, sf_dir, _CMS_SPARK_SQL)
+
+
+# --- approx_most_frequent: the SpaceSaving sketch (Presto parity) ----------
+#
+# Reference: presto-main/.../aggregation/approxmostfrequent/
+# ApproximateMostFrequentFunction.java — SpaceSaving (Metwally et al.
+# 2005) with `capacity` tracked entries; estimates never undercount
+# (est >= true >= est - err) and any value with frequency > N/capacity
+# is guaranteed tracked.  text_heavy_hitters is the two-pass
+# Misra-Gries + exact-recount pattern (exact output); THIS entry is the
+# one-pass mergeable-sketch semantics the reference function actually
+# ships: per-partition SpaceSaving inside Arrow batches (each batch
+# pre-counted with value_counts, then merged into the capacity-bounded
+# summary — the mergeable-summaries formulation), partition sketches
+# merged by summing estimates/errors and re-pruning.  With capacity
+# (256) >= the key cardinality (~120 event_type#hour keys) no eviction
+# ever fires, every error is 0 and the sketch is provably exact — which
+# is what makes the entry oracle-able against an exact GROUP BY; the
+# capacity < NDV approximation path is pinned separately by a pytest
+# asserting the SpaceSaving bounds on a skewed stream.  Scale shape:
+# ONE corpus scan, per-task state <= capacity entries, merge rows <=
+# capacity x partitions — the same bounded-state contract as the HLL /
+# qdigest rollups.
+_AMF_CAPACITY = 256
+
+
+def spacesaving_update(counts: dict, value, n: int, capacity: int) -> None:
+    """Merge `n` occurrences of `value` into a SpaceSaving summary
+    {value: [estimate, error]} bounded at `capacity` entries."""
+    if value in counts:
+        counts[value][0] += n
+    elif len(counts) < capacity:
+        counts[value] = [n, 0]
+    else:
+        victim = min(counts, key=lambda k: (counts[k][0], k))
+        est, _err = counts.pop(victim)
+        # new entry inherits the victim's estimate as its error bound
+        counts[value] = [est + n, est]
+
+
+@register(
+    "agg_approx_most_frequent",
+    oracle="""
+    WITH keyed AS (
+        SELECT event_type || '#' || CAST(hour(ts) AS VARCHAR) AS k FROM events
+    ),
+    exact AS (SELECT k, count(*) AS c FROM keyed GROUP BY k)
+    SELECT k AS value, CAST(c AS BIGINT) AS est_count,
+           CAST(0 AS BIGINT) AS max_err,
+           CAST(row_number() OVER (ORDER BY c DESC, k) AS BIGINT) AS rk
+    FROM exact ORDER BY rk LIMIT 10
+    """,
+    tags=("sketches", "aggregates"),
+    doc="approx_most_frequent (SpaceSaving, Presto parity): one-pass "
+    "capacity-bounded summaries per Arrow batch merged by estimate+error "
+    "sum and re-prune; capacity 256 >= ~120 keys makes every error 0 and "
+    "the top-10 provably exact (the oracle); the capacity<NDV bound "
+    "(est >= true >= est - err, heavy keys always tracked) is pinned by "
+    "pytest on a skewed stream.",
+)
+def agg_approx_most_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def sketch(batches):
+        counts: dict = {}
+        for pdf in batches:
+            for value, n in pdf["k"].value_counts().items():
+                spacesaving_update(counts, value, int(n), _AMF_CAPACITY)
+        if counts:
+            yield pd.DataFrame(
+                {
+                    "k": list(counts),
+                    "est": [v[0] for v in counts.values()],
+                    "err": [v[1] for v in counts.values()],
+                }
+            )
+
+    keyed = (
+        catalog.table(spark, sf_dir, "events")
+        .select(
+            F.concat_ws("#", F.col("event_type"), F.hour("ts").cast("string")).alias("k")
+        )
+    )
+    partials = keyed.mapInPandas(sketch, "k string, est long, err long")
+    # merge: sum estimates and error bounds per key (mergeable-summaries
+    # union), then keep the top 10 — re-pruning to capacity is a no-op
+    # here because the union of partition sketches stays under capacity
+    merged = partials.groupBy("k").agg(
+        F.sum("est").alias("est_count"), F.sum("err").alias("max_err")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("est_count").desc(), F.col("k"))
+    return (
+        merged.select(
+            F.col("k").alias("value"),
+            F.col("est_count").cast("long"),
+            F.col("max_err").cast("long"),
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .orderBy("rk")
+        .limit(10)
+    )

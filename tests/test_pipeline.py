@@ -1819,3 +1819,47 @@ def test_funnel_lag_consistent_with_events_funnel(spark):
             assert math.floor(
                 math.log2(lag / 60000000.0 + 1)
             ) == r.log2_minutes_bucket
+
+
+def test_spacesaving_bounds_on_skewed_stream():
+    """The capacity<NDV approximation path of agg_approx_most_frequent's
+    SpaceSaving summary: on a skewed stream with 26 distinct keys and
+    capacity 4, every tracked estimate must satisfy
+    est >= true >= est - err, and the dominant key must be tracked with
+    an exact-enough estimate to rank first (Metwally et al. guarantees)."""
+    from collections import Counter
+
+    from sensql_presto_spark.queries.sketches_suite import spacesaving_update
+
+    # deterministic skewed stream: 'hot' every other element, a rotating
+    # cold tail otherwise
+    stream = []
+    for i in range(2000):
+        stream.append("hot" if i % 2 == 0 else f"cold{i % 50}")
+    true = Counter(stream)
+    counts: dict = {}
+    for v in stream:
+        spacesaving_update(counts, v, 1, 4)
+    assert len(counts) <= 4
+    assert "hot" in counts, "a key with freq > N/capacity must be tracked"
+    for k, (est, err) in counts.items():
+        assert est >= true[k] >= est - err
+    top = max(counts, key=lambda k: counts[k][0])
+    assert top == "hot"
+
+
+def test_spacesaving_batch_merge_matches_streaming():
+    """Merging pre-counted batches (the Arrow value_counts path) must
+    obey the same bounds as element-at-a-time updates, and with
+    capacity >= NDV both are exactly the true counts."""
+    from collections import Counter
+
+    from sensql_presto_spark.queries.sketches_suite import spacesaving_update
+
+    stream = [f"k{i % 7}" for i in range(500)] + ["k3"] * 100
+    true = Counter(stream)
+    exact: dict = {}
+    for v, n in Counter(stream).items():
+        spacesaving_update(exact, v, n, 16)  # capacity >= 7 distinct
+    assert {k: v[0] for k, v in exact.items()} == dict(true)
+    assert all(v[1] == 0 for v in exact.values())
