@@ -154,7 +154,7 @@ def main() -> None:
     detail_path = os.environ.get("BENCH_DETAIL_PATH") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL_latest.json"
     )
-    detail.update({k: v for k, v in out.items()})
+    detail.update(out)
     try:
         with open(detail_path, "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)

@@ -191,12 +191,14 @@ def decode_csv(df: DataFrame, columns: "list[KafkaColumn]") -> DataFrame:
     )
     outs = _meta_cols(parsed)
     for c in columns:
-        tok = F.col(f"_row._c{int(c.mapping)}")
-        tok = F.when(tok == "", F.lit(None)).otherwise(tok)  # empty token -> NULL
+        raw = F.col(f"_row._c{int(c.mapping)}")
+        tok = F.when(raw == "", F.lit(None)).otherwise(raw)  # empty token -> NULL
         if c.sql_type.upper() in ("STRING", "VARCHAR"):
             outs.append(tok.alias(c.name))
         else:
-            outs.append(F.expr(f"try_cast(trim(_row._c{int(c.mapping)}) AS {c.sql_type})").alias(c.name))
+            # same explicit empty->NULL token feeds the numeric path (one
+            # spelling of the column access, not a parallel expr string)
+            outs.append(F.trim(tok).try_cast(c.sql_type).alias(c.name))
     outs.append(F.col("_row._corrupt").alias("_corrupt"))
     return parsed.select(*outs)
 
@@ -227,6 +229,13 @@ def _raw_span(c: KafkaColumn) -> "tuple[int, int | None]":
         raise ValueError(f"invalid raw mapping '{c.mapping}' for column '{c.name}'")
     start = int(m.group(1))
     end = int(m.group(2)) if m.group(2) else None
+    if end is not None and end < start:
+        # the integer path validates span-vs-size; the VARCHAR path must
+        # reject inverted spans here or every row silently decodes to ''
+        raise ValueError(
+            f"invalid raw mapping '{c.mapping}' for column '{c.name}': "
+            "span end precedes start"
+        )
     return start, end
 
 

@@ -94,10 +94,16 @@ _DUCK_SHINGLES = """
 # one equi-join key into an O(hot²) skew straggler at 100x scale.  The cap
 # excludes shingles with df > _HOT_SHINGLE_CAP from CANDIDATE GENERATION
 # (verification is untouched), bounding every posting list — candidate
-# volume <= cap · prefix_rows instead of n².  CONTRACT: a true near-dup
-# pair is missed only if EVERY prefix shingle of both docs is hot, i.e.
-# the pair is itself boilerplate — exactly the mass-duplicate cluster that
-# dedup_exact's full-text hash already removes upstream (measured fixture
+# volume <= cap · prefix_rows instead of n².  CONTRACT (stated
+# precisely): a true near-dup pair is missed iff every SHARED prefix
+# shingle of the pair is hot — the prefix-filter theorem guarantees at
+# least one shared prefix shingle exists, not that any particular COLD
+# one is shared, so a pair whose only common prefix key is boilerplate
+# is dropped even when other (unshared) prefix shingles are cold.  At
+# J >= 0.9 the docs are near-identical, so their prefixes almost
+# coincide and a hot shared key means the pair itself is boilerplate —
+# exactly the mass-duplicate cluster that dedup_exact's full-text hash
+# already removes upstream (measured fixture
 # headroom: max prefix df = 11 at sf0.1, cap = 64 — the cap cannot fire
 # on the standard fixtures; the boilerplate fixture test pins both the
 # bound and the injected-near-dup recall).  Same constant, same semantics

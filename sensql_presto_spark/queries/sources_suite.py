@@ -946,12 +946,10 @@ _sql_query(
 # one Arrow mapInPandas pass (payloads never on the driver); every
 # per-message decode expression is JVM-native (from_csv /
 # get_json_object / substring+conv) — no Python in the hot path.
-import atexit as _atexit2
-import shutil as _shutil2
 import tempfile as _tempfile2
 
 KAFKA_TOPIC_PATH = f"{_tempfile2.gettempdir()}/spark_graft_kafka_{os.getpid()}"
-_atexit2.register(_shutil2.rmtree, KAFKA_TOPIC_PATH, ignore_errors=True)
+_atexit.register(_shutil.rmtree, KAFKA_TOPIC_PATH, ignore_errors=True)
 
 _KAFKA_ORACLE = """
 WITH base AS (
@@ -1071,7 +1069,7 @@ def source_kafka_decoder(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = KAFKA_TOPIC_PATH
     for fmt, msgs in (("json", json_msgs), ("csv", csv_msgs), ("raw", raw_msgs)):
         tdir = os.path.join(root, fmt)
-        _shutil2.rmtree(tdir, ignore_errors=True)
+        _shutil.rmtree(tdir, ignore_errors=True)
         os.makedirs(tdir, exist_ok=True)
 
         def make_writer(_tdir):

@@ -126,3 +126,17 @@ def test_topic_dir_rejects_foreign_files(spark, tmp_path):
     assert [(bytes(r.key), bytes(r.value), r.partition, r.offset) for r in rows] == [
         (b"k", b"v", 0, 0)
     ]
+
+
+def test_raw_inverted_varchar_span_rejected():
+    """A VARCHAR raw mapping whose end precedes its start must raise at
+    mapping-parse time (the integer path already validates span-vs-size;
+    without this check every row silently decodes to '')."""
+    import pytest
+
+    from sensql_presto_spark.kafka_decoder import KafkaColumn, _raw_span
+
+    with pytest.raises(ValueError, match="span end precedes start"):
+        _raw_span(KafkaColumn("s", "STRING", "3:1"))
+    # degenerate zero-length span stays legal (decodes to '')
+    assert _raw_span(KafkaColumn("s", "STRING", "3:3")) == (3, 3)

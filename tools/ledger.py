@@ -96,7 +96,10 @@ def main() -> None:
         )
 
     if "--json" in sys.argv:
-        path = sys.argv[sys.argv.index("--json") + 1]
+        i = sys.argv.index("--json")
+        if i + 1 >= len(sys.argv):
+            sys.exit("--json requires a file path argument")
+        path = sys.argv[i + 1]
         with open(path, "w") as f:
             json.dump(
                 {
