@@ -186,11 +186,23 @@ def _latest_prior_bench() -> "tuple[str, dict] | None":
     BENCH_r08.json, whose stdout overflow left `parsed: null` — falling
     back to the next older round so cross-round comparison degrades to
     "vs r7" instead of silently disappearing.
+
+    Artifacts of the CURRENT round (max committed CORRECTNESS round + 1)
+    are excluded (r9 VERDICT What's-wrong #1): committing this script's
+    sidecar before the driver runs made the driver's `shared_vs` a
+    same-round driver-vs-isolated comparison instead of the cross-round
+    signal the field is meant to carry.
     """
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
+    corr_rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"_r(\d+)\.json$", p))
+    ]
+    current_round = max(corr_rounds) + 1 if corr_rounds else None
     candidates: list[tuple[int, int, str]] = []  # (round, detail_pref, path)
     for pat, pref in (("BENCH_DETAIL_r*.json", 1), ("BENCH_r*.json", 0)):
         for p in glob.glob(os.path.join(here, pat)):
@@ -198,6 +210,8 @@ def _latest_prior_bench() -> "tuple[str, dict] | None":
             if m:
                 candidates.append((int(m.group(1)), pref, p))
     for _rnd, _pref, path in sorted(candidates, reverse=True):
+        if current_round is not None and _rnd >= current_round:
+            continue
         try:
             with open(path) as f:
                 data = json.load(f)

@@ -187,8 +187,81 @@ _NGRAM_JACCARD_SQL = f"""
     JOIN (SELECT doc_id, shingles, size(shingles) AS n2 FROM __nj_sh) sb ON c.id_b = sb.doc_id
     WHERE size(array_intersect(sa.shingles, sb.shingles))
           / (sa.n2 + sb.n2 - size(array_intersect(sa.shingles, sb.shingles))) >= 0.9
-    ORDER BY id_a, id_b
     """
+
+
+# --- session-scoped staging memo + unique-view SQL helper ------------------
+# r9 VERDICT next-round #3 + r9 ADVICE (low): (a) the verified near-dup
+# machinery (shingle sets, prefix-filter Jaccard pairs) is consumed by
+# THREE bench entries (dedup_ngram_jaccard itself, dedup_eval_pr,
+# dedup_cluster_assignment) yet was rebuilt inside each — a production
+# pipeline lands the verified pairs in a staging table once and fans out;
+# the memo is that staging table, keyed on (applicationId, tag, sf_dir)
+# so a restarted session or a different corpus never sees a stale entry,
+# and it SHRINKS checkpoint accumulation (one pair RDD instead of three).
+# (b) fixed session-global temp-view names made re-entrant builds clobber
+# each other; _sql_with_views registers each relation under a fresh
+# uuid-suffixed name, analyzes the SQL (spark.sql resolves eagerly), then
+# drops the views — the returned DataFrame keeps the resolved plan.
+_STAGE_MEMO: dict = {}
+
+
+def _session_memo(spark: SparkSession, tag: str, sf_dir: str, build):
+    key = (spark.sparkContext.applicationId, tag, sf_dir)
+    df = _STAGE_MEMO.get(key)
+    if df is None:
+        df = build()
+        _STAGE_MEMO[key] = df
+    return df
+
+
+def _sql_with_views(spark: SparkSession, sql: str, **views) -> DataFrame:
+    import uuid
+
+    names = {}
+    for placeholder, df in views.items():
+        name = f"{placeholder}_{uuid.uuid4().hex}"
+        df.createOrReplaceTempView(name)
+        names[placeholder] = name
+        sql = sql.replace(placeholder, name)
+    try:
+        return spark.sql(sql)
+    finally:
+        for name in names.values():
+            spark.catalog.dropTempView(name)
+
+
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed distinct-3-gram shingle sets, built once per
+    (session, sf_dir) and shared by the ngram/minhash family."""
+    return _session_memo(
+        spark,
+        "shingle_sets",
+        sf_dir,
+        lambda: catalog.sql(
+            spark, sf_dir, f"WITH {_SPARK_SHINGLES} SELECT * FROM sh"
+        ).localCheckpoint(eager=True),
+    )
+
+
+def _ngram_jaccard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-materialized pair-generation plan (prefix-filter candidates
+    + exact Jaccard >= 0.9) — split out so tests/test_plans.py can pin
+    the candidate join's shape, which the checkpointed memo would hide."""
+    return _sql_with_views(
+        spark, _NGRAM_JACCARD_SQL, __nj_sh=_shingle_sets(spark, sf_dir)
+    )
+
+
+def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed verified near-dup pair list, built once per
+    (session, sf_dir)."""
+    return _session_memo(
+        spark,
+        "ngram_jaccard_pairs",
+        sf_dir,
+        lambda: _ngram_jaccard_plan(spark, sf_dir).localCheckpoint(eager=True),
+    )
 
 
 @register(
@@ -197,11 +270,7 @@ _NGRAM_JACCARD_SQL = f"""
     tags=("pipeline", "dedup"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = catalog.sql(
-        spark, sf_dir, f"WITH {_SPARK_SHINGLES} SELECT * FROM sh"
-    ).localCheckpoint(eager=True)
-    sh.createOrReplaceTempView("__nj_sh")
-    return spark.sql(_NGRAM_JACCARD_SQL)
+    return _ngram_jaccard_pairs(spark, sf_dir).orderBy("id_a", "id_b")
 
 # MinHash + LSH: 64-hash signature over shingles, 16 bands × 4 rows,
 # bucket-join on (band, band-hash), then exact-Jaccard verification of
@@ -286,6 +355,19 @@ _MINHASH_VERIFY_SQL = f"""
     """
 
 
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed 16-band minhash band table, built once per
+    (session, sf_dir) and shared by the lsh/incremental entries."""
+    return _session_memo(
+        spark,
+        "minhash_bands",
+        sf_dir,
+        lambda: _sql_with_views(
+            spark, _MINHASH_BANDS_SQL, __mh_sh=_shingle_sets(spark, sf_dir)
+        ).localCheckpoint(eager=True),
+    )
+
+
 @register(
     "dedup_minhash_lsh",
     oracle=_DUCK_JACCARD_PAIRS,
@@ -293,13 +375,11 @@ _MINHASH_VERIFY_SQL = f"""
     bench=True,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = catalog.sql(
-        spark, sf_dir, f"WITH {_SPARK_SHINGLES} SELECT * FROM sh"
-    ).localCheckpoint(eager=True)
-    sh.createOrReplaceTempView("__mh_sh")
-    bands = spark.sql(_MINHASH_BANDS_SQL).localCheckpoint(eager=True)
-    bands.createOrReplaceTempView("__mh_bands")
-    return spark.sql(_MINHASH_VERIFY_SQL)
+    sh = _shingle_sets(spark, sf_dir)
+    bands = _minhash_bands(spark, sf_dir)
+    return _sql_with_views(
+        spark, _MINHASH_VERIFY_SQL, __mh_sh=sh, __mh_bands=bands
+    )
 
 # SimHash over 3-gram shingle sets: 32-bit signature, 4-byte banding. A
 # pair at hamming ≤ 3 must agree on ≥ 1 band (pigeonhole: 3 differing bits
@@ -3896,13 +3976,11 @@ assert _DUCK_JACCARD_PAIRS_INCR != _DUCK_JACCARD_PAIRS
     bench=True,
 )
 def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = catalog.sql(
-        spark, sf_dir, f"WITH {_SPARK_SHINGLES} SELECT * FROM sh"
-    ).localCheckpoint(eager=True)
-    sh.createOrReplaceTempView("__mh_sh")
-    bands = spark.sql(_MINHASH_BANDS_SQL).localCheckpoint(eager=True)
-    bands.createOrReplaceTempView("__mh_bands")
-    return spark.sql(_MINHASH_VERIFY_INCR_SQL)
+    sh = _shingle_sets(spark, sf_dir)
+    bands = _minhash_bands(spark, sf_dir)
+    return _sql_with_views(
+        spark, _MINHASH_VERIFY_INCR_SQL, __mh_sh=sh, __mh_bands=bands
+    )
 
 
 # Triangle counting + local clustering coefficient (the third graph
@@ -7597,9 +7675,7 @@ def _cluster_assignment_oracle() -> str:
 def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from sensql_presto_spark.queries.registry import get
-
-    pairs = get("dedup_ngram_jaccard").build(spark, sf_dir).select("id_a", "id_b")
+    pairs = _ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
     edges = (
         pairs.union(pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
         .distinct()
@@ -9313,15 +9389,18 @@ def _dedup_eval_oracle() -> str:
 def dedup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensql_presto_spark.queries.registry import get
 
-    # both detectors stage through localCheckpoint in their own builders;
-    # the eval reads each pair list once, so no extra materialization here
+    # the jaccard truth reads the session-memoized pair staging table
+    # (built at most once per sf_dir); simhash predictions stage through
+    # their own builder.  Views are uuid-suffixed and dropped after
+    # analysis (r9 ADVICE: fixed names clobbered re-entrant builds).
     s = get("dedup_simhash").build(spark, sf_dir).select("id_a", "id_b")
-    j = get("dedup_ngram_jaccard").build(spark, sf_dir).select("id_a", "id_b")
-    s.createOrReplaceTempView("__eval_pr_s")
-    j.createOrReplaceTempView("__eval_pr_j")
-    return spark.sql(
+    j = _ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    return _sql_with_views(
+        spark,
         "WITH s AS (SELECT * FROM __eval_pr_s), j AS (SELECT * FROM __eval_pr_j),"
-        + _EVAL_PR_SELECT
+        + _EVAL_PR_SELECT,
+        __eval_pr_s=s,
+        __eval_pr_j=j,
     )
 
 
@@ -9400,14 +9479,17 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BEFORE launching the big join.  The demo key is the log2-magnitude
 # bucket of o_custkey — a deterministic power-law surrogate (bucket k
 # holds ~2^k orders) on this uniform fixture; on real data the histogram
-# input is the key itself.  At sf0.01 the plan takes the hottest key
+# input is the key itself.  The bucket is computed integrally as
+# length(bin(o_custkey + 2)) - 1 = floor(log2(o_custkey + 2)) (r9
+# ADVICE: floor(ln/ln) could flip at power-of-two boundaries if the two
+# engines' libm log differs by an ulp).  At sf0.01 the plan takes the hottest key
 # from 5112 rows/task to 465 (11x balance).  Everything is one
 # map-side-combined histogram + a 1-row totals broadcast; exact BIGINT.
 _sql_query(
     "scale_salt_planner",
     """
     WITH hist AS (
-        SELECT CAST(floor(ln(o_custkey + 2) / ln(2)) AS BIGINT) AS key_bucket,
+        SELECT CAST(length(bin(o_custkey + 2)) - 1 AS BIGINT) AS key_bucket,
                count(*) AS n
         FROM orders GROUP BY 1
     ),
@@ -9424,7 +9506,7 @@ _sql_query(
     """,
     oracle="""
     WITH hist AS (
-        SELECT CAST(floor(ln(o_custkey + 2) / ln(2)) AS BIGINT) AS key_bucket,
+        SELECT CAST(length(bin(o_custkey + 2)) - 1 AS BIGINT) AS key_bucket,
                count(*) AS n
         FROM orders GROUP BY 1
     ),
@@ -9644,8 +9726,12 @@ _sql_query(
 # size (the exact-percentile variant would carry per-user state; the
 # log-bucket histogram is the scale-stable form, like events_lateness_
 # audit's fixed thresholds).  Buckets + extremes are exact BIGINT
-# microseconds; the bucket index floor(ln(x)/ln 2) is identical IEEE in
-# both engines.  Shape: three user-keyed conditional-min aggregations
+# microseconds; the bucket index floor(log2(1 + lag/60s)) is computed
+# INTEGRALLY as length(bin((lag_us + 60e6) div 60e6)) - 1 (r9 ADVICE:
+# floor(ln/ln) relied on bit-identical libm across engines) — sound
+# because floor(log2(a/b)) = floor(log2(a div b)) for a >= b >= 1:
+# 2^k <= a/b implies the integer 2^k <= a div b, and a div b <= a/b.
+# Shape: three user-keyed conditional-min aggregations
 # over type-filtered scans (predicate pushdown on event_type), then a
 # bucket rollup.
 _sql_query(
@@ -9667,7 +9753,7 @@ _sql_query(
         FROM c1 JOIN p ON p.user_id = c1.user_id
     )
     SELECT step,
-           CAST(floor(ln(lag_us / 60000000.0 + 1) / ln(2)) AS BIGINT) AS log2_minutes_bucket,
+           CAST(length(bin((lag_us + 60000000) DIV 60000000)) - 1 AS BIGINT) AS log2_minutes_bucket,
            CAST(count(*) AS BIGINT) AS n_users,
            CAST(min(lag_us) AS BIGINT) AS min_lag_us,
            CAST(max(lag_us) AS BIGINT) AS max_lag_us
@@ -9690,7 +9776,7 @@ _sql_query(
         FROM c1 JOIN p ON p.user_id = c1.user_id
     )
     SELECT step,
-           CAST(floor(ln(lag_us / 60000000.0 + 1) / ln(2)) AS BIGINT) AS log2_minutes_bucket,
+           CAST(length(bin((lag_us + 60000000) // 60000000)) - 1 AS BIGINT) AS log2_minutes_bucket,
            CAST(count(*) AS BIGINT) AS n_users,
            CAST(min(lag_us) AS BIGINT) AS min_lag_us,
            CAST(max(lag_us) AS BIGINT) AS max_lag_us

@@ -385,7 +385,9 @@ def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ships: per-partition SpaceSaving inside Arrow batches (each batch
 # pre-counted with value_counts, then merged into the capacity-bounded
 # summary — the mergeable-summaries formulation), partition sketches
-# merged by summing estimates/errors and re-pruning.  With capacity
+# merged with true StreamSummary.merge semantics (spacesaving_merge:
+# absent keys absorb the source sketch's eviction floor into estimate
+# and error, then re-prune to capacity).  With capacity
 # (256) >= the key cardinality (~120 event_type#hour keys) no eviction
 # ever fires, every error is 0 and the sketch is provably exact — which
 # is what makes the entry oracle-able against an exact GROUP BY; the
@@ -411,6 +413,48 @@ def spacesaving_update(counts: dict, value, n: int, capacity: int) -> None:
         counts[value] = [est + n, est]
 
 
+def spacesaving_floor(counts: dict, capacity: int) -> int:
+    """Eviction floor of a summary: an absent key's true count is 0 if
+    the summary never filled, else bounded by the minimum estimate
+    (Metwally et al. 2005, Lemma 3.3)."""
+    if len(counts) < capacity:
+        return 0
+    return min(v[0] for v in counts.values())
+
+
+def spacesaving_merge(sketches: list, capacity: int) -> dict:
+    """Merge SpaceSaving summaries the way the reference
+    StreamSummary.merge does (presto-main/.../aggregation/approxmostfrequent/
+    stream/StreamSummary.java) and Agarwal et al. "Mergeable Summaries"
+    (PODS'12 SS4) formalize: each element is ``(counts, floor)`` where
+    ``floor`` is that sketch's eviction floor; a key absent from a sketch
+    contributes the floor to BOTH its merged estimate and its merged
+    error bound (the absent mass may be up to floor, and all of it is
+    uncertain), and the union is then pruned back to the ``capacity``
+    largest estimates.  Preserves est >= true >= est - err across the
+    merge even when individual partitions evicted."""
+    keys: set = set()
+    for counts, _floor in sketches:
+        keys.update(counts)
+    merged: dict = {}
+    for k in keys:
+        est = 0
+        err = 0
+        for counts, floor in sketches:
+            if k in counts:
+                e, r = counts[k]
+                est += e
+                err += r
+            else:
+                est += floor
+                err += floor
+        merged[k] = [est, err]
+    if len(merged) > capacity:
+        keep = sorted(merged, key=lambda k: (-merged[k][0], k))[:capacity]
+        merged = {k: merged[k] for k in keep}
+    return merged
+
+
 @register(
     "agg_approx_most_frequent",
     oracle="""
@@ -425,8 +469,9 @@ def spacesaving_update(counts: dict, value, n: int, capacity: int) -> None:
     """,
     tags=("sketches", "aggregates"),
     doc="approx_most_frequent (SpaceSaving, Presto parity): one-pass "
-    "capacity-bounded summaries per Arrow batch merged by estimate+error "
-    "sum and re-prune; capacity 256 >= ~120 keys makes every error 0 and "
+    "capacity-bounded summaries per Arrow batch merged with reference "
+    "StreamSummary.merge semantics (absent key <- source eviction floor, "
+    "re-prune to capacity); capacity 256 >= ~120 keys makes every error 0 and "
     "the top-10 provably exact (the oracle); the capacity<NDV bound "
     "(est >= true >= est - err, heavy keys always tracked) is pinned by "
     "pytest on a skewed stream.",
@@ -436,16 +481,23 @@ def agg_approx_most_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     def sketch(batches):
+        import uuid
+
         counts: dict = {}
         for pdf in batches:
             for value, n in pdf["k"].value_counts().items():
                 spacesaving_update(counts, value, int(n), _AMF_CAPACITY)
         if counts:
+            # sid tags the rows of THIS partition's summary so the merge
+            # can reconstruct it; floor is its eviction floor (0 unless
+            # the partition actually evicted) — dropped before output.
             yield pd.DataFrame(
                 {
+                    "sid": uuid.uuid4().hex,
                     "k": list(counts),
                     "est": [v[0] for v in counts.values()],
                     "err": [v[1] for v in counts.values()],
+                    "floor": spacesaving_floor(counts, _AMF_CAPACITY),
                 }
             )
 
@@ -455,12 +507,44 @@ def agg_approx_most_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws("#", F.col("event_type"), F.hour("ts").cast("string")).alias("k")
         )
     )
-    partials = keyed.mapInPandas(sketch, "k string, est long, err long")
-    # merge: sum estimates and error bounds per key (mergeable-summaries
-    # union), then keep the top 10 — re-pruning to capacity is a no-op
-    # here because the union of partition sketches stays under capacity
-    merged = partials.groupBy("k").agg(
-        F.sum("est").alias("est_count"), F.sum("err").alias("max_err")
+    partials = keyed.mapInPandas(
+        sketch, "sid string, k string, est long, err long, floor long"
+    )
+
+    # Merge = reference StreamSummary.merge semantics (spacesaving_merge:
+    # absent key <- source sketch's eviction floor added to estimate AND
+    # error, union re-pruned to capacity), run on ONE task over the
+    # bounded partial rows (<= capacity x partitions: 256 x 1000 tasks =
+    # 256k tiny rows at cluster scale — merge state is O(capacity), the
+    # same bounded-merge contract as the HLL/qdigest rollups).  The
+    # previous plain groupBy-sum undercounted when any partition evicted
+    # (r9 ADVICE): mass absorbed into a victim's successor was dropped
+    # for keys tracked elsewhere.
+    def merge_sketches(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        rows = pd.concat(chunks, ignore_index=True)
+        if rows.empty:
+            return
+        sketches = []
+        for _sid, g in rows.groupby("sid"):
+            counts = {
+                k: [int(e), int(r)]
+                for k, e, r in zip(g["k"], g["est"], g["err"])
+            }
+            sketches.append((counts, int(g["floor"].iloc[0])))
+        out = spacesaving_merge(sketches, _AMF_CAPACITY)
+        yield pd.DataFrame(
+            {
+                "k": list(out),
+                "est_count": [v[0] for v in out.values()],
+                "max_err": [v[1] for v in out.values()],
+            }
+        )
+
+    merged = partials.repartition(1).mapInPandas(
+        merge_sketches, "k string, est_count long, max_err long"
     )
     from pyspark.sql import Window
 

@@ -1606,10 +1606,10 @@ def test_ngram_novelty_conservation_and_decay(spark):
     assert [r.ingest_decile for r in cur] == list(range(10))
     total_novel = sum(r.n_novel for r in cur)
     distinct_grams = spark.sql(
-        """
+        f"""
         SELECT count(DISTINCT concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) AS n
         FROM (SELECT split(text, ' ') AS toks
-              FROM parquet.`/root/testdata/sf0.01/documents.parquet`
+              FROM parquet.`{SF_DIR}/documents.parquet`
               WHERE size(split(text, ' ')) >= 3)
         LATERAL VIEW explode(sequence(0, size(toks) - 3)) t AS i
         """
@@ -1816,9 +1816,11 @@ def test_funnel_lag_consistent_with_events_funnel(spark):
     for r in rows:
         assert 0 < r.min_lag_us <= r.max_lag_us
         for lag in (r.min_lag_us, r.max_lag_us):
-            assert math.floor(
-                math.log2(lag / 60000000.0 + 1)
-            ) == r.log2_minutes_bucket
+            # integral definition (r9 ADVICE): floor(log2(1 + lag/60s))
+            # = bit_length((lag + 60e6) div 60e6) - 1, exact in Z
+            assert (
+                (lag + 60_000_000) // 60_000_000
+            ).bit_length() - 1 == r.log2_minutes_bucket
 
 
 def test_spacesaving_bounds_on_skewed_stream():
@@ -1863,3 +1865,54 @@ def test_spacesaving_batch_merge_matches_streaming():
         spacesaving_update(exact, v, n, 16)  # capacity >= 7 distinct
     assert {k: v[0] for k, v in exact.items()} == dict(true)
     assert all(v[1] == 0 for v in exact.values())
+
+
+def test_spacesaving_cross_partition_merge_under_eviction():
+    """r9 ADVICE (medium): the distributed merge must preserve the
+    SpaceSaving bound est >= true >= est - err even when individual
+    partitions evict (partition NDV > capacity).  Builds 8 partition
+    sketches at capacity 4 over a skewed stream with 60+ distinct keys,
+    merges them via spacesaving_merge, and asserts the bound for every
+    surviving key plus top-rank correctness for the dominant key —
+    exactly the regime where the old plain sum-of-estimates broke."""
+    from collections import Counter
+
+    from sensql_presto_spark.queries.sketches_suite import (
+        spacesaving_floor,
+        spacesaving_merge,
+        spacesaving_update,
+    )
+
+    cap = 4
+    stream = []
+    for i in range(4000):
+        stream.append("hot" if i % 2 == 0 else f"cold{(i * 7) % 61}")
+    true = Counter(stream)
+    # split into 8 contiguous "partitions", each forced to evict
+    sketches = []
+    for p in range(8):
+        counts: dict = {}
+        for v in stream[p * 500 : (p + 1) * 500]:
+            spacesaving_update(counts, v, 1, cap)
+        assert len(counts) == cap  # every partition hit capacity
+        assert spacesaving_floor(counts, cap) > 0
+        sketches.append((counts, spacesaving_floor(counts, cap)))
+    merged = spacesaving_merge(sketches, cap)
+    assert len(merged) <= cap
+    assert "hot" in merged, "freq > N/capacity key must survive the merge"
+    for k, (est, err) in merged.items():
+        assert est >= true[k], f"{k}: est {est} < true {true[k]}"
+        assert true[k] >= est - err, f"{k}: true {true[k]} < est-err {est - err}"
+    top = max(merged, key=lambda k: merged[k][0])
+    assert top == "hot"
+    # and with no eviction anywhere, merge degenerates to the exact sum
+    small = [f"s{i % 5}" for i in range(200)]
+    parts = []
+    for p in range(4):
+        c: dict = {}
+        for v in small[p::4]:
+            spacesaving_update(c, v, 1, 16)
+        parts.append((c, spacesaving_floor(c, 16)))
+    exact_merge = spacesaving_merge(parts, 16)
+    assert {k: v[0] for k, v in exact_merge.items()} == dict(Counter(small))
+    assert all(v[1] == 0 for v in exact_merge.values())

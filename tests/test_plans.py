@@ -52,7 +52,18 @@ def test_window_topn_group_limit_pushdown(spark):
 
 
 def test_ngram_dedup_is_not_cartesian(spark):
-    plan = _plan(spark, "dedup_ngram_jaccard")
+    # pin the pair-GENERATION plan itself: the entry now returns the
+    # session-memoized checkpoint (r10), whose plan would trivially pass
+    import io
+    from contextlib import redirect_stdout
+
+    from sensql_presto_spark.queries.pipeline import _ngram_jaccard_plan
+
+    df = _ngram_jaccard_plan(spark, SF)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
