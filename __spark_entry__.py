@@ -27,98 +27,90 @@ from pyspark.sql import DataFrame, SparkSession
 
 from sensql_presto_spark.queries import all_specs
 
-# ROUND-9 ROTATION (r8 window was 50/50 green — everything rotated out;
-# with it the cumulative union reached 369/369, so r9 is pure staleness
-# refresh per the r8 verdict's #1 ask).  Two blocks:
-#  (1) the 19 entries whose latest driver row is still ROUND 1 — the
-#      stalest rows in the ledger (tools/ledger.py now exits nonzero on
-#      exactly this set when it is not in the window).
-#  (2) 31 of the 50 r2-era entries.  The 19 r2-era entries deferred to
-#      r10 are the ones with the strongest per-round indirect coverage:
-#      tpch_q01/q02/q06/q13/q21 + tpcds_q01/q07/q28 (benched every round;
-#      tpcds_q01 judge-EXACT r8), window_aggregates/frames/ranking/
-#      topn_per_group/value (the 45k-seed fuzz program's window mode),
-#      sim_topk_bruteforce + sim_ivf_topk (ground truth in the recall
-#      pytests), text_quality + events_sessionize (benched),
-#      sensql_federated_agg (judge-EXACT r8), agg_count_if (fuzz agg
-#      mode).  Operators ADDED in r9 displace block-(2) slots as they
-#      land (each pre-verified dual-scale at commit time); displaced
-#      entries join the r10 rotation.
+# ROUND-10 ROTATION (r9 window was 50/50 green — everything rotated out,
+# cumulative union 383/383).  The composition is dictated by the
+# staleness gate (tools/ledger.py, STALE_ROUNDS=6): at HEAD the 33
+# r2-era entries below are the only stale debt, so they are ALL in; the
+# remaining 17 slots go to new r10 operators plus the 16 r3-era entries
+# with the weakest indirect coverage.  Three blocks:
+#  (1) the 33 r2-era stale entries (r9 VERDICT next-round #1 names this
+#      exact set; the ledger exits nonzero if any is missing).
+#  (2) 16 of the 50 r3-era entries — picked for WEAK indirect coverage
+#      (statement-layer / connector / geo-codec / quantized-sim entries
+#      that no bench, fuzz mode, or composing eval exercises).  The 34
+#      r3-era entries deferred to r11 are the covered ones: tpch_q03-q12
+#      (all 22 TPC-H benched every round, 5 TPC-H in this window),
+#      tpcds_q31-q38 (family: 3 TPC-DS in this window), geo_st_accessors/
+#      setops/surface2/line_ops (geo_st_functions green r9 + the 69/69
+#      function goldens), events_gap_fill/range_join (events family:
+#      4 entries green r9), dedup_connected_components (twin
+#      dedup_cluster_assignment benched + fixpoint-pinned), text_corpus_
+#      stats/repetition/substring_dup/tfidf_top_terms (text family: 5
+#      entries green r9; tfidf shares the BM25 posting-list machinery
+#      with sim_query_expansion_prf, benched), scale_bucketed/salted_join
+#      (scale_salt_planner green r9 computes the same fanout math),
+#      agg_classification_metrics/differential_entropy/khll_uniqueness/
+#      setdigest_jaccard (agg/sketch family: 14 entries green r9).
+#      PRE-ANNOUNCED r11 WINDOW: those 34 r3-era entries + the 16 oldest
+#      r4-era rows, minus one slot per r11-added operator (displacing
+#      the strongest-covered r4 rows first).
+#  (3) operators ADDED in r10 (each pre-verified --vanilla EXACT at
+#      sf0.01 AND sf0.1 at commit time): source_kafka_avro closes the
+#      record-decoder family (r9 VERDICT What's-missing #1).
 PRIORITY: tuple[str, ...] = (
-    # (1) r1-era stale (19)
-    "agg_any_value",
-    "agg_bool_bitwise",
-    "agg_collect",
-    "agg_geomean_entropy",
-    "agg_map_histogram",
-    "agg_minmax_by",
-    "agg_most_frequent",
-    "agg_numeric_histogram",
-    "agg_percentile_exact",
-    "agg_reduce",
-    "agg_reservoir_sample",
-    "agg_top_n_values",
-    "cube_orders",
-    "distinct_limit",
-    "events_asof_join",
-    "events_hopping_window",
-    "fn_bitwise",
-    "fn_conditional",
-    "fn_hash",
-    # (2) r2-era stale (31)
-    "agg_checksum",
-    "agg_hll_sketch_rollup",
-    "agg_qdigest_rollup",
-    "ddl_ctas_insert",
-    "geo_st_functions",
-    "mm_features",
-    "mutation_delete_merge",
-    "null_safe_semantics",
-    "offset_fetch",
-    "order_nulls_last",
-    "pivot_linestatus",
-    "sensql_federated_single_node",
-    "sensql_spatial_filter",
-    "setop_intersect_all",
-    "sim_lsh_hyperplane",
-    "unnest_multi_zip",
-    "unnest_with_ordinality",
-    # (3) r9-added operators (displacing block-(2) slots; each verified
-    #     --vanilla EXACT at sf0.01 AND sf0.1 at commit time; displaced so
-    #     far, all -> r10: setop_union, then fn_math (judge-EXACT r8 both
-    #     scales — the strongest recent signal), fn_presto_compat (twin
-    #     suites compat2/3 greener + function goldens), grouping_sets
-    #     (fuzz rollup mode; cube_orders stays), lateral_topn
-    #     (window_topn_per_group + both unnest entries stay),
-    #     scalar_subquery_select (fuzz subquery mode), sample_hash_mod
-    #     (deterministic-sampling shape shared with text_train_val_split),
-    #     then text_lang_id (transitively exercised END-TO-END by the new
-    #     text_lang_confusion, which builds it and scores it against its
-    #     own oracle-composed ground truth), quantified_all (twin
-    #     quantified_any green r3 + the fuzz subquery mode),
-    #     agg_stats_moments (the fuzz agg mode's moments aggregates),
-    #     setop_except_all (twin setop_except green r3; setop_intersect_all
-    #     stays in the window covering the ALL-multiplicity semantics),
-    #     events_streaming_tumbling (batch twin events_tumbling_window green
-    #     r8 + the streaming pytest suite), mm_frame_sample (twins
-    #     mm_video_frames/mm_video_keyframe_sample green r7/r8 + plan pins),
-    #     agg_approx_sketches (family twins agg_hll_sketch_rollup +
-    #     agg_qdigest_rollup stay in-window; the family also gains the new
-    #     in-window agg_approx_most_frequent)
-    "source_kafka_decoder",
-    "events_ohlc_bars",
-    "events_lateness_audit",
-    "text_ngram_novelty",
-    "text_term_drift",
-    "sim_embedding_norm_audit",
-    "dedup_eval_pr",
-    "text_lang_confusion",
-    "scale_salt_planner",
-    "text_dedup_impact",
-    "agg_histogram_equi_depth",
-    "pipeline_attrition_funnel",
-    "events_funnel_lag",
-    "agg_approx_most_frequent",
+    # (1) r2-era stale (33)
+    "agg_approx_sketches",
+    "agg_count_if",
+    "agg_stats_moments",
+    "events_sessionize",
+    "events_streaming_tumbling",
+    "fn_math",
+    "fn_presto_compat",
+    "grouping_sets",
+    "lateral_topn",
+    "mm_frame_sample",
+    "quantified_all",
+    "sample_hash_mod",
+    "scalar_subquery_select",
+    "sensql_federated_agg",
+    "setop_except_all",
+    "setop_union",
+    "sim_ivf_topk",
+    "sim_topk_bruteforce",
+    "text_lang_id",
+    "text_quality",
+    "tpcds_q01",
+    "tpcds_q07",
+    "tpcds_q28",
+    "tpch_q01",
+    "tpch_q02",
+    "tpch_q06",
+    "tpch_q13",
+    "tpch_q21",
+    "window_aggregates",
+    "window_frames",
+    "window_ranking",
+    "window_topn_per_group",
+    "window_value",
+    # (2) r3-era, weakest indirect coverage (16)
+    "ddl_materialized_view",
+    "fn_ip",
+    "fn_sketch_scalars",
+    "geo_agg_hulls",
+    "geo_bing_parity",
+    "geo_spherical",
+    "geo_wkb_geojson",
+    "mutation_time_travel",
+    "prepared_execute",
+    "sim_int8_quantized",
+    "sim_pq_topk",
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    "source_orc_roundtrip",
+    "text_pii_redact",
+    "text_stratified_sample",
+    # (3) r10-added operators
+    "source_kafka_avro",
 )
 
 

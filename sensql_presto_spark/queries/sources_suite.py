@@ -1132,3 +1132,135 @@ def source_kafka_decoder(spark: SparkSession, sf_dir: str) -> DataFrame:
     cd = norm(kd.decode_csv(kd.read_topic_dir(spark, os.path.join(root, "csv")), ccols), "csv", False)
     rd = norm(kd.decode_raw(kd.read_topic_dir(spark, os.path.join(root, "raw")), rcols), "raw", True)
     return jd.unionAll(cd).unionAll(rd).orderBy("fmt", "event_id")
+
+
+# --- Kafka avro-value decode (r9 VERDICT What's-missing #1) ----------------
+#
+# Completes the reference's record-decoder family: csv/json/raw (above)
+# + avro (presto-record-decoder/.../avro/AvroRowDecoderFactory.java).
+# Each message VALUE is a complete Avro object-container stream carrying
+# exactly one record (AvroRowDecoder.java:56-70 — the reference's
+# "assumes producer uses DataFileWriter" contract), built per-row by the
+# spec-derived avro_ocf codec inside the partition writer.  The decode
+# exercises long/int/string/double/boolean fields, a mapped-but-absent
+# field decoding NULL (AvroColumnDecoder locateNode), NULL message keys
+# in the segment framing, and a bit-exact double passthrough (parquet ->
+# python float -> avro little-endian IEEE -> arrow -> double: every hop
+# preserves the 64 bits, so the value hash may include the raw double —
+# both engines read the identical parquet bits).  Scale shape: the
+# writer is one applyInPandas over partition groups; the reader is the
+# same binaryFile + Arrow mapInPandas pass as the other decoders.
+_KAFKA_AVRO_ORACLE = """
+WITH base AS (
+    SELECT event_id, user_id, event_type, value,
+           CAST(event_id % 4 AS BIGINT) AS part,
+           CAST(row_number() OVER (PARTITION BY event_id % 4 ORDER BY event_id) - 1
+                AS BIGINT) AS off
+    FROM events WHERE event_id < 200
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       event_type,
+       value AS score,
+       event_type = 'click' AS is_click,
+       CAST(NULL AS VARCHAR) AS missing_tag,
+       part, off
+FROM base ORDER BY event_id
+"""
+
+
+@register(
+    "source_kafka_avro",
+    oracle=_KAFKA_AVRO_ORACLE,
+    tags=("sources", "kafka", "decoder", "avro"),
+    doc="Kafka avro message-value decode (AvroRowDecoder parity): each "
+    "value is a one-record Avro OCF stream (writer-schema-in-message, "
+    "the reference's DataFileWriter contract) decoded through the "
+    "spec-derived avro_ocf codec in ONE Arrow mapInPandas pass; "
+    "long/int/string/double/boolean fields, locateNode NULL for a "
+    "mapped-but-absent field, null message keys, bit-exact double "
+    "passthrough.",
+)
+def source_kafka_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from sensql_presto_spark import avro_ocf
+    from sensql_presto_spark import kafka_decoder as kd
+
+    base = (
+        catalog.table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 200)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("value").alias("score"),
+            (F.col("event_type") == "click").alias("is_click"),
+            (F.col("event_id") % 4).cast("int").alias("part"),
+        )
+    )
+
+    fields = [
+        ("event_id", "long"),
+        ("user_id", "int"),
+        ("event_type", "string"),
+        ("score", "double"),
+        ("is_click", "boolean"),
+    ]
+
+    tdir = os.path.join(KAFKA_TOPIC_PATH, "avro")
+    _shutil.rmtree(tdir, ignore_errors=True)
+    os.makedirs(tdir, exist_ok=True)
+
+    def make_writer(_tdir):
+        def write_part(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            pdf = pdf.sort_values("event_id")
+            part = int(pdf["part"].iloc[0])
+            msgs = []
+            for row in pdf.itertuples():
+                blob = avro_ocf.write_container(
+                    fields,
+                    [
+                        (
+                            int(row.event_id),
+                            int(row.user_id),
+                            str(row.event_type),
+                            float(row.score),
+                            bool(row.is_click),
+                        )
+                    ],
+                    name="event",
+                )
+                msgs.append((None, blob))  # null keys: the framing's -1 path
+            with open(os.path.join(_tdir, f"partition={part}.seg"), "wb") as f:
+                f.write(kd.encode_segment(msgs))
+            return pd.DataFrame({"part": [part], "n": [len(pdf)]})
+
+        return write_part
+
+    written = (
+        base.groupBy("part")
+        .applyInPandas(make_writer(tdir), "part int, n long")
+        .collect()
+    )
+    assert sum(r.n for r in written) > 0, "empty kafka avro fixture topic"
+
+    cols = [
+        kd.KafkaColumn("event_id", "BIGINT", "event_id"),
+        kd.KafkaColumn("user_id", "INT", "user_id"),
+        kd.KafkaColumn("event_type", "STRING", "event_type"),
+        kd.KafkaColumn("score", "DOUBLE", "score"),
+        kd.KafkaColumn("is_click", "BOOLEAN", "is_click"),
+        kd.KafkaColumn("missing_tag", "STRING", "tag"),
+    ]
+    decoded = kd.decode_avro(kd.read_topic_dir(spark, tdir), cols)
+    return decoded.select(
+        F.col("event_id").cast("long"),
+        F.col("user_id").cast("long"),
+        "event_type",
+        "score",
+        "is_click",
+        "missing_tag",
+        F.col("partition").cast("long").alias("part"),
+        F.col("offset").cast("long").alias("off"),
+    ).orderBy("event_id")

@@ -1,11 +1,13 @@
-"""Kafka record-decoder parity (presto-record-decoder csv/json/raw).
+"""Kafka record-decoder parity (presto-record-decoder csv/json/raw/avro).
 
-Beyond the registry oracle (source_kafka_decoder), pin the pieces the
-oracle can't see: the segment framing codec's roundtrip and torn-frame
-errors, null-key framing, the raw decoder's sign extension and span
-bounds, the loud FLOAT/DOUBLE contract, and the reference's null
-semantics (CsvColumnDecoder.java:83 short rows, JsonRowDecoder.java:73
-missing path nodes).
+Beyond the registry oracles (source_kafka_decoder, source_kafka_avro),
+pin the pieces the oracles can't see: the segment framing codec's
+roundtrip and torn-frame errors, null-key framing, the raw decoder's
+sign extension and span bounds, bit-exact raw FLOAT/DOUBLE decode, the
+avro decoder's one-record/extra-record/nested-path error contracts, and
+the reference's null semantics (CsvColumnDecoder.java:83 short rows,
+JsonRowDecoder.java:73 missing path nodes, AvroColumnDecoder.java:130
+locateNode).
 """
 
 from __future__ import annotations
@@ -68,12 +70,75 @@ def test_raw_sign_extension_and_span_bounds(spark):
     assert (out[2].a, out[2].b, out[2].c, out[2].d, out[2].s) == (5, 5, None, None, None)
 
 
-def test_raw_float_is_a_loud_contract(spark):
-    with pytest.raises(NotImplementedError, match="IEEE-754"):
+def test_raw_float_double_decode_bit_exact(spark):
+    """Raw FLOAT/DOUBLE fields (r10: closes the r9 loud-contract gap)
+    decode big-endian IEEE bit-exactly, including negatives, subnormals
+    and infinities; short spans decode NULL like the integer fields."""
+    import math
+    import struct
+
+    cols = [
+        kd.KafkaColumn("d", "DOUBLE", "0", "DOUBLE"),
+        kd.KafkaColumn("f", "DOUBLE", "8:12", "FLOAT"),
+    ]
+    payloads = [
+        struct.pack(">df", -1234.5678, 2.5),
+        struct.pack(">df", 5e-324, float("inf")),  # min subnormal double
+        struct.pack(">d", 1.0),  # too short for f
+    ]
+    out = {r.offset: r for r in kd.decode_raw(_kafka_df(spark, payloads), cols).collect()}
+    assert out[0].d == -1234.5678 and out[0].f == 2.5
+    assert out[1].d == 5e-324 and math.isinf(out[1].f)
+    assert out[2].d == 1.0 and out[2].f is None
+    # mapping span must match the IEEE width, as for the integer formats
+    with pytest.raises(ValueError, match="does not match dataFormat"):
         kd.decode_raw(
             _kafka_df(spark, [b"\x00" * 8]),
-            [kd.KafkaColumn("x", "DOUBLE", "0", "DOUBLE")],
+            [kd.KafkaColumn("x", "DOUBLE", "0:6", "DOUBLE")],
         )
+
+
+def _avro_msg(fields, row, name="event"):
+    from sensql_presto_spark import avro_ocf
+
+    return avro_ocf.write_container(fields, [row], name=name)
+
+
+def test_avro_decode_types_missing_field_and_error_contracts(spark):
+    """decode_avro: AvroRowDecoder parity — one-record container per
+    message, typed primitive fields, locateNode NULL for a mapped field
+    absent from the writer schema, and LOUD errors on zero records,
+    extra records (AvroRowDecoder.java:56-70) and nested mapping paths
+    (flat-record codec contract)."""
+    from sensql_presto_spark import avro_ocf
+
+    fields = [("a", "long"), ("s", "string"), ("x", "double"), ("b", "boolean")]
+    msgs = [
+        _avro_msg(fields, (7, "hi", 2.25, True)),
+        _avro_msg(fields, (-3, "", -0.5, False)),
+    ]
+    cols = [
+        kd.KafkaColumn("a", "BIGINT", "a"),
+        kd.KafkaColumn("s", "STRING", "s"),
+        kd.KafkaColumn("x", "DOUBLE", "x"),
+        kd.KafkaColumn("b", "BOOLEAN", "b"),
+        kd.KafkaColumn("nope", "STRING", "ghost"),  # absent field -> NULL
+    ]
+    out = {r.offset: r for r in kd.decode_avro(_kafka_df(spark, msgs), cols).collect()}
+    assert (out[0].a, out[0].s, out[0].x, out[0].b, out[0].nope) == (7, "hi", 2.25, True, None)
+    assert (out[1].a, out[1].s, out[1].x, out[1].b, out[1].nope) == (-3, "", -0.5, False, None)
+
+    # zero records in the container -> loud error
+    empty = avro_ocf.write_container(fields, [])
+    with pytest.raises(Exception, match="[Nn]o avro record"):
+        kd.decode_avro(_kafka_df(spark, [empty]), cols[:1]).collect()
+    # a second record -> loud error
+    two = avro_ocf.write_container(fields, [(1, "x", 0.0, True), (2, "y", 1.0, False)])
+    with pytest.raises(Exception, match="extra avro record"):
+        kd.decode_avro(_kafka_df(spark, [two]), cols[:1]).collect()
+    # nested mapping path -> loud NotImplementedError at plan time
+    with pytest.raises(NotImplementedError, match="nested"):
+        kd.decode_avro(_kafka_df(spark, msgs), [kd.KafkaColumn("z", "BIGINT", "meta/id")])
 
 
 def test_raw_bad_mapping_and_size_mismatch(spark):
