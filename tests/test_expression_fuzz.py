@@ -98,3 +98,13 @@ def test_negdiv_seeds_agree(spark):
     DuckDB /// <<) plus the e = d*q + e%d identity as a sentinel."""
     assert expr_fuzz.run_negdiv_batch(spark, SF, list(range(1000, 1025))) == []
     assert expr_fuzz.run_negdiv_batch(spark, SF, list(range(1025, 1050))) == []
+
+
+def test_decimal_seeds_agree(spark):
+    """decimal-mode fuzz (r10): precision/scale arithmetic inside the
+    probed safe rules — scale reduction only via round() (Spark rescale
+    casts are HALF_UP, DuckDB's HALF_EVEN), BIGINT casts only of
+    integer-valued decimals (Spark truncates, DuckDB rounds), no
+    engine-native decimal division (DuckDB's quotient is a DOUBLE)."""
+    assert expr_fuzz.run_decimal_batch(spark, SF, list(range(1100, 1125))) == []
+    assert expr_fuzz.run_decimal_batch(spark, SF, list(range(1125, 1150))) == []

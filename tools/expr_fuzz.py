@@ -721,3 +721,124 @@ def run_negdiv_batch(spark, sf_dir: str, seeds: list[int]) -> list[str]:
                 f"negdiv seed {s}: row {i} spark={av[i]!r} duckdb={ev[i]!r}"
             )
     return problems
+
+
+# --- decimal mode: precision/scale arithmetic across dialects ---------------
+#
+# (r9 VERDICT next-round #6: give the cents-quantization convention the
+# same adversarial hunt negdiv gives integer division.)  The repo's money
+# and score arithmetic lives on quantized DECIMALs, and probing (r10)
+# found THREE genuine engine divergences the grammar must encode as
+# rules, exactly the way negdiv encodes the trunc-vs-floor rule:
+#
+#   * CAST(dec AS DECIMAL(p, smaller_s)) — Spark rescales HALF_UP while
+#     DuckDB rescales HALF_EVEN (0.25 -> 0.3 vs 0.2), so scale reduction
+#     is ONLY generated through round(x, k), which both engines evaluate
+#     as HALF_UP away from zero for either sign (probed at the .5 and
+#     .00005 boundaries, both signs).
+#   * CAST(non-integer dec AS BIGINT) — Spark truncates toward zero,
+#     DuckDB ROUNDS (2.7 -> 2 vs 3; the double->int analog of the rule
+#     already in the scalar grammar header), so only integer-valued
+#     decimals may cross to BIGINT: every output column is integerized
+#     as round(expr * 10^scale, 0) first.
+#   * decimal / decimal — DuckDB's quotient is a DOUBLE while Spark's is
+#     a HALF_UP DECIMAL at a derived scale; quantizing the two can split
+#     at a digit boundary by one ulp, so engine-native decimal division
+#     is EXCLUDED (the operators divide integers via the negdiv idioms).
+#
+# Inside those rules the mode fuzzes: column/literal atoms at scales 0-4,
+# +/-/* with precision- and magnitude-tracked operands (results stay far
+# from the 38-digit cap, where Spark's allowPrecisionLoss would silently
+# truncate scale), abs/negation, %% by a positive integer (C-style sign in
+# both, probed), round() at reduced/zero/negative digits, and same-scale
+# least/greatest (mixed scales make DuckDB fall back to DOUBLE).
+
+
+def _dec_literal(r, scale: int) -> "tuple[str, int, int, float]":
+    unscaled = r.randint(-(10**5), 10**5)
+    if scale == 0:
+        return f"(CAST({unscaled} AS DECIMAL(10,0)))", 10, 0, float(abs(unscaled))
+    sign = "-" if unscaled < 0 else ""
+    digits = str(abs(unscaled)).rjust(scale + 1, "0")
+    lit = f"{sign}{digits[:-scale]}.{digits[-scale:]}"
+    return f"({lit})", 10, scale, abs(unscaled) / 10**scale
+
+
+def _dec_expr(g: "_Gen", depth: int) -> "tuple[str, int, int, float]":
+    """Returns (sql, precision, scale, vbound) with vbound >= |value|."""
+    r = g.rng
+    if depth <= 0 or r.random() < 0.30:
+        pick = r.random()
+        if pick < 0.35:
+            col = r.choice(_INT_COLS)
+            m = r.randint(3, 9999)
+            return f"(CAST({col} % {m} AS DECIMAL(10,0)))", 10, 0, float(m)
+        if pick < 0.70:
+            col = r.choice(_INT_COLS)
+            m = r.randint(3, 9999)
+            k = r.randint(1, 4)
+            lit = "0." + "0" * (k - 1) + "1"
+            return (
+                f"(CAST({col} % {m} AS DECIMAL(10,0)) * {lit})",
+                11 + k,
+                k,
+                m / 10**k,
+            )
+        return _dec_literal(r, r.randint(0, 4))
+    a, pa, sa, va = _dec_expr(g, depth - 1)
+    pick = r.random()
+    if pick < 0.12:
+        return f"(abs({a}))", pa, sa, va
+    if pick < 0.22:
+        return f"(- {a})", pa, sa, va
+    if pick < 0.34:
+        # round at a reduced / zero / negative number of digits
+        k = r.randint(-2, max(sa - 1, 0))
+        return f"(round({a}, {k}))", pa + 1, max(k, 0), va + 10.0 ** (-k)
+    if pick < 0.44:
+        d = r.randint(2, 997)
+        return f"({a} % {d})", pa, sa, float(d)
+    if pick < 0.54:
+        fn = "least" if r.random() < 0.5 else "greatest"
+        b, pb, _sb, vb = _dec_literal(r, sa)
+        return f"({fn}({a}, {b}))", max(pa, pb), sa, max(va, vb)
+    b, pb, sb, vb = _dec_expr(g, depth - 1)
+    if pick < 0.80 or pa + pb + 1 > 32 or va * vb * 10 ** (sa + sb) > 1e14 or sa + sb > 6:
+        s = max(sa, sb)
+        p = max(pa - sa, pb - sb) + s + 1
+        if (va + vb) * 10**s > 1e14 or p > 36:
+            return a, pa, sa, va
+        op = "+" if r.random() < 0.5 else "-"
+        return f"({a} {op} {b})", p, s, va + vb
+    return f"({a} * {b})", pa + pb + 1, sa + sb, va * vb
+
+
+def build_decimal_query(seeds: list[int]) -> str:
+    cols = []
+    for s in seeds:
+        g = _Gen(s)
+        e, _p, sc, vb = _dec_expr(g, 3)
+        # integerize (rule 2): value * 10^scale is integer-valued, so the
+        # BIGINT cast is exact in both engines; vbound keeps it in-range.
+        # The widening cast (same scale, larger precision — exact in both)
+        # is load-bearing: the product keeps scale `sc`, so its UNSCALED
+        # magnitude is value * 10^(2*sc), which overflows DuckDB's
+        # 18-digit intermediate without it (<= 9e20 < 10^28 with it).
+        assert vb * 10**sc < 9e14
+        cols.append(
+            f"CAST(round(CAST({e} AS DECIMAL(28,{sc})) * {10**sc}, 0) "
+            f"AS BIGINT) AS e{s}"
+        )
+    return (
+        "SELECT o_orderkey, "
+        + ", ".join(cols)
+        + " FROM ("
+        + _BASE
+        + ") t ORDER BY o_orderkey"
+    )
+
+
+def run_decimal_batch(spark, sf_dir: str, seeds: list[int]) -> list[str]:
+    return _run_and_compare(
+        spark, sf_dir, build_decimal_query(seeds), seeds, "decimal"
+    )
