@@ -3623,11 +3623,11 @@ _CONTAIN_VERIFY_SQL = """
     "Jaccard misses.",
 )
 def text_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = catalog.sql(
-        spark, sf_dir, f"WITH {_SPARK_SHINGLES} SELECT doc_id, shingles FROM sh"
-    ).localCheckpoint(eager=True)
-    sh.createOrReplaceTempView("__ctn_sh")
-    return spark.sql(_CONTAIN_VERIFY_SQL)
+    # reads the session-memoized shingle staging relation (r10) and
+    # uuid-suffixed views (r9 ADVICE) like the jaccard/minhash family
+    return _sql_with_views(
+        spark, _CONTAIN_VERIFY_SQL, __ctn_sh=_shingle_sets(spark, sf_dir)
+    )
 
 
 # --- Perceptual-hash image dedup (aHash): the multimodal twin of

@@ -1867,6 +1867,30 @@ def test_spacesaving_batch_merge_matches_streaming():
     assert all(v[1] == 0 for v in exact.values())
 
 
+def test_pair_staging_memo_keying_and_reuse(spark):
+    """r10 staging memo: the verified pair list is built once per
+    (session, sf_dir) and REUSED (same DataFrame object), while a
+    different sf_dir gets its own entry — no cross-corpus contamination
+    — and the memoized result equals a fresh un-memoized build."""
+    from sensql_presto_spark.queries.pipeline import (
+        _ngram_jaccard_pairs,
+        _ngram_jaccard_plan,
+        _shingle_sets,
+    )
+
+    small = "/root/testdata/sf0.001"
+    a = _ngram_jaccard_pairs(spark, SF_DIR)
+    b = _ngram_jaccard_pairs(spark, SF_DIR)
+    assert a is b, "second call must hit the memo"
+    c = _ngram_jaccard_pairs(spark, small)
+    assert c is not a, "different sf_dir must not share a memo slot"
+    assert _shingle_sets(spark, SF_DIR) is _shingle_sets(spark, SF_DIR)
+    # memoized checkpoint equals a fresh build of the generation plan
+    memo_rows = sorted(tuple(r) for r in a.collect())
+    fresh_rows = sorted(tuple(r) for r in _ngram_jaccard_plan(spark, SF_DIR).collect())
+    assert memo_rows == fresh_rows
+
+
 def test_spacesaving_cross_partition_merge_under_eviction():
     """r9 ADVICE (medium): the distributed merge must preserve the
     SpaceSaving bound est >= true >= est - err even when individual
