@@ -3847,6 +3847,22 @@ _LABELPROP_ORACLE = (
 assert _LABELPROP_ORACLE.count("WITH ") == 1
 
 
+def _block_web_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed symmetrized block-web edge relation, built once per
+    (session, sf_dir) — the staging table shared by the graph family
+    (label_propagation, triangle_count, khop_distances, link_prediction,
+    modularity all read the identical _LABELPROP_GRAPH_SQL relation;
+    r10 staging-memo move, same rationale as the near-dup pair list)."""
+    return _session_memo(
+        spark,
+        "block_web_edges",
+        sf_dir,
+        lambda: catalog.sql(spark, sf_dir, _LABELPROP_GRAPH_SQL).localCheckpoint(
+            eager=True
+        ),
+    )
+
+
 @register(
     "graph_label_propagation",
     oracle=_LABELPROP_ORACLE,
@@ -3859,9 +3875,11 @@ assert _LABELPROP_ORACLE.count("WITH ") == 1
     "symmetrized edge list is materialized once (localCheckpoint).",
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sym = catalog.sql(spark, sf_dir, _LABELPROP_GRAPH_SQL).localCheckpoint(eager=True)
-    sym.createOrReplaceTempView("__lp_sym")
-    return spark.sql(_LABELPROP_ROUNDS_SQL.format(E="__lp_sym"))
+    return _sql_with_views(
+        spark,
+        _LABELPROP_ROUNDS_SQL.format(E="__lp_sym"),
+        __lp_sym=_block_web_edges(spark, sf_dir),
+    )
 
 
 # Per-source boilerplate-line removal (the CCNet/C4 curation pass that
@@ -4040,9 +4058,11 @@ assert _TRIANGLE_ORACLE.count("WITH ") == 1
     "micro-units; reads the once-checkpointed symmetrized edge relation.",
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sym = catalog.sql(spark, sf_dir, _LABELPROP_GRAPH_SQL).localCheckpoint(eager=True)
-    sym.createOrReplaceTempView("__tc_sym")
-    return spark.sql(_TRIANGLE_SQL.format(E="__tc_sym"))
+    return _sql_with_views(
+        spark,
+        _TRIANGLE_SQL.format(E="__tc_sym"),
+        __tc_sym=_block_web_edges(spark, sf_dir),
+    )
 
 
 # Model-based quality filtering (the fastText-classifier pipeline stage:
@@ -4990,9 +5010,11 @@ assert _KHOP_ORACLE.count("WITH ") == 1
     "nodes report -1; edges checkpointed once.",
 )
 def graph_khop_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sym = catalog.sql(spark, sf_dir, _LABELPROP_GRAPH_SQL).localCheckpoint(eager=True)
-    sym.createOrReplaceTempView("__kh_sym")
-    return spark.sql(_KHOP_ROUNDS_SQL.format(E="__kh_sym"))
+    return _sql_with_views(
+        spark,
+        _KHOP_ROUNDS_SQL.format(E="__kh_sym"),
+        __kh_sym=_block_web_edges(spark, sf_dir),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -5414,9 +5436,11 @@ assert _LINKPRED_ORACLE.count("WITH ") == 1
     "checkpointed once.",
 )
 def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sym = catalog.sql(spark, sf_dir, _LABELPROP_GRAPH_SQL).localCheckpoint(eager=True)
-    sym.createOrReplaceTempView("__lprd_sym")
-    return spark.sql(_LINKPRED_SQL.format(E="__lprd_sym"))
+    return _sql_with_views(
+        spark,
+        _LINKPRED_SQL.format(E="__lprd_sym"),
+        __lprd_sym=_block_web_edges(spark, sf_dir),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -6831,9 +6855,7 @@ assert _MODQ_ORACLE.count("WITH ") == 1
     "combined degree/community rollups + one broadcast total.",
 )
 def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sym = catalog.sql(spark, sf_dir, _LABELPROP_GRAPH_SQL).localCheckpoint(eager=True)
-    sym.createOrReplaceTempView("__mq_sym")
-    return spark.sql(
+    sql = (
         "WITH "
         + _LABELPROP_ROUNDS_SQL.format(E="__mq_sym").lstrip().removeprefix("WITH ").split(
             "SELECT CAST(l3.id AS BIGINT)"
@@ -6841,6 +6863,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ",\n    "
         + _MODQ_TAIL.format(E="__mq_sym")
     )
+    return _sql_with_views(spark, sql, __mq_sym=_block_web_edges(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
