@@ -108,3 +108,7 @@ def test_decimal_seeds_agree(spark):
     engine-native decimal division (DuckDB's quotient is a DOUBLE)."""
     assert expr_fuzz.run_decimal_batch(spark, SF, list(range(1100, 1125))) == []
     assert expr_fuzz.run_decimal_batch(spark, SF, list(range(1125, 1150))) == []
+    # regression: seed 174007 mismatched under the first-batch grammar
+    # (DuckDB least() over decimals returns DOUBLE; 81787.885 rounded as
+    # the nearest-double) — the min/max CASE rewrite must keep it exact
+    assert expr_fuzz.run_decimal_batch(spark, SF, [174007]) == []

@@ -728,8 +728,10 @@ def run_negdiv_batch(spark, sf_dir: str, seeds: list[int]) -> list[str]:
 # (r9 VERDICT next-round #6: give the cents-quantization convention the
 # same adversarial hunt negdiv gives integer division.)  The repo's money
 # and score arithmetic lives on quantized DECIMALs, and probing (r10)
-# found THREE genuine engine divergences the grammar must encode as
-# rules, exactly the way negdiv encodes the trunc-vs-floor rule:
+# found FOUR genuine engine divergences the grammar must encode as
+# rules, exactly the way negdiv encodes the trunc-vs-floor rule (the
+# fourth was found LIVE by this mode's own second batch — the fuzzer
+# earning its keep):
 #
 #   * CAST(dec AS DECIMAL(p, smaller_s)) — Spark rescales HALF_UP while
 #     DuckDB rescales HALF_EVEN (0.25 -> 0.3 vs 0.2), so scale reduction
@@ -745,13 +747,23 @@ def run_negdiv_batch(spark, sf_dir: str, seeds: list[int]) -> list[str]:
 #     a HALF_UP DECIMAL at a derived scale; quantizing the two can split
 #     at a digit boundary by one ulp, so engine-native decimal division
 #     is EXCLUDED (the operators divide integers via the negdiv idioms).
+#   * least()/greatest() over DECIMALs — DuckDB returns DOUBLE
+#     UNCONDITIONALLY (even at identical scales), so a downstream
+#     round() sees the nearest-double (e.g. 81787.885 -> 81787.88499...
+#     -> .88) while Spark's stays decimal (-> .89).  Found by seed
+#     174007 in the nineteenth batch: the first-batch grammar allowed
+#     same-scale least/greatest and 700 seeds passed before one landed a
+#     product on a .xx5 boundary.  min/max is generated as a comparison
+#     CASE instead (decimal comparisons and CASE results stay exact
+#     decimals in both engines).  Repo operators are unaffected — every
+#     operator least()/greatest() runs over BIGINT or explicit DOUBLE.
 #
 # Inside those rules the mode fuzzes: column/literal atoms at scales 0-4,
 # +/-/* with precision- and magnitude-tracked operands (results stay far
 # from the 38-digit cap, where Spark's allowPrecisionLoss would silently
 # truncate scale), abs/negation, %% by a positive integer (C-style sign in
 # both, probed), round() at reduced/zero/negative digits, and same-scale
-# least/greatest (mixed scales make DuckDB fall back to DOUBLE).
+# min/max CASEs.
 
 
 def _dec_literal(r, scale: int) -> "tuple[str, int, int, float]":
@@ -799,9 +811,16 @@ def _dec_expr(g: "_Gen", depth: int) -> "tuple[str, int, int, float]":
         d = r.randint(2, 997)
         return f"({a} % {d})", pa, sa, float(d)
     if pick < 0.54:
-        fn = "least" if r.random() < 0.5 else "greatest"
+        # min/max via comparison CASE, NOT least()/greatest(): rule 4
+        # below — found live by THIS mode's second batch (seed 174007).
         b, pb, _sb, vb = _dec_literal(r, sa)
-        return f"({fn}({a}, {b}))", max(pa, pb), sa, max(va, vb)
+        op = "<=" if r.random() < 0.5 else ">="
+        return (
+            f"(CASE WHEN {a} {op} {b} THEN {a} ELSE {b} END)",
+            max(pa, pb),
+            sa,
+            max(va, vb),
+        )
     b, pb, sb, vb = _dec_expr(g, depth - 1)
     if pick < 0.80 or pa + pb + 1 > 32 or va * vb * 10 ** (sa + sb) > 1e14 or sa + sb > 6:
         s = max(sa, sb)
