@@ -108,7 +108,9 @@ def test_decimal_seeds_agree(spark):
     engine-native decimal division (DuckDB's quotient is a DOUBLE)."""
     assert expr_fuzz.run_decimal_batch(spark, SF, list(range(1100, 1125))) == []
     assert expr_fuzz.run_decimal_batch(spark, SF, list(range(1125, 1150))) == []
-    # regression: seed 174007 mismatched under the first-batch grammar
-    # (DuckDB least() over decimals returns DOUBLE; 81787.885 rounded as
-    # the nearest-double) — the min/max CASE rewrite must keep it exact
-    assert expr_fuzz.run_decimal_batch(spark, SF, [174007]) == []
+    # regressions from the mode's own live finds: seed 174007 (DuckDB
+    # least() over decimals returns DOUBLE; 81787.885 rounded as the
+    # nearest-double — min/max now a comparison CASE) and seeds 176144/
+    # 177290 (DuckDB round(DECIMAL(p,s), k<0) returns 0 when |k| >= p-s
+    # — negative-digit round operands now widened to DECIMAL(28,s))
+    assert expr_fuzz.run_decimal_batch(spark, SF, [174007, 176144, 177290]) == []

@@ -728,10 +728,11 @@ def run_negdiv_batch(spark, sf_dir: str, seeds: list[int]) -> list[str]:
 # (r9 VERDICT next-round #6: give the cents-quantization convention the
 # same adversarial hunt negdiv gives integer division.)  The repo's money
 # and score arithmetic lives on quantized DECIMALs, and probing (r10)
-# found FOUR genuine engine divergences the grammar must encode as
+# found FIVE genuine engine divergences the grammar must encode as
 # rules, exactly the way negdiv encodes the trunc-vs-floor rule (the
-# fourth was found LIVE by this mode's own second batch — the fuzzer
-# earning its keep):
+# fourth and fifth were found LIVE by this mode's own second and third
+# batches — the fuzzer earning its keep; rule 5 is documented at the
+# round() branch in _dec_expr):
 #
 #   * CAST(dec AS DECIMAL(p, smaller_s)) — Spark rescales HALF_UP while
 #     DuckDB rescales HALF_EVEN (0.25 -> 0.3 vs 0.2), so scale reduction
@@ -804,9 +805,20 @@ def _dec_expr(g: "_Gen", depth: int) -> "tuple[str, int, int, float]":
     if pick < 0.22:
         return f"(- {a})", pa, sa, va
     if pick < 0.34:
-        # round at a reduced / zero / negative number of digits
+        # round at a reduced / zero / negative number of digits.  For
+        # k < 0 the operand is first WIDENED to DECIMAL(28, sa): rule 5
+        # — DuckDB 1.0 returns 0 from round(DECIMAL(p,s), k<0) whenever
+        # |k| >= p - s (the type's integer-digit capacity; e.g.
+        # round(-99.074 :: DECIMAL(5,3), -2) = 0, not -100) while Spark
+        # widens and rounds correctly; found live by seeds 176144/
+        # 176271/177080/177141/177290 in the twentieth batch.  The
+        # widening cast is same-scale (exact in both engines) and lifts
+        # p - s to 28 - sa, far above any generated |k|.
         k = r.randint(-2, max(sa - 1, 0))
-        return f"(round({a}, {k}))", pa + 1, max(k, 0), va + 10.0 ** (-k)
+        if k < 0:
+            operand = f"CAST({a} AS DECIMAL(28,{sa}))"
+            return f"(round({operand}, {k}))", 29, 0, va + 10.0 ** (-k)
+        return f"(round({a}, {k}))", pa + 1, k, va + 10.0 ** (-k)
     if pick < 0.44:
         d = r.randint(2, 997)
         return f"({a} % {d})", pa, sa, float(d)
