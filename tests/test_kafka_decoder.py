@@ -139,6 +139,13 @@ def test_avro_decode_types_missing_field_and_error_contracts(spark):
     # nested mapping path -> loud NotImplementedError at plan time
     with pytest.raises(NotImplementedError, match="nested"):
         kd.decode_avro(_kafka_df(spark, msgs), [kd.KafkaColumn("z", "BIGINT", "meta/id")])
+    # type-mismatched mapping (string field declared BIGINT) raises at
+    # the Arrow boundary — the analog of the reference's
+    # DECODER_CONVERSION_NOT_SUPPORTED, never a silent coercion
+    with pytest.raises(Exception, match="."):
+        kd.decode_avro(
+            _kafka_df(spark, msgs), [kd.KafkaColumn("x", "BIGINT", "s")]
+        ).collect()
 
 
 def test_raw_bad_mapping_and_size_mismatch(spark):
