@@ -15,11 +15,17 @@ Files" + "Binary Encoding"):
 * primitives: int/long are zigzag varints, float/double little-endian
   IEEE, string/bytes length-prefixed, boolean one byte.
 
-Only flat record schemas over those primitives are supported — exactly
-the record-decoder surface the reference exposes for Kafka/Redis Avro
-messages (nested/union decoding raises loudly).  The codec is
-deterministic (fixed sync marker, canonical schema JSON) so written
-files are byte-stable across runs.
+Record schemas over those primitives plus the spec's three complex
+container types — NESTED RECORDS, ARRAYS and MAPS (Avro spec "Complex
+Types": arrays/maps are block-encoded — count-prefixed item runs, a
+negative count carries a block byte size, a zero count terminates) —
+are supported, matching the reference decoder surface
+(AvroColumnDecoder.java:105-110 ARRAY/MAP types, :126-140 locateNode
+nested-record paths).  Unions/enums/fixed still raise loudly.  Nested
+record values surface as Python dicts, arrays as lists, maps as dicts.
+The codec is deterministic (fixed sync marker, canonical schema JSON,
+insertion-ordered map entries) so written files are byte-stable across
+runs.
 
 Scale posture: the SINK writes one container file per Spark partition
 (each task encodes only its own rows); the SOURCE decodes whole files
@@ -91,8 +97,8 @@ def _encode_value(typ: str, v) -> bytes:
     if typ == "boolean":
         return b"\x01" if v else b"\x00"
     raise NotImplementedError(
-        f"Avro type {typ!r} is outside the flat-primitive record surface "
-        "(reference record-decoder parity; no unions/nesting)"
+        f"Avro type {typ!r} is outside the supported record surface "
+        "(primitives + record/array/map; no unions/enums/fixed)"
     )
 
 
@@ -112,13 +118,120 @@ def _decode_value(typ: str, buf: bytes, pos: int):
     raise NotImplementedError(f"Avro type {typ!r} unsupported")
 
 
+# -- complex types (Avro spec "Complex Types") -------------------------------
+#
+# A field type is either a primitive name (str) or a JSON-shaped dict:
+#   {"type": "record", "name": ..., "fields": [{"name":.., "type":..}]}
+#   {"type": "array", "items": <type>}
+#   {"type": "map", "values": <type>}
+# exactly the subset the reference's AvroColumnDecoder supports beyond
+# primitives (AvroColumnDecoder.java:105-110, :224-226).  Python-side
+# values: nested record = dict, array = list, map = dict (string keys).
+
+
+def _validate_type(t) -> None:
+    if isinstance(t, str):
+        if t not in _PRIMITIVES:
+            raise NotImplementedError(f"Avro type {t!r} unsupported")
+        return
+    if isinstance(t, dict):
+        kind = t.get("type")
+        if kind == "record":
+            for f in t.get("fields", []):
+                _validate_type(f["type"])
+            return
+        if kind == "array":
+            _validate_type(t["items"])
+            return
+        if kind == "map":
+            _validate_type(t["values"])
+            return
+    raise NotImplementedError(
+        f"Avro type {t!r} is outside the supported record surface "
+        "(primitives + record/array/map; no unions/enums/fixed)"
+    )
+
+
+def _encode_any(t, v) -> bytes:
+    if isinstance(t, str):
+        if v is None:
+            raise ValueError(
+                "NULL inside an Avro value: the non-union schemas this codec "
+                "writes have no null branch (spec: null requires a union)"
+            )
+        return _encode_value(t, v)
+    kind = t["type"]
+    if kind == "record":
+        out = bytearray()
+        for f in t["fields"]:
+            out += _encode_any(f["type"], v[f["name"]])
+        return bytes(out)
+    if kind == "array":
+        items = list(v)
+        out = bytearray()
+        if items:
+            out += _zigzag_encode(len(items))
+            for item in items:
+                out += _encode_any(t["items"], item)
+        out += _zigzag_encode(0)  # zero count terminates the block run
+        return bytes(out)
+    if kind == "map":
+        entries = list(v.items())
+        out = bytearray()
+        if entries:
+            out += _zigzag_encode(len(entries))
+            for k, val in entries:
+                out += _encode_value("string", k)
+                out += _encode_any(t["values"], val)
+        out += _zigzag_encode(0)
+        return bytes(out)
+    raise NotImplementedError(f"Avro type {kind!r} unsupported")
+
+
+def _decode_any(t, buf: bytes, pos: int):
+    if isinstance(t, str):
+        return _decode_value(t, buf, pos)
+    kind = t["type"]
+    if kind == "record":
+        rec: dict = {}
+        for f in t["fields"]:
+            rec[f["name"]], pos = _decode_any(f["type"], buf, pos)
+        return rec, pos
+    if kind == "array":
+        arr: list = []
+        while True:
+            n, pos = _zigzag_decode(buf, pos)
+            if n == 0:
+                break
+            if n < 0:  # spec: negative count precedes a block byte size
+                n = -n
+                _, pos = _zigzag_decode(buf, pos)
+            for _ in range(n):
+                item, pos = _decode_any(t["items"], buf, pos)
+                arr.append(item)
+        return arr, pos
+    if kind == "map":
+        m: dict = {}
+        while True:
+            n, pos = _zigzag_decode(buf, pos)
+            if n == 0:
+                break
+            if n < 0:
+                n = -n
+                _, pos = _zigzag_decode(buf, pos)
+            for _ in range(n):
+                k, pos = _decode_value("string", buf, pos)
+                m[k], pos = _decode_any(t["values"], buf, pos)
+        return m, pos
+    raise NotImplementedError(f"Avro type {kind!r} unsupported")
+
+
 # -- container files (Avro spec "Object Container Files") -------------------
 
 
-def schema_json(name: str, fields: list[tuple[str, str]]) -> str:
+def schema_json(name: str, fields: "list[tuple[str, object]]") -> str:
     for _, t in fields:
-        if t not in _PRIMITIVES:
-            raise NotImplementedError(f"Avro type {t!r} unsupported")
+        _validate_type(t)
     return json.dumps(
         {
             "type": "record",
@@ -126,20 +239,26 @@ def schema_json(name: str, fields: list[tuple[str, str]]) -> str:
             "fields": [{"name": n, "type": t} for n, t in fields],
         },
         separators=(",", ":"),
+        sort_keys=False,
     )
 
 
 def write_container(
-    fields: list[tuple[str, str]],
+    fields: "list[tuple[str, object]]",
     rows: Iterable[tuple],
     name: str = "row",
 ) -> bytes:
-    """Serialize ``rows`` (tuples in field order) to one OCF byte string."""
+    """Serialize ``rows`` (tuples in field order) to one OCF byte string.
+
+    Field types are primitive names or record/array/map specs (see
+    ``_validate_type``); nested record cells are dicts, arrays lists,
+    maps dicts.
+    """
     body = bytearray()
     count = 0
     for row in rows:
         for (_, typ), v in zip(fields, row):
-            body += _encode_value(typ, v)
+            body += _encode_any(typ, v)
         count += 1
     meta = {
         "avro.schema": schema_json(name, fields).encode(),
@@ -182,11 +301,10 @@ def read_container(buf: bytes) -> tuple[list[tuple[str, str]], list[tuple]]:
         raise NotImplementedError(f"Avro codec {codec!r} unsupported (null only)")
     schema = json.loads(meta["avro.schema"])
     if schema.get("type") != "record":
-        raise NotImplementedError("only flat record schemas are supported")
+        raise NotImplementedError("only record schemas are supported")
     fields = [(f["name"], f["type"]) for f in schema["fields"]]
     for _, t in fields:
-        if t not in _PRIMITIVES:
-            raise NotImplementedError(f"Avro type {t!r} unsupported")
+        _validate_type(t)
     sync = buf[pos : pos + 16]
     pos += 16
     rows: list[tuple] = []
@@ -196,7 +314,7 @@ def read_container(buf: bytes) -> tuple[list[tuple[str, str]], list[tuple]]:
         for _ in range(count):
             vals = []
             for _, typ in fields:
-                v, pos = _decode_value(typ, buf, pos)
+                v, pos = _decode_any(typ, buf, pos)
                 vals.append(v)
             rows.append(tuple(vals))
         if buf[pos : pos + 16] != sync:

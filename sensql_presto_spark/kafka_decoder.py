@@ -272,7 +272,12 @@ def decode_raw(df: DataFrame, columns: "list[KafkaColumn]") -> DataFrame:
     big-endian IEEE FLOAT/DOUBLE fields (Arrow-vectorized — see
     _raw_ieee_udf), and byte-range VARCHAR fields (open end = rest of
     the value).  A field whose span runs past the end of the message
-    decodes to NULL (the reference's isNull for invalid spans).
+    decodes to NULL — a REPO CONVENTION, uniform across all raw field
+    types here; the reference is stricter (RawColumnDecoder.decodeField
+    throws PrestoException when start/end exceed the value length, and
+    its isNull covers only the zero-size-span case).  NULL keeps
+    short-message handling consistent with the csv decoder's null-fill
+    and avoids failing a whole segment batch on one short message.
     """
     outs = _meta_cols(df)
     vlen = F.octet_length(F.col("value"))
@@ -359,6 +364,21 @@ _AVRO_SPARK_TYPES = {
 _META_TYPES = {"topic": "string", "partition": "int", "offset": "long"}
 
 
+def _avro_spark_type(sql_type: str) -> str:
+    """Spark DDL type for an avro column handle.
+
+    Scalar names go through the presto-name table; ARRAY<...> / MAP<...>
+    handles (AvroColumnDecoder.java:105-110 list/map support) are Spark
+    DDL already and pass through verbatim (element/value names use the
+    same DDL vocabulary, e.g. ARRAY<STRING>, MAP<STRING,BIGINT>).
+    """
+    t = sql_type.strip()
+    u = t.upper()
+    if u.startswith("ARRAY<") or u.startswith("MAP<"):
+        return t
+    return _AVRO_SPARK_TYPES[u]
+
+
 def decode_avro(df: DataFrame, columns: "list[KafkaColumn]") -> DataFrame:
     """Avro message-value decode (AvroRowDecoder/AvroColumnDecoder parity).
 
@@ -366,31 +386,44 @@ def decode_avro(df: DataFrame, columns: "list[KafkaColumn]") -> DataFrame:
     carrying EXACTLY ONE record — AvroRowDecoder.java:56-70 errors on
     zero records and on an unexpected second record, and so does this
     decoder (loudly, inside the batch).  Column mapping is the
-    '/'-separated field path of AvroColumnDecoder.java:130 locateNode;
-    with the flat record schemas the OCF codec supports, the path has
-    one element, and a mapped field absent from the writer schema
-    decodes to NULL (locateNode's null propagation).  The decode is ONE
-    Arrow mapInPandas pass over the kafka-shaped frame — the container
-    parse is necessarily Python (spark-avro is not deployed here; the
-    codec is spec-derived in avro_ocf.py), but it is Arrow-batched
-    per-segment with payloads never on the driver, the same posture as
-    the repo's other binary codec seams.
+    '/'-separated field path of AvroColumnDecoder.java:126-140
+    locateNode: each path element steps into a nested record; a path
+    whose node is absent at ANY level — a missing leaf, a missing
+    intermediate record, or a path that keeps descending after reaching
+    a non-record value — decodes to NULL (locateNode's null
+    propagation).  ARRAY<...> / MAP<...> column handles decode avro
+    array/map fields into Spark ArrayType/MapType columns
+    (AvroColumnDecoder.java:105-110, :224-226 serializeList/Map).  The
+    decode is ONE Arrow mapInPandas pass over the kafka-shaped frame —
+    the container parse is necessarily Python (spark-avro is not
+    deployed here; the codec is spec-derived in avro_ocf.py), but it is
+    Arrow-batched per-segment with payloads never on the driver, the
+    same posture as the repo's other binary codec seams.
     """
     meta_present = [m for m in _KAFKA_META if m in df.columns]
     names = [c.name for c in columns]
     paths = []
     for c in columns:
         parts = [p for p in c.mapping.split("/") if p]
-        if len(parts) != 1:
-            raise NotImplementedError(
-                f"avro mapping '{c.mapping}' for column '{c.name}': nested "
-                "record paths need a nested-schema codec (flat records only)"
+        if not parts:
+            raise ValueError(
+                f"empty avro mapping for column '{c.name}'"
             )
-        paths.append(parts[0])
+        paths.append(parts)
     schema = ", ".join(
         [f"{m} {_META_TYPES[m]}" for m in meta_present]
-        + [f"{c.name} {_AVRO_SPARK_TYPES[c.sql_type.upper()]}" for c in columns]
+        + [f"{c.name} {_avro_spark_type(c.sql_type)}" for c in columns]
     )
+
+    def locate(rec: dict, parts: "list[str]"):
+        # AvroColumnDecoder.locateNode: step through nested records;
+        # missing node or descending into a non-record -> null.
+        node = rec
+        for p in parts:
+            if not isinstance(node, dict) or p not in node:
+                return None
+            node = node[p]
+        return node
 
     def decode(batches):
         import pandas as pd
@@ -410,7 +443,7 @@ def decode_avro(df: DataFrame, columns: "list[KafkaColumn]") -> DataFrame:
                     )
                 rec = dict(zip((n for n, _ in fields), rows[0]))
                 for n, p in zip(names, paths):
-                    vals[n].append(rec.get(p))
+                    vals[n].append(locate(rec, p))
             yield pd.DataFrame({**out, **vals})
 
     return df.mapInPandas(decode, schema)

@@ -1264,3 +1264,164 @@ def source_kafka_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("partition").cast("long").alias("part"),
         F.col("offset").cast("long").alias("off"),
     ).orderBy("event_id")
+
+
+# --- Kafka avro NESTED decode (r10 VERDICT next-round #3) -------------------
+#
+# Closes the last record-decoder delta: '/'-separated field paths over
+# NESTED avro records (AvroColumnDecoder.java:126-140 locateNode — one
+# and two levels deep, plus null propagation for a missing leaf inside
+# an existing record and for a missing intermediate record) and
+# ARRAY/MAP-typed avro columns decoded into Spark ArrayType/MapType
+# (AvroColumnDecoder.java:105-110, :224-226 serializeList/serializeMap).
+# Message values are one-record OCF streams whose writer schema nests
+# record{record{...}}, array<string> and map<string,long> fields, built
+# per-row by the spec-derived avro_ocf codec.  The decoded ARRAY/MAP
+# columns are then reduced with JVM-native collection expressions
+# (array_join / size / element_at / map_keys) to scalar outputs the
+# driver's canonicalizer can hash; the element-level fidelity of the
+# collections themselves is pinned by tests/test_kafka_decoder.py::
+# test_avro_nested_paths_and_array_map_columns.  Scale shape: identical
+# to source_kafka_avro — applyInPandas partition writer, binaryFile +
+# ONE Arrow mapInPandas decode pass, payloads never on the driver.
+_KAFKA_AVRO_NESTED_ORACLE = """
+WITH base AS (
+    SELECT event_id, user_id, event_type, value,
+           CAST(event_id % 4 AS BIGINT) AS part,
+           CAST(row_number() OVER (PARTITION BY event_id % 4 ORDER BY event_id) - 1
+                AS BIGINT) AS off
+    FROM events WHERE event_id < 200
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       substring(event_type, 1, 2) AS cc,
+       event_type || '|x' || CAST(event_id % 3 AS VARCHAR) AS tags_joined,
+       CAST(2 AS BIGINT) AS n_tags,
+       CAST(user_id AS BIGINT) AS prop_a,
+       CAST(event_id % 7 AS BIGINT) AS prop_b,
+       'a|b' AS prop_keys,
+       value AS score,
+       CAST(NULL AS VARCHAR) AS gone_leaf,
+       CAST(NULL AS BIGINT) AS gone_mid,
+       part, off
+FROM base ORDER BY event_id
+"""
+
+
+@register(
+    "source_kafka_avro_nested",
+    oracle=_KAFKA_AVRO_NESTED_ORACLE,
+    tags=("sources", "kafka", "decoder", "avro"),
+    doc="Kafka avro NESTED-record decode (AvroColumnDecoder locateNode "
+    "parity): writer schema nests record{record{...}} two deep plus "
+    "array<string> and map<string,long> fields; '/'-paths resolve one "
+    "and two levels down, a missing leaf inside an existing record and "
+    "a missing intermediate record both decode NULL, ARRAY/MAP columns "
+    "decode into Spark ArrayType/MapType and are reduced to scalars "
+    "with codegen collection expressions (array_join/size/element_at/"
+    "map_keys); bit-exact double passthrough.",
+)
+def source_kafka_avro_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from sensql_presto_spark import avro_ocf
+    from sensql_presto_spark import kafka_decoder as kd
+
+    base = (
+        catalog.table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 200)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("value").alias("score"),
+            (F.col("event_id") % 4).cast("int").alias("part"),
+        )
+    )
+
+    fields = [
+        (
+            "meta",
+            {
+                "type": "record",
+                "name": "meta",
+                "fields": [
+                    {"name": "id", "type": "long"},
+                    {"name": "user", "type": "int"},
+                    {
+                        "name": "geo",
+                        "type": {
+                            "type": "record",
+                            "name": "geo",
+                            "fields": [{"name": "cc", "type": "string"}],
+                        },
+                    },
+                ],
+            },
+        ),
+        ("tags", {"type": "array", "items": "string"}),
+        ("props", {"type": "map", "values": "long"}),
+        ("score", "double"),
+    ]
+
+    tdir = os.path.join(KAFKA_TOPIC_PATH, "avro_nested")
+    _shutil.rmtree(tdir, ignore_errors=True)
+    os.makedirs(tdir, exist_ok=True)
+
+    def make_writer(_tdir):
+        def write_part(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            pdf = pdf.sort_values("event_id")
+            part = int(pdf["part"].iloc[0])
+            msgs = []
+            for row in pdf.itertuples():
+                eid = int(row.event_id)
+                rec = (
+                    {
+                        "id": eid,
+                        "user": int(row.user_id),
+                        "geo": {"cc": str(row.event_type)[:2]},
+                    },
+                    [str(row.event_type), f"x{eid % 3}"],
+                    {"a": int(row.user_id), "b": eid % 7},
+                    float(row.score),
+                )
+                msgs.append((None, avro_ocf.write_container(fields, [rec], name="event")))
+            with open(os.path.join(_tdir, f"partition={part}.seg"), "wb") as f:
+                f.write(kd.encode_segment(msgs))
+            return pd.DataFrame({"part": [part], "n": [len(pdf)]})
+
+        return write_part
+
+    written = (
+        base.groupBy("part")
+        .applyInPandas(make_writer(tdir), "part int, n long")
+        .collect()
+    )
+    assert sum(r.n for r in written) > 0, "empty kafka avro-nested fixture topic"
+
+    cols = [
+        kd.KafkaColumn("event_id", "BIGINT", "meta/id"),
+        kd.KafkaColumn("user_id", "INT", "meta/user"),
+        kd.KafkaColumn("cc", "STRING", "meta/geo/cc"),
+        kd.KafkaColumn("tags", "ARRAY<STRING>", "tags"),
+        kd.KafkaColumn("props", "MAP<STRING,BIGINT>", "props"),
+        kd.KafkaColumn("score", "DOUBLE", "score"),
+        kd.KafkaColumn("gone_leaf", "STRING", "meta/geo/region"),
+        kd.KafkaColumn("gone_mid", "BIGINT", "nope/x"),
+    ]
+    decoded = kd.decode_avro(kd.read_topic_dir(spark, tdir), cols)
+    return decoded.select(
+        F.col("event_id").cast("long"),
+        F.col("user_id").cast("long"),
+        "cc",
+        F.array_join("tags", "|").alias("tags_joined"),
+        F.size("tags").cast("long").alias("n_tags"),
+        F.element_at("props", F.lit("a")).cast("long").alias("prop_a"),
+        F.element_at("props", F.lit("b")).cast("long").alias("prop_b"),
+        F.array_join(F.array_sort(F.map_keys("props")), "|").alias("prop_keys"),
+        "score",
+        "gone_leaf",
+        "gone_mid",
+        F.col("partition").cast("long").alias("part"),
+        F.col("offset").cast("long").alias("off"),
+    ).orderBy("event_id")

@@ -65,10 +65,90 @@ def test_empty_rowset_roundtrips():
 
 
 def test_unsupported_type_raises_loudly():
-    with pytest.raises(NotImplementedError, match="record-decoder parity"):
+    # a bare "map" string is not a type: complex types are dict specs
+    # ({"type": "map", "values": ...}); unions/enums/fixed stay out
+    with pytest.raises(NotImplementedError, match="record/array/map"):
         avro_ocf.write_container([("m", "map")], [({},)])
     with pytest.raises(NotImplementedError):
         avro_ocf.schema_json("t", [("u", "union")])
+    with pytest.raises(NotImplementedError):
+        avro_ocf.schema_json("t", [("e", {"type": "enum", "symbols": ["A"]})])
+    with pytest.raises(NotImplementedError):  # nested unsupported leaf
+        avro_ocf.schema_json("t", [("a", {"type": "array", "items": "fixed"})])
+
+
+NESTED_FIELDS = [
+    (
+        "meta",
+        {
+            "type": "record",
+            "name": "meta",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {
+                    "name": "geo",
+                    "type": {
+                        "type": "record",
+                        "name": "geo",
+                        "fields": [{"name": "cc", "type": "string"}],
+                    },
+                },
+            ],
+        },
+    ),
+    ("tags", {"type": "array", "items": "string"}),
+    ("props", {"type": "map", "values": "long"}),
+    ("nested_arrays", {"type": "array", "items": {"type": "array", "items": "int"}}),
+]
+NESTED_ROWS = [
+    ({"id": 7, "geo": {"cc": "US"}}, ["a", "b", ""], {"x": 1, "y": -2}, [[1, 2], []]),
+    ({"id": -(2**60), "geo": {"cc": "fr"}}, [], {}, []),
+    ({"id": 0, "geo": {"cc": "日本"}}, ["x" * 200], {"k" * 50: 2**62}, [[-1]]),
+]
+
+
+def test_nested_record_array_map_roundtrip():
+    """Complex-type roundtrip (Avro spec 'Complex Types'): nested records
+    two deep, arrays, maps, arrays-of-arrays — values and schema survive
+    byte-exactly, and the container stays byte-stable across calls."""
+    blob = avro_ocf.write_container(NESTED_FIELDS, NESTED_ROWS, name="event")
+    fields, rows = avro_ocf.read_container(blob)
+    assert fields == NESTED_FIELDS
+    assert rows == NESTED_ROWS
+    assert blob == avro_ocf.write_container(NESTED_FIELDS, NESTED_ROWS, name="event")
+
+
+def test_negative_block_count_decodes():
+    """Spec branch our writer never emits but readers must accept: a
+    NEGATIVE item count precedes a block byte size (Avro spec 'Data
+    Serialization', arrays/maps)."""
+    t = {"type": "array", "items": "long"}
+    body = (
+        avro_ocf._zigzag_encode(-2)  # two items, size-prefixed block
+        + avro_ocf._zigzag_encode(2)  # block byte size (2 one-byte longs)
+        + avro_ocf._zigzag_encode(5)
+        + avro_ocf._zigzag_encode(-5)
+        + avro_ocf._zigzag_encode(0)  # terminator
+    )
+    vals, pos = avro_ocf._decode_any(t, body, 0)
+    assert vals == [5, -5] and pos == len(body)
+    m = {"type": "map", "values": "boolean"}
+    mbody = (
+        avro_ocf._zigzag_encode(-1)
+        + avro_ocf._zigzag_encode(3)
+        + avro_ocf._encode_value("string", "k")
+        + b"\x01"
+        + avro_ocf._zigzag_encode(0)
+    )
+    mvals, mpos = avro_ocf._decode_any(m, mbody, 0)
+    assert mvals == {"k": True} and mpos == len(mbody)
+
+
+def test_null_inside_nonunion_schema_raises():
+    with pytest.raises(ValueError, match="union"):
+        avro_ocf.write_container(
+            [("tags", {"type": "array", "items": "string"})], [(["ok", None],)]
+        )
 
 
 def test_bad_magic_and_corrupt_sync_raise():

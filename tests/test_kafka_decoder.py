@@ -136,9 +136,18 @@ def test_avro_decode_types_missing_field_and_error_contracts(spark):
     two = avro_ocf.write_container(fields, [(1, "x", 0.0, True), (2, "y", 1.0, False)])
     with pytest.raises(Exception, match="extra avro record"):
         kd.decode_avro(_kafka_df(spark, [two]), cols[:1]).collect()
-    # nested mapping path -> loud NotImplementedError at plan time
-    with pytest.raises(NotImplementedError, match="nested"):
-        kd.decode_avro(_kafka_df(spark, msgs), [kd.KafkaColumn("z", "BIGINT", "meta/id")])
+    # nested mapping path over a FLAT record: locateNode finds no 'meta'
+    # node -> NULL (AvroColumnDecoder.java:126-140 null propagation),
+    # and a path that keeps descending PAST a scalar leaf is likewise
+    # NULL, never an error
+    nested_nulls = kd.decode_avro(
+        _kafka_df(spark, msgs),
+        [
+            kd.KafkaColumn("z", "BIGINT", "meta/id"),
+            kd.KafkaColumn("w", "STRING", "s/deeper"),
+        ],
+    ).collect()
+    assert all(r.z is None and r.w is None for r in nested_nulls)
     # type-mismatched mapping (string field declared BIGINT) raises at
     # the Arrow boundary — the analog of the reference's
     # DECODER_CONVERSION_NOT_SUPPORTED, never a silent coercion
@@ -146,6 +155,67 @@ def test_avro_decode_types_missing_field_and_error_contracts(spark):
         kd.decode_avro(
             _kafka_df(spark, msgs), [kd.KafkaColumn("x", "BIGINT", "s")]
         ).collect()
+
+
+NESTED_FIELDS = [
+    (
+        "meta",
+        {
+            "type": "record",
+            "name": "meta",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "user", "type": "int"},
+                {
+                    "name": "geo",
+                    "type": {
+                        "type": "record",
+                        "name": "geo",
+                        "fields": [{"name": "cc", "type": "string"}],
+                    },
+                },
+            ],
+        },
+    ),
+    ("tags", {"type": "array", "items": "string"}),
+    ("props", {"type": "map", "values": "long"}),
+    ("score", "double"),
+]
+
+
+def test_avro_nested_paths_and_array_map_columns(spark):
+    """decode_avro over NESTED writer schemas (r10 VERDICT What's-missing
+    #1): '/'-paths walk nested records one AND two levels deep
+    (AvroColumnDecoder.java:126-140 locateNode), ARRAY/MAP column
+    handles decode avro array/map fields into Spark ArrayType/MapType
+    (:105-110, :224-226), and null propagation covers a missing leaf
+    inside an existing nested record, a missing intermediate record,
+    and a path descending past a scalar."""
+    rows = [
+        ({"id": 7, "user": 3, "geo": {"cc": "US"}}, ["a", "b"], {"x": 1, "y": -2}, 2.25),
+        ({"id": -1, "user": 0, "geo": {"cc": ""}}, [], {}, -0.5),
+    ]
+    msgs = [_avro_msg(NESTED_FIELDS, r) for r in rows]
+    cols = [
+        kd.KafkaColumn("event_id", "BIGINT", "meta/id"),
+        kd.KafkaColumn("user_id", "INT", "meta/user"),
+        kd.KafkaColumn("cc", "STRING", "meta/geo/cc"),
+        kd.KafkaColumn("tags", "ARRAY<STRING>", "tags"),
+        kd.KafkaColumn("props", "MAP<STRING,BIGINT>", "props"),
+        kd.KafkaColumn("score", "DOUBLE", "score"),
+        kd.KafkaColumn("gone_leaf", "STRING", "meta/geo/region"),
+        kd.KafkaColumn("gone_mid", "BIGINT", "nope/x"),
+        kd.KafkaColumn("past_scalar", "STRING", "meta/id/deeper"),
+    ]
+    out = {r.event_id: r for r in kd.decode_avro(_kafka_df(spark, msgs), cols).collect()}
+    r0, r1 = out[7], out[-1]
+    assert (r0.user_id, r0.cc, r0.score) == (3, "US", 2.25)
+    assert list(r0.tags) == ["a", "b"]
+    assert dict(r0.props) == {"x": 1, "y": -2}
+    assert (r1.user_id, r1.cc, r1.score) == (0, "", -0.5)
+    assert list(r1.tags) == [] and dict(r1.props) == {}
+    for r in (r0, r1):
+        assert r.gone_leaf is None and r.gone_mid is None and r.past_scalar is None
 
 
 def test_raw_bad_mapping_and_size_mismatch(spark):
