@@ -27,90 +27,108 @@ from pyspark.sql import DataFrame, SparkSession
 
 from sensql_presto_spark.queries import all_specs
 
-# ROUND-10 ROTATION (r9 window was 50/50 green — everything rotated out,
-# cumulative union 383/383).  The composition is dictated by the
-# staleness gate (tools/ledger.py, STALE_ROUNDS=6): at HEAD the 33
-# r2-era entries below are the only stale debt, so they are ALL in; the
-# remaining 17 slots go to new r10 operators plus the 16 r3-era entries
-# with the weakest indirect coverage.  Three blocks:
-#  (1) the 33 r2-era stale entries (r9 VERDICT next-round #1 names this
-#      exact set; the ledger exits nonzero if any is missing).
-#  (2) 16 of the 50 r3-era entries — picked for WEAK indirect coverage
-#      (statement-layer / connector / geo-codec / quantized-sim entries
-#      that no bench, fuzz mode, or composing eval exercises).  The 34
-#      r3-era entries deferred to r11 are the covered ones: tpch_q03-q12
-#      (all 22 TPC-H benched every round, 5 TPC-H in this window),
-#      tpcds_q31-q38 (family: 3 TPC-DS in this window), geo_st_accessors/
-#      setops/surface2/line_ops (geo_st_functions green r9 + the 69/69
-#      function goldens), events_gap_fill/range_join (events family:
-#      4 entries green r9), dedup_connected_components (twin
-#      dedup_cluster_assignment benched + fixpoint-pinned), text_corpus_
-#      stats/repetition/substring_dup/tfidf_top_terms (text family: 5
-#      entries green r9; tfidf shares the BM25 posting-list machinery
-#      with sim_query_expansion_prf, benched), scale_bucketed/salted_join
-#      (scale_salt_planner green r9 computes the same fanout math),
-#      agg_classification_metrics/differential_entropy/khll_uniqueness/
-#      setdigest_jaccard (agg/sketch family: 14 entries green r9).
-#      PRE-ANNOUNCED r11 WINDOW: those 34 r3-era entries + the 16 oldest
-#      r4-era rows, minus one slot per r11-added operator (displacing
-#      the strongest-covered r4 rows first).
-#  (3) operators ADDED in r10 (each pre-verified --vanilla EXACT at
-#      sf0.01 AND sf0.1 at commit time): source_kafka_avro closes the
-#      record-decoder family (r9 VERDICT What's-missing #1).
+# ROUND-11 ROTATION (r10 window was 50/50 green — everything rotated
+# out, cumulative union 384/384).  The composition is exactly the
+# window r10 PRE-ANNOUNCED here and in COVERAGE.md's rotation table,
+# and the staleness gate (tools/ledger.py, STALE_ROUNDS=6) dictates
+# block (1): at HEAD the 34 r3-era entries below are the only stale
+# debt, so they are ALL in; the remaining 16 slots go to the r11-added
+# operator plus the 15 r4-era entries with the weakest indirect
+# coverage.  Three blocks:
+#  (1) the 34 r3-era stale entries (r10 VERDICT next-round #1 names
+#      this exact set; the ledger exits nonzero if any is missing).
+#  (2) 15 of the 50 r4-era entries — picked for WEAK indirect coverage
+#      (streaming-sink / connector-roundtrip / layout / sampling /
+#      compat entries that no bench, fuzz mode, plan pin, or composing
+#      eval exercises at value level).  The 35 r4-era entries deferred
+#      to r12 are the covered ones: cluster_kmeans, dedup_semantic,
+#      pipeline_end_to_end, scale_distributed_sort, text_trigram_
+#      logprob, tpch_q14 (all benched EVERY round); setop_except/
+#      intersect/union_distinct + quantified_any (twins setop_except_
+#      all/setop_union/quantified_all green r10); ddl_alter_table/
+#      create_function/create_type/logical_view (statement layer
+#      value-pinned across tests/test_statements.py); fn_hash_presto_
+#      ports/fn_hash_spark_native (golden hash vectors in pytest),
+#      fn_presto_compat2/3 (fn_presto_compat green r10 + expression
+#      fuzz); dedup_incremental/dedup_url (dedup family: 5 entries
+#      benched, minhash machinery staged+plan-pinned); events_funnel
+#      (events_funnel_lag green r9, 2 events entries green r10);
+#      graph_pagerank (fixpoint-pinned pytest + graph_kcore benched);
+#      mm_image_decode (PNG codec byte-pinned in pytest), mm_video_
+#      frames (AVI codec shared with benched mm_video_scene_cut);
+#      recursive_cte_hierarchy (WITH RECURSIVE fixpoint pytest);
+#      sensql_knn_federated (knn pytest + sensql_federated_agg green
+#      r10); scale_dpp_join (DPP plan-asserted tests/test_plans.py);
+#      sim_decontaminate/sim_mmr_rerank (sim family: 6 entries
+#      benched); text_chunk_overlap/decontaminate/fingerprint/
+#      sequence_pack/substring_removal/token_stats (text family: 8
+#      entries benched, 4 text entries in this window via block 1).
+#      quantified_any was the 16th-oldest slot and is the row DISPLACED
+#      by the r11-added operator (strongest-covered of the 16: its twin
+#      quantified_all re-greened r10 on the identical NOT-EXISTS
+#      rewrite machinery).
+#  (3) operators ADDED in r11 (pre-verified --vanilla EXACT at sf0.01
+#      AND sf0.1 at commit time): source_kafka_avro_nested closes the
+#      nested-avro record-decoder residue (r10 VERDICT What's-missing
+#      #1 / next-round #3).
+#  PRE-ANNOUNCED r12 WINDOW: the 35 r4-era entries deferred above
+#  (enumerated in block-2's rationale list) + 15 of the 50 r5-era rows
+#  picked for weakest indirect coverage, minus one slot per r12-added
+#  operator (displacing the strongest-covered r5 rows first).
 PRIORITY: tuple[str, ...] = (
-    # (1) r2-era stale (33)
-    "agg_approx_sketches",
-    "agg_count_if",
-    "agg_stats_moments",
-    "events_sessionize",
-    "events_streaming_tumbling",
-    "fn_math",
-    "fn_presto_compat",
-    "grouping_sets",
-    "lateral_topn",
-    "mm_frame_sample",
-    "quantified_all",
-    "sample_hash_mod",
-    "scalar_subquery_select",
-    "sensql_federated_agg",
-    "setop_except_all",
-    "setop_union",
-    "sim_ivf_topk",
-    "sim_topk_bruteforce",
-    "text_lang_id",
-    "text_quality",
-    "tpcds_q01",
-    "tpcds_q07",
-    "tpcds_q28",
-    "tpch_q01",
-    "tpch_q02",
-    "tpch_q06",
-    "tpch_q13",
-    "tpch_q21",
-    "window_aggregates",
-    "window_frames",
-    "window_ranking",
-    "window_topn_per_group",
-    "window_value",
-    # (2) r3-era, weakest indirect coverage (16)
-    "ddl_materialized_view",
-    "fn_ip",
-    "fn_sketch_scalars",
-    "geo_agg_hulls",
-    "geo_bing_parity",
-    "geo_spherical",
-    "geo_wkb_geojson",
-    "mutation_time_travel",
-    "prepared_execute",
-    "sim_int8_quantized",
-    "sim_pq_topk",
-    "source_csv_roundtrip",
-    "source_json_roundtrip",
-    "source_orc_roundtrip",
-    "text_pii_redact",
-    "text_stratified_sample",
-    # (3) r10-added operators
-    "source_kafka_avro",
+    # (1) r3-era stale (34)
+    "agg_classification_metrics",
+    "agg_differential_entropy",
+    "agg_khll_uniqueness",
+    "agg_setdigest_jaccard",
+    "dedup_connected_components",
+    "events_gap_fill",
+    "events_range_join",
+    "geo_line_ops",
+    "geo_st_accessors",
+    "geo_st_setops",
+    "geo_st_surface2",
+    "scale_bucketed_join",
+    "scale_salted_join",
+    "text_corpus_stats",
+    "text_repetition",
+    "text_substring_dup",
+    "text_tfidf_top_terms",
+    "tpcds_q31",
+    "tpcds_q32",
+    "tpcds_q33",
+    "tpcds_q34",
+    "tpcds_q35",
+    "tpcds_q36",
+    "tpcds_q37",
+    "tpcds_q38",
+    "tpch_q03",
+    "tpch_q04",
+    "tpch_q05",
+    "tpch_q07",
+    "tpch_q08",
+    "tpch_q09",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    # (2) r4-era, weakest indirect coverage (15)
+    "agg_classification_curve",
+    "cluster_balanced_sample",
+    "events_streaming_dedup",
+    "events_streaming_interval_join",
+    "events_streaming_upsert",
+    "fn_color",
+    "mm_audio_windows",
+    "rollup_lineitem",
+    "scale_zorder_layout",
+    "sink_partitioned_shards",
+    "source_binaryfile_stats",
+    "source_jdbc_roundtrip",
+    "source_text_roundtrip",
+    "text_source_mix",
+    "values_inline",
+    # (3) r11-added operators
+    "source_kafka_avro_nested",
 )
 
 

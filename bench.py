@@ -177,7 +177,56 @@ def main() -> None:
     spark.stop()
 
 
-def _latest_prior_bench() -> "tuple[str, dict] | None":
+def _current_round(here: str) -> "int | None":
+    """The round number in flight = max COMMITTED correctness round + 1.
+
+    Derivation order (r10 VERDICT next-round #2 — the r9 directory-glob
+    inference was defeated twice by driver write-order, because the
+    driver writes CORRECTNESS_r{N}.json to the working tree BEFORE
+    running bench, which shifted a glob-inferred "current round" to N+1
+    and let same-round artifacts through the prior-round filter):
+
+    1. ``$BENCH_CURRENT_ROUND`` — explicit override for harnesses that
+       know their round outright.
+    2. ``git ls-files 'CORRECTNESS_r*.json'`` — committed rounds only;
+       the driver's in-flight file is untracked at bench time, so the
+       inference is immune to its write order.
+    3. Directory glob — fallback when git is unavailable (keeps the r9
+       behavior rather than disabling the filter entirely).
+    """
+    import glob
+    import re
+    import subprocess
+
+    env = os.environ.get("BENCH_CURRENT_ROUND", "")
+    if env.strip().isdigit():
+        return int(env)
+    rounds: list[int] = []
+    try:
+        proc = subprocess.run(
+            ["git", "-C", here, "ls-files", "CORRECTNESS_r*.json"],
+            capture_output=True,
+            text=True,
+            timeout=10,
+        )
+        if proc.returncode == 0:
+            rounds = [
+                int(m.group(1))
+                for line in proc.stdout.splitlines()
+                if (m := re.search(r"_r(\d+)\.json$", line.strip()))
+            ]
+    except (OSError, subprocess.SubprocessError):
+        pass
+    if not rounds:
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+            if (m := re.search(r"_r(\d+)\.json$", p))
+        ]
+    return max(rounds) + 1 if rounds else None
+
+
+def _latest_prior_bench(here: "str | None" = None) -> "tuple[str, dict] | None":
     """The newest prior artifact that actually carries a per-query map.
 
     Considers both driver artifacts (BENCH_r{N}.json) and this script's
@@ -187,22 +236,18 @@ def _latest_prior_bench() -> "tuple[str, dict] | None":
     back to the next older round so cross-round comparison degrades to
     "vs r7" instead of silently disappearing.
 
-    Artifacts of the CURRENT round (max committed CORRECTNESS round + 1)
-    are excluded (r9 VERDICT What's-wrong #1): committing this script's
-    sidecar before the driver runs made the driver's `shared_vs` a
-    same-round driver-vs-isolated comparison instead of the cross-round
-    signal the field is meant to carry.
+    Artifacts of the CURRENT round (see _current_round) are excluded
+    (r9 VERDICT What's-wrong #1): committing this script's sidecar
+    before the driver runs made the driver's `shared_vs` a same-round
+    driver-vs-isolated comparison instead of the cross-round signal the
+    field is meant to carry.
     """
     import glob
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    corr_rounds = [
-        int(m.group(1))
-        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
-        if (m := re.search(r"_r(\d+)\.json$", p))
-    ]
-    current_round = max(corr_rounds) + 1 if corr_rounds else None
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
+    current_round = _current_round(here)
     candidates: list[tuple[int, int, str]] = []  # (round, detail_pref, path)
     for pat, pref in (("BENCH_DETAIL_r*.json", 1), ("BENCH_r*.json", 0)):
         for p in glob.glob(os.path.join(here, pat)):
