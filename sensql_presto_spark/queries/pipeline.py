@@ -196,28 +196,44 @@ _NGRAM_JACCARD_SQL = f"""
 # THREE bench entries (dedup_ngram_jaccard itself, dedup_eval_pr,
 # dedup_cluster_assignment) yet was rebuilt inside each — a production
 # pipeline lands the verified pairs in a staging table once and fans out;
-# the memo is that staging table, keyed on (applicationId, tag, sf_dir)
-# so a restarted session or a different corpus never sees a stale entry,
-# and it SHRINKS checkpoint accumulation (one pair RDD instead of three).
+# the memo is that staging table, keyed on the SparkSession OBJECT
+# (WeakKeyDictionary, the same hazard-handling as catalog.register_views)
+# plus (tag, sf_dir): forked sessions (spark.newSession(), one per
+# server.py client) share an applicationId but have PER-SESSION temp-view
+# catalogs, so an applicationId key would hand session B a DataFrame
+# whose views resolve only in session A (r10 ADVICE, medium).  Keying on
+# the session object also gives eviction — when a session is collected,
+# its entry goes with it instead of pinning localCheckpoint RDDs forever.
+# A restarted session or a different corpus never sees a stale entry,
+# and the memo SHRINKS checkpoint accumulation (one pair RDD instead of
+# three).
 # (b) fixed session-global temp-view names made re-entrant builds clobber
 # each other; _sql_with_views registers each relation under a fresh
 # uuid-suffixed name, analyzes the SQL (spark.sql resolves eagerly), then
 # drops the views — the returned DataFrame keeps the resolved plan.
-_STAGE_MEMO: dict = {}
+import weakref as _weakref
+
+_STAGE_MEMO: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    _weakref.WeakKeyDictionary()
+)
 
 
 def _session_memo(spark: SparkSession, tag: str, sf_dir: str, build):
-    key = (spark.sparkContext.applicationId, tag, sf_dir)
-    df = _STAGE_MEMO.get(key)
+    per_session = _STAGE_MEMO.get(spark)
+    if per_session is None:
+        per_session = _STAGE_MEMO.setdefault(spark, {})
+    key = (tag, sf_dir)
+    df = per_session.get(key)
     if df is None:
         df = build()
-        _STAGE_MEMO[key] = df
+        per_session[key] = df
     return df
 
 
 def _sql_with_views(
     spark: SparkSession, sql: str, sf_dir: "str | None" = None, **views
 ) -> DataFrame:
+    import re as _re
     import uuid
 
     names = {}
@@ -225,7 +241,15 @@ def _sql_with_views(
         name = f"{placeholder}_{uuid.uuid4().hex}"
         df.createOrReplaceTempView(name)
         names[placeholder] = name
-        sql = sql.replace(placeholder, name)
+        # whole-token substitution only (r10 ADVICE, low): a plain
+        # str.replace would silently corrupt any identifier that merely
+        # CONTAINS the placeholder (e.g. __po inside __postings)
+        sql, n_subs = _re.subn(rf"\b{_re.escape(placeholder)}\b", name, sql)
+        if n_subs == 0:
+            raise ValueError(
+                f"placeholder '{placeholder}' does not occur as a whole "
+                "token in the SQL"
+            )
     try:
         if sf_dir is not None:  # the query also reads catalog tables
             return catalog.sql(spark, sf_dir, sql)

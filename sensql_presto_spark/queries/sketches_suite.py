@@ -385,9 +385,10 @@ def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ships: per-partition SpaceSaving inside Arrow batches (each batch
 # pre-counted with value_counts, then merged into the capacity-bounded
 # summary — the mergeable-summaries formulation), partition sketches
-# merged with true StreamSummary.merge semantics (spacesaving_merge:
-# absent keys absorb the source sketch's eviction floor into estimate
-# and error, then re-prune to capacity).  With capacity
+# merged with PODS'12 mergeable-summaries semantics, bound-compatible
+# with StreamSummary.merge (spacesaving_merge: absent keys absorb the
+# source sketch's eviction floor into estimate and error, then re-prune
+# to capacity).  With capacity
 # (256) >= the key cardinality (~120 event_type#hour keys) no eviction
 # ever fires, every error is 0 and the sketch is provably exact — which
 # is what makes the entry oracle-able against an exact GROUP BY; the
@@ -423,10 +424,16 @@ def spacesaving_floor(counts: dict, capacity: int) -> int:
 
 
 def spacesaving_merge(sketches: list, capacity: int) -> dict:
-    """Merge SpaceSaving summaries the way the reference
-    StreamSummary.merge does (presto-main/.../aggregation/approxmostfrequent/
-    stream/StreamSummary.java) and Agarwal et al. "Mergeable Summaries"
-    (PODS'12 SS4) formalize: each element is ``(counts, floor)`` where
+    """Merge SpaceSaving summaries with Agarwal et al. "Mergeable
+    Summaries" (PODS'12 SS4) semantics — bound-compatible with, but not
+    identical to, the reference StreamSummary.merge (presto-main/.../
+    aggregation/approxmostfrequent/stream/StreamSummary.java), which
+    instead RE-INSERTS the other summary's entries through add() (evict
+    the minimum; the inserted key's error is the victim's estimate at
+    insertion time).  In the evicting regime the two produce different
+    per-key estimates/errors; both preserve the same correctness
+    envelope, and the pytest bounds pin this one's.  Each element is
+    ``(counts, floor)`` where
     ``floor`` is that sketch's eviction floor; a key absent from a sketch
     contributes the floor to BOTH its merged estimate and its merged
     error bound (the absent mass may be up to floor, and all of it is
@@ -469,8 +476,9 @@ def spacesaving_merge(sketches: list, capacity: int) -> dict:
     """,
     tags=("sketches", "aggregates"),
     doc="approx_most_frequent (SpaceSaving, Presto parity): one-pass "
-    "capacity-bounded summaries per Arrow batch merged with reference "
-    "StreamSummary.merge semantics (absent key <- source eviction floor, "
+    "capacity-bounded summaries per Arrow batch merged with "
+    "mergeable-summaries (PODS'12) semantics, bound-compatible with "
+    "StreamSummary.merge (absent key <- source eviction floor, "
     "re-prune to capacity); capacity 256 >= ~120 keys makes every error 0 and "
     "the top-10 provably exact (the oracle); the capacity<NDV bound "
     "(est >= true >= est - err, heavy keys always tracked) is pinned by "
@@ -511,7 +519,8 @@ def agg_approx_most_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
         sketch, "sid string, k string, est long, err long, floor long"
     )
 
-    # Merge = reference StreamSummary.merge semantics (spacesaving_merge:
+    # Merge = PODS'12 mergeable-summaries semantics, bound-compatible
+    # with the reference's StreamSummary.merge (spacesaving_merge:
     # absent key <- source sketch's eviction floor added to estimate AND
     # error, union re-pruned to capacity), run on ONE task over the
     # bounded partial rows (<= capacity x partitions: 256 x 1000 tasks =

@@ -1940,3 +1940,57 @@ def test_spacesaving_cross_partition_merge_under_eviction():
     exact_merge = spacesaving_merge(parts, 16)
     assert {k: v[0] for k, v in exact_merge.items()} == dict(Counter(small))
     assert all(v[1] == 0 for v in exact_merge.values())
+
+
+def test_stage_memo_is_keyed_per_session(spark):
+    """The staging memo must be keyed on the SparkSession OBJECT (r10
+    ADVICE, medium): forked sessions (spark.newSession(), one per
+    server.py client) share an applicationId but have per-session
+    temp-view catalogs, so handing session B a DataFrame memoized in
+    session A breaks _sql_with_views' view registration. Same session +
+    tag + sf_dir must hit the memo; a forked session must rebuild."""
+    from sensql_presto_spark.queries import pipeline as pl
+
+    calls: list = []
+
+    def build():
+        calls.append(1)
+        return spark.range(1)
+
+    a = pl._session_memo(spark, "t_memo_pin", "sfX", build)
+    b = pl._session_memo(spark, "t_memo_pin", "sfX", build)
+    assert a is b and len(calls) == 1
+
+    forked = spark.newSession()
+    try:
+        def build_forked():
+            calls.append(1)
+            return forked.range(1)
+
+        c = pl._session_memo(forked, "t_memo_pin", "sfX", build_forked)
+        assert c is not a and len(calls) == 2
+        # and the forked entry is itself memoized
+        d = pl._session_memo(forked, "t_memo_pin", "sfX", build_forked)
+        assert d is c and len(calls) == 2
+    finally:
+        pl._STAGE_MEMO.pop(forked, None)
+    pl._STAGE_MEMO.get(spark, {}).pop(("t_memo_pin", "sfX"), None)
+
+
+def test_sql_with_views_whole_token_substitution(spark):
+    """_sql_with_views substitutes placeholders as whole tokens only
+    (r10 ADVICE, low): an identifier that merely CONTAINS a placeholder
+    (__po inside __po_literal) must survive, and a placeholder that
+    never occurs as a token raises instead of silently no-opping."""
+    from sensql_presto_spark.queries import pipeline as pl
+
+    df = spark.range(3).toDF("x")
+    out = pl._sql_with_views(
+        spark,
+        "SELECT count(*) AS n, first('__po_literal') AS s FROM __po",
+        __po=df,
+    ).collect()[0]
+    assert out.n == 3 and out.s == "__po_literal"
+
+    with pytest.raises(ValueError, match="whole.*token|does not occur"):
+        pl._sql_with_views(spark, "SELECT 1 AS one", __po=df)
