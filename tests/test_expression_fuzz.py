@@ -114,3 +114,14 @@ def test_decimal_seeds_agree(spark):
     # 177290 (DuckDB round(DECIMAL(p,s), k<0) returns 0 when |k| >= p-s
     # — negative-digit round operands now widened to DECIMAL(28,s))
     assert expr_fuzz.run_decimal_batch(spark, SF, [174007, 176144, 177290]) == []
+
+
+def test_decagg_seeds_agree(spark):
+    """decagg-mode fuzz (r11): the decimal mode's expressions under
+    GROUP BY — sum/sum DISTINCT/min/max/count over DECIMAL columns,
+    where Spark widens sum to DECIMAL(p+10,s) and DuckDB to
+    DECIMAL(38,s) (both exact, compared integerized); avg(DECIMAL) is
+    excluded by probed rule (Spark DECIMAL(p+4,s+4) HALF_UP vs DuckDB
+    DOUBLE — structurally incomparable)."""
+    assert expr_fuzz.run_decagg_batch(spark, SF, list(range(182200, 182225))) == []
+    assert expr_fuzz.run_decagg_batch(spark, SF, list(range(182225, 182250))) == []

@@ -873,3 +873,81 @@ def run_decimal_batch(spark, sf_dir: str, seeds: list[int]) -> list[str]:
     return _run_and_compare(
         spark, sf_dir, build_decimal_query(seeds), seeds, "decimal"
     )
+
+
+# --- decagg mode: DECIMAL arithmetic under aggregation (r10 VERDICT #5) -----
+#
+# The decimal mode's expressions, pushed through the partial/final
+# aggregation path: the operators aggregate quantized cents, and the
+# engines WIDEN differently — Spark sum(DECIMAL(p,s)) is DECIMAL(p+10,s)
+# (partial sums overflow-checked at p+10) while DuckDB's is
+# DECIMAL(38,s); both are exact for in-range values, so sums compare
+# after the same integerization the scalar decimal mode uses.  Two more
+# probed dialect rules join the mode's grammar:
+#
+#   * avg(DECIMAL(p,s)) is EXCLUDED: Spark returns DECIMAL(p+4, s+4) —
+#     the exact rational rounded HALF_UP at scale s+4 — while DuckDB
+#     returns a DOUBLE (the nearest double of the rational).  For any
+#     non-terminating rational (sum 0.04 over 3 rows: 0.013333 vs
+#     0.01333333333333333...) the representations differ structurally,
+#     and at s+4-digit boundaries even quantizing DuckDB's double
+#     diverges (the least/greatest nearest-double effect, rule 4).  The
+#     repo's operators compute averages as integer-sum / count through
+#     the negdiv idioms instead.
+#   * sum() magnitude: the UNSCALED running sum must stay within BOTH
+#     engines' exactness envelope; the generator bounds
+#     rows x vbound x 10^scale < 9e14 (star-joined slice <= 600 rows),
+#     far under the 2^63 BIGINT cast and Spark's p+10 headroom.
+#
+# Inside the rules the mode fuzzes sum / sum(DISTINCT) / min / max /
+# count over depth-2 decimal expressions, grouped by a generated string
+# key — map-side partial aggregation + exchange + final merge on the
+# Spark side vs DuckDB's single-node hash aggregate.
+
+
+def build_decagg_query(seeds: list[int]) -> str:
+    cols = []
+    for s in seeds:
+        g = _Gen(s)
+        e, _p, sc, vb = _dec_expr(g, 2)
+        # 600-row slice: unscaled sum bound rows * vb * 10^sc must stay
+        # exact in BIGINT; regenerate shallower on the rare blowout
+        if 600 * vb * 10**sc >= 9e14:
+            e, _p, sc, vb = _dec_expr(g, 0)
+        assert 600 * vb * 10**sc < 9e14
+        fn = g.rng.random()
+        scale_back = f"CAST({10**sc} AS BIGINT)"
+        if fn < 0.35:
+            agg = f"sum(CAST({e} AS DECIMAL(28,{sc})))"
+        elif fn < 0.50:
+            agg = f"sum(DISTINCT CAST({e} AS DECIMAL(28,{sc})))"
+        elif fn < 0.70:
+            agg = f"min(CAST({e} AS DECIMAL(28,{sc})))"
+        elif fn < 0.90:
+            agg = f"max(CAST({e} AS DECIMAL(28,{sc})))"
+        else:
+            cols.append(f"CAST(count({e}) AS BIGINT) AS e{s}")
+            continue
+        # integerize the aggregate (scalar-mode rule 2): the aggregate's
+        # value is an integer multiple of 10^-sc, so * 10^sc then
+        # round(,0) -> BIGINT is exact in both engines; the DECIMAL(28,.)
+        # widening keeps DuckDB's multiply intermediate in range
+        cols.append(f"CAST(round({agg} * {scale_back}, 0) AS BIGINT) AS e{s}")
+    grp = _Gen(seeds[0] ^ 0xDECA).str_expr(2)[0]
+    return (
+        "SELECT "
+        + grp
+        + " AS g, "
+        + ", ".join(cols)
+        + " FROM ("
+        + _BASE
+        + ") t GROUP BY "
+        + grp
+        + " ORDER BY g"
+    )
+
+
+def run_decagg_batch(spark, sf_dir: str, seeds: list[int]) -> list[str]:
+    return _run_and_compare(
+        spark, sf_dir, build_decagg_query(seeds), seeds, "decagg"
+    )
