@@ -765,3 +765,19 @@ def test_r9_operator_plan_shapes(spark):
     p = plan_of("text_term_drift")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" in p  # the 1-row totals broadcast
+
+
+def test_kafka_avro_nested_decode_is_two_arrow_passes(spark):
+    """source_kafka_avro_nested scale shape: exactly TWO Arrow
+    MapInPandas stages — the segment-frame parse (read_topic_dir) and
+    the avro decode — stacked directly on the binaryFile scan with no
+    shuffle between them (payloads never on the driver, per-segment
+    parallelism); the ARRAY/MAP reductions (array_join / element_at /
+    map_keys) stay JVM-side above, and no row-Python or cartesian
+    sneaks in."""
+    p = _plan(spark, "source_kafka_avro_nested", mode="simple")
+    assert p.count("MapInPandas") == 2
+    assert "BatchEvalPython" not in p and "CartesianProduct" not in p
+    assert "FileScan binaryFile" in p
+    # the only exchange is the final presentation sort
+    assert p.count("Exchange") == 1 and "rangepartitioning" in p
