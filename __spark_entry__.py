@@ -32,15 +32,15 @@ from sensql_presto_spark.queries import all_specs
 # window r10 PRE-ANNOUNCED here and in COVERAGE.md's rotation table,
 # and the staleness gate (tools/ledger.py, STALE_ROUNDS=6) dictates
 # block (1): at HEAD the 34 r3-era entries below are the only stale
-# debt, so they are ALL in; the remaining 16 slots go to the r11-added
-# operator plus the 15 r4-era entries with the weakest indirect
-# coverage.  Three blocks:
+# debt, so they are ALL in; the remaining 16 slots go to the two
+# r11-added operators plus the 14 r4-era entries with the weakest
+# indirect coverage.  Three blocks:
 #  (1) the 34 r3-era stale entries (r10 VERDICT next-round #1 names
 #      this exact set; the ledger exits nonzero if any is missing).
-#  (2) 15 of the 50 r4-era entries — picked for WEAK indirect coverage
+#  (2) 14 of the 50 r4-era entries — picked for WEAK indirect coverage
 #      (streaming-sink / connector-roundtrip / layout / sampling /
 #      compat entries that no bench, fuzz mode, plan pin, or composing
-#      eval exercises at value level).  The 35 r4-era entries deferred
+#      eval exercises at value level).  The 36 r4-era entries deferred
 #      to r12 are the covered ones: cluster_kmeans, dedup_semantic,
 #      pipeline_end_to_end, scale_distributed_sort, text_trigram_
 #      logprob, tpch_q14 (all benched EVERY round); setop_except/
@@ -64,17 +64,26 @@ from sensql_presto_spark.queries import all_specs
 #      sequence_pack/substring_removal/token_stats (text family: 8
 #      entries benched, 4 text entries in this window via block 1).
 #      quantified_any was the 16th-oldest slot and is the row DISPLACED
-#      by the r11-added operator (strongest-covered of the 16: its twin
-#      quantified_all re-greened r10 on the identical NOT-EXISTS
-#      rewrite machinery).
-#  (3) operators ADDED in r11 (pre-verified --vanilla EXACT at sf0.01
-#      AND sf0.1 at commit time): source_kafka_avro_nested closes the
-#      nested-avro record-decoder residue (r10 VERDICT What's-missing
-#      #1 / next-round #3).
-#  PRE-ANNOUNCED r12 WINDOW: the 35 r4-era entries deferred above
-#  (enumerated in block-2's rationale list) + 15 of the 50 r5-era rows
-#  picked for weakest indirect coverage, minus one slot per r12-added
-#  operator (displacing the strongest-covered r5 rows first).
+#      by the first r11-added operator (strongest-covered of the 16:
+#      its twin quantified_all re-greened r10 on the identical
+#      NOT-EXISTS rewrite machinery); source_jdbc_roundtrip is the row
+#      DISPLACED by the second (strongest-covered of the remaining 15:
+#      pushdown + partitioned parallel read are plan-asserted in
+#      tests/test_plans.py and the connector machinery has its own
+#      pytest — deferred to r12 with the other 35).
+#  (3) operators ADDED in r11 (each pre-verified --vanilla EXACT at
+#      sf0.01 AND sf0.1 at commit time): source_kafka_avro_nested
+#      closes the nested-avro record-decoder residue (r10 VERDICT
+#      What's-missing #1 / next-round #3); source_kafka_avro_union
+#      completes the avro type surface (enum-as-VARCHAR,
+#      fixed-as-VARBINARY, nullable ["null",X] unions decoding SQL
+#      NULL — AvroColumnDecoder.java:206/:213 and the reader-resolved
+#      union null path).
+#  PRE-ANNOUNCED r12 WINDOW: the 36 r4-era entries deferred above
+#  (the 35 enumerated in block-2's rationale list + source_jdbc_
+#  roundtrip) + 14 of the 50 r5-era rows picked for weakest indirect
+#  coverage, minus one slot per r12-added operator (displacing the
+#  strongest-covered r5 rows first).
 PRIORITY: tuple[str, ...] = (
     # (1) r3-era stale (34)
     "agg_classification_metrics",
@@ -111,7 +120,7 @@ PRIORITY: tuple[str, ...] = (
     "tpch_q10",
     "tpch_q11",
     "tpch_q12",
-    # (2) r4-era, weakest indirect coverage (15)
+    # (2) r4-era, weakest indirect coverage (14)
     "agg_classification_curve",
     "cluster_balanced_sample",
     "events_streaming_dedup",
@@ -123,12 +132,12 @@ PRIORITY: tuple[str, ...] = (
     "scale_zorder_layout",
     "sink_partitioned_shards",
     "source_binaryfile_stats",
-    "source_jdbc_roundtrip",
     "source_text_roundtrip",
     "text_source_mix",
     "values_inline",
     # (3) r11-added operators
     "source_kafka_avro_nested",
+    "source_kafka_avro_union",
 )
 
 

@@ -15,14 +15,18 @@ Files" + "Binary Encoding"):
 * primitives: int/long are zigzag varints, float/double little-endian
   IEEE, string/bytes length-prefixed, boolean one byte.
 
-Record schemas over those primitives plus the spec's three complex
-container types — NESTED RECORDS, ARRAYS and MAPS (Avro spec "Complex
-Types": arrays/maps are block-encoded — count-prefixed item runs, a
-negative count carries a block byte size, a zero count terminates) —
-are supported, matching the reference decoder surface
-(AvroColumnDecoder.java:105-110 ARRAY/MAP types, :126-140 locateNode
-nested-record paths).  Unions/enums/fixed still raise loudly.  Nested
-record values surface as Python dicts, arrays as lists, maps as dicts.
+Record schemas over those primitives plus the spec's complex types —
+NESTED RECORDS, ARRAYS and MAPS (Avro spec "Complex Types": arrays/maps
+are block-encoded — count-prefixed item runs, a negative count carries
+a block byte size, a zero count terminates), ENUMS (zigzag symbol
+index), FIXED (raw size bytes) and the nullable ["null", X] two-branch
+UNION (zigzag branch index + branch value) — are supported, matching
+the reference decoder surface (AvroColumnDecoder.java:105-110 ARRAY/MAP
+types, :126-140 locateNode nested-record paths, :206 GenericEnumSymbol
+as VARCHAR, :213 GenericFixed as VARBINARY, null-union values surfacing
+as SQL NULL).  General multi-branch unions raise loudly.  Nested record
+values surface as Python dicts, arrays as lists, maps as dicts, enums
+as symbol strings, fixed as bytes, null-union as None.
 The codec is deterministic (fixed sync marker, canonical schema JSON,
 insertion-ordered map entries) so written files are byte-stable across
 runs.
@@ -120,13 +124,24 @@ def _decode_value(typ: str, buf: bytes, pos: int):
 
 # -- complex types (Avro spec "Complex Types") -------------------------------
 #
-# A field type is either a primitive name (str) or a JSON-shaped dict:
+# A field type is either a primitive name (str) or a JSON-shaped spec:
 #   {"type": "record", "name": ..., "fields": [{"name":.., "type":..}]}
 #   {"type": "array", "items": <type>}
 #   {"type": "map", "values": <type>}
-# exactly the subset the reference's AvroColumnDecoder supports beyond
-# primitives (AvroColumnDecoder.java:105-110, :224-226).  Python-side
-# values: nested record = dict, array = list, map = dict (string keys).
+#   {"type": "enum", "name": ..., "symbols": [...]}  (spec: int index)
+#   {"type": "fixed", "name": ..., "size": n}        (spec: n raw bytes)
+#   ["null", <type>]  — the nullable two-branch union (spec: unions are
+#   JSON arrays, encoded as zigzag branch index + branch value)
+# exactly the surface the reference's AvroColumnDecoder consumes beyond
+# primitives: ARRAY/MAP columns (AvroColumnDecoder.java:105-110,
+# :224-226), enum symbols read as VARCHAR (GenericEnumSymbol at
+# getSlice, :206), fixed read as VARBINARY (GenericFixed, :213), and
+# null-union branches surfacing as SQL NULL (the avro reader resolves
+# the union before the decoder's isNull check).  GENERAL unions (two
+# non-null branches, or >2 branches) still raise loudly.  Python-side
+# values: nested record = dict, array = list, map = dict (string keys),
+# enum = symbol string, fixed = bytes of exactly `size`, nullable union
+# = None or the branch value.
 
 
 def _validate_type(t) -> None:
@@ -134,6 +149,22 @@ def _validate_type(t) -> None:
         if t not in _PRIMITIVES:
             raise NotImplementedError(f"Avro type {t!r} unsupported")
         return
+    if isinstance(t, list):
+        # spec: a union is a JSON array of branch schemas.  Only the
+        # nullable pattern ["null", X] is supported (the reference's
+        # effective surface — its avro reader hands the decoder either
+        # null or the resolved branch value).
+        if (
+            len(t) == 2
+            and t[0] == "null"
+            and t[1] != "null"
+        ):
+            _validate_type(t[1])
+            return
+        raise NotImplementedError(
+            f"Avro union {t!r} unsupported (only the nullable "
+            '["null", X] two-branch form)'
+        )
     if isinstance(t, dict):
         kind = t.get("type")
         if kind == "record":
@@ -146,9 +177,22 @@ def _validate_type(t) -> None:
         if kind == "map":
             _validate_type(t["values"])
             return
+        if kind == "enum":
+            symbols = t.get("symbols")
+            if not t.get("name"):
+                raise ValueError(f"enum needs a name (Avro named type): {t!r}")
+            if not symbols or len(set(symbols)) != len(symbols):
+                raise ValueError(f"enum needs distinct symbols: {t!r}")
+            return
+        if kind == "fixed":
+            if not t.get("name"):
+                raise ValueError(f"fixed needs a name (Avro named type): {t!r}")
+            if not isinstance(t.get("size"), int) or t["size"] < 0:
+                raise ValueError(f"fixed needs a non-negative size: {t!r}")
+            return
     raise NotImplementedError(
         f"Avro type {t!r} is outside the supported record surface "
-        "(primitives + record/array/map; no unions/enums/fixed)"
+        "(primitives + record/array/map/enum/fixed + nullable union)"
     )
 
 
@@ -160,7 +204,23 @@ def _encode_any(t, v) -> bytes:
                 "writes have no null branch (spec: null requires a union)"
             )
         return _encode_value(t, v)
+    if isinstance(t, list):  # nullable union: branch index, then value
+        if v is None:
+            return _zigzag_encode(0)
+        return _zigzag_encode(1) + _encode_any(t[1], v)
     kind = t["type"]
+    if kind == "enum":
+        symbols = t["symbols"]
+        if v not in symbols:
+            raise ValueError(f"value {v!r} is not an enum symbol of {t['name']}")
+        return _zigzag_encode(symbols.index(v))
+    if kind == "fixed":
+        raw = bytes(v)
+        if len(raw) != t["size"]:
+            raise ValueError(
+                f"fixed {t['name']} needs exactly {t['size']} bytes, got {len(raw)}"
+            )
+        return raw
     if kind == "record":
         out = bytearray()
         for f in t["fields"]:
@@ -191,7 +251,23 @@ def _encode_any(t, v) -> bytes:
 def _decode_any(t, buf: bytes, pos: int):
     if isinstance(t, str):
         return _decode_value(t, buf, pos)
+    if isinstance(t, list):  # nullable union
+        idx, pos = _zigzag_decode(buf, pos)
+        if idx == 0:
+            return None, pos
+        if idx != 1:
+            raise ValueError(f"union branch index {idx} out of range for {t!r}")
+        return _decode_any(t[1], buf, pos)
     kind = t["type"]
+    if kind == "enum":
+        idx, pos = _zigzag_decode(buf, pos)
+        symbols = t["symbols"]
+        if not 0 <= idx < len(symbols):
+            raise ValueError(f"enum index {idx} out of range for {t['name']}")
+        return symbols[idx], pos
+    if kind == "fixed":
+        n = t["size"]
+        return bytes(buf[pos : pos + n]), pos + n
     if kind == "record":
         rec: dict = {}
         for f in t["fields"]:

@@ -1425,3 +1425,133 @@ def source_kafka_avro_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("partition").cast("long").alias("part"),
         F.col("offset").cast("long").alias("off"),
     ).orderBy("event_id")
+
+
+# --- Kafka avro ENUM / FIXED / nullable-UNION decode ------------------------
+#
+# Completes the avro type surface to full AvroColumnDecoder parity:
+# enum symbols decode as VARCHAR (GenericEnumSymbol at
+# AvroColumnDecoder.java:206), fixed decodes as VARBINARY
+# (GenericFixed, :213), and ["null", X] union fields — the ubiquitous
+# nullable-field pattern, which the reference's avro reader resolves
+# before the decoder's isNull check — surface as SQL NULL.  Writer
+# schema per message: an enum over the five event types, an 8-byte
+# fixed carrying the big-endian event_id, a nullable double and a
+# nullable string (null on deterministic residues).  The decoded fixed
+# column is converted back to its integer with codegen expressions
+# (conv(hex(fp),16,10)) so the value hash pins every byte without
+# cross-dialect hex-string formatting; the enum round-trips the exact
+# symbol; the union columns' null pattern is recomputed by the oracle.
+# Scale shape: identical to the other avro entries — applyInPandas
+# partition writer, binaryFile + one Arrow mapInPandas decode pass.
+_KAFKA_AVRO_UNION_ORACLE = """
+WITH base AS (
+    SELECT event_id, event_type, value,
+           CAST(event_id % 4 AS BIGINT) AS part,
+           CAST(row_number() OVER (PARTITION BY event_id % 4 ORDER BY event_id) - 1
+                AS BIGINT) AS off
+    FROM events WHERE event_id < 200
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       event_type AS ev,
+       CAST(event_id AS BIGINT) AS fp_id,
+       CAST(8 AS BIGINT) AS fp_len,
+       CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS maybe_score,
+       CASE WHEN event_id % 3 = 0 THEN NULL
+            ELSE 'tag' || CAST(event_id % 3 AS VARCHAR) END AS maybe_tag,
+       part, off
+FROM base ORDER BY event_id
+"""
+
+
+@register(
+    "source_kafka_avro_union",
+    oracle=_KAFKA_AVRO_UNION_ORACLE,
+    tags=("sources", "kafka", "decoder", "avro"),
+    doc="Kafka avro enum/fixed/nullable-union decode (AvroColumnDecoder "
+    "parity: GenericEnumSymbol as VARCHAR, GenericFixed as VARBINARY, "
+    "null-union values as SQL NULL): enum symbols round-trip exactly, "
+    "an 8-byte fixed is pinned byte-for-byte via conv(hex(fp),16,10) "
+    "back to its integer, and two ['null',X] union fields decode NULL "
+    "on deterministic residues; one Arrow mapInPandas decode pass.",
+)
+def source_kafka_avro_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    import struct as _struct
+
+    from sensql_presto_spark import avro_ocf
+    from sensql_presto_spark import kafka_decoder as kd
+
+    base = (
+        catalog.table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 200)
+        .select(
+            "event_id",
+            "event_type",
+            F.col("value").alias("score"),
+            (F.col("event_id") % 4).cast("int").alias("part"),
+        )
+    )
+
+    fields = [
+        (
+            "ev",
+            {
+                "type": "enum",
+                "name": "event_kind",
+                "symbols": ["click", "error", "purchase", "signup", "view"],
+            },
+        ),
+        ("fp", {"type": "fixed", "name": "fp8", "size": 8}),
+        ("maybe_score", ["null", "double"]),
+        ("maybe_tag", ["null", "string"]),
+    ]
+
+    tdir = os.path.join(KAFKA_TOPIC_PATH, "avro_union")
+    _shutil.rmtree(tdir, ignore_errors=True)
+    os.makedirs(tdir, exist_ok=True)
+
+    def make_writer(_tdir):
+        def write_part(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            pdf = pdf.sort_values("event_id")
+            part = int(pdf["part"].iloc[0])
+            msgs = []
+            for row in pdf.itertuples():
+                eid = int(row.event_id)
+                rec = (
+                    str(row.event_type),
+                    _struct.pack(">q", eid),
+                    None if eid % 5 == 0 else float(row.score),
+                    None if eid % 3 == 0 else f"tag{eid % 3}",
+                )
+                msgs.append((None, avro_ocf.write_container(fields, [rec], name="event")))
+            with open(os.path.join(_tdir, f"partition={part}.seg"), "wb") as f:
+                f.write(kd.encode_segment(msgs))
+            return pd.DataFrame({"part": [part], "n": [len(pdf)]})
+
+        return write_part
+
+    written = (
+        base.groupBy("part")
+        .applyInPandas(make_writer(tdir), "part int, n long")
+        .collect()
+    )
+    assert sum(r.n for r in written) > 0, "empty kafka avro-union fixture topic"
+
+    cols = [
+        kd.KafkaColumn("ev", "STRING", "ev"),
+        kd.KafkaColumn("fp", "BINARY", "fp"),
+        kd.KafkaColumn("maybe_score", "DOUBLE", "maybe_score"),
+        kd.KafkaColumn("maybe_tag", "STRING", "maybe_tag"),
+    ]
+    decoded = kd.decode_avro(kd.read_topic_dir(spark, tdir), cols)
+    return decoded.select(
+        F.conv(F.hex("fp"), 16, 10).cast("long").alias("event_id"),
+        "ev",
+        F.conv(F.hex("fp"), 16, 10).cast("long").alias("fp_id"),
+        F.octet_length("fp").cast("long").alias("fp_len"),
+        "maybe_score",
+        "maybe_tag",
+        F.col("partition").cast("long").alias("part"),
+        F.col("offset").cast("long").alias("off"),
+    ).orderBy("event_id")

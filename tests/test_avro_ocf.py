@@ -71,10 +71,10 @@ def test_unsupported_type_raises_loudly():
         avro_ocf.write_container([("m", "map")], [({},)])
     with pytest.raises(NotImplementedError):
         avro_ocf.schema_json("t", [("u", "union")])
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="needs a name"):  # unnamed named-type
         avro_ocf.schema_json("t", [("e", {"type": "enum", "symbols": ["A"]})])
     with pytest.raises(NotImplementedError):  # nested unsupported leaf
-        avro_ocf.schema_json("t", [("a", {"type": "array", "items": "fixed"})])
+        avro_ocf.schema_json("t", [("a", {"type": "array", "items": "fxd"})])
 
 
 NESTED_FIELDS = [
@@ -165,3 +165,60 @@ def test_unsupported_codec_raises():
     patched = blob.replace(b"null", b"defl", 1)  # avro.codec value
     with pytest.raises(NotImplementedError, match="codec"):
         avro_ocf.read_container(patched)
+
+
+ENUM_FIXED_UNION_FIELDS = [
+    ("ev", {"type": "enum", "name": "ev", "symbols": ["click", "view", "buy"]}),
+    ("fp", {"type": "fixed", "name": "fp8", "size": 8}),
+    ("maybe", ["null", "double"]),
+    ("maybe_arr", ["null", {"type": "array", "items": "long"}]),
+]
+ENUM_FIXED_UNION_ROWS = [
+    ("click", b"\x01" * 8, 2.5, [1, 2]),
+    ("buy", bytes(range(8)), None, None),
+    ("view", b"\x00" * 8, -0.5, []),
+]
+
+
+def test_enum_fixed_nullable_union_roundtrip():
+    """Reference type-surface completion (AvroColumnDecoder.java:206
+    GenericEnumSymbol, :213 GenericFixed, reader-resolved null unions):
+    enum = zigzag symbol index, fixed = raw size bytes, ["null", X] =
+    branch index + value; None round-trips through the null branch,
+    including for a complex branch type."""
+    blob = avro_ocf.write_container(
+        ENUM_FIXED_UNION_FIELDS, ENUM_FIXED_UNION_ROWS, name="t"
+    )
+    fields, rows = avro_ocf.read_container(blob)
+    assert fields == ENUM_FIXED_UNION_FIELDS
+    assert rows == ENUM_FIXED_UNION_ROWS
+    assert blob == avro_ocf.write_container(
+        ENUM_FIXED_UNION_FIELDS, ENUM_FIXED_UNION_ROWS, name="t"
+    )
+
+
+def test_enum_fixed_union_error_contracts():
+    # a value outside the enum's symbol set
+    with pytest.raises(ValueError, match="enum symbol"):
+        avro_ocf.write_container(
+            [("e", {"type": "enum", "name": "e", "symbols": ["a"]})], [("b",)]
+        )
+    # duplicate symbols are an invalid schema
+    with pytest.raises(ValueError, match="distinct symbols"):
+        avro_ocf.schema_json(
+            "t", [("e", {"type": "enum", "name": "e", "symbols": ["a", "a"]})]
+        )
+    # wrong-width fixed payload
+    with pytest.raises(ValueError, match="exactly 4 bytes"):
+        avro_ocf.write_container(
+            [("f", {"type": "fixed", "name": "f", "size": 4})], [(b"abc",)]
+        )
+    # general unions stay out: two non-null branches, >2 branches,
+    # null-second ordering
+    for bad in (["int", "string"], ["null", "int", "string"], ["int", "null"]):
+        with pytest.raises(NotImplementedError, match="union"):
+            avro_ocf.schema_json("t", [("u", bad)])
+    # enum decode rejects an out-of-range symbol index
+    t = {"type": "enum", "name": "e", "symbols": ["a", "b"]}
+    with pytest.raises(ValueError, match="out of range"):
+        avro_ocf._decode_any(t, avro_ocf._zigzag_encode(7), 0)

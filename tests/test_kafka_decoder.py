@@ -282,3 +282,27 @@ def test_raw_inverted_varchar_span_rejected():
         _raw_span(KafkaColumn("s", "STRING", "3:1"))
     # degenerate zero-length span stays legal (decodes to '')
     assert _raw_span(KafkaColumn("s", "STRING", "3:3")) == (3, 3)
+
+
+def test_avro_enum_fixed_union_columns(spark):
+    """decode_avro over enum/fixed/nullable-union writer schemas: enum
+    symbols decode as STRING (AvroColumnDecoder.java:206), fixed as
+    BINARY (:213), and null-union values as SQL NULL — completing the
+    reference avro type surface."""
+    fields = [
+        ("ev", {"type": "enum", "name": "ev", "symbols": ["click", "view"]}),
+        ("fp", {"type": "fixed", "name": "fp4", "size": 4}),
+        ("maybe", ["null", "long"]),
+    ]
+    msgs = [
+        _avro_msg(fields, ("click", b"\xde\xad\xbe\xef", 42)),
+        _avro_msg(fields, ("view", b"\x00\x00\x00\x01", None)),
+    ]
+    cols = [
+        kd.KafkaColumn("ev", "STRING", "ev"),
+        kd.KafkaColumn("fp", "BINARY", "fp"),
+        kd.KafkaColumn("maybe", "BIGINT", "maybe"),
+    ]
+    out = {r.offset: r for r in kd.decode_avro(_kafka_df(spark, msgs), cols).collect()}
+    assert (out[0].ev, bytes(out[0].fp), out[0].maybe) == ("click", b"\xde\xad\xbe\xef", 42)
+    assert (out[1].ev, bytes(out[1].fp), out[1].maybe) == ("view", b"\x00\x00\x00\x01", None)
