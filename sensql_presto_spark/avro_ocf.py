@@ -158,6 +158,8 @@ def _validate_type(t) -> None:
             len(t) == 2
             and t[0] == "null"
             and t[1] != "null"
+            # spec: unions may not immediately contain other unions
+            and not isinstance(t[1], list)
         ):
             _validate_type(t[1])
             return

@@ -215,7 +215,12 @@ def test_enum_fixed_union_error_contracts():
         )
     # general unions stay out: two non-null branches, >2 branches,
     # null-second ordering
-    for bad in (["int", "string"], ["null", "int", "string"], ["int", "null"]):
+    for bad in (
+        ["int", "string"],
+        ["null", "int", "string"],
+        ["int", "null"],
+        ["null", ["null", "int"]],  # spec: no union directly in a union
+    ):
         with pytest.raises(NotImplementedError, match="union"):
             avro_ocf.schema_json("t", [("u", bad)])
     # enum decode rejects an out-of-range symbol index
