@@ -27,117 +27,116 @@ from pyspark.sql import DataFrame, SparkSession
 
 from sensql_presto_spark.queries import all_specs
 
-# ROUND-11 ROTATION (r10 window was 50/50 green — everything rotated
-# out, cumulative union 384/384).  The composition is exactly the
-# window r10 PRE-ANNOUNCED here and in COVERAGE.md's rotation table,
+# ROUND-12 ROTATION (r11 window was 50/50 green — everything rotated
+# out, cumulative union 386/386).  The composition is exactly the
+# window r11 PRE-ANNOUNCED here and in COVERAGE.md's rotation table,
 # and the staleness gate (tools/ledger.py, STALE_ROUNDS=6) dictates
-# block (1): at HEAD the 34 r3-era entries below are the only stale
-# debt, so they are ALL in; the remaining 16 slots go to the two
-# r11-added operators plus the 14 r4-era entries with the weakest
-# indirect coverage.  Three blocks:
-#  (1) the 34 r3-era stale entries (r10 VERDICT next-round #1 names
-#      this exact set; the ledger exits nonzero if any is missing).
-#  (2) 14 of the 50 r4-era entries — picked for WEAK indirect coverage
-#      (streaming-sink / connector-roundtrip / layout / sampling /
-#      compat entries that no bench, fuzz mode, plan pin, or composing
-#      eval exercises at value level).  The 36 r4-era entries deferred
-#      to r12 are the covered ones: cluster_kmeans, dedup_semantic,
-#      pipeline_end_to_end, scale_distributed_sort, text_trigram_
-#      logprob, tpch_q14 (all benched EVERY round); setop_except/
-#      intersect/union_distinct + quantified_any (twins setop_except_
-#      all/setop_union/quantified_all green r10); ddl_alter_table/
-#      create_function/create_type/logical_view (statement layer
-#      value-pinned across tests/test_statements.py); fn_hash_presto_
-#      ports/fn_hash_spark_native (golden hash vectors in pytest),
-#      fn_presto_compat2/3 (fn_presto_compat green r10 + expression
-#      fuzz); dedup_incremental/dedup_url (dedup family: 5 entries
-#      benched, minhash machinery staged+plan-pinned); events_funnel
-#      (events_funnel_lag green r9, 2 events entries green r10);
-#      graph_pagerank (fixpoint-pinned pytest + graph_kcore benched);
-#      mm_image_decode (PNG codec byte-pinned in pytest), mm_video_
-#      frames (AVI codec shared with benched mm_video_scene_cut);
-#      recursive_cte_hierarchy (WITH RECURSIVE fixpoint pytest);
-#      sensql_knn_federated (knn pytest + sensql_federated_agg green
-#      r10); scale_dpp_join (DPP plan-asserted tests/test_plans.py);
-#      sim_decontaminate/sim_mmr_rerank (sim family: 6 entries
-#      benched); text_chunk_overlap/decontaminate/fingerprint/
-#      sequence_pack/substring_removal/token_stats (text family: 8
-#      entries benched, 4 text entries in this window via block 1).
-#      quantified_any was the 16th-oldest slot and is the row DISPLACED
-#      by the first r11-added operator (strongest-covered of the 16:
-#      its twin quantified_all re-greened r10 on the identical
-#      NOT-EXISTS rewrite machinery); source_jdbc_roundtrip is the row
-#      DISPLACED by the second (strongest-covered of the remaining 15:
-#      pushdown + partitioned parallel read are plan-asserted in
-#      tests/test_plans.py and the connector machinery has its own
-#      pytest — deferred to r12 with the other 35).
-#  (3) operators ADDED in r11 (each pre-verified --vanilla EXACT at
-#      sf0.01 AND sf0.1 at commit time): source_kafka_avro_nested
-#      closes the nested-avro record-decoder residue (r10 VERDICT
-#      What's-missing #1 / next-round #3); source_kafka_avro_union
-#      completes the avro type surface (enum-as-VARCHAR,
-#      fixed-as-VARBINARY, nullable ["null",X] unions decoding SQL
-#      NULL — AvroColumnDecoder.java:206/:213 and the reader-resolved
-#      union null path).
-#  PRE-ANNOUNCED r12 WINDOW: the 36 r4-era entries deferred above
-#  (the 35 enumerated in block-2's rationale list + source_jdbc_
-#  roundtrip) + 14 of the 50 r5-era rows picked for weakest indirect
-#  coverage, minus one slot per r12-added operator (displacing the
-#  strongest-covered r5 rows first).
+# block (1): at r12 start the 36 r4-era entries below are the only
+# stale debt (the ledger names this exact set and exits nonzero if any
+# is missing); the remaining 14 slots go to the r5-era rows with the
+# weakest indirect coverage, minus one slot per r12-added operator.
+# Three blocks:
+#  (1) the 36 r4-era stale entries (r11 VERDICT next-round #1 names
+#      this exact set — the 35 from the r11 block-2 deferral rationale
+#      + source_jdbc_roundtrip).
+#  (2) 13 of the 50 r5-era rows — picked for WEAK indirect coverage:
+#      seven r4-added operators that no bench, fuzz mode, or value-
+#      level pytest exercises (mutation_sql_dml, events_cdc_apply,
+#      events_retention_cohorts, events_transition_matrix,
+#      mm_image_resize, scale_file_compaction, text_train_val_split —
+#      events_cdc_apply and text_train_val_split have plan pins only),
+#      plus the six TPC-DS bodies whose SQL shapes are unique in the
+#      suite and value-checked nowhere else: tpcds_q14/q14b (the only
+#      INTERSECT-driven cross-channel bodies), tpcds_q23/q23b
+#      (max-over-subquery + frequent-item HAVING), tpcds_q04 (3-channel
+#      year-over-year CTE self-join, superset of q11's shape),
+#      tpcds_q39 (the only stddev/coefficient-of-variation body).
+#      The 37 r5-era rows deferred to r13 are the covered ones:
+#      tpch_q15-q20+q22 (benched EVERY round, value-compared to the
+#      oracle in every bench run); dedup_bloom_prefilter and
+#      text_dedup_paragraph (benched every round + plan pins);
+#      ddl_access_control (300-seed model-differential access fuzz in
+#      tests/test_access_fuzz.py compares the full observable surface
+#      every round); tpcds_q03 (benched every round); the remaining 26
+#      TPC-DS bodies (q02, q05, q06, q08, q09, q10, q11, q12, q13,
+#      q15-q22, q24/q24b, q25, q26, q27, q29, q30, q39b, q40) —
+#      pure-SQL bodies over the same scan/join/agg/window machinery as
+#      the 8 TPC-DS rows re-greened in r11 (q31-q38) and the 6 TPC-DS
+#      rows in THIS window (q39b's body is q39 with the second CASE
+#      filter, value-checked here via q39), with 22 TPC-H value-benched
+#      alongside; tpcds_q11 (year-over-year 2-channel self-join — the
+#      strongest-covered of the original 14 picks because block-2's q04
+#      value-checks the identical shape with a third channel) is the
+#      row DISPLACED by the r12-added operator.
+#  (3) operators ADDED in r12 (pre-verified --vanilla EXACT at sf0.01
+#      AND sf0.1 at commit time): source_kafka_avro_multibranch closes
+#      the last record-decoder residue (r11 VERDICT What's-missing #1 /
+#      next-round #3) — general multi-branch avro unions decoded by
+#      writer branch index with per-branch type dispatch
+#      (AvroColumnDecoder.java:160-216 value-driven serializeValue
+#      semantics: surface the value when the column's SQL type matches
+#      the branch, SQL NULL for a null branch, loud error on mismatch).
+#  PRE-ANNOUNCED r13 WINDOW: the 37 r5-era entries deferred above
+#  (tpch_q15/q16/q17/q18/q19/q20/q22, dedup_bloom_prefilter,
+#  text_dedup_paragraph, ddl_access_control, tpcds_q02/q03/q05/q06/
+#  q08/q09/q10/q11/q12/q13/q15/q16/q17/q18/q19/q20/q21/q22/q24/q24b/
+#  q25/q26/q27/q29/q30/q39b/q40) + 13 of the 50 r6-era rows picked
+#  for weakest indirect coverage, minus one slot per r13-added operator
+#  (displacing the strongest-covered r6 rows first).
 PRIORITY: tuple[str, ...] = (
-    # (1) r3-era stale (34)
-    "agg_classification_metrics",
-    "agg_differential_entropy",
-    "agg_khll_uniqueness",
-    "agg_setdigest_jaccard",
-    "dedup_connected_components",
-    "events_gap_fill",
-    "events_range_join",
-    "geo_line_ops",
-    "geo_st_accessors",
-    "geo_st_setops",
-    "geo_st_surface2",
-    "scale_bucketed_join",
-    "scale_salted_join",
-    "text_corpus_stats",
-    "text_repetition",
-    "text_substring_dup",
-    "text_tfidf_top_terms",
-    "tpcds_q31",
-    "tpcds_q32",
-    "tpcds_q33",
-    "tpcds_q34",
-    "tpcds_q35",
-    "tpcds_q36",
-    "tpcds_q37",
-    "tpcds_q38",
-    "tpch_q03",
-    "tpch_q04",
-    "tpch_q05",
-    "tpch_q07",
-    "tpch_q08",
-    "tpch_q09",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
-    # (2) r4-era, weakest indirect coverage (14)
-    "agg_classification_curve",
-    "cluster_balanced_sample",
-    "events_streaming_dedup",
-    "events_streaming_interval_join",
-    "events_streaming_upsert",
-    "fn_color",
-    "mm_audio_windows",
-    "rollup_lineitem",
-    "scale_zorder_layout",
-    "sink_partitioned_shards",
-    "source_binaryfile_stats",
-    "source_text_roundtrip",
-    "text_source_mix",
-    "values_inline",
-    # (3) r11-added operators
-    "source_kafka_avro_nested",
-    "source_kafka_avro_union",
+    # (1) r4-era stale (36)
+    "cluster_kmeans",
+    "ddl_alter_table",
+    "ddl_create_function",
+    "ddl_create_type",
+    "ddl_logical_view",
+    "dedup_incremental",
+    "dedup_semantic",
+    "dedup_url",
+    "events_funnel",
+    "fn_hash_presto_ports",
+    "fn_hash_spark_native",
+    "fn_presto_compat2",
+    "fn_presto_compat3",
+    "graph_pagerank",
+    "mm_image_decode",
+    "mm_video_frames",
+    "pipeline_end_to_end",
+    "quantified_any",
+    "recursive_cte_hierarchy",
+    "scale_distributed_sort",
+    "scale_dpp_join",
+    "sensql_knn_federated",
+    "setop_except",
+    "setop_intersect",
+    "setop_union_distinct",
+    "sim_decontaminate",
+    "sim_mmr_rerank",
+    "source_jdbc_roundtrip",
+    "text_chunk_overlap",
+    "text_decontaminate",
+    "text_fingerprint",
+    "text_sequence_pack",
+    "text_substring_removal",
+    "text_token_stats",
+    "text_trigram_logprob",
+    "tpch_q14",
+    # (2) r5-era, weakest indirect coverage (13)
+    "events_cdc_apply",
+    "events_retention_cohorts",
+    "events_transition_matrix",
+    "mm_image_resize",
+    "mutation_sql_dml",
+    "scale_file_compaction",
+    "text_train_val_split",
+    "tpcds_q04",
+    "tpcds_q14",
+    "tpcds_q14b",
+    "tpcds_q23",
+    "tpcds_q23b",
+    "tpcds_q39",
+    # (3) r12-added operators
+    "source_kafka_avro_multibranch",
 )
 
 

@@ -19,14 +19,23 @@ Record schemas over those primitives plus the spec's complex types —
 NESTED RECORDS, ARRAYS and MAPS (Avro spec "Complex Types": arrays/maps
 are block-encoded — count-prefixed item runs, a negative count carries
 a block byte size, a zero count terminates), ENUMS (zigzag symbol
-index), FIXED (raw size bytes) and the nullable ["null", X] two-branch
-UNION (zigzag branch index + branch value) — are supported, matching
-the reference decoder surface (AvroColumnDecoder.java:105-110 ARRAY/MAP
-types, :126-140 locateNode nested-record paths, :206 GenericEnumSymbol
-as VARCHAR, :213 GenericFixed as VARBINARY, null-union values surfacing
-as SQL NULL).  General multi-branch unions raise loudly.  Nested record
-values surface as Python dicts, arrays as lists, maps as dicts, enums
-as symbol strings, fixed as bytes, null-union as None.
+index), FIXED (raw size bytes) and UNIONS (zigzag branch index + branch
+value) — are supported, matching the reference decoder surface
+(AvroColumnDecoder.java:105-110 ARRAY/MAP types, :126-140 locateNode
+nested-record paths, :206 GenericEnumSymbol as VARCHAR, :213
+GenericFixed as VARBINARY, null-union values surfacing as SQL NULL).
+Unions are GENERAL multi-branch ``[A, B, ...]`` arrays (the spec's two
+rules are enforced: no union immediately inside a union, no two
+branches of the same type except named types with distinct names); the
+decoder dispatches on the written branch index — the value-driven
+posture of the reference (the avro reader resolves the branch before
+``AvroColumnDecoder.serializeValue`` sees the value,
+AvroColumnDecoder.java:160-216).  Nested record values surface as
+Python dicts, arrays as lists, maps as dicts, enums as symbol strings,
+fixed as bytes, a null branch as None.  The writer picks the first
+branch whose type matches the Python value; ``Branch(index, value)``
+tags a value with an explicit branch when first-match is not the
+intent (e.g. the ``long`` arm of ``["int", "long"]``).
 The codec is deterministic (fixed sync marker, canonical schema JSON,
 insertion-ordered map entries) so written files are byte-stable across
 runs.
@@ -130,18 +139,54 @@ def _decode_value(typ: str, buf: bytes, pos: int):
 #   {"type": "map", "values": <type>}
 #   {"type": "enum", "name": ..., "symbols": [...]}  (spec: int index)
 #   {"type": "fixed", "name": ..., "size": n}        (spec: n raw bytes)
-#   ["null", <type>]  — the nullable two-branch union (spec: unions are
-#   JSON arrays, encoded as zigzag branch index + branch value)
+#   [A, B, ...]  — a union (spec: unions are JSON arrays, encoded as
+#   zigzag branch index + branch value; "null" is a legal branch)
 # exactly the surface the reference's AvroColumnDecoder consumes beyond
 # primitives: ARRAY/MAP columns (AvroColumnDecoder.java:105-110,
 # :224-226), enum symbols read as VARCHAR (GenericEnumSymbol at
 # getSlice, :206), fixed read as VARBINARY (GenericFixed, :213), and
-# null-union branches surfacing as SQL NULL (the avro reader resolves
-# the union before the decoder's isNull check).  GENERAL unions (two
-# non-null branches, or >2 branches) still raise loudly.  Python-side
-# values: nested record = dict, array = list, map = dict (string keys),
-# enum = symbol string, fixed = bytes of exactly `size`, nullable union
-# = None or the branch value.
+# union values resolved by branch BEFORE the column decoder sees them
+# (the value-driven serializeValue dispatch, :160-216 — a null branch
+# surfaces as SQL NULL via the isNull check).  Spec union rules
+# enforced: no union immediately inside a union; no duplicate branch
+# type except named types with distinct names.  Python-side values:
+# nested record = dict, array = list, map = dict (string keys), enum =
+# symbol string, fixed = bytes of exactly `size`, union = None (null
+# branch) or the branch value; the writer matches values to branches
+# first-match-by-type, overridable with Branch(index, value).
+
+
+class Branch:
+    """Writer-side explicit union-branch tag.
+
+    ``Branch(index, value)`` encodes ``value`` through branch ``index``
+    of a union field, bypassing first-match-by-type selection — needed
+    when two branches accept the same Python type (``["int", "long"]``,
+    a string vs. an enum, ``bytes`` vs. a same-width ``fixed``).  The
+    decoder never produces ``Branch``; it returns plain values (the
+    reference's reader likewise resolves the branch away before the
+    column decoder runs, AvroColumnDecoder.java:160-216).
+    """
+
+    __slots__ = ("index", "value")
+
+    def __init__(self, index: int, value) -> None:
+        self.index = index
+        self.value = value
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"Branch({self.index}, {self.value!r})"
+
+
+def _union_branch_key(b):
+    """Spec dedup key: unnamed types at most once per kind; named types
+    (record/enum/fixed) distinguished by name."""
+    if isinstance(b, str):
+        return b
+    kind = b.get("type")
+    if kind in ("record", "enum", "fixed"):
+        return (kind, b.get("name"))
+    return kind
 
 
 def _validate_type(t) -> None:
@@ -150,23 +195,31 @@ def _validate_type(t) -> None:
             raise NotImplementedError(f"Avro type {t!r} unsupported")
         return
     if isinstance(t, list):
-        # spec: a union is a JSON array of branch schemas.  Only the
-        # nullable pattern ["null", X] is supported (the reference's
-        # effective surface — its avro reader hands the decoder either
-        # null or the resolved branch value).
-        if (
-            len(t) == 2
-            and t[0] == "null"
-            and t[1] != "null"
-            # spec: unions may not immediately contain other unions
-            and not isinstance(t[1], list)
-        ):
-            _validate_type(t[1])
-            return
-        raise NotImplementedError(
-            f"Avro union {t!r} unsupported (only the nullable "
-            '["null", X] two-branch form)'
-        )
+        # spec "Unions": a union is a JSON array of branch schemas.
+        # General multi-branch unions are supported (the reference's
+        # avro reader resolves the branch before the column decoder
+        # sees the value); the spec's two structural rules are
+        # enforced as invalid-schema errors.
+        if len(t) < 2:
+            raise ValueError(f"Avro union needs at least two branches: {t!r}")
+        seen: set = set()
+        for b in t:
+            if isinstance(b, list):
+                # spec: unions may not immediately contain other unions
+                raise ValueError(
+                    f"Avro union may not immediately contain a union: {t!r}"
+                )
+            if b != "null":
+                _validate_type(b)
+            key = _union_branch_key(b)
+            if key in seen:
+                raise ValueError(
+                    f"Avro union has two branches of the same type "
+                    f"{key!r} (spec: only named types may repeat, and "
+                    f"only under distinct names): {t!r}"
+                )
+            seen.add(key)
+        return
     if isinstance(t, dict):
         kind = t.get("type")
         if kind == "record":
@@ -194,8 +247,43 @@ def _validate_type(t) -> None:
             return
     raise NotImplementedError(
         f"Avro type {t!r} is outside the supported record surface "
-        "(primitives + record/array/map/enum/fixed + nullable union)"
+        "(primitives + record/array/map/enum/fixed + unions)"
     )
+
+
+def _branch_matches(b, v) -> bool:
+    """First-match-by-type writer-side branch selection (decode side is
+    index-driven and never consults this)."""
+    if b == "null":
+        return v is None
+    if v is None:
+        return False
+    if isinstance(b, str):
+        if b == "boolean":
+            return isinstance(v, bool)
+        if b in ("int", "long"):
+            return isinstance(v, int) and not isinstance(v, bool)
+        if b in ("float", "double"):
+            return isinstance(v, float)
+        if b == "string":
+            return isinstance(v, str)
+        if b == "bytes":
+            return isinstance(v, (bytes, bytearray))
+        return False
+    kind = b["type"]
+    if kind == "enum":
+        return isinstance(v, str) and v in b["symbols"]
+    if kind == "fixed":
+        return isinstance(v, (bytes, bytearray)) and len(v) == b["size"]
+    if kind == "array":
+        return isinstance(v, (list, tuple))
+    if kind == "map":
+        return isinstance(v, dict)
+    if kind == "record":
+        return isinstance(v, dict) and all(
+            f["name"] in v for f in b["fields"]
+        )
+    return False
 
 
 def _encode_any(t, v) -> bytes:
@@ -206,10 +294,28 @@ def _encode_any(t, v) -> bytes:
                 "writes have no null branch (spec: null requires a union)"
             )
         return _encode_value(t, v)
-    if isinstance(t, list):  # nullable union: branch index, then value
-        if v is None:
-            return _zigzag_encode(0)
-        return _zigzag_encode(1) + _encode_any(t[1], v)
+    if isinstance(t, list):  # union: branch index, then branch value
+        if isinstance(v, Branch):
+            idx, v = v.index, v.value
+            if not 0 <= idx < len(t):
+                raise ValueError(
+                    f"explicit union branch index {idx} out of range for {t!r}"
+                )
+        else:
+            idx = next(
+                (i for i, b in enumerate(t) if _branch_matches(b, v)), None
+            )
+            if idx is None:
+                raise ValueError(
+                    f"no branch of Avro union {t!r} matches value {v!r}"
+                )
+        if t[idx] == "null":
+            if v is not None:
+                raise ValueError(
+                    f"union branch {idx} of {t!r} is null but value is {v!r}"
+                )
+            return _zigzag_encode(idx)
+        return _zigzag_encode(idx) + _encode_any(t[idx], v)
     kind = t["type"]
     if kind == "enum":
         symbols = t["symbols"]
@@ -253,13 +359,13 @@ def _encode_any(t, v) -> bytes:
 def _decode_any(t, buf: bytes, pos: int):
     if isinstance(t, str):
         return _decode_value(t, buf, pos)
-    if isinstance(t, list):  # nullable union
+    if isinstance(t, list):  # union: written branch index drives dispatch
         idx, pos = _zigzag_decode(buf, pos)
-        if idx == 0:
-            return None, pos
-        if idx != 1:
+        if not 0 <= idx < len(t):
             raise ValueError(f"union branch index {idx} out of range for {t!r}")
-        return _decode_any(t[1], buf, pos)
+        if t[idx] == "null":
+            return None, pos
+        return _decode_any(t[idx], buf, pos)
     kind = t["type"]
     if kind == "enum":
         idx, pos = _zigzag_decode(buf, pos)
@@ -269,6 +375,14 @@ def _decode_any(t, buf: bytes, pos: int):
         return symbols[idx], pos
     if kind == "fixed":
         n = t["size"]
+        if pos + n > len(buf):
+            # loud on truncation (ADVICE r11): a silent short slice would
+            # advance pos past the end and defer the failure to the sync
+            # check — or miss it entirely on a bare-buffer decode.
+            raise ValueError(
+                f"fixed {t['name']} needs {n} bytes but only "
+                f"{len(buf) - pos} remain (truncated buffer)"
+            )
         return bytes(buf[pos : pos + n]), pos + n
     if kind == "record":
         rec: dict = {}

@@ -367,15 +367,39 @@ _META_TYPES = {"topic": "string", "partition": "int", "offset": "long"}
 def _avro_spark_type(sql_type: str) -> str:
     """Spark DDL type for an avro column handle.
 
-    Scalar names go through the presto-name table; ARRAY<...> / MAP<...>
-    handles (AvroColumnDecoder.java:105-110 list/map support) are Spark
-    DDL already and pass through verbatim (element/value names use the
-    same DDL vocabulary, e.g. ARRAY<STRING>, MAP<STRING,BIGINT>).
+    Scalar names go through the presto-name table; ARRAY<elem> /
+    MAP<key,value> handles (AvroColumnDecoder.java:105-110 list/map
+    support) are validated against the reference's surface
+    (AvroColumnDecoder.isSupportedType: array elements and map values
+    must be supported primitives, map keys VARCHAR) — nested
+    collections and non-VARCHAR map keys are rejected loudly.
     """
     t = sql_type.strip()
     u = t.upper()
-    if u.startswith("ARRAY<") or u.startswith("MAP<"):
-        return t
+    if u.startswith("ARRAY<") and u.endswith(">"):
+        elem = u[6:-1].strip()
+        if elem not in _AVRO_SPARK_TYPES:
+            raise ValueError(
+                f"unsupported avro ARRAY element type {elem!r} "
+                "(AvroColumnDecoder.isSupportedType: primitive elements only)"
+            )
+        return f"array<{_AVRO_SPARK_TYPES[elem]}>"
+    if u.startswith("MAP<") and u.endswith(">"):
+        key, sep, val = u[4:-1].partition(",")
+        key, val = key.strip(), val.strip()
+        if not sep:
+            raise ValueError(f"malformed avro MAP type {t!r}")
+        if key not in ("VARCHAR", "STRING"):
+            raise ValueError(
+                f"unsupported avro MAP key type {key!r} "
+                "(AvroColumnDecoder.isSupportedType: VARCHAR keys only)"
+            )
+        if val not in _AVRO_SPARK_TYPES:
+            raise ValueError(
+                f"unsupported avro MAP value type {val!r} "
+                "(AvroColumnDecoder.isSupportedType: primitive values only)"
+            )
+        return f"map<string,{_AVRO_SPARK_TYPES[val]}>"
     return _AVRO_SPARK_TYPES[u]
 
 
@@ -387,12 +411,21 @@ def decode_avro(df: DataFrame, columns: "list[KafkaColumn]") -> DataFrame:
     zero records and on an unexpected second record, and so does this
     decoder (loudly, inside the batch).  Column mapping is the
     '/'-separated field path of AvroColumnDecoder.java:126-140
-    locateNode: each path element steps into a nested record; a path
-    whose node is absent at ANY level — a missing leaf, a missing
-    intermediate record, or a path that keeps descending after reaching
-    a non-record value — decodes to NULL (locateNode's null
-    propagation).  ARRAY<...> / MAP<...> column handles decode avro
-    array/map fields into Spark ArrayType/MapType columns
+    locateNode: each path element steps into a nested record; a missing
+    leaf or a missing intermediate record decodes to NULL (locateNode's
+    null propagation).  A path that keeps descending after reaching a
+    non-record value ALSO decodes to NULL — a REPO CONVENTION: the
+    reference's locateNode casts each intermediate to GenericRecord and
+    would throw ClassCastException there; this decoder folds that case
+    into the NULL path (same posture as the raw decoder's short-span
+    note).  Decoded values are CHECKED against the declared column type
+    before they surface — the value-driven serializeValue dispatch of
+    AvroColumnDecoder.java:160-216: a union branch whose value matches
+    the column type surfaces, a null branch is SQL NULL, and a
+    mismatched branch (e.g. the string arm of ["long","string"] under a
+    BIGINT column) raises loudly naming the column, as the reference's
+    cast in serializeValue would.  ARRAY<...> / MAP<...> column handles
+    decode avro array/map fields into Spark ArrayType/MapType columns
     (AvroColumnDecoder.java:105-110, :224-226 serializeList/Map).  The
     decode is ONE Arrow mapInPandas pass over the kafka-shaped frame —
     the container parse is necessarily Python (spark-avro is not
@@ -417,13 +450,51 @@ def decode_avro(df: DataFrame, columns: "list[KafkaColumn]") -> DataFrame:
 
     def locate(rec: dict, parts: "list[str]"):
         # AvroColumnDecoder.locateNode: step through nested records;
-        # missing node or descending into a non-record -> null.
+        # missing node -> null.  Descending into a non-record is also
+        # null here (repo convention; the reference would throw).
         node = rec
         for p in parts:
             if not isinstance(node, dict) or p not in node:
                 return None
             node = node[p]
         return node
+
+    # value-driven type dispatch (AvroColumnDecoder.serializeValue,
+    # :160-216): the avro reader has already resolved any union branch,
+    # so the located value either fits the declared column type or the
+    # read fails loudly — exactly the reference's cast behavior.
+    def _checker(spark_type: str):
+        base = spark_type.split("<", 1)[0]
+        expect = {
+            "long": (int,),
+            "int": (int,),
+            "short": (int,),
+            "byte": (int,),
+            "double": (float,),
+            "float": (float,),
+            "boolean": (bool,),
+            "string": (str,),
+            "binary": (bytes, bytearray),
+            "array": (list, tuple),
+            "map": (dict,),
+        }[base]
+        integral = expect == (int,)
+
+        def check(name: str, v):
+            if isinstance(v, expect) and not (
+                integral and isinstance(v, bool)
+            ):
+                return v
+            raise ValueError(
+                f"avro value {v!r} ({type(v).__name__}) does not match "
+                f"column '{name}' declared {spark_type.upper()} "
+                "(AvroColumnDecoder.serializeValue is value-driven: a "
+                "union branch must match the column type)"
+            )
+
+        return check
+
+    checkers = [_checker(_avro_spark_type(c.sql_type)) for c in columns]
 
     def decode(batches):
         import pandas as pd
@@ -442,8 +513,9 @@ def decode_avro(df: DataFrame, columns: "list[KafkaColumn]") -> DataFrame:
                         "unexpected extra avro record in message value"
                     )
                 rec = dict(zip((n for n, _ in fields), rows[0]))
-                for n, p in zip(names, paths):
-                    vals[n].append(locate(rec, p))
+                for n, p, chk in zip(names, paths, checkers):
+                    node = locate(rec, p)
+                    vals[n].append(None if node is None else chk(n, node))
             yield pd.DataFrame({**out, **vals})
 
     return df.mapInPandas(decode, schema)

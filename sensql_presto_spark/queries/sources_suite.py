@@ -1555,3 +1555,160 @@ def source_kafka_avro_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("partition").cast("long").alias("part"),
         F.col("offset").cast("long").alias("off"),
     ).orderBy("event_id")
+
+
+# --- Kafka avro MULTI-BRANCH union decode (r11 VERDICT next-round #3) -------
+#
+# Closes the last record-decoder residue: general [A, B, ...] unions.
+# The reference's decode is value-driven — the avro reader resolves the
+# written branch index before AvroColumnDecoder.serializeValue sees the
+# value (AvroColumnDecoder.java:160-216) — so a union column surfaces
+# whenever the branch value matches the declared SQL type, a null
+# branch is SQL NULL, and a mismatched branch fails the read loudly
+# (the mismatch contract is pytest-pinned in test_kafka_decoder.py).
+# Writer schema per message: a ["int","long"] numeric-widening union
+# read as ONE BIGINT column (both arms exercised via explicit Branch
+# tags — first-match-by-type cannot reach the long arm), a three-branch
+# ["null","string",enum] union read as VARCHAR (all three arms
+# exercised), and a three-branch ["null","bytes",fixed] union read as
+# VARBINARY, pinned byte-for-byte via conv(hex(payload),16,10) +
+# octet_length so the value hash distinguishes the 4-byte fixed arm
+# from the 8-byte bytes arm.  Scale shape: identical to the other avro
+# entries — applyInPandas partition writer (payloads executor-side),
+# binaryFile scan + ONE Arrow mapInPandas decode pass.
+_KAFKA_AVRO_MULTIBRANCH_ORACLE = """
+WITH base AS (
+    SELECT event_id, event_type,
+           CAST(event_id % 4 AS BIGINT) AS part,
+           CAST(row_number() OVER (PARTITION BY event_id % 4 ORDER BY event_id) - 1
+                AS BIGINT) AS off
+    FROM events WHERE event_id < 200
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(CASE WHEN event_id % 2 = 0 THEN event_id
+                 ELSE event_id * 8589934592 + 7 END AS BIGINT) AS n,
+       CASE WHEN event_id % 7 = 0 THEN NULL
+            WHEN event_id % 2 = 0 THEN event_type
+            ELSE 's' || CAST(event_id % 5 AS VARCHAR) END AS label,
+       CAST(CASE WHEN event_id % 11 = 0 THEN NULL
+                 WHEN event_id % 2 = 1 THEN event_id
+                 ELSE event_id * 3 END AS BIGINT) AS pid,
+       CAST(CASE WHEN event_id % 11 = 0 THEN NULL
+                 WHEN event_id % 2 = 1 THEN 4 ELSE 8 END AS BIGINT) AS plen,
+       part, off
+FROM base ORDER BY event_id
+"""
+
+
+@register(
+    "source_kafka_avro_multibranch",
+    oracle=_KAFKA_AVRO_MULTIBRANCH_ORACLE,
+    tags=("sources", "kafka", "decoder", "avro"),
+    doc="Kafka avro general multi-branch union decode (AvroColumnDecoder "
+    "value-driven serializeValue parity, AvroColumnDecoder.java:160-216): "
+    "['int','long'] widening surfaces as ONE BIGINT column (both arms), "
+    "['null','string',enum] as VARCHAR (all three arms), "
+    "['null','bytes',fixed] as VARBINARY with the 4-byte fixed arm and "
+    "8-byte bytes arm pinned via conv(hex(..),16,10)+octet_length; "
+    "null branches decode SQL NULL; mismatched branches fail loudly "
+    "(pytest-pinned); one Arrow mapInPandas decode pass.",
+)
+def source_kafka_avro_multibranch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from sensql_presto_spark import avro_ocf
+    from sensql_presto_spark import kafka_decoder as kd
+
+    base = (
+        catalog.table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 200)
+        .select(
+            "event_id",
+            "event_type",
+            (F.col("event_id") % 4).cast("int").alias("part"),
+        )
+    )
+
+    fields = [
+        ("id", "long"),
+        ("n", ["int", "long"]),
+        (
+            "label",
+            [
+                "null",
+                "string",
+                {
+                    "type": "enum",
+                    "name": "event_kind",
+                    "symbols": ["click", "error", "purchase", "signup", "view"],
+                },
+            ],
+        ),
+        (
+            "payload",
+            ["null", "bytes", {"type": "fixed", "name": "h4", "size": 4}],
+        ),
+    ]
+
+    tdir = os.path.join(KAFKA_TOPIC_PATH, "avro_multibranch")
+    _shutil.rmtree(tdir, ignore_errors=True)
+    os.makedirs(tdir, exist_ok=True)
+
+    def make_writer(_tdir):
+        def write_part(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            import struct as _struct
+
+            B = avro_ocf.Branch
+            pdf = pdf.sort_values("event_id")
+            part = int(pdf["part"].iloc[0])
+            msgs = []
+            for row in pdf.itertuples():
+                eid = int(row.event_id)
+                # int arm on even ids, long arm (explicit Branch — the
+                # Python value type cannot select it) on odd ids
+                n = B(0, eid) if eid % 2 == 0 else B(1, eid * 8589934592 + 7)
+                if eid % 7 == 0:
+                    label = None  # null arm (auto)
+                elif eid % 2 == 0:
+                    label = B(2, str(row.event_type))  # enum arm (explicit)
+                else:
+                    label = f"s{eid % 5}"  # string arm (auto first-match)
+                if eid % 11 == 0:
+                    payload = None
+                elif eid % 2 == 1:
+                    payload = B(2, _struct.pack(">i", eid))  # 4-byte fixed arm
+                else:
+                    payload = _struct.pack(">q", eid * 3)  # 8-byte bytes arm
+                rec = (eid, n, label, payload)
+                msgs.append(
+                    (None, avro_ocf.write_container(fields, [rec], name="event"))
+                )
+            with open(os.path.join(_tdir, f"partition={part}.seg"), "wb") as f:
+                f.write(kd.encode_segment(msgs))
+            return pd.DataFrame({"part": [part], "n": [len(pdf)]})
+
+        return write_part
+
+    written = (
+        base.groupBy("part")
+        .applyInPandas(make_writer(tdir), "part int, n long")
+        .collect()
+    )
+    assert sum(r.n for r in written) > 0, "empty kafka avro-multibranch topic"
+
+    cols = [
+        kd.KafkaColumn("id", "BIGINT", "id"),
+        kd.KafkaColumn("n", "BIGINT", "n"),
+        kd.KafkaColumn("label", "STRING", "label"),
+        kd.KafkaColumn("payload", "BINARY", "payload"),
+    ]
+    decoded = kd.decode_avro(kd.read_topic_dir(spark, tdir), cols)
+    return decoded.select(
+        F.col("id").alias("event_id"),
+        "n",
+        "label",
+        F.conv(F.hex("payload"), 16, 10).cast("long").alias("pid"),
+        F.octet_length("payload").cast("long").alias("plen"),
+        F.col("partition").cast("long").alias("part"),
+        F.col("offset").cast("long").alias("off"),
+    ).orderBy("event_id")

@@ -213,17 +213,102 @@ def test_enum_fixed_union_error_contracts():
         avro_ocf.write_container(
             [("f", {"type": "fixed", "name": "f", "size": 4})], [(b"abc",)]
         )
-    # general unions stay out: two non-null branches, >2 branches,
-    # null-second ordering
-    for bad in (
-        ["int", "string"],
-        ["null", "int", "string"],
-        ["int", "null"],
-        ["null", ["null", "int"]],  # spec: no union directly in a union
-    ):
-        with pytest.raises(NotImplementedError, match="union"):
-            avro_ocf.schema_json("t", [("u", bad)])
     # enum decode rejects an out-of-range symbol index
     t = {"type": "enum", "name": "e", "symbols": ["a", "b"]}
     with pytest.raises(ValueError, match="out of range"):
         avro_ocf._decode_any(t, avro_ocf._zigzag_encode(7), 0)
+    # fixed decode is loud on a truncated buffer (never a short slice)
+    f4 = {"type": "fixed", "name": "f4", "size": 4}
+    with pytest.raises(ValueError, match="truncated"):
+        avro_ocf._decode_any(f4, b"\x01\x02", 0)
+
+
+MULTIBRANCH_FIELDS = [
+    # numeric widening: same Python type on both arms -> Branch tags
+    ("n", ["int", "long"]),
+    # three-way with null + two string-shaped arms
+    (
+        "label",
+        [
+            "null",
+            "string",
+            {"type": "enum", "name": "kind", "symbols": ["a", "b"]},
+        ],
+    ),
+    # bytes vs same-width fixed
+    ("payload", ["null", "bytes", {"type": "fixed", "name": "h4", "size": 4}]),
+]
+
+
+def test_multibranch_union_roundtrip():
+    """General [A, B, ...] unions (r11 VERDICT next-round #3): the writer
+    encodes zigzag branch index + branch value — first-match-by-type, or
+    an explicit Branch(index, value) tag where types collide — and the
+    decoder dispatches on the WRITTEN index (the reference's avro reader
+    resolves the branch before AvroColumnDecoder.serializeValue,
+    AvroColumnDecoder.java:160-216).  Decoded values are plain (never
+    Branch), and the blob is byte-stable."""
+    B = avro_ocf.Branch
+    rows = [
+        (B(0, 7), "plain", b"\x01\x02\x03"),          # int arm, string arm, bytes arm
+        (B(1, 7), B(2, "a"), B(2, b"\xde\xad\xbe\xef")),  # long, enum, fixed arms
+        (5, None, None),                               # auto int (first match), null arms
+    ]
+    blob = avro_ocf.write_container(MULTIBRANCH_FIELDS, rows, name="t")
+    fields, out = avro_ocf.read_container(blob)
+    assert fields == MULTIBRANCH_FIELDS
+    assert out == [
+        (7, "plain", b"\x01\x02\x03"),
+        (7, "a", b"\xde\xad\xbe\xef"),
+        (5, None, None),
+    ]
+    assert blob == avro_ocf.write_container(MULTIBRANCH_FIELDS, rows, name="t")
+    # the two 7s took DIFFERENT branches: re-encode row0 with the long
+    # arm and the bytes differ (branch index is part of the encoding)
+    a = avro_ocf._encode_any(["int", "long"], B(0, 7))
+    b = avro_ocf._encode_any(["int", "long"], B(1, 7))
+    assert a[:1] != b[:1] and a[1:] == b[1:]
+
+
+def test_multibranch_union_error_contracts():
+    B = avro_ocf.Branch
+    # spec: no union directly inside a union (invalid schema, not a
+    # missing feature -> ValueError since r12)
+    with pytest.raises(ValueError, match="immediately contain"):
+        avro_ocf.schema_json("t", [("u", ["null", ["null", "int"]])])
+    # spec: duplicate branch types are invalid, except named types
+    # under distinct names
+    with pytest.raises(ValueError, match="same type"):
+        avro_ocf.schema_json("t", [("u", ["int", "string", "int"])])
+    with pytest.raises(ValueError, match="same type"):
+        avro_ocf.schema_json(
+            "t",
+            [("u", [
+                {"type": "fixed", "name": "f", "size": 2},
+                {"type": "fixed", "name": "f", "size": 4},
+            ])],
+        )
+    # ... two fixed under DIFFERENT names are legal
+    avro_ocf.schema_json(
+        "t",
+        [("u", [
+            {"type": "fixed", "name": "f2", "size": 2},
+            {"type": "fixed", "name": "f4", "size": 4},
+        ])],
+    )
+    # a single-branch "union" is invalid
+    with pytest.raises(ValueError, match="two branches"):
+        avro_ocf.schema_json("t", [("u", ["int"])])
+    # no branch matches the value
+    with pytest.raises(ValueError, match="no branch"):
+        avro_ocf._encode_any(["int", "string"], 2.5)
+    # explicit Branch index out of range
+    with pytest.raises(ValueError, match="out of range"):
+        avro_ocf._encode_any(["int", "string"], B(2, "x"))
+    # explicit null branch with a non-null value
+    with pytest.raises(ValueError, match="is null but value"):
+        avro_ocf._encode_any(["null", "int"], B(0, 3))
+    # decode rejects a branch index past the union's arity
+    bad = avro_ocf._zigzag_encode(3) + avro_ocf._zigzag_encode(1)
+    with pytest.raises(ValueError, match="out of range"):
+        avro_ocf._decode_any(["null", "int"], bad, 0)

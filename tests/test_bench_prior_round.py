@@ -112,3 +112,53 @@ def test_repo_state_right_now_is_cross_round():
 
     m = re.search(r"_r(\d+)\.json$", name)
     assert m and int(m.group(1)) < cur
+
+
+def _bench_round(**env_vars) -> str:
+    """Run tools/bench_round.sh with a controlled env, return stdout."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("BENCH_CURRENT_ROUND", "ROUNDCHECK_SWEEP_JSON")
+    }
+    env.update(env_vars)
+    proc = subprocess.run(
+        ["bash", os.path.join(here, "tools", "bench_round.sh")],
+        capture_output=True,
+        text=True,
+        env=env,
+        check=True,
+    )
+    return proc.stdout.strip()
+
+
+def test_bench_round_derivation():
+    """tools/bench_round.sh (r11 VERDICT next-round #2): explicit override
+    wins; else the round is read off the sweep artifact the certification
+    chain is stamping; else empty (bench's git derivation takes over)."""
+    assert _bench_round(BENCH_CURRENT_ROUND="7") == "7"
+    assert _bench_round(ROUNDCHECK_SWEEP_JSON="SWEEP_r12_sf0.01.json") == "12"
+    assert _bench_round(ROUNDCHECK_SWEEP_JSON="SWEEP_r09_sf0.1.json") == "9"
+    assert (
+        _bench_round(
+            BENCH_CURRENT_ROUND="7", ROUNDCHECK_SWEEP_JSON="SWEEP_r12_sf0.01.json"
+        )
+        == "7"
+    )
+    assert _bench_round() == ""
+
+
+def test_roundcheck_bench_invocation_carries_the_round():
+    """The roundcheck harness actually sets the variable around its bench
+    smoke (the r11 verdict's 'nothing sets it' gap): the derivation call
+    and the env assignment on the bench invocation are both present."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "tools", "roundcheck.sh")) as f:
+        src = f.read()
+    assert 'BENCH_CURRENT_ROUND="$(bash tools/bench_round.sh)"' in src
+    bench_stanza = src[src.index("== bench smoke ==") :]
+    assert 'BENCH_CURRENT_ROUND="$BENCH_CURRENT_ROUND"' in bench_stanza
+    assert "python bench.py" in bench_stanza
+    # and bench.py honors an EMPTY value by falling through to git
+    assert _current_round.__doc__ and "BENCH_CURRENT_ROUND" in _current_round.__doc__

@@ -10,6 +10,17 @@ style as the hot-key caps.  This is the blanket guard the
 CartesianProduct bench test established, extended to the WHOLE registry
 (385 entries), so a future edit cannot silently put a final-ranking
 ``OVER (ORDER BY ...)`` on row-level data.
+
+CONTRIBUTING — whitelist rules (r11 VERDICT next-round #6): an entry
+whose reduction happens inside a Python stage (mapInPandas /
+applyInPandas) is invisible to the logical-plan walker and MUST be
+whitelisted.  Every whitelist value is a contract string that MUST name
+the NUMERIC capacity constant the bound relies on (e.g. "<= 256 rows
+(SpaceSaving capacity)") and the implementation file must document
+where that constant caps the window's input.  A vague bound ("small",
+"bounded") does not pass ``test_whitelist_bounds_are_numeric`` — the
+point is that a whitelist entry rots loudly when someone changes the
+capacity without updating the contract.
 """
 
 from __future__ import annotations
@@ -92,6 +103,25 @@ def test_no_unbounded_global_window_in_any_registry_plan(spark):
         "partition-less Window over an unreduced input (add a reduction "
         f"or whitelist with a stated NDV bound): {offenders}"
     )
+
+
+def test_whitelist_bounds_are_numeric():
+    """Every whitelist value must state the numeric capacity constant its
+    bound relies on (see the module docstring's CONTRIBUTING note) — a
+    bound without a number cannot be checked against the implementation
+    and rots silently when the capacity changes."""
+    import re
+
+    for name, bound in WHITELIST.items():
+        assert re.search(r"\d", bound), (
+            f"window-guard whitelist entry {name!r} has a non-numeric "
+            f"bound {bound!r}: state the capacity constant (e.g. "
+            "'<= 256 rows (SpaceSaving capacity)')"
+        )
+        assert re.search(r"<=?\s*\d|\d+\s*rows?", bound), (
+            f"whitelist bound for {name!r} must read as a row bound, "
+            f"got {bound!r}"
+        )
 
 
 def test_guard_actually_detects_a_violation(spark):

@@ -27,7 +27,13 @@ echo "== vanilla priority window (driver simulation) =="
 python tools/driver_sim.py --vanilla
 
 echo "== bench smoke =="
+# r11 VERDICT next-round #2: pass the in-flight round to bench explicitly
+# so a CORRECTNESS_r{N}.json committed mid-round cannot shift the
+# prior-round filter to N+1 (tools/bench_round.sh derives it from the
+# sweep artifact this chain is stamping; empty -> bench's git derivation).
+BENCH_CURRENT_ROUND="$(bash tools/bench_round.sh)"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 BENCH_RUNS=1 BENCH_PREWARM=0 \
+    BENCH_CURRENT_ROUND="$BENCH_CURRENT_ROUND" \
     python bench.py | python -c "import json,sys; d=json.loads(sys.stdin.read()); \
 print('bench OK:', d['metric'], d['value'], 'sec,', len(d['queries']), 'queries')"
 
