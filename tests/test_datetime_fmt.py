@@ -57,3 +57,21 @@ def test_week_based_format_as_expressions(spark):
     assert got["2020-12-31"] == ("2020-53", "2020-W53-4")
     assert got["2019-12-30"] == ("2020-01", "2020-W01-1")
     assert got["2021-06-15"] == ("2021-24", "2021-W24-2")
+
+
+def test_year_10000_formats_with_exceeds_pad_sign(spark):
+    """Probed divergence pinned (r12 fmtshim fuzz-mode exclusion rule):
+    JDK 'yyyy' prints years past its 4-digit pad with a leading '+'
+    (SignStyle.EXCEEDS_PAD), so year 10000 formats as '+10000' where
+    DuckDB strftime %Y prints '10000'.  The fmtshim fuzz generator caps
+    its corpus at year 9999 BECAUSE of this contract — if a Spark
+    upgrade changes the output, this pin fails and the exclusion rule
+    must be re-examined."""
+    from pyspark.sql import functions as F
+
+    row = (
+        spark.createDataFrame([("10000-01-02 03:04:05",)], "s string")
+        .select(F.date_format(F.col("s").cast("timestamp"), "yyyy").alias("y"))
+        .collect()[0]
+    )
+    assert row.y == "+10000"

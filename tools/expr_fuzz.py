@@ -951,3 +951,180 @@ def run_decagg_batch(spark, sf_dir: str, seeds: list[int]) -> list[str]:
     return _run_and_compare(
         spark, sf_dir, build_decagg_query(seeds), seeds, "decagg"
     )
+
+
+# --- fmtshim mode: the Joda<->JDK datetime format shim ----------------------
+#
+# functions/datetime_fmt.py translates Presto's Joda patterns
+# (format_datetime/parse_datetime) to JDK DateTimeFormatter patterns and
+# splices the week-based tokens Spark rejects (x/w/e) in as
+# weekofyear()/ISO-weekyear/ISO-day-of-week expressions — SURVEY §2.8's
+# named hard spot, and the largest semantics-drift surface with no
+# dedicated fuzz mode until r12 (r11 VERDICT next-round #4).  Unlike the
+# SQL-text modes this one drives the REAL shim at the DataFrame level
+# (format_datetime / parse_datetime imported from the package) against
+# DuckDB strftime/strptime as the oracle, over a fuzzed timestamp corpus
+# that includes DST-transition instants, ISO week-year boundary days
+# (Dec 28-31 / Jan 1-4 — the exact rows where the shim's weekyear CASE
+# could break), leap days, the epoch, and year edges 0001/0009/0123/
+# 0999/9999.
+#
+# SHARED token subset (probe-verified cell-identical on every edge
+# timestamp): yyyy/YYYY<->%Y (both zero-pad to 4), yy<->%y, MM<->%m,
+# dd<->%d, HH<->%H, mm<->%M, ss<->%S, DDD<->%j (3-pad), MMM<->%b,
+# MMMM<->%B, EEE<->%a, EEEE<->%A, hh<->%I, a<->%p, and the shim's
+# spliced week tokens ww<->%V, xxxx<->%G, e<->%u.  Excluded by probed
+# rule: years > 9999 — JDK SignStyle.EXCEEDS_PAD prints '+10000' where
+# DuckDB prints '10000' (the generator caps years at 9999, which is
+# also Python datetime's exact domain); sub-second fields (corpus is
+# second-granularity); Sunday-based week numbers (unsupported by the
+# shim itself, ValueError-pinned in test_datetime_fmt.py).  Literal
+# runs (incl. letter runs that need Joda quoting) are fuzzed between
+# tokens.  ~30% of seeds emit a PARSE ROUNDTRIP sentinel instead:
+# parse_datetime(format_datetime(ts, p), p) == ts as 0/1 on the Spark
+# side vs strptime(strftime(ts, f), f) = ts in DuckDB, over a
+# full-field numeric pattern with fuzzed separators — the parse
+# direction of the shim under the same corpus.
+
+_FMTSHIM_TOKENS = (
+    ("yyyy", "%Y"), ("YYYY", "%Y"), ("yy", "%y"), ("MM", "%m"),
+    ("dd", "%d"), ("HH", "%H"), ("mm", "%M"), ("ss", "%S"),
+    ("DDD", "%j"), ("MMM", "%b"), ("MMMM", "%B"), ("EEE", "%a"),
+    ("EEEE", "%A"), ("hh", "%I"), ("a", "%p"),
+    ("ww", "%V"), ("xxxx", "%G"), ("e", "%u"),
+)
+# literal runs: strftime passes non-% text through; Joda needs letter
+# runs quoted (datetime_fmt handles quotes in both directions)
+_FMTSHIM_LITERALS = ("-", " ", ":", "/", ".", ", ", "'T'", "' wk '", "' at '")
+
+_FMTSHIM_EDGE_TS = (
+    "0001-01-01 00:00:00", "0009-01-02 03:04:05", "0123-04-05 06:07:08",
+    "0999-12-31 23:59:59", "1000-01-01 00:00:00", "1970-01-01 00:00:00",
+    "1900-02-28 12:00:00", "2000-02-29 23:59:59", "9999-12-31 23:59:59",
+    # DST transitions (US spring/fall, EU spring/fall) — the session TZ
+    # is UTC so these must format structurally, and the fuzz proves it
+    "2021-03-14 02:30:00", "2021-11-07 01:30:00",
+    "2021-03-28 02:30:00", "2021-10-31 02:30:00",
+    # ISO week-year boundaries: days whose ISO weekyear != calendar year
+    "2021-01-01 06:00:00", "2021-01-03 23:59:59", "2021-01-04 00:00:00",
+    "2020-12-31 12:00:00", "2024-12-30 23:59:59", "2026-01-04 12:00:00",
+    "2015-12-28 00:00:00", "2016-01-03 18:30:00", "1999-01-01 00:00:01",
+    "2000-01-02 02:03:04", "1982-01-01 11:11:11", "1977-01-02 22:22:22",
+)
+
+
+def _fmtshim_timestamps(seed: int) -> "list[str]":
+    """The edge corpus + 15 seeded random timestamps (years 1-9999)."""
+    import datetime as _dt
+    import random as _random
+
+    r = _random.Random(seed ^ 0xF317)
+    out = list(_FMTSHIM_EDGE_TS)
+    for _ in range(15):
+        y = r.choice((r.randint(1, 999), r.randint(1000, 9999)))
+        m = r.randint(1, 12)
+        # valid day via datetime (month lengths + leap rules exactly)
+        d = r.randint(1, 28) if m == 2 else r.randint(1, 30 if m in (4, 6, 9, 11) else 31)
+        ts = _dt.datetime(y, m, d, r.randint(0, 23), r.randint(0, 59), r.randint(0, 59))
+        out.append(ts.strftime("%Y-%m-%d %H:%M:%S").zfill(19))
+    return out
+
+
+def _fmtshim_pattern(r) -> "tuple[str, str]":
+    """A fuzzed (joda, strftime) pattern pair from the shared subset."""
+    joda: list[str] = []
+    strf: list[str] = []
+    for i in range(r.randint(2, 6)):
+        j, s = r.choice(_FMTSHIM_TOKENS)
+        # a separator is optional EXCEPT when two pattern-letter runs
+        # would merge into one over-long field (MMMM+MMMM = 8 M's, which
+        # JDK rejects) — same-letter adjacency always gets one, compared
+        # case-INSENSITIVELY because the shim maps Joda Y to JDK y
+        # (YYYY+yyyy would merge AFTER translation)
+        if i and (r.random() < 0.8 or joda[-1][-1].lower() == j[0].lower()):
+            lit = r.choice(_FMTSHIM_LITERALS)
+            joda.append(lit)
+            strf.append(lit.strip("'"))
+        joda.append(j)
+        strf.append(s)
+    return "".join(joda), "".join(strf)
+
+
+def _fmtshim_roundtrip_pattern(r) -> "tuple[str, str]":
+    """Full-field numeric pattern (uniquely determines the timestamp)
+    with fuzzed separators — the parse-direction grammar."""
+    seps = [r.choice(("-", "/", ".", " ")) for _ in range(2)]
+    seps += [r.choice((" ", "'T'", " . "))]
+    seps += [r.choice((":", ".", "-")) for _ in range(2)]
+    joda = (
+        f"yyyy{seps[0]}MM{seps[1]}dd{seps[2]}HH{seps[3]}mm{seps[4]}ss"
+    )
+    strf = joda.replace("yyyy", "%Y").replace("MM", "%m").replace("dd", "%d") \
+               .replace("HH", "%H").replace("mm", "%M").replace("ss", "%S") \
+               .replace("'T'", "T").replace(" . ", " . ")
+    return joda, strf
+
+
+def run_fmtshim_batch(spark, sf_dir: str, seeds: list[int]) -> list[str]:
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from sensql_presto_spark.functions import datetime_fmt as dtf
+    from sensql_presto_spark.testing import duckdb_connection
+
+    ts_list = _fmtshim_timestamps(seeds[0])
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ts_list)], "id int, s string"
+    ).select("id", F.col("s").cast("timestamp").alias("ts"))
+
+    scols = [F.col("id")]
+    dcols = ["id"]
+    for s in seeds:
+        r = _random.Random(s)
+        if r.random() < 0.30:
+            joda, strf = _fmtshim_roundtrip_pattern(r)
+            scols.append(
+                (
+                    dtf.parse_datetime(dtf.format_datetime(F.col("ts"), joda), joda)
+                    == F.col("ts")
+                )
+                .cast("int")
+                .cast("string")
+                .alias(f"e{s}")
+            )
+            dcols.append(
+                f"CAST(CASE WHEN strptime(strftime(ts, '{strf}'), '{strf}') = ts "
+                f"THEN 1 ELSE 0 END AS VARCHAR) AS e{s}"
+            )
+        else:
+            joda, strf = _fmtshim_pattern(r)
+            scols.append(dtf.format_datetime(F.col("ts"), joda).alias(f"e{s}"))
+            dcols.append(f"strftime(ts, '{strf}') AS e{s}")
+
+    actual = sdf.select(*scols).orderBy("id").toPandas()
+    values = ", ".join(
+        f"({i}, TIMESTAMP '{t}')" for i, t in enumerate(ts_list)
+    )
+    con = duckdb_connection(sf_dir)
+    expected = con.sql(
+        "SELECT " + ", ".join(dcols)
+        + f" FROM (VALUES {values}) t(id, ts) ORDER BY id"
+    ).df()
+    con.close()
+
+    problems: list[str] = []
+    if len(actual) != len(expected):
+        return [
+            f"fmtshim: row count differs: spark={len(actual)} duckdb={len(expected)}"
+        ]
+    for s in seeds:
+        col = f"e{s}"
+        av, ev = actual[col].astype(str), expected[col].astype(str)
+        eq = (av == ev) | (actual[col].isna() & expected[col].isna())
+        if not eq.all():
+            i = int((~eq).idxmax())
+            problems.append(
+                f"fmtshim seed {s}: ts={ts_list[i]} spark={av[i]!r} duckdb={ev[i]!r}"
+            )
+    return problems
