@@ -3289,14 +3289,127 @@ _PAGERANK_SQL = """
     ORDER BY rank_micro DESC, node_id
     """
 
-_sql_query(
+# r12 scan-guard rework: the pure-SQL form above is kept verbatim as the
+# DuckDB ORACLE (DuckDB materializes repeated CTEs cheaply), but on the
+# Spark side Catalyst INLINES every CTE reference, and the unrolled
+# rounds referenced edges/nodes/outdeg/r{k-1} multiplicatively — the
+# optimized logical plan carried 220 scans of orders (measured by the
+# registry-wide scan audit; 13.8s at sf0.1).  The builder below is the
+# production shape the original comment promised: the skewed web is
+# staged ONCE per (session, sf_dir) — shared with personalized pagerank
+# and HITS, which synthesize the IDENTICAL fixture — and each round is
+# localCheckpoint-materialized (node-sized state), so the main plan
+# scans ZERO parquet and each round runs exactly one edge join.
+# Arithmetic is byte-identical to the oracle text.
+
+_SKEWED_WEB_SQL = """
+    WITH params AS (
+        SELECT 15 * greatest(4, CAST(floor(count(*) / 375.0) AS BIGINT)) AS n
+        FROM orders
+    ),
+    edges AS (
+        SELECT DISTINCT o_custkey % (SELECT n FROM params) AS src,
+               o_orderkey % (1 + o_custkey % 12) AS dst
+        FROM orders
+        WHERE o_custkey % (SELECT n FROM params)
+              <> o_orderkey % (1 + o_custkey % 12)
+        UNION
+        SELECT DISTINCT o_custkey % (SELECT n FROM params) AS src,
+               (o_custkey % (SELECT n FROM params) + 1)
+               % (SELECT n FROM params) AS dst
+        FROM orders
+    )
+    SELECT src, dst FROM edges
+"""
+
+
+def _skewed_web_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed skewed-web edge relation (the pagerank/HITS fixture;
+    same staging discipline as _block_web_edges)."""
+    return _session_memo(
+        spark,
+        "skewed_web_edges",
+        sf_dir,
+        lambda: catalog.sql(spark, sf_dir, _SKEWED_WEB_SQL).localCheckpoint(
+            eager=True
+        ),
+    )
+
+
+def _skewed_web_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _session_memo(
+        spark,
+        "skewed_web_nodes",
+        sf_dir,
+        lambda: _sql_with_views(
+            spark,
+            "SELECT src AS id FROM __swe UNION SELECT dst FROM __swe",
+            __swe=_skewed_web_edges(spark, sf_dir),
+        ).localCheckpoint(eager=True),
+    )
+
+
+def _skewed_web_outdeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _session_memo(
+        spark,
+        "skewed_web_outdeg",
+        sf_dir,
+        lambda: _sql_with_views(
+            spark,
+            "SELECT src, count(*) AS d FROM __swe GROUP BY src",
+            __swe=_skewed_web_edges(spark, sf_dir),
+        ).localCheckpoint(eager=True),
+    )
+
+
+_PAGERANK_R0_SQL = """
+    SELECT id, CAST(floor(1000000.0 / (SELECT count(*) FROM __nodes)) AS BIGINT) AS r
+    FROM __nodes
+"""
+
+_PAGERANK_ROUND_SQL = """
+    SELECT n.id,
+           CAST(round(150000.0 / (SELECT count(*) FROM __nodes)) AS BIGINT)
+           + CAST(floor(coalesce(sum(
+                 CAST(floor(p.r * 1000.0 / od.d) AS BIGINT)), 0)
+                 * 85 / 100000.0) AS BIGINT) AS r
+    FROM __nodes n
+    LEFT JOIN __edges e ON e.dst = n.id
+    LEFT JOIN __prev p ON p.id = e.src
+    LEFT JOIN __outdeg od ON od.src = e.src
+    GROUP BY n.id
+"""
+
+
+@register(
     "graph_pagerank",
-    _PAGERANK_SQL,
+    oracle=_PAGERANK_SQL,
     tags=("pipeline", "graph", "pagerank"),
-    doc="PageRank (damping 0.85, 3 unrolled iterations): edge-join + "
-    "dst-groupBy per round, per-edge contributions floor-quantized so every "
-    "round is exact integer arithmetic in both engines; the quality-prior graph primitive.",
+    doc="PageRank (damping 0.85, 3 iterations): edge-join + dst-groupBy "
+    "per round, per-edge contributions floor-quantized so every round is "
+    "exact integer arithmetic in both engines; the staged skewed web is "
+    "localCheckpoint-materialized once and each round checkpoints its "
+    "node-sized rank vector (zero parquet rescans in the rounds plan — "
+    "the CTE form inlined to 220 orders scans under Catalyst); the "
+    "quality-prior graph primitive.",
 )
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    E = _skewed_web_edges(spark, sf_dir)
+    N = _skewed_web_nodes(spark, sf_dir)
+    D = _skewed_web_outdeg(spark, sf_dir)
+    r = _sql_with_views(spark, _PAGERANK_R0_SQL, __nodes=N)
+    for k in range(3):
+        r = _sql_with_views(
+            spark, _PAGERANK_ROUND_SQL, __nodes=N, __edges=E, __outdeg=D, __prev=r
+        )
+        if k < 2:  # the last round stays a plan (its groupBy is the output)
+            r = r.localCheckpoint(eager=True)
+    return _sql_with_views(
+        spark,
+        "SELECT id AS node_id, r AS rank_micro FROM __r "
+        "ORDER BY rank_micro DESC, node_id",
+        __r=r,
+    )
 
 
 # Paragraph-level exact dedup (the Dolma/CommonCrawl curation pass that
@@ -6231,8 +6344,54 @@ assert _PCA_ORACLE.count("WITH ") == 1
     "an anisotropic fixture), the oracle pins the mechanism.",
 )
 def sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    catalog.register_views(spark, sf_dir)
-    return spark.sql(_PCA_SQL)
+    # r12 scan-guard rework: the single-SQL form above (kept as _PCA_SQL
+    # for the oracle's structural twin) inlined cov/rows_ into every
+    # power iteration — 125 embeddings scans in the optimized plan.
+    # Production shape: the 4096-cell moment matrix is checkpointed
+    # once (corpus-size-independent), each 64-row iterate is
+    # checkpointed, and the projection re-derives the exploded rows in
+    # ONE scan — 3 embeddings scans total across all plans.
+    rows_sql = """
+        SELECT vec_id, posexplode(v) AS (d, x)
+        FROM (SELECT vec_id,
+                     transform(embedding,
+                               x -> cast(round(cast(x AS double) * 1000) AS bigint)) AS v
+              FROM embeddings)
+    """
+    cov = catalog.sql(
+        spark,
+        sf_dir,
+        f"""
+        SELECT a.d AS i, b.d AS j, cast(sum(a.x * b.x) AS bigint) AS c
+        FROM ({rows_sql}) a JOIN ({rows_sql}) b ON a.vec_id = b.vec_id
+        GROUP BY a.d, b.d
+        """,
+    ).localCheckpoint(eager=True)
+    v = spark.sql("SELECT explode(sequence(0, 63)) AS j, cast(1000 AS bigint) AS val")
+    for _ in range(_PCA_ITER):
+        raw = _sql_with_views(
+            spark,
+            "SELECT c.i AS j, sum(c.c * p.val) AS raw "
+            "FROM __cov c JOIN __prev p ON c.j = p.j GROUP BY c.i",
+            __cov=cov,
+            __prev=v,
+        ).localCheckpoint(eager=True)
+        v = _sql_with_views(
+            spark,
+            "SELECT j, (raw * 1000) DIV (SELECT max(abs(raw)) FROM __raw) AS val "
+            "FROM __raw",
+            __raw=raw,
+        ).localCheckpoint(eager=True)
+    return _sql_with_views(
+        spark,
+        f"""
+        SELECT r.vec_id, cast(sum(r.x * vv.val) AS bigint) AS pc_milli
+        FROM ({rows_sql}) r JOIN __v vv ON r.d = vv.j
+        GROUP BY r.vec_id ORDER BY vec_id
+        """,
+        sf_dir=sf_dir,
+        __v=v,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -8364,17 +8523,85 @@ def _ppr_sql(div: str) -> str:
     return sql
 
 
-_sql_query(
+# r12 scan-guard rework (same rationale as graph_pagerank — the CTE
+# form inlined to 320 orders scans under Catalyst): staged skewed web +
+# checkpoint-per-round; the oracle keeps the verbatim all-SQL text.
+_PPR_R0_SQL = """
+    SELECT n.id,
+           CASE WHEN s.id IS NOT NULL
+                THEN CAST(floor(1000000.0 / (SELECT count(*) FROM __seeds)) AS BIGINT)
+                ELSE 0L END AS r
+    FROM __nodes n LEFT JOIN __seeds s ON s.id = n.id
+"""
+
+_PPR_ROUND_SQL = """
+    SELECT n.id,
+           CASE WHEN s.id IS NOT NULL
+                THEN CAST(round(150000.0 / (SELECT count(*) FROM __seeds)) AS BIGINT)
+                ELSE 0L END
+           + CAST(floor(coalesce(sum(
+                 CAST(floor(p.r * 1000.0 / od.d) AS BIGINT)), 0)
+                 * 85 / 100000.0) AS BIGINT) AS r
+    FROM __nodes n
+    LEFT JOIN __seeds s ON s.id = n.id
+    LEFT JOIN __edges e ON e.dst = n.id
+    LEFT JOIN __prev p ON p.id = e.src
+    LEFT JOIN __outdeg od ON od.src = e.src
+    GROUP BY n.id, s.id
+"""
+
+
+@register(
     "graph_personalized_pagerank",
-    _ppr_sql("spark"),
     oracle=_ppr_sql("duckdb"),
     tags=("pipeline", "graph", "pagerank"),
-    doc="Personalized PageRank (damping 0.85, 3 unrolled rounds, seed-set "
+    doc="Personalized PageRank (damping 0.85, 3 rounds, seed-set "
     "teleport at id % 150 == 0): rank measures proximity to the seeds — "
     "the related-items/trust-propagation variant; one edge-join + "
     "dst-groupBy per round, bounded seed broadcast, floor-quantized "
-    "exact-integer contributions identical in both engines.",
+    "exact-integer contributions identical in both engines; staged "
+    "skewed web + checkpoint-per-round (the final round's groupBy stays "
+    "a plan so the ranking window sits above its reduction).",
 )
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    E = _skewed_web_edges(spark, sf_dir)
+    N = _skewed_web_nodes(spark, sf_dir)
+    D = _skewed_web_outdeg(spark, sf_dir)
+    S = _session_memo(
+        spark,
+        "skewed_web_seeds",
+        sf_dir,
+        lambda: _sql_with_views(
+            spark,
+            "SELECT id FROM __nodes WHERE id % 150 = 0",
+            __nodes=N,
+        ).localCheckpoint(eager=True),
+    )
+    r = _sql_with_views(spark, _PPR_R0_SQL, __nodes=N, __seeds=S)
+    for k in range(3):
+        r = _sql_with_views(
+            spark,
+            _PPR_ROUND_SQL,
+            __nodes=N,
+            __seeds=S,
+            __edges=E,
+            __outdeg=D,
+            __prev=r,
+        )
+        if k < 2:
+            r = r.localCheckpoint(eager=True)
+    return _sql_with_views(
+        spark,
+        """
+        SELECT node_id, rank_micro, CAST(rk AS BIGINT) AS rk
+        FROM (SELECT id AS node_id, r AS rank_micro,
+                     row_number() OVER (ORDER BY r DESC, id) AS rk
+              FROM __r)
+        WHERE rk <= 100 OR node_id % 150 = 0
+        ORDER BY rk
+        """,
+        __r=r,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -8974,17 +9201,77 @@ def _hits_sql(div: str) -> str:
     return sql
 
 
-_sql_query(
+# r12 scan-guard rework: HITS's mutual recursion (a_k reads h_{k-1},
+# h_k reads a_k, each referenced 2-3x) made the inlined-CTE form blow
+# up EXPONENTIALLY — the optimized logical plan carried 1268 scans of
+# orders (the worst plan in the registry; 8.5s at sf0.1).  Staged
+# skewed web + checkpoint-per-iterate (every raw sum and every scaled
+# iterate is node-sized); the LAST hub step stays a plan so the
+# authority-ranking window sits above its groupBy reduction.  The
+# oracle keeps the verbatim all-SQL text.
+_HITS_RAW_SQL = """
+    SELECT e.{GROUP} AS id, sum(p.v) AS v
+    FROM __edges e JOIN __prev p ON p.id = e.{JOIN}
+    GROUP BY e.{GROUP}
+"""
+
+_HITS_SCALE_SQL = """
+    SELECT n.id, (coalesce(r.v, 0) * 1000000) DIV (SELECT max(v) FROM __raw) AS v
+    FROM __nodes n LEFT JOIN __raw r ON r.id = n.id
+"""
+
+
+@register(
     "graph_hits",
-    _hits_sql("spark"),
     oracle=_hits_sql("duckdb"),
     tags=("pipeline", "graph"),
-    doc="HITS hubs & authorities (2 unrolled mutual-reinforcement rounds "
-    "over the corpus-scaled skewed web): one edge-join + groupBy per "
-    "direction per round, iterates max-scaled to a 1e6 integer ceiling "
-    "via a 1-row broadcast (positive DIV only) — pagerank's "
-    "link-analysis sibling, top-100 authorities emitted.",
+    doc="HITS hubs & authorities (2 mutual-reinforcement rounds over the "
+    "corpus-scaled skewed web): one edge-join + groupBy per direction "
+    "per round, iterates max-scaled to a 1e6 integer ceiling via a "
+    "1-row broadcast (positive DIV only) — pagerank's link-analysis "
+    "sibling, top-100 authorities emitted; staged web + checkpoint-per-"
+    "iterate (the inlined-CTE form's mutual recursion expanded to 1268 "
+    "orders scans under Catalyst).",
 )
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    E = _skewed_web_edges(spark, sf_dir)
+    N = _skewed_web_nodes(spark, sf_dir)
+
+    def step(prev: DataFrame, join_col: str, group_col: str, last: bool) -> DataFrame:
+        raw = _sql_with_views(
+            spark,
+            _HITS_RAW_SQL.format(JOIN=join_col, GROUP=group_col),
+            __edges=E,
+            __prev=prev,
+        )
+        if not last:
+            raw = raw.localCheckpoint(eager=True)
+        scaled = _sql_with_views(spark, _HITS_SCALE_SQL, __nodes=N, __raw=raw)
+        return scaled if last else scaled.localCheckpoint(eager=True)
+
+    h0 = _sql_with_views(
+        spark, "SELECT id, CAST(1000000 AS BIGINT) AS v FROM __nodes", __nodes=N
+    )
+    a1 = step(h0, "src", "dst", last=False)   # authorities from hub scores
+    h1 = step(a1, "dst", "src", last=False)   # hubs from authority scores
+    a2 = step(h1, "src", "dst", last=False)
+    h2 = step(a2, "dst", "src", last=True)    # stays a plan: Aggregate below the window
+    return _sql_with_views(
+        spark,
+        """
+        SELECT CAST(id AS BIGINT) AS node_id,
+               CAST(authority_micro AS BIGINT) AS authority_micro,
+               CAST(hub_micro AS BIGINT) AS hub_micro,
+               CAST(ark AS BIGINT) AS ark
+        FROM (SELECT a.id, a.v AS authority_micro, h.v AS hub_micro,
+                     row_number() OVER (ORDER BY a.v DESC, a.id) AS ark
+              FROM __a a JOIN __h h ON h.id = a.id)
+        WHERE ark <= 100
+        ORDER BY ark
+        """,
+        __a=a2,
+        __h=h2,
+    )
 
 
 # ---------------------------------------------------------------------------

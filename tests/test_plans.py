@@ -781,3 +781,17 @@ def test_kafka_avro_nested_decode_is_two_arrow_passes(spark):
     assert "FileScan binaryFile" in p
     # the only exchange is the final presentation sort
     assert p.count("Exchange") == 1 and "rangepartitioning" in p
+
+
+def test_kafka_avro_multibranch_decode_is_two_arrow_passes(spark):
+    """source_kafka_avro_multibranch scale shape (r12): same posture as
+    the nested entry — exactly TWO Arrow MapInPandas stages (segment
+    parse + avro decode with the value-driven branch checks) on the
+    binaryFile scan, union-branch dispatch fully inside the decode
+    pass, conv(hex)/octet_length reductions JVM-side above, and the
+    only exchange the final presentation sort."""
+    p = _plan(spark, "source_kafka_avro_multibranch", mode="simple")
+    assert p.count("MapInPandas") == 2
+    assert "BatchEvalPython" not in p and "CartesianProduct" not in p
+    assert "FileScan binaryFile" in p
+    assert p.count("Exchange") == 1 and "rangepartitioning" in p
