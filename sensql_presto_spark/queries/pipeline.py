@@ -3051,9 +3051,17 @@ _MMR_SPARK_DOT = """aggregate(zip_with({a}, {b}, (x, y) -> x * y),
     "exact integer dot-MMR scores.",
 )
 def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12 scan-guard rework: the single-SQL form re-referenced the
+    # corpus-scanning cand CTE from every greedy round (Catalyst inlines
+    # CTEs — 30 embeddings scans in the optimized plan).  The candidate
+    # stage (<= 8 rows/probe) and the pairwise-sim table (<= 56
+    # rows/probe) are constant-size-per-probe relations — checkpoint
+    # both; the corpus is scanned exactly twice (probe side + candidate
+    # side of the top-8 join) and the greedy rounds join only the tiny
+    # staged views.  Arithmetic unchanged; oracle keeps the all-SQL text.
     dot_pc = _MMR_SPARK_DOT.format(a="p.v", b="c.v")
     dot_ab = _MMR_SPARK_DOT.format(a="a.cv", b="b.cv")
-    return catalog.sql(
+    cand = catalog.sql(
         spark,
         sf_dir,
         f"""
@@ -3062,21 +3070,30 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                    transform(embedding, x -> cast(round(cast(x AS double) * 1000) AS bigint)) AS v
             FROM embeddings
         ),
-        probes AS (SELECT * FROM q WHERE vec_id < 4),
-        cand AS (
-            SELECT * FROM (
-                SELECT p.vec_id AS pid, c.vec_id AS cid, c.v AS cv,
-                       {dot_pc} AS rel,
-                       row_number() OVER (
-                           PARTITION BY p.vec_id
-                           ORDER BY {dot_pc} DESC, c.vec_id) AS rk
-                FROM probes p JOIN q c ON c.vec_id <> p.vec_id
-            ) t WHERE rk <= 8
-        ),
-        pair AS (
-            SELECT a.pid, a.cid AS ca, b.cid AS cb, {dot_ab} AS sim
-            FROM cand a JOIN cand b ON a.pid = b.pid AND a.cid <> b.cid
-        ),
+        probes AS (SELECT * FROM q WHERE vec_id < 4)
+        SELECT * FROM (
+            SELECT p.vec_id AS pid, c.vec_id AS cid, c.v AS cv,
+                   {dot_pc} AS rel,
+                   row_number() OVER (
+                       PARTITION BY p.vec_id
+                       ORDER BY {dot_pc} DESC, c.vec_id) AS rk
+            FROM probes p JOIN q c ON c.vec_id <> p.vec_id
+        ) t WHERE rk <= 8
+        """,
+    ).localCheckpoint(eager=True)
+    pair = _sql_with_views(
+        spark,
+        f"""
+        SELECT a.pid, a.cid AS ca, b.cid AS cb, {dot_ab} AS sim
+        FROM __cand a JOIN __cand b ON a.pid = b.pid AND a.cid <> b.cid
+        """,
+        __cand=cand,
+    ).localCheckpoint(eager=True)
+    return _sql_with_views(
+        spark,
+        """
+        WITH cand AS (SELECT * FROM __cand),
+        pair AS (SELECT * FROM __pair),
         s1 AS (
             SELECT pid, cid AS sel, rel FROM (
                 SELECT pid, cid, rel,
@@ -3119,6 +3136,8 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT pid, cast(3 AS BIGINT), sel, cast(rel AS BIGINT) FROM s3
         ORDER BY query_id, pick
         """,
+        __cand=cand,
+        __pair=pair,
     )
 
 
