@@ -2978,6 +2978,34 @@ _MMR_SPARK_DOT = """aggregate(zip_with({a}, {b}, (x, y) -> x * y),
                              cast(0 AS bigint), (acc, x) -> acc + x)"""
 
 
+def _mmr_cand_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Un-checkpointed candidate stage (per-probe top-8 over the corpus
+    with the probe set broadcast) — kept as a separate builder so
+    tests/test_plans.py can still pin the generation plan's broadcast
+    shape after the r12 staging rework."""
+    dot_pc = _MMR_SPARK_DOT.format(a="p.v", b="c.v")
+    return catalog.sql(
+        spark,
+        sf_dir,
+        f"""
+        WITH q AS (
+            SELECT vec_id,
+                   transform(embedding, x -> cast(round(cast(x AS double) * 1000) AS bigint)) AS v
+            FROM embeddings
+        ),
+        probes AS (SELECT * FROM q WHERE vec_id < 4)
+        SELECT * FROM (
+            SELECT p.vec_id AS pid, c.vec_id AS cid, c.v AS cv,
+                   {dot_pc} AS rel,
+                   row_number() OVER (
+                       PARTITION BY p.vec_id
+                       ORDER BY {dot_pc} DESC, c.vec_id) AS rk
+            FROM probes p JOIN q c ON c.vec_id <> p.vec_id
+        ) t WHERE rk <= 8
+        """,
+    )
+
+
 @register(
     "sim_mmr_rerank",
     oracle="""
@@ -3059,28 +3087,8 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both; the corpus is scanned exactly twice (probe side + candidate
     # side of the top-8 join) and the greedy rounds join only the tiny
     # staged views.  Arithmetic unchanged; oracle keeps the all-SQL text.
-    dot_pc = _MMR_SPARK_DOT.format(a="p.v", b="c.v")
     dot_ab = _MMR_SPARK_DOT.format(a="a.cv", b="b.cv")
-    cand = catalog.sql(
-        spark,
-        sf_dir,
-        f"""
-        WITH q AS (
-            SELECT vec_id,
-                   transform(embedding, x -> cast(round(cast(x AS double) * 1000) AS bigint)) AS v
-            FROM embeddings
-        ),
-        probes AS (SELECT * FROM q WHERE vec_id < 4)
-        SELECT * FROM (
-            SELECT p.vec_id AS pid, c.vec_id AS cid, c.v AS cv,
-                   {dot_pc} AS rel,
-                   row_number() OVER (
-                       PARTITION BY p.vec_id
-                       ORDER BY {dot_pc} DESC, c.vec_id) AS rk
-            FROM probes p JOIN q c ON c.vec_id <> p.vec_id
-        ) t WHERE rk <= 8
-        """,
-    ).localCheckpoint(eager=True)
+    cand = _mmr_cand_plan(spark, sf_dir).localCheckpoint(eager=True)
     pair = _sql_with_views(
         spark,
         f"""

@@ -269,13 +269,23 @@ def test_dedup_url_canonicalization_stays_codegen(spark):
 
 
 def test_mmr_rerank_broadcasts_probe_rounds(spark):
-    """sim_mmr_rerank: the candidate stage streams the corpus against a
-    BROADCAST probe set (non-equi join -> BroadcastNestedLoopJoin with the
-    4-row probe side as build — the sim_topk shape); selection rounds are
-    joins over k-row relations. Never a cartesian or row-Python plan."""
+    """sim_mmr_rerank after the r12 staging rework: the CANDIDATE stage
+    (pinned via its un-checkpointed builder) streams the corpus against a
+    BROADCAST probe set (non-equi join -> BroadcastNestedLoopJoin with
+    the 4-row probe side as build — the sim_topk shape); the returned
+    plan's greedy rounds join only the checkpointed cand/pair views —
+    ZERO parquet scans (30 embeddings scans in the pre-r12 inlined-CTE
+    form). Never a cartesian or row-Python plan."""
+    from sensql_presto_spark.queries.pipeline import _mmr_cand_plan
+
+    cand = _mmr_cand_plan(spark, SF)
+    cplan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in cplan or "BroadcastHashJoin" in cplan
+    assert "BuildRight" in cplan  # the probe side is the build/broadcast side
+    assert "CartesianProduct" not in cplan and "Python" not in cplan
+
     plan = _plan(spark, "sim_mmr_rerank")
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    assert "BuildRight" in plan  # the probe side is the build/broadcast side
+    assert "FileScan" not in plan  # greedy rounds read only staged views
     assert "CartesianProduct" not in plan and "Python" not in plan
 
 
