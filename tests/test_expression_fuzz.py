@@ -162,3 +162,14 @@ def test_fmtshim_generator_stays_inside_the_shared_subset():
         for m in re.finditer(r"([a-z])\1{4,}", unquoted):
             raise AssertionError(f"over-long field run {m.group()} in {joda!r}")
         assert "%" not in joda and "'" not in strf
+
+
+def test_hof_seeds_agree(spark):
+    """hof-mode fuzz (r12, the THIRTEENTH mode): Spark's lambda HOFs
+    (transform/filter/aggregate/exists/element_at) against DuckDB's
+    list_* lambda family, dialect-pair rendered from one generator pass.
+    The pinned range includes seed 187423 — the mode's live find on its
+    first smoke (Spark array_join([]) = '' vs DuckDB array_to_string([])
+    = NULL), now encoded as the COALESCE fingerprint rule."""
+    assert expr_fuzz.run_hof_batch(spark, SF, list(range(187400, 187425))) == []
+    assert expr_fuzz.run_hof_batch(spark, SF, list(range(187425, 187450))) == []

@@ -1128,3 +1128,205 @@ def run_fmtshim_batch(spark, sf_dir: str, seeds: list[int]) -> list[str]:
                 f"fmtshim seed {s}: ts={ts_list[i]} spark={av[i]!r} duckdb={ev[i]!r}"
             )
     return problems
+
+
+# --- hof mode: higher-order collection functions across dialects -------------
+#
+# Spark's lambda HOFs (transform/filter/aggregate/exists) against DuckDB's
+# list_* lambda family — the collection surface the similarity/text operators
+# lean on (F.transform/F.filter/F.aggregate pipelines) had no dedicated
+# differential mode.  Unlike negdiv's two-pass rendering, one generator pass
+# emits BOTH dialect spellings per node, so the rng stream cannot desync.
+#
+# Probed divergences the grammar encodes as rules (DuckDB 1.0.0 / Spark 4):
+#
+#   * sequence(1, 0) DESCENDS in Spark ([1, 0]) while generate_series(1, 0)
+#     is empty in DuckDB — ramp stops are always generated >= 1 via
+#     1 + abs(e) % 6, so every ramp ascends in both engines;
+#   * empty-array sum: Spark's aggregate() returns the init (0) while
+#     DuckDB's list_aggregate(.., 'sum') returns NULL — the DuckDB side is
+#     always wrapped in COALESCE(.., 0);
+#   * list_distinct element order is UNSPECIFIED in DuckDB (array_distinct
+#     preserves first-occurrence order in Spark) — distinct is only generated
+#     composed with an outer sort;
+#   * slice(A, s, L) maps to list_slice(A, s, s + L - 1): both return [] for
+#     out-of-range starts (probed: slice([1,2,3], 5, 2) = [] and
+#     list_slice([1,2,3], 5, 6) = []) and for L = 0 (end < begin in DuckDB);
+#   * element_at out-of-bounds RAISES under ANSI Spark while DuckDB's A[i]
+#     returns NULL — element_at is generated only over arrays whose
+#     nonemptiness is guaranteed by construction (a ramp base reached by no
+#     filter/slice), with the index folded into range via 1 + abs(e) % size;
+#   * array_max/array_min of an empty array is NULL in both engines, but the
+#     columns compare through COALESCE(.., -9999) so a filter-to-empty row
+#     still compares a concrete value;
+#   * % inside lambda bodies is C-style (sign of the dividend) in BOTH
+#     engines (probed: list_transform([-3,-2], x -> x % 2) = [-1, 0]), same
+#     as the negdiv mode's top-level contract;
+#   * empty-array join: Spark's array_join([]) is '' while DuckDB's
+#     array_to_string([]) is NULL (FOUND LIVE by this mode's first 200-seed
+#     smoke, seeds 187423/187446/187515/187528/187552/187560) — the DuckDB
+#     fingerprint column is wrapped in COALESCE(.., '').
+#
+# Magnitudes are tracked exactly as in int_expr: ramp elements <= 7, literal
+# elements reuse int_expr(1) bounds, lambda multipliers <= 9, so any sum over
+# a <= ~40-element array stays orders of magnitude below int64.
+
+
+def _hof_lambda_body(g: "_Gen", mag: float) -> tuple[str, float]:
+    """Integer lambda body over ``x`` — identical spelling in both dialects."""
+    r = g.rng
+    pick = r.random()
+    if pick < 0.18:
+        return "x", mag
+    if pick < 0.38:
+        k = r.randint(-99, 99)
+        return f"(x + {k})", mag + abs(k)
+    if pick < 0.53:
+        k = r.randint(2, 9)
+        return f"(x * {k})", mag * k
+    if pick < 0.68:
+        k = r.randint(2, 9)
+        return f"abs(x - {k})", mag + k
+    if pick < 0.86:
+        k = r.randint(2, 9)
+        return f"(x % {k})", float(k)
+    k = r.randint(2, 9)
+    j = r.randint(0, k - 1)
+    a = r.randint(-99, 99)
+    return f"(CASE WHEN x % {k} = {j} THEN {a} ELSE x END)", mag + abs(a)
+
+
+def _hof_pred(g: "_Gen", mag: float) -> str:
+    """Boolean lambda body over ``x`` — identical spelling in both dialects."""
+    r = g.rng
+    pick = r.random()
+    if pick < 0.4:
+        k = r.randint(2, 9)
+        return f"(x % {k} = {r.randint(0, k - 1)})"
+    if pick < 0.7:
+        return f"(x > {r.randint(-9, 9)})"
+    return f"(x <> {r.randint(-5, 9)})"
+
+
+def _hof_arr(g: "_Gen", depth: int) -> tuple[str, str, float, bool]:
+    """Returns (spark_sql, duckdb_sql, elem_magnitude, nonempty_guaranteed)."""
+    r = g.rng
+    if depth <= 0:
+        if r.random() < 0.5:
+            e, _ = g.int_expr(0)
+            n = f"(1 + abs({e}) % 6)"
+            return f"sequence(1, {n})", f"generate_series(1, {n})", 7.0, True
+        elems = [g.int_expr(1) for _ in range(r.randint(1, 4))]
+        lst = ", ".join(e for e, _ in elems)
+        mag = max(m for _, m in elems)
+        return f"array({lst})", f"[{lst}]", mag, True
+    s, d, mag, ne = _hof_arr(g, depth - 1)
+    pick = r.random()
+    if pick < 0.22:
+        body, bmag = _hof_lambda_body(g, mag)
+        return f"transform({s}, x -> {body})", f"list_transform({d}, x -> {body})", bmag, ne
+    if pick < 0.40:
+        p = _hof_pred(g, mag)
+        return f"filter({s}, x -> {p})", f"list_filter({d}, x -> {p})", mag, False
+    if pick < 0.52:
+        if r.random() < 0.5:
+            return f"sort_array({s})", f"list_sort({d})", mag, ne
+        return f"sort_array({s}, false)", f"list_sort({d}, 'DESC')", mag, ne
+    if pick < 0.62:
+        return (
+            f"sort_array(array_distinct({s}))",
+            f"list_sort(list_distinct({d}))",
+            mag,
+            ne,
+        )
+    if pick < 0.72:
+        return f"reverse({s})", f"list_reverse({d})", mag, ne
+    if pick < 0.86:
+        s2, d2, mag2, ne2 = _hof_arr(g, depth - 1)
+        return f"concat({s}, {s2})", f"list_concat({d}, {d2})", max(mag, mag2), ne or ne2
+    start, ln = r.randint(1, 4), r.randint(0, 4)
+    return f"slice({s}, {start}, {ln})", f"list_slice({d}, {start}, {start + ln - 1})", mag, False
+
+
+def _hof_col(g: "_Gen") -> tuple[str, str]:
+    r = g.rng
+    s, d, mag, ne = _hof_arr(g, r.randint(1, 3))
+    pick = r.random()
+    if pick < 0.20:
+        return (
+            f"CAST(aggregate({s}, CAST(0 AS BIGINT), (acc, x) -> acc + x) AS BIGINT)",
+            f"CAST(COALESCE(list_aggregate({d}, 'sum'), 0) AS BIGINT)",
+        )
+    if pick < 0.38:
+        return f"CAST(size({s}) AS BIGINT)", f"CAST(len({d}) AS BIGINT)"
+    if pick < 0.50:
+        return (
+            f"CAST(COALESCE(array_max({s}), -9999) AS BIGINT)",
+            f"CAST(COALESCE(list_max({d}), -9999) AS BIGINT)",
+        )
+    if pick < 0.60:
+        return (
+            f"CAST(COALESCE(array_min({s}), -9999) AS BIGINT)",
+            f"CAST(COALESCE(list_min({d}), -9999) AS BIGINT)",
+        )
+    if pick < 0.72:
+        k, _ = g.int_expr(1)
+        return (
+            f"(CASE WHEN array_contains(transform({s}, x -> CAST(x AS BIGINT)), CAST({k} AS BIGINT)) THEN 1 ELSE 0 END)",
+            f"(CASE WHEN list_contains({d}, {k}) THEN 1 ELSE 0 END)",
+        )
+    if pick < 0.84:
+        p = _hof_pred(g, mag)
+        return (
+            f"(CASE WHEN exists({s}, x -> {p}) THEN 1 ELSE 0 END)",
+            f"(CASE WHEN len(list_filter({d}, x -> {p})) > 0 THEN 1 ELSE 0 END)",
+        )
+    if ne:
+        e, _ = g.int_expr(0)
+        return (
+            # Spark's element_at requires an INT index (the modulo keeps it
+            # tiny, so the narrowing cast is always in range)
+            f"CAST(element_at({s}, CAST(1 + abs({e}) % size({s}) AS INT)) AS BIGINT)",
+            f"CAST({d}[1 + abs({e}) % len({d})] AS BIGINT)",
+        )
+    return (
+        f"array_join(transform({s}, x -> CAST(x AS STRING)), ',')",
+        f"COALESCE(array_to_string({d}, ','), '')",
+    )
+
+
+def build_hof_query(seeds: list[int], dialect: str) -> str:
+    cols = []
+    for s in seeds:
+        sp, du = _hof_col(_Gen(s))
+        cols.append(f"{sp if dialect == 'spark' else du} AS e{s}")
+    return (
+        "SELECT o_orderkey, "
+        + ",\n       ".join(cols)
+        + " FROM ("
+        + _BASE
+        + ") t ORDER BY o_orderkey"
+    )
+
+
+def run_hof_batch(spark, sf_dir: str, seeds: list[int]) -> list[str]:
+    from sensql_presto_spark import catalog
+    from sensql_presto_spark.testing import duckdb_connection
+
+    actual = catalog.sql(spark, sf_dir, build_hof_query(seeds, "spark")).toPandas()
+    con = duckdb_connection(sf_dir)
+    expected = con.sql(build_hof_query(seeds, "duckdb")).df()
+    con.close()
+    problems = []
+    if len(actual) != len(expected):
+        return [f"hof: row count differs: spark={len(actual)} duckdb={len(expected)}"]
+    for s in seeds:
+        col = f"e{s}"
+        av, ev = actual[col], expected[col]
+        eq = (av == ev) | (av.isna() & ev.isna())
+        if not eq.all():
+            i = int((~eq).idxmax())
+            problems.append(
+                f"hof seed {s}: row {i} spark={av[i]!r} duckdb={ev[i]!r}"
+            )
+    return problems
