@@ -670,9 +670,26 @@ def test_no_registry_query_plans_cartesian_or_row_python(spark):
     for name, spec in sorted(all_specs().items()):
         try:
             plan = _plan(spark, name, mode="simple")
-        except Exception as exc:  # noqa: BLE001 — a build error IS a finding
-            offenders[name] = f"BUILD-ERROR {type(exc).__name__}"
-            continue
+        except Exception as first:  # noqa: BLE001 — a build error IS a finding
+            # Building 387 plans back-to-back in a long-lived JVM session
+            # can hit a one-off Py4J/executor blip (observed once in a
+            # full-suite run, never reproducible in isolation or in the
+            # exact-prefix re-run).  A REAL builder regression is
+            # deterministic and fails the immediate retry too; a transient
+            # passes it and is surfaced as a warning instead of a failure.
+            try:
+                plan = _plan(spark, name, mode="simple")
+                import warnings
+
+                warnings.warn(
+                    f"transient plan-build error for {name} (passed on "
+                    f"retry): {type(first).__name__}: {str(first)[:200]}"
+                )
+            except Exception as exc:  # noqa: BLE001
+                offenders[name] = (
+                    f"BUILD-ERROR {type(exc).__name__}: {str(exc)[:300]}"
+                )
+                continue
         bad = [m for m in ("CartesianProduct", "BatchEvalPython") if m in plan]
         if bad:
             offenders[name] = bad
