@@ -173,3 +173,14 @@ def test_hof_seeds_agree(spark):
     = NULL), now encoded as the COALESCE fingerprint rule."""
     assert expr_fuzz.run_hof_batch(spark, SF, list(range(187400, 187425))) == []
     assert expr_fuzz.run_hof_batch(spark, SF, list(range(187425, 187450))) == []
+
+
+def test_hofmap_seeds_agree(spark):
+    """hofmap-mode fuzz (r12, the FOURTEENTH mode): the MAP surface —
+    Spark map_from_arrays/element_at/try_element_at/cardinality/
+    map_keys/map_values vs DuckDB map()/bracket extraction (which
+    returns a LIST of matches, unwrapped with [1]).  Maps are built
+    only over distinct-ramp keys (duplicate keys raise in both
+    engines); missing-key lookups compare through COALESCE."""
+    assert expr_fuzz.run_hofmap_batch(spark, SF, list(range(213300, 213325))) == []
+    assert expr_fuzz.run_hofmap_batch(spark, SF, list(range(213325, 213350))) == []

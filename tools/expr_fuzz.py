@@ -1330,3 +1330,104 @@ def run_hof_batch(spark, sf_dir: str, seeds: list[int]) -> list[str]:
                 f"hof seed {s}: row {i} spark={av[i]!r} duckdb={ev[i]!r}"
             )
     return problems
+
+
+# --- hofmap mode: map construction/lookup across dialects --------------------
+#
+# Companion to the hof mode for the MAP surface (fn_map's operators ride
+# it): Spark map_from_arrays/element_at/try_element_at/cardinality/
+# map_keys/map_values against DuckDB's map()/bracket-extraction family.
+# A SEPARATE mode (not a hof grammar branch) so the hof CI pins keep
+# generating byte-identical expressions — extending a seeded grammar
+# shifts every rng draw after the first new branch.
+#
+# Probed rules (DuckDB 1.0.0 / this repo's Spark session):
+#
+#   * DuckDB map extraction m[k] returns a LIST of matches ([10], [] for
+#     a miss) — every lookup unwraps with [1], which maps empty to NULL;
+#   * maps are built ONLY as map(ramp, transform(ramp, body)): the ramp's
+#     1..n keys are distinct by construction (duplicate keys RAISE in
+#     both engines) and both sides always zip equal-length arrays;
+#   * missing-key lookup is NULL on both sides here (Spark
+#     try_element_at — explicit even though this session's element_at
+#     also returns NULL with ANSI off — vs the [] -> NULL unwrap),
+#     compared through COALESCE(.., -7777);
+#   * key/value order: both engines preserve the construction order of
+#     map_from_arrays/map(), so keys/values fingerprints compare without
+#     a sort (ramp keys are ascending anyway).
+
+
+def _hofmap_col(g: "_Gen") -> tuple[str, str]:
+    r = g.rng
+    e, _ = g.int_expr(0)
+    n = f"(1 + abs({e}) % 6)"
+    body, _ = _hof_lambda_body(g, 7.0)
+    sk, dk = f"sequence(1, {n})", f"generate_series(1, {n})"
+    sm = f"map_from_arrays({sk}, transform({sk}, x -> {body}))"
+    dm = f"map({dk}, list_transform({dk}, x -> {body}))"
+    pick = r.random()
+    if pick < 0.25:
+        e2, _ = g.int_expr(0)
+        idx = f"(1 + abs({e2}) % {n})"
+        return (
+            f"CAST(element_at({sm}, {idx}) AS BIGINT)",
+            f"CAST(({dm}[{idx}])[1] AS BIGINT)",
+        )
+    if pick < 0.50:
+        e2, _ = g.int_expr(0)
+        idx = f"(1 + abs({e2}) % ({n} + 3))"
+        return (
+            f"CAST(COALESCE(try_element_at({sm}, {idx}), -7777) AS BIGINT)",
+            f"CAST(COALESCE(({dm}[{idx}])[1], -7777) AS BIGINT)",
+        )
+    if pick < 0.65:
+        return (
+            f"CAST(cardinality({sm}) AS BIGINT)",
+            f"CAST(cardinality({dm}) AS BIGINT)",
+        )
+    if pick < 0.85:
+        return (
+            f"CAST(aggregate(map_values({sm}), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS BIGINT)",
+            f"CAST(COALESCE(list_aggregate(map_values({dm}), 'sum'), 0) AS BIGINT)",
+        )
+    return (
+        f"array_join(transform(map_keys({sm}), x -> CAST(x AS STRING)), ',')",
+        f"COALESCE(array_to_string(map_keys({dm}), ','), '')",
+    )
+
+
+def build_hofmap_query(seeds: list[int], dialect: str) -> str:
+    cols = []
+    for s in seeds:
+        sp, du = _hofmap_col(_Gen(s))
+        cols.append(f"{sp if dialect == 'spark' else du} AS e{s}")
+    return (
+        "SELECT o_orderkey, "
+        + ",\n       ".join(cols)
+        + " FROM ("
+        + _BASE
+        + ") t ORDER BY o_orderkey"
+    )
+
+
+def run_hofmap_batch(spark, sf_dir: str, seeds: list[int]) -> list[str]:
+    from sensql_presto_spark import catalog
+    from sensql_presto_spark.testing import duckdb_connection
+
+    actual = catalog.sql(spark, sf_dir, build_hofmap_query(seeds, "spark")).toPandas()
+    con = duckdb_connection(sf_dir)
+    expected = con.sql(build_hofmap_query(seeds, "duckdb")).df()
+    con.close()
+    problems = []
+    if len(actual) != len(expected):
+        return [f"hofmap: row count differs: spark={len(actual)} duckdb={len(expected)}"]
+    for s in seeds:
+        col = f"e{s}"
+        av, ev = actual[col], expected[col]
+        eq = (av == ev) | (av.isna() & ev.isna())
+        if not eq.all():
+            i = int((~eq).idxmax())
+            problems.append(
+                f"hofmap seed {s}: row {i} spark={av[i]!r} duckdb={ev[i]!r}"
+            )
+    return problems
