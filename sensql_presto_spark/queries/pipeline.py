@@ -422,9 +422,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (codegen), and the 32 bit-sums + signature assembly are plain codegen'd
 # aggregates. Both engines compute hash((h1*131+h2)*131+h3 mod p)
 # identically, so the oracle matches bit-for-bit.
-_sql_query(
-    "dedup_simhash",
-    """
+# r13 scan-audit fix: the band self-join (bands a JOIN bands b) used to
+# inline the ENTIRE signature pipeline (tokenize -> vocab hash -> shingle
+# window -> 32 bit-sums) once per side, and dedup_eval_pr inlined that
+# doubled subtree again — the signature table is therefore staged as a
+# localCheckpoint (doc-sized: one row per document) and the band join
+# reads it twice for free.  SQL below is the r12 text verbatim, split at
+# the sim boundary.
+_SIMHASH_SIG_SQL = """
     WITH tok AS (SELECT doc_id, split(text, ' ') AS t FROM documents),
     trows AS (SELECT doc_id, posexplode(t) AS (pos, tk) FROM tok WHERE size(t) >= 3),
     vocab AS (SELECT DISTINCT tk FROM trows),
@@ -514,10 +519,14 @@ _sql_query(
                + (CASE WHEN s30 >= 0 THEN 1073741824L ELSE 0L END)
                + (CASE WHEN s31 >= 0 THEN 2147483648L ELSE 0L END) AS simhash
         FROM bits
-    ),
-    bands AS (
+    )
+    SELECT doc_id, simhash FROM sim
+    """
+
+_SIMHASH_PAIRS_SQL = """
+    WITH bands AS (
         SELECT doc_id, simhash, b, shiftright(simhash, b * 8) & 255 AS bv
-        FROM sim LATERAL VIEW explode(sequence(0, 3)) t AS b
+        FROM __sh_sim LATERAL VIEW explode(sequence(0, 3)) t AS b
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sh_a,
@@ -529,8 +538,9 @@ _sql_query(
     FROM cand
     WHERE bit_count(sh_a ^ sh_b) <= 3
     ORDER BY id_a, id_b
-    """,
-    oracle="""
+    """
+
+_SIMHASH_ORACLE = """
     WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
                  WHERE len(string_split(text, ' ')) >= 3),
     th AS (
@@ -556,9 +566,21 @@ _sql_query(
     FROM sim a JOIN sim b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     ORDER BY id_a, id_b
-    """,
+    """
+
+
+@register(
+    "dedup_simhash",
+    oracle=_SIMHASH_ORACLE,
     tags=("pipeline", "dedup"),
+    doc="SimHash near-dup pairs (hamming <= 3) over 3-gram shingles: "
+    "32-bit signature, 4-byte pigeonhole banding as a complete candidate "
+    "generator; the doc-sized signature table is checkpointed once (r13) "
+    "so the band self-join never re-runs the signature pipeline.",
 )
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sim = catalog.sql(spark, sf_dir, _SIMHASH_SIG_SQL).localCheckpoint(eager=True)
+    return _sql_with_views(spark, _SIMHASH_PAIRS_SQL, __sh_sim=sim)
 
 # Embedding near-dup: brute-force cosine over all pairs — the correctness
 # baseline (top-10 most-similar pairs). The a.vec_id < b.vec_id join is the
@@ -4870,22 +4892,91 @@ _KCORE_ORACLE = (
 ).replace("sym AS (", "sym AS MATERIALIZED (")
 assert _KCORE_ORACLE.count("WITH ") == 1
 
+# r13 scan-audit fix: the declaratively-unrolled _KCORE_ROUNDS_SQL (kept
+# above verbatim — it IS the oracle text) re-expands every round twice
+# when Spark inlines the CTEs (a5 contains a4 twice -> a3 4x -> ... a1
+# 16x; the final LEFT JOINs re-expand the whole cascade once more):
+# 600-node physical plan, 116 scans of the checkpointed edge relation,
+# 224 Exchanges.  The Spark-side builder therefore stages each peel
+# round's alive set (node-sized, bounded by the vertex count) as a
+# localCheckpoint — the same staged-iterate discipline the r12 audit
+# applied to pagerank/HITS — so every round and every final LEFT JOIN
+# reads a materialized relation exactly once.  Round 5 (the asserted-
+# empty fixpoint margin) stays a plan so the result is one query.
+_KCORE_PEEL1_SQL = """
+    SELECT src AS id, count(*) AS d FROM __kc_sym
+    GROUP BY src HAVING count(*) >= 6
+"""
+
+_KCORE_PEEL_SQL = """
+    SELECT e.src AS id, count(*) AS d
+    FROM __kc_sym e
+    JOIN __kc_prev x ON e.dst = x.id
+    JOIN __kc_prev y ON e.src = y.id
+    GROUP BY e.src HAVING count(*) >= 6
+"""
+
+_KCORE_FINAL_SQL = """
+    WITH nodes AS (SELECT DISTINCT src AS id FROM __kc_sym),
+    a5 AS (SELECT e.src AS id, count(*) AS d
+           FROM __kc_sym e
+           JOIN __kc_a4 x ON e.dst = x.id
+           JOIN __kc_a4 y ON e.src = y.id
+           GROUP BY e.src HAVING count(*) >= 6)
+    SELECT CAST(n.id AS BIGINT) AS node_id,
+           CAST(CASE WHEN a5.id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_core,
+           CAST(coalesce(a5.d, -1) AS BIGINT) AS core_degree,
+           CAST(CASE WHEN a1.id IS NULL THEN 1
+                     WHEN a2.id IS NULL THEN 2
+                     WHEN a3.id IS NULL THEN 3
+                     WHEN a4.id IS NULL THEN 4
+                     WHEN a5.id IS NULL THEN 5
+                     ELSE 0 END AS BIGINT) AS peeled_round
+    FROM nodes n
+    LEFT JOIN __kc_a1 a1 ON n.id = a1.id
+    LEFT JOIN __kc_a2 a2 ON n.id = a2.id
+    LEFT JOIN __kc_a3 a3 ON n.id = a3.id
+    LEFT JOIN __kc_a4 a4 ON n.id = a4.id
+    LEFT JOIN a5 ON n.id = a5.id
+    ORDER BY node_id
+"""
+
 
 @register(
     "graph_kcore",
     oracle=_KCORE_ORACLE,
     tags=("pipeline", "graph", "kcore"),
     bench=True,  # r7: round-over-round perf tracking for the graph family
-    doc="6-core decomposition by unrolled peeling (Seidman 1983): per "
+    doc="6-core decomposition by staged peeling (Seidman 1983): per "
     "round one edge-vs-alive join + degree aggregate + HAVING filter on "
-    "the corpus-scaled skewed hub web; fixpoint within 4 rounds at all "
-    "tested scales (round 5 = margin, test-asserted empty); peeled_round "
-    "is the coreness diagnostic; symmetrized edges checkpointed once.",
+    "the corpus-scaled skewed hub web, each round's node-sized alive set "
+    "checkpointed (r13: the inlined 5-round cascade re-expanded every "
+    "prior round twice — 600-node plan, 116 edge scans); fixpoint within "
+    "4 rounds at all tested scales (round 5 = margin, test-asserted "
+    "empty); peeled_round is the coreness diagnostic; symmetrized edges "
+    "checkpointed once.",
 )
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = catalog.sql(spark, sf_dir, _KCORE_GRAPH_SQL).localCheckpoint(eager=True)
-    sym.createOrReplaceTempView("__kc_sym")
-    return spark.sql(_KCORE_ROUNDS_SQL.format(E="__kc_sym"))
+    a = _sql_with_views(spark, _KCORE_PEEL1_SQL, __kc_sym=sym).localCheckpoint(
+        eager=True
+    )
+    rounds = [a]
+    for _ in range(3):
+        a = _sql_with_views(
+            spark, _KCORE_PEEL_SQL, __kc_sym=sym, __kc_prev=a
+        ).localCheckpoint(eager=True)
+        rounds.append(a)
+    a1, a2, a3, a4 = rounds
+    return _sql_with_views(
+        spark,
+        _KCORE_FINAL_SQL,
+        __kc_sym=sym,
+        __kc_a1=a1,
+        __kc_a2=a2,
+        __kc_a3=a3,
+        __kc_a4=a4,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -7953,14 +8044,20 @@ def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     for _ in range(_CLUSTER_ROUNDS):
-        neigh = (
-            edges.join(labels, edges.u == labels.node)
-            .groupBy(F.col("v").alias("node"))
-            .agg(F.min("label").alias("nlabel"))
-        )
+        # min(own label, labels of in-neighbors) expressed as ONE
+        # union + groupBy-min — identical per-round fixpoint math to the
+        # r12 join/least/coalesce form, but one exchange per round
+        # instead of three (the node-sized labels side broadcasts into
+        # the edge join; the old shape shuffled labels for the join, the
+        # neighbor aggregate, AND the left join back).
         labels = (
-            labels.join(neigh, "node", "left")
-            .select("node", F.least("label", F.coalesce("nlabel", "label")).alias("label"))
+            labels.union(
+                edges.join(labels, edges.u == labels.node).select(
+                    F.col("v").alias("node"), F.col("label")
+                )
+            )
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
     sized = labels.select(
@@ -8743,6 +8840,108 @@ _PRF_DUCK_PREFIX = """
     ),
 """
 
+# r13 scan-audit fix: _PRF_MAIN_SQL (kept verbatim above — it builds the
+# oracle text) re-expands under Spark's CTE inlining: df is re-aggregated
+# for idf/qterms/qterms2, and the whole pass-1 subtree (contrib1 -> r1 ->
+# expcand -> expn) is inlined once per expn reference (qterms2, e1, e2) —
+# a 79 KB physical plan with 56 posting scans and 50 Window nodes.  The
+# Spark-side builder stages the three BOUNDED relations — df (vocab-
+# sized aggregate), qterms (6 rows), expn2 (<= 2 expansion terms per
+# query) — as localCheckpoints, so each BM25 pass reads the posting list
+# exactly once and the plan is linear.  Every expression is copied
+# verbatim from _PRF_MAIN_SQL; only the staging boundaries are new.
+_PRF_DF_SQL = "SELECT term, count(*) AS df FROM {P} GROUP BY term"
+
+_PRF_QTERMS_SQL = """
+    SELECT cast(ceil(rk / 2.0) AS INT) AS query_id, term, df
+    FROM (SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS rk FROM __prf_df)
+    WHERE rk <= 6
+"""
+
+_PRF_EXPN2_SQL = """
+    WITH tot AS (SELECT count(*) AS n, cast(sum(dl) AS BIGINT) AS s FROM {D}),
+    contrib1 AS (
+        SELECT q.query_id, p.doc_id,
+               (cast(floor(ln((2 * t.n + 2) / (2.0 * q.df + 1)) * 1000000 + 0.5) AS BIGINT)
+                 * (22 * p.tf * t.s))
+               DIV (10 * t.s * p.tf + 3 * t.s + 9 * t.n * d.dl) AS c_micro
+        FROM {P} p
+        JOIN __prf_qterms q ON p.term = q.term
+        JOIN {D} d ON p.doc_id = d.doc_id
+        CROSS JOIN tot t
+    ),
+    r1 AS (
+        SELECT query_id, doc_id FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sum(c_micro) DESC, doc_id) AS rk
+            FROM contrib1 GROUP BY query_id, doc_id
+        ) z WHERE rk <= 3
+    ),
+    idf AS (
+        SELECT term, df,
+               cast(floor(ln((2 * (SELECT n FROM tot) + 2) / (2.0 * df + 1))
+                          * 1000000 + 0.5) AS BIGINT) AS idf_micro
+        FROM __prf_df
+    ),
+    expcand AS (
+        SELECT r.query_id, p.term, sum(p.tf * i.idf_micro) AS escore
+        FROM r1 r
+        JOIN {P} p ON p.doc_id = r.doc_id
+        JOIN idf i ON i.term = p.term
+        LEFT JOIN __prf_qterms q ON q.query_id = r.query_id AND q.term = p.term
+        WHERE q.term IS NULL
+        GROUP BY r.query_id, p.term
+    )
+    SELECT query_id, term, erk FROM (
+        SELECT query_id, term,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY escore DESC, term) AS erk
+        FROM expcand
+    ) WHERE erk <= 2
+"""
+
+# qterms2 is staged separately (12 rows): referencing the checkpointed
+# expn2 relation under BOTH the union and the two erk joins of the final
+# query trips a Catalyst optimizer crash in Spark 4.1 ("key not found:
+# term#N" during lazyOptimizedPlan) — and the staging is what the plan
+# wants anyway (the union feeds a join build side).
+_PRF_QTERMS2_SQL = """
+    SELECT query_id, term, df FROM __prf_qterms
+    UNION ALL
+    SELECT e.query_id, e.term, d.df
+    FROM __prf_expn2 e JOIN __prf_df d ON d.term = e.term
+"""
+
+_PRF_FINAL_SQL = """
+    WITH tot AS (SELECT count(*) AS n, cast(sum(dl) AS BIGINT) AS s FROM {D}),
+    contrib2 AS (
+        SELECT q.query_id, p.doc_id,
+               (cast(floor(ln((2 * t.n + 2) / (2.0 * q.df + 1)) * 1000000 + 0.5) AS BIGINT)
+                 * (22 * p.tf * t.s))
+               DIV (10 * t.s * p.tf + 3 * t.s + 9 * t.n * d.dl) AS c_micro
+        FROM {P} p
+        JOIN __prf_qterms2 q ON p.term = q.term
+        JOIN {D} d ON p.doc_id = d.doc_id
+        CROSS JOIN tot t
+    ),
+    ranked2 AS (
+        SELECT query_id, doc_id, bm25_micro,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY bm25_micro DESC, doc_id) AS rk
+        FROM (SELECT query_id, doc_id, cast(sum(c_micro) AS BIGINT) AS bm25_micro
+              FROM contrib2 GROUP BY query_id, doc_id) z
+    )
+    SELECT r.query_id, CAST(r.rk AS BIGINT) AS rk, r.doc_id,
+           r.bm25_micro AS bm25_prf_micro,
+           e1.term AS exp_term1, e2.term AS exp_term2
+    FROM ranked2 r
+    LEFT JOIN __prf_expn2 e1 ON e1.query_id = r.query_id AND e1.erk = 1
+    LEFT JOIN __prf_expn2 e2 ON e2.query_id = r.query_id AND e2.erk = 2
+    WHERE r.rk <= 5
+    ORDER BY r.query_id, r.rk
+"""
+
 
 @register(
     "sim_query_expansion_prf",
@@ -8757,11 +8956,32 @@ _PRF_DUCK_PREFIX = """
     "same exact-integer rational as text_bm25_topk.",
 )
 def sim_query_expansion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    P = _term_postings(spark, sf_dir)
+    D = _doc_lengths(spark, sf_dir)
+    df = _sql_with_views(
+        spark, _PRF_DF_SQL.format(P="__prf_posting"), __prf_posting=P
+    ).localCheckpoint(eager=True)
+    qterms = _sql_with_views(spark, _PRF_QTERMS_SQL, __prf_df=df).localCheckpoint(
+        eager=True
+    )
+    expn2 = _sql_with_views(
+        spark,
+        _PRF_EXPN2_SQL.format(P="__prf_posting", D="__prf_doclen"),
+        __prf_posting=P,
+        __prf_doclen=D,
+        __prf_df=df,
+        __prf_qterms=qterms,
+    ).localCheckpoint(eager=True)
+    qterms2 = _sql_with_views(
+        spark, _PRF_QTERMS2_SQL, __prf_qterms=qterms, __prf_expn2=expn2, __prf_df=df
+    ).localCheckpoint(eager=True)
     return _sql_with_views(
         spark,
-        _PRF_MAIN_SQL.format(P="__prf_posting", D="__prf_doclen", DIV="DIV"),
-        __prf_posting=_term_postings(spark, sf_dir),
-        __prf_doclen=_doc_lengths(spark, sf_dir),
+        _PRF_FINAL_SQL.format(P="__prf_posting", D="__prf_doclen"),
+        __prf_posting=P,
+        __prf_doclen=D,
+        __prf_qterms2=qterms2,
+        __prf_expn2=expn2,
     )
 
 
