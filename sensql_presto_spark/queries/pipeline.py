@@ -778,12 +778,18 @@ _sql_query(
 # dedup_minhash_lsh, the builder MATERIALIZES the assigned+normed vectors
 # once via localCheckpoint (at cluster scale: a staging table) and the
 # self-join reads the materialized relation.
+# r13: the quantized corpus q is staged (localCheckpoint) before the
+# assign SQL — inlined, the q CTE re-ran the parquet scan + quantize
+# transform once per reference (params / c0 / c1 / vcell = 4 corpus
+# scans per assign build).
+_SEM_Q_SQL = """
+    SELECT vec_id,
+           transform(embedding, x -> cast(round(cast(x AS double) * 1000) AS bigint)) AS v
+    FROM embeddings
+    """
+
 _SEM_ASSIGN_SQL = """
-    WITH q AS (
-        SELECT vec_id,
-               transform(embedding, x -> cast(round(cast(x AS double) * 1000) AS bigint)) AS v
-        FROM embeddings
-    ),
+    WITH q AS (SELECT vec_id, v FROM __sem_q),
     params AS (
         SELECT k, greatest(cast(4 AS bigint),
                            least(cast(4096 AS bigint),
@@ -939,9 +945,16 @@ _SEM_PAIRS_SQL = """
     bench=True,
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n = catalog.sql(spark, sf_dir, _SEM_ASSIGN_SQL).localCheckpoint(eager=True)
+    n = _sem_assign_plan(spark, sf_dir).localCheckpoint(eager=True)
     n.createOrReplaceTempView("__sem_n")
     return spark.sql(_SEM_PAIRS_SQL)
+
+
+def _sem_assign_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-level IVF assignment plan over the staged quantized
+    corpus (split out so tests/test_plans.py can pin its join shapes)."""
+    q = catalog.sql(spark, sf_dir, _SEM_Q_SQL).localCheckpoint(eager=True)
+    return _sql_with_views(spark, _SEM_ASSIGN_SQL, __sem_q=q)
 
 # Cluster-balanced sampling: take the SAME number of items from every
 # semantic cluster (topic balancing for pretraining mixes — the cluster
@@ -8043,6 +8056,7 @@ def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("node"), F.col("doc_id").alias("label"))
         .localCheckpoint(eager=True)
     )
+    prev_sum = None
     for _ in range(_CLUSTER_ROUNDS):
         # min(own label, labels of in-neighbors) expressed as ONE
         # union + groupBy-min — identical per-round fixpoint math to the
@@ -8060,6 +8074,22 @@ def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
+        # Early fixpoint exit (r13): labels are monotone non-increasing
+        # (new = min(own, neighbors) <= own), so an unchanged label sum
+        # proves NO label moved and every remaining round is a no-op —
+        # the result is bit-identical to always running _CLUSTER_ROUNDS
+        # rounds, at any scale (converged: identical by fixpoint;
+        # not converged within the cap: both run the full cap).  The
+        # probe is a 1-row aggregate over the just-checkpointed
+        # node-sized relation — a scalar driver fetch, the standard
+        # iterate-until-convergence discipline, never a data collect.
+        # At sf0.001/0.01/0.1 the pair graph converges after round 1
+        # (near-dup clusters are diameter-1 stars), so this runs 2
+        # rounds instead of 6.
+        round_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if round_sum == prev_sum:
+            break
+        prev_sum = round_sum
     sized = labels.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("cluster_id"),

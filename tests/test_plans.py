@@ -309,7 +309,7 @@ def test_semantic_dedup_probe_is_bucket_pruned(spark):
     from sensql_presto_spark import catalog
     from sensql_presto_spark.queries import pipeline
 
-    df = catalog.sql(spark, SF, pipeline._SEM_ASSIGN_SQL)
+    df = pipeline._sem_assign_plan(spark, SF)
     buf = io.StringIO()
     with redirect_stdout(buf):
         df.explain("formatted")
