@@ -4074,11 +4074,53 @@ def _block_web_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "symmetrized edge list is materialized once (localCheckpoint).",
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l3 = _labelprop_labels(spark, sf_dir)
     return _sql_with_views(
         spark,
-        _LABELPROP_ROUNDS_SQL.format(E="__lp_sym"),
-        __lp_sym=_block_web_edges(spark, sf_dir),
+        """
+        SELECT CAST(l3.id AS BIGINT) AS node_id,
+               CAST(l3.lbl AS BIGINT) AS community,
+               CAST(count(*) OVER (PARTITION BY l3.lbl) AS BIGINT) AS community_size
+        FROM __lp_l3 l3
+        ORDER BY node_id
+        """,
+        __lp_l3=l3,
     )
+
+
+_LP_ROUND_SQL = """
+    WITH c AS (SELECT e.dst AS id, l.lbl, count(*) AS c
+               FROM __lp_sym e JOIN __lp_prev l ON l.id = e.src
+               GROUP BY e.dst, l.lbl),
+    w AS (SELECT id, lbl FROM (
+              SELECT id, lbl,
+                     row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+              FROM c) t WHERE rn = 1)
+    SELECT n.id, coalesce(w.lbl, p.lbl) AS lbl
+    FROM __lp_nodes n LEFT JOIN w ON n.id = w.id
+    LEFT JOIN __lp_prev p ON p.id = n.id
+"""
+
+
+def _labelprop_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3-round synchronous label-propagation labels (l3), staged per
+    round (r13 scan-audit: the unrolled _LABELPROP_ROUNDS_SQL — kept
+    verbatim above as the oracle text — re-expanded each l{i} twice per
+    level, 22 edge-relation scans; graph_modularity then inlined the
+    whole cascade 3x more).  Round math verbatim; node-sized label
+    relations checkpointed."""
+    sym = _block_web_edges(spark, sf_dir)
+    nodes = _sql_with_views(
+        spark, "SELECT DISTINCT src AS id FROM __lp_sym", __lp_sym=sym
+    ).localCheckpoint(eager=True)
+    l = _sql_with_views(
+        spark, "SELECT id, id AS lbl FROM __lp_nodes", __lp_nodes=nodes
+    ).localCheckpoint(eager=True)
+    for _ in range(3):
+        l = _sql_with_views(
+            spark, _LP_ROUND_SQL, __lp_sym=sym, __lp_prev=l, __lp_nodes=nodes
+        ).localCheckpoint(eager=True)
+    return l
 
 
 # Per-source boilerplate-line removal (the CCNet/C4 curation pass that
@@ -4458,13 +4500,90 @@ for _n in ["pairs", "cedges", "l0"] + [f"p{_i}" for _i in range(1, 7)] + [
     "all tested scales); pair list checkpointed once.",
 )
 def cluster_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13 scan-audit fix: the unrolled min-label + pointer-jumping rounds
+    # of _DBSCAN_MAIN_SQL re-expand ~3x per level under CTE inlining
+    # (p{i} twice per jump + l{i-1} once) — a 2.7 MB physical plan with
+    # 888 scans of the checkpointed pair relation and 1647 Exchanges.
+    # The rounds are staged per level instead (node-sized label
+    # relations, same math verbatim); _DBSCAN_MAIN_SQL remains the
+    # oracle-side text.
     pairs = catalog.sql(
         spark, sf_dir, _DBSCAN_PAIRS_SQL.format(PTS=_DBSCAN_PTS_SPARK)
     ).localCheckpoint(eager=True)
-    pairs.createOrReplaceTempView("__db_pairs")
     pts = catalog.sql(spark, sf_dir, _DBSCAN_PTS_SPARK).localCheckpoint(eager=True)
-    pts.createOrReplaceTempView("__db_pts")
-    return spark.sql(_DBSCAN_MAIN_SQL.format(PAIRS="__db_pairs", PTS="__db_pts"))
+    core = _sql_with_views(
+        spark,
+        """
+        SELECT id FROM (SELECT a AS id, count(*) AS n FROM __db_pairs GROUP BY a)
+        WHERE n >= 6
+        """,
+        __db_pairs=pairs,
+    ).localCheckpoint(eager=True)
+    cedges = _sql_with_views(
+        spark,
+        """
+        SELECT p.a AS src, p.b AS dst
+        FROM __db_pairs p JOIN __db_core ca ON p.a = ca.id
+                          JOIN __db_core cb ON p.b = cb.id
+        """,
+        __db_pairs=pairs,
+        __db_core=core,
+    ).localCheckpoint(eager=True)
+    l0 = _sql_with_views(
+        spark, "SELECT id, id AS lbl FROM __db_core", __db_core=core
+    ).localCheckpoint(eager=True)
+    l6 = _minlabel_jump_rounds(spark, cedges, "src", "dst", l0, rounds=6)
+    return _sql_with_views(
+        spark,
+        """
+        WITH bord AS (
+            SELECT p.a AS id, min(l.lbl) AS lbl
+            FROM __db_pairs p JOIN __db_core cb ON p.b = cb.id
+                              JOIN __db_l6 l ON l.id = p.b
+            WHERE p.a NOT IN (SELECT id FROM __db_core)
+            GROUP BY p.a
+        )
+        SELECT pts.vec_id,
+               CAST(CASE WHEN lc.lbl IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_core,
+               CAST(coalesce(lc.lbl, bord.lbl, -1) AS BIGINT) AS cluster
+        FROM __db_pts pts
+        LEFT JOIN __db_l6 lc ON pts.vec_id = lc.id
+        LEFT JOIN bord ON pts.vec_id = bord.id
+        ORDER BY vec_id
+        """,
+        __db_pairs=pairs,
+        __db_core=core,
+        __db_pts=pts,
+        __db_l6=l6,
+    )
+
+
+_MINLABEL_JUMP_ROUND_SQL = """
+    WITH p AS (SELECT e.{A} AS id, min(l.lbl) AS lbl
+               FROM __mlj_edges e JOIN __mlj_prev l ON l.id = e.{B}
+               GROUP BY e.{A})
+    SELECT p.id, l2.lbl FROM p p JOIN p l2 ON l2.id = p.lbl
+"""
+
+
+def _minlabel_jump_rounds(
+    spark: SparkSession, edges: DataFrame, a: str, b: str, l0: DataFrame, rounds: int
+) -> DataFrame:
+    """Staged min-label + pointer-jumping connected-component rounds over
+    a checkpointed edge relation ({A} <- {B}); the per-round label
+    relation (node-sized) is checkpointed so the unrolled-CTE ~3x-per-
+    level re-expansion (the dbscan/snn r13 audit finding) cannot occur.
+    Round math is verbatim _DBSCAN_MAIN_SQL / _SNN_MAIN_SQL: propagate
+    min neighbor label, then jump each label to ITS label."""
+    l = l0
+    for _ in range(rounds):
+        l = _sql_with_views(
+            spark,
+            _MINLABEL_JUMP_ROUND_SQL.format(A=a, B=b),
+            __mlj_edges=edges,
+            __mlj_prev=l,
+        ).localCheckpoint(eager=True)
+    return l
 
 
 # ---------------------------------------------------------------------------
@@ -5278,10 +5397,42 @@ assert _KHOP_ORACLE.count("WITH ") == 1
     "nodes report -1; edges checkpointed once.",
 )
 def graph_khop_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13 scan-audit fix: each unrolled relaxation round references the
+    # previous distance relation twice (union branch + join branch), so
+    # inlining doubled the subtree per level (32 edge-relation scans);
+    # the node-sized distance relation is now checkpointed per round.
+    # Round math is verbatim _KHOP_ROUNDS_SQL (the oracle text above).
+    sym = _block_web_edges(spark, sf_dir)
+    nodes = _sql_with_views(
+        spark, "SELECT DISTINCT src AS id FROM __kh_sym", __kh_sym=sym
+    ).localCheckpoint(eager=True)
+    d = _sql_with_views(
+        spark, "SELECT id AS v, 0 AS d FROM __kh_nodes WHERE id % 15 = 0", __kh_nodes=nodes
+    ).localCheckpoint(eager=True)
+    for _ in range(4):
+        d = _sql_with_views(
+            spark,
+            """
+            SELECT v, min(d) AS d FROM (
+                SELECT v, d FROM __kh_prev
+                UNION ALL
+                SELECT e.dst AS v, p.d + 1 AS d FROM __kh_sym e JOIN __kh_prev p ON e.src = p.v
+            ) u GROUP BY v
+            """,
+            __kh_sym=sym,
+            __kh_prev=d,
+        ).localCheckpoint(eager=True)
     return _sql_with_views(
         spark,
-        _KHOP_ROUNDS_SQL.format(E="__kh_sym"),
-        __kh_sym=_block_web_edges(spark, sf_dir),
+        """
+        SELECT CAST(n.id AS BIGINT) AS node_id,
+               CAST(coalesce(d4.d, -1) AS BIGINT) AS dist,
+               CAST(CASE WHEN d4.d IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS reached
+        FROM __kh_nodes n LEFT JOIN __kh_d4 d4 ON n.id = d4.v
+        ORDER BY node_id
+        """,
+        __kh_nodes=nodes,
+        __kh_d4=d,
     )
 
 
@@ -6093,13 +6244,34 @@ assert _SNN_ORACLE.count("WITH ") == 1
     "every stage materialized once.",
 )
 def cluster_snn_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13 scan-audit fix: _SNN_MAIN_SQL's unrolled min-label +
+    # pointer-jumping rounds re-expanded ~3x per level (974 KB plan, 381
+    # scans of the checkpointed strong-edge relation); the rounds are now
+    # staged per level via _minlabel_jump_rounds (identical math).
     corpus = catalog.sql(spark, sf_dir, _KNN_CORPUS_SQL).localCheckpoint(eager=True)
     corpus.createOrReplaceTempView("__snn_corpus")
     edges = spark.sql(_SNN_EDGES_SQL.format(E="__snn_corpus")).localCheckpoint(eager=True)
     edges.createOrReplaceTempView("__snn_edges")
     strong = spark.sql(_SNN_STRONG_SQL.format(K="__snn_edges")).localCheckpoint(eager=True)
-    strong.createOrReplaceTempView("__snn_strong")
-    return spark.sql(_SNN_MAIN_SQL.format(S="__snn_strong", E="__snn_corpus"))
+    l0 = _sql_with_views(
+        spark, "SELECT DISTINCT u AS id, u AS lbl FROM __snn_strong", __snn_strong=strong
+    ).localCheckpoint(eager=True)
+    l6 = _minlabel_jump_rounds(spark, strong, "u", "w", l0, rounds=6)
+    return _sql_with_views(
+        spark,
+        """
+        WITH sized AS (SELECT lbl, count(*) AS sz FROM __snn_l6 GROUP BY lbl)
+        SELECT c.vec_id,
+               CAST(coalesce(l.lbl, c.vec_id) AS BIGINT) AS cluster,
+               CAST(coalesce(s.sz, 1) AS BIGINT) AS cluster_size
+        FROM __snn_c c
+        LEFT JOIN __snn_l6 l ON c.vec_id = l.id
+        LEFT JOIN sized s ON l.lbl = s.lbl
+        ORDER BY vec_id
+        """,
+        __snn_c=corpus,
+        __snn_l6=l6,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -6956,6 +7128,13 @@ assert _KMPP_ORACLE.count("WITH ") == 1
     "state bounded by the candidate set.",
 )
 def cluster_kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13 scan-audit fix: the unrolled _kmpp_rounds_sql (kept verbatim —
+    # it is the oracle text) re-expands under CTE inlining (each round's
+    # cost references the previous cost twice, the selection coin twice
+    # more, and the candidate union re-inlines every sel) — a 301 KB
+    # plan with 146 scans of the checkpointed rows_ relation.  The
+    # builder stages each round's cost / sel (vec- and candidate-sized)
+    # as localCheckpoints; every expression is copied verbatim.
     catalog.register_views(spark, sf_dir)
     rows_ = spark.sql(
         """
@@ -6967,8 +7146,70 @@ def cluster_kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     ).localCheckpoint(eager=True)
-    rows_.createOrReplaceTempView("rows_")
-    return spark.sql(_kmpp_rounds_sql("spark"))
+    cost = _sql_with_views(
+        spark,
+        """
+        WITH sel0 AS (SELECT CAST(0 AS BIGINT) AS c_id),
+        cand0 AS (SELECT s.c_id, r.d, r.x FROM sel0 s JOIN __km_rows r ON r.vec_id = s.c_id),
+        dist0 AS (SELECT rw.vec_id, c.c_id, sum((rw.x - c.x) * (rw.x - c.x)) AS d2
+                  FROM __km_rows rw JOIN cand0 c ON rw.d = c.d GROUP BY rw.vec_id, c.c_id)
+        SELECT vec_id, min(d2) AS cost FROM dist0 GROUP BY vec_id
+        """,
+        __km_rows=rows_,
+    ).localCheckpoint(eager=True)
+    sels = []
+    for r in range(1, _KMPP_ROUNDS + 1):
+        sel = _sql_with_views(
+            spark,
+            f"""
+            SELECT c.vec_id AS c_id FROM __km_cost c, (SELECT sum(cost) AS tot FROM __km_cost) t
+            WHERE ((c.vec_id * 2654435761 + {r} * 40503 + 12345) % 100000) * t.tot
+                  < {_KMPP_L} * 100000 * c.cost
+            """,
+            __km_cost=cost,
+        ).localCheckpoint(eager=True)
+        sels.append(sel)
+        cost = _sql_with_views(
+            spark,
+            """
+            WITH cand AS (SELECT s.c_id, r.d, r.x
+                          FROM __km_sel s JOIN __km_rows r ON r.vec_id = s.c_id),
+            dist AS (SELECT rw.vec_id, c.c_id, sum((rw.x - c.x) * (rw.x - c.x)) AS d2
+                     FROM __km_rows rw JOIN cand c ON rw.d = c.d GROUP BY rw.vec_id, c.c_id)
+            SELECT p.vec_id, least(p.cost, coalesce(m.mn, p.cost)) AS cost
+            FROM __km_cost p LEFT JOIN (SELECT vec_id, min(d2) AS mn FROM dist GROUP BY vec_id) m
+              ON m.vec_id = p.vec_id
+            """,
+            __km_rows=rows_,
+            __km_sel=sel,
+            __km_cost=cost,
+        ).localCheckpoint(eager=True)
+    cand_df = spark.sql("SELECT CAST(0 AS BIGINT) AS c_id, 0 AS sel_round")
+    for i, sel in enumerate(sels, start=1):
+        cand_df = cand_df.union(sel.select(F.col("c_id"), F.lit(i).alias("sel_round")))
+    candidates = cand_df.localCheckpoint(eager=True)
+    return _sql_with_views(
+        spark,
+        f"""
+        WITH candrows AS (SELECT c.c_id, r.d, r.x
+                          FROM __km_cands c JOIN __km_rows r ON r.vec_id = c.c_id),
+        alldist AS (SELECT rw.vec_id, c.c_id, sum((rw.x - c.x) * (rw.x - c.x)) AS d2
+                    FROM __km_rows rw JOIN candrows c ON rw.d = c.d GROUP BY rw.vec_id, c.c_id),
+        assign AS (SELECT vec_id, c_id FROM (
+                       SELECT vec_id, c_id,
+                              row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rn
+                       FROM alldist) rnk WHERE rn = 1),
+        weights AS (SELECT a.c_id, count(*) AS weight FROM assign a GROUP BY a.c_id)
+        SELECT CAST(row_number() OVER (ORDER BY w.weight DESC, w.c_id) AS BIGINT) AS rank,
+               w.c_id AS centroid_id, CAST(w.weight AS BIGINT) AS weight,
+               CAST(c.sel_round AS BIGINT) AS sel_round
+        FROM weights w JOIN __km_cands c ON c.c_id = w.c_id
+        ORDER BY w.weight DESC, w.c_id
+        LIMIT {_KMPP_K}
+        """,
+        __km_rows=rows_,
+        __km_cands=candidates,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -7169,15 +7410,18 @@ assert _MODQ_ORACLE.count("WITH ") == 1
     "combined degree/community rollups + one broadcast total.",
 )
 def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sql = (
-        "WITH "
-        + _LABELPROP_ROUNDS_SQL.format(E="__mq_sym").lstrip().removeprefix("WITH ").split(
-            "SELECT CAST(l3.id AS BIGINT)"
-        )[0].rstrip().rstrip(",")
-        + ",\n    "
-        + _MODQ_TAIL.format(E="__mq_sym")
+    # r13 scan-audit fix: the modularity tail references the label table
+    # three times (intra twice + dsum), so inlining the whole unrolled
+    # label-propagation cascade per reference gave a 139 KB plan with 69
+    # edge-relation scans; it now reads the staged l3 labels.
+    l3 = _labelprop_labels(spark, sf_dir)
+    sql = "WITH " + _MODQ_TAIL.format(E="__mq_sym").replace(
+        "lbl AS (SELECT l3.id AS node_id, l3.lbl AS community FROM l3),",
+        "lbl AS (SELECT l3.id AS node_id, l3.lbl AS community FROM __mq_l3 l3),",
     )
-    return _sql_with_views(spark, sql, __mq_sym=_block_web_edges(spark, sf_dir))
+    return _sql_with_views(
+        spark, sql, __mq_sym=_block_web_edges(spark, sf_dir), __mq_l3=l3
+    )
 
 
 # ---------------------------------------------------------------------------

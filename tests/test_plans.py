@@ -409,13 +409,36 @@ def test_aqe_skew_join_triggers_runtime_split(spark):
 
 def test_label_propagation_rounds_never_rescan_source(spark):
     """graph_label_propagation: the symmetrized edge list is materialized
-    once (localCheckpoint), so the three unrolled rounds read the bounded
-    in-memory edge relation — ZERO parquet rescans of orders — and the
-    per-node top-1 prunes map-side via WindowGroupLimit."""
+    once (localCheckpoint) and each staged round (r13) reads the bounded
+    in-memory edge relation — ZERO parquet rescans of orders — with the
+    per-node top-1 pruned map-side via WindowGroupLimit inside the round
+    plan."""
     plan = _plan(spark, "graph_label_propagation", mode="simple")
     assert "parquet" not in plan
-    assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan and "Python" not in plan
+    # the top-1 tiebreak window lives in the staged per-round plan
+    from sensql_presto_spark.queries import pipeline
+
+    sym = pipeline._block_web_edges(spark, SF)
+    nodes = pipeline._sql_with_views(
+        spark, "SELECT DISTINCT src AS id FROM __lp_sym", __lp_sym=sym
+    )
+    l0 = pipeline._sql_with_views(
+        spark, "SELECT id, id AS lbl FROM __lp_nodes", __lp_nodes=nodes
+    )
+    round_df = pipeline._sql_with_views(
+        spark, pipeline._LP_ROUND_SQL, __lp_sym=sym, __lp_prev=l0, __lp_nodes=nodes
+    )
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        round_df.explain("simple")
+    round_plan = buf.getvalue()
+    assert "parquet" not in round_plan
+    assert "WindowGroupLimit" in round_plan
+    assert "CartesianProduct" not in round_plan and "Python" not in round_plan
 
 
 def test_boilerplate_lines_bounded_exchanges_no_window(spark):
