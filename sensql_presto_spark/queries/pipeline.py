@@ -7832,25 +7832,36 @@ _sql_query(
 # cuts, promoted to a first-class aggregate with multiple measures.
 _sql_query(
     "agg_exact_quantiles",
+    # r13 Spark-side shape (results identical to the oracle text below):
+    # (a) each measure aggregates to its value histogram BEFORE the
+    # union, so the exchange carries (val, cnt) — never the constant
+    # measure string per corpus row; (b) the per-measure total rides a
+    # tiny groupBy + broadcast join instead of a second full-partition
+    # window pass over the histogram (the running-sum window already
+    # pays the one per-measure sort; the total never needed one).
     """
-    WITH m1 AS (SELECT 'orders.o_totalprice_cents' AS measure,
-                       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS val FROM orders),
-    m2 AS (SELECT 'lineitem.l_quantity' AS measure, CAST(l_quantity AS BIGINT) AS val FROM lineitem),
-    m AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2),
-    hist AS (SELECT measure, val, count(*) AS cnt FROM m GROUP BY measure, val),
+    WITH m1h AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS val,
+                        count(*) AS cnt
+                 FROM orders GROUP BY 1),
+    m2h AS (SELECT CAST(l_quantity AS BIGINT) AS val, count(*) AS cnt
+            FROM lineitem GROUP BY 1),
+    hist AS (SELECT 'orders.o_totalprice_cents' AS measure, val, cnt FROM m1h
+             UNION ALL
+             SELECT 'lineitem.l_quantity' AS measure, val, cnt FROM m2h),
     cum AS (
         SELECT measure, val, cnt,
-               sum(cnt) OVER (PARTITION BY measure ORDER BY val) AS cum_cnt,
-               sum(cnt) OVER (PARTITION BY measure) AS n
+               sum(cnt) OVER (PARTITION BY measure ORDER BY val) AS cum_cnt
         FROM hist
     ),
+    tot AS (SELECT measure, sum(cnt) AS n FROM hist GROUP BY measure),
     qs AS (SELECT explode(array(500, 900, 990)) AS q_milli),
     pick AS (
-        SELECT c.measure, q.q_milli, c.n,
+        SELECT c.measure, q.q_milli, t.n,
                min(c.val) AS quantile_value
-        FROM cum c JOIN qs q
-          ON c.cum_cnt * 1000 >= q.q_milli * c.n
-        GROUP BY c.measure, q.q_milli, c.n
+        FROM cum c JOIN tot t ON t.measure = c.measure
+        JOIN qs q
+          ON c.cum_cnt * 1000 >= q.q_milli * t.n
+        GROUP BY c.measure, q.q_milli, t.n
     )
     SELECT measure, CAST(q_milli AS BIGINT) AS q_milli, CAST(n AS BIGINT) AS n,
            CAST(quantile_value AS BIGINT) AS quantile_value
@@ -10010,24 +10021,28 @@ _NOVELTY_OCC_SQL = """
     """
 
 _NOVELTY_MAIN_SQL = """
-    WITH first_seen AS (SELECT gram, min(doc_id) AS first_doc
-                        FROM __nov_occ GROUP BY gram),
-    per_doc AS (
-        SELECT o.doc_id,
-               count(*) AS n_grams,
-               sum(CASE WHEN f.first_doc = o.doc_id THEN 1 ELSE 0 END) AS n_novel
-        FROM __nov_occ o JOIN first_seen f ON o.gram = f.gram
-        GROUP BY o.doc_id
+    WITH per_doc AS (
+        SELECT doc_id, count(*) AS n_grams FROM __nov_occ GROUP BY doc_id
+    ),
+    -- r13: n_novel never needed the gram-keyed join-back of the WHOLE
+    -- occurrence list (the oracle's formulation) — a gram g contributes
+    -- novelty exactly to its first_doc, so counting first_seen rows per
+    -- first_doc gives the identical per-doc novel count while shuffling
+    -- the occurrence list once (the min rollup) instead of twice.
+    novel AS (
+        SELECT first_doc AS doc_id, count(*) AS n_novel
+        FROM (SELECT gram, min(doc_id) AS first_doc FROM __nov_occ GROUP BY gram)
+        GROUP BY first_doc
     ),
     -- decile boundary over the GRAM-BEARING corpus (docs with >= 3
     -- tokens) in BOTH engines — self-consistent with the occurrence list
     mx AS (SELECT max(doc_id) + 1 AS m FROM __nov_occ)
     SELECT CAST(floor(d.doc_id * 10.0 / (SELECT m FROM mx)) AS BIGINT) AS ingest_decile,
            CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(n_grams) AS BIGINT) AS n_grams,
-           CAST(sum(n_novel) AS BIGINT) AS n_novel,
-           CAST(floor(sum(n_novel) * 10000.0 / sum(n_grams)) AS BIGINT) AS novelty_bp
-    FROM per_doc d
+           CAST(sum(d.n_grams) AS BIGINT) AS n_grams,
+           CAST(sum(coalesce(nv.n_novel, 0)) AS BIGINT) AS n_novel,
+           CAST(floor(sum(coalesce(nv.n_novel, 0)) * 10000.0 / sum(d.n_grams)) AS BIGINT) AS novelty_bp
+    FROM per_doc d LEFT JOIN novel nv ON nv.doc_id = d.doc_id
     GROUP BY 1 ORDER BY 1
     """
 
