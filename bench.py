@@ -57,17 +57,44 @@ def main() -> None:
         spark.range(50_000_000).selectExpr("sum(id * 3 + 1)").collect()
         return round(time.perf_counter() - t0, 4)
 
+    # Workload-shaped calibration probe (r12 VERDICT next-round #2a): the
+    # CPU-bound range-sum probe above decouples from the mixed
+    # scan/shuffle regime the queries actually see (r12: the probe moved
+    # 2.7x within one invocation while query plans were unchanged).  This
+    # second probe is a small parquet scan + hash exchange + aggregate —
+    # the modal query shape — sampled at the same cadence and recorded in
+    # the detail sidecar alongside the legacy probe.  The legacy probe
+    # stays the NORMALIZER for cross-round ratios so prior rounds remain
+    # comparable; the workload probe is evidence for adjudicating them.
+    def calibrate_workload() -> float:
+        probe = (
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+            .selectExpr("l_suppkey % 997 AS k", "l_quantity")
+            .groupBy("k")
+            .agg({"l_quantity": "sum"})
+        )
+        t0 = time.perf_counter()
+        probe.write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 4)
+
     specs = {n: s for n, s in all_specs().items() if s.bench}
     names = sorted(specs)
     seg_len = max(1, -(-len(names) // 4))  # 4 segments -> 5 samples
     calib_samples: list[float] = []
+    calib2_samples: list[float] = []
     query_seg: dict[str, int] = {}
 
+    calibrate_workload()  # warm (parquet footer cache + codegen)
     timings: dict[str, float] = {}
     for idx, name in enumerate(names):
         if idx % seg_len == 0:
             calib_samples.append(calibrate())
-            print(f"  [calibration #{len(calib_samples)}: {calib_samples[-1]:.3f}s]", file=sys.stderr)
+            calib2_samples.append(calibrate_workload())
+            print(
+                f"  [calibration #{len(calib_samples)}: {calib_samples[-1]:.3f}s"
+                f" workload {calib2_samples[-1]:.3f}s]",
+                file=sys.stderr,
+            )
         query_seg[name] = idx // seg_len
         spec = specs[name]
         for _ in range(prewarm):
@@ -84,7 +111,12 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 4)
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
     calib_samples.append(calibrate())
-    print(f"  [calibration #{len(calib_samples)}: {calib_samples[-1]:.3f}s]", file=sys.stderr)
+    calib2_samples.append(calibrate_workload())
+    print(
+        f"  [calibration #{len(calib_samples)}: {calib_samples[-1]:.3f}s"
+        f" workload {calib2_samples[-1]:.3f}s]",
+        file=sys.stderr,
+    )
 
     calib = round(statistics.median(calib_samples), 4)
     # per-query calibration: mean of the two probes bracketing its segment
@@ -92,6 +124,27 @@ def main() -> None:
         q: round((calib_samples[s] + calib_samples[min(s + 1, len(calib_samples) - 1)]) / 2, 4)
         for q, s in query_seg.items()
     }
+
+    # Plan fingerprints (r12 VERDICT next-round #2b): a stable hash of
+    # each query's simple physical plan with expression ids stripped, so
+    # a future round's sidecar can mechanically separate "plan changed"
+    # from "host moved" for any paired-ratio outlier.
+    import hashlib
+    import re as _re
+
+    plan_fps: dict[str, str] = {}
+    for name in names:
+        try:
+            p = specs[name].build(spark, sf_dir)._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "simple"
+                )
+            )
+            p = _re.sub(r"#\d+L?", "#", p)  # strip expression ids
+            p = _re.sub(r"plan_id=\d+", "plan_id=", p)
+            plan_fps[name] = hashlib.sha256(p.encode()).hexdigest()[:16]
+        except Exception:  # fingerprint is best-effort evidence
+            plan_fps[name] = "error"
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -106,8 +159,10 @@ def main() -> None:
     # full-fidelity detail lives in the sidecar, never on stdout
     detail = {
         "calibration_samples": calib_samples,
+        "calibration_workload_samples": calib2_samples,
         "calibration_by_query": calib_by_query,
         "queries_4dp": timings,
+        "plan_fingerprints": plan_fps,
     }
     # Round-over-round adjudication, mechanical: against the most recent
     # BENCH_r*.json, compare only the SHARED query set and divide each
@@ -150,6 +205,40 @@ def main() -> None:
             out["shared_paired_median"] = round(
                 statistics.median(paired.values()), 4
             )
+            # Self-adjudicating outliers (r12 VERDICT next-round #2b):
+            # any query whose paired ratio exceeds the repo's 1.3 line is
+            # RE-MEASURED in isolation at the end of the run, bracketed
+            # by fresh probes of both calibration flavors, so "host noise
+            # vs real regression" is decided inside the artifact instead
+            # of by a builder counter-run next round.
+            outliers = sorted(q for q, r in paired.items() if r > 1.3)
+            if outliers:
+                remeasures: dict[str, dict] = {}
+                for q in outliers:
+                    c_cpu, c_wl = calibrate(), calibrate_workload()
+                    samples = []
+                    for _ in range(runs):
+                        t0 = time.perf_counter()
+                        specs[q].build(spark, sf_dir).write.format("noop").mode(
+                            "overwrite"
+                        ).save()
+                        samples.append(time.perf_counter() - t0)
+                    re_med = round(statistics.median(samples), 4)
+                    prev_c = prev_cbq.get(q, prev_calib)
+                    remeasures[q] = {
+                        "median": re_med,
+                        "calibration_sec": c_cpu,
+                        "calibration_workload_sec": c_wl,
+                        "paired_ratio_remeasured": round(
+                            (re_med / c_cpu) / (pdata["queries"][q] / prev_c), 4
+                        ),
+                    }
+                    print(
+                        f"  [outlier re-measure {q}: {re_med:.3f}s"
+                        f" @calib {c_cpu:.3f}/{c_wl:.3f}]",
+                        file=sys.stderr,
+                    )
+                detail["outlier_remeasures"] = remeasures
 
     detail_path = os.environ.get("BENCH_DETAIL_PATH") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL_latest.json"
