@@ -38,6 +38,18 @@ SF = "/root/testdata/sf0.001"  # plan SHAPE is scale-independent; smallest data
 # (tpcds_q95's web_sales, inherent to the benchmark text).
 MAX_SCANS_PER_RELATION = 32
 
+# r13: the r12 guard only counted FILE relations, so six iterative plans
+# whose rounds re-referenced a CHECKPOINTED stage slipped it entirely —
+# cluster_dbscan_grid re-scanned its checkpointed pair relation 888x
+# (2.7 MB plan), cluster_snn_knn 381x, cluster_kmeans_parallel_init
+# 146x, graph_modularity 69x, graph_khop_distances 32x,
+# graph_label_propagation 22x.  All six were restaged (checkpoint per
+# round); this second ceiling keeps the hazard closed for RDD-backed
+# stages too.  Largest legitimate count after the fixes: 10
+# (graph_triangle_count / text_perplexity_bucket — one plan's inherent
+# multi-reference of a bounded staged relation, not iterative blowup).
+MAX_SCANS_PER_RDD = 16
+
 # entry -> stated numeric bound for plans that legitimately exceed the
 # ceiling.  Empty today — the four auditors-found offenders were fixed,
 # not whitelisted.
@@ -64,8 +76,29 @@ def _relation_scan_counts(df) -> "collections.Counter":
     return counts
 
 
+def _rdd_scan_counts(df) -> "collections.Counter":
+    """Count LogicalRDD occurrences per distinct underlying RDD (the
+    checkpointed-stage analogue of _relation_scan_counts; identity is
+    the RDD id, so two references to ONE checkpoint count together while
+    distinct checkpoints stay separate)."""
+    counts: collections.Counter = collections.Counter()
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        n = stack.pop()
+        if n.getClass().getSimpleName() == "LogicalRDD":
+            counts[n.rdd().id()] += 1
+        ch = n.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+        sub = n.subqueries()
+        for i in range(sub.size()):
+            stack.append(sub.apply(i))
+    return counts
+
+
 def test_no_relation_scanned_past_the_ceiling_in_any_registry_plan(spark):
     offenders: dict = {}
+    rdd_offenders: dict = {}
     errors: dict = {}
     for name, spec in sorted(all_specs().items()):
         if name in WHITELIST:
@@ -79,11 +112,19 @@ def test_no_relation_scanned_past_the_ceiling_in_any_registry_plan(spark):
         mx = max(counts.values(), default=0)
         if mx > MAX_SCANS_PER_RELATION:
             offenders[name] = mx
+        rdd_mx = max(_rdd_scan_counts(df).values(), default=0)
+        if rdd_mx > MAX_SCANS_PER_RDD:
+            rdd_offenders[name] = rdd_mx
     assert not errors, f"registry builds failed under the scan guard: {errors}"
     assert not offenders, (
         "relation re-scanned past the ceiling (CTE re-expansion — stage "
         "the multi-referenced relation via localCheckpoint, or whitelist "
         f"with a stated numeric bound): {offenders}"
+    )
+    assert not rdd_offenders, (
+        "checkpointed stage re-scanned past the RDD ceiling (CTE "
+        "re-expansion of an iterate — stage each round, or whitelist "
+        f"with a stated numeric bound): {rdd_offenders}"
     )
 
 
@@ -114,3 +155,7 @@ def test_scan_guard_actually_detects_a_violation(spark):
     for _ in range(6):
         df2 = df2.union(df2)
     assert max(_relation_scan_counts(df2).values(), default=0) == 0
+    # ...and the RDD counter catches exactly that staged-relation blowup
+    # (the r13 gap: dbscan/snn re-scanned checkpoints 888x/381x unseen)
+    assert max(_rdd_scan_counts(df2).values()) == 64
+    assert max(_rdd_scan_counts(staged).values()) == 1
