@@ -293,7 +293,16 @@ def ddl_alter_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = catalog.table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
-    path = os.path.join(_WRITE_DIR, "..", "alter_demo")
+    # normpath is load-bearing (r13): with the ".." left unresolved,
+    # os.path.isdir() in WritableTable.create returns False whenever the
+    # sibling ctas_insert_demo dir is absent (POSIX resolves ".." through
+    # REAL components), so the stale-table cleanup is skipped — while
+    # Hadoop normalizes the path LEXICALLY and then hits the stale
+    # alter_demo dir with PATH_ALREADY_EXISTS.  This was the transient
+    # "plan-build error" the r12 retry-once patch absorbed: it reproduces
+    # exactly when an interrupted earlier run leaves alter_demo behind
+    # without ctas_insert_demo.
+    path = os.path.normpath(os.path.join(_WRITE_DIR, "..", "alter_demo"))
     t = WritableTable.create(spark, path, nation.filter(F.col("n_regionkey") < 3))
     t.add_column("bal_class", (F.col("n_regionkey") * 10).cast("long"))
     t.rename_column("bal_class", "region_decade")
