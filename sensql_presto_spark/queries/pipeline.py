@@ -5029,31 +5029,42 @@ assert _KCORE_ORACLE.count("WITH ") == 1
 # when Spark inlines the CTEs (a5 contains a4 twice -> a3 4x -> ... a1
 # 16x; the final LEFT JOINs re-expand the whole cascade once more):
 # 600-node physical plan, 116 scans of the checkpointed edge relation,
-# 224 Exchanges.  The Spark-side builder therefore stages each peel
-# round's alive set (node-sized, bounded by the vertex count) as a
-# localCheckpoint — the same staged-iterate discipline the r12 audit
-# applied to pagerank/HITS — so every round and every final LEFT JOIN
-# reads a materialized relation exactly once.  Round 5 (the asserted-
-# empty fixpoint margin) stays a plan so the result is one query.
-_KCORE_PEEL1_SQL = """
-    SELECT src AS id, count(*) AS d FROM __kc_sym
-    GROUP BY src HAVING count(*) >= 6
+# 224 Exchanges.  The Spark-side builder stages ALTERNATE rounds (a2 and
+# a4) as localCheckpoints: with every second round materialized the
+# inline expansion is capped at one doubling (a3 inlines checkpointed a2
+# twice, a5 inlines checkpointed a4 twice — 4 edge scans total, ~9 KB
+# plan), while paying HALF the per-build checkpoint jobs of full
+# per-round staging.  Measured at sf0.1 (same-session, two passes):
+# hybrid 1.87/1.34s vs unrolled 1.98/1.69s vs fully-staged 3.16/1.58s.
+_KCORE_A2_SQL = """
+    WITH a1 AS (SELECT src AS id, count(*) AS d FROM __kc_sym
+                GROUP BY src HAVING count(*) >= 6)
+    SELECT e.src AS id, count(*) AS d
+    FROM __kc_sym e JOIN a1 x ON e.dst = x.id JOIN a1 y ON e.src = y.id
+    GROUP BY e.src HAVING count(*) >= 6
 """
 
-_KCORE_PEEL_SQL = """
+_KCORE_A4_SQL = """
+    WITH a3 AS (SELECT e.src AS id, count(*) AS d
+                FROM __kc_sym e JOIN __kc_a2 x ON e.dst = x.id
+                                JOIN __kc_a2 y ON e.src = y.id
+                GROUP BY e.src HAVING count(*) >= 6)
     SELECT e.src AS id, count(*) AS d
-    FROM __kc_sym e
-    JOIN __kc_prev x ON e.dst = x.id
-    JOIN __kc_prev y ON e.src = y.id
+    FROM __kc_sym e JOIN a3 x ON e.dst = x.id JOIN a3 y ON e.src = y.id
     GROUP BY e.src HAVING count(*) >= 6
 """
 
 _KCORE_FINAL_SQL = """
     WITH nodes AS (SELECT DISTINCT src AS id FROM __kc_sym),
+    a1 AS (SELECT src AS id, count(*) AS d FROM __kc_sym
+           GROUP BY src HAVING count(*) >= 6),
+    a3 AS (SELECT e.src AS id, count(*) AS d
+           FROM __kc_sym e JOIN __kc_a2 x ON e.dst = x.id
+                           JOIN __kc_a2 y ON e.src = y.id
+           GROUP BY e.src HAVING count(*) >= 6),
     a5 AS (SELECT e.src AS id, count(*) AS d
-           FROM __kc_sym e
-           JOIN __kc_a4 x ON e.dst = x.id
-           JOIN __kc_a4 y ON e.src = y.id
+           FROM __kc_sym e JOIN __kc_a4 x ON e.dst = x.id
+                           JOIN __kc_a4 y ON e.src = y.id
            GROUP BY e.src HAVING count(*) >= 6)
     SELECT CAST(n.id AS BIGINT) AS node_id,
            CAST(CASE WHEN a5.id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_core,
@@ -5065,9 +5076,9 @@ _KCORE_FINAL_SQL = """
                      WHEN a5.id IS NULL THEN 5
                      ELSE 0 END AS BIGINT) AS peeled_round
     FROM nodes n
-    LEFT JOIN __kc_a1 a1 ON n.id = a1.id
+    LEFT JOIN a1 ON n.id = a1.id
     LEFT JOIN __kc_a2 a2 ON n.id = a2.id
-    LEFT JOIN __kc_a3 a3 ON n.id = a3.id
+    LEFT JOIN a3 ON n.id = a3.id
     LEFT JOIN __kc_a4 a4 ON n.id = a4.id
     LEFT JOIN a5 ON n.id = a5.id
     ORDER BY node_id
@@ -5090,24 +5101,14 @@ _KCORE_FINAL_SQL = """
 )
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = catalog.sql(spark, sf_dir, _KCORE_GRAPH_SQL).localCheckpoint(eager=True)
-    a = _sql_with_views(spark, _KCORE_PEEL1_SQL, __kc_sym=sym).localCheckpoint(
+    a2 = _sql_with_views(spark, _KCORE_A2_SQL, __kc_sym=sym).localCheckpoint(
         eager=True
     )
-    rounds = [a]
-    for _ in range(3):
-        a = _sql_with_views(
-            spark, _KCORE_PEEL_SQL, __kc_sym=sym, __kc_prev=a
-        ).localCheckpoint(eager=True)
-        rounds.append(a)
-    a1, a2, a3, a4 = rounds
+    a4 = _sql_with_views(
+        spark, _KCORE_A4_SQL, __kc_sym=sym, __kc_a2=a2
+    ).localCheckpoint(eager=True)
     return _sql_with_views(
-        spark,
-        _KCORE_FINAL_SQL,
-        __kc_sym=sym,
-        __kc_a1=a1,
-        __kc_a2=a2,
-        __kc_a3=a3,
-        __kc_a4=a4,
+        spark, _KCORE_FINAL_SQL, __kc_sym=sym, __kc_a2=a2, __kc_a4=a4
     )
 
 
