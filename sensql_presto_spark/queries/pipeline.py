@@ -7842,13 +7842,14 @@ _sql_query(
 # cuts, promoted to a first-class aggregate with multiple measures.
 _sql_query(
     "agg_exact_quantiles",
-    # r13 Spark-side shape (results identical to the oracle text below):
-    # (a) each measure aggregates to its value histogram BEFORE the
-    # union, so the exchange carries (val, cnt) — never the constant
-    # measure string per corpus row; (b) the per-measure total rides a
-    # tiny groupBy + broadcast join instead of a second full-partition
-    # window pass over the histogram (the running-sum window already
-    # pays the one per-measure sort; the total never needed one).
+    # r13/r14 Spark-side shape (results identical to the oracle text
+    # below): (a) each measure aggregates to its value histogram BEFORE
+    # the union, so the exchange carries (val, cnt) — never the constant
+    # measure string per corpus row; (b) r14: the per-measure total rides
+    # a second window over the SAME measure-keyed exchange as the
+    # running sum (the r13 groupBy+join form re-inlined the whole hist
+    # subtree — Catalyst does not materialize CTEs — costing a duplicate
+    # scan+aggregate of BOTH corpus tables and 3 extra exchanges).
     """
     WITH m1h AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS val,
                         count(*) AS cnt
@@ -7860,18 +7861,17 @@ _sql_query(
              SELECT 'lineitem.l_quantity' AS measure, val, cnt FROM m2h),
     cum AS (
         SELECT measure, val, cnt,
-               sum(cnt) OVER (PARTITION BY measure ORDER BY val) AS cum_cnt
+               sum(cnt) OVER (PARTITION BY measure ORDER BY val) AS cum_cnt,
+               sum(cnt) OVER (PARTITION BY measure) AS n
         FROM hist
     ),
-    tot AS (SELECT measure, sum(cnt) AS n FROM hist GROUP BY measure),
     qs AS (SELECT explode(array(500, 900, 990)) AS q_milli),
     pick AS (
-        SELECT c.measure, q.q_milli, t.n,
+        SELECT c.measure, q.q_milli, c.n,
                min(c.val) AS quantile_value
-        FROM cum c JOIN tot t ON t.measure = c.measure
-        JOIN qs q
-          ON c.cum_cnt * 1000 >= q.q_milli * t.n
-        GROUP BY c.measure, q.q_milli, t.n
+        FROM cum c JOIN qs q
+          ON c.cum_cnt * 1000 >= q.q_milli * c.n
+        GROUP BY c.measure, q.q_milli, c.n
     )
     SELECT measure, CAST(q_milli AS BIGINT) AS q_milli, CAST(n AS BIGINT) AS n,
            CAST(quantile_value AS BIGINT) AS quantile_value
