@@ -8329,6 +8329,11 @@ def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         # instead of three (the node-sized labels side broadcasts into
         # the edge join; the old shape shuffled labels for the join, the
         # neighbor aggregate, AND the left join back).
+        # r14 (VERDICT r13 #6): the checkpoint is LAZY so the convergence
+        # probe's one-row aggregate is the job that materializes it —
+        # 1 Spark job per round instead of 2 (checkpoint job + probe job;
+        # the probe computes every partition, so the full relation is
+        # persisted exactly as the eager form did).
         labels = (
             labels.union(
                 edges.join(labels, edges.u == labels.node).select(
@@ -8337,7 +8342,7 @@ def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # Early fixpoint exit (r13): labels are monotone non-increasing
         # (new = min(own, neighbors) <= own), so an unchanged label sum
