@@ -4108,7 +4108,16 @@ def _labelprop_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbatim above as the oracle text — re-expanded each l{i} twice per
     level, 22 edge-relation scans; graph_modularity then inlined the
     whole cascade 3x more).  Round math verbatim; node-sized label
-    relations checkpointed."""
+    relations checkpointed.  r13 ADVICE: memoized per (session, sf_dir)
+    like _block_web_edges — label_propagation and modularity consume the
+    identical relation, so the 5 eager checkpoint jobs run once per
+    session instead of twice."""
+    return _session_memo(
+        spark, "labelprop_labels", sf_dir, lambda: _labelprop_labels_build(spark, sf_dir)
+    )
+
+
+def _labelprop_labels_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = _block_web_edges(spark, sf_dir)
     nodes = _sql_with_views(
         spark, "SELECT DISTINCT src AS id FROM __lp_sym", __lp_sym=sym
