@@ -6325,14 +6325,20 @@ _DSIR_POSTING_SQL = """
         FROM vocab
     ),
     hrows AS (SELECT r.doc_id, r.pos, v.h FROM trows r JOIN vhash v ON r.tk = v.tk),
+    -- r14: unigram and bigram features come off ONE pass over hrows (the
+    -- old UNION ALL's two branches each re-inlined the tokenize-explode +
+    -- vocab-hash join — Spark CTEs are not materialized); the lead()
+    -- window row emits its unigram feature and, when a successor exists,
+    -- the bigram feature — the identical feature multiset.
+    led AS (SELECT doc_id, h, lead(h, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS h2
+            FROM hrows),
     feats AS (
-        SELECT doc_id, h % 256 AS f
-        FROM hrows
-        UNION ALL
-        SELECT doc_id, ((h * 131 + h2) % 1000000007) % 256 + 256 AS f
-        FROM (SELECT doc_id, h, lead(h, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS h2
-              FROM hrows)
-        WHERE h2 IS NOT NULL
+        SELECT doc_id,
+               explode(CASE WHEN h2 IS NULL THEN array(h % 256)
+                            ELSE array(h % 256,
+                                       ((h * 131 + h2) % 1000000007) % 256 + 256)
+                       END) AS f
+        FROM led
     )
     SELECT doc_id, f, count(*) AS c FROM feats GROUP BY doc_id, f
     """
