@@ -845,3 +845,87 @@ def test_kafka_avro_multibranch_decode_is_two_arrow_passes(spark):
     assert "BatchEvalPython" not in p and "CartesianProduct" not in p
     assert "FileScan binaryFile" in p
     assert p.count("Exchange") == 1 and "rangepartitioning" in p
+
+
+def test_exact_quantiles_single_histogram_pass(spark):
+    """agg_exact_quantiles r14 shape: the per-measure total rides a second
+    window over the SAME measure-keyed exchange as the running sum — the
+    r13 groupBy+join form re-inlined the whole hist CTE, scanning and
+    aggregating BOTH corpus tables twice (18 Exchange nodes, 4 scans)."""
+    plan = _plan(spark, "agg_exact_quantiles")
+    tree = [l.strip() for l in plan.splitlines() if l.strip().startswith("(")]
+    assert sum(") Scan parquet" in l for l in tree) == 2  # orders + lineitem once
+    assert sum(") Exchange" in l for l in tree) <= 4  # m1h+m2h+window+final sort
+    assert sum(") Window" in l for l in tree) == 2  # running sum + total, stacked
+
+
+def test_dsir_posting_single_tokenize_pass(spark):
+    """text_dsir_weights r14 posting shape: unigram and bigram features
+    come off ONE pass over the hashed-token rows (the old UNION ALL's two
+    branches each re-inlined the tokenize-explode + vocab-hash join:
+    8 scans, 4 joins, 12 exchanges)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from sensql_presto_spark import catalog
+    from sensql_presto_spark.queries.pipeline import _DSIR_POSTING_SQL
+
+    df = catalog.sql(spark, SF, _DSIR_POSTING_SQL)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    tree = [l.strip() for l in buf.getvalue().splitlines() if l.strip().startswith("(")]
+    assert sum(") Scan parquet" in l for l in tree) <= 2  # was 4 pre-r14
+    joins = sum(
+        any(j in l for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
+        for l in tree
+    )
+    assert joins <= 1  # ONE trows-vhash join (was 2)
+
+
+def test_lazy_checkpoint_probe_materializes_in_one_job(spark):
+    """Pins the r14 dedup_cluster_assignment mechanism: a LAZY
+    localCheckpoint plus the 1-row convergence probe materializes the
+    checkpoint inside the probe's own job (1 job/round instead of the
+    eager form's checkpoint job + probe job), and the checkpoint barrier
+    is real (lineage cut) afterwards."""
+    import inspect
+
+    from pyspark.sql import functions as F
+
+    from sensql_presto_spark.queries.pipeline import dedup_cluster_assignment
+
+    # the wiring: the round checkpoint is lazy
+    src = inspect.getsource(dedup_cluster_assignment.__wrapped__ if hasattr(
+        dedup_cluster_assignment, "__wrapped__") else dedup_cluster_assignment)
+    assert "localCheckpoint(eager=False)" in src
+
+    # the mechanism, on a synthetic round-shaped aggregate
+    df = (
+        spark.range(1000)
+        .groupBy((F.col("id") % 7).alias("node"))
+        .agg(F.min("id").alias("label"))
+    )
+    ck = df.localCheckpoint(eager=False)
+    node = ck._jdf.queryExecution().analyzed()
+    while node.children().size() > 0:
+        node = node.children().head()
+    assert node.nodeName() == "LogicalRDD"
+    inner = node.rdd()
+    assert not inner.isCheckpointed()
+    spark.sparkContext.setJobGroup("lazyck_probe", "probe")
+    ck.agg(F.sum("label")).collect()
+    spark.sparkContext.setJobGroup("lazyck_done", "")
+    lazy_jobs = len(
+        spark.sparkContext.statusTracker().getJobIdsForGroup("lazyck_probe")
+    )
+    assert inner.isCheckpointed()  # the probe's job materialized it
+
+    # the eager form pays the checkpoint job(s) ON TOP of the same probe
+    spark.sparkContext.setJobGroup("eagerck_probe", "probe")
+    df.localCheckpoint(eager=True).agg(F.sum("label")).collect()
+    spark.sparkContext.setJobGroup("eagerck_done", "")
+    eager_jobs = len(
+        spark.sparkContext.statusTracker().getJobIdsForGroup("eagerck_probe")
+    )
+    assert lazy_jobs < eager_jobs
