@@ -31,7 +31,12 @@ def timeit(df_builder, spark, runs=5):
 
 
 def run_ab(spark, sf_dir, builders, runs=5, passes=2, skip_verify=False):
-    """builders: dict name -> zero-arg callable returning a DataFrame."""
+    """builders: dict name -> zero-arg callable returning a DataFrame.
+
+    Strictly ALTERNATES shapes run-by-run (A,B,..,A,B,..) so a host-speed
+    swing hits adjacent samples of every shape equally, and reports the
+    median of per-iteration paired ratios (robust to swings the
+    pass-sequential form was not)."""
     names = list(builders)
     if not skip_verify:
         rows = {}
@@ -45,14 +50,23 @@ def run_ab(spark, sf_dir, builders, runs=5, passes=2, skip_verify=False):
     # prewarm each
     for n in names:
         builders[n]().write.format("noop").mode("overwrite").save()
-    for p in range(passes):
-        meds = {}
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(runs * passes):
         for n in names:
-            meds[n] = timeit(builders[n], spark, runs)
-        rel = " ".join(f"{n}={meds[n]:.3f}s" for n in names)
-        base = meds[names[0]]
-        ratios = " ".join(f"{n}:{base / meds[n]:.2f}x" for n in names[1:])
-        print(f"  pass {p + 1}: {rel}   speedup vs {names[0]}: {ratios}")
+            t0 = time.perf_counter()
+            builders[n]().write.format("noop").mode("overwrite").save()
+            samples[n].append(time.perf_counter() - t0)
+    meds = {n: statistics.median(samples[n]) for n in names}
+    base_n = names[0]
+    rel = " ".join(f"{n}={meds[n]:.3f}s" for n in names)
+    print(f"  medians: {rel}")
+    for n in names[1:]:
+        pairs = [a / b for a, b in zip(samples[base_n], samples[n])]
+        print(
+            f"  {n} vs {base_n}: median-of-medians {meds[base_n] / meds[n]:.2f}x, "
+            f"median paired ratio {statistics.median(pairs):.2f}x "
+            f"(>1 means {n} faster; n={len(pairs)})"
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -256,9 +270,11 @@ def exp_semnew(spark, sf_dir):
         {
             "old": lambda: build(P._SEM_ASSIGN_SQL, P._SEM_PAIRS_SQL),
             "new_assign": lambda: build(SEM_ASSIGN_NEW, P._SEM_PAIRS_SQL),
-            "new_both": lambda: build(SEM_ASSIGN_NEW, SEM_PAIRS_NEW),
-            "new_pairs": lambda: build(P._SEM_ASSIGN_SQL, SEM_PAIRS_NEW),
+            "new_both": lambda: build(SEM_ASSIGN_NEW, SEM_PAIRS_NEW2),
+            "new_pairs": lambda: build(P._SEM_ASSIGN_SQL, SEM_PAIRS_NEW2),
         },
+        runs=5,
+        passes=2,
     )
 
 
@@ -526,7 +542,61 @@ def exp_trigram(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# experiment: sim_knn_join — int-typed corpus vectors (4x narrower), and a
+# repartitioned corpus checkpoint so the pair dots parallelize
+# ---------------------------------------------------------------------------
+
+
+def exp_knn(spark, sf_dir):
+    from sensql_presto_spark.queries import pipeline as P
+
+    int_corpus_sql = P._KNN_CORPUS_SQL.replace(
+        "cast(round(cast(x AS double) * 1000) AS bigint)",
+        "cast(round(cast(x AS double) * 1000) AS int)",
+    )
+    assert int_corpus_sql != P._KNN_CORPUS_SQL
+    par = spark.sparkContext.defaultParallelism
+
+    def build(corpus_sql, repart):
+        c = catalog.sql(spark, sf_dir, corpus_sql)
+        if repart:
+            c = c.repartition(par)
+        c = c.localCheckpoint(eager=True)
+        c.createOrReplaceTempView("__knn_corpus_ab")
+        return spark.sql(P._KNN_JOIN_SQL.format(E="__knn_corpus_ab"))
+
+    print("-- full pipeline (corpus build + join) --")
+    run_ab(
+        spark,
+        sf_dir,
+        {
+            "old": lambda: build(P._KNN_CORPUS_SQL, False),
+            "int": lambda: build(int_corpus_sql, False),
+            "int_rep": lambda: build(int_corpus_sql, True),
+            "rep": lambda: build(P._KNN_CORPUS_SQL, True),
+        },
+        runs=6,
+        passes=3,
+    )
+    print("-- join stage only (fixed corpora) --")
+    fixed = {}
+    for label, (sql_text, repart) in {
+        "old": (P._KNN_CORPUS_SQL, False),
+        "int_rep": (int_corpus_sql, True),
+    }.items():
+        c = catalog.sql(spark, sf_dir, sql_text)
+        if repart:
+            c = c.repartition(par)
+        c = c.localCheckpoint(eager=True)
+        view = f"__knn_c_{label}"
+        c.createOrReplaceTempView(view)
+        fixed[label] = lambda v=view: spark.sql(P._KNN_JOIN_SQL.format(E=v))
+    run_ab(spark, sf_dir, fixed, runs=6, passes=3)
+
+
 EXPERIMENTS = {
+    "knn": exp_knn,
     "quantiles": exp_quantiles,
     "semprof": exp_semprof,
     "semnew": exp_semnew,
