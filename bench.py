@@ -12,8 +12,17 @@ The stdout line is therefore kept COMPACT (totals, calibration median,
 per-query medians at 3dp, shared-ratio scalars) with a hard ≤1900-char
 guarantee enforced by progressive trimming, and the full detail
 (calibration samples, per-query calibration, paired ratios) goes to a
-sidecar JSON file ($BENCH_DETAIL_PATH, default BENCH_DETAIL_latest.json)
-that the round commits as BENCH_DETAIL_r{N}.json.
+sidecar JSON file ($BENCH_DETAIL_PATH, default
+BENCH_DETAIL_latest_sf{sf}_c{cpus}.json so multi-invocation rounds keep
+every run's data) that the round commits as BENCH_DETAIL_r{N}.json.
+
+Reading the cores-scaling block (r13 VERDICT, what's-wrong #4): at sf0.1
+per-stage fixed costs and 32-way scheduling overhead dominate most
+entries, so an 8-vs-32-core ratio ≈ 1 (or below) means "fixed-cost bound
+at this SF", NOT "serial operator" — the r13 8-core run beat the 32-core
+run on 45 of 57 queries with identical plans. Only entries whose per-task
+compute dwarfs the constant costs (sim_range_search, dedup_bloom_prefilter
+at sf0.1) can show real parallel speedup at this scale.
 """
 
 from __future__ import annotations
